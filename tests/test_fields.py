@@ -1,0 +1,120 @@
+"""Field extraction + validation vs pure-Python golden on the reference's
+fixture docs (FIXTURES.md §3, verbatim from demo.py:69-85 / test_api.py:134)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark import config
+from ocr_spark.functions import fields as FX
+from tests import reference_impl as ref
+
+DOCS = [
+    ("f1", "ФИО: Иванов Иван Иванович, Дата рождения: 01.01.1990, Паспорт: 1234 567890"),
+    ("f2", "Заказчик: Петров Петр Петрович, Сумма: 100000 руб, Дата: 15.03.2023"),
+    ("f3", "Имя: Сидоров Сидор, Телефон: +7(999)123-45-67, Email: sidor@example.com"),
+    ("f4", "Имя: Иван Иванов, Дата: 01.01.2023, Телефон: +7(999)123-45-67"),
+    ("f5", "Договор № 123 от 01/02-2023, сумма: 1500,75 руб, ИНН: 1234567890"),
+    ("f6", "Contact: john.DOE+x@Example.COM, phone +1 (555) 123-4567 ext"),
+    ("f7", "пустой документ без полей"),
+    ("f8", "Адрес: г. Москва, ул. Ленина, д. 1"),
+]
+
+
+@pytest.fixture(scope="module")
+def extracted_rows(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    out = df.select(
+        "doc_id",
+        FX.extract_fields_map(F.col("text")).alias("fields"),
+    )
+    return {r["doc_id"]: r["fields"] for r in out.collect()}
+
+
+@pytest.mark.parametrize("doc_id,text", DOCS)
+def test_extract_fields_match_reference(extracted_rows, doc_id, text):
+    expected = ref.extract_fields(text)
+    assert extracted_rows[doc_id] == expected, (
+        f"{doc_id}: spark={extracted_rows[doc_id]} expected={expected}"
+    )
+
+
+def test_schema_validation(spark):
+    # maps that should pass / fail each default schema (config.py:99-130)
+    rows = [
+        ("ok_person", {"name": "Иванов Иван", "date": "01.01.2023"}),
+        ("bad_person", {"date": "01.01.2023"}),  # missing required name
+        ("ok_financial", {"amount": "100.5", "date": "15.03.2023"}),
+        ("bad_financial", {"amount": "100.5", "date": "вчера"}),  # bad pattern
+        ("ok_identity", {"name": "Иванов", "passport": "1234 567890"}),
+        ("bad_identity", {"name": "Иванов", "passport": "12-34"}),
+    ]
+    import jsonschema
+
+    df = spark.createDataFrame(rows, "case string, data map<string,string>")
+    out = df.select(
+        "case",
+        *[
+            FX.validate_schema(F.col("data"), schema).alias(name)
+            for name, schema in config.DEFAULT_SCHEMAS.items()
+        ],
+    )
+    got = {r["case"]: r.asDict() for r in out.collect()}
+    for case, data in rows:
+        for name, schema in config.DEFAULT_SCHEMAS.items():
+            try:
+                jsonschema.validate(data, schema)
+                expected = True
+            except jsonschema.ValidationError:
+                expected = False
+            assert got[case][name] == expected, f"{case} vs {name}: got {got[case][name]}, want {expected}"
+
+
+def test_field_accuracy_and_f1(spark):
+    rows = [
+        (
+            "d1",
+            {"name": "Иван Иванов", "date": "01.01.2023"},
+            {"name": "Иван Иванов", "date": "02.01.2023", "phone": "+79991234567"},
+        ),
+        ("d2", {}, {"name": "Иван"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc string, extracted map<string,string>, gt map<string,string>"
+    )
+    out = df.select(
+        "doc",
+        FX.field_accuracy(F.col("extracted"), F.col("gt")).alias("acc"),
+        FX.field_f1(F.col("extracted"), F.col("gt")).alias("f1"),
+    ).collect()
+    by_doc = {r["doc"]: r for r in out}
+    # golden per data_extractor.py:268-344
+    for doc, extracted, gt in rows:
+        for field, gval in gt.items():
+            eval_ = extracted.get(field, "")
+            want_acc = 1.0 if (gval and eval_ == gval) else 0.0
+            assert by_doc[doc]["acc"][field] == want_acc
+            if not gval:
+                want_f1 = 0.0
+            elif eval_ == gval:
+                want_f1 = 1.0
+            elif eval_ and gval:
+                common = set(eval_.lower()) & set(gval.lower())
+                total = set(eval_.lower()) | set(gval.lower())
+                want_f1 = len(common) / len(total) if total else 0.0
+            else:
+                want_f1 = 0.0
+            assert abs(by_doc[doc]["f1"][field] - want_f1) < 1e-12, (doc, field)
+
+
+def test_exact_match_pct(spark):
+    rows = [
+        ("a", {"x": "1"}, {"x": "1"}),
+        ("b", {"x": "1"}, {"x": "2"}),
+        ("c", {"x": "1", "y": "2"}, {"y": "2", "x": "1"}),
+        ("d", {}, {}),
+    ]
+    df = spark.createDataFrame(rows, "doc string, extracted_data map<string,string>, ground_truth_data map<string,string>")
+    row = FX.exact_match_pct(df).collect()[0]
+    assert abs(row["exact_match_percentage"] - 75.0) < 1e-12
