@@ -1,0 +1,407 @@
+"""Layout / column detection (SURVEY.md §2.6 W1–W10, §2.7 G1–G3, §2.5 A3/A5).
+
+Design: every detector is a *higher-order array-function expression* over a
+per-document array column (lines or OCR boxes). That keeps layout analysis a
+narrow, shuffle-free map stage — per-document work is bounded (a page has
+O(100) boxes / O(100) lines), so this scales linearly to 10^12 documents with
+no hot keys, no windows, no regrouping.
+
+Two paths, mirroring the reference:
+- text path  (pdf_processor.py): translation-pair / bilingual / alternating /
+  pattern detectors over the line list of a page's text;
+- geometry path (ocr_service.py): x-gap and language splits over centroid
+  OCR boxes.
+
+Column schema (ColumnData, main.py:44-49):
+  struct<text:string, side:string, language:string,
+         items_count:int, confidence_avg:double>
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ocr_spark import config
+from ocr_spark.functions.text import correct_ocr_errors, py_strip
+
+# ---------------------------------------------------------------------------
+# lambda-friendly scalar helpers
+# ---------------------------------------------------------------------------
+
+
+def _cyr_count(c: Column) -> Column:
+    """pdf-variant Cyrillic count (includes 'ё'), pdf_processor.py:304."""
+    low = F.lower(c)
+    return F.length(low) - F.length(F.regexp_replace(low, "[а-яё]", ""))
+
+
+def _lat_count(c: Column) -> Column:
+    low = F.lower(c)
+    return F.length(low) - F.length(F.regexp_replace(low, "[a-z]", ""))
+
+
+def _line_lang(c: Column) -> Column:
+    """pdf_processor.py:789-797: 'ru' / 'en' / 'mixed' per line."""
+    cyr, lat = _cyr_count(c), _lat_count(c)
+    return (
+        F.when((cyr > lat) & (cyr > 0), F.lit("ru"))
+        .when((lat > cyr) & (lat > 0), F.lit("en"))
+        .otherwise(F.lit("mixed"))
+    )
+
+
+def _ocr_lang(c: Column) -> Column:
+    """ocr_service.py:632-662 variant ([а-я] without 'ё') on joined text."""
+    low = F.lower(c)
+    cyr = F.length(low) - F.length(F.regexp_replace(low, "[а-я]", ""))
+    lat = F.length(low) - F.length(F.regexp_replace(low, "[a-z]", ""))
+    return (
+        F.when(cyr > lat, F.lit("ru")).when(lat > cyr, F.lit("en")).otherwise(F.lit("mixed"))
+    )
+
+
+def _column_struct(text, side, language, items_count, confidence_avg) -> Column:
+    return F.struct(
+        text.alias("text"),
+        side.alias("side"),
+        language.alias("language"),
+        items_count.cast("int").alias("items_count"),
+        confidence_avg.cast("double").alias("confidence_avg"),
+    )
+
+
+_EMPTY_COLUMNS = (
+    "array<struct<text:string,side:string,language:string,items_count:int,confidence_avg:double>>"
+)
+
+
+def _empty_columns() -> Column:
+    return F.array().cast(_EMPTY_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# text path — translation-pair (side-by-side) detector, the live path
+# (pdf_processor.py:292-488)
+# ---------------------------------------------------------------------------
+
+
+def _is_translation_pair(l1: Column, l2: Column) -> Column:
+    """pdf_processor.py:368-413 on two stripped, non-empty lines."""
+    n1 = F.regexp_extract_all(l1, F.lit(r"\d+"), 0)
+    n2 = F.regexp_extract_all(l2, F.lit(r"\d+"), 0)
+    same_numbers = (F.size(n1) > 0) & (F.size(n2) > 0) & (n1 == n2)
+    numbered = l1.rlike(r"^[1-5]\.") & l2.rlike(r"^[1-5]\.")
+    kw = F.lit(False)
+    u1, u2 = F.upper(l1), F.upper(l2)
+    for ru, en in config.TRANSLATION_KEYWORD_PAIRS:
+        kw = kw | (u1.contains(ru) & u2.contains(en)) | (u1.contains(en) & u2.contains(ru))
+    return same_numbers | numbered | kw
+
+
+def is_clear_side_by_side(text: Column) -> Column:
+    """W8 gate (pdf_processor.py:332-366): ≥5 translation pairs over
+    consecutive raw-line pairs, needs ≥10 raw lines."""
+    lines = F.split(F.coalesce(text, F.lit("")), "\n")
+    n = F.size(lines)
+    l1s = F.transform(F.slice(lines, 1, F.greatest(n - 1, F.lit(0))), py_strip)
+    l2s = F.transform(F.slice(lines, 2, F.greatest(n - 1, F.lit(0))), py_strip)
+    pairs = F.zip_with(
+        l1s,
+        l2s,
+        lambda a, b: ((a != "") & (b != "") & _is_translation_pair(a, b)).cast("int"),
+    )
+    pair_count = F.aggregate(pairs, F.lit(0), lambda acc, x: acc + x)
+    return (n >= config.SBS_MIN_LINES) & (pair_count >= config.SBS_MIN_PAIRS)
+
+
+def _language_bucket_columns(text: Column, confidence: float) -> Column:
+    """G1 (pdf_processor.py:415-488 / :537-608): bucket non-empty stripped
+    lines by per-line language; ru column left, en column right."""
+    stripped = F.filter(
+        F.transform(F.split(F.coalesce(text, F.lit("")), "\n"), py_strip),
+        lambda l: l != "",
+    )
+    ru = F.filter(stripped, lambda l: _line_lang(l) == "ru")
+    en = F.filter(stripped, lambda l: _line_lang(l) == "en")
+    both = (F.size(ru) > 0) & (F.size(en) > 0)
+    cols = F.array(
+        _column_struct(F.array_join(ru, "\n"), F.lit("left"), F.lit("ru"), F.size(ru), F.lit(confidence)),
+        _column_struct(F.array_join(en, "\n"), F.lit("right"), F.lit("en"), F.size(en), F.lit(confidence)),
+    )
+    return F.when(both, cols).otherwise(_empty_columns())
+
+
+def analyze_text_columns(text: Column) -> Column:
+    """The reference's live text-path analysis (pdf_processor.py:292-330):
+    columns only when the strict side-by-side gate fires."""
+    return F.when(
+        is_clear_side_by_side(text),
+        _language_bucket_columns(text, config.SBS_CONFIDENCE),
+    ).otherwise(_empty_columns())
+
+
+# --- secondary text-path detectors (kept for parity; not on the live path) --
+
+
+def has_clear_bilingual_structure(text: Column) -> Column:
+    """W9 (pdf_processor.py:490-535): ≥3 consecutive opposite-script pairs,
+    ≥6 raw lines."""
+    lines = F.split(F.coalesce(text, F.lit("")), "\n")
+    n = F.size(lines)
+    l1s = F.transform(F.slice(lines, 1, F.greatest(n - 1, F.lit(0))), py_strip)
+    l2s = F.transform(F.slice(lines, 2, F.greatest(n - 1, F.lit(0))), py_strip)
+
+    def is_ru(l):
+        return (_cyr_count(l) > _lat_count(l)) & (_cyr_count(l) > 0)
+
+    def is_en(l):
+        return (_lat_count(l) > _cyr_count(l)) & (_lat_count(l) > 0)
+
+    pairs = F.zip_with(
+        l1s,
+        l2s,
+        lambda a, b: (
+            (a != "") & (b != "") & ((is_ru(a) & is_en(b)) | (is_en(a) & is_ru(b)))
+        ).cast("int"),
+    )
+    cnt = F.aggregate(pairs, F.lit(0), lambda acc, x: acc + x)
+    return (n >= config.BILINGUAL_MIN_LINES) & (cnt >= config.BILINGUAL_MIN_PAIRS)
+
+
+def create_bilingual_columns(text: Column) -> Column:
+    """pdf_processor.py:537-608 — language buckets at confidence 0.9."""
+    return F.when(
+        has_clear_bilingual_structure(text),
+        _language_bucket_columns(text, config.BILINGUAL_CONFIDENCE),
+    ).otherwise(_empty_columns())
+
+
+def detect_language_split(text: Column) -> Column:
+    """W5+W6 alternating-language split (pdf_processor.py:765-875).
+
+    Non-empty stripped lines, ≥4 raw lines, ≥2 ru + ≥2 en lines, language
+    sequence strictly alternating ('mixed' is a wildcard), even→left /
+    odd→right, size ratio > 0.2. Confidence 0.8.
+    """
+    raw = F.split(F.coalesce(text, F.lit("")), "\n")
+    items = F.filter(F.transform(raw, py_strip), lambda l: l != "")
+    langs = F.transform(items, _line_lang)
+    n_ru = F.size(F.filter(langs, lambda x: x == "ru"))
+    n_en = F.size(F.filter(langs, lambda x: x == "en"))
+    # alternating pattern over the sequence (pdf_processor.py:877-914)
+    idx = F.transform(langs, lambda _, i: i)
+    ru_en = F.aggregate(
+        F.zip_with(langs, idx, lambda l, i: F.struct(l.alias("l"), i.alias("i"))),
+        F.lit(True),
+        lambda acc, x: acc
+        & F.when(x["l"] == "mixed", F.lit(True))
+        .when(x["i"] % 2 == 0, x["l"] == "ru")
+        .otherwise(x["l"] == "en"),
+    )
+    en_ru = F.aggregate(
+        F.zip_with(langs, idx, lambda l, i: F.struct(l.alias("l"), i.alias("i"))),
+        F.lit(True),
+        lambda acc, x: acc
+        & F.when(x["l"] == "mixed", F.lit(True))
+        .when(x["i"] % 2 == 0, x["l"] == "en")
+        .otherwise(x["l"] == "ru"),
+    )
+    alternating = (F.size(langs) >= config.ALTERNATING_MIN_LINES) & (ru_en | en_ru)
+    left = F.filter(F.zip_with(items, idx, lambda l, i: F.struct(l.alias("l"), i.alias("i"))), lambda s: s["i"] % 2 == 0)
+    right = F.filter(F.zip_with(items, idx, lambda l, i: F.struct(l.alias("l"), i.alias("i"))), lambda s: s["i"] % 2 == 1)
+    left_text = F.array_join(F.transform(left, lambda s: s["l"]), "\n")
+    right_text = F.array_join(F.transform(right, lambda s: s["l"]), "\n")
+    ratio = F.least(F.length(left_text), F.length(right_text)) / F.greatest(
+        F.length(left_text), F.length(right_text), F.lit(1)
+    )
+
+    def block_lang(t):
+        return F.when(_cyr_count(t) > _lat_count(t), F.lit("ru")).otherwise(F.lit("en"))
+
+    cols = F.array(
+        _column_struct(left_text, F.lit("left"), block_lang(left_text), F.size(left), F.lit(config.ALTERNATING_CONFIDENCE)),
+        _column_struct(right_text, F.lit("right"), block_lang(right_text), F.size(right), F.lit(config.ALTERNATING_CONFIDENCE)),
+    )
+    ok = (
+        (F.size(raw) >= config.ALTERNATING_MIN_LINES)
+        & (n_ru >= 2)
+        & (n_en >= 2)
+        & alternating
+        & (F.size(left) > 0)
+        & (F.size(right) > 0)
+        & (ratio > config.ALTERNATING_SIZE_RATIO)
+    )
+    return F.when(ok, cols).otherwise(_empty_columns())
+
+
+def detect_column_patterns_split(text: Column) -> Column:
+    """W7 pattern / mid-point split (pdf_processor.py:610-763).
+
+    Pattern lines = page numbers or section headers; ≥3 patterns → split at
+    the mid-point between first and last pattern (≥4 patterns) or at the
+    middle of the text; size ratio ≥ 0.3; confidence 0.8.
+    """
+    raw = F.split(F.coalesce(text, F.lit("")), "\n")
+    stripped = F.transform(raw, py_strip)
+
+    def is_pattern(l):
+        page_no = (
+            l.rlike(r"^(?:стр\.|page|Стр\.|Page)")
+            | l.rlike(r"(?:стр\.|page|Стр\.|Page)$")
+            | (l.contains("Page ") & l.contains("of "))
+        )
+        dots = F.length(l) - F.length(F.replace(l, F.lit("."), F.lit("")))
+        header = (
+            (dots >= 2) & l.rlike(r"[0-9]") & (F.length(l) < 100) & ~l.rlike(r"\.$")
+        )
+        return (l != "") & (page_no | header)
+
+    pat_idx = F.filter(
+        F.transform(stripped, lambda l, i: F.struct(is_pattern(l).alias("p"), i.alias("i"))),
+        lambda s: s["p"],
+    )
+    n_pat = F.size(pat_idx)
+    first_pos = F.when(n_pat > 0, pat_idx[0]["i"]).otherwise(F.lit(0))
+    last_pos = F.when(n_pat > 0, F.element_at(pat_idx, -1)["i"]).otherwise(F.lit(0))
+    mid = F.when(n_pat >= 4, ((first_pos + last_pos) / 2).cast("int")).otherwise(
+        (F.size(raw) / 2).cast("int")
+    )
+    left_lines = F.slice(raw, 1, mid)
+    right_lines = F.slice(raw, mid + 1, F.greatest(F.size(raw) - mid, F.lit(0)))
+    left_text = py_strip(F.array_join(left_lines, "\n"))
+    right_text = py_strip(F.array_join(right_lines, "\n"))
+    ratio = F.least(F.length(left_text), F.length(right_text)) / F.greatest(
+        F.length(left_text), F.length(right_text), F.lit(1)
+    )
+
+    def block_lang(t):
+        return F.when(_cyr_count(t) > _lat_count(t), F.lit("ru")).otherwise(F.lit("en"))
+
+    cols = F.array(
+        _column_struct(left_text, F.lit("left"), block_lang(left_text), F.size(left_lines), F.lit(config.PATTERN_CONFIDENCE)),
+        _column_struct(right_text, F.lit("right"), block_lang(right_text), F.size(right_lines), F.lit(config.PATTERN_CONFIDENCE)),
+    )
+    ok = (
+        (n_pat >= config.PATTERN_MIN_COUNT)
+        & (left_text != "")
+        & (right_text != "")
+        & (ratio >= config.PATTERN_SIZE_RATIO)
+    )
+    return F.when(ok, cols).otherwise(_empty_columns())
+
+
+# ---------------------------------------------------------------------------
+# geometry path (ocr_service.py:432-630) over centroid boxes
+# box schema: struct<cx:double, cy:double, text:string, conf:double>
+# ---------------------------------------------------------------------------
+
+
+def full_text_from_boxes(boxes: Column) -> Column:
+    """F1+T3+A6 (ocr_service.py:290-315): conf>0.4, strip, OCR-correct,
+    join with ' ' in input (EasyOCR) order."""
+    kept = F.filter(boxes, lambda b: b["conf"] > config.CONF_TEXT_ASSEMBLY)
+    return F.array_join(F.transform(kept, lambda b: correct_ocr_errors(py_strip(b["text"]))), " ")
+
+
+def _sort_items_reading_order(items: Column) -> Column:
+    """W2 (ocr_service.py:611-613): Python's stable sort by cx then by cy
+    == lexicographic (cy, cx, original index)."""
+    with_idx = F.transform(
+        items, lambda b, i: F.struct(b["cx"].alias("cx"), b["cy"].alias("cy"), b["text"].alias("text"), b["conf"].alias("conf"), i.alias("idx"))
+    )
+    return F.array_sort(
+        with_idx,
+        lambda a, b: F.when(a["cy"] < b["cy"], F.lit(-1))
+        .when(a["cy"] > b["cy"], F.lit(1))
+        .when(a["cx"] < b["cx"], F.lit(-1))
+        .when(a["cx"] > b["cx"], F.lit(1))
+        .when(a["idx"] < b["idx"], F.lit(-1))
+        .when(a["idx"] > b["idx"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
+def _column_from_items(items: Column, side: str, language: Column) -> Column:
+    """A3+A5 (ocr_service.py:601-624): cy-sorted join + conf aggregate."""
+    ordered = _sort_items_reading_order(items)
+    text = F.array_join(F.transform(ordered, lambda b: b["text"]), " ")
+    conf_sum = F.aggregate(items, F.lit(0.0), lambda acc, b: acc + b["conf"])
+    conf_avg = F.when(F.size(items) > 0, conf_sum / F.size(items)).otherwise(F.lit(0.0))
+    return _column_struct(text, F.lit(side), language, F.size(items), conf_avg)
+
+
+def analyze_box_columns(boxes: Column, image_width: Column) -> Column:
+    """W1–W4 + G2–G3 (ocr_service.py:432-630): column list from OCR boxes.
+
+    Pure array expressions — no shuffle; one document never leaves its
+    partition.
+    """
+    filtered = F.filter(boxes, lambda b: b["conf"] > config.CONF_LAYOUT)
+    enough = F.size(filtered) >= 2
+
+    xs = F.array_sort(F.transform(filtered, lambda b: b["cx"]))
+    n = F.size(xs)
+    gaps = F.zip_with(
+        F.slice(xs, 2, F.greatest(n - 1, F.lit(0))),
+        F.slice(xs, 1, F.greatest(n - 1, F.lit(0))),
+        lambda hi, lo: hi - lo,
+    )
+    max_gap = F.coalesce(F.array_max(gaps), F.lit(0.0))
+    # first index achieving the max (reference keeps the first strict max)
+    pos = F.array_position(gaps, max_gap)  # 1-based; gap i is xs[i+1]-xs[i]
+    split_x = (F.element_at(xs, pos.cast("int")) + F.element_at(xs, (pos + 1).cast("int"))) / 2
+    two_by_gap = enough & (max_gap >= image_width * config.COLUMN_GAP_FRACTION)
+
+    left = F.filter(filtered, lambda b: b["cx"] < split_x)
+    right = F.filter(filtered, lambda b: b["cx"] >= split_x)
+
+    def texts_lang(items):
+        return _ocr_lang(F.array_join(F.transform(items, lambda b: b["text"]), " "))
+
+    gap_cols = F.filter(
+        F.array(
+            F.when(F.size(left) > 0, _column_from_items(left, "left", texts_lang(left))),
+            F.when(F.size(right) > 0, _column_from_items(right, "right", texts_lang(right))),
+        ),
+        lambda c: c.isNotNull(),
+    )
+
+    # language split (ocr_service.py:514-572)
+    ru = F.filter(filtered, lambda b: _ocr_lang(b["text"]) == "ru")
+    en = F.filter(filtered, lambda b: _ocr_lang(b["text"]) == "en")
+    both_langs = (F.size(ru) > 0) & (F.size(en) > 0)
+    ru_avg = F.aggregate(ru, F.lit(0.0), lambda acc, b: acc + b["cx"]) / F.greatest(F.size(ru), F.lit(1))
+    en_avg = F.aggregate(en, F.lit(0.0), lambda acc, b: acc + b["cx"]) / F.greatest(F.size(en), F.lit(1))
+    lang_cols = F.when(
+        ru_avg < en_avg,
+        F.array(_column_from_items(ru, "left", F.lit("ru")), _column_from_items(en, "right", F.lit("en"))),
+    ).otherwise(
+        F.array(_column_from_items(en, "left", F.lit("en")), _column_from_items(ru, "right", F.lit("ru"))),
+    )
+
+    # single-column fallback (ocr_service.py:596-608): raw texts, input order
+    kept = filtered
+    single_text = F.array_join(F.transform(kept, lambda b: b["text"]), " ")
+    single_conf = F.when(
+        F.size(kept) > 0,
+        F.aggregate(kept, F.lit(0.0), lambda acc, b: acc + b["conf"]) / F.size(kept),
+    ).otherwise(F.lit(0.0))
+    single_cols = F.when(
+        py_strip(single_text) != "",
+        F.array(
+            _column_struct(
+                single_text,
+                F.lit("single"),
+                _ocr_lang(F.array_join(F.transform(kept, lambda b: b["text"]), " ")),
+                F.size(kept),
+                single_conf,
+            )
+        ),
+    ).otherwise(_empty_columns())
+
+    return (
+        F.when(two_by_gap, gap_cols.cast(_EMPTY_COLUMNS))
+        .when(enough & both_langs, lang_cols.cast(_EMPTY_COLUMNS))
+        .otherwise(single_cols)
+    )
