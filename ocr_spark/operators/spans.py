@@ -1,0 +1,140 @@
+"""Span pipeline core (north_rule): tokenize/classify → salted assembly.
+
+Stage 1 — tokenize/classify (NARROW, JVM expressions):
+    explode the span array → one row per span; compute per-span features
+    (language, word count, link density, boilerplate flag). Exploding puts
+    span-level work on span-level rows, so a 10^6-span mega-document is
+    balanced across tasks instead of being one giant array in one row.
+
+Stage 2 — span assembly (the one SHUFFLE, salted):
+    groupBy(doc_id, salt) where salt = floor(offset / SPAN_SALT_CHUNK)
+    pre-aggregates offset-contiguous chunks — a mega-document spreads over
+    many reducers (AQE cannot split a skewed aggregation, so we salt
+    explicitly, SURVEY.md §4). The cheap second groupBy(doc_id) merges the
+    few pre-sorted chunks per document: chunks are sorted by salt and
+    flattened — no re-sort of individual spans.
+
+Boilerplate classifier (main-content extraction, Boilerpipe-style
+NumWords/LinkDensity rules — Kohlschütter et al., WSDM 2010 — made
+deterministic):
+    a text span is boilerplate iff
+      - its link density (chars inside <a …>…</a> tags / total chars) is
+        > BOILERPLATE_MAX_LINK_DENSITY, or
+      - it matches a nav/footer marker pattern (©, 'all rights reserved',
+        cookie/privacy/menu prefixes), or
+      - it has fewer than BOILERPLATE_MIN_WORDS words AND contains a link.
+    media spans are never boilerplate (they are content by definition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark import config
+from ocr_spark.functions.text import py_strip
+
+_LINK_RE = r"<a[^>]*>.*?</a>"
+
+_OUT_SPAN_TYPE = "array<struct<kind:string,text:string,media_ref:string,order:int>>"
+
+
+def link_density(text: Column) -> Column:
+    """Chars inside anchor tags / total chars (0.0 for empty)."""
+    t = F.coalesce(text, F.lit(""))
+    link_chars = F.aggregate(
+        F.regexp_extract_all(t, F.lit(_LINK_RE), 0),
+        F.lit(0),
+        lambda acc, m: acc + F.length(m),
+    )
+    return F.when(F.length(t) > 0, link_chars.cast("double") / F.length(t)).otherwise(F.lit(0.0))
+
+
+def word_count(text: Column) -> Column:
+    s = py_strip(text)
+    return F.when(s == "", F.lit(0)).otherwise(F.size(F.split(s, r"\s+")))
+
+
+def is_boilerplate(text: Column) -> Column:
+    """Deterministic Boilerpipe-style rule set (module docstring)."""
+    ld = link_density(text)
+    wc = word_count(text)
+    marker = py_strip(text).rlike(config.BOILERPLATE_MARKER_PATTERN)
+    return (
+        (ld > config.BOILERPLATE_MAX_LINK_DENSITY)
+        | marker
+        | ((wc < config.BOILERPLATE_MIN_WORDS) & (ld > 0.0))
+    )
+
+
+def classify_spans(docs: DataFrame) -> DataFrame:
+    """Stage 1: explode + per-span features. Narrow — no shuffle.
+
+    Input:  (doc_id, spans array<struct<kind,text,media_ref,offset>>)
+    Output: (doc_id, kind, text, media_ref, offset, is_boilerplate)
+    """
+    exploded = docs.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id", "span.kind", "span.text", "span.media_ref", "span.offset"
+    )
+    return exploded.withColumn(
+        "is_boilerplate",
+        F.when(F.col("kind") == "media", F.lit(False)).otherwise(is_boilerplate(F.col("text"))),
+    )
+
+
+def assemble_spans(
+    classified: DataFrame,
+    drop_boilerplate: bool = True,
+    salt_chunk: int = config.SPAN_SALT_CHUNK,
+) -> DataFrame:
+    """Stage 2: salted two-phase reassembly into ordered span sequences.
+
+    Output: (doc_id, spans array<struct<kind,text,media_ref,order>>)
+    with order = 0-based rank of offset among the document's kept spans —
+    the span-sequence-equality contract (kind, text, media_ref, order).
+    """
+    kept = classified.filter(~F.col("is_boilerplate")) if drop_boilerplate else classified
+
+    chunked = (
+        kept.withColumn("salt", (F.col("offset") / F.lit(salt_chunk)).cast("long"))
+        .groupBy("doc_id", "salt")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("offset").alias("offset"),
+                        F.col("kind").alias("kind"),
+                        F.col("text").alias("text"),
+                        F.col("media_ref").alias("media_ref"),
+                    )
+                )
+            ).alias("chunk")
+        )
+    )
+
+    merged = chunked.groupBy("doc_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("salt").alias("salt"), F.col("chunk").alias("chunk"))),
+                    lambda a, b: F.when(a["salt"] < b["salt"], F.lit(-1))
+                    .when(a["salt"] > b["salt"], F.lit(1))
+                    .otherwise(F.lit(0)),
+                ),
+                lambda s: s["chunk"],
+            )
+        ).alias("ordered")
+    )
+
+    return merged.select(
+        "doc_id",
+        F.transform(
+            F.col("ordered"),
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("order"),
+            ),
+        ).cast(_OUT_SPAN_TYPE).alias("spans"),
+    )

@@ -1,0 +1,60 @@
+"""End-to-end main-content extraction pipeline (the flagship job).
+
+documents(doc_id, spans) →
+  stage 1 classify (narrow)            operators/spans.classify_spans
+  stage 2 salted assembly (shuffle)    operators/spans.assemble_spans
+  stage 3 document features (narrow)   extracted_text, structured_data,
+                                       layout columns, validity flags
+
+Output row ≈ the reference's OCRResponse (main.py:58-70), as one wide
+typed row per document:
+
+  doc_id, spans(kind,text,media_ref,order), extracted_text,
+  structured_data map<string,string>, json_validity, schema_consistency,
+  columns array<ColumnData>, columns_count, has_multiple_columns,
+  n_spans, n_media
+
+Everything after the single assembly shuffle is narrow projection work —
+Catalyst pipelines it into the same stage; nothing re-shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark import config
+from ocr_spark.functions import fields as FX
+from ocr_spark.operators import layout as L
+from ocr_spark.operators import spans as S
+
+
+def extract_documents(
+    docs: DataFrame,
+    drop_boilerplate: bool = True,
+    salt_chunk: int = config.SPAN_SALT_CHUNK,
+) -> DataFrame:
+    classified = S.classify_spans(docs)
+    assembled = S.assemble_spans(
+        classified, drop_boilerplate=drop_boilerplate, salt_chunk=salt_chunk
+    )
+
+    text_spans = F.filter(F.col("spans"), lambda s: s["kind"] == "text")
+    extracted_text = F.array_join(F.transform(text_spans, lambda s: s["text"]), "\n")
+
+    out = assembled.withColumn("extracted_text", extracted_text)
+    out = out.withColumn("structured_data", FX.extract_fields_map(F.col("extracted_text")))
+    out = out.withColumn("columns", L.analyze_text_columns(F.col("extracted_text")))
+    return out.select(
+        "doc_id",
+        "spans",
+        "extracted_text",
+        "structured_data",
+        FX.validate_json(F.col("structured_data")).alias("json_validity"),
+        FX.schema_consistency(F.col("structured_data")).alias("schema_consistency"),
+        "columns",
+        F.size("columns").alias("columns_count"),
+        (F.size("columns") > 1).alias("has_multiple_columns"),
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter(F.col("spans"), lambda s: s["kind"] == "media")).alias("n_media"),
+    )

@@ -360,3 +360,61 @@ def extract_full_text(boxes: list[dict]) -> str:
         for b in boxes
         if b["conf"] > config.CONF_TEXT_ASSEMBLY
     )
+
+
+# --- span pipeline golden (north_rule core) ---------------------------------
+
+_LINK_RE = re.compile(r"<a[^>]*>.*?</a>")
+
+
+def link_density(text: str | None) -> float:
+    t = text or ""
+    if not t:
+        return 0.0
+    link_chars = sum(len(m) for m in _LINK_RE.findall(t))
+    return link_chars / len(t)
+
+
+def word_count(text: str | None) -> int:
+    s = (text or "").strip()
+    return len(re.split(r"\s+", s)) if s else 0
+
+
+def is_boilerplate(text: str | None) -> bool:
+    ld = link_density(text)
+    wc = word_count(text)
+    marker = bool(
+        re.search(config.BOILERPLATE_MARKER_PATTERN, (text or "").strip())
+    )
+    return (
+        ld > config.BOILERPLATE_MAX_LINK_DENSITY
+        or marker
+        or (wc < config.BOILERPLATE_MIN_WORDS and ld > 0.0)
+    )
+
+
+def extract_document(doc: dict, drop_boilerplate: bool = True) -> dict:
+    """Golden for pipeline.extract_documents on one corpus document."""
+    kept = []
+    for s in sorted(doc["spans"], key=lambda s: s["offset"]):
+        if s["kind"] != "media" and drop_boilerplate and is_boilerplate(s["text"]):
+            continue
+        kept.append(s)
+    spans = [
+        {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "order": i}
+        for i, s in enumerate(kept)
+    ]
+    extracted_text = "\n".join(s["text"] for s in spans if s["kind"] == "text")
+    structured = extract_fields(extracted_text)
+    columns = analyze_text_columns(extracted_text)
+    return {
+        "doc_id": doc["doc_id"],
+        "spans": spans,
+        "extracted_text": extracted_text,
+        "structured_data": structured,
+        "columns": columns["columns"],
+        "columns_count": columns["columns_count"],
+        "has_multiple_columns": columns["has_multiple_columns"],
+        "n_spans": len(spans),
+        "n_media": sum(1 for s in spans if s["kind"] == "media"),
+    }

@@ -1,0 +1,82 @@
+"""Span-sequence equality (the BASELINE.json correctness gate):
+(kind, text, media_ref, order) per document must be byte-equal to the
+pure-Python golden, including mega-documents crossing salt chunks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.pipeline import extract_documents
+from ocr_spark.sources import corpus
+from tests import reference_impl as ref
+
+
+@pytest.fixture(scope="module")
+def docs():
+    # 120 docs, 2 mega-docs (5k spans) so assembly crosses many salt chunks
+    return corpus.generate_docs(120, seed=7, mega_docs=2, mega_spans=5000)
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("corpus"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pylist(docs, schema=corpus.SCHEMA), path + "/part-0.parquet"
+    )
+    df = spark.read.parquet(path)
+    # tiny salt chunk so even normal docs span multiple chunks
+    out = extract_documents(df, salt_chunk=64)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+@pytest.fixture(scope="module")
+def golden(docs):
+    return {d["doc_id"]: ref.extract_document(d) for d in docs}
+
+
+def test_all_docs_present(spark_result, golden):
+    assert set(spark_result) == set(golden)
+
+
+def test_span_sequence_equality(spark_result, golden):
+    for doc_id, want in golden.items():
+        got = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in spark_result[doc_id]["spans"]
+        ]
+        expect = [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in want["spans"]
+        ]
+        assert got == expect, f"span mismatch in {doc_id}"
+
+
+def test_extracted_text_and_fields(spark_result, golden):
+    for doc_id, want in golden.items():
+        assert spark_result[doc_id]["extracted_text"] == want["extracted_text"], doc_id
+        assert spark_result[doc_id]["structured_data"] == want["structured_data"], doc_id
+        assert spark_result[doc_id]["columns_count"] == want["columns_count"], doc_id
+
+
+def test_mega_doc_crosses_chunks(spark_result, golden):
+    mega = "doc-00000000"
+    assert golden[mega]["n_spans"] > 1000
+    assert spark_result[mega]["n_spans"] == golden[mega]["n_spans"]
+
+
+def test_assembly_plan_has_two_aggregates(spark, docs, tmp_path_factory):
+    """The salted assembly must be a two-phase aggregation (partial skew
+    defusal), visible as two ObjectHashAggregate pairs in the plan."""
+    path = str(tmp_path_factory.mktemp("corpus_plan"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pylist(docs[:5], schema=corpus.SCHEMA), path + "/p.parquet"
+    )
+    df = spark.read.parquet(path)
+    plan = extract_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") >= 2  # salt shuffle + doc_id shuffle
