@@ -1,0 +1,97 @@
+"""Multimodal column plumbing (images/audio/video as opaque binary + typed
+metadata), with the decode step STUBBED (no image/audio libs in this
+container) behind a deterministic fake — the Spark-side contract (schemas,
+Arrow batching, partitioning) is real and tested.
+
+Reference analog: the image pipeline I1–I10 (ocr_service.py:202-288,
+noise_handler.py) — bytes → decode → preprocess → features. Here the
+per-row kernels run inside ``mapInPandas`` (Arrow batches), the idiomatic
+place for binary-heavy per-row logic on a 1000-executor cluster: no shuffle,
+pipelined with the scan, batch-amortized model/codec initialization via an
+executor-global singleton (the reference's service-level reader cache,
+main.py:32 — NOT its per-call re-init bug, pdf_processor.py:101).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "doc_id string, media_ref string, format string, width int, height int, "
+    "n_frames int, decode_ok boolean"
+)
+
+# executor-global decoder handle (lazy singleton; real impl would hold a
+# codec/model). Initialized once per executor process, not per batch.
+_DECODER = None
+
+
+def _get_decoder():
+    global _DECODER
+    if _DECODER is None:
+        _DECODER = object()  # stand-in for e.g. a PIL/torchvision handle
+    return _DECODER
+
+
+def _fake_decode(media_ref: str) -> tuple[str, int, int, int]:
+    """Deterministic stand-in for image/video decode.
+
+    Real decode (PIL/cv2/ffmpeg) is not available in this container:
+    replace this function body; everything around it is production-shaped.
+    """
+    h = hashlib.md5((media_ref or "").encode()).digest()
+    fmt = ["png", "jpeg", "webp", "mp4"][h[0] % 4]
+    width = 64 + (h[1] % 64) * 16
+    height = 64 + (h[2] % 64) * 16
+    n_frames = 1 if fmt != "mp4" else 1 + h[3] % 240
+    return fmt, width, height, n_frames
+
+
+def real_decode_stub(*_args, **_kwargs):
+    """The genuine decode entry point — intentionally unimplemented here."""
+    raise NotImplementedError(
+        "binary media decode requires PIL/cv2/ffmpeg, not present in this "
+        "container; wire it into _fake_decode's slot"
+    )
+
+
+def decode_media(docs: DataFrame, id_col: str = "doc_id", ref_col: str = "media_ref") -> DataFrame:
+    """Arrow-batched media 'decode' producing typed metadata columns.
+
+    Input: any DataFrame with (doc_id, media_ref). Output: DECODE_SCHEMA.
+    """
+    id_name, ref_name = id_col, ref_col
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _get_decoder()
+        for pdf in batches:
+            decoded = [_fake_decode(r) for r in pdf[ref_name]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_name].astype(str),
+                    "media_ref": pdf[ref_name],
+                    "format": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "n_frames": [d[3] for d in decoded],
+                    "decode_ok": [bool(r) for r in pdf[ref_name].notna()],
+                }
+            )
+            yield out
+
+    return docs.select(F.col(id_col), F.col(ref_col)).mapInPandas(process, DECODE_SCHEMA)
+
+
+def media_spans_to_table(docs: DataFrame) -> DataFrame:
+    """Pull media spans out of the interleaved corpus into a flat media
+    table (doc_id, media_ref, offset) — narrow explode+filter."""
+    return (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"), F.col("s.offset").alias("offset"))
+    )

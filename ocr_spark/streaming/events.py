@@ -1,0 +1,125 @@
+"""Structured Streaming surface (SURVEY.md §2.9: the reference is batch-only;
+this module is the engine's streaming extension over the `events` table).
+
+- ``windowed_event_counts``: tumbling-window counts/sums with a watermark —
+  works identically on batch and streaming DataFrames (same expression).
+- ``read_events_stream``: file-source stream over the events parquet.
+- ``sessionize``: custom stateful operator via applyInPandasWithState —
+  session windows with a gap timeout (the pattern for reference-style
+  per-document stateful assembly in a streaming setting).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_SECONDS = 30 * 60
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+STATE_SCHEMA = "start long, end long, n long"
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window per-type counts + value sums. On a stream the
+    watermark bounds state; on a batch frame it is a no-op."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _sessionize_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        start, end, n = state.get
+    else:
+        start, end, n = None, None, 0
+    for pdf in pdfs:
+        ts = pdf["ts"].astype("int64") // 1_000_000_000
+        for t in sorted(ts):
+            if start is None:
+                start, end, n = int(t), int(t), 1
+            elif t - end <= SESSION_GAP_SECONDS:
+                end, n = max(end, int(t)), n + 1
+            else:
+                yield pd.DataFrame(
+                    {"user_id": [user_id],
+                     "session_start": [pd.Timestamp(start, unit="s")],
+                     "session_end": [pd.Timestamp(end, unit="s")],
+                     "n_events": [n]}
+                )
+                start, end, n = int(t), int(t), 1
+    if state.hasTimedOut:
+        if start is not None:
+            yield pd.DataFrame(
+                {"user_id": [user_id],
+                 "session_start": [pd.Timestamp(start, unit="s")],
+                 "session_end": [pd.Timestamp(end, unit="s")],
+                 "n_events": [n]}
+            )
+        state.remove()
+    else:
+        state.update((start if start is not None else 0, end if end is not None else 0, n))
+        state.setTimeoutDuration(SESSION_GAP_SECONDS * 1000)
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful session windows (gap = 30 min) over a stream."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        SESSION_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Batch-equivalent session windows (for oracle checking): classic
+    lag/cumsum session assignment — two window passes, one shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sec = F.col("ts").cast("long")
+    new_sess = (sec - F.lag(sec).over(w) > gap_seconds).cast("int")
+    with_id = events.select("user_id", "ts").withColumn(
+        "sess_id", F.sum(F.coalesce(new_sess, F.lit(0))).over(w)
+    )
+    return (
+        with_id.groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )

@@ -1,0 +1,257 @@
+"""Training-data ops: dedup / similarity / textstats / media plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import dedup as D
+from ocr_spark.operators import media as MM
+from ocr_spark.operators import similarity as SIM
+from ocr_spark.operators import textstats as TS
+
+DOCS = [
+    ("a", "the quick brown fox jumps over the lazy dog"),
+    ("b", "the quick brown fox jumps over the lazy dog"),  # exact dup of a
+    ("c", "the quick brown fox jumps over a sleepy dog today"),  # near dup
+    ("d", "completely unrelated text about spark engines and shuffles"),
+    ("e", "der hund und die katze sind nicht da und das ist gut"),
+    ("f", ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+# --- python goldens for hash ops --------------------------------------------
+
+
+def py_words(t):
+    import re
+
+    s = (t or "").lower().strip()
+    return re.split(r"\s+", s) if s else []
+
+
+def py_shingles(t, k=3):
+    w = py_words(t)
+    out = []
+    for i in range(max(len(w) - k + 1, 0)):
+        g = " ".join(w[i : i + k])
+        if g not in out:
+            out.append(g)
+    return out
+
+
+def py_md5_int(s, salt):
+    return int(hashlib.md5(f"{salt}:{s}".encode()).hexdigest()[:8], 16)
+
+
+def py_minhash(t, k=16):
+    sh = py_shingles(t)
+    return [min((py_md5_int(s, i) for s in sh), default=-1) for i in range(k)]
+
+
+def py_char_hash(w):
+    h = 0
+    for ch in w:
+        h = (h * TS.CHAR_BASE + ord(ch)) % TS.FNV_MOD
+    return h
+
+
+def py_fingerprint(t):
+    h = 0
+    for w in py_words(t):
+        h = (h * TS.WORD_BASE + py_char_hash(w)) % TS.FNV_MOD
+    return h
+
+
+def py_simhash(t):
+    words = list(dict.fromkeys(py_words(t)))
+    votes = [0] * D.SIMHASH_BITS
+    for w in words:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        for b in range(D.SIMHASH_BITS):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    return sum(1 << b for b in range(D.SIMHASH_BITS) if votes[b] > 0)
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def test_dedup_exact(docs_df):
+    rows = {r["doc_id"]: r for r in D.dedup_exact(docs_df).collect()}
+    assert rows["a"]["keep"] is True
+    assert rows["b"]["keep"] is False and rows["b"]["group_size"] == 2
+    assert rows["c"]["keep"] is True and rows["c"]["group_size"] == 1
+
+
+def test_minhash_signature_matches_python(spark, docs_df):
+    out = docs_df.select("doc_id", D.minhash_signature(F.col("text")).alias("sig")).collect()
+    for r in out:
+        t = dict(DOCS)[r["doc_id"]]
+        assert list(r["sig"]) == py_minhash(t), r["doc_id"]
+
+
+def py_lsh_pairs(docs, threshold=0.5, band_size=4, num_hashes=16):
+    """Python golden of the full LSH pipeline."""
+    sigs = {d: py_minhash(t, num_hashes) for d, t in docs}
+    bands = {
+        d: [
+            "_".join([str(b)] + [str(x) for x in sig[b * band_size : (b + 1) * band_size]])
+            for b in range(num_hashes // band_size)
+        ]
+        for d, sig in sigs.items()
+    }
+    pairs = {}
+    ids = [d for d, _ in docs]
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if set(bands[a]) & set(bands[b]):
+                sa, sb = set(py_shingles(dict(docs)[a])), set(py_shingles(dict(docs)[b]))
+                jac = len(sa & sb) / len(sa | sb) if (sa | sb) else 0.0
+                if jac >= threshold:
+                    pairs[(a, b)] = jac
+    return pairs
+
+
+def test_minhash_lsh_matches_python_golden(docs_df):
+    got = {(r["a_id"], r["b_id"]): r["jaccard"] for r in D.dedup_minhash_lsh(docs_df).collect()}
+    want = py_lsh_pairs(DOCS)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-12)
+    assert got[("a", "b")] == 1.0  # exact dup always collides
+    assert ("a", "d") not in got
+
+
+def test_ngram_jaccard(docs_df):
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"] for r in D.dedup_ngram_jaccard(docs_df).collect()}
+    assert pairs[("a", "b")] == 1.0
+    # golden jaccard for (a, c)
+    sa, sc = set(py_shingles(DOCS[0][1])), set(py_shingles(DOCS[2][1]))
+    want = len(sa & sc) / len(sa | sc)
+    assert math.isclose(pairs[("a", "c")], want, rel_tol=1e-12)
+
+
+def test_simhash_matches_python(docs_df):
+    out = {r["doc_id"]: r["simhash"] for r in D.dedup_simhash(docs_df).collect()}
+    for doc_id, t in DOCS:
+        assert out[doc_id] == py_simhash(t), doc_id
+    # near-dups are close in hamming distance
+    ham = bin(out["a"] ^ out["c"]).count("1")
+    ham_far = bin(out["a"] ^ out["d"]).count("1")
+    assert ham < ham_far
+
+
+# --- embeddings / similarity --------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(4, 8)
+    rows = []
+    for i in range(12):
+        v = base[i % 4] + rng.randn(8) * 0.05  # 4 clusters
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_cosine_neardup(emb_df):
+    pairs = D.dedup_embedding_cosine(emb_df, threshold=0.98).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["a_id"] % 4 == r["b_id"] % 4  # only same-cluster pairs
+
+
+def test_topk_bruteforce(emb_df):
+    queries = emb_df.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.topk_bruteforce(emb_df, queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["neighbor_id"] % 4 == q % 4  # nearest is same cluster
+
+
+def test_topk_lsh_subset_of_bucket(emb_df):
+    queries = emb_df.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.topk_lsh(emb_df, queries, k=3).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+
+
+def test_lsh_signature_deterministic(emb_df):
+    a = emb_df.select(SIM.lsh_signature(F.col("embedding")).alias("s")).collect()
+    b = emb_df.select(SIM.lsh_signature(F.col("embedding")).alias("s")).collect()
+    assert [r["s"] for r in a] == [r["s"] for r in b]
+
+
+# --- textstats -----------------------------------------------------------------
+
+
+def test_fingerprint_matches_python(docs_df):
+    out = {r["doc_id"]: r["fp"] for r in docs_df.select("doc_id", TS.fingerprint(F.col("text")).alias("fp")).collect()}
+    for doc_id, t in DOCS:
+        assert out[doc_id] == py_fingerprint(t), doc_id
+
+
+def test_language_id(docs_df):
+    out = {r["doc_id"]: r["lang"] for r in docs_df.select("doc_id", TS.language_id(F.col("text")).alias("lang")).collect()}
+    assert out["a"] == "en"
+    assert out["e"] == "de"
+    assert out["f"] == "und"
+
+
+def test_token_counts(docs_df):
+    out = docs_df.select(
+        "doc_id",
+        TS.token_count_ws(F.col("text")).alias("ws"),
+        TS.token_count_bpe(F.col("text")).alias("bpe"),
+    ).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert by["a"]["ws"] == 9
+    assert by["f"]["ws"] == 0
+    import re
+
+    for doc_id, t in DOCS:
+        want = len(re.findall(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]", t))
+        assert by[doc_id]["bpe"] == want
+
+
+# --- media plumbing -------------------------------------------------------------
+
+
+def test_media_decode_plumbing(spark):
+    from ocr_spark.sources import corpus
+
+    docs = corpus.generate_docs(20, seed=3)
+    import pyarrow as pa
+
+    df = spark.createDataFrame(
+        pa.Table.from_pylist(docs, schema=corpus.SCHEMA).to_pandas(),
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    media = MM.media_spans_to_table(df)
+    decoded = MM.decode_media(media).collect()
+    n_media = sum(1 for d in docs for s in d["spans"] if s["kind"] == "media")
+    assert len(decoded) == n_media
+    for r in decoded:
+        f, w, h, n = MM._fake_decode(r["media_ref"])
+        assert (r["format"], r["width"], r["height"], r["n_frames"]) == (f, w, h, n)
+        assert r["decode_ok"] is True
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.real_decode_stub(b"bytes")
