@@ -1,0 +1,1309 @@
+"""Driver-contract queries + DuckDB oracle SQL (the correctness gate).
+
+Every SURVEY.md §2 operator family is represented by a named query; each
+query has a Spark callable ``(spark, sf_dir) -> DataFrame`` in QUERIES and —
+when SQL-expressible — a DuckDB oracle string in ORACLES computing the
+identical rows from the same parquet views. Column names/types match
+pairwise (the driver sorts columns by name and value-hashes).
+
+Float parity strategy (see plans/derived.py): outputs are either exact
+(integer, string, boolean, int-ratio doubles — bit-identical across engines)
+or rounded at 6dp from identical doubles; order-dependent float sums are
+avoided by integer micro-unit sums.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark import config
+from ocr_spark.functions import fields as FX
+from ocr_spark.functions import metrics as M
+from ocr_spark.functions import text as T
+from ocr_spark.operators import dedup as DD
+from ocr_spark.operators import layout as L
+from ocr_spark.operators import media as MD
+from ocr_spark.operators import similarity as SIM
+from ocr_spark.operators import spans as SP
+from ocr_spark.operators import textstats as TS
+from ocr_spark.pipeline import extract_documents
+from ocr_spark.plans import derived as D
+from ocr_spark.streaming.events import sessionize_batch, wall_epoch_seconds
+
+# ===========================================================================
+# DuckDB SQL expression helpers (twins of ocr_spark.functions.*)
+# ===========================================================================
+
+MOD = 1_000_000_007
+
+
+def _strip(e: str) -> str:
+    """py_strip twin: strip all leading/trailing whitespace."""
+    return f"regexp_replace({e}, '^\\s+|\\s+$', '', 'g')"
+
+
+def _norm(e: str) -> str:
+    """normalize_text twin: lower, collapse \\s+ to ' ', strip."""
+    return f"trim(regexp_replace(lower(coalesce({e}, '')), '\\s+', ' ', 'g'))"
+
+
+def _charset(norm_e: str) -> str:
+    return f"list_distinct(list_filter(string_split({norm_e}, ''), c -> c != ''))"
+
+
+def _wordset(norm_e: str) -> str:
+    return (
+        f"list_distinct(CASE WHEN {norm_e} = '' THEN []::VARCHAR[] "
+        f"ELSE string_split({norm_e}, ' ') END)"
+    )
+
+
+def _words_lower(e: str) -> str:
+    """textstats.words_of twin: lowered whitespace tokens, [] for blank."""
+    s = _strip(f"lower(coalesce({e}, ''))")
+    return f"(CASE WHEN {s} = '' THEN []::VARCHAR[] ELSE regexp_split_to_array({s}, '\\s+') END)"
+
+
+def _cyr(e: str, yo: bool = True) -> str:
+    cls = "а-яё" if yo else "а-я"
+    return f"(length(lower({e})) - length(regexp_replace(lower({e}), '[{cls}]', '', 'g')))"
+
+
+def _lat(e: str) -> str:
+    return f"(length(lower({e})) - length(regexp_replace(lower({e}), '[a-z]', '', 'g')))"
+
+
+def _md5_int(e: str, salt: int, digits: int = 8) -> str:
+    """dedup._md5_int twin: first `digits` md5 hex chars of 'salt:'||e as BIGINT."""
+    return f"('0x' || substr(md5('{salt}:' || {e}), 1, {digits}))::BIGINT"
+
+
+def _sql_extract_field(expr: str, field: str) -> str:
+    """fields.extract_field twin (T6 + normalizers)."""
+    cands = [
+        f"nullif({_strip(f'''regexp_extract({expr}, '(?i){p}', 1)''')}, '')"
+        for p in config.FIELD_PATTERNS[field]
+    ]
+    raw = f"coalesce({', '.join(cands)})"
+    if field == "phone":
+        return f"regexp_replace({raw}, '[^0-9+]', '', 'g')"
+    if field == "email":
+        return f"lower({raw})"
+    if field == "date":
+        dn = f"regexp_replace({raw}, '[/\\-]', '.', 'g')"
+        return (
+            f"CASE WHEN regexp_matches({dn}, '^\\d{{1,2}}\\.\\d{{1,2}}\\.\\d{{2,4}}') "
+            f"THEN {dn} ELSE {raw} END"
+        )
+    if field == "amount":
+        num = f"regexp_extract({raw}, '(\\d+(?:[.,]\\d+)?)', 1)"
+        return f"CASE WHEN {num} != '' THEN replace({num}, ',', '.') ELSE {raw} END"
+    if field == "name":
+        collapsed = _strip(f"regexp_replace({raw}, '\\s+', ' ', 'g')")
+        return (
+            f"array_to_string(list_transform(string_split({collapsed}, ' '), "
+            f"w -> upper(w[1]) || lower(w[2:])), ' ')"
+        )
+    return raw
+
+
+def _sql_present(v: str) -> str:
+    """F4 map-cleanup twin: the value iff non-null and non-blank."""
+    return f"CASE WHEN {v} IS NOT NULL AND {_strip(v)} != '' THEN {v} END"
+
+
+def _sql_boilerplate(text_e: str) -> str:
+    """operators.spans.is_boilerplate twin (full rule, incl. link density)."""
+    t = f"coalesce({text_e}, '')"
+    lc = (
+        f"coalesce(list_sum(list_transform("
+        f"regexp_extract_all({t}, '<a[^>]*>.*?</a>', 0), m -> length(m)::BIGINT)), 0)"
+    )
+    ld = f"(CASE WHEN length({t}) > 0 THEN {lc}::DOUBLE / length({t}) ELSE 0.0 END)"
+    s = _strip(text_e)
+    wc = f"(CASE WHEN {s} = '' THEN 0 ELSE len(regexp_split_to_array({s}, '\\s+')) END)"
+    marker = f"regexp_matches({s}, '{config.BOILERPLATE_MARKER_PATTERN}')"
+    return (
+        f"({ld} > {config.BOILERPLATE_MAX_LINK_DENSITY} OR {marker} "
+        f"OR ({wc} < {config.BOILERPLATE_MIN_WORDS} AND {ld} > 0.0))"
+    )
+
+
+def _sql_shingles(ws: str, k: int = 3) -> str:
+    """dedup.shingles twin over a word-array expression."""
+    return (
+        f"(CASE WHEN len({ws}) >= {k} THEN list_distinct(list_transform("
+        f"range(1, len({ws}) - {k - 2}), i -> array_to_string({ws}[i:i+{k - 1}], ' '))) "
+        f"ELSE []::VARCHAR[] END)"
+    )
+
+
+def _sql_quantize(vec: str, scale: int = 1000) -> str:
+    return f"list_transform({vec}, x -> round(x::DOUBLE * {scale})::BIGINT)"
+
+
+def _sql_qcos(qa: str, qb: str) -> str:
+    """dedup.quantized_cosine twin: products are integer-valued doubles →
+    list_dot_product sums them exactly in any order."""
+    dot = f"list_dot_product({qa}::DOUBLE[], {qb}::DOUBLE[])"
+    na = f"list_dot_product({qa}::DOUBLE[], {qa}::DOUBLE[])"
+    nb = f"list_dot_product({qb}::DOUBLE[], {qb}::DOUBLE[])"
+    return (
+        f"(CASE WHEN {na} > 0 AND {nb} > 0 "
+        f"THEN {dot} / (sqrt({na}) * sqrt({nb})) ELSE 0.0 END)"
+    )
+
+
+def _sql_lsh_sig(q: str, planes: int = SIM.LSH_PLANES) -> str:
+    """similarity.lsh_signature twin over a quantized BIGINT[] expression."""
+    bits = []
+    for h in range(planes):
+        sign = (
+            f"(CASE WHEN (({h} * 131 + (i - 1)) * {SIM._HASH_A} + {SIM._HASH_B}) "
+            f"% 65536 % 2 = 0 THEN 1 ELSE -1 END)"
+        )
+        dot = (
+            f"list_sum(list_transform({q}, (x, i) -> x * {sign}))"
+        )
+        bits.append(f"(CASE WHEN coalesce({dot}, 0) > 0 THEN {1 << h} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _sql_initfields(expr: str, prefix: str = "f") -> str:
+    """SELECT-list fragment: extract+present all 8 fields from `expr`."""
+    parts = []
+    for f_ in config.DEFAULT_FIELDS:
+        parts.append(f"{_sql_present(_sql_extract_field(expr, f_))} AS {prefix}_{f_}")
+    return ", ".join(parts)
+
+
+_SCHEMA_SQL_PATTERNS = {
+    "person_document": (
+        ["name"],
+        {
+            "name": "length({v}) >= 1",
+            "date": "regexp_matches({v}, '^\\d{{1,2}}[./]\\d{{1,2}}[./]\\d{{2,4}}$')",
+            "phone": "regexp_matches({v}, '^[+]?[0-9\\s\\-\\(\\)]+$')",
+        },
+    ),
+    "financial_document": (
+        ["amount", "date"],
+        {
+            "amount": "regexp_matches({v}, '^\\d+(?:[.,]\\d+)?$')",
+            "date": "regexp_matches({v}, '^\\d{{1,2}}[./]\\d{{1,2}}[./]\\d{{2,4}}$')",
+            "inn": "regexp_matches({v}, '^\\d{{10,12}}$')",
+        },
+    ),
+    "identity_document": (
+        ["name", "passport"],
+        {
+            "name": "length({v}) >= 1",
+            "passport": "regexp_matches({v}, '^\\d{{4}}\\s*\\d{{6}}$')",
+            "date": "regexp_matches({v}, '^\\d{{1,2}}[./]\\d{{1,2}}[./]\\d{{2,4}}$')",
+        },
+    ),
+}
+
+
+def _sql_schema_ok(schema_name: str, prefix: str = "f") -> str:
+    """fields.validate_schema twin over f_<field> columns."""
+    required, props = _SCHEMA_SQL_PATTERNS[schema_name]
+    conds = [f"{prefix}_{k} IS NOT NULL" for k in required]
+    for k, pat in props.items():
+        check = pat.format(v=f"{prefix}_{k}")
+        conds.append(f"(CASE WHEN {prefix}_{k} IS NULL THEN TRUE ELSE {check} END)")
+    return "(" + " AND ".join(conds) + ")"
+
+
+def _sql_is_sbs(text_e: str) -> str:
+    """layout.is_clear_side_by_side twin (W8 gate)."""
+    ls = f"string_split(coalesce({text_e}, ''), chr(10))"
+    l1, l2 = _strip("ls[i]"), _strip("ls[i+1]")
+    kw_terms = []
+    for ru, en in config.TRANSLATION_KEYWORD_PAIRS:
+        kw_terms.append(
+            f"(contains(upper({l1}), '{ru}') AND contains(upper({l2}), '{en}'))"
+            f" OR (contains(upper({l1}), '{en}') AND contains(upper({l2}), '{ru}'))"
+        )
+    kw = "(" + " OR ".join(kw_terms) + ")"
+    n1 = f"regexp_extract_all({l1}, '\\d+')"
+    n2 = f"regexp_extract_all({l2}, '\\d+')"
+    same_numbers = f"(len({n1}) > 0 AND len({n2}) > 0 AND {n1} = {n2})"
+    numbered = f"(regexp_matches({l1}, '^[1-5]\\.') AND regexp_matches({l2}, '^[1-5]\\.'))"
+    pair = f"({l1} != '' AND {l2} != '' AND ({same_numbers} OR {numbered} OR {kw}))"
+    cnt = (
+        f"coalesce(list_sum(list_transform(range(1, len(ls)), "
+        f"i -> CASE WHEN {pair} THEN 1 ELSE 0 END)), 0)"
+    )
+    return (
+        f"(SELECT len(ls) >= {config.SBS_MIN_LINES} AND {cnt} >= {config.SBS_MIN_PAIRS} "
+        f"FROM (SELECT {ls} AS ls))"
+    )
+
+
+def _sql_line_items(text_e: str) -> str:
+    """Non-empty stripped lines of a text expression."""
+    return (
+        f"list_filter(list_transform(string_split(coalesce({text_e}, ''), chr(10)), "
+        f"l -> {_strip('l')}), l -> l != '')"
+    )
+
+
+def _sql_line_lang(l: str) -> str:
+    cyr, lat = _cyr(l), _lat(l)
+    return (
+        f"(CASE WHEN {cyr} > {lat} AND {cyr} > 0 THEN 'ru' "
+        f"WHEN {lat} > {cyr} AND {lat} > 0 THEN 'en' ELSE 'mixed' END)"
+    )
+
+
+def _sql_ocr_lang(l: str) -> str:
+    cyr, lat = _cyr(l, yo=False), _lat(l)
+    return (
+        f"(CASE WHEN {cyr} > {lat} THEN 'ru' WHEN {lat} > {cyr} THEN 'en' "
+        f"ELSE 'mixed' END)"
+    )
+
+
+# ===========================================================================
+# the queries
+# ===========================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- metrics (M1, M3–M6, A1; SURVEY §2.4/§2.5) ------------------------------
+
+_SQL_METRICS_BASE = f"""
+WITH {D.SQL_PAIRS},
+mnorm AS (
+  SELECT doc_id, extracted, ground_truth,
+         {_norm('extracted')} AS en, {_norm('ground_truth')} AS gn
+  FROM pairs
+),
+msets AS (
+  SELECT *,
+         {_charset('en')} AS cs_e, {_charset('gn')} AS cs_g,
+         {_wordset('en')} AS ws_e, {_wordset('gn')} AS ws_g
+  FROM mnorm
+),
+mbase AS (
+  SELECT doc_id,
+    CASE WHEN ground_truth IS NULL OR ground_truth = ''
+         THEN CASE WHEN extracted IS NULL OR extracted = '' THEN 0.0 ELSE 1.0 END
+         WHEN length(gn) > 0 THEN least(levenshtein(en, gn)::DOUBLE / length(gn), 1.0)
+         ELSE 0.0 END AS cer,
+    CASE WHEN (extracted IS NULL OR extracted = '') AND (ground_truth IS NULL OR ground_truth = '')
+         THEN 0.0
+         WHEN greatest(length(en), length(gn)) = 0 THEN 0.0
+         ELSE least(levenshtein(en, gn)::DOUBLE / greatest(length(en), length(gn)), 1.0)
+         END AS norm_lev,
+    CASE WHEN {_strip("coalesce(extracted,'')")} = {_strip("coalesce(ground_truth,'')")}
+         THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS exact_match,
+    len(list_intersect(cs_e, cs_g))::DOUBLE AS c_i, len(cs_e) AS c_e, len(cs_g) AS c_g,
+    len(list_intersect(ws_e, ws_g))::DOUBLE AS w_i, len(ws_e) AS w_e, len(ws_g) AS w_g
+  FROM msets
+),
+mpr AS (
+  SELECT doc_id, cer, norm_lev, exact_match,
+    CASE WHEN c_e > 0 THEN c_i / c_e ELSE 0.0 END AS char_precision,
+    CASE WHEN c_g > 0 THEN c_i / c_g ELSE 0.0 END AS char_recall,
+    CASE WHEN w_e > 0 THEN w_i / w_e ELSE 0.0 END AS word_precision,
+    CASE WHEN w_g > 0 THEN w_i / w_g ELSE 0.0 END AS word_recall
+  FROM mbase
+),
+mall AS (
+  SELECT doc_id, cer, norm_lev, exact_match,
+    char_precision, char_recall,
+    CASE WHEN char_precision + char_recall > 0
+         THEN 2.0 * char_precision * char_recall / (char_precision + char_recall)
+         ELSE 0.0 END AS char_f1,
+    word_precision, word_recall,
+    CASE WHEN word_precision + word_recall > 0
+         THEN 2.0 * word_precision * word_recall / (word_precision + word_recall)
+         ELSE 0.0 END AS word_f1
+  FROM mpr
+)"""
+
+
+@_q("metrics_pairwise", _SQL_METRICS_BASE + "\nSELECT * FROM mall")
+def q_metrics_pairwise(spark: SparkSession, sf: str) -> DataFrame:
+    p = D.pairs(D.load(spark, sf, "documents"))
+    e, g = F.col("extracted"), F.col("ground_truth")
+    cm = M.char_metrics(e, g)
+    wm = M.word_metrics(e, g)
+    return p.select(
+        "doc_id",
+        M.cer(e, g).alias("cer"),
+        M.normalized_levenshtein(e, g).alias("norm_lev"),
+        M.exact_match(e, g).alias("exact_match"),
+        cm["char_precision"].alias("char_precision"),
+        cm["char_recall"].alias("char_recall"),
+        cm["char_f1"].alias("char_f1"),
+        wm["word_precision"].alias("word_precision"),
+        wm["word_recall"].alias("word_recall"),
+        wm["word_f1"].alias("word_f1"),
+    )
+
+
+@_q(
+    "metrics_rollup",
+    _SQL_METRICS_BASE
+    + """
+SELECT count(*)::BIGINT AS n_docs,
+       sum(round(cer * 1000000)::BIGINT) AS cer_micro_sum,
+       sum(round(norm_lev * 1000000)::BIGINT) AS nlev_micro_sum,
+       sum(CASE WHEN exact_match = 1.0 THEN 1 ELSE 0 END)::BIGINT AS exact_cnt,
+       sum(CASE WHEN exact_match = 1.0 THEN 1 ELSE 0 END) * 100.0 / count(*) AS exact_pct
+FROM mall""",
+)
+def q_metrics_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    base = q_metrics_pairwise(spark, sf)
+    return base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.round(F.col("cer") * 1000000).cast("long")).alias("cer_micro_sum"),
+        F.sum(F.round(F.col("norm_lev") * 1000000).cast("long")).alias("nlev_micro_sum"),
+        F.sum(F.when(F.col("exact_match") == 1.0, 1).otherwise(0)).cast("long").alias("exact_cnt"),
+        (
+            F.sum(F.when(F.col("exact_match") == 1.0, 1).otherwise(0)) * 100.0
+            / F.count(F.lit(1))
+        ).alias("exact_pct"),
+    )
+
+
+@_q("metrics_wer")  # word-level edit distance: pandas-UDF only → rows-only check
+def q_metrics_wer(spark: SparkSession, sf: str) -> DataFrame:
+    p = D.pairs(D.load(spark, sf, "documents"))
+    return p.select("doc_id", M.wer(F.col("extracted"), F.col("ground_truth")).alias("wer"))
+
+
+# --- field extraction + validation (T6–T13, F4; §2.3) -----------------------
+
+
+@_q(
+    "fields_extract",
+    f"""
+WITH {D.SQL_FIELD_DOCS}
+SELECT doc_id, {', '.join(_sql_extract_field('ftext', f_) + ' AS ' + f_ for f_ in config.DEFAULT_FIELDS)}
+FROM field_docs""",
+)
+def q_fields_extract(spark: SparkSession, sf: str) -> DataFrame:
+    fd = D.field_docs(D.load(spark, sf, "documents"))
+    return fd.select(
+        "doc_id",
+        *[FX.extract_field(F.col("ftext"), f_).alias(f_) for f_ in config.DEFAULT_FIELDS],
+    )
+
+
+@_q(
+    "fields_validate",
+    f"""
+WITH {D.SQL_FIELD_DOCS},
+fv AS (SELECT doc_id, {_sql_initfields('ftext')} FROM field_docs)
+SELECT doc_id,
+       TRUE AS json_validity,
+       {_sql_schema_ok('person_document')} AS schema_person,
+       {_sql_schema_ok('financial_document')} AS schema_financial,
+       {_sql_schema_ok('identity_document')} AS schema_identity,
+       ({_sql_schema_ok('person_document')} OR {_sql_schema_ok('financial_document')}
+        OR {_sql_schema_ok('identity_document')}) AS schema_consistency
+FROM fv""",
+)
+def q_fields_validate(spark: SparkSession, sf: str) -> DataFrame:
+    fd = D.field_docs(D.load(spark, sf, "documents"))
+    m = FX.extract_fields_map(F.col("ftext"))
+    out = fd.select("doc_id", m.alias("m"))
+    return out.select(
+        "doc_id",
+        FX.validate_json(F.col("m")).alias("json_validity"),
+        FX.validate_schema(F.col("m"), config.DEFAULT_SCHEMAS["person_document"]).alias("schema_person"),
+        FX.validate_schema(F.col("m"), config.DEFAULT_SCHEMAS["financial_document"]).alias("schema_financial"),
+        FX.validate_schema(F.col("m"), config.DEFAULT_SCHEMAS["identity_document"]).alias("schema_identity"),
+        FX.schema_consistency(F.col("m")).alias("schema_consistency"),
+    )
+
+
+def _sql_char_jaccard(a: str, b: str) -> str:
+    sa = f"list_distinct(list_filter(string_split(lower({a}), ''), c -> c != ''))"
+    sb = f"list_distinct(list_filter(string_split(lower({b}), ''), c -> c != ''))"
+    return (
+        f"(CASE WHEN len(list_distinct(list_concat({sa}, {sb}))) > 0 "
+        f"THEN len(list_intersect({sa}, {sb}))::DOUBLE / len(list_distinct(list_concat({sa}, {sb}))) "
+        f"ELSE 0.0 END)"
+    )
+
+
+def _sql_field_metric_cols() -> str:
+    parts = []
+    for f_ in config.DEFAULT_FIELDS:
+        g, e = f"g_{f_}", f"e_{f_}"
+        parts.append(
+            f"(CASE WHEN {g} IS NULL THEN NULL "
+            f"WHEN coalesce({e}, '') = {g} THEN 1.0 ELSE 0.0 END)::DOUBLE AS acc_{f_}"
+        )
+        parts.append(
+            f"(CASE WHEN {g} IS NULL THEN NULL "
+            f"WHEN coalesce({e}, '') = {g} THEN 1.0 "
+            f"WHEN coalesce({e}, '') = '' THEN 0.0 "
+            f"ELSE {_sql_char_jaccard(f'coalesce({e}, ' + chr(39) + chr(39) + ')', g)} END)::DOUBLE AS f1_{f_}"
+        )
+    return ", ".join(parts)
+
+
+@_q(
+    "field_metrics",
+    f"""
+WITH {D.SQL_FIELD_DOCS},
+fm2 AS (
+  SELECT doc_id, ftext,
+         replace(replace(ftext, '12', '21'), 'Иван', 'Иваи') AS ftext2
+  FROM field_docs
+),
+fmx AS (
+  SELECT doc_id, {_sql_initfields('ftext', 'g')}, {_sql_initfields('ftext2', 'e')}
+  FROM fm2
+)
+SELECT doc_id, {_sql_field_metric_cols()} FROM fmx""",
+)
+def q_field_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    fd = D.field_docs(D.load(spark, sf, "documents"))
+    corrupted = F.replace(
+        F.replace(F.col("ftext"), F.lit("12"), F.lit("21")), F.lit("Иван"), F.lit("Иваи")
+    )
+    base = fd.select(
+        "doc_id",
+        FX.extract_fields_map(F.col("ftext")).alias("gt"),
+        FX.extract_fields_map(corrupted).alias("ex"),
+    )
+    acc = FX.field_accuracy(F.col("ex"), F.col("gt"))
+    f1m = FX.field_f1(F.col("ex"), F.col("gt"))
+    cols = []
+    for f_ in config.DEFAULT_FIELDS:
+        cols.append(F.element_at(acc, F.lit(f_)).alias(f"acc_{f_}"))
+        cols.append(F.element_at(f1m, F.lit(f_)).alias(f"f1_{f_}"))
+    return base.select("doc_id", *cols)
+
+
+# --- scalar text ops (T1–T5; §2.3) -------------------------------------------
+
+_SQL_LANG_TEXT = """
+lang_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN ''
+              WHEN doc_id % 3 = 0 THEN 'привет мир хорошо'
+              WHEN doc_id % 3 = 1 THEN text || ' привет'
+              ELSE text END AS ltext
+  FROM documents
+)"""
+
+
+@_q(
+    "lang_detect",
+    f"""
+WITH {_SQL_LANG_TEXT}
+SELECT doc_id,
+  (CASE WHEN ltext IS NULL THEN 'unknown'
+        WHEN {_cyr('ltext', yo=False)} > {_lat('ltext')} THEN 'ru'
+        WHEN {_lat('ltext')} > {_cyr('ltext', yo=False)} THEN 'en'
+        ELSE 'mixed' END) AS lang_ocr,
+  {_sql_line_lang('ltext')} AS lang_line,
+  {_cyr('ltext')}::BIGINT AS cyr_chars,
+  {_lat('ltext')}::BIGINT AS lat_chars
+FROM lang_docs""",
+)
+def q_lang_detect(spark: SparkSession, sf: str) -> DataFrame:
+    docs = D.load(spark, sf, "documents")
+    d = F.col("doc_id")
+    lt = (
+        F.when(d % 5 == 0, F.lit(""))
+        .when(d % 3 == 0, F.lit("привет мир хорошо"))
+        .when(d % 3 == 1, F.concat(F.col("text"), F.lit(" привет")))
+        .otherwise(F.col("text"))
+    )
+    base = docs.select("doc_id", lt.alias("ltext"))
+    return base.select(
+        "doc_id",
+        T.detect_language_ocr(F.col("ltext")).alias("lang_ocr"),
+        T.line_language(F.col("ltext")).alias("lang_line"),
+        T.cyrillic_count(F.col("ltext")).cast("long").alias("cyr_chars"),
+        T.latin_count(F.col("ltext")).cast("long").alias("lat_chars"),
+    )
+
+
+def _sql_langid(e: str) -> str:
+    w = _words_lower(e)
+    scores = {}
+    for lang in sorted(config.LANGID_STOPWORDS):
+        arr = ", ".join(f"'{x}'" for x in config.LANGID_STOPWORDS[lang])
+        scores[lang] = f"len(list_filter({w}, x -> list_contains([{arr}], x)))"
+    m = "greatest(" + ", ".join(scores.values()) + ")"
+    case = f"CASE WHEN {m} = 0 THEN 'und' "
+    for lang in sorted(scores):  # alphabetical = tie-break order
+        case += f"WHEN {scores[lang]} = {m} THEN '{lang}' "
+    return case + "END"
+
+
+@_q(
+    "langid_corpus",
+    f"""
+SELECT lang, count(*)::BIGINT AS n_docs
+FROM (SELECT {_sql_langid('text')} AS lang FROM documents)
+GROUP BY lang""",
+)
+def q_langid_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    docs = D.load(spark, sf, "documents")
+    return (
+        docs.select(TS.language_id(F.col("text")).alias("lang"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def _sql_char_hash(w: str) -> str:
+    chars = f"list_filter(string_split({w}, ''), c -> c != '')"
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform({chars}, c -> ascii(c)::BIGINT)), "
+        f"(a, x) -> (a * 131 + x) % {MOD})"
+    )
+
+
+@_q(
+    "token_stats",
+    f"""
+SELECT doc_id,
+  len({_words_lower('text')})::BIGINT AS n_tokens_ws,
+  len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]', 0))::BIGINT AS n_tokens_bpe,
+  list_reduce(list_prepend(0::BIGINT, list_transform({_words_lower('text')}, w -> {_sql_char_hash('w')})),
+              (a, h) -> (a * 31 + h) % {MOD}) AS fingerprint
+FROM documents""",
+)
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = D.load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count_ws(F.col("text")).cast("long").alias("n_tokens_ws"),
+        TS.token_count_bpe(F.col("text")).cast("long").alias("n_tokens_bpe"),
+        TS.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+@_q(
+    "quality_features",
+    f"""
+WITH qf AS (
+  SELECT doc_id, coalesce(text, '') AS t, {_words_lower('text')} AS w FROM documents
+),
+qf2 AS (
+  SELECT doc_id, t, w,
+    len(w) AS n_words, length(t) AS n_chars,
+    (length(t) - length(regexp_replace(t, '[^\\w\\s]', '', 'g'))) AS punct,
+    len(list_filter(w, x -> list_contains([{', '.join(chr(39) + x + chr(39) for x in config.LANGID_STOPWORDS['en'])}], x))) AS stop,
+    {_cyr('t')} AS cyr,
+    (length(lower(t)) - length(regexp_replace(lower(t), '[а-яёa-z]', '', 'g'))) AS n_alpha,
+    len(list_filter(regexp_split_to_array({_strip('t')}, '\\s+'), x -> regexp_matches(x, '[а-яёА-ЯЁa-zA-Z]'))) AS n_toks
+  FROM qf
+)
+SELECT doc_id,
+  n_chars::BIGINT AS n_chars, n_words::BIGINT AS n_words,
+  CASE WHEN n_words > 0 THEN list_sum(list_transform(w, x -> length(x)::BIGINT))::DOUBLE / n_words ELSE 0.0 END AS avg_word_len,
+  CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+  CASE WHEN n_words > 0 THEN stop::DOUBLE / n_words ELSE 0.0 END AS stopword_ratio,
+  CASE WHEN t = '' OR n_alpha = 0 THEN 0.0
+       ELSE 2.0 * (cyr / greatest(1, n_alpha))
+            + (n_toks / greatest(1.0, length(t) / 25.0))
+            + 0.5 * least(length(t) / 1000.0, 1.0) END AS quality_score
+FROM qf2""",
+)
+def q_quality_features(spark: SparkSession, sf: str) -> DataFrame:
+    docs = D.load(spark, sf, "documents")
+    qf = TS.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        qf["n_chars"].cast("long").alias("n_chars"),
+        qf["n_words"].cast("long").alias("n_words"),
+        qf["avg_word_len"].alias("avg_word_len"),
+        qf["punct_ratio"].alias("punct_ratio"),
+        qf["stopword_ratio"].alias("stopword_ratio"),
+        qf["quality_score"].alias("quality_score"),
+    )
+
+
+def _sql_ocr_correct(e: str) -> str:
+    src = "".join(config.OCR_CHAR_CORRECTIONS.keys())
+    dst = "".join(config.OCR_CHAR_CORRECTIONS.values())
+    out = f"translate({e}, '{src}', '{dst}')"
+    for wrong, right in config.OCR_WORD_CORRECTIONS.items():
+        out = f"replace({out}, '{wrong}', '{right}')"
+    return out
+
+
+@_q(
+    "ocr_correct",
+    f"""
+WITH {D.SQL_OCR_CORRUPT_DOCS}
+SELECT doc_id, {_sql_ocr_correct("coalesce(ctext, '')")} AS corrected FROM ocr_docs""",
+)
+def q_ocr_correct(spark: SparkSession, sf: str) -> DataFrame:
+    oc = D.ocr_corrupt_docs(D.load(spark, sf, "documents"))
+    return oc.select("doc_id", T.correct_ocr_errors(F.col("ctext")).alias("corrected"))
+
+
+# --- dedup (training-data ops) ----------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    f"""
+WITH {D.SQL_DEDUP_DOCS}
+SELECT doc_id,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS keep,
+       count(*) OVER (PARTITION BY md5(coalesce(text, '')))::BIGINT AS group_size
+FROM dedup_docs""",
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return DD.dedup_exact(D.dedup_docs(D.load(spark, sf, "documents")))
+
+
+_N_HASH = config.MINHASH_NUM_HASHES
+_BAND = config.MINHASH_BAND_SIZE
+
+_SQL_SHINGLE_BASE = f"""
+{D.SQL_DEDUP_DOCS},
+dw AS (SELECT doc_id, {_words_lower('text')} AS ws FROM dedup_docs),
+dsh AS (SELECT doc_id, {_sql_shingles('ws')} AS sh FROM dw)"""
+
+
+def _sql_minhash_bands() -> str:
+    sig_elems = [
+        f"coalesce(list_min(list_transform(sh, s -> {_md5_int('s', k)})), -1)"
+        for k in range(_N_HASH)
+    ]
+    bands = []
+    for b in range(_N_HASH // _BAND):
+        parts = [f"sig[{b * _BAND + i + 1}]::VARCHAR" for i in range(_BAND)]
+        bands.append(f"concat_ws('_', '{b}', {', '.join(parts)})")
+    return (
+        f"dsig AS (SELECT doc_id, sh, [{', '.join(sig_elems)}] AS sig FROM dsh),\n"
+        f"dband AS (SELECT doc_id, sh, unnest([{', '.join(bands)}]) AS band FROM dsig)"
+    )
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_SQL_SHINGLE_BASE},
+{_sql_minhash_bands()},
+dcand AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+  FROM dband l JOIN dband r ON l.band = r.band AND l.doc_id < r.doc_id
+),
+dj AS (
+  SELECT c.a_id, c.b_id,
+         CASE WHEN len(list_distinct(list_concat(la.sh, lb.sh))) > 0
+              THEN len(list_intersect(la.sh, lb.sh))::DOUBLE
+                   / len(list_distinct(list_concat(la.sh, lb.sh)))
+              ELSE 0.0 END AS jaccard
+  FROM dcand c JOIN dsh la ON la.doc_id = c.a_id JOIN dsh lb ON lb.doc_id = c.b_id
+)
+SELECT a_id, b_id, jaccard FROM dj WHERE jaccard >= 0.5""",
+)
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return DD.dedup_minhash_lsh(
+        D.dedup_docs(D.load(spark, sf, "documents")), jaccard_threshold=0.5
+    )
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SQL_SHINGLE_BASE},
+dinv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM dsh),
+dpair AS (
+  SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS inter,
+         any_value(l.n) AS n_a, any_value(r.n) AS n_b
+  FROM dinv l JOIN dinv r ON l.s = r.s AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, (inter / (n_a + n_b - inter))::DOUBLE AS jaccard
+FROM dpair WHERE (inter / (n_a + n_b - inter))::DOUBLE >= 0.2""",
+)
+def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    return DD.dedup_ngram_jaccard(
+        D.dedup_docs(D.load(spark, sf, "documents")), jaccard_threshold=0.2
+    )
+
+
+def _sql_simhash(ws: str) -> str:
+    hs = f"list_transform(list_distinct({ws}), w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)"
+    bits = []
+    for b in range(DD.SIMHASH_BITS):
+        bits.append(
+            f"(CASE WHEN 2 * len(list_filter(hh, h -> (h >> {b}) & 1 = 1)) > len(hh) "
+            f"THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        )
+    return f"(SELECT {' + '.join(bits)} FROM (SELECT {hs} AS hh))"
+
+
+@_q(
+    "dedup_simhash",
+    f"""
+WITH {D.SQL_DEDUP_DOCS},
+sw AS (SELECT doc_id, {_words_lower('text')} AS ws FROM dedup_docs),
+sh2 AS (SELECT doc_id, {_sql_simhash('ws')} AS simhash FROM sw)
+SELECT doc_id, simhash, simhash >> {DD.SIMHASH_BITS - 16} AS bucket FROM sh2""",
+)
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return DD.dedup_simhash(D.dedup_docs(D.load(spark, sf, "documents")))
+
+
+_SQL_EMB_Q = f"""
+eq AS (SELECT vec_id, {_sql_quantize('embedding')} AS q FROM embeddings)"""
+
+
+@_q(
+    "dedup_embedding",
+    f"""
+WITH {_SQL_EMB_Q}
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round({_sql_qcos('a.q', 'b.q')}, 6) AS cosine
+FROM eq a JOIN eq b ON a.vec_id < b.vec_id
+WHERE round({_sql_qcos('a.q', 'b.q')}, 6) >= 0.4""",
+)
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    return DD.dedup_embedding_cosine(D.load(spark, sf, "embeddings"), threshold=0.4)
+
+
+# --- similarity search (ANN) --------------------------------------------------
+
+
+@_q(
+    "ann_topk_bruteforce",
+    f"""
+WITH {_SQL_EMB_Q},
+qs AS (SELECT vec_id AS query_id, q FROM eq WHERE vec_id < 20),
+scored AS (
+  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         round({_sql_qcos('qs.q', 'c.q')}, 6) AS cosine
+  FROM qs CROSS JOIN eq c WHERE qs.query_id != c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, cosine FROM ranked WHERE rank <= 5""",
+)
+def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    emb = D.load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = SIM.topk_bruteforce(emb, queries, k=5, query_id_col="query_id")
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q(
+    "ann_topk_lsh",
+    f"""
+WITH {_SQL_EMB_Q},
+esig AS (SELECT vec_id, q, {_sql_lsh_sig('q')} AS bucket FROM eq),
+qs AS (SELECT vec_id AS query_id, q, bucket FROM esig WHERE vec_id < 20),
+scored AS (
+  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         round({_sql_qcos('qs.q', 'c.q')}, 6) AS cosine
+  FROM qs JOIN esig c ON qs.bucket = c.bucket WHERE qs.query_id != c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, cosine FROM ranked WHERE rank <= 5""",
+)
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = D.load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = SIM.topk_lsh(emb, queries, k=5, query_id_col="query_id")
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- the span pipeline (north_rule core) --------------------------------------
+
+_SQL_KEPT_SPANS = f"""
+{D.SQL_SPAN_CORPUS},
+sbp AS (
+  SELECT *, (kind != 'media' AND {_sql_boilerplate('text')}) AS is_bp FROM span_rows
+),
+skept AS (SELECT * FROM sbp WHERE NOT is_bp)"""
+
+
+@_q(
+    "spans_assemble",
+    f"""
+WITH {_SQL_KEPT_SPANS}
+SELECT doc_id, kind, text, media_ref,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY "offset") - 1)::BIGINT AS ord
+FROM skept""",
+)
+def q_spans_assemble(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    assembled = SP.assemble_spans(SP.classify_spans(corpus))
+    return assembled.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.order").cast("long").alias("ord"),
+    )
+
+
+@_q(
+    "extract_documents",
+    f"""
+WITH {_SQL_KEPT_SPANS},
+edoc AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN kind = 'text' THEN text END, chr(10) ORDER BY "offset"), '') AS extracted_text,
+         count(*)::BIGINT AS n_spans,
+         sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)::BIGINT AS n_media
+  FROM skept GROUP BY doc_id
+),
+ecols AS (
+  SELECT doc_id, extracted_text, n_spans, n_media,
+         CASE WHEN {_sql_is_sbs('extracted_text')}
+                   AND len(list_filter({_sql_line_items('extracted_text')}, l -> {_sql_line_lang('l')} = 'ru')) > 0
+                   AND len(list_filter({_sql_line_items('extracted_text')}, l -> {_sql_line_lang('l')} = 'en')) > 0
+              THEN 2::BIGINT ELSE 0::BIGINT END AS columns_count,
+         {_sql_initfields('extracted_text')}
+  FROM edoc
+)
+SELECT doc_id, extracted_text, TRUE AS json_validity,
+       ({_sql_schema_ok('person_document')} OR {_sql_schema_ok('financial_document')}
+        OR {_sql_schema_ok('identity_document')}) AS schema_consistency,
+       columns_count, columns_count > 1 AS has_multiple_columns, n_spans, n_media
+FROM ecols""",
+)
+def q_extract_documents(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    out = extract_documents(corpus)
+    return out.select(
+        "doc_id",
+        "extracted_text",
+        "json_validity",
+        "schema_consistency",
+        F.col("columns_count").cast("long").alias("columns_count"),
+        "has_multiple_columns",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_media").cast("long").alias("n_media"),
+    )
+
+
+# --- layout detectors (W5–W10, G1; §2.6/§2.7) ---------------------------------
+
+
+def _sql_alternating_parts(src: str) -> dict[str, str]:
+    """Shared fragments of the detect_language_split twin over `src`."""
+    items = _sql_line_items(src)
+    langs = f"list_transform(it, l -> {_sql_line_lang('l')})"
+    return {
+        "items": items,
+        "langs": langs,
+        "n_raw": f"len(string_split(coalesce({src}, ''), chr(10)))",
+    }
+
+
+def _sql_alt_ok() -> str:
+    """Boolean `ok` of detect_language_split given CTE cols it/lg/n_raw."""
+    n_ru = "len(list_filter(lg, x -> x = 'ru'))"
+    n_en = "len(list_filter(lg, x -> x = 'en'))"
+    ru_en = (
+        "len(list_filter(list_transform(lg, (l, i) -> "
+        "CASE WHEN l = 'mixed' THEN TRUE WHEN (i - 1) % 2 = 0 THEN l = 'ru' "
+        "ELSE l = 'en' END), ok -> NOT ok)) = 0"
+    )
+    en_ru = (
+        "len(list_filter(list_transform(lg, (l, i) -> "
+        "CASE WHEN l = 'mixed' THEN TRUE WHEN (i - 1) % 2 = 0 THEN l = 'en' "
+        "ELSE l = 'ru' END), ok -> NOT ok)) = 0"
+    )
+    alternating = f"(len(lg) >= {config.ALTERNATING_MIN_LINES} AND (({ru_en}) OR ({en_ru})))"
+    lt = "array_to_string(list_filter(it, (l, i) -> (i - 1) % 2 = 0), chr(10))"
+    rt = "array_to_string(list_filter(it, (l, i) -> (i - 1) % 2 = 1), chr(10))"
+    ratio = f"(least(length({lt}), length({rt})) / greatest(length({lt}), length({rt}), 1))"
+    return (
+        f"(n_raw >= {config.ALTERNATING_MIN_LINES} AND {n_ru} >= 2 AND {n_en} >= 2 "
+        f"AND {alternating} AND len(list_filter(it, (l, i) -> (i - 1) % 2 = 0)) > 0 "
+        f"AND len(list_filter(it, (l, i) -> (i - 1) % 2 = 1)) > 0 "
+        f"AND {ratio} > {config.ALTERNATING_SIZE_RATIO})"
+    )
+
+
+_ALT = _sql_alternating_parts("ltext")
+
+
+def _sql_is_pattern(l: str) -> str:
+    page_no = (
+        f"(regexp_matches({l}, '^(?:стр\\.|page|Стр\\.|Page)') "
+        f"OR regexp_matches({l}, '(?:стр\\.|page|Стр\\.|Page)$') "
+        f"OR (contains({l}, 'Page ') AND contains({l}, 'of ')))"
+    )
+    dots = f"(length({l}) - length(replace({l}, '.', '')))"
+    header = (
+        f"({dots} >= 2 AND regexp_matches({l}, '[0-9]') AND length({l}) < 100 "
+        f"AND NOT regexp_matches({l}, '\\.$'))"
+    )
+    return f"({l} != '' AND ({page_no} OR {header}))"
+
+
+_SQL_PATTERN_OK = f"""
+(SELECT n_pat >= {config.PATTERN_MIN_COUNT} AND lt != '' AND rt != ''
+        AND (least(length(lt), length(rt)) / greatest(length(lt), length(rt), 1))
+            >= {config.PATTERN_SIZE_RATIO}
+ FROM (
+   SELECT {_strip("array_to_string(raw[1:mid], chr(10))")} AS lt,
+          {_strip("array_to_string(raw[mid+1:len(raw)], chr(10))")} AS rt, n_pat
+   FROM (
+     SELECT raw, n_pat,
+            CASE WHEN n_pat >= 4 THEN ((fp + lp) // 2)::INT
+                 ELSE (len(raw) // 2)::INT END AS mid
+     FROM (
+       SELECT raw, len(pidx) AS n_pat,
+              CASE WHEN len(pidx) > 0 THEN pidx[1] ELSE 0 END AS fp,
+              CASE WHEN len(pidx) > 0 THEN pidx[len(pidx)] ELSE 0 END AS lp
+       FROM (
+         SELECT raw, list_filter(list_transform(raw, (l, i) ->
+                  CASE WHEN {_sql_is_pattern(_strip('l'))} THEN i - 1 ELSE -1 END),
+                  x -> x >= 0) AS pidx
+         FROM (SELECT string_split(coalesce(ltext, ''), chr(10)) AS raw)
+       )
+     )
+   )
+ ))"""
+
+
+@_q(
+    "layout_flags",
+    f"""
+WITH {D.SQL_LAYOUT_DOCS},
+lf AS (
+  SELECT doc_id, ltext, {_ALT['items']} AS it, {_ALT['n_raw']} AS n_raw FROM layout_docs
+),
+lf2 AS (SELECT doc_id, ltext, it, n_raw, {_ALT['langs']} AS lg FROM lf)
+SELECT doc_id,
+  {_sql_is_sbs('ltext')} AS is_sbs,
+  (SELECT len(ls) >= {config.BILINGUAL_MIN_LINES} AND
+     coalesce(list_sum(list_transform(range(1, len(ls)), i ->
+       CASE WHEN {_strip('ls[i]')} != '' AND {_strip('ls[i+1]')} != ''
+                 AND (({_cyr(_strip('ls[i]'))} > {_lat(_strip('ls[i]'))} AND {_cyr(_strip('ls[i]'))} > 0
+                       AND {_lat(_strip('ls[i+1]'))} > {_cyr(_strip('ls[i+1]'))} AND {_lat(_strip('ls[i+1]'))} > 0)
+                   OR ({_lat(_strip('ls[i]'))} > {_cyr(_strip('ls[i]'))} AND {_lat(_strip('ls[i]'))} > 0
+                       AND {_cyr(_strip('ls[i+1]'))} > {_lat(_strip('ls[i+1]'))} AND {_cyr(_strip('ls[i+1]'))} > 0))
+       THEN 1 ELSE 0 END)), 0) >= {config.BILINGUAL_MIN_PAIRS}
+   FROM (SELECT string_split(coalesce(ltext, ''), chr(10)) AS ls)) AS has_bilingual,
+  {_sql_alt_ok()} AS alt_split,
+  {_SQL_PATTERN_OK} AS pattern_split
+FROM lf2""",
+)
+def q_layout_flags(spark: SparkSession, sf: str) -> DataFrame:
+    ld = D.layout_docs(D.load(spark, sf, "documents"))
+    return ld.select(
+        "doc_id",
+        L.is_clear_side_by_side(F.col("ltext")).alias("is_sbs"),
+        L.has_clear_bilingual_structure(F.col("ltext")).alias("has_bilingual"),
+        (F.size(L.detect_language_split(F.col("ltext"))) > 0).alias("alt_split"),
+        (F.size(L.detect_column_patterns_split(F.col("ltext"))) > 0).alias("pattern_split"),
+    )
+
+
+@_q(
+    "layout_sbs_columns",
+    f"""
+WITH {D.SQL_LAYOUT_DOCS},
+lsc AS (
+  SELECT doc_id, ltext,
+         list_filter({_sql_line_items('ltext')}, l -> {_sql_line_lang('l')} = 'ru') AS ru_l,
+         list_filter({_sql_line_items('ltext')}, l -> {_sql_line_lang('l')} = 'en') AS en_l
+  FROM layout_docs
+  WHERE {_sql_is_sbs('ltext')}
+),
+lboth AS (SELECT * FROM lsc WHERE len(ru_l) > 0 AND len(en_l) > 0)
+SELECT doc_id, 0::BIGINT AS pos, array_to_string(ru_l, chr(10)) AS text, 'left' AS side,
+       'ru' AS language, len(ru_l)::BIGINT AS items_count, {config.SBS_CONFIDENCE}::DOUBLE AS confidence_avg
+FROM lboth
+UNION ALL
+SELECT doc_id, 1::BIGINT AS pos, array_to_string(en_l, chr(10)) AS text, 'right' AS side,
+       'en' AS language, len(en_l)::BIGINT AS items_count, {config.SBS_CONFIDENCE}::DOUBLE AS confidence_avg
+FROM lboth""",
+)
+def q_layout_sbs_columns(spark: SparkSession, sf: str) -> DataFrame:
+    ld = D.layout_docs(D.load(spark, sf, "documents"))
+    cols = L.analyze_text_columns(F.col("ltext"))
+    return ld.select("doc_id", F.posexplode(cols).alias("pos", "c")).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("c.text").alias("text"),
+        F.col("c.side").alias("side"),
+        F.col("c.language").alias("language"),
+        F.col("c.items_count").cast("long").alias("items_count"),
+        F.col("c.confidence_avg").alias("confidence_avg"),
+    )
+
+
+@_q(
+    "layout_alternating",
+    f"""
+WITH {D.SQL_LAYOUT_DOCS},
+la AS (
+  SELECT doc_id, ltext, {_ALT['items']} AS it, {_ALT['n_raw']} AS n_raw FROM layout_docs
+),
+la2 AS (SELECT doc_id, ltext, it, n_raw, {_ALT['langs']} AS lg FROM la),
+la3 AS (
+  SELECT doc_id,
+         array_to_string(list_filter(it, (l, i) -> (i - 1) % 2 = 0), chr(10)) AS lt,
+         array_to_string(list_filter(it, (l, i) -> (i - 1) % 2 = 1), chr(10)) AS rt,
+         len(list_filter(it, (l, i) -> (i - 1) % 2 = 0))::BIGINT AS ln,
+         len(list_filter(it, (l, i) -> (i - 1) % 2 = 1))::BIGINT AS rn
+  FROM la2 WHERE {_sql_alt_ok()}
+)
+SELECT doc_id, 0::BIGINT AS pos, lt AS text, 'left' AS side,
+       CASE WHEN {_cyr('lt')} > {_lat('lt')} THEN 'ru' ELSE 'en' END AS language,
+       ln AS items_count, {config.ALTERNATING_CONFIDENCE}::DOUBLE AS confidence_avg
+FROM la3
+UNION ALL
+SELECT doc_id, 1::BIGINT AS pos, rt AS text, 'right' AS side,
+       CASE WHEN {_cyr('rt')} > {_lat('rt')} THEN 'ru' ELSE 'en' END AS language,
+       rn AS items_count, {config.ALTERNATING_CONFIDENCE}::DOUBLE AS confidence_avg
+FROM la3""",
+)
+def q_layout_alternating(spark: SparkSession, sf: str) -> DataFrame:
+    ld = D.layout_docs(D.load(spark, sf, "documents"))
+    cols = L.detect_language_split(F.col("ltext"))
+    return ld.select("doc_id", F.posexplode(cols).alias("pos", "c")).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("c.text").alias("text"),
+        F.col("c.side").alias("side"),
+        F.col("c.language").alias("language"),
+        F.col("c.items_count").cast("long").alias("items_count"),
+        F.col("c.confidence_avg").alias("confidence_avg"),
+    )
+
+
+@_q(
+    "layout_boxes",
+    f"""
+WITH {D.SQL_BOXES_ROWS},
+fb AS (SELECT * FROM box_rows WHERE conf > {config.CONF_LAYOUT}),
+fb2 AS (SELECT fb.*, {_sql_ocr_lang('text')} AS blang FROM fb),
+bstat AS (
+  SELECT doc_id, count(*) AS n,
+         sum(CASE WHEN blang = 'ru' THEN 1 ELSE 0 END) AS n_ru,
+         sum(CASE WHEN blang = 'en' THEN 1 ELSE 0 END) AS n_en,
+         sum(CASE WHEN blang = 'ru' THEN cx ELSE 0 END) AS ru_cx,
+         sum(CASE WHEN blang = 'en' THEN cx ELSE 0 END) AS en_cx
+  FROM fb2 GROUP BY doc_id
+),
+bgap AS (
+  SELECT doc_id, cx, lag(cx) OVER (PARTITION BY doc_id ORDER BY cx) AS pcx
+  FROM fb
+),
+bmax AS (
+  SELECT doc_id, coalesce(max(cx - pcx), 0.0) AS max_gap
+  FROM bgap WHERE pcx IS NOT NULL GROUP BY doc_id
+),
+bsplit AS (
+  SELECT g.doc_id, (g.pcx + g.cx) / 2 AS split_x, m.max_gap
+  FROM bgap g JOIN bmax m ON g.doc_id = m.doc_id AND g.cx - g.pcx = m.max_gap
+  QUALIFY row_number() OVER (PARTITION BY g.doc_id ORDER BY g.cx) = 1
+),
+bbranch AS (
+  SELECT s.doc_id, s.n, s.n_ru, s.n_en,
+         (s.n >= 2 AND coalesce(p.max_gap, 0.0) >= {D.BOX_IMAGE_WIDTH} * {config.COLUMN_GAP_FRACTION}) AS two_gap,
+         coalesce(p.split_x, 0.0) AS split_x,
+         CASE WHEN s.n_ru > 0 AND s.n_en > 0
+              AND (s.ru_cx / greatest(s.n_ru, 1)) < (s.en_cx / greatest(s.n_en, 1))
+              THEN TRUE ELSE FALSE END AS ru_left
+  FROM bstat s LEFT JOIN bsplit p ON s.doc_id = p.doc_id
+),
+-- gap-split columns
+bg AS (
+  SELECT f.doc_id, CASE WHEN f.cx < b.split_x THEN 'left' ELSE 'right' END AS side,
+         f.cx, f.cy, f.i, f.text, f.conf
+  FROM fb f JOIN bbranch b ON f.doc_id = b.doc_id WHERE b.two_gap
+),
+bg_cols AS (
+  SELECT doc_id, side,
+         string_agg(text, ' ' ORDER BY cy, cx, i) AS text,
+         string_agg(text, ' ' ORDER BY i) AS itext,
+         count(*)::BIGINT AS items_count,
+         sum(conf) / count(*) AS confidence_avg
+  FROM bg GROUP BY doc_id, side
+),
+gap_out AS (
+  SELECT doc_id,
+         (row_number() OVER (PARTITION BY doc_id ORDER BY side) - 1)::BIGINT AS pos,
+         text, side, {_sql_ocr_lang('itext')} AS language, items_count,
+         round(confidence_avg, 6) AS confidence_avg
+  FROM bg_cols
+),
+-- language-split columns
+bl AS (
+  SELECT f.doc_id,
+         CASE WHEN (f.blang = 'ru' AND b.ru_left) OR (f.blang = 'en' AND NOT b.ru_left)
+              THEN 'left' ELSE 'right' END AS side,
+         f.blang AS language, f.cx, f.cy, f.i, f.text, f.conf
+  FROM fb2 f JOIN bbranch b ON f.doc_id = b.doc_id
+  WHERE NOT b.two_gap AND b.n >= 2 AND b.n_ru > 0 AND b.n_en > 0 AND f.blang IN ('ru', 'en')
+),
+lang_out AS (
+  SELECT doc_id,
+         CASE WHEN side = 'left' THEN 0 ELSE 1 END::BIGINT AS pos,
+         string_agg(text, ' ' ORDER BY cy, cx, i) AS text, side,
+         any_value(language) AS language, count(*)::BIGINT AS items_count,
+         round(sum(conf) / count(*), 6) AS confidence_avg
+  FROM bl GROUP BY doc_id, side
+),
+-- single-column fallback
+bs AS (
+  SELECT f.doc_id, f.cx, f.cy, f.i, f.text, f.conf
+  FROM fb f JOIN bbranch b ON f.doc_id = b.doc_id
+  WHERE NOT b.two_gap AND NOT (b.n >= 2 AND b.n_ru > 0 AND b.n_en > 0)
+),
+single_out AS (
+  SELECT doc_id, 0::BIGINT AS pos,
+         string_agg(text, ' ' ORDER BY i) AS text, 'single' AS side,
+         {_sql_ocr_lang("string_agg(text, ' ' ORDER BY i)")} AS language,
+         count(*)::BIGINT AS items_count,
+         round(sum(conf) / count(*), 6) AS confidence_avg
+  FROM bs GROUP BY doc_id
+  HAVING {_strip("string_agg(text, ' ' ORDER BY i)")} != ''
+)
+SELECT * FROM gap_out UNION ALL SELECT * FROM lang_out UNION ALL SELECT * FROM single_out""",
+)
+def q_layout_boxes(spark: SparkSession, sf: str) -> DataFrame:
+    b = D.boxes(D.load(spark, sf, "documents"))
+    cols = L.analyze_box_columns(F.col("boxes"), F.lit(D.BOX_IMAGE_WIDTH))
+    return b.select("doc_id", F.posexplode(cols).alias("pos", "c")).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("c.text").alias("text"),
+        F.col("c.side").alias("side"),
+        F.col("c.language").alias("language"),
+        F.col("c.items_count").cast("long").alias("items_count"),
+        F.round(F.col("c.confidence_avg"), 6).alias("confidence_avg"),
+    )
+
+
+# --- events: windowed aggregation + sessionization ----------------------------
+
+
+@_q(
+    "events_windowed",
+    """
+SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS window_start_epoch,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum(round(value * 1000000)::BIGINT) AS value_micro_sum
+FROM events GROUP BY 1, 2""",
+)
+def q_events_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    ev = D.load(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("value_micro_sum"),
+        )
+        .select(
+            wall_epoch_seconds(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "value_micro_sum",
+        )
+    )
+
+
+@_q(
+    "sessionize",
+    """
+WITH se AS (
+  SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS sec FROM events
+),
+sb AS (
+  SELECT user_id, event_id, ts, sec,
+         CASE WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+  FROM se WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sg AS (
+  SELECT user_id, sec,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM sb
+)
+SELECT user_id, min(sec) AS session_start_epoch, max(sec) AS session_end_epoch,
+       count(*)::BIGINT AS n_events
+FROM sg GROUP BY user_id, sess_id""",
+)
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    ev = D.load(spark, sf, "events")
+    out = sessionize_batch(ev, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        wall_epoch_seconds(F.col("session_start")).alias("session_start_epoch"),
+        wall_epoch_seconds(F.col("session_end")).alias("session_end_epoch"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+# --- multimodal plumbing -------------------------------------------------------
+
+
+@_q(
+    "media_decode",
+    f"""
+WITH {D.SQL_SPAN_CORPUS},
+md AS (
+  SELECT doc_id::VARCHAR AS doc_id, media_ref,
+         ('0x' || substr(md5(media_ref), 1, 2))::INT AS h0,
+         ('0x' || substr(md5(media_ref), 3, 2))::INT AS h1,
+         ('0x' || substr(md5(media_ref), 5, 2))::INT AS h2,
+         ('0x' || substr(md5(media_ref), 7, 2))::INT AS h3
+  FROM span_rows WHERE kind = 'media'
+)
+SELECT doc_id, media_ref,
+       ['png', 'jpeg', 'webp', 'mp4'][h0 % 4 + 1] AS format,
+       (64 + (h1 % 64) * 16)::BIGINT AS width,
+       (64 + (h2 % 64) * 16)::BIGINT AS height,
+       CASE WHEN h0 % 4 = 3 THEN (1 + h3 % 240)::BIGINT ELSE 1::BIGINT END AS n_frames,
+       TRUE AS decode_ok
+FROM md""",
+)
+def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    media = MD.media_spans_to_table(corpus)
+    out = MD.decode_media(media)
+    return out.select(
+        "doc_id",
+        "media_ref",
+        "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "decode_ok",
+    )

@@ -20,6 +20,19 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_SECONDS = 30 * 60
 
+
+def wall_epoch_seconds(c):
+    """Wall-clock epoch seconds (fraction truncated) from calendar fields —
+    identical for TIMESTAMP and TIMESTAMP_NTZ inputs and independent of the
+    session timezone (a bare ts.cast('long') is illegal on NTZ and
+    tz-dependent on LTZ)."""
+    return (
+        F.datediff(F.to_date(c), F.lit("1970-01-01").cast("date")).cast("long") * 86400
+        + F.hour(c).cast("long") * 3600
+        + F.minute(c).cast("long") * 60
+        + F.second(c).cast("long")
+    )
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )
@@ -108,10 +121,12 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) 
     lag/cumsum session assignment — two window passes, one shuffle."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy("ts")
-    sec = F.col("ts").cast("long")
+    # (ts, event_id) total order: ties on ts would otherwise make session
+    # membership of a gap-straddling tie group nondeterministic.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = wall_epoch_seconds(F.col("ts"))
     new_sess = (sec - F.lag(sec).over(w) > gap_seconds).cast("int")
-    with_id = events.select("user_id", "ts").withColumn(
+    with_id = events.select("user_id", "event_id", "ts").withColumn(
         "sess_id", F.sum(F.coalesce(new_sess, F.lit(0))).over(w)
     )
     return (
