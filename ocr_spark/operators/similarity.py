@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ocr_spark.operators.dedup import quantized_cosine
+from ocr_spark.operators.dedup import quantized_cosine, quantized_cosine_pandas
 
 LSH_PLANES = 8
 _HASH_A = 1103515245
@@ -70,7 +70,7 @@ def topk_bruteforce(
     scored = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(quantized_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(quantized_cosine_pandas(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -106,7 +106,7 @@ def topk_lsh(
     scored = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(quantized_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(quantized_cosine_pandas(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
