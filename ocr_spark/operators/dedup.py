@@ -134,20 +134,20 @@ def dedup_minhash_lsh(
             for i in range(config.MINHASH_BAND_SIZE)
         ]
         band_keys.append(F.concat_ws("_", F.lit(str(b)), *parts))
-    banded = sig.select("id", F.explode(F.array(*band_keys)).alias("band")).join(
-        base, "id"
-    )
+    banded = sig.select("id", F.explode(F.array(*band_keys)).alias("band"))
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    # dedupe candidate id-pairs FIRST (ints only), and only then attach the
+    # shingle arrays — shuffling wide arrays through dropDuplicates is the
+    # expensive anti-pattern.
+    cand_ids = (
         left.join(right, (F.col("l.band") == F.col("r.band")) & (F.col("l.id") < F.col("r.id")))
-        .select(
-            F.col("l.id").alias("a_id"),
-            F.col("r.id").alias("b_id"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
+    )
+    cand = (
+        cand_ids.join(base.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id")
+        .join(base.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

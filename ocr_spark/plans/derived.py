@@ -34,7 +34,16 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Read a driver table, spread across the cluster.
+
+    The testdata tables are single small parquet files (one row group), so
+    Spark scans them as ONE partition and every downstream per-row stage
+    runs on one core. An explicit repartition (AQE does not coalesce
+    user-specified numbers) restores the parallelism a real many-file
+    100 TB table would have natively; the shuffled volume is tiny here.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------------------
