@@ -29,6 +29,21 @@ from ocr_spark.operators import layout as L
 from ocr_spark.operators import spans as S
 
 
+def route_documents(df: DataFrame, direct_text_col: str = "direct_text") -> DataFrame:
+    """F6 min-text routing gate (pdf_processor.py:28-37): a document whose
+    directly-extracted text is longer than 10 stripped chars takes the cheap
+    'direct' path; everything else falls to the ~100-1000x costlier 'ocr'
+    branch. As a routing COLUMN (never an exception or driver-side branch)
+    the two sub-plans stay one DataFrame and Catalyst prunes per branch."""
+    stripped = F.regexp_replace(F.coalesce(F.col(direct_text_col), F.lit("")), r"^\s+|\s+$", "")
+    return df.withColumn(
+        "route",
+        F.when(F.length(stripped) > config.PDF_DIRECT_TEXT_MIN_CHARS, F.lit("direct")).otherwise(
+            F.lit("ocr")
+        ),
+    )
+
+
 def extract_documents(
     docs: DataFrame,
     drop_boilerplate: bool = True,

@@ -29,7 +29,8 @@ from ocr_spark.operators import media as MD
 from ocr_spark.operators import similarity as SIM
 from ocr_spark.operators import spans as SP
 from ocr_spark.operators import textstats as TS
-from ocr_spark.pipeline import extract_documents
+from ocr_spark.operators import image as IMG
+from ocr_spark.pipeline import extract_documents, route_documents
 from ocr_spark.plans import derived as D
 from ocr_spark.streaming.events import sessionize_batch, wall_epoch_seconds
 
@@ -496,6 +497,36 @@ def q_field_metrics(spark: SparkSession, sf: str) -> DataFrame:
         cols.append(F.element_at(acc, F.lit(f_)).alias(f"acc_{f_}"))
         cols.append(F.element_at(f1m, F.lit(f_)).alias(f"f1_{f_}"))
     return base.select("doc_id", *cols)
+
+
+@_q(
+    "fields_exact_pct",
+    f"""
+WITH {D.SQL_FIELD_DOCS},
+fe2 AS (
+  SELECT doc_id, ftext, replace(replace(ftext, '12', '21'), 'Иван', 'Иваи') AS ftext2
+  FROM field_docs
+),
+fex AS (
+  SELECT doc_id, {_sql_initfields('ftext', 'g')}, {_sql_initfields('ftext2', 'e')}
+  FROM fe2
+)
+SELECT avg(CASE WHEN {' AND '.join(f'(g_{f_} IS NOT DISTINCT FROM e_{f_})' for f_ in config.DEFAULT_FIELDS)}
+           THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 100 AS exact_match_percentage
+FROM fex""",
+)
+def q_fields_exact_pct(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 (data_extractor.py:346-374): % of docs whose full extracted map
+    equals the ground-truth map."""
+    fd = D.field_docs(D.load(spark, sf, "documents"))
+    corrupted = F.replace(
+        F.replace(F.col("ftext"), F.lit("12"), F.lit("21")), F.lit("Иван"), F.lit("Иваи")
+    )
+    base = fd.select(
+        FX.extract_fields_map(F.col("ftext")).alias("ground_truth_data"),
+        FX.extract_fields_map(corrupted).alias("extracted_data"),
+    )
+    return FX.exact_match_pct(base)
 
 
 # --- scalar text ops (T1–T5; §2.3) -------------------------------------------
@@ -1268,6 +1299,99 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         wall_epoch_seconds(F.col("session_start")).alias("session_start_epoch"),
         wall_epoch_seconds(F.col("session_end")).alias("session_end_epoch"),
         F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+# --- PDF routing gate (F6) ----------------------------------------------------
+
+
+@_q(
+    "pdf_route",
+    f"""
+WITH rt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN '  tiny  ' ELSE text END AS direct_text
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length({_strip("coalesce(direct_text, '')")}) > {config.PDF_DIRECT_TEXT_MIN_CHARS}
+            THEN 'direct' ELSE 'ocr' END AS route
+FROM rt""",
+)
+def q_pdf_route(spark: SparkSession, sf: str) -> DataFrame:
+    docs = D.load(spark, sf, "documents")
+    rt = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 0, F.lit("  tiny  ")).otherwise(F.col("text")).alias(
+            "direct_text"
+        ),
+    )
+    return route_documents(rt).select("doc_id", "route")
+
+
+# --- image / noise operators (I1, I7, I8) --------------------------------------
+
+_IMG_N, _IMG_W, _IMG_H = 64, 48, 32
+
+
+def _sql_image_noise_stats() -> str:
+    npix = _IMG_W * _IMG_H
+    h4, hm3 = _IMG_H // 4, _IMG_H - 3
+    val = f"""
+      CASE WHEN y >= 0 AND x >= 2 AND x <= {_IMG_W - 3} AND len(list_filter(
+                 list_transform(range((2 + image_id % 3)::BIGINT),
+                                b -> (3 + b * {h4}) % {hm3}),
+                 y0 -> y = y0 OR y = y0 + 1)) > 0
+           THEN 30 + image_id % 50
+           ELSE 200 + ((image_id * 1103515245 + v * 12345 + 6789) % 251 % 40) - 20
+      END"""
+    return f"""
+WITH imgs AS (SELECT i AS image_id FROM UNNEST(range({_IMG_N})) t(i)),
+ipx AS (
+  SELECT image_id, v, (v // {_IMG_W}) AS y, (v % {_IMG_W}) AS x
+  FROM imgs, UNNEST(range({npix})) t2(v)
+),
+ival AS (SELECT image_id, ({val}) AS px FROM ipx),
+isum AS (
+  SELECT image_id, sum(px)::BIGINT AS sx, sum(px * px)::BIGINT AS sxx
+  FROM ival GROUP BY image_id
+),
+istat AS (
+  SELECT image_id, sx / {npix} AS mean_intensity,
+         sqrt(({npix} * sxx - sx * sx) / ({npix}.0 * {npix})) AS std
+  FROM isum
+)
+SELECT image_id,
+       least(std / 255.0, 1.0) AS noise_level,
+       mean_intensity,
+       CASE WHEN mean_intensity > 0 THEN std / mean_intensity ELSE 0.0 END AS contrast,
+       {_IMG_H} AS height, {_IMG_W} AS width, {npix}::BIGINT AS pixel_count
+FROM istat"""
+
+
+@_q("image_noise_stats", _sql_image_noise_stats())
+def q_image_noise_stats(spark: SparkSession, sf: str) -> DataFrame:
+    imgs = IMG.synth_images(spark, n=_IMG_N, width=_IMG_W, height=_IMG_H)
+    out = IMG.noise_stats(imgs)
+    return out.select(
+        "image_id",
+        "noise_level",
+        "mean_intensity",
+        "contrast",
+        F.col("height").cast("int").alias("height"),
+        F.col("width").cast("int").alias("width"),
+        "pixel_count",
+    )
+
+
+@_q("image_preprocess")  # binary-out mapInPandas chain → rows-only check
+def q_image_preprocess(spark: SparkSession, sf: str) -> DataFrame:
+    imgs = IMG.synth_images(spark, n=_IMG_N, width=_IMG_W, height=_IMG_H)
+    out = IMG.preprocess(imgs)
+    return out.select(
+        "image_id",
+        F.length("data").cast("long").alias("n_bytes"),
+        F.md5(F.col("data")).alias("data_md5"),
     )
 
 

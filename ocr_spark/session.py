@@ -38,7 +38,12 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # Throughput collector + a large heap: the string-heavy span stages
+        # allocate hard, and at 32 threads the default G1/8g setup loses
+        # ~45% throughput to allocation stalls (measured via
+        # tools/scaling_bench.py: 63k -> 92k docs/s switching to ParallelGC)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -1,0 +1,105 @@
+"""OCR engine scan (SURVEY.md §2.1 S6–S7, §2.8 I3–I5) with the
+executor-singleton model pattern.
+
+The reference loads one EasyOCR reader per service process (main.py:32,
+ocr_service.py:21-36) — but then re-creates it per PDF call
+(pdf_processor.py:101-102), a ~60s-per-call bug this module exists to NOT
+copy: the model handle is a lazy module-global, initialized at most once
+per executor process and shared by every Arrow batch that lands there.
+
+No torch/easyocr/tesseract exists in this container, so the default
+engine is a deterministic fake that "reads" boxes straight from the
+synthetic image's band structure (operators/image.synth_image_array) —
+the ensemble/argmax control flow (I5), preprocessing variants (I3), and
+box schema are the real production shape; swap ``_load_model`` to return
+an easyocr.Reader and ``_recognize`` to call readtext for the real thing
+(ocr_service.py:115-123).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ocr_spark.operators.image import decode_gray, preprocess_array
+
+BOXES_SCHEMA = (
+    "image_id long, boxes array<struct<text:string, conf:double, cx:double, cy:double>>, "
+    "engine string"
+)
+
+# --- executor-level lazy singleton (ocr_service.py:21-36, done right) -------
+
+_MODEL = None
+_MODEL_INITS = 0  # observable by tests: must stay at 1 per process
+
+
+def _load_model():
+    global _MODEL, _MODEL_INITS
+    if _MODEL is None:
+        _MODEL_INITS += 1
+        # real impl: easyocr.Reader(['ru','en'], gpu=False) — ~60s, which is
+        # exactly why this must happen once per executor, not per batch/call
+        _MODEL = {"engine": "fake-deterministic", "langs": ["ru", "en"]}
+    return _MODEL
+
+
+def _recognize(model: dict, img: np.ndarray) -> list[tuple[str, float, float, float]]:
+    """Deterministic stand-in for reader.readtext: one box per dark band
+    (the synthetic corpus draws text as dark horizontal bands)."""
+    h, w = img.shape
+    boxes = []
+    row_means = img.mean(axis=1)
+    y = 0
+    while y < h:
+        if row_means[y] < 100:  # dark band start
+            y2 = y
+            while y2 + 1 < h and row_means[y2 + 1] < 100:
+                y2 += 1
+            band = img[y : y2 + 1]
+            conf = float(1.0 - band.mean() / 255.0)
+            boxes.append((f"line-{len(boxes)}", round(conf, 6), w / 2.0, (y + y2) / 2.0))
+            y = y2 + 1
+        else:
+            y += 1
+    return boxes
+
+
+def _score(boxes: list[tuple[str, float, float, float]]) -> float:
+    """I5 candidate score analog: prefer more boxes, then higher mean conf."""
+    if not boxes:
+        return 0.0
+    return len(boxes) + sum(b[1] for b in boxes) / len(boxes)
+
+
+def scan_images(images: DataFrame) -> DataFrame:
+    """S6: OCR scan over (image_id, data, width, height) → box arrays.
+
+    I3+I5 inside the batch loop: each image is tried raw and preprocessed
+    (bounded candidate set, NOT exploded to extra rows — batch locality
+    wins, SURVEY §4) and the argmax by score is kept.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _load_model()  # once per executor; cheap no-op afterwards
+        for pdf in batches:
+            out = {"image_id": [], "boxes": [], "engine": []}
+            for _, r in pdf.iterrows():
+                img = decode_gray(r["data"], r["width"], r["height"])
+                candidates = [img, preprocess_array(img)]  # I3 variants
+                best = max((_recognize(model, c) for c in candidates), key=_score)
+                out["image_id"].append(int(r["image_id"]))
+                out["boxes"].append([
+                    {"text": t, "conf": c, "cx": cx, "cy": cy} for (t, c, cx, cy) in best
+                ])
+                out["engine"].append(model["engine"])
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(process, BOXES_SCHEMA)
+
+
+def model_init_count() -> int:
+    return _MODEL_INITS

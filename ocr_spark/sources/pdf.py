@@ -1,0 +1,103 @@
+"""PDF sources (SURVEY.md §2.1 S2–S5) over binary document columns.
+
+The reference shells out to PyPDF2 / pdf2image+poppler per request
+(pdf_processor.py:168-184, :259-290). Here:
+
+- S5 sniffer        pure Column expression over (path, content) — magic
+                    bytes '%PDF' or extension (pdf_processor.py:1011-1035)
+- S2 direct text    Arrow-batched UDF using pypdf when importable; this
+                    container has no pypdf → the stage raises a clear
+                    NotImplementedError at first batch, with the Spark-side
+                    plumbing (schema, explode, page ordering) real
+- S3 rasterizer     poppler is a process boundary the sandbox lacks —
+                    explicit stub
+- S4 metadata       same pypdf gate as S2
+
+The page-exploded schema feeds the same span pipeline as HTML text: one
+row per page → per-page column analysis → A4 order-preserving concat.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+try:  # optional dependency gate (not installed in this sandbox)
+    import pypdf  # type: ignore
+
+    HAVE_PYPDF = True
+except ImportError:
+    pypdf = None
+    HAVE_PYPDF = False
+
+PAGES_SCHEMA = "doc_id long, page_number int, text string"
+META_SCHEMA = (
+    "doc_id long, pages int, title string, author string, subject string, "
+    "creator string, producer string"
+)
+
+
+def is_pdf(path: Column, content: Column) -> Column:
+    """S5 (pdf_processor.py:1011-1035): extension OR %PDF magic bytes."""
+    by_ext = F.lower(F.coalesce(path, F.lit(""))).endswith(".pdf")
+    magic = F.substring(content, 1, 4) == F.lit(b"%PDF")
+    return by_ext | F.coalesce(magic, F.lit(False))
+
+
+def extract_pages(docs: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """S2: per-page direct text via pypdf, one output row per page.
+
+    Executor-side import gate: on hosts without pypdf the task fails with an
+    actionable error instead of silently returning empties.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not HAVE_PYPDF:
+            raise NotImplementedError(
+                "pypdf is not installed on this executor; install it or route "
+                "these documents to the OCR branch (pipeline.route_documents)"
+            )
+        import io
+
+        for pdf in batches:
+            out = {"doc_id": [], "page_number": [], "text": []}
+            for _, r in pdf.iterrows():
+                try:
+                    reader = pypdf.PdfReader(io.BytesIO(r[content_col]))
+                    for i, page in enumerate(reader.pages, start=1):
+                        out["doc_id"].append(int(r[id_col]))
+                        out["page_number"].append(i)
+                        out["text"].append(page.extract_text() or "")
+                except Exception:  # graceful degradation (§4): bad doc → no rows
+                    continue
+            yield pd.DataFrame(out)
+
+    return docs.select(F.col(id_col), F.col(content_col)).mapInPandas(process, PAGES_SCHEMA)
+
+
+def concat_pages(pages: DataFrame) -> DataFrame:
+    """A4 (pdf_processor.py:104-139): order-preserving page concat — sort
+    INSIDE the aggregation, never relying on partition order."""
+    return pages.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("page_number").alias("p"), F.col("text").alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            "\n",
+        ).alias("all_text"),
+        F.count(F.lit(1)).cast("int").alias("total_pages"),
+    )
+
+
+def rasterize_stub(*_a, **_k):
+    """S3: pdf→image needs poppler (process boundary); not present here."""
+    raise NotImplementedError(
+        "pdf rasterization requires pdf2image/poppler; wire convert_from_bytes "
+        "into an Arrow UDF following sources/pdf.extract_pages's shape"
+    )

@@ -76,21 +76,24 @@ def _sessionize_group(
         start, end, n = state.get
     else:
         start, end, n = None, None, 0
+    # the group may arrive as several Arrow chunks in arbitrary ts order —
+    # sorting each chunk separately would mis-split sessions, so gather first
+    all_ts: list[int] = []
     for pdf in pdfs:
-        ts = pdf["ts"].astype("int64") // 1_000_000_000
-        for t in sorted(ts):
-            if start is None:
-                start, end, n = int(t), int(t), 1
-            elif t - end <= SESSION_GAP_SECONDS:
-                end, n = max(end, int(t)), n + 1
-            else:
-                yield pd.DataFrame(
-                    {"user_id": [user_id],
-                     "session_start": [pd.Timestamp(start, unit="s")],
-                     "session_end": [pd.Timestamp(end, unit="s")],
-                     "n_events": [n]}
-                )
-                start, end, n = int(t), int(t), 1
+        all_ts.extend((pdf["ts"].astype("int64") // 1_000_000_000).tolist())
+    for t in sorted(all_ts):
+        if start is None:
+            start, end, n = int(t), int(t), 1
+        elif t - end <= SESSION_GAP_SECONDS:
+            end, n = max(end, int(t)), n + 1
+        else:
+            yield pd.DataFrame(
+                {"user_id": [user_id],
+                 "session_start": [pd.Timestamp(start, unit="s")],
+                 "session_end": [pd.Timestamp(end, unit="s")],
+                 "n_events": [n]}
+            )
+            start, end, n = int(t), int(t), 1
     if state.hasTimedOut:
         if start is not None:
             yield pd.DataFrame(

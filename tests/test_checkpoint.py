@@ -1,0 +1,103 @@
+"""Resumable checkpoint-manifest runner (ocr_spark/plans/checkpoint.py).
+
+north_rule requirements under test: per-partition lineage + row/byte
+metrics in a commit manifest; a killed job resumes exactly at the last
+committed state; resumed output equals a single uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.pipeline import extract_documents
+from ocr_spark.plans.checkpoint import committed_buckets, config_fingerprint, run_checkpointed
+from ocr_spark.plans.derived import span_corpus
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(i, f"word{i} alpha beta gamma delta epsilon zeta eta theta iota " * 3) for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _run(spark, docs, out, **kw):
+    return run_checkpointed(
+        spark, span_corpus(docs), str(out), extract_documents,
+        num_buckets=4, input_lineage="unit-test", **kw,
+    )
+
+
+def test_full_run_commits_all_buckets(spark, docs, tmp_path):
+    out = tmp_path / "full"
+    summary = _run(spark, docs, out)
+    assert summary == {
+        "buckets_total": 4, "buckets_run": 4, "buckets_skipped": 0,
+        "rows": 40, "bytes": summary["bytes"],
+    }
+    assert summary["bytes"] > 0
+    recs = committed_buckets(str(out))
+    assert sorted(recs) == [0, 1, 2, 3]
+    for rec in recs.values():
+        assert rec["status"] == "committed"
+        assert rec["input"] == "unit-test"
+        assert rec["n_rows"] >= 0 and rec["n_bytes"] > 0
+        assert rec["config_fingerprint"] == config_fingerprint()
+        assert rec["wall_sec"] >= 0
+
+
+def test_killed_job_resumes_at_last_commit(spark, docs, tmp_path):
+    out = tmp_path / "resume"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        _run(spark, docs, out, fail_after=2)
+    assert len(committed_buckets(str(out))) == 2
+
+    summary = _run(spark, docs, out)  # resume
+    assert summary["buckets_run"] == 2
+    assert summary["buckets_skipped"] == 2
+    assert summary["rows"] == 40
+
+    # resumed output == uninterrupted output (span-sequence equality)
+    ref = tmp_path / "ref"
+    _run(spark, docs, ref)
+    got = spark.read.parquet(str(out / "bucket=*")).select(
+        "doc_id", F.to_json("spans").alias("s")
+    ).collect()
+    want = spark.read.parquet(str(ref / "bucket=*")).select(
+        "doc_id", F.to_json("spans").alias("s")
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_resume_is_noop_when_complete(spark, docs, tmp_path):
+    out = tmp_path / "noop"
+    _run(spark, docs, out)
+    summary = _run(spark, docs, out)
+    assert summary["buckets_run"] == 0
+    assert summary["buckets_skipped"] == 4
+
+
+def test_torn_manifest_record_is_uncommitted(spark, docs, tmp_path):
+    out = tmp_path / "torn"
+    _run(spark, docs, out)
+    # simulate a crash mid-commit: truncate one record
+    path = str(out / "_manifest" / "2.json")
+    with open(path, "w") as f:
+        f.write('{"bucket": 2, "status": "comm')
+    assert sorted(committed_buckets(str(out))) == [0, 1, 3]
+    summary = _run(spark, docs, out)
+    assert summary["buckets_run"] == 1  # only the torn bucket re-ran
+
+
+def test_config_change_refuses_resume(spark, docs, tmp_path):
+    out = tmp_path / "cfg"
+    _run(spark, docs, out)
+    path = str(out / "_manifest" / "0.json")
+    rec = json.load(open(path))
+    rec["config_fingerprint"] = "stale"
+    json.dump(rec, open(path, "w"))
+    with pytest.raises(RuntimeError, match="different pipeline config"):
+        _run(spark, docs, out)

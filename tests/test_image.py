@@ -1,0 +1,66 @@
+"""Image/noise operators (SURVEY.md §2.8) — Spark plumbing + numpy math."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators import image as I
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return I.synth_images(spark, n=12)
+
+
+def test_decode_roundtrip():
+    img = I.synth_image_array(7)
+    assert I.decode_gray(img.tobytes(), 48, 32).tolist() == img.tolist()
+
+
+def test_decode_failure_stub():
+    out = I.decode_gray(b"short", 48, 32)
+    assert out.shape == (100, 100) and (out == 255).all()
+    assert I.decode_gray(None, 48, 32).shape == (100, 100)
+
+
+def test_noise_stats_matches_numpy(spark, images):
+    rows = {r["image_id"]: r for r in I.noise_stats(images).collect()}
+    assert len(rows) == 12
+    for i in range(12):
+        img = I.synth_image_array(i)
+        r = rows[i]
+        assert r["noise_level"] == pytest.approx(min(img.std() / 255.0, 1.0))
+        assert r["mean_intensity"] == pytest.approx(img.mean())
+        assert r["contrast"] == pytest.approx(img.std() / img.mean())
+        assert (r["height"], r["width"], r["pixel_count"]) == (32, 48, 32 * 48)
+
+
+def test_preprocess_binarizes(spark, images):
+    out = {r["image_id"]: r for r in I.preprocess(images).collect()}
+    for i in range(12):
+        arr = I.decode_gray(bytes(out[i]["data"]), out[i]["width"], out[i]["height"])
+        vals = set(np.unique(arr).tolist())
+        assert vals <= {0, 255}
+        assert arr.mean() >= 127  # invert-if-dark guarantees light background
+        # matches the pure-numpy chain exactly
+        want = I.preprocess_array(I.synth_image_array(i))
+        assert arr.tolist() == want.tolist()
+
+
+def test_otsu_separates_bimodal():
+    img = np.array([[10] * 50 + [240] * 50], dtype=np.uint8)
+    t = I.otsu_threshold(img)
+    assert 10 <= t < 240
+
+
+def test_sharpen_identity_on_flat():
+    flat = np.full((8, 8), 100, dtype=np.uint8)
+    assert (I.sharpen_array(flat) == flat).all()
+
+
+def test_sharpen_boosts_edges(spark, images):
+    out = {r["image_id"]: r for r in I.sharpen(images).collect()}
+    img0 = I.synth_image_array(0)
+    got = I.decode_gray(bytes(out[0]["data"]), out[0]["width"], out[0]["height"])
+    assert got.tolist() == I.sharpen_array(img0).tolist()

@@ -1,0 +1,61 @@
+"""PDF sources (S2–S5) and the OCR-engine scan (S6, I3–I5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import image as I
+from ocr_spark.sources import ocr_engine, pdf
+
+
+def test_is_pdf_sniffer(spark):
+    rows = [
+        ("a.pdf", bytearray(b"not-magic")),
+        ("b.txt", bytearray(b"%PDF-1.7 rest")),
+        ("c.txt", bytearray(b"plain")),
+        ("D.PDF", None),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r["path"]: r["is"] for r in df.select("path", pdf.is_pdf(F.col("path"), F.col("content")).alias("is")).collect()}
+    assert got == {"a.pdf": True, "b.txt": True, "c.txt": False, "D.PDF": True}
+
+
+def test_extract_pages_without_pypdf_raises_actionable(spark):
+    if pdf.HAVE_PYPDF:
+        pytest.skip("pypdf present; gate not exercised")
+    df = spark.createDataFrame([(1, bytearray(b"%PDF-1.4"))], "doc_id long, content binary")
+    with pytest.raises(Exception, match="pypdf is not installed"):
+        pdf.extract_pages(df).collect()
+
+
+def test_concat_pages_orders_inside_aggregation(spark):
+    rows = [(1, 3, "three"), (1, 1, "one"), (1, 2, "two"), (2, 1, "solo")]
+    pages = spark.createDataFrame(rows, "doc_id long, page_number int, text string")
+    got = {r["doc_id"]: (r["all_text"], r["total_pages"]) for r in pdf.concat_pages(pages).collect()}
+    assert got == {1: ("one\ntwo\nthree", 3), 2: ("solo", 1)}
+
+
+def test_ocr_scan_finds_bands_and_inits_model_once(spark):
+    imgs = I.synth_images(spark, n=8)
+    out = ocr_engine.scan_images(imgs).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["engine"] == "fake-deterministic"
+        seed = r["image_id"]
+        assert len(r["boxes"]) >= 1  # every synth image has dark text bands
+        for b in r["boxes"]:
+            assert 0.0 < b["conf"] <= 1.0
+            assert 0 <= b["cy"] <= 32
+    # executor-singleton: driver-side count unchanged (model loads on
+    # executors), and a second pass must not re-init per batch
+    ocr_engine.scan_images(imgs).collect()
+
+
+def test_recognize_deterministic_band_count():
+    img = I.synth_image_array(5)
+    model = ocr_engine._load_model()
+    b1 = ocr_engine._recognize(model, img)
+    b2 = ocr_engine._recognize(model, img)
+    assert b1 == b2
+    assert ocr_engine.model_init_count() == 1

@@ -1,0 +1,86 @@
+"""Structured Streaming surface (SURVEY.md §2.9): windowed aggregation with
+watermark + custom stateful sessionization via applyInPandasWithState,
+driven end-to-end through a real file-source stream."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.streaming import events as EV
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_src") / "events")
+    rows = []
+    base = 1_700_000_000
+    for u in range(4):
+        t = base + u * 7
+        for s in range(3):  # 3 sessions per user, 1h apart
+            for i in range(5):
+                rows.append((u * 100 + s * 10 + i, t, u, "click" if i % 2 else "view", float(i)))
+                t += 60  # 1 min apart → same session
+            t += 3600  # gap > 30 min → new session
+    df = spark.createDataFrame(
+        rows, "event_id long, sec long, user_id long, event_type string, value double"
+    ).selectExpr(
+        "event_id", "timestamp_seconds(sec) as ts", "user_id", "event_type", "value",
+        "'{}' as props",
+    )
+    df.coalesce(2).write.parquet(path)
+    return path
+
+
+def _drain(stream_df, tmp_path, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name == "sessions" else "complete")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_path, tmp_path):
+    stream = EV.read_events_stream(spark, events_path)
+    assert stream.isStreaming
+    _drain(EV.windowed_event_counts(stream), tmp_path, "wincounts")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    batch = EV.windowed_event_counts(spark.read.parquet(events_path))
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_stateful_sessionize_stream(spark, events_path, tmp_path):
+    stream = EV.read_events_stream(spark, events_path)
+    _drain(EV.sessionize(stream), tmp_path, "sessions")
+    got = spark.sql("select * from sessions").collect()
+    # availableNow + processing-time timeout: closed sessions are emitted for
+    # every user; the final open session stays in state. 3 sessions/user were
+    # written with >gap separation → at least the first two per user emit.
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == {0, 1, 2, 3}
+    for u, sess in by_user.items():
+        assert len(sess) >= 2
+        for s in sess:
+            assert s["n_events"] == 5
+            span = s["session_end"].timestamp() - s["session_start"].timestamp()
+            assert span == 4 * 60
+
+
+def test_sessionize_batch_agrees_with_stream_closed_sessions(spark, events_path, tmp_path):
+    batch = EV.sessionize_batch(spark.read.parquet(events_path)).collect()
+    assert len(batch) == 12  # 4 users × 3 sessions
+    assert all(r["n_events"] == 5 for r in batch)

@@ -1,0 +1,57 @@
+"""Physical-plan audit: prints .explain('formatted') for the flagship and
+headline queries and flags plan smells (missing broadcast on small sides,
+cartesian products, row-at-a-time Python UDFs in the hot path, scans that
+read every column).
+
+Usage: python tools/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+SMELLS = (
+    ("CartesianProduct", "cartesian product (unbounded pair blowup)"),
+    ("BatchEvalPython", "row-at-a-time Python UDF in the plan"),
+    ("SortMergeJoin", "sort-merge join — check whether a broadcast was possible"),
+)
+
+AUDIT = [
+    "extract_documents",
+    "spans_assemble",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_topk_bruteforce",
+    "metrics_pairwise",
+    "layout_boxes",
+]
+
+
+def main() -> None:
+    only = sys.argv[1:]
+    from ocr_spark.plans import entry_queries as EQ
+    from ocr_spark.session import get_spark
+
+    spark = get_spark("explain-audit", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in only or AUDIT:
+        df = EQ.QUERIES[name](spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        print(f"{'=' * 70}\n## {name}\n{plan}")
+        for needle, msg in SMELLS:
+            if needle in plan:
+                print(f"  !! SMELL [{name}]: {msg}")
+        n_codegen = plan.count("WholeStageCodegen")
+        n_pandas = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+        print(f"  [{name}] codegen-spans={n_codegen} arrow-stages={n_pandas}")
+
+
+if __name__ == "__main__":
+    main()
