@@ -44,6 +44,14 @@ def get_spark(
         # ~45% throughput to allocation stalls (measured via
         # tools/scaling_bench.py: 63k -> 92k docs/s switching to ParallelGC)
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # InferFiltersFromGenerate duplicates the whole span-construction
+        # expression into a pre-shuffle size()>0 filter (seen in
+        # tools/explain_audit.py) — the corpus never has empty span arrays,
+        # so that inferred filter is pure recompute overhead
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
