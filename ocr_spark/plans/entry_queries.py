@@ -1241,6 +1241,25 @@ def q_layout_boxes(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "box_fulltext",
+    f"""
+WITH {D.SQL_BOXES_ROWS},
+bkept AS (
+  SELECT doc_id, i, {_sql_ocr_correct(_strip('text'))} AS t
+  FROM box_rows WHERE conf > {config.CONF_TEXT_ASSEMBLY}
+)
+SELECT d.doc_id, coalesce(string_agg(bkept.t, ' ' ORDER BY bkept.i), '') AS full_text
+FROM documents d LEFT JOIN bkept ON bkept.doc_id = d.doc_id
+GROUP BY d.doc_id""",
+)
+def q_box_fulltext(spark: SparkSession, sf: str) -> DataFrame:
+    """F1+T3+A6 (ocr_service.py:290-315): confidence-gated, OCR-corrected
+    full-text assembly from the geometry path's box arrays."""
+    b = D.boxes(D.load(spark, sf, "documents"))
+    return b.select("doc_id", L.full_text_from_boxes(F.col("boxes")).alias("full_text"))
+
+
 # --- events: windowed aggregation + sessionization ----------------------------
 
 
