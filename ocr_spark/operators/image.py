@@ -117,6 +117,124 @@ def noise_level_array(img: np.ndarray) -> float:
     return min(float(img.std()) / 255.0, 1.0)
 
 
+# --- denoise pipeline (I6, noise_handler.py:81-184) -------------------------
+
+
+def median3(img: np.ndarray) -> np.ndarray:
+    """3x3 median filter with edge replication (cv2.medianBlur(3) analog)."""
+    p = np.pad(img, 1, mode="edge")
+    stack = np.stack(
+        [p[dy : dy + img.shape[0], dx : dx + img.shape[1]] for dy in range(3) for dx in range(3)]
+    )
+    return np.median(stack, axis=0).astype(np.uint8)
+
+
+def clahe(img: np.ndarray, clip_limit: float = 2.0, tiles: int = 8) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalization, tile-based with
+    per-pixel bilinear blend of the four surrounding tile mappings (the
+    standard CLAHE construction; clip semantics follow the usual
+    redistribute-excess rule). cv2 is absent, so this numpy form IS the
+    engine's definition — deterministic and covered by its pytest twin."""
+    h, w = img.shape
+    th, tw = max(h // tiles, 1), max(w // tiles, 1)
+    ny, nx = (h + th - 1) // th, (w + tw - 1) // tw
+    # per-tile clipped-equalization lookup tables
+    luts = np.zeros((ny, nx, 256), dtype=np.float64)
+    for ty in range(ny):
+        for tx in range(nx):
+            tile = img[ty * th : min((ty + 1) * th, h), tx * tw : min((tx + 1) * tw, w)]
+            hist = np.bincount(tile.ravel(), minlength=256).astype(np.float64)
+            limit = clip_limit * tile.size / 256.0
+            excess = np.maximum(hist - limit, 0).sum()
+            hist = np.minimum(hist, limit) + excess / 256.0
+            cdf = hist.cumsum()
+            luts[ty, tx] = 255.0 * cdf / max(cdf[-1], 1.0)
+    # bilinear blend of tile LUTs at every pixel
+    yy, xx = np.mgrid[0:h, 0:w]
+    fy = (yy + 0.5) / th - 0.5
+    fx = (xx + 0.5) / tw - 0.5
+    y0 = np.clip(np.floor(fy).astype(int), 0, ny - 1)
+    x0 = np.clip(np.floor(fx).astype(int), 0, nx - 1)
+    y1, x1 = np.minimum(y0 + 1, ny - 1), np.minimum(x0 + 1, nx - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)
+    wx = np.clip(fx - x0, 0.0, 1.0)
+    v = img
+    out = (
+        luts[y0, x0, v] * (1 - wy) * (1 - wx)
+        + luts[y1, x0, v] * wy * (1 - wx)
+        + luts[y0, x1, v] * (1 - wy) * wx
+        + luts[y1, x1, v] * wy * wx
+    )
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def _minmax2(img: np.ndarray, op) -> np.ndarray:
+    """2x2 structuring-element morphology step (anchor top-left)."""
+    p = np.pad(img, ((0, 1), (0, 1)), mode="edge")
+    return op(
+        np.stack([p[dy : dy + img.shape[0], dx : dx + img.shape[1]] for dy in range(2) for dx in range(2)]),
+        axis=0,
+    ).astype(np.uint8)
+
+
+def morph_close_open(img: np.ndarray) -> np.ndarray:
+    """close (dilate→erode) then open (erode→dilate), 2x2 rect."""
+    x = _minmax2(img, np.max)
+    x = _minmax2(x, np.min)
+    x = _minmax2(x, np.min)
+    return _minmax2(x, np.max)
+
+
+def _gauss_kernel_1d(ksize: int) -> np.ndarray:
+    """cv2.getGaussianKernel: sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8."""
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0
+    k = np.exp(-(x**2) / (2 * sigma**2))
+    return k / k.sum()
+
+
+def adaptive_gaussian_threshold(img: np.ndarray, block: int = 11, c: float = 2.0) -> np.ndarray:
+    """cv2.adaptiveThreshold(ADAPTIVE_THRESH_GAUSSIAN_C, BINARY, block, C)."""
+    k = _gauss_kernel_1d(block)
+    p = np.pad(img.astype(np.float64), block // 2, mode="edge")
+    tmp = np.apply_along_axis(lambda r: np.convolve(r, k, mode="valid"), 1, p)
+    local = np.apply_along_axis(lambda col: np.convolve(col, k, mode="valid"), 0, tmp)
+    return np.where(img.astype(np.float64) > local - c, np.uint8(255), np.uint8(0))
+
+
+def denoise_array(img: np.ndarray, noise_type: str = "auto") -> np.ndarray:
+    """I6 + I10 dispatch (noise_handler.py:213-247):
+    'gaussian' → blur-dominant path; 'salt_pepper' → median-dominant path;
+    'auto' → the full cleaning chain."""
+    if noise_type == "gaussian":
+        x = np.clip(np.floor(conv2d_reflect(img, GAUSS_3X3) + 0.5), 0, 255).astype(np.uint8)
+        return clahe(x)
+    if noise_type == "salt_pepper":
+        return morph_close_open(median3(img))
+    x = median3(img)
+    x = np.clip(np.floor(conv2d_reflect(x, GAUSS_3X3) + 0.5), 0, 255).astype(np.uint8)
+    x = clahe(x)
+    x = morph_close_open(x)
+    return adaptive_gaussian_threshold(x)
+
+
+def denoise(images: DataFrame, noise_type: str = "auto") -> DataFrame:
+    """I6/I10 as a mapInPandas stage."""
+    return images.mapInPandas(
+        _map_images(lambda i, img: _encode(i, denoise_array(img, noise_type))),
+        PROCESSED_SCHEMA,
+    )
+
+
+# --- rotation sweep (I4, ocr_service.py:84-113) -----------------------------
+
+
+def rotation_candidates(img: np.ndarray) -> list[tuple[int, np.ndarray]]:
+    """Exact right-angle sweep {0, 90, 180, 270} (np.rot90 — lossless; the
+    reference's warpAffine arbitrary-angle path needs cv2)."""
+    return [(a, np.rot90(img, k)) for k, a in enumerate((0, 90, 180, 270))]
+
+
 # --- Spark surface ----------------------------------------------------------
 
 

@@ -1403,6 +1403,17 @@ def q_image_noise_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("image_denoise")  # I6+I10 chain → rows-only check
+def q_image_denoise(spark: SparkSession, sf: str) -> DataFrame:
+    imgs = IMG.synth_images(spark, n=_IMG_N, width=_IMG_W, height=_IMG_H)
+    out = IMG.denoise(imgs, "auto")
+    return out.select(
+        "image_id",
+        F.length("data").cast("long").alias("n_bytes"),
+        F.md5(F.col("data")).alias("data_md5"),
+    )
+
+
 @_q("image_preprocess")  # binary-out mapInPandas chain → rows-only check
 def q_image_preprocess(spark: SparkSession, sf: str) -> DataFrame:
     imgs = IMG.synth_images(spark, n=_IMG_N, width=_IMG_W, height=_IMG_H)

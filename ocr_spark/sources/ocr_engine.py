@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ocr_spark.operators.image import decode_gray, preprocess_array
+from ocr_spark.operators.image import decode_gray, preprocess_array, rotation_candidates
 
 BOXES_SCHEMA = (
     "image_id long, boxes array<struct<text:string, conf:double, cx:double, cy:double>>, "
@@ -89,7 +89,14 @@ def scan_images(images: DataFrame) -> DataFrame:
             out = {"image_id": [], "boxes": [], "engine": []}
             for _, r in pdf.iterrows():
                 img = decode_gray(r["data"], r["width"], r["height"])
-                candidates = [img, preprocess_array(img)]  # I3 variants
+                # I3 preprocess variants × I4 rotation sweep — a bounded
+                # candidate set evaluated inside the batch (never exploded
+                # to extra rows; batch locality wins, SURVEY §4)
+                candidates = [
+                    rot
+                    for variant in (img, preprocess_array(img))
+                    for _angle, rot in rotation_candidates(variant)
+                ]
                 best = max((_recognize(model, c) for c in candidates), key=_score)
                 out["image_id"].append(int(r["image_id"]))
                 out["boxes"].append([

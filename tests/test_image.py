@@ -64,3 +64,56 @@ def test_sharpen_boosts_edges(spark, images):
     img0 = I.synth_image_array(0)
     got = I.decode_gray(bytes(out[0]["data"]), out[0]["width"], out[0]["height"])
     assert got.tolist() == I.sharpen_array(img0).tolist()
+
+
+def test_median3_removes_salt_pepper():
+    img = np.full((10, 10), 128, dtype=np.uint8)
+    img[4, 4] = 255
+    img[6, 2] = 0
+    out = I.median3(img)
+    assert (out == 128).all()
+
+
+def test_clahe_preserves_flat_image_brightness():
+    flat = np.full((32, 48), 100, dtype=np.uint8)
+    out = I.clahe(flat)
+    assert out.shape == flat.shape
+    assert len(np.unique(out)) == 1  # flat in → flat out
+
+
+def test_clahe_stretches_low_contrast():
+    img = I.synth_image_array(3)
+    low = (img // 4 + 96).astype(np.uint8)  # squeeze contrast
+    out = I.clahe(low)
+    assert out.std() > low.std()  # contrast enhanced
+
+
+def test_adaptive_threshold_binary():
+    img = I.synth_image_array(2)
+    out = I.adaptive_gaussian_threshold(img)
+    assert set(np.unique(out).tolist()) <= {0, 255}
+
+
+def test_denoise_dispatch_paths_differ():
+    img = I.synth_image_array(4)
+    auto = I.denoise_array(img, "auto")
+    gauss = I.denoise_array(img, "gaussian")
+    sp = I.denoise_array(img, "salt_pepper")
+    assert set(np.unique(auto).tolist()) <= {0, 255}  # auto ends binarized
+    assert gauss.shape == sp.shape == img.shape
+    assert not np.array_equal(gauss, sp)
+
+
+def test_denoise_spark_stage(spark, images):
+    out = {r["image_id"]: r for r in I.denoise(images, "auto").collect()}
+    want = I.denoise_array(I.synth_image_array(1), "auto")
+    got = I.decode_gray(bytes(out[1]["data"]), out[1]["width"], out[1]["height"])
+    assert got.tolist() == want.tolist()
+
+
+def test_rotation_candidates_exact():
+    img = I.synth_image_array(9)
+    cands = I.rotation_candidates(img)
+    assert [a for a, _ in cands] == [0, 90, 180, 270]
+    assert np.array_equal(cands[2][1], img[::-1, ::-1])  # 180 = flip both
+    assert cands[1][1].shape == (48, 32)

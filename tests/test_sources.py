@@ -59,3 +59,16 @@ def test_recognize_deterministic_band_count():
     b2 = ocr_engine._recognize(model, img)
     assert b1 == b2
     assert ocr_engine.model_init_count() == 1
+
+
+def test_ocr_scan_recovers_rotated_image(spark):
+    import numpy as np
+    base = I.synth_image_array(6)
+    rot = np.rot90(base, 1).copy()  # text bands become vertical columns
+    df = spark.createDataFrame(
+        [(0, bytearray(base.tobytes()), 48, 32), (1, bytearray(rot.tobytes()), 32, 48)],
+        "image_id long, data binary, width int, height int",
+    )
+    out = {r["image_id"]: r["boxes"] for r in ocr_engine.scan_images(df).collect()}
+    # the rotation sweep must find the same horizontal bands in the rotated copy
+    assert len(out[1]) == len(out[0]) >= 1
