@@ -84,3 +84,51 @@ def test_sessionize_batch_agrees_with_stream_closed_sessions(spark, events_path,
     batch = EV.sessionize_batch(spark.read.parquet(events_path)).collect()
     assert len(batch) == 12  # 4 users × 3 sessions
     assert all(r["n_events"] == 5 for r in batch)
+
+
+def test_streaming_span_assembly_matches_batch(spark, tmp_path):
+    """Custom stateful streaming assembly == the batch salted pipeline on
+    the same spans, for every finalized (eof-marked) document."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.spans import assemble_spans, classify_spans
+    from ocr_spark.plans.derived import span_corpus
+    from ocr_spark.streaming.spans import assemble_spans_stream
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    corpus = span_corpus(docs)
+    rows = corpus.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", F.col("s.offset").cast("long").alias("offset")
+    )
+    eofs = docs.selectExpr(
+        "doc_id", "'eof' as kind", "'' as text", "'' as media_ref", "cast(999999 as long) as offset"
+    )
+    src = str(tmp_path / "span_rows")
+    # two files → spans split across micro-batches; eof markers in the LAST file
+    rows.filter("offset < 32").coalesce(1).write.mode("append").parquet(src)
+    rows.filter("offset >= 32").unionByName(eofs).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, kind string, text string, media_ref string, offset long"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        assemble_spans_stream(stream)
+        .writeStream.format("memory").queryName("assembled")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+        for r in spark.sql("select * from assembled where finalized").collect()
+    }
+    want = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+        for r in assemble_spans(classify_spans(corpus)).collect()
+    }
+    assert set(got) == set(want) == set(range(20))
+    assert got == want
