@@ -331,6 +331,179 @@ def _column_from_items(items: Column, side: str, language: Column) -> Column:
     return _column_struct(text, F.lit(side), language, F.size(items), conf_avg)
 
 
+def analyze_box_columns_exploded(docs, image_width: float):
+    """W1–W4 + G2–G3 as a DataFrame plan (the scale path).
+
+    Semantics identical to :func:`analyze_box_columns` (same gates, sort
+    orders, languages, confidences; both validated against the same DuckDB
+    oracle), built from explode → window → hash-aggregate so every step is
+    whole-stage-codegen'd. MEASURED VERDICT (tools/ comparison at sf0.1):
+    the shuffle-free array-expression form is ~2× FASTER despite being
+    interpreted — a page's box array is small and bounded, so four
+    window/agg shuffles cost more than per-document lambda eval. The
+    expression form is therefore the default engine path; this plan is kept
+    as the measured design study and for inputs with unbounded boxes-per-doc
+    (where a single row would not fit an executor and salting applies).
+
+    Input: (doc_id, boxes array<struct<cx,cy,text,conf>>)
+    Output: (doc_id, pos, text, side, language, items_count, confidence_avg)
+    one row per detected column; docs whose boxes all fail the confidence
+    gate produce no rows (the empty-columns case).
+    """
+    from pyspark.sql import DataFrame, Window  # noqa: F401
+
+    fb = (
+        docs.select("doc_id", F.posexplode("boxes").alias("i", "b"))
+        .select(
+            "doc_id",
+            "i",
+            F.col("b.cx").alias("cx"),
+            F.col("b.cy").alias("cy"),
+            F.col("b.text").alias("text"),
+            F.col("b.conf").alias("conf"),
+        )
+        .filter(F.col("conf") > config.CONF_LAYOUT)
+        .withColumn("blang", _ocr_lang(F.col("text")))
+    )
+
+    stats = fb.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("blang") == "ru", 1).otherwise(0)).alias("n_ru"),
+        F.sum(F.when(F.col("blang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.sum(F.when(F.col("blang") == "ru", F.col("cx")).otherwise(0.0)).alias("ru_cx"),
+        F.sum(F.when(F.col("blang") == "en", F.col("cx")).otherwise(0.0)).alias("en_cx"),
+    )
+
+    w_cx = Window.partitionBy("doc_id").orderBy("cx")
+    gaps = fb.select("doc_id", "cx", F.lag("cx").over(w_cx).alias("pcx")).filter(
+        F.col("pcx").isNotNull()
+    )
+    max_gap = gaps.groupBy("doc_id").agg(F.max(F.col("cx") - F.col("pcx")).alias("max_gap"))
+    split = (
+        gaps.join(max_gap, "doc_id")
+        .filter(F.col("cx") - F.col("pcx") == F.col("max_gap"))
+        .withColumn("rn", F.row_number().over(w_cx))
+        .filter(F.col("rn") == 1)  # first gap achieving the max, x-order
+        .select("doc_id", ((F.col("pcx") + F.col("cx")) / 2).alias("split_x"), "max_gap")
+    )
+
+    branch = stats.join(split, "doc_id", "left").select(
+        "doc_id",
+        "n",
+        "n_ru",
+        "n_en",
+        (
+            (F.col("n") >= 2)
+            & (F.coalesce(F.col("max_gap"), F.lit(0.0)) >= image_width * config.COLUMN_GAP_FRACTION)
+        ).alias("two_gap"),
+        F.coalesce(F.col("split_x"), F.lit(0.0)).alias("split_x"),
+        (
+            (F.col("n_ru") > 0)
+            & (F.col("n_en") > 0)
+            & (
+                F.col("ru_cx") / F.greatest(F.col("n_ru"), F.lit(1))
+                < F.col("en_cx") / F.greatest(F.col("n_en"), F.lit(1))
+            )
+        ).alias("ru_left"),
+    )
+    fbb = fb.join(branch, "doc_id")
+
+    def agg_side(df, side_col, lang_col):
+        # text in reading order (cy, cx, i) and input order (i) via
+        # sort-inside-the-aggregation — never partition order
+        return df.groupBy("doc_id", side_col.alias("side")).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("cy").alias("cy"), F.col("cx").alias("cx"),
+                                F.col("i").alias("i"), F.col("text").alias("text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i").alias("i"), F.col("text").alias("text")))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("itext"),
+            F.count(F.lit(1)).cast("int").alias("items_count"),
+            (F.sum("conf") / F.count(F.lit(1))).alias("confidence_avg"),
+            F.first(lang_col).alias("language_hint"),
+        )
+
+    gap_cols = agg_side(
+        fbb.filter(F.col("two_gap")),
+        F.when(F.col("cx") < F.col("split_x"), F.lit("left")).otherwise(F.lit("right")),
+        F.lit(None).cast("string"),
+    ).select(
+        "doc_id",
+        (F.dense_rank().over(Window.partitionBy("doc_id").orderBy("side")) - 1)
+        .cast("long")
+        .alias("pos"),
+        "text",
+        "side",
+        _ocr_lang(F.col("itext")).alias("language"),
+        F.col("items_count").cast("long").alias("items_count"),
+        "confidence_avg",
+    )
+
+    lang_side = F.when(
+        (F.col("blang") == "ru") & F.col("ru_left")
+        | (F.col("blang") == "en") & ~F.col("ru_left"),
+        F.lit("left"),
+    ).otherwise(F.lit("right"))
+    lang_cols = agg_side(
+        fbb.filter(
+            ~F.col("two_gap")
+            & (F.col("n") >= 2)
+            & (F.col("n_ru") > 0)
+            & (F.col("n_en") > 0)
+            & F.col("blang").isin("ru", "en")
+        ),
+        lang_side,
+        F.col("blang"),
+    ).select(
+        "doc_id",
+        F.when(F.col("side") == "left", F.lit(0)).otherwise(F.lit(1)).cast("long").alias("pos"),
+        "text",
+        "side",
+        F.col("language_hint").alias("language"),
+        F.col("items_count").cast("long").alias("items_count"),
+        "confidence_avg",
+    )
+
+    single_cols = (
+        agg_side(
+            fbb.filter(
+                ~F.col("two_gap") & ~((F.col("n") >= 2) & (F.col("n_ru") > 0) & (F.col("n_en") > 0))
+            ),
+            F.lit("single"),
+            F.lit(None).cast("string"),
+        )
+        .filter(py_strip(F.col("itext")) != "")
+        .select(
+            "doc_id",
+            F.lit(0).cast("long").alias("pos"),
+            F.col("itext").alias("text"),  # single column keeps input order
+            "side",
+            _ocr_lang(F.col("itext")).alias("language"),
+            F.col("items_count").cast("long").alias("items_count"),
+            "confidence_avg",
+        )
+    )
+
+    return gap_cols.unionByName(lang_cols).unionByName(single_cols)
+
+
 def analyze_box_columns(boxes: Column, image_width: Column) -> Column:
     """W1–W4 + G2–G3 (ocr_service.py:432-630): column list from OCR boxes.
 

@@ -1241,6 +1241,18 @@ def q_layout_boxes(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# same oracle as layout_boxes: the DataFrame (explode+window+agg, codegen)
+# form must produce identical columns to the array-expression form
+ORACLES["layout_boxes_df"] = ORACLES["layout_boxes"]
+
+
+@_q("layout_boxes_df")
+def q_layout_boxes_df(spark: SparkSession, sf: str) -> DataFrame:
+    b = D.boxes(D.load(spark, sf, "documents"))
+    out = L.analyze_box_columns_exploded(b, D.BOX_IMAGE_WIDTH)
+    return out.withColumn("confidence_avg", F.round(F.col("confidence_avg"), 6))
+
+
 @_q(
     "box_fulltext",
     f"""
