@@ -17,7 +17,7 @@ from ocr_spark.functions.text import py_strip
 
 def _java_ci(pattern: str) -> str:
     """Java-regex Unicode case-insensitive prefix (== re.IGNORECASE here)."""
-    return "(?iu)" + pattern
+    return "(?iU)" + pattern
 
 
 def _extract_raw(text: Column, field: str) -> Column:
@@ -62,7 +62,7 @@ def normalize_name(v: Column) -> Column:
     words joined with a single space (Python split() collapses whitespace).
     Spark initcap capitalizes after any whitespace and lowercases tails —
     identical once we collapse runs of whitespace first."""
-    collapsed = py_strip(F.regexp_replace(v, r"\s+", " "))
+    collapsed = py_strip(F.regexp_replace(v, r"(?U)\s+", " "))
     return F.initcap(collapsed)
 
 

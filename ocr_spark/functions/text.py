@@ -29,13 +29,13 @@ def _count_chars(col: Column, char_class: str) -> Column:
 
 def normalize_text(col: Column) -> Column:
     """T1 (metrics_calculator.py:280-302): lower, collapse \\s+ to ' ', strip."""
-    collapsed = F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " ")
+    collapsed = F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"(?U)\s+", " ")
     return F.regexp_replace(collapsed, r"^ | $", "")
 
 
 def py_strip(col: Column) -> Column:
     """Python ``str.strip()`` (all whitespace kinds, unlike Spark trim)."""
-    return F.regexp_replace(F.coalesce(col, F.lit("")), r"^\s+|\s+$", "")
+    return F.regexp_replace(F.coalesce(col, F.lit("")), r"(?U)^\s+|\s+$", "")
 
 
 def split_words(col: Column) -> Column:
@@ -102,21 +102,22 @@ def line_language(col: Column) -> Column:
 def text_quality_score(col: Column) -> Column:
     """T5 (ocr_service.py:154-168): 2*cyr_ratio + word_density + 0.5*length_score.
 
-    cyr counts chars in [а-яё] ('ё'/'й' are explicitly included via the
-    literal check, both already inside а-я except ё); num_alpha counts
-    Unicode letters; words = whitespace tokens containing a letter;
-    word_density = #words / max(1, len/25); length_score = min(len/1000, 1).
-    Returns 0.0 for empty / letterless text.
+    cyr follows the reference's exact quirk: ``'а'<=ch.lower()<='я' or ch
+    in 'ёй'`` — the literal check is on the UNLOWERED char, so lowercase
+    'ё' counts but uppercase 'Ё' does NOT ('й' is inside а-я either way).
+    num_alpha counts Unicode letters; words = whitespace tokens containing
+    a letter; word_density = #words / max(1, len/25); length_score =
+    min(len/1000, 1). Returns 0.0 for empty / letterless text.
     """
     c = F.coalesce(col, F.lit(""))
     # Python ch.isalpha() over our corpora = Unicode letters; [а-яёa-z] on
     # lowered text covers ru/en (the only alphabets the reference handles).
     num_alpha = _count_chars(F.lower(c), "а-яёa-z")
-    cyr = cyrillic_count(c, include_yo=True)
+    cyr = cyrillic_count(c, include_yo=False) + _count_chars(c, "ё")
     cyr_ratio = cyr / F.greatest(F.lit(1), num_alpha)
     # words with at least one letter
     toks = F.filter(
-        F.split(py_strip(c), r"\s+"),
+        F.split(py_strip(c), r"(?U)\s+"),
         lambda w: w.rlike("[а-яёА-ЯЁa-zA-Z]"),
     )
     word_density = F.size(toks) / F.greatest(F.lit(1.0), F.length(c) / F.lit(25.0))

@@ -52,7 +52,7 @@ def link_density(text: Column) -> Column:
 
 def word_count(text: Column) -> Column:
     s = py_strip(text)
-    return F.when(s == "", F.lit(0)).otherwise(F.size(F.split(s, r"\s+")))
+    return F.when(s == "", F.lit(0)).otherwise(F.size(F.split(s, r"(?U)\s+")))
 
 
 def is_boilerplate(text: Column) -> Column:

@@ -22,7 +22,7 @@ WORD_BASE = 31
 def words_of(text: Column) -> Column:
     """Whitespace tokens of the lowered text (empty array for blank)."""
     s = py_strip(F.lower(F.coalesce(text, F.lit(""))))
-    return F.when(s == "", F.array().cast("array<string>")).otherwise(F.split(s, r"\s+"))
+    return F.when(s == "", F.array().cast("array<string>")).otherwise(F.split(s, r"(?U)\s+"))
 
 
 def language_id(text: Column) -> Column:

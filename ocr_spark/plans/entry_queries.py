@@ -643,7 +643,7 @@ qf2 AS (
     len(w) AS n_words, length(t) AS n_chars,
     (length(t) - length(regexp_replace(t, '[^\\w\\s]', '', 'g'))) AS punct,
     len(list_filter(w, x -> list_contains([{', '.join(chr(39) + x + chr(39) for x in config.LANGID_STOPWORDS['en'])}], x))) AS stop,
-    {_cyr('t')} AS cyr,
+    ({_cyr('t', yo=False)} + (length(t) - length(replace(t, 'ё', '')))) AS cyr,
     (length(lower(t)) - length(regexp_replace(lower(t), '[а-яёa-z]', '', 'g'))) AS n_alpha,
     len(list_filter(regexp_split_to_array({_strip('t')}, '\\s+'), x -> regexp_matches(x, '[а-яёА-ЯЁa-zA-Z]'))) AS n_toks
   FROM qf
