@@ -298,6 +298,47 @@ def sharpen(images: DataFrame) -> DataFrame:
     )
 
 
+# --- resize / feature-extract (multimodal pipeline ops) ---------------------
+
+FEATURES_SCHEMA = "image_id long, " + ", ".join(f"h{b} long" for b in range(16)) + (
+    ", mean_intensity double, pixel_count long"
+)
+
+
+def resize_nearest_array(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy; deterministic; the codec-free
+    analog of the reference's LANCZOS upscale floor, ocr_service.py:255-261)."""
+    h, w = img.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[np.ix_(ys, xs)]
+
+
+def resize(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize stage over binary image columns (mapInPandas)."""
+    return images.mapInPandas(
+        _map_images(lambda i, img: _encode(i, resize_nearest_array(img, out_w, out_h))),
+        PROCESSED_SCHEMA,
+    )
+
+
+def extract_features(images: DataFrame) -> DataFrame:
+    """16-bin intensity histogram + exact-integer mean — the minimal
+    'embedding' a training pipeline derives per image. All counts/sums are
+    integers, so the DuckDB oracle reproduces every value exactly."""
+
+    def one(image_id: int, img: np.ndarray) -> dict:
+        hist = np.bincount((img // 16).ravel(), minlength=16)
+        out = {"image_id": image_id}
+        for b in range(16):
+            out[f"h{b}"] = int(hist[b])
+        out["mean_intensity"] = int(img.astype(np.int64).sum()) / img.size
+        out["pixel_count"] = int(img.size)
+        return out
+
+    return images.mapInPandas(_map_images(one), FEATURES_SCHEMA)
+
+
 # --- deterministic synthetic image source -----------------------------------
 
 

@@ -87,6 +87,25 @@ def decode_media(docs: DataFrame, id_col: str = "doc_id", ref_col: str = "media_
     return docs.select(F.col(id_col), F.col(ref_col)).mapInPandas(process, DECODE_SCHEMA)
 
 
+def frame_sample(decoded: DataFrame, max_frames: int = 8) -> DataFrame:
+    """Deterministic frame sampling over decoded media metadata: at most
+    ``max_frames`` evenly-strided frame indices per clip — pure Column
+    expressions (sequence + explode), no Python, fully oracle-checkable.
+
+    Input needs (doc_id, media_ref, n_frames). Output one row per sampled
+    frame: (doc_id, media_ref, frame_idx, n_frames).
+    """
+    n = F.col("n_frames")
+    stride = F.ceil(n / F.lit(max_frames)).cast("int")
+    idx = F.sequence(F.lit(0), n - 1, F.greatest(stride, F.lit(1)))
+    return decoded.select(
+        "doc_id",
+        "media_ref",
+        F.explode(idx).alias("frame_idx"),
+        n.cast("long").alias("n_frames"),
+    ).withColumn("frame_idx", F.col("frame_idx").cast("long"))
+
+
 def media_spans_to_table(docs: DataFrame) -> DataFrame:
     """Pull media spans out of the interleaved corpus into a flat media
     table (doc_id, media_ref, offset) — narrow explode+filter."""

@@ -1437,6 +1437,75 @@ def q_image_preprocess(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sql_image_features() -> str:
+    npix = _IMG_W * _IMG_H
+    h4, hm3 = _IMG_H // 4, _IMG_H - 3
+    val = f"""
+      CASE WHEN x >= 2 AND x <= {_IMG_W - 3} AND len(list_filter(
+                 list_transform(range((2 + image_id % 3)::BIGINT),
+                                b -> (3 + b * {h4}) % {hm3}),
+                 y0 -> y = y0 OR y = y0 + 1)) > 0
+           THEN 30 + image_id % 50
+           ELSE 200 + ((image_id * 1103515245 + v * 12345 + 6789) % 251 % 40) - 20
+      END"""
+    hcols = ", ".join(
+        f"sum(CASE WHEN px // 16 = {b} THEN 1 ELSE 0 END)::BIGINT AS h{b}" for b in range(16)
+    )
+    return f"""
+WITH fimgs AS (SELECT i AS image_id FROM UNNEST(range({_IMG_N})) t(i)),
+fpx AS (
+  SELECT image_id, v, (v // {_IMG_W}) AS y, (v % {_IMG_W}) AS x
+  FROM fimgs, UNNEST(range({npix})) t2(v)
+),
+fval AS (SELECT image_id, ({val}) AS px FROM fpx)
+SELECT image_id, {hcols},
+       sum(px)::BIGINT / {npix} AS mean_intensity,
+       {npix}::BIGINT AS pixel_count
+FROM fval GROUP BY image_id"""
+
+
+@_q("image_features", _sql_image_features())
+def q_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    imgs = IMG.synth_images(spark, n=_IMG_N, width=_IMG_W, height=_IMG_H)
+    return IMG.extract_features(imgs)
+
+
+@_q("image_resize")  # binary-out resize chain → rows-only check
+def q_image_resize(spark: SparkSession, sf: str) -> DataFrame:
+    imgs = IMG.synth_images(spark, n=_IMG_N, width=_IMG_W, height=_IMG_H)
+    out = IMG.resize(imgs, 24, 16)
+    return out.select(
+        "image_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.md5(F.col("data")).alias("data_md5"),
+    )
+
+
+@_q(
+    "media_frame_sample",
+    f"""
+WITH {D.SQL_SPAN_CORPUS},
+fsm AS (
+  SELECT doc_id::VARCHAR AS doc_id, media_ref,
+         ('0x' || substr(md5(media_ref), 1, 2))::INT AS h0,
+         ('0x' || substr(md5(media_ref), 7, 2))::INT AS h3
+  FROM span_rows WHERE kind = 'media'
+),
+fsn AS (
+  SELECT doc_id, media_ref,
+         CASE WHEN h0 % 4 = 3 THEN (1 + h3 % 240)::BIGINT ELSE 1::BIGINT END AS n_frames
+  FROM fsm
+)
+SELECT doc_id, media_ref, f AS frame_idx, n_frames
+FROM fsn, UNNEST(range(0, n_frames, greatest(ceil(n_frames / 8.0)::BIGINT, 1))) t(f)""",
+)
+def q_media_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    decoded = MD.decode_media(MD.media_spans_to_table(corpus))
+    return MD.frame_sample(decoded, max_frames=8)
+
+
 # --- multimodal plumbing -------------------------------------------------------
 
 

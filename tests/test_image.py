@@ -117,3 +117,21 @@ def test_rotation_candidates_exact():
     assert [a for a, _ in cands] == [0, 90, 180, 270]
     assert np.array_equal(cands[2][1], img[::-1, ::-1])  # 180 = flip both
     assert cands[1][1].shape == (48, 32)
+
+
+def test_resize_nearest_shapes_and_determinism():
+    img = I.synth_image_array(8)
+    small = I.resize_nearest_array(img, 24, 16)
+    assert small.shape == (16, 24)
+    assert np.array_equal(small, I.resize_nearest_array(img, 24, 16))
+    # identity resize is exact
+    assert np.array_equal(I.resize_nearest_array(img, 48, 32), img)
+
+
+def test_extract_features_hist_sums_to_pixels(spark, images):
+    rows = {r["image_id"]: r for r in I.extract_features(images).collect()}
+    for i in range(12):
+        r = rows[i]
+        assert sum(r[f"h{b}"] for b in range(16)) == r["pixel_count"] == 32 * 48
+        img = I.synth_image_array(i)
+        assert r["mean_intensity"] == pytest.approx(img.astype("int64").sum() / img.size)
