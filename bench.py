@@ -39,6 +39,9 @@ HEADLINE = [
     "events_windowed",
     "sessionize",
     "media_decode",
+    "media_frame_sample",
+    "image_noise_stats",
+    "image_features",
 ]
 
 
