@@ -127,7 +127,14 @@ def text_quality_score(col: Column) -> Column:
 
 
 def correct_ocr_errors(col: Column) -> Column:
-    """T3 first pass (ocr_service.py:329-352): sequential literal replaces.
+    """T3 (ocr_service.py:317-373): sequential literal replaces.
+
+    The reference's "second pass" over mixed-script words
+    (ocr_service.py:358-369) is provably a no-op: it re-applies only the
+    single-char mappings, all of which pass 1 already applied globally, so
+    ``fixed_word == word`` always. This implementation is therefore exactly
+    equivalent with just the first pass (the pure-Python twin makes the
+    same reduction; fuzz parity covers both against mixed-script inputs).
 
     Multi-char word fixes must run in dict insertion order; single-char maps
     compose into one translate(). The reference applies char maps and word

@@ -101,3 +101,33 @@ def test_fuzz_field_extraction_parity(fuzz_pairs):
         # reference drops blank values (F4); mirror that for the comparison
         got = {k: v for k, v in got.items() if v.strip()}
         assert got == want, (i, repr(x))
+
+
+def test_reference_second_pass_is_noop(fuzz_pairs):
+    """Literal transcription of the reference's TWO-pass correction
+    (ocr_service.py:317-373) equals the one-pass reduction both the engine
+    and the golden twin use — the mixed-word pass provably changes nothing."""
+    import re
+
+    corrections = dict(config.OCR_CHAR_CORRECTIONS)
+    corrections.update(config.OCR_WORD_CORRECTIONS)
+
+    def two_pass(text: str) -> str:
+        corrected = text
+        for wrong, right in corrections.items():
+            corrected = corrected.replace(wrong, right)
+        for word in re.findall(r"\b[a-zA-Zа-яё]+\b", corrected):
+            if any("a" <= c.lower() <= "z" for c in word) and any(
+                "а" <= c <= "я" or c in "ёЁ" or "А" <= c <= "Я" for c in word
+            ):
+                fixed = word
+                for lat, cyr in corrections.items():
+                    if len(lat) == 1 and len(cyr) == 1:
+                        fixed = fixed.replace(lat, cyr)
+                corrected = corrected.replace(word, fixed)
+        return corrected
+
+    rows, _df = fuzz_pairs
+    extra = ["watафж mix", "TOOл", "aгc 6еда l1ne ПрИвЕт hello-мир", "kиt"]
+    for t in [x for _, x, _ in rows] + extra:
+        assert two_pass(t) == R.correct_ocr_errors(t), repr(t)
