@@ -95,6 +95,49 @@ def concat_pages(pages: DataFrame) -> DataFrame:
     )
 
 
+ALLOWED_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".tiff", ".pdf")
+MAX_IMAGE_BYTES = 10 * 1024 * 1024
+MAX_PDF_BYTES = 50 * 1024 * 1024
+
+
+def validate_upload(df: DataFrame, path_col: str = "path", content_col: str = "content") -> DataFrame:
+    """F5 (main.py:87-104): extension allowlist + size caps — but as a
+    quarantine COLUMN (ok, reject_reason), never an exception: bad rows are
+    routed to a reject side-output instead of failing a 10^12-doc job."""
+    path = F.lower(F.coalesce(F.col(path_col), F.lit("")))
+    n = F.coalesce(F.length(F.col(content_col)), F.lit(0))
+    ext_ok = F.lit(False)
+    for ext in ALLOWED_EXTENSIONS:
+        ext_ok = ext_ok | path.endswith(ext)
+    is_pdf_ext = path.endswith(".pdf")
+    too_big = F.when(is_pdf_ext, n > MAX_PDF_BYTES).otherwise(n > MAX_IMAGE_BYTES)
+    reason = (
+        F.when(~ext_ok, F.lit("unsupported_extension"))
+        .when(n == 0, F.lit("empty_file"))
+        .when(too_big, F.lit("file_too_large"))
+    )
+    return df.withColumn("reject_reason", reason).withColumn(
+        "ok", F.col("reject_reason").isNull()
+    )
+
+
+def pages_with_columns(pages: DataFrame) -> DataFrame:
+    """Per-page PageData rows (main.py:51-56): page text + detected columns
+    via the text-path analyzer — the per-page stage of
+    pdf_processor.extract_text_with_pages_and_columns (pdf_processor.py:43-166)."""
+    from ocr_spark.operators.layout import analyze_text_columns
+
+    cols = analyze_text_columns(F.col("text"))
+    return pages.select(
+        "doc_id",
+        F.col("page_number"),
+        "text",
+        cols.alias("columns"),
+        F.size(cols).cast("int").alias("columns_count"),
+        (F.size(cols) > 1).alias("has_multiple_columns"),
+    )
+
+
 def rasterize_stub(*_a, **_k):
     """S3: pdf→image needs poppler (process boundary); not present here."""
     raise NotImplementedError(

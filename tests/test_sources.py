@@ -72,3 +72,38 @@ def test_ocr_scan_recovers_rotated_image(spark):
     out = {r["image_id"]: r["boxes"] for r in ocr_engine.scan_images(df).collect()}
     # the rotation sweep must find the same horizontal bands in the rotated copy
     assert len(out[1]) == len(out[0]) >= 1
+
+
+def test_validate_upload_quarantine(spark):
+    rows = [
+        ("a.pdf", bytearray(b"x" * 100)),
+        ("b.exe", bytearray(b"x")),
+        ("c.png", bytearray(b"")),
+        ("d.jpg", None),
+        ("E.TIFF", bytearray(b"ok")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r["path"]: (r["ok"], r["reject_reason"]) for r in pdf.validate_upload(df).collect()}
+    assert got == {
+        "a.pdf": (True, None),
+        "b.exe": (False, "unsupported_extension"),
+        "c.png": (False, "empty_file"),
+        "d.jpg": (False, "empty_file"),
+        "E.TIFF": (True, None),
+    }
+
+
+def test_pages_with_columns_detects_sbs_page(spark):
+    from ocr_spark.plans.derived import _SBS_ALL
+
+    sbs_text = "\n".join(_SBS_ALL)
+    pages = spark.createDataFrame(
+        [(1, 1, sbs_text), (1, 2, "plain single page"), (2, 1, "another")],
+        "doc_id long, page_number int, text string",
+    )
+    got = {(r["doc_id"], r["page_number"]): r for r in pdf.pages_with_columns(pages).collect()}
+    assert got[(1, 1)]["has_multiple_columns"] is True
+    assert got[(1, 1)]["columns_count"] == 2
+    assert [c["side"] for c in got[(1, 1)]["columns"]] == ["left", "right"]
+    assert got[(1, 2)]["columns_count"] == 0
+    assert got[(2, 1)]["has_multiple_columns"] is False
