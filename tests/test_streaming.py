@@ -31,16 +31,30 @@ def events_path(spark, tmp_path_factory):
     return path
 
 
-def _drain(stream_df, tmp_path, name):
+def _drain(stream_df, tmp_path, name, expect_rows: int = 0):
+    """Run an availableNow pass; stateful queries with pending
+    processing-time timeouts keep scheduling empty batches (they would sit
+    for the full gap duration waiting to flush open state), so once the
+    sink holds the expected closed-output rows, stop explicitly."""
+    import time
+
+    spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if name == "sessions" else "complete")
+        .outputMode("append" if name in ("sessions", "assembled") else "complete")
         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q.awaitTermination(3):
+            return q
+        if expect_rows and spark.sql(f"select count(*) from {name}").collect()[0][0] >= expect_rows:
+            break
+    q.stop()
+    q.awaitTermination(30)
     return q
 
 
@@ -63,7 +77,7 @@ def test_windowed_counts_stream_equals_batch(spark, events_path, tmp_path):
 
 def test_stateful_sessionize_stream(spark, events_path, tmp_path):
     stream = EV.read_events_stream(spark, events_path)
-    _drain(EV.sessionize(stream), tmp_path, "sessions")
+    _drain(EV.sessionize(stream), tmp_path, "sessions", expect_rows=8)
     got = spark.sql("select * from sessions").collect()
     # availableNow + processing-time timeout: closed sessions are emitted for
     # every user; the final open session stays in state. 3 sessions/user were
@@ -114,14 +128,7 @@ def test_streaming_span_assembly_matches_batch(spark, tmp_path):
     stream = spark.readStream.schema(
         "doc_id long, kind string, text string, media_ref string, offset long"
     ).option("maxFilesPerTrigger", "1").parquet(src)
-    q = (
-        assemble_spans_stream(stream)
-        .writeStream.format("memory").queryName("assembled")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    _drain(assemble_spans_stream(stream), tmp_path, "assembled", expect_rows=20)
     got = {
         r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
         for r in spark.sql("select * from assembled where finalized").collect()
