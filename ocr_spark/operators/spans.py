@@ -86,15 +86,69 @@ def assemble_spans(
     classified: DataFrame,
     drop_boilerplate: bool = True,
     salt_chunk: int = config.SPAN_SALT_CHUNK,
+    big_doc_spans: int | None = config.BIG_DOC_SPANS,
 ) -> DataFrame:
-    """Stage 2: salted two-phase reassembly into ordered span sequences.
+    """Stage 2: reassembly into ordered span sequences — hybrid salting.
 
     Output: (doc_id, spans array<struct<kind,text,media_ref,order>>)
     with order = 0-based rank of offset among the document's kept spans —
     the span-sequence-equality contract (kind, text, media_ref, order).
+
+    Skew strategy (measured in tools/skew_bench.py): the salted two-phase
+    aggregation costs a second full-data shuffle (~3× overhead on normal
+    corpora) but is the only thing keeping a 10^6+-span mega-document from
+    owning one reducer (2.1× faster at 3M spans, and an OOM-guard beyond).
+    So documents are routed by span count: normal docs take the single
+    groupBy path, only docs above ``big_doc_spans`` take the salted path.
+    The big-doc id set is long-tail by definition → broadcastable; the
+    count pre-pass shuffles one (doc_id, n) row per document.
+    Set ``big_doc_spans=None`` to force everything through the salted path.
     """
     kept = classified.filter(~F.col("is_boilerplate")) if drop_boilerplate else classified
 
+    if big_doc_spans is not None:
+        counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+        big_ids = counts.filter(F.col("__n") > big_doc_spans).select(
+            "doc_id", F.lit(True).alias("__big")
+        )
+        flagged = kept.join(F.broadcast(big_ids), "doc_id", "left")
+        small = _assemble_single_phase(flagged.filter(F.col("__big").isNull()).drop("__big"))
+        big = _assemble_salted(flagged.filter(F.col("__big")).drop("__big"), salt_chunk)
+        return small.unionByName(big)
+    return _assemble_salted(kept, salt_chunk)
+
+
+def _assemble_single_phase(kept: DataFrame) -> DataFrame:
+    """One shuffle: groupBy(doc_id) + sort inside the aggregation. Tie
+    order for duplicate offsets is the full (offset, kind, text, media_ref)
+    tuple — identical to the chunked path."""
+    merged = kept.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("offset").alias("offset"),
+                    F.col("kind").alias("kind"),
+                    F.col("text").alias("text"),
+                    F.col("media_ref").alias("media_ref"),
+                )
+            )
+        ).alias("ordered")
+    )
+    return merged.select(
+        "doc_id",
+        F.transform(
+            F.col("ordered"),
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("order"),
+            ),
+        ).cast(_OUT_SPAN_TYPE).alias("spans"),
+    )
+
+
+def _assemble_salted(kept: DataFrame, salt_chunk: int) -> DataFrame:
     chunked = (
         kept.withColumn("salt", (F.col("offset") / F.lit(salt_chunk)).cast("long"))
         .groupBy("doc_id", "salt")

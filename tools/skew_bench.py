@@ -60,20 +60,28 @@ def main() -> None:
     classified.write.mode("overwrite").parquet("/tmp/skew_bench_rows")
     rows = spark.read.parquet("/tmp/skew_bench_rows")
 
-    def run(salt_chunk: int) -> float:
-        out = assemble_spans(rows, salt_chunk=salt_chunk)
+    def run(**kw) -> float:
+        out = assemble_spans(rows, **kw)
         out.write.format("noop").mode("overwrite").save()  # warm
+        return min(
+            _timed(out) for _ in range(2)
+        )
+
+    def _timed(out) -> float:
         t0 = time.time()
         out.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    unsalted = run(1 << 40)  # one group per doc → mega-doc owns one reducer
-    salted = run(config.SPAN_SALT_CHUNK)
+    modes = {
+        "hybrid": {},  # production default: route by span count
+        "all_salted": {"big_doc_spans": None},  # every doc two-phase
+        "single_phase": {"big_doc_spans": 1 << 60},  # no doc ever salted
+    }
     n_spans = n_docs * 12 + 2 * mega_spans
+    results = {name: run(**kw) for name, kw in modes.items()}
     print(
         f"spans={n_spans} mega_docs=2x{mega_spans} | "
-        f"salted({config.SPAN_SALT_CHUNK}): {salted:.1f}s  "
-        f"unsalted: {unsalted:.1f}s  speedup: {unsalted / salted:.2f}x"
+        + "  ".join(f"{k}: {v:.1f}s" for k, v in results.items())
     )
 
 
