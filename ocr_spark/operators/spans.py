@@ -103,6 +103,13 @@ def assemble_spans(
     The big-doc id set is long-tail by definition → broadcastable; the
     count pre-pass shuffles one (doc_id, n) row per document.
     Set ``big_doc_spans=None`` to force everything through the salted path.
+
+    Cost model: the hybrid re-evaluates the upstream (scan+classify) for
+    the count pass and each branch — cheaper than the extra full-data
+    shuffle when upstream is parquet scan + expressions (measured, 2.5×),
+    but if upstream is an EXPENSIVE Arrow-UDF stage (OCR, image decode),
+    persist/checkpoint the classified frame first, or pass
+    ``big_doc_spans=None`` to keep the single-scan two-shuffle plan.
     """
     kept = classified.filter(~F.col("is_boilerplate")) if drop_boilerplate else classified
 
