@@ -235,28 +235,42 @@ def dedup_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 def quantized_cosine_pandas(a: Column, b: Column, scale: int = 1000) -> Column:
     """Arrow-vectorized twin of :func:`quantized_cosine` (numpy int64 math;
-    identical results bit-for-bit, ~100× faster than the interpreted
-    higher-order-function form on wide pair sets).
+    ~100× faster than the interpreted higher-order-function form on wide
+    pair sets). Agrees with the expression form on every value our corpora
+    produce; the one theoretical divergence is doubles ADJACENT to a .5 tie
+    (floor(m+0.5) vs BigDecimal HALF_UP — the Math.round(0.49999999999999994)
+    class), which quantized inputs never hit.
 
     Rounding is half-away-from-zero to match Spark's HALF_UP round and
     DuckDB's round() — numpy's own round() is banker's and would differ on
-    exact .5 ties.
+    exact .5 ties. Null or length-mismatched vector pairs yield 0.0, the
+    same degradation as the expression form (null propagation → otherwise).
     """
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        def quant(series):
-            m = np.stack([np.asarray(x, dtype=np.float64) for x in series]) * scale
+        la = np.array([len(x) if x is not None else -1 for x in va])
+        lb = np.array([len(x) if x is not None else -2 for x in vb])
+        valid = (la >= 0) & (la == lb) & (la > 0)
+        out = np.zeros(len(va), dtype=np.float64)
+
+        def quant(rows):
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in rows]) * scale
             return np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)).astype(np.int64)
 
-        qa, qb = quant(va), quant(vb)
-        dot = (qa * qb).sum(axis=1)
-        na = (qa * qa).sum(axis=1)
-        nb = (qb * qb).sum(axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = dot / (np.sqrt(na.astype(np.float64)) * np.sqrt(nb.astype(np.float64)))
-        out = np.where((na > 0) & (nb > 0), out, 0.0)
+        # stack requires a uniform width → process one vector length at a time
+        for dim in np.unique(la[valid]):
+            mask = valid & (la == dim)
+            idx = np.flatnonzero(mask)
+            qa = quant(va.iloc[idx])
+            qb = quant(vb.iloc[idx])
+            dot = (qa * qb).sum(axis=1)
+            na = (qa * qa).sum(axis=1)
+            nb = (qb * qb).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = dot / (np.sqrt(na.astype(np.float64)) * np.sqrt(nb.astype(np.float64)))
+            out[idx] = np.where((na > 0) & (nb > 0), c, 0.0)
         return pd.Series(out)
 
     return _cos(a, b)

@@ -56,7 +56,7 @@ def decode_gray(data: bytes | None, width: int, height: int) -> np.ndarray:
 # --- kernels ----------------------------------------------------------------
 
 
-def conv2d_reflect(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+def conv2d_replicate(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
     """3x3 convolution with edge replication (cv2 BORDER_REPLICATE)."""
     p = np.pad(img.astype(np.float64), 1, mode="edge")
     out = np.zeros_like(img, dtype=np.float64)
@@ -99,7 +99,7 @@ def otsu_threshold(img: np.ndarray) -> int:
 def preprocess_array(img: np.ndarray) -> np.ndarray:
     """I2 core chain: contrast → Gaussian(3x3) → Otsu binarize → invert-if-dark."""
     x = contrast_scale(img)
-    x = np.clip(np.floor(conv2d_reflect(x, GAUSS_3X3) + 0.5), 0, 255).astype(np.uint8)
+    x = np.clip(np.floor(conv2d_replicate(x, GAUSS_3X3) + 0.5), 0, 255).astype(np.uint8)
     t = otsu_threshold(x)
     b = np.where(x > t, np.uint8(255), np.uint8(0))
     if b.mean() < 127:  # mostly dark → invert (ocr_service.py:276-280)
@@ -109,7 +109,7 @@ def preprocess_array(img: np.ndarray) -> np.ndarray:
 
 def sharpen_array(img: np.ndarray) -> np.ndarray:
     """I9: 3x3 sharpen with saturation."""
-    return np.clip(np.floor(conv2d_reflect(img, SHARPEN_3X3) + 0.5), 0, 255).astype(np.uint8)
+    return np.clip(np.floor(conv2d_replicate(img, SHARPEN_3X3) + 0.5), 0, 255).astype(np.uint8)
 
 
 def noise_level_array(img: np.ndarray) -> float:
@@ -207,12 +207,12 @@ def denoise_array(img: np.ndarray, noise_type: str = "auto") -> np.ndarray:
     'gaussian' → blur-dominant path; 'salt_pepper' → median-dominant path;
     'auto' → the full cleaning chain."""
     if noise_type == "gaussian":
-        x = np.clip(np.floor(conv2d_reflect(img, GAUSS_3X3) + 0.5), 0, 255).astype(np.uint8)
+        x = np.clip(np.floor(conv2d_replicate(img, GAUSS_3X3) + 0.5), 0, 255).astype(np.uint8)
         return clahe(x)
     if noise_type == "salt_pepper":
         return morph_close_open(median3(img))
     x = median3(img)
-    x = np.clip(np.floor(conv2d_reflect(x, GAUSS_3X3) + 0.5), 0, 255).astype(np.uint8)
+    x = np.clip(np.floor(conv2d_replicate(x, GAUSS_3X3) + 0.5), 0, 255).astype(np.uint8)
     x = clahe(x)
     x = morph_close_open(x)
     return adaptive_gaussian_threshold(x)
@@ -242,9 +242,14 @@ def _map_images(fn):
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                img = decode_gray(r["data"], r["width"], r["height"])
-                out.append(fn(int(r["image_id"]), img))
+            # zip over raw column values — iterrows() materializes a Series
+            # per row and is 5-20x slower once real codecs make this hot
+            for image_id, data, w, h in zip(
+                pdf["image_id"].tolist(), pdf["data"].tolist(),
+                pdf["width"].tolist(), pdf["height"].tolist(),
+            ):
+                img = decode_gray(data, w, h)
+                out.append(fn(int(image_id), img))
             yield pd.DataFrame(out)
 
     return process

@@ -34,8 +34,13 @@ def route_documents(df: DataFrame, direct_text_col: str = "direct_text") -> Data
     directly-extracted text is longer than 10 stripped chars takes the cheap
     'direct' path; everything else falls to the ~100-1000x costlier 'ocr'
     branch. As a routing COLUMN (never an exception or driver-side branch)
-    the two sub-plans stay one DataFrame and Catalyst prunes per branch."""
-    stripped = F.regexp_replace(F.coalesce(F.col(direct_text_col), F.lit("")), r"^\s+|\s+$", "")
+    the two sub-plans stay one DataFrame and Catalyst prunes per branch.
+
+    Uses py_strip ((?U) Unicode \\s) so NBSP/ideographic-space padding does
+    not count as content — matches Python ``len(text.strip()) > 10``."""
+    from ocr_spark.functions.text import py_strip
+
+    stripped = py_strip(F.col(direct_text_col))
     return df.withColumn(
         "route",
         F.when(F.length(stripped) > config.PDF_DIRECT_TEXT_MIN_CHARS, F.lit("direct")).otherwise(

@@ -106,6 +106,21 @@ def run_checkpointed(
                 f"manifest bucket {b} was committed under different pipeline "
                 "config; refusing to resume (clear the output dir)"
             )
+        # Bucketing scheme must match too: resuming with a different
+        # num_buckets/id_col would silently skip pmod-incompatible buckets
+        # (old bucket 3 of 16 is NOT bucket 3 of 8) — data loss, not resume.
+        if rec.get("num_buckets") not in (None, num_buckets):
+            raise RuntimeError(
+                f"manifest bucket {b} was committed with num_buckets="
+                f"{rec.get('num_buckets')} but this run uses {num_buckets}; "
+                "refusing to resume (clear the output dir)"
+            )
+        if rec.get("id_col") not in (None, id_col):
+            raise RuntimeError(
+                f"manifest bucket {b} was committed with id_col="
+                f"{rec.get('id_col')!r} but this run uses {id_col!r}; "
+                "refusing to resume (clear the output dir)"
+            )
 
     bucket_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets)).cast("int")
     docs_b = docs.withColumn("__bucket", bucket_col)

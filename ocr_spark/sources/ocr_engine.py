@@ -87,8 +87,11 @@ def scan_images(images: DataFrame) -> DataFrame:
         model = _load_model()  # once per executor; cheap no-op afterwards
         for pdf in batches:
             out = {"image_id": [], "boxes": [], "engine": []}
-            for _, r in pdf.iterrows():
-                img = decode_gray(r["data"], r["width"], r["height"])
+            for image_id, data, w, h in zip(
+                pdf["image_id"].tolist(), pdf["data"].tolist(),
+                pdf["width"].tolist(), pdf["height"].tolist(),
+            ):
+                img = decode_gray(data, w, h)
                 # I3 preprocess variants × I4 rotation sweep — a bounded
                 # candidate set evaluated inside the batch (never exploded
                 # to extra rows; batch locality wins, SURVEY §4)
@@ -98,7 +101,7 @@ def scan_images(images: DataFrame) -> DataFrame:
                     for _angle, rot in rotation_candidates(variant)
                 ]
                 best = max((_recognize(model, c) for c in candidates), key=_score)
-                out["image_id"].append(int(r["image_id"]))
+                out["image_id"].append(int(image_id))
                 out["boxes"].append([
                     {"text": t, "conf": c, "cx": cx, "cy": cy} for (t, c, cx, cy) in best
                 ])

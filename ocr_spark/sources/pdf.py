@@ -64,11 +64,11 @@ def extract_pages(docs: DataFrame, id_col: str = "doc_id", content_col: str = "c
 
         for pdf in batches:
             out = {"doc_id": [], "page_number": [], "text": []}
-            for _, r in pdf.iterrows():
+            for rid, content in zip(pdf[id_col].tolist(), pdf[content_col].tolist()):
                 try:
-                    reader = pypdf.PdfReader(io.BytesIO(r[content_col]))
+                    reader = pypdf.PdfReader(io.BytesIO(content))
                     for i, page in enumerate(reader.pages, start=1):
-                        out["doc_id"].append(int(r[id_col]))
+                        out["doc_id"].append(int(rid))
                         out["page_number"].append(i)
                         out["text"].append(page.extract_text() or "")
                 except Exception:  # graceful degradation (§4): bad doc → no rows

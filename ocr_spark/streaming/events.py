@@ -23,9 +23,14 @@ SESSION_GAP_SECONDS = 30 * 60
 
 def wall_epoch_seconds(c):
     """Wall-clock epoch seconds (fraction truncated) from calendar fields —
-    identical for TIMESTAMP and TIMESTAMP_NTZ inputs and independent of the
-    session timezone (a bare ts.cast('long') is illegal on NTZ and
-    tz-dependent on LTZ)."""
+    identical for TIMESTAMP and TIMESTAMP_NTZ inputs (a bare
+    ts.cast('long') is illegal on NTZ and tz-dependent on LTZ).
+
+    NOTE: on TIMESTAMP (LTZ) the calendar fields themselves evaluate in the
+    session timezone, so this is only session-tz-independent for NTZ. The
+    engine pins spark.sql.session.timeZone=UTC (session.get_spark), which
+    all LTZ callers (sessionize gap math included) REQUIRE — a DST-shifting
+    session zone would warp gaps across transitions."""
     return (
         F.datediff(F.to_date(c), F.lit("1970-01-01").cast("date")).cast("long") * 86400
         + F.hour(c).cast("long") * 3600

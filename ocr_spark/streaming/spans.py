@@ -41,7 +41,18 @@ STATE_SCHEMA = (
 
 
 def _emit(doc_id: int, kinds, texts, refs, offsets, finalized: bool) -> pd.DataFrame:
-    order = sorted(range(len(offsets)), key=lambda i: (offsets[i], i))
+    # Tie-break duplicate offsets by the full tuple — identical to the batch
+    # twin's sort_array over (offset, kind, text, media_ref) structs. Arrival
+    # index would be nondeterministic across micro-batch boundaries/retries.
+    # Spark's ascending struct ordering puts null fields FIRST; mirror that
+    # with (is-not-null, value) sub-keys.
+    def _nf(v):  # null-first ordering of an optional string, Spark-style
+        return (v is not None, v if v is not None else "")
+
+    order = sorted(
+        range(len(offsets)),
+        key=lambda i: (offsets[i], _nf(kinds[i]), _nf(texts[i]), _nf(refs[i])),
+    )
     spans = [
         {"kind": kinds[i], "text": texts[i], "media_ref": refs[i], "order": rank}
         for rank, i in enumerate(order)
@@ -56,14 +67,16 @@ def _assemble_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     ]
     saw_eof = False
     for pdf in pdfs:
-        for _, r in pdf.iterrows():
-            if r["kind"] == "eof":
+        for kind, text, ref, off in zip(
+            pdf["kind"].tolist(), pdf["text"].tolist(), pdf["media_ref"].tolist(), pdf["offset"].tolist()
+        ):
+            if kind == "eof":
                 saw_eof = True
                 continue
-            kinds.append(r["kind"])
-            texts.append(r["text"])
-            refs.append(r["media_ref"])
-            offsets.append(int(r["offset"]))
+            kinds.append(kind)
+            texts.append(text)
+            refs.append(ref)
+            offsets.append(int(off))
     if saw_eof:
         yield _emit(int(doc_id), kinds, texts, refs, offsets, True)
         state.remove()
