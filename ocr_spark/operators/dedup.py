@@ -9,7 +9,9 @@ Five strategies, all DataFrame-native:
 - simhash         64→60-bit sign-vector hash, bucket by prefix
 - n-gram Jaccard  shingle-inverted-index join + set Jaccard verify
 - embedding       quantized-integer cosine (bit-exact across engines);
-                  all-pairs at small SF, LSH-bucketed in similarity.py at scale
+                  exact via blocked GEMM (uniform block-pair tasks, no
+                  row-level N² join); subquadratic sign-LSH candidates
+                  for dedup thresholds >= ~0.8 (dedup_embedding_lsh)
 
 Hashing is md5-prefix / integer-polynomial everywhere so the DuckDB oracle
 reproduces results exactly (no engine-private hash functions).
@@ -46,6 +48,36 @@ def shingles(text: Column, k: int = config.SHINGLE_SIZE) -> Column:
 def _md5_int(c: Column, salt: int) -> Column:
     """First 8 md5 hex digits of (salt:value) as a bigint — engine-neutral."""
     return F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c)), 1, 8), 16, 10).cast("long")
+
+
+def shingle_hashes_pandas(text: Column, k: int = config.SHINGLE_SIZE) -> Column:
+    """Sorted distinct 60-bit md5 ints of the word k-gram shingles —
+    Arrow-batched twin of conv(substring(md5(shingle),1,15),16,10) over
+    :func:`shingles` (hashlib md5 == Spark/DuckDB md5, bit-identical).
+    Tokenization mirrors textstats.words_of (lower → strip → \\s+ split)."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+")
+
+    @pandas_udf("array<long>")
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            s = (t or "").lower().strip()
+            w = ws.split(s) if s else []
+            if len(w) < k:
+                out.append([])
+                continue
+            grams = {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+            out.append(
+                sorted(int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams)
+            )
+        return pd.Series(out)
+
+    return _sh(text)
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -167,25 +199,94 @@ def dedup_ngram_jaccard(
     text_col: str = "text",
     jaccard_threshold: float = 0.1,
 ) -> DataFrame:
-    """All near-dup pairs by exact shingle Jaccard, candidates from an
-    inverted shingle index (join on shingle — no cross product)."""
-    base = docs.select(F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("sh"))
-    inv = base.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
-    l, r = inv.alias("l"), inv.alias("r")
-    pair_inter = (
-        l.join(r, (F.col("l.s") == F.col("r.s")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("l.n").alias("n_a"),
-            F.first("r.n").alias("n_b"),
-        )
+    """All near-dup pairs by exact shingle Jaccard — prefix-filtered
+    inverted index (Chaudhuri/Bayardo/Xiao prefix-filtering principle).
+
+    EXACT at any threshold t, yet never indexes hot shingles: order each
+    document's shingles by (global document frequency ASC, shingle ASC)
+    and index only the first |S| - ceil(t*|S|) + 1 of them. Two documents
+    with J >= t MUST share a prefix element (if their smallest common
+    shingle under the global order sat past both prefixes, the overlap
+    could not reach ceil(t*max(|A|,|B|)) — contradiction), so candidate
+    generation on prefixes is complete. Stopword-like shingles (highest
+    DF) sort LAST and fall outside every non-trivial prefix — the f² hot-
+    shingle candidate blowup the raw inverted index suffers is structurally
+    gone, no lossy DF cap needed. A size filter (t*|A| <= |B| <= |A|/t)
+    prunes further; exact Jaccard over the full shingle sets verifies.
+
+    Cost: one DF aggregation + one join to rank shingles; candidates are
+    equi-joined on prefix shingles only (int-pair dedup before the wide
+    arrays are attached).
+    """
+    t = float(jaccard_threshold)
+    # intern shingles to 60-bit md5 ints: distinct strings → distinct ints
+    # (collision odds ~1e-10 at 10^4-shingle vocabularies), and every join /
+    # sort / intersect downstream runs on longs instead of ~30-char strings.
+    # Arrow-batched hashing: the expression form (element_at k-gram build +
+    # per-shingle md5 in interpreted higher-order lambdas) costs ~5s per
+    # corpus pass at sf0.1 and this plan walks the corpus three times.
+    base2 = docs.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes_pandas(F.col(text_col)).alias("hv"),
+    ).select("id", F.size("hv").alias("n"), "hv")
+    inv = base2.select("id", "n", F.explode("hv").alias("h"))
+    dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # vocabulary tables broadcast comfortably to ~10^7 entries; beyond that
+    # AQE falls back to a shuffle join on h (drop the hint for open-vocab
+    # corpora — the plan stays correct either way)
+    ranked = inv.join(F.broadcast(dfreq), "h")
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("h").asc())
+    # ceil with an epsilon so float slop (0.2*15 = 3.0000000000000004) can
+    # never OVERestimate ceil(t*n) and truncate a required prefix element
+    prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n") - F.lit(1e-9)).cast("int") + 1
+    pref = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("id", "n", "h")
     )
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    l, r = pref.alias("l"), pref.alias("r")
+    cand_ids = (
+        l.join(
+            r,
+            (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.id") < F.col("r.id"))
+            # size filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
+            & (F.lit(t) * F.col("l.n") <= F.col("r.n") + F.lit(1e-9))
+            & (F.lit(t) * F.col("r.n") <= F.col("l.n") + F.lit(1e-9)),
+        )
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    cand = (
+        cand_ids.join(base2.select(F.col("id").alias("a_id"), F.col("hv").alias("hv_a")), "a_id")
+        .join(base2.select(F.col("id").alias("b_id"), F.col("hv").alias("hv_b")), "b_id")
+    )
+    jac = _jaccard_sorted_unique(F.col("hv_a"), F.col("hv_b"))
     return (
-        pair_inter.select("a_id", "b_id", jac.cast("double").alias("jaccard"))
+        cand.select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+
+
+def _jaccard_sorted_unique(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two SORTED, DUPLICATE-FREE long arrays — Arrow-
+    batched np.intersect1d(assume_unique) instead of Spark's per-row
+    array_intersect hash-set build (~4× faster on 40-element arrays)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _jac(va: pd.Series, vb: pd.Series) -> pd.Series:
+        out = np.empty(len(va), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(va, vb)):
+            if x is None or y is None or (len(x) == 0 and len(y) == 0):
+                out[i] = 0.0
+                continue
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            union = len(x) + len(y) - inter
+            out[i] = inter / union if union > 0 else 0.0
+        return pd.Series(out)
+
+    return _jac(a, b)
 
 
 # --- simhash -----------------------------------------------------------------
@@ -295,17 +396,138 @@ def dedup_embedding_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by quantized cosine >= threshold.
+    """EXACT near-dup pairs by quantized cosine >= threshold — blocked GEMM.
 
-    All-pairs form (correct at any SF; fine to sf0.1). The scale path
-    replaces the cross join with the sign-LSH buckets of similarity.py —
-    same verify expression on a tiny candidate set.
+    Exact all-pairs similarity is Θ(N²) flops at ANY threshold below ~0.7
+    (sign-LSH measurably cannot separate cos 0.4 from cos 0.0: best
+    recall-0.99 configuration still touches 74% of all pairs). What CAN be
+    chosen is the plan shape, and the row-level theta-join (l.id < r.id →
+    BroadcastNestedLoopJoin materializing N² pair ROWS through a per-pair
+    UDF) is the worst one. Instead:
+
+      1. hash each vector into one of B blocks (narrow),
+      2. replicate each vector to the B block-PAIRS it participates in
+         (shuffle = N·B flat Arrow rows — no nested collect_list),
+      3. one numpy GEMM per block pair inside applyInPandas: Qa @ Qb.T over
+         int64-quantized vectors, exact norms, emit only pairs above the
+         threshold.
+
+    N² scalar pair evaluations become B(B+1)/2 vectorized matrix products;
+    tasks are uniform (hash blocking), memory per task is bounded by
+    2·(N/B)·dim, and B scales as N grows (B ≈ N·dim·8 / task_mem). For
+    dedup semantics at threshold >= ~0.8 prefer :func:`dedup_embedding_lsh`
+    — subquadratic candidates; this operator is the exact form and the
+    recall yardstick.
+
+    Returns (a_id, b_id, cosine) with a_id < b_id, round(cosine,6) >= threshold.
     """
-    l = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
-    r = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
-    pairs = l.join(r, F.col("a_id") < F.col("b_id"))
+    nb = num_blocks
+    # block by md5-prefix of the id (engine-neutral, uniform); the blocking
+    # never affects the RESULT, only task shapes.
+    block = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long") % nb).cast("int")
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), block.alias("b"))
+    # replicate each vector to every block pair (min(b,o), max(b,o))
+    pairs = base.select(
+        "id", "v", "b",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("o"),
+    ).select(
+        "id", "v", "b",
+        # pk is distinct per o (o==b → the diagonal pair, once) — no dedup
+        # shuffle needed before the groupBy
+        (F.least("b", "o") * nb + F.greatest("b", "o")).alias("pk"),
+    )
+
+    scale = 1000
+    thr = float(threshold)
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (pk,) = key
+        pi, pj = divmod(int(pk), nb)
+        ids = np.asarray(pdf["id"].tolist(), dtype=np.int64)
+        blocks = np.asarray(pdf["b"].tolist(), dtype=np.int64)
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]]) * scale
+        q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5))
+        norms = np.sqrt((q * q).sum(axis=1))
+        if pi == pj:
+            ia = ib = np.arange(len(ids))
+        else:
+            ia = np.flatnonzero(blocks == pi)
+            ib = np.flatnonzero(blocks == pj)
+        if len(ia) == 0 or len(ib) == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cosine": "float64"}
+            )
+        g = q[ia] @ q[ib].T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = g / np.outer(norms[ia], norms[ib])
+        cos = np.where(np.outer(norms[ia] > 0, norms[ib] > 0), cos, 0.0)
+        aid = ids[ia][:, None] + np.zeros_like(cos, dtype=np.int64)
+        bid = ids[ib][None, :] + np.zeros_like(cos, dtype=np.int64)
+        # loose pre-filter (exact >= on the rounded value happens in Spark);
+        # a same-block GEMM holds each pair twice → keep the triangle, while
+        # a cross-block GEMM holds each unordered pair once → keep all
+        keep = cos >= thr - 1e-9
+        if pi == pj:
+            keep &= aid < bid
+        lo = np.minimum(aid[keep], bid[keep])
+        hi = np.maximum(aid[keep], bid[keep])
+        return pd.DataFrame({"a_id": lo, "b_id": hi, "cosine": cos[keep]})
+
+    out = pairs.groupBy("pk").applyInPandas(gemm, "a_id long, b_id long, cosine double")
+    return out.select("a_id", "b_id", F.round(F.col("cosine"), 6).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def dedup_embedding_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 8,
+    sets: int = 8,
+) -> DataFrame:
+    """APPROXIMATE near-dup pairs — the subquadratic scale path for real
+    dedup thresholds (>= ~0.8).
+
+    L independent sign-LSH signature sets of H bits; a pair is a candidate
+    iff it collides in ANY set (equi-join on (set, signature) — never a
+    cross product). Exact quantized cosine verifies candidates. Per-set
+    collision probability at cosine c is (1 - arccos(c)/pi)^H; recall
+    across L sets is 1-(1-p)^L — e.g. c=0.9: 0.857 per bit, 0.29 per
+    8-bit set, ~0.94 across 8 sets. Raise ``sets`` for recall, ``bits``
+    for pruning. Measured against the exact twin in tests
+    (test_training_ops).
+    """
+    from ocr_spark.operators.similarity import multiset_signatures_pandas
+
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sigs = base.select(
+        "id",
+        "v",
+        multiset_signatures_pandas(F.col("v"), bits=bits, sets=sets).alias("sigs"),
+    )
+    keyed = sigs.select(
+        "id", "v", F.posexplode("sigs").alias("set", "sig")
+    )
+    l, r = keyed.alias("l"), keyed.alias("r")
+    cand_ids = (
+        l.join(
+            r,
+            (F.col("l.set") == F.col("r.set"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    cand = (
+        cand_ids.join(base.select(F.col("id").alias("a_id"), F.col("v").alias("va")), "a_id")
+        .join(base.select(F.col("id").alias("b_id"), F.col("v").alias("vb")), "b_id")
+    )
     cos = quantized_cosine_pandas(F.col("va"), F.col("vb"))
-    return pairs.select("a_id", "b_id", F.round(cos, 6).alias("cosine")).filter(
+    return cand.select("a_id", "b_id", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

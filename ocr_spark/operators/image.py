@@ -96,20 +96,141 @@ def otsu_threshold(img: np.ndarray) -> int:
     return best_t
 
 
-def preprocess_array(img: np.ndarray) -> np.ndarray:
-    """I2 core chain: contrast → Gaussian(3x3) → Otsu binarize → invert-if-dark."""
-    x = contrast_scale(img)
+def _lanczos_weights(dst_len: int, src_len: int, a: int = 4):
+    """Separable Lanczos-a tap indices/weights, cv2 pixel-center mapping
+    (src = (dst + 0.5) * src/dst - 0.5, taps clamped at the border)."""
+    scale = src_len / dst_len
+    xs = (np.arange(dst_len, dtype=np.float64) + 0.5) * scale - 0.5
+    i0 = np.floor(xs).astype(np.int64)
+    offs = np.arange(-a + 1, a + 1)
+    idx = i0[:, None] + offs[None, :]
+    x = xs[:, None] - idx
+    w = np.sinc(x) * np.sinc(x / a)
+    w[np.abs(x) >= a] = 0.0
+    w /= w.sum(axis=1, keepdims=True)
+    return np.clip(idx, 0, src_len - 1), w
+
+
+def lanczos_resize(img: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """cv2.resize(..., INTER_LANCZOS4) analog (a=4, separable, float64).
+    cv2 is absent in this environment, so this numpy form is the engine's
+    definition of the resample — deterministic, pytest-goldened."""
+    iy, wy = _lanczos_weights(new_h, img.shape[0])
+    ix, wx = _lanczos_weights(new_w, img.shape[1])
+    tmp = (img.astype(np.float64)[iy, :] * wy[:, :, None]).sum(axis=1)
+    out = (tmp[:, ix] * wx[None, :, :]).sum(axis=2)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def upscale_floor(img: np.ndarray, floor: int = 3000) -> np.ndarray:
+    """ocr_service.py:256-262: if either side < floor, Lanczos-upscale by
+    max(floor/h, floor/w) so the SMALLER side reaches the floor."""
+    h, w = img.shape
+    if h >= floor and w >= floor:
+        return img
+    scale = max(floor / h, floor / w)
+    return lanczos_resize(img, int(h * scale), int(w * scale))
+
+
+def preprocess_array(img: np.ndarray, floor: int = 3000) -> np.ndarray:
+    """I2 full chain (ocr_service.py:238-285 order): upscale-to-floor →
+    contrast(1.2,10) → Gaussian(3x3) → CLAHE(2.0, 16x16) → Otsu binarize →
+    invert-if-dark → morphological close (2x2, 1 iter; the 2x2 ELLIPSE
+    element is all-ones, same as RECT).
+
+    ``floor`` defaults to the reference's literal 3000px; driver/bench
+    probes pass a smaller floor so the 48x32 synthetic fixtures don't blow
+    up to 4500x3000 per image (the resize PATH is still exercised)."""
+    x = upscale_floor(img, floor)
+    x = contrast_scale(x)
     x = np.clip(np.floor(conv2d_replicate(x, GAUSS_3X3) + 0.5), 0, 255).astype(np.uint8)
+    x = clahe(x, clip_limit=2.0, tiles=16)
     t = otsu_threshold(x)
     b = np.where(x > t, np.uint8(255), np.uint8(0))
     if b.mean() < 127:  # mostly dark → invert (ocr_service.py:276-280)
         b = 255 - b
+    # close = dilate then erode (2x2)
+    b = _minmax2(b, np.max)
+    b = _minmax2(b, np.min)
     return b
 
 
 def sharpen_array(img: np.ndarray) -> np.ndarray:
     """I9: 3x3 sharpen with saturation."""
     return np.clip(np.floor(conv2d_replicate(img, SHARPEN_3X3) + 0.5), 0, 255).astype(np.uint8)
+
+
+def remove_artifacts_array(img: np.ndarray, min_size: int = 10) -> np.ndarray:
+    """I9 artifact filter (noise_handler.py:307-325): 8-connected components
+    of the nonzero mask; components with area < min_size are dropped; kept
+    pixels are emitted as 255 (the reference rebuilds a clean 0/255 image).
+
+    Run-length two-pass union-find — row runs are vectorized via diff, the
+    Python loop touches RUNS (strokes), not pixels, so a 3000px page costs
+    thousands of iterations, not millions."""
+    h, w = img.shape
+    fg = img > 0
+    parent: list[int] = []
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    run_rows: list[list[tuple[int, int, int]]] = []
+    prev: list[tuple[int, int, int]] = []
+    for y in range(h):
+        row = fg[y]
+        if not row.any():
+            prev = []
+            run_rows.append([])
+            continue
+        d = np.diff(row.astype(np.int8))
+        starts = np.flatnonzero(d == 1) + 1
+        ends = np.flatnonzero(d == -1) + 1
+        if row[0]:
+            starts = np.concatenate(([0], starts))
+        if row[-1]:
+            ends = np.concatenate((ends, [w]))
+        cur = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            rid = len(parent)
+            parent.append(rid)
+            cur.append((s, e, rid))
+            for ps, pe, prid in prev:  # 8-conn: ranges may touch diagonally
+                if ps <= e and pe >= s:
+                    union(rid, prid)
+        prev = cur
+        run_rows.append(cur)
+
+    comp_size: dict[int, int] = {}
+    for runs in run_rows:
+        for s, e, rid in runs:
+            r = find(rid)
+            comp_size[r] = comp_size.get(r, 0) + (e - s)
+    out = np.zeros_like(img)
+    for y, runs in enumerate(run_rows):
+        for s, e, rid in runs:
+            if comp_size[find(rid)] >= min_size:
+                out[y, s:e] = 255
+    return out
+
+
+def enhance_text_quality_array(img: np.ndarray) -> np.ndarray:
+    """I9 full chain (noise_handler.py:249-287): sharpen → CLAHE(2.0, 8x8)
+    → adaptive Gaussian binarization (11, 2) → artifact removal."""
+    x = sharpen_array(img)
+    x = clahe(x, clip_limit=2.0, tiles=8)
+    x = adaptive_gaussian_threshold(x, block=11, c=2.0)
+    return remove_artifacts_array(x, min_size=10)
 
 
 def noise_level_array(img: np.ndarray) -> float:
@@ -289,17 +410,25 @@ def _encode(image_id: int, img: np.ndarray) -> dict:
     }
 
 
-def preprocess(images: DataFrame) -> DataFrame:
+def preprocess(images: DataFrame, floor: int = 3000) -> DataFrame:
     """I2 as a mapInPandas stage (binary in → binary out)."""
     return images.mapInPandas(
-        _map_images(lambda i, img: _encode(i, preprocess_array(img))), PROCESSED_SCHEMA
+        _map_images(lambda i, img: _encode(i, preprocess_array(img, floor))), PROCESSED_SCHEMA
     )
 
 
 def sharpen(images: DataFrame) -> DataFrame:
-    """I9 as a mapInPandas stage."""
+    """I9 sharpen-only as a mapInPandas stage."""
     return images.mapInPandas(
         _map_images(lambda i, img: _encode(i, sharpen_array(img))), PROCESSED_SCHEMA
+    )
+
+
+def enhance_text(images: DataFrame) -> DataFrame:
+    """I9 full enhance chain (sharpen→CLAHE→binarize→artifact removal)."""
+    return images.mapInPandas(
+        _map_images(lambda i, img: _encode(i, enhance_text_quality_array(img))),
+        PROCESSED_SCHEMA,
     )
 
 

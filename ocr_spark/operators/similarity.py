@@ -16,35 +16,64 @@ no RNG state, reproducible everywhere.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.dedup import quantized_cosine, quantized_cosine_pandas
 
 LSH_PLANES = 8
-_HASH_A = 1103515245
-_HASH_B = 12345
+LSH_SEED = 0x5EED2026
+EMBEDDING_DIM = 64  # the embeddings table's vector width
+
+_M64 = (1 << 64) - 1
 
 
-def _plane_sign(plane: Column, dim: Column) -> Column:
-    """Deterministic ±1 entry of hyperplane matrix: LCG parity of (plane, dim)."""
-    v = ((plane * 131 + dim) * _HASH_A + _HASH_B) % 65536
-    return F.when(v % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+def _splitmix64(x: int) -> int:
+    """Pure-Python splitmix64 — engine- and version-independent entropy for
+    the hyperplane matrix. (The previous LCG-parity formula collapsed to
+    parity(plane + dim): an ODD multiplier preserves parity, so every
+    'random' plane was one of just TWO ±1 patterns and the signature had
+    <=4 distinct buckets. Real mixing matters more than speed here; these
+    run once at plan-build time, never per row.)"""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    z = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return (z ^ (z >> 31)) & _M64
 
 
-def lsh_signature(vec: Column, planes: int = LSH_PLANES, scale: int = 1000) -> Column:
-    """H-bit sign signature: bit h = 1 iff dot(vec, plane_h) > 0 (quantized)."""
+def plane_signs(planes: int, dim: int = EMBEDDING_DIM, seed: int = LSH_SEED) -> list[list[int]]:
+    """±1 hyperplane matrix, deterministic from (seed, plane, dim) — the
+    SAME literals are embedded in the Spark expression and the DuckDB
+    oracle SQL, so both engines bucket identically."""
+    return [
+        [1 if _splitmix64(seed + p * 1_000_003 + j) & 1 == 0 else -1 for j in range(dim)]
+        for p in range(planes)
+    ]
+
+
+def lsh_signature(
+    vec: Column,
+    planes: int = LSH_PLANES,
+    scale: int = 1000,
+    dim: int = EMBEDDING_DIM,
+    plane_offset: int = 0,
+) -> Column:
+    """H-bit sign signature: bit h = 1 iff dot(vec, plane_h) > 0 (quantized).
+
+    Planes are literal ±1 arrays folded into the plan (constant per query,
+    zero per-row hash cost, stays in codegen). ``plane_offset`` selects a
+    disjoint plane set — used by multi-set LSH (L sets of H planes)."""
     q = F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("long"))
+    signs = plane_signs(planes + plane_offset, dim)[plane_offset:]
     bits = []
     for h in range(planes):
+        plane = F.array(*[F.lit(s) for s in signs[h]])
         dot = F.aggregate(
-            F.zip_with(
-                q,
-                F.sequence(F.lit(0).cast("long"), F.size(q).cast("long") - 1),
-                lambda x, j: x * _plane_sign(F.lit(h), j),
-            ),
+            F.zip_with(q, plane, lambda x, s: x * s),
             F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+            lambda acc, v: acc + F.coalesce(v, F.lit(0).cast("long")),
         )
         bits.append(F.when(dot > 0, F.lit(1 << h)).otherwise(F.lit(0)))
     sig = bits[0]
@@ -60,17 +89,88 @@ def topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    num_blocks: int = 64,
 ) -> DataFrame:
-    """Exact top-k by quantized cosine. The query side is the small one —
-    mark it broadcast so the corpus scan never shuffles."""
-    q = F.broadcast(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    """Exact top-k by quantized cosine — blocked GEMM, not a pair join.
+
+    The naive plan (broadcast queries × corpus crossJoin → per-pair pandas
+    cosine) materializes Q·N pair ROWS, copying each 64-dim vector Q times
+    through Arrow. Instead the queries are folded into ONE row by an
+    aggregation (collect_list — stays inside the plan, no driver collect;
+    the query side is small by the same contract that justified the
+    broadcast), corpus rows are hash-bucketed into ``num_blocks`` blocks
+    (size num_blocks ≈ N·dim·8B / task-memory at scale), and each block ×
+    query-matrix pair is a single numpy GEMM emitting only its per-query
+    top-k (plus a 2e-6 tie margin so the global rank over Spark-rounded
+    cosines can never lose a round-tied candidate) — a superset of every
+    global top-k element, so the final global window rank is exact.
+    Shuffle: corpus once (block agg), then ≈Q·k·num_blocks candidate rows.
+    """
+    qrow = F.broadcast(
+        queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")).agg(
+            F.collect_list(F.struct(F.col("qid"), F.col("qv"))).alias("qs")
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id",
-        "neighbor_id",
-        F.round(quantized_cosine_pandas(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    # deterministic hash blocking — uniform block sizes, no skew
+    blk = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(num_blocks),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("cv"),
+        blk.cast("int").alias("bk"),
+    )
+    blocks = c.groupBy("bk").agg(F.collect_list(F.struct(F.col("nid"), F.col("cv"))).alias("cs"))
+    joined = blocks.crossJoin(qrow)  # nb × 1 rows — bounded, not a pair blowup
+
+    scale = 1000
+    kk = int(k)
+
+    def gemm(batches):
+        for pdf in batches:
+            out_q, out_n, out_c = [], [], []
+            for cs, qs in zip(pdf["cs"].tolist(), pdf["qs"].tolist()):
+                if cs is None or qs is None or len(cs) == 0 or len(qs) == 0:
+                    continue
+                nids = np.asarray([r["nid"] for r in cs], dtype=np.int64)
+                qids = np.asarray([r["qid"] for r in qs], dtype=np.int64)
+
+                def quant(rows, key):
+                    m = np.stack([np.asarray(r[key], dtype=np.float64) for r in rows]) * scale
+                    return np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5))
+
+                qc = quant(cs, "cv")
+                qq = quant(qs, "qv")
+                nc = np.sqrt((qc * qc).sum(axis=1))
+                nq = np.sqrt((qq * qq).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (qq @ qc.T) / np.outer(nq, nc)
+                cos = np.where(np.outer(nq > 0, nc > 0), cos, 0.0)
+                # self-pairs never rank
+                cos[qids[:, None] == nids[None, :]] = -np.inf
+                for qi in range(len(qids)):
+                    row = cos[qi]
+                    # per-block top-k by raw cosine, widened by a 2e-6
+                    # margin: the global rank compares ROUNDED values, and
+                    # a raw-lower candidate within one rounding step of the
+                    # k-th best could round-tie and win on neighbor_id
+                    order = np.lexsort((nids, -row))
+                    valid = [j for j in order if row[j] != -np.inf]
+                    if not valid:
+                        continue
+                    cutoff = row[valid[min(kk, len(valid)) - 1]] - 2e-6
+                    for j in valid:
+                        if row[j] < cutoff:
+                            break
+                        out_q.append(qids[qi])
+                        out_n.append(nids[j])
+                        out_c.append(row[j])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
+
+    scored = joined.mapInPandas(gemm, "query_id long, neighbor_id long, cosine double")
+    scored = scored.select(
+        "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -80,6 +180,56 @@ def topk_bruteforce(
     )
 
 
+LSH_TOPK_BITS = 4
+LSH_TOPK_SETS = 16
+
+
+def multiset_signatures(vec: Column, bits: int = LSH_TOPK_BITS, sets: int = LSH_TOPK_SETS) -> Column:
+    """Array of L independent H-bit sign signatures (disjoint plane sets).
+
+    Expression form (higher-order lambdas) — exact but interpreted; use
+    :func:`multiset_signatures_pandas` in hot paths (identical output)."""
+    return F.array(
+        *[lsh_signature(vec, planes=bits, plane_offset=s * bits) for s in range(sets)]
+    )
+
+
+def multiset_signatures_pandas(
+    vec: Column,
+    bits: int = LSH_TOPK_BITS,
+    sets: int = LSH_TOPK_SETS,
+    scale: int = 1000,
+    dim: int = EMBEDDING_DIM,
+) -> Column:
+    """Arrow-batched twin of :func:`multiset_signatures`: one numpy GEMM
+    against the (sets*bits, dim) plane matrix per batch instead of
+    sets*bits interpreted lambda dot-products per row. Integer math is
+    identical (round-half-away quantize, int64 dots), so signatures match
+    the expression form and the DuckDB oracle bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.asarray(plane_signs(sets * bits, dim), dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def _sigs(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            if v is None:
+                out.append([0] * sets)
+                continue
+            m = np.asarray(v, dtype=np.float64) * scale
+            q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)).astype(np.int64)
+            if len(q) < dim:
+                q = np.pad(q, (0, dim - len(q)))
+            b = (planes @ q[:dim]) > 0  # (sets*bits,)
+            weights = 1 << np.arange(bits)
+            sig = (b.reshape(sets, bits) * weights).sum(axis=1)
+            out.append([int(x) for x in sig])
+        return pd.Series(out)
+
+    return _sigs(vec)
+
+
 def topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -87,23 +237,49 @@ def topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    planes: int = LSH_PLANES,
+    bits: int = LSH_TOPK_BITS,
+    sets: int = LSH_TOPK_SETS,
 ) -> DataFrame:
-    """ANN top-k: bucket both sides by sign-LSH signature, equi-join on the
-    bucket, exact re-rank inside. Recall < 1.0 by design; deterministic."""
+    """ANN top-k: multi-set sign-LSH candidates, exact re-rank inside.
+
+    L independent H-bit signature sets; a corpus vector is a candidate for
+    a query iff they collide in ANY set (equi-join on (set, sig) — the
+    corpus never cross-joins). Candidate id-pairs are deduped as ints
+    BEFORE vectors are re-attached. Recall < 1.0 by design; deterministic
+    (literal splitmix64 planes shared with the DuckDB oracle).
+
+    Tuning note (measured, tools in BENCH.md): this synthetic corpus's
+    nearest neighbors sit at cosine ≈ 0.4, close to the sign-LSH physics
+    floor — bits=4/sets=16 measures recall@5 of 0.88 (sf0.01) / 0.97
+    (sf0.1) at ~0.64 candidate fraction. High-similarity corpora (real
+    near-dup search, cos ≥ 0.8) prune orders of magnitude harder at the
+    same recall; raise ``bits`` there.
+    """
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            lsh_signature(F.col(vec_col), planes).alias("bucket"),
+            multiset_signatures_pandas(F.col(vec_col), bits, sets).alias("sigs"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        multiset_signatures_pandas(F.col(vec_col), bits, sets).alias("sigs"),
     )
-    scored = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id")).select(
+    qx = q.select("query_id", F.posexplode("sigs").alias("set", "sig"))
+    cx = c.select("neighbor_id", F.posexplode("sigs").alias("set", "sig"))
+    cand_ids = (
+        F.broadcast(qx)
+        .join(cx, ["set", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cand = cand_ids.join(
+        F.broadcast(q.select("query_id", "qv")), "query_id"
+    ).join(c.select("neighbor_id", "cv"), "neighbor_id")
+    scored = cand.select(
         "query_id",
         "neighbor_id",
         F.round(quantized_cosine_pandas(F.col("qv"), F.col("cv")), 6).alias("cosine"),

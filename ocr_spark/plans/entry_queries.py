@@ -166,17 +166,16 @@ def _sql_qcos(qa: str, qb: str) -> str:
     )
 
 
-def _sql_lsh_sig(q: str, planes: int = SIM.LSH_PLANES) -> str:
-    """similarity.lsh_signature twin over a quantized BIGINT[] expression."""
+def _sql_lsh_sig(q: str, planes: int = SIM.LSH_PLANES, plane_offset: int = 0) -> str:
+    """similarity.lsh_signature twin over a quantized BIGINT[] expression.
+    Embeds the SAME literal ±1 plane rows as the Spark side (plane_signs),
+    so both engines compute identical buckets. Integer-valued DOUBLE dot
+    (|q|<=~1000, dim 64 → |dot|<=~64k) is exact in either engine."""
+    signs = SIM.plane_signs(planes + plane_offset)[plane_offset:]
     bits = []
     for h in range(planes):
-        sign = (
-            f"(CASE WHEN (({h} * 131 + (i - 1)) * {SIM._HASH_A} + {SIM._HASH_B}) "
-            f"% 65536 % 2 = 0 THEN 1 ELSE -1 END)"
-        )
-        dot = (
-            f"list_sum(list_transform({q}, (x, i) -> x * {sign}))"
-        )
+        lit = "[" + ", ".join(str(s) for s in signs[h]) + "]::DOUBLE[]"
+        dot = f"list_dot_product({q}::DOUBLE[], {lit})"
         bits.append(f"(CASE WHEN coalesce({dot}, 0) > 0 THEN {1 << h} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
@@ -889,16 +888,37 @@ def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _sql_multiset_sigs() -> str:
+    """similarity.multiset_signatures twin: L=16 sets of H=4 planes."""
+    sets = [
+        _sql_lsh_sig("q", planes=SIM.LSH_TOPK_BITS, plane_offset=s * SIM.LSH_TOPK_BITS)
+        for s in range(SIM.LSH_TOPK_SETS)
+    ]
+    return "[" + ", ".join(sets) + "]"
+
+
 @_q(
     "ann_topk_lsh",
     f"""
 WITH {_SQL_EMB_Q},
-esig AS (SELECT vec_id, q, {_sql_lsh_sig('q')} AS bucket FROM eq),
-qs AS (SELECT vec_id AS query_id, q, bucket FROM esig WHERE vec_id < 20),
+esig AS (SELECT vec_id, q, {_sql_multiset_sigs()} AS sigs FROM eq),
+ex AS (
+  SELECT vec_id, unnest(list_transform(sigs, (x, i) -> {{'si': i, 'sig': x}})) AS u
+  FROM esig
+),
+exf AS (SELECT vec_id, u.si AS si, u.sig AS sig FROM ex),
+cand AS (
+  SELECT DISTINCT qs.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM (SELECT * FROM exf WHERE vec_id < 20) qs
+  JOIN exf c ON qs.si = c.si AND qs.sig = c.sig
+  WHERE qs.vec_id != c.vec_id
+),
 scored AS (
-  SELECT qs.query_id, c.vec_id AS neighbor_id,
-         round({_sql_qcos('qs.q', 'c.q')}, 6) AS cosine
-  FROM qs JOIN esig c ON qs.bucket = c.bucket WHERE qs.query_id != c.vec_id
+  SELECT cand.query_id, cand.neighbor_id,
+         round({_sql_qcos('a.q', 'b.q')}, 6) AS cosine
+  FROM cand
+  JOIN eq a ON a.vec_id = cand.query_id
+  JOIN eq b ON b.vec_id = cand.neighbor_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
@@ -1402,6 +1422,72 @@ def q_pdf_route(spark: SparkSession, sf: str) -> DataFrame:
     return route_documents(rt).select("doc_id", "route")
 
 
+# --- real-bytes PDF path (S2/S4/A4 over vendored fixtures) --------------------
+
+_N_PDF_DOCS = 40
+
+_SQL_PDF_PAGES = f"""
+pdocs AS (SELECT i AS doc_id, (1 + i % 4) AS n_pages FROM range({_N_PDF_DOCS}) t(i)),
+ppages AS (
+  SELECT doc_id, (unnest(range(n_pages)) + 1) AS page_number FROM pdocs
+)"""
+
+
+@_q(
+    "pdf_pages",
+    f"""
+WITH {_SQL_PDF_PAGES}
+SELECT doc_id, page_number::INT AS page_number,
+       'Page ' || page_number || ' of doc ' || doc_id AS text
+FROM ppages""",
+)
+def q_pdf_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """S2 end-to-end on REAL pdf bytes (pdf_processor.py:168-184): the
+    fixture corpus is generated in-plan, parsed back by sources/pdf
+    (pypdf when installed, built-in uncompressed-stream reader here)."""
+    import ocr_spark.sources.pdf as P
+
+    return P.extract_pages(P.synth_pdf_docs(spark, _N_PDF_DOCS))
+
+
+@_q(
+    "pdf_meta",
+    f"""
+WITH pdocs AS (SELECT i AS doc_id, (1 + i % 4) AS n_pages FROM range({_N_PDF_DOCS}) t(i))
+SELECT doc_id, n_pages::INT AS pages,
+       'Doc ' || doc_id AS title,
+       'ocr-spark-synth' AS author,
+       NULL::VARCHAR AS subject,
+       NULL::VARCHAR AS creator,
+       'ocr_spark.sources.pdf_fixture' AS producer
+FROM pdocs""",
+)
+def q_pdf_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """S4 on real bytes (pdf_processor.py:222-257): trailer /Info fields +
+    page count."""
+    import ocr_spark.sources.pdf as P
+
+    return P.extract_metadata(P.synth_pdf_docs(spark, _N_PDF_DOCS))
+
+
+@_q(
+    "pdf_fulltext",
+    f"""
+WITH {_SQL_PDF_PAGES}
+SELECT doc_id,
+       string_agg('Page ' || page_number || ' of doc ' || doc_id, chr(10)
+                  ORDER BY page_number) AS all_text,
+       count(*)::INT AS total_pages
+FROM ppages GROUP BY doc_id""",
+)
+def q_pdf_fulltext(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 on real bytes (pdf_processor.py:104-139): order-preserving page
+    concat downstream of the real parse."""
+    import ocr_spark.sources.pdf as P
+
+    return P.concat_pages(P.extract_pages(P.synth_pdf_docs(spark, _N_PDF_DOCS)))
+
+
 # --- image / noise operators (I1, I7, I8) --------------------------------------
 
 _IMG_N, _IMG_W, _IMG_H = 64, 48, 32
@@ -1470,8 +1556,22 @@ def q_image_denoise(spark: SparkSession, sf: str) -> DataFrame:
 
 @_q("image_preprocess")  # binary-out mapInPandas chain → rows-only check
 def q_image_preprocess(spark: SparkSession, sf: str) -> DataFrame:
+    # floor=256 scales the reference's 3000px upscale floor down to the
+    # 48x32 synthetic fixtures (the Lanczos resize path still runs; the
+    # reference-exact floor=3000 default is pytest-covered)
     imgs = IMG.synth_images(spark, n=_IMG_N, width=_IMG_W, height=_IMG_H)
-    out = IMG.preprocess(imgs)
+    out = IMG.preprocess(imgs, floor=256)
+    return out.select(
+        "image_id",
+        F.length("data").cast("long").alias("n_bytes"),
+        F.md5(F.col("data")).alias("data_md5"),
+    )
+
+
+@_q("image_enhance_text")  # I9 full chain (sharpen→CLAHE→binarize→artifacts)
+def q_image_enhance_text(spark: SparkSession, sf: str) -> DataFrame:
+    imgs = IMG.synth_images(spark, n=_IMG_N, width=_IMG_W, height=_IMG_H)
+    out = IMG.enhance_text(imgs)
     return out.select(
         "image_id",
         F.length("data").cast("long").alias("n_bytes"),

@@ -97,7 +97,11 @@ def scan_images(images: DataFrame) -> DataFrame:
                 # to extra rows; batch locality wins, SURVEY §4)
                 candidates = [
                     rot
-                    for variant in (img, preprocess_array(img))
+                    # floor=1 skips the 3000px upscale for the deterministic
+                    # fake engine so box geometry stays in input coordinates;
+                    # a real-engine adapter runs the reference floor=3000 and
+                    # divides box coords back by the scale factor
+                    for variant in (img, preprocess_array(img, floor=1))
                     for _angle, rot in rotation_candidates(variant)
                 ]
                 best = max((_recognize(model, c) for c in candidates), key=_score)

@@ -5,13 +5,15 @@ The reference shells out to PyPDF2 / pdf2image+poppler per request
 
 - S5 sniffer        pure Column expression over (path, content) — magic
                     bytes '%PDF' or extension (pdf_processor.py:1011-1035)
-- S2 direct text    Arrow-batched UDF using pypdf when importable; this
-                    container has no pypdf → the stage raises a clear
-                    NotImplementedError at first batch, with the Spark-side
-                    plumbing (schema, explode, page ordering) real
+- S2 direct text    Arrow-batched UDF: pypdf when importable; otherwise a
+                    built-in minimal reader that parses UNCOMPRESSED
+                    content streams (Tj operators) — enough for the
+                    vendored deterministic fixtures (sources/pdf_fixture)
+                    and any Flate-free PDF; compressed streams raise an
+                    actionable error naming pypdf
 - S3 rasterizer     poppler is a process boundary the sandbox lacks —
                     explicit stub
-- S4 metadata       same pypdf gate as S2
+- S4 metadata       same reader pair as S2 (trailer /Info dictionary)
 
 The page-exploded schema feeds the same span pipeline as HTML text: one
 row per page → per-page column analysis → A4 order-preserving concat.
@@ -47,35 +49,125 @@ def is_pdf(path: Column, content: Column) -> Column:
     return by_ext | F.coalesce(magic, F.lit(False))
 
 
-def extract_pages(docs: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
-    """S2: per-page direct text via pypdf, one output row per page.
+import re as _re
 
-    Executor-side import gate: on hosts without pypdf the task fails with an
-    actionable error instead of silently returning empties.
-    """
+_OBJ_RE = _re.compile(rb"(\d+) 0 obj(.*?)endobj", _re.DOTALL)
+_TJ_RE = _re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+_STREAM_RE = _re.compile(rb"stream\r?\n(.*?)\r?\nendstream", _re.DOTALL)
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    return (
+        raw.replace(b"\\(", b"(").replace(b"\\)", b")").replace(b"\\\\", b"\\")
+    ).decode("latin-1")
+
+
+def _minipdf_objects(data: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+
+
+def _minipdf_pages(data: bytes) -> list[str]:
+    """Per-page text of a PDF with UNCOMPRESSED content streams, in page-tree
+    order (the /Kids array). Compressed (/Filter) streams raise — that's the
+    pypdf/poppler boundary, named explicitly."""
+    objs = _minipdf_objects(data)
+    kids_m = _re.search(rb"/Kids\s*\[(.*?)\]", data, _re.DOTALL)
+    if not kids_m:
+        raise ValueError("no /Kids page tree")
+    page_ids = [int(x) for x in _re.findall(rb"(\d+) 0 R", kids_m.group(1))]
+    pages = []
+    for pid in page_ids:
+        page_obj = objs[pid]
+        cm = _re.search(rb"/Contents\s+(\d+) 0 R", page_obj)
+        if not cm:
+            pages.append("")
+            continue
+        content_obj = objs[int(cm.group(1))]
+        if b"/Filter" in content_obj:
+            raise NotImplementedError(
+                "compressed PDF content stream: install pypdf for general "
+                "PDFs (the built-in reader handles uncompressed streams only)"
+            )
+        sm = _STREAM_RE.search(content_obj)
+        chunks = _TJ_RE.findall(sm.group(1)) if sm else []
+        pages.append("\n".join(_pdf_unescape(c) for c in chunks))
+    return pages
+
+
+def _minipdf_info(data: bytes) -> dict[str, str | None]:
+    objs = _minipdf_objects(data)
+    out: dict[str, str | None] = {}
+    im = _re.search(rb"/Info\s+(\d+) 0 R", data)
+    info_obj = objs.get(int(im.group(1)), b"") if im else b""
+    for key in ("Title", "Author", "Subject", "Creator", "Producer"):
+        m = _re.search(rb"/" + key.encode() + rb"\s*\(((?:[^()\\]|\\.)*)\)", info_obj)
+        out[key.lower()] = _pdf_unescape(m.group(1)) if m else None
+    return out
+
+
+def extract_pages(docs: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """S2: per-page direct text (pdf_processor.py:168-184), one output row
+    per page. Uses pypdf when installed; falls back to the built-in
+    uncompressed-stream reader (module docstring) otherwise."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not HAVE_PYPDF:
-            raise NotImplementedError(
-                "pypdf is not installed on this executor; install it or route "
-                "these documents to the OCR branch (pipeline.route_documents)"
-            )
         import io
 
         for pdf in batches:
             out = {"doc_id": [], "page_number": [], "text": []}
             for rid, content in zip(pdf[id_col].tolist(), pdf[content_col].tolist()):
                 try:
-                    reader = pypdf.PdfReader(io.BytesIO(content))
-                    for i, page in enumerate(reader.pages, start=1):
-                        out["doc_id"].append(int(rid))
-                        out["page_number"].append(i)
-                        out["text"].append(page.extract_text() or "")
+                    if HAVE_PYPDF:
+                        reader = pypdf.PdfReader(io.BytesIO(content))
+                        texts = [p.extract_text() or "" for p in reader.pages]
+                    else:
+                        texts = _minipdf_pages(bytes(content))
+                except NotImplementedError:
+                    raise  # dependency boundary — fail loud, never silently empty
                 except Exception:  # graceful degradation (§4): bad doc → no rows
                     continue
+                for i, text in enumerate(texts, start=1):
+                    out["doc_id"].append(int(rid))
+                    out["page_number"].append(i)
+                    out["text"].append(text)
             yield pd.DataFrame(out)
 
     return docs.select(F.col(id_col), F.col(content_col)).mapInPandas(process, PAGES_SCHEMA)
+
+
+def extract_metadata(docs: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """S4: document metadata (pdf_processor.py:222-257) — page count plus
+    the trailer /Info fields, via the same reader pair as extract_pages."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        cols = ("title", "author", "subject", "creator", "producer")
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "pages": []}
+            for c in cols:
+                out[c] = []
+            for rid, content in zip(pdf[id_col].tolist(), pdf[content_col].tolist()):
+                try:
+                    if HAVE_PYPDF:
+                        reader = pypdf.PdfReader(io.BytesIO(content))
+                        meta = reader.metadata or {}
+                        info = {c: getattr(meta, c, None) for c in cols}
+                        n_pages = len(reader.pages)
+                    else:
+                        info = _minipdf_info(bytes(content))
+                        n_pages = len(_minipdf_pages(bytes(content)))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    continue
+                out["doc_id"].append(int(rid))
+                out["pages"].append(n_pages)
+                for c in cols:
+                    out[c].append(info.get(c))
+            yield pd.DataFrame(out)
+
+    return docs.select(F.col(id_col), F.col(content_col)).mapInPandas(process, META_SCHEMA)
 
 
 def concat_pages(pages: DataFrame) -> DataFrame:
@@ -136,6 +228,26 @@ def pages_with_columns(pages: DataFrame) -> DataFrame:
         F.size(cols).cast("int").alias("columns_count"),
         (F.size(cols) > 1).alias("has_multiple_columns"),
     )
+
+
+def synth_pdf_docs(spark, n: int = 40) -> DataFrame:
+    """Deterministic fixture corpus: n docs, doc i has 1 + i % 4 pages of
+    real PDF bytes (sources/pdf_fixture.synth_pdf_bytes), built inside the
+    plan via an Arrow-batched UDF — no driver-side byte assembly."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ocr_spark.sources.pdf_fixture import synth_pdf_bytes
+
+    @pandas_udf("binary")
+    def gen(ids: pd.Series, pages: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synth_pdf_bytes(int(i), int(p)) for i, p in zip(ids, pages)]
+        )
+
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"), (1 + F.col("id") % 4).cast("int").alias("n_pages")
+    )
+    return base.select("doc_id", gen("doc_id", "n_pages").alias("content"))
 
 
 def rasterize_stub(*_a, **_k):

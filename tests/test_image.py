@@ -37,15 +37,81 @@ def test_noise_stats_matches_numpy(spark, images):
 
 
 def test_preprocess_binarizes(spark, images):
-    out = {r["image_id"]: r for r in I.preprocess(images).collect()}
+    # floor=64 keeps the fixtures small; the upscale PATH still runs
+    # (48x32 < 64) — the reference-exact floor=3000 logic is identical
+    out = {r["image_id"]: r for r in I.preprocess(images, floor=64).collect()}
     for i in range(12):
         arr = I.decode_gray(bytes(out[i]["data"]), out[i]["width"], out[i]["height"])
         vals = set(np.unique(arr).tolist())
         assert vals <= {0, 255}
         assert arr.mean() >= 127  # invert-if-dark guarantees light background
         # matches the pure-numpy chain exactly
-        want = I.preprocess_array(I.synth_image_array(i))
+        want = I.preprocess_array(I.synth_image_array(i), floor=64)
         assert arr.tolist() == want.tolist()
+
+
+def test_upscale_floor_scales_smaller_side_to_floor():
+    img = I.synth_image_array(3)  # 32x48
+    up = I.upscale_floor(img, floor=96)
+    # scale = max(96/32, 96/48) = 3 → 96x144
+    assert up.shape == (96, 144)
+    # already large enough → untouched (same object semantics not required)
+    assert I.upscale_floor(up, floor=96).shape == up.shape
+
+
+def test_lanczos_resize_identity_and_flat():
+    img = I.synth_image_array(5)
+    assert I.lanczos_resize(img, *img.shape).tolist() == img.tolist()  # identity
+    flat = np.full((10, 10), 77, dtype=np.uint8)
+    assert (I.lanczos_resize(flat, 25, 30) == 77).all()  # flat stays flat
+
+
+def test_preprocess_full_chain_order():
+    """The chain must equal the hand-applied reference order
+    (ocr_service.py:238-285): upscale→contrast→gauss→CLAHE(16)→otsu→invert→close."""
+    img = I.synth_image_array(1)
+    x = I.upscale_floor(img, 64)
+    x = I.contrast_scale(x)
+    x = np.clip(np.floor(I.conv2d_replicate(x, I.GAUSS_3X3) + 0.5), 0, 255).astype(np.uint8)
+    x = I.clahe(x, clip_limit=2.0, tiles=16)
+    t = I.otsu_threshold(x)
+    b = np.where(x > t, np.uint8(255), np.uint8(0))
+    if b.mean() < 127:
+        b = 255 - b
+    b = I._minmax2(b, np.max)
+    b = I._minmax2(b, np.min)
+    assert I.preprocess_array(img, floor=64).tolist() == b.tolist()
+
+
+def test_remove_artifacts_drops_small_components():
+    img = np.zeros((20, 20), dtype=np.uint8)
+    img[2:6, 2:6] = 255        # 16 px — kept
+    img[10, 10] = 255          # 1 px — dropped
+    img[15, 15] = img[16, 16] = img[17, 17] = 255  # 3 px diagonal (8-conn) — dropped
+    out = I.remove_artifacts_array(img, min_size=10)
+    assert (out[2:6, 2:6] == 255).all()
+    assert out[10, 10] == 0 and out[15, 15] == 0
+    # 8-connectivity: an L of 10 diagonal+straight pixels is ONE component
+    img2 = np.zeros((20, 20), dtype=np.uint8)
+    for i in range(10):
+        img2[i, i] = 255
+    assert (I.remove_artifacts_array(img2, min_size=10)[range(10), range(10)] == 255).all()
+
+
+def test_remove_artifacts_binarizes_output():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    img[0:4, 0:4] = 120  # nonzero counts as foreground, output is 255
+    out = I.remove_artifacts_array(img, min_size=10)
+    assert (out[0:4, 0:4] == 255).all() and set(np.unique(out)) <= {0, 255}
+
+
+def test_enhance_text_quality_chain(spark, images):
+    out = {r["image_id"]: r for r in I.enhance_text(images).collect()}
+    for i in (0, 5):
+        arr = I.decode_gray(bytes(out[i]["data"]), out[i]["width"], out[i]["height"])
+        want = I.enhance_text_quality_array(I.synth_image_array(i))
+        assert arr.tolist() == want.tolist()
+        assert set(np.unique(arr)) <= {0, 255}
 
 
 def test_otsu_separates_bimodal():

@@ -21,12 +21,60 @@ def test_is_pdf_sniffer(spark):
     assert got == {"a.pdf": True, "b.txt": True, "c.txt": False, "D.PDF": True}
 
 
-def test_extract_pages_without_pypdf_raises_actionable(spark):
-    if pdf.HAVE_PYPDF:
-        pytest.skip("pypdf present; gate not exercised")
+def test_extract_pages_bad_bytes_drop_gracefully(spark):
+    # truncated header only — no page tree → graceful degradation, no rows
     df = spark.createDataFrame([(1, bytearray(b"%PDF-1.4"))], "doc_id long, content binary")
-    with pytest.raises(Exception, match="pypdf is not installed"):
-        pdf.extract_pages(df).collect()
+    assert pdf.extract_pages(df).count() == 0
+
+
+def test_minipdf_compressed_stream_raises_actionable():
+    from ocr_spark.sources.pdf_fixture import synth_pdf_bytes
+
+    data = synth_pdf_bytes(1, 1).replace(b"<< /Length", b"<< /Filter /FlateDecode /Length")
+    with pytest.raises(NotImplementedError, match="pypdf"):
+        pdf._minipdf_pages(data)
+
+
+def test_pdf_fixture_roundtrip(spark):
+    from ocr_spark.sources import pdf_fixture as PF
+
+    data = PF.synth_pdf_bytes(7, 3)
+    assert data.startswith(b"%PDF-1.4") and data.rstrip().endswith(b"%%EOF")
+    assert pdf._minipdf_pages(data) == [
+        "Page 1 of doc 7",
+        "Page 2 of doc 7",
+        "Page 3 of doc 7",
+    ]
+    info = pdf._minipdf_info(data)
+    assert info["title"] == "Doc 7" and info["author"] == PF.PDF_AUTHOR
+    # the sniffer accepts it by magic bytes alone (no .pdf extension)
+    df = spark.createDataFrame([("blob", bytearray(data))], "path string, content binary")
+    assert df.select(pdf.is_pdf(F.col("path"), F.col("content")).alias("p")).first()["p"]
+
+
+def test_extract_pages_and_meta_on_real_bytes(spark):
+    docs = pdf.synth_pdf_docs(spark, 6)
+    pages = {(r["doc_id"], r["page_number"]): r["text"] for r in pdf.extract_pages(docs).collect()}
+    assert len(pages) == sum(1 + i % 4 for i in range(6))
+    assert pages[(5, 2)] == "Page 2 of doc 5"
+    meta = {r["doc_id"]: r for r in pdf.extract_metadata(docs).collect()}
+    assert meta[3]["pages"] == 4 and meta[3]["title"] == "Doc 3"
+    assert meta[0]["subject"] is None
+
+
+@pytest.mark.skipif(not pdf.HAVE_PYPDF, reason="pypdf not installed")
+def test_minipdf_matches_pypdf():
+    """When pypdf IS available, the built-in reader must agree with it on
+    the fixture corpus (same text per page, same page count)."""
+    import io
+
+    from ocr_spark.sources.pdf_fixture import synth_pdf_bytes
+
+    for doc_id, n in ((0, 1), (3, 4)):
+        data = synth_pdf_bytes(doc_id, n)
+        reader = pdf.pypdf.PdfReader(io.BytesIO(data))
+        got_pypdf = [p.extract_text() or "" for p in reader.pages]
+        assert [t.strip() for t in got_pypdf] == pdf._minipdf_pages(data)
 
 
 def test_concat_pages_orders_inside_aggregation(spark):

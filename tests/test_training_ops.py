@@ -197,6 +197,77 @@ def test_lsh_signature_deterministic(emb_df):
     assert [r["s"] for r in a] == [r["s"] for r in b]
 
 
+def test_plane_signs_are_diverse():
+    """Regression: the old LCG-parity plane hash collapsed every plane to
+    one of TWO ±1 patterns (odd multiplier preserves parity of p+j)."""
+    planes = SIM.plane_signs(16, 32)
+    assert len({tuple(p) for p in planes}) == 16
+    # roughly balanced signs
+    flat = [s for p in planes for s in p]
+    assert 0.35 < flat.count(1) / len(flat) < 0.65
+
+
+def test_multiset_signatures_pandas_matches_expression(emb_df):
+    expr = emb_df.select(
+        "vec_id", SIM.multiset_signatures(F.col("embedding"), bits=4, sets=6).alias("s")
+    ).collect()
+    fast = emb_df.select(
+        "vec_id", SIM.multiset_signatures_pandas(F.col("embedding"), bits=4, sets=6).alias("s")
+    ).collect()
+    assert {r["vec_id"]: r["s"] for r in expr} == {r["vec_id"]: r["s"] for r in fast}
+
+
+def py_quant_cosine_pairs(rows, threshold):
+    """All-pairs quantized-cosine golden (the demoted exact form)."""
+    out = {}
+    ids = [r[0] for r in rows]
+    qs = [np.where(np.asarray(v) * 1000 >= 0,
+                   np.floor(np.asarray(v, dtype=np.float64) * 1000 + 0.5),
+                   np.ceil(np.asarray(v, dtype=np.float64) * 1000 - 0.5)) for _, v in rows]
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            na, nb = (qs[i] ** 2).sum(), (qs[j] ** 2).sum()
+            c = float(qs[i] @ qs[j] / (np.sqrt(na) * np.sqrt(nb))) if na > 0 and nb > 0 else 0.0
+            c = math.floor(abs(c) * 1e6 + 0.5) / 1e6 * (1 if c >= 0 else -1)
+            if c >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out[(a, b)] = c
+    return out
+
+
+def test_embedding_blocked_gemm_exact(emb_df):
+    """Blocked GEMM must equal the all-pairs golden for every block count."""
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb_df.collect()]
+    want = py_quant_cosine_pairs(rows, 0.9)
+    for nb in (1, 3, 8):
+        got = {
+            (r["a_id"], r["b_id"]): r["cosine"]
+            for r in D.dedup_embedding_cosine(emb_df, threshold=0.9, num_blocks=nb).collect()
+        }
+        assert set(got) == set(want), nb
+        for k in want:
+            assert math.isclose(got[k], want[k], rel_tol=1e-9), (nb, k)
+
+
+def test_embedding_lsh_high_threshold_recall(spark):
+    """At real dedup thresholds (cos >= 0.95) the LSH path recovers every
+    pair the exact form finds (same-cluster near-identical vectors)."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 16)
+    rows = []
+    for i in range(30):
+        v = base[i % 6] + rng.randn(16) * 0.01  # tight clusters → cos ≈ 0.999
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["a_id"], r["b_id"]) for r in
+             D.dedup_embedding_cosine(df, threshold=0.95, num_blocks=2).collect()}
+    approx = {(r["a_id"], r["b_id"]) for r in
+              D.dedup_embedding_lsh(df, threshold=0.95, bits=8, sets=8).collect()}
+    assert exact, "fixture should contain true near-dups"
+    assert approx <= exact  # LSH never invents pairs (same verify expression)
+    assert len(approx) / len(exact) == 1.0  # full recall on tight clusters
+
+
 # --- textstats -----------------------------------------------------------------
 
 

@@ -16,6 +16,7 @@ sys.path.insert(0, ".")
 
 SMELLS = (
     ("CartesianProduct", "cartesian product (unbounded pair blowup)"),
+    ("BroadcastNestedLoopJoin", "nested-loop join (theta-join materializing pair rows)"),
     ("BatchEvalPython", "row-at-a-time Python UDF in the plan"),
     ("SortMergeJoin", "sort-merge join — check whether a broadcast was possible"),
 )
@@ -25,7 +26,9 @@ AUDIT = [
     "spans_assemble",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding",
     "ann_topk_bruteforce",
+    "ann_topk_lsh",
     "metrics_pairwise",
     "layout_boxes",
 ]
@@ -49,7 +52,11 @@ def main() -> None:
             if needle in plan:
                 print(f"  !! SMELL [{name}]: {msg}")
         n_codegen = plan.count("WholeStageCodegen")
-        n_pandas = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+        n_pandas = (
+            plan.count("ArrowEvalPython")
+            + plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas")
+        )
         print(f"  [{name}] codegen-spans={n_codegen} arrow-stages={n_pandas}")
 
 
