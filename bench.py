@@ -31,8 +31,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "pdf_pages",
     "layout_flags",
     "layout_boxes",
     "token_stats",
@@ -120,6 +122,20 @@ def main() -> None:
         fn = EQ.QUERIES[name]
         per_query[name] = round(materialize(fn(spark, sf_dir)), 3)
 
+    # ANN quality: recall@5 of the LSH path against the exact brute force
+    # (bench instrumentation — the only place a collect belongs)
+    ann_recall = None
+    if "ann_topk_bruteforce" in per_query and "ann_topk_lsh" in per_query:
+        bf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in EQ.QUERIES["ann_topk_bruteforce"](spark, sf_dir).collect()
+        }
+        ls = {
+            (r["query_id"], r["neighbor_id"])
+            for r in EQ.QUERIES["ann_topk_lsh"](spark, sf_dir).collect()
+        }
+        ann_recall = round(len(bf & ls) / max(len(bf), 1), 3)
+
     total = sum(per_query.values())
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -130,6 +146,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "scale": scale,
+        "ann_recall_at_5": ann_recall,
         "flagship": {
             "n_docs": n_docs,
             "n_spans": int(n_spans),

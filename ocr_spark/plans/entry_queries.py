@@ -1488,6 +1488,121 @@ def q_pdf_fulltext(spark: SparkSession, sf: str) -> DataFrame:
     return P.concat_pages(P.extract_pages(P.synth_pdf_docs(spark, _N_PDF_DOCS)))
 
 
+# --- HTML boilerplate strip (north_star: Boilerpipe text-density) -------------
+
+# the same deterministic page wrapper in both engines: nav + body <p> blocks
+# from the document text + linkful footer
+_HTML_WRAP_SQL = (
+    "'<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/x\">Links</a> "
+    "<a href=\"/y\">More</a></div><div><p>' || "
+    "replace(coalesce(text, ''), chr(10), '</p><p>') || "
+    "'</p></div><div class=\"footer\"><a>(c) 2026 Synth Corp</a></div>'"
+)
+
+_BP_BLOCK_RE = (
+    "(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|tr|td|article|section|"
+    "header|footer|nav)\\b[^>]*>"
+)
+_BP_OPEN_RE = "(?i)^<(?:div|ul|ol|table|article|section|header|footer|nav)\\b"
+_BP_CLOSE_RE = "(?i)^</(?:div|ul|ol|table|article|section|header|footer|nav)\\b"
+
+
+def _sql_bp_wordcount(e: str) -> str:
+    s = _strip(e)
+    return f"(CASE WHEN {s} = '' THEN 0 ELSE len(regexp_split_to_array({s}, '{_WS}+')) END)"
+
+
+def _sql_html_extract() -> str:
+    strip_tags = "regexp_replace(p, '(?s)<[^>]*>', '', 'g')"
+    text_of = _strip(strip_tags)
+    # DuckDB array_to_string([]) is NULL, and least(NULL, 1.0) = 1.0 —
+    # coalesce, or anchor-free blocks all score link_density 1.0
+    anchor = (
+        "coalesce(array_to_string(list_transform("
+        "regexp_extract_all(p, '(?is)<a\\b[^>]*>(.*?)</a>', 1), "
+        "a -> regexp_replace(a, '(?s)<[^>]*>', '', 'g')), ''), '')"
+    )
+    depth = (
+        "coalesce(list_sum(list_transform(tags[1:i-1], t -> "
+        f"CASE WHEN regexp_matches(t, '{_BP_OPEN_RE}') THEN 1 "
+        f"WHEN regexp_matches(t, '{_BP_CLOSE_RE}') THEN -1 ELSE 0 END)), 0)"
+    )
+    block = (
+        f"{{'text': {text_of}, "
+        f"'n_words': {_sql_bp_wordcount(text_of)}, "
+        f"'link_density': CASE WHEN length({text_of}) > 0 "
+        f"THEN least(length({anchor})::DOUBLE / length({text_of}), 1.0) ELSE 0.0 END, "
+        f"'depth': {depth}}}"
+    )
+    # NumWordsRulesClassifier: fields of out-of-range blocks[i] are NULL →
+    # coalesce to the empty-block defaults
+    clf = """
+      CASE WHEN coalesce(b[i].link_density, 0.0) <= 0.333333 THEN
+        CASE WHEN coalesce(b[i-1].link_density, 0.0) <= 0.555556 THEN
+          CASE WHEN coalesce(b[i].n_words, 0) <= 16 THEN
+            CASE WHEN coalesce(b[i+1].n_words, 0) <= 15
+                 THEN coalesce(b[i-1].n_words, 0) > 4
+                 ELSE TRUE END
+          ELSE TRUE END
+        ELSE CASE WHEN coalesce(b[i].n_words, 0) <= 40
+                  THEN coalesce(b[i+1].n_words, 0) > 17
+                  ELSE TRUE END
+        END
+      ELSE FALSE END"""
+    return f"""
+WITH hsrc AS (
+  SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents
+),
+hsplit AS (
+  SELECT doc_id,
+         regexp_split_to_array(html, '{_BP_BLOCK_RE}') AS parts,
+         regexp_extract_all(html, '{_BP_BLOCK_RE}', 0) AS tags
+  FROM hsrc
+),
+hfeat AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(parts, (p, i) -> {block}),
+           blk -> blk.text != '') AS b
+  FROM hsplit
+),
+hflag AS (
+  SELECT doc_id, b,
+         list_transform(b, (blk, i) -> ({clf})) AS flags
+  FROM hfeat
+)
+SELECT doc_id,
+  coalesce(array_to_string(
+    list_filter(list_transform(b, (blk, i) -> CASE WHEN flags[i] THEN blk.text END),
+                x -> x IS NOT NULL), chr(10)), '') AS main_text,
+  len(b)::INT AS n_blocks,
+  len(list_filter(flags, f -> f))::INT AS n_content_blocks,
+  coalesce(list_max(list_transform(b, blk -> blk.depth)), 0)::INT AS max_depth,
+  coalesce(list_sum(list_transform(range(1, len(b) + 1),
+    i -> CASE WHEN NOT flags[i] THEN length(b[i].text) ELSE 0 END)), 0)::BIGINT
+    AS boiler_chars
+FROM hflag"""
+
+
+@_q("html_extract", _sql_html_extract())
+def q_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """North-star HTML boilerplate strip (Boilerpipe NumWordsRules over
+    block segmentation + link density + tag depth + block fusion) over a
+    deterministic HTML wrapping of the documents corpus."""
+    from ocr_spark.operators.boilerplate import extract_html_documents
+
+    docs = D.load(spark, sf, "documents")
+    html = F.concat(
+        F.lit(
+            '<div class="nav"><a href="/">Home</a> <a href="/x">Links</a> '
+            '<a href="/y">More</a></div><div><p>'
+        ),
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "\n", "</p><p>"),
+        F.lit('</p></div><div class="footer"><a>(c) 2026 Synth Corp</a></div>'),
+    )
+    return extract_html_documents(docs.select("doc_id", html.alias("html")))
+
+
 # --- image / noise operators (I1, I7, I8) --------------------------------------
 
 _IMG_N, _IMG_W, _IMG_H = 64, 48, 32

@@ -7,17 +7,24 @@ ocr_service.py:21-36) — but then re-creates it per PDF call
 copy: the model handle is a lazy module-global, initialized at most once
 per executor process and shared by every Arrow batch that lands there.
 
-No torch/easyocr/tesseract exists in this container, so the default
-engine is a deterministic fake that "reads" boxes straight from the
-synthetic image's band structure (operators/image.synth_image_array) —
-the ensemble/argmax control flow (I5), preprocessing variants (I3), and
-box schema are the real production shape; swap ``_load_model`` to return
-an easyocr.Reader and ``_recognize`` to call readtext for the real thing
-(ocr_service.py:115-123).
+Engines (selected by the ``OCR_SPARK_ENGINE`` env var, or per call):
+
+- ``fake``       (default) deterministic band reader over the synthetic
+                 corpus — no dependencies, bit-reproducible; the sandbox
+                 default and the driver/bench engine
+- ``easyocr``    easyocr.Reader(['ru','en'], gpu=False).readtext — the
+                 reference's primary engine (ocr_service.py:115-123);
+                 import-gated, exercised by a skipif test when installed
+- ``tesseract``  pytesseract image_to_data, --psm 6, lang rus+eng — the
+                 reference's S7 variant (ocr_service.py:131-142); same gate
+
+The ensemble/argmax control flow (I5), preprocessing variants (I3), and
+box schema are identical across engines; only _load_model/_recognize swap.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -31,23 +38,72 @@ BOXES_SCHEMA = (
     "engine string"
 )
 
+DEFAULT_ENGINE = "fake"
+
 # --- executor-level lazy singleton (ocr_service.py:21-36, done right) -------
 
-_MODEL = None
+_MODEL: dict | None = None
 _MODEL_INITS = 0  # observable by tests: must stay at 1 per process
 
 
-def _load_model():
+def _load_model(engine: str | None = None) -> dict:
     global _MODEL, _MODEL_INITS
-    if _MODEL is None:
+    engine = engine or os.environ.get("OCR_SPARK_ENGINE", DEFAULT_ENGINE)
+    if _MODEL is None or _MODEL["engine_key"] != engine:
         _MODEL_INITS += 1
-        # real impl: easyocr.Reader(['ru','en'], gpu=False) — ~60s, which is
-        # exactly why this must happen once per executor, not per batch/call
-        _MODEL = {"engine": "fake-deterministic", "langs": ["ru", "en"]}
+        if engine == "easyocr":
+            import easyocr  # noqa: F401 — import-gated extra
+
+            # ~60s init — exactly why this happens once per executor
+            reader = easyocr.Reader(["ru", "en"], gpu=False)
+            _MODEL = {"engine_key": engine, "engine": "easyocr", "reader": reader}
+        elif engine == "tesseract":
+            import pytesseract  # noqa: F401 — import-gated extra
+
+            _MODEL = {
+                "engine_key": engine,
+                "engine": "tesseract",
+                "pytesseract": pytesseract,
+                "config": "--psm 6",
+                "lang": "rus+eng",
+            }
+        else:
+            _MODEL = {"engine_key": engine, "engine": "fake-deterministic", "langs": ["ru", "en"]}
     return _MODEL
 
 
 def _recognize(model: dict, img: np.ndarray) -> list[tuple[str, float, float, float]]:
+    """Engine dispatch → list of (text, conf, cx, cy) boxes."""
+    if model["engine"] == "easyocr":
+        # reader.readtext → [(4-point bbox, text, conf)] (ocr_service.py:115)
+        boxes = []
+        for bbox, text, conf in model["reader"].readtext(img):
+            xs = [p[0] for p in bbox]
+            ys = [p[1] for p in bbox]
+            boxes.append((text, float(conf), sum(xs) / 4.0, sum(ys) / 4.0))
+        return boxes
+    if model["engine"] == "tesseract":
+        # image_to_data --psm 6 rus+eng (ocr_service.py:131-142): word rows
+        # with pixel boxes; conf is 0-100 (-1 for non-word rows)
+        d = model["pytesseract"].image_to_data(
+            img,
+            config=model["config"],
+            lang=model["lang"],
+            output_type=model["pytesseract"].Output.DICT,
+        )
+        boxes = []
+        for i, text in enumerate(d["text"]):
+            conf = float(d["conf"][i])
+            if not text.strip() or conf < 0:
+                continue
+            cx = d["left"][i] + d["width"][i] / 2.0
+            cy = d["top"][i] + d["height"][i] / 2.0
+            boxes.append((text, conf / 100.0, cx, cy))
+        return boxes
+    return _recognize_fake(img)
+
+
+def _recognize_fake(img: np.ndarray) -> list[tuple[str, float, float, float]]:
     """Deterministic stand-in for reader.readtext: one box per dark band
     (the synthetic corpus draws text as dark horizontal bands)."""
     h, w = img.shape
@@ -75,16 +131,23 @@ def _score(boxes: list[tuple[str, float, float, float]]) -> float:
     return len(boxes) + sum(b[1] for b in boxes) / len(boxes)
 
 
-def scan_images(images: DataFrame) -> DataFrame:
-    """S6: OCR scan over (image_id, data, width, height) → box arrays.
+def scan_images(images: DataFrame, engine: str | None = None) -> DataFrame:
+    """S6/S7: OCR scan over (image_id, data, width, height) → box arrays.
 
     I3+I5 inside the batch loop: each image is tried raw and preprocessed
     (bounded candidate set, NOT exploded to extra rows — batch locality
     wins, SURVEY §4) and the argmax by score is kept.
+
+    Real engines preprocess with the reference's 3000px upscale floor and
+    box coordinates are divided back by the scale factor; the fake engine
+    skips the upscale (floor=1) so its deterministic geometry stays in
+    input coordinates.
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _load_model()  # once per executor; cheap no-op afterwards
+        model = _load_model(engine)  # once per executor; cheap no-op afterwards
+        real = model["engine"] != "fake-deterministic"
+        floor = 3000 if real else 1
         for pdf in batches:
             out = {"image_id": [], "boxes": [], "engine": []}
             for image_id, data, w, h in zip(
@@ -92,22 +155,20 @@ def scan_images(images: DataFrame) -> DataFrame:
                 pdf["width"].tolist(), pdf["height"].tolist(),
             ):
                 img = decode_gray(data, w, h)
+                pre = preprocess_array(img, floor=floor)
                 # I3 preprocess variants × I4 rotation sweep — a bounded
                 # candidate set evaluated inside the batch (never exploded
                 # to extra rows; batch locality wins, SURVEY §4)
+                variants = [(img, 1.0), (pre, pre.shape[0] / img.shape[0])]
                 candidates = [
-                    rot
-                    # floor=1 skips the 3000px upscale for the deterministic
-                    # fake engine so box geometry stays in input coordinates;
-                    # a real-engine adapter runs the reference floor=3000 and
-                    # divides box coords back by the scale factor
-                    for variant in (img, preprocess_array(img, floor=1))
-                    for _angle, rot in rotation_candidates(variant)
+                    (rot, s) for v, s in variants for _angle, rot in rotation_candidates(v)
                 ]
-                best = max((_recognize(model, c) for c in candidates), key=_score)
+                scored = [(_recognize(model, c), s) for c, s in candidates]
+                best, s = max(scored, key=lambda r: _score(r[0]))
                 out["image_id"].append(int(image_id))
                 out["boxes"].append([
-                    {"text": t, "conf": c, "cx": cx, "cy": cy} for (t, c, cx, cy) in best
+                    {"text": t, "conf": c, "cx": cx / s, "cy": cy / s}
+                    for (t, c, cx, cy) in best
                 ])
                 out["engine"].append(model["engine"])
             yield pd.DataFrame(out)

@@ -155,3 +155,36 @@ def test_pages_with_columns_detects_sbs_page(spark):
     assert [c["side"] for c in got[(1, 1)]["columns"]] == ["left", "right"]
     assert got[(1, 2)]["columns_count"] == 0
     assert got[(2, 1)]["has_multiple_columns"] is False
+
+
+# --- real-engine adapters (S6 easyocr / S7 tesseract) -------------------------
+
+
+def _have(mod):
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _have("easyocr"), reason="easyocr not installed")
+def test_easyocr_adapter(spark):
+    out = ocr_engine.scan_images(I.synth_images(spark, n=2), engine="easyocr").collect()
+    assert len(out) == 2
+    assert all(r["engine"] == "easyocr" for r in out)
+
+
+@pytest.mark.skipif(not _have("pytesseract"), reason="pytesseract not installed")
+def test_tesseract_adapter(spark):
+    out = ocr_engine.scan_images(I.synth_images(spark, n=2), engine="tesseract").collect()
+    assert len(out) == 2
+    assert all(r["engine"] == "tesseract" for r in out)
+
+
+def test_engine_selection_env_defaults_to_fake(monkeypatch):
+    monkeypatch.delenv("OCR_SPARK_ENGINE", raising=False)
+    m = ocr_engine._load_model()
+    assert m["engine"] == "fake-deterministic"
+    # unknown engine names fall back to the fake
+    assert ocr_engine._load_model("nope")["engine"] == "fake-deterministic"

@@ -42,7 +42,9 @@ def _drain(stream_df, tmp_path, name, expect_rows: int = 0):
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if name in ("sessions", "assembled") else "complete")
+        .outputMode(
+            "append" if name in ("sessions", "assembled", "dup_assembled") else "complete"
+        )
         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
         .trigger(availableNow=True)
         .start()
@@ -139,3 +141,65 @@ def test_streaming_span_assembly_matches_batch(spark, tmp_path):
     }
     assert set(got) == set(want) == set(range(20))
     assert got == want
+
+
+def test_streaming_assembly_duplicate_offset_tie_break(spark, tmp_path):
+    """Duplicate offsets must produce the SAME order as the batch twin
+    (full (offset, kind, text, media_ref) tuple, Spark null-first fields) —
+    regardless of arrival order across micro-batches."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ocr_spark.operators.spans import assemble_spans, classify_spans
+    from ocr_spark.streaming.spans import assemble_spans_stream
+
+    # two docs; each has three spans AT THE SAME OFFSET plus normal ones,
+    # arriving in reversed order across two files
+    rows = [
+        (1, "text", "zz ties last alphabetically here ok", None, 5),
+        (1, "media", None, "img://b", 5),
+        (1, "media", None, "img://a", 5),
+        (1, "text", "first span with plenty of words to keep", None, 0),
+        (2, "media", None, "img://x", 7),
+        (2, "text", "aa ties first alphabetically in the doc", None, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, kind string, text string, media_ref string, offset long"
+    )
+    eofs = spark.createDataFrame(
+        [(1, "eof", "", "", 999999), (2, "eof", "", "", 999999)],
+        "doc_id long, kind string, text string, media_ref string, offset long",
+    )
+    src = str(tmp_path / "dup_rows")
+    # deterministic split with scrambled arrival: text spans (which sort
+    # LAST within a tie) arrive in the FIRST micro-batch, media after
+    df.filter("kind = 'text'").coalesce(1).write.mode("append").parquet(src)
+    df.filter("kind = 'media'").unionByName(eofs).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, kind string, text string, media_ref string, offset long"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    _drain(assemble_spans_stream(stream), tmp_path, "dup_assembled", expect_rows=2)
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+        for r in spark.sql("select * from dup_assembled where finalized").collect()
+    }
+    docs = df.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("kind"),
+                F.col("text"),
+                F.col("media_ref"),
+                F.col("offset").cast("int").alias("offset"),
+            )
+        ).alias("spans")
+    )
+    want = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+        for r in assemble_spans(classify_spans(docs)).collect()
+    }
+    assert got == want
+    # the tie group is ordered media(null text, img://a) < media(img://b) < text
+    k1 = [x for x in got[1] if x[3] >= 1]
+    assert [x[2] for x in k1[:2]] == ["img://a", "img://b"]
