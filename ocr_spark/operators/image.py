@@ -351,9 +351,59 @@ def denoise(images: DataFrame, noise_type: str = "auto") -> DataFrame:
 
 
 def rotation_candidates(img: np.ndarray) -> list[tuple[int, np.ndarray]]:
-    """Exact right-angle sweep {0, 90, 180, 270} (np.rot90 — lossless; the
-    reference's warpAffine arbitrary-angle path needs cv2)."""
+    """Exact right-angle sweep {0, 90, 180, 270} (np.rot90 — lossless)."""
     return [(a, np.rot90(img, k)) for k, a in enumerate((0, 90, 180, 270))]
+
+
+def rotate_arbitrary(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Arbitrary-angle rotation about the integer center, same output
+    dims — the cv2.warpAffine(getRotationMatrix2D(center, angle, 1.0),
+    BORDER_REPLICATE) analog (ocr_service.py:98-105). Bilinear sampling
+    (the reference uses INTER_CUBIC; cv2 is absent, so this numpy form is
+    the engine's definition — deterministic, pytest-goldened)."""
+    if angle_deg % 360 == 0:
+        return img
+    h, w = img.shape
+    cx, cy = w // 2, h // 2  # cv2's integer center convention
+    th = np.deg2rad(angle_deg)
+    c, s = np.cos(th), np.sin(th)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    # inverse mapping: rotate destination coords by -angle around center
+    xs = c * (xx - cx) - s * (yy - cy) + cx
+    ys = s * (xx - cx) + c * (yy - cy) + cy
+    # replicate border
+    xs = np.clip(xs, 0, w - 1)
+    ys = np.clip(ys, 0, h - 1)
+    x0 = np.floor(xs).astype(np.int64)
+    y0 = np.floor(ys).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = xs - x0
+    fy = ys - y0
+    v = (
+        img[y0, x0] * (1 - fy) * (1 - fx)
+        + img[y0, x1] * (1 - fy) * fx
+        + img[y1, x0] * fy * (1 - fx)
+        + img[y1, x1] * fy * fx
+    )
+    return np.clip(np.floor(v + 0.5), 0, 255).astype(np.uint8)
+
+
+def detect_skew_angle(img: np.ndarray, max_angle: int = 10, step: int = 1) -> int:
+    """OSD analog (the reference shells to pytesseract.image_to_osd,
+    ocr_service.py:88-97): projection-profile skew detection. Horizontal
+    text maximizes the variance of row sums; sweep candidate corrections
+    and return the angle whose rotation yields the sharpest row profile
+    (0 when the page is already aligned — ties prefer the smaller |angle|)."""
+    best_angle, best_score = 0, -1.0
+    angles = sorted(range(-max_angle, max_angle + 1, step), key=lambda a: (abs(a), a))
+    for a in angles:
+        rot = rotate_arbitrary(img, a) if a else img
+        rows = rot.astype(np.float64).mean(axis=1)
+        score = float(((rows - rows.mean()) ** 2).mean())
+        if score > best_score + 1e-9:
+            best_angle, best_score = a, score
+    return best_angle
 
 
 # --- Spark surface ----------------------------------------------------------

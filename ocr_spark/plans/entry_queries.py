@@ -1488,6 +1488,55 @@ def q_pdf_fulltext(spark: SparkSession, sf: str) -> DataFrame:
     return P.concat_pages(P.extract_pages(P.synth_pdf_docs(spark, _N_PDF_DOCS)))
 
 
+@_q(
+    "pdf_ocr_scan",
+    f"""
+WITH opd AS (SELECT i AS doc_id, (1 + i % 4) AS n_pages FROM range({_N_PDF_DOCS}) t(i)),
+opp AS (SELECT doc_id, (unnest(range(n_pages)) + 1) AS page_number FROM opd),
+opl AS (
+  SELECT doc_id, page_number,
+         'Page ' || page_number || ' of doc ' || doc_id AS line
+  FROM opp
+),
+oph AS (
+  SELECT doc_id, page_number,
+         (30 + ({_sql_char_hash('line')}) % 50) AS dark
+  FROM opl
+)
+SELECT doc_id, page_number::INT AS page_number,
+       'line-0' AS box_text,
+       round(1.0 - ((dark * 116.0 + 255 * 4) / 120.0) / 255.0, 6) AS conf,
+       60.0::DOUBLE AS cx, 5.0::DOUBLE AS cy
+FROM oph""",
+)
+def q_pdf_ocr_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL OCR fallback branch on real bytes: fixture PDF → S2 page
+    text → S3 rasterize (deterministic band render) → S6 scan → boxes.
+    Raw+rotation candidates only (include_preprocess=False) so every box
+    is oracle-predictable; the oracle recomputes band darkness from the
+    page text's char hash and derives conf/cx/cy in closed form."""
+    import ocr_spark.sources.pdf as P
+    from ocr_spark.sources.ocr_engine import scan_images
+
+    pages = P.extract_pages(P.synth_pdf_docs(spark, _N_PDF_DOCS))
+    imgs = P.rasterize_pages(pages).select(
+        (F.col("doc_id") * 1000 + F.col("page_number")).alias("image_id"),
+        "data",
+        "width",
+        "height",
+    )
+    out = scan_images(imgs, include_preprocess=False)
+    b = out.select("image_id", F.explode("boxes").alias("b"))
+    return b.select(
+        (F.col("image_id") / 1000).cast("long").alias("doc_id"),
+        (F.col("image_id") % 1000).cast("int").alias("page_number"),
+        F.col("b.text").alias("box_text"),
+        F.col("b.conf").alias("conf"),
+        F.col("b.cx").alias("cx"),
+        F.col("b.cy").alias("cy"),
+    )
+
+
 # --- HTML boilerplate strip (north_star: Boilerpipe text-density) -------------
 
 # the same deterministic page wrapper in both engines: nav + body <p> blocks

@@ -31,7 +31,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ocr_spark.operators.image import decode_gray, preprocess_array, rotation_candidates
+from ocr_spark.operators.image import (
+    decode_gray,
+    detect_skew_angle,
+    preprocess_array,
+    rotate_arbitrary,
+    rotation_candidates,
+)
 
 BOXES_SCHEMA = (
     "image_id long, boxes array<struct<text:string, conf:double, cx:double, cy:double>>, "
@@ -131,7 +137,9 @@ def _score(boxes: list[tuple[str, float, float, float]]) -> float:
     return len(boxes) + sum(b[1] for b in boxes) / len(boxes)
 
 
-def scan_images(images: DataFrame, engine: str | None = None) -> DataFrame:
+def scan_images(
+    images: DataFrame, engine: str | None = None, include_preprocess: bool = True
+) -> DataFrame:
     """S6/S7: OCR scan over (image_id, data, width, height) → box arrays.
 
     I3+I5 inside the batch loop: each image is tried raw and preprocessed
@@ -155,14 +163,27 @@ def scan_images(images: DataFrame, engine: str | None = None) -> DataFrame:
                 pdf["width"].tolist(), pdf["height"].tolist(),
             ):
                 img = decode_gray(data, w, h)
-                pre = preprocess_array(img, floor=floor)
                 # I3 preprocess variants × I4 rotation sweep — a bounded
                 # candidate set evaluated inside the batch (never exploded
-                # to extra rows; batch locality wins, SURVEY §4)
-                variants = [(img, 1.0), (pre, pre.shape[0] / img.shape[0])]
+                # to extra rows; batch locality wins, SURVEY §4).
+                # include_preprocess=False restricts to raw+rotations for
+                # callers needing oracle-predictable candidates (the
+                # rasterized-PDF scan).
+                variants = [(img, 1.0)]
+                if include_preprocess:
+                    pre = preprocess_array(img, floor=floor)
+                    variants.append((pre, pre.shape[0] / img.shape[0]))
                 candidates = [
                     (rot, s) for v, s in variants for _angle, rot in rotation_candidates(v)
                 ]
+                # OSD analog (ocr_service.py:88-97): if the projection
+                # profile finds a non-right skew, add the corrected image
+                # to the sweep — right angles are already covered above
+                skew = detect_skew_angle(img)
+                if skew % 90 != 0:
+                    candidates.extend(
+                        (rotate_arbitrary(v, skew), s) for v, s in variants
+                    )
                 scored = [(_recognize(model, c), s) for c, s in candidates]
                 best, s = max(scored, key=lambda r: _score(r[0]))
                 out["image_id"].append(int(image_id))

@@ -250,9 +250,72 @@ def synth_pdf_docs(spark, n: int = 40) -> DataFrame:
     return base.select("doc_id", gen("doc_id", "n_pages").alias("content"))
 
 
+RASTER_W = 120
+RASTER_LINE_H = 10
+RASTER_MARGIN = 2
+RASTER_BAND_ROWS = 3
+_HASH_MOD = 1_000_000_007
+
+
+def _line_hash(line: str) -> int:
+    """textstats.char_hash twin (base-131 ascii fold, mod 1e9+7)."""
+    h = 0
+    for ch in line:
+        h = (h * 131 + ord(ch)) % _HASH_MOD
+    return h
+
+
+def render_page_array(text: str, width: int = RASTER_W):
+    """Deterministic page raster: one dark horizontal band per text line on
+    a white page — the same band structure operators/image.synth_image_array
+    uses, so the deterministic OCR engine (and the DuckDB oracle) can
+    predict every box. Band darkness is a function of the line's char hash,
+    making conf values text-dependent and exactly computable in SQL."""
+    import numpy as np
+
+    lines = [ln for ln in (text or "").split("\n") if ln.strip() != ""]
+    height = 8 + RASTER_LINE_H * max(len(lines), 1)  # 4px top/bottom margins
+    img = np.full((height, width), 255, dtype=np.uint8)
+    for i, line in enumerate(lines):
+        dark = 30 + _line_hash(line) % 50
+        y0 = 4 + RASTER_LINE_H * i
+        img[y0 : y0 + RASTER_BAND_ROWS, RASTER_MARGIN : width - RASTER_MARGIN] = dark
+    return img
+
+
+def rasterize_pages(pages: DataFrame, width: int = RASTER_W) -> DataFrame:
+    """S3: page → image for the OCR fallback branch (pdf_processor.py:259-290,
+    dpi=300 via pdf2image/poppler in the reference).
+
+    poppler is a native process boundary this environment lacks, so the
+    rasterizer renders the page's extracted TEXT deterministically
+    (render_page_array) — the Spark plumbing (schema, mapInPandas batch
+    shape, downstream OCR scan contract) is the real thing, and swapping in
+    `pdf2image.convert_from_bytes` is a one-function change here."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_b in batches:
+            out = {"doc_id": [], "page_number": [], "data": [], "width": [], "height": []}
+            for rid, pno, text in zip(
+                pdf_b["doc_id"].tolist(), pdf_b["page_number"].tolist(), pdf_b["text"].tolist()
+            ):
+                img = render_page_array(text, width)
+                out["doc_id"].append(int(rid))
+                out["page_number"].append(int(pno))
+                out["data"].append(img.tobytes())
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(
+        process, "doc_id long, page_number int, data binary, width int, height int"
+    )
+
+
 def rasterize_stub(*_a, **_k):
-    """S3: pdf→image needs poppler (process boundary); not present here."""
+    """Real-PDF rasterization needs poppler (process boundary); use
+    rasterize_pages (text-band renderer) in this environment."""
     raise NotImplementedError(
         "pdf rasterization requires pdf2image/poppler; wire convert_from_bytes "
-        "into an Arrow UDF following sources/pdf.extract_pages's shape"
+        "into sources/pdf.rasterize_pages's mapInPandas shape"
     )

@@ -201,3 +201,23 @@ def test_extract_features_hist_sums_to_pixels(spark, images):
         assert sum(r[f"h{b}"] for b in range(16)) == r["pixel_count"] == 32 * 48
         img = I.synth_image_array(i)
         assert r["mean_intensity"] == pytest.approx(img.astype("int64").sum() / img.size)
+
+
+def test_rotate_arbitrary_identity_and_flat():
+    img = I.synth_image_array(2)
+    assert I.rotate_arbitrary(img, 0).tolist() == img.tolist()
+    assert I.rotate_arbitrary(img, 360).tolist() == img.tolist()
+    flat = np.full((16, 16), 90, dtype=np.uint8)
+    assert (I.rotate_arbitrary(flat, 17.3) == 90).all()  # replicate border keeps flat flat
+
+
+def test_detect_skew_angle_recovers_rotation():
+    # a clean band image: aligned → 0; rotated by -6° → detector says +6
+    img = I.synth_image_array(4)
+    assert I.detect_skew_angle(img) == 0
+    rot = I.rotate_arbitrary(img, -6)
+    assert I.detect_skew_angle(rot) == 6
+    # and the correction visibly restores the row profile
+    fixed = I.rotate_arbitrary(rot, 6)
+    var = lambda x: float(((x.mean(axis=1) - x.mean()) ** 2).mean())
+    assert var(fixed) > var(rot)

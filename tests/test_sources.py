@@ -188,3 +188,27 @@ def test_engine_selection_env_defaults_to_fake(monkeypatch):
     assert m["engine"] == "fake-deterministic"
     # unknown engine names fall back to the fake
     assert ocr_engine._load_model("nope")["engine"] == "fake-deterministic"
+
+
+def test_rasterize_pages_band_structure(spark):
+    import numpy as np
+
+    pages = spark.createDataFrame(
+        [(1, 1, "hello line"), (1, 2, "two\nlines here"), (2, 1, "")],
+        "doc_id long, page_number int, text string",
+    )
+    out = {(r["doc_id"], r["page_number"]): r for r in pdf.rasterize_pages(pages).collect()}
+    one = out[(1, 1)]
+    img = np.frombuffer(bytes(one["data"]), dtype=np.uint8).reshape(one["height"], one["width"])
+    want = pdf.render_page_array("hello line")
+    assert img.tolist() == want.tolist()
+    # one dark band of 3 rows, dark value from the line hash
+    dark = 30 + pdf._line_hash("hello line") % 50
+    assert (img[4:7, 2:-2] == dark).all() and (img[0:4] == 255).all()
+    # two lines → taller image with two bands
+    two = out[(1, 2)]
+    assert two["height"] == 8 + 2 * pdf.RASTER_LINE_H
+    # blank page → all white, minimum height
+    blank = out[(2, 1)]
+    b = np.frombuffer(bytes(blank["data"]), dtype=np.uint8)
+    assert (b == 255).all()
