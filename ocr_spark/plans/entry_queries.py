@@ -1561,7 +1561,12 @@ def _sql_bp_wordcount(e: str) -> str:
     return f"(CASE WHEN {s} = '' THEN 0 ELSE len(regexp_split_to_array({s}, '{_WS}+')) END)"
 
 
-def _sql_html_extract() -> str:
+def _sql_html_extract(
+    src: str = f"SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents",
+) -> str:
+    """Boilerplate-extraction oracle over any (doc_id, html) source SQL —
+    parameterized so the fuzz-parity suite can feed adversarial HTML
+    through the exact driver oracle."""
     strip_tags = "regexp_replace(p, '(?s)<[^>]*>', '', 'g')"
     text_of = _strip(strip_tags)
     # DuckDB array_to_string([]) is NULL, and least(NULL, 1.0) = 1.0 —
@@ -1600,7 +1605,7 @@ def _sql_html_extract() -> str:
       ELSE FALSE END"""
     return f"""
 WITH hsrc AS (
-  SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents
+  {src}
 ),
 hsplit AS (
   SELECT doc_id,
