@@ -134,6 +134,47 @@ def minhash_bands(signature: Column, band_size: int = config.MINHASH_BAND_SIZE,
     return F.array(*bands)
 
 
+def minhash_feats_pandas(
+    text: Column,
+    num_hashes: int = config.MINHASH_NUM_HASHES,
+    k: int = config.SHINGLE_SIZE,
+) -> Column:
+    """Arrow-batched (sigs, hv) per document: the K salted-md5 minhashes
+    (min over shingles of md5('{salt}:{shingle}') 8-hex-prefix ints — the
+    exact _md5_int/oracle formula, hashlib md5 == Spark/DuckDB md5) plus
+    the sorted 60-bit interned shingle ids for the Jaccard verify. One
+    text pass replaces three interpreted shingle-expression corpus walks.
+    Documents with no shingles get sigs=[-1]*K (they can only band-collide
+    with other empty docs, whose Jaccard 0.0 never passes the threshold)."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+")
+
+    @pandas_udf(f"struct<sigs: array<long>, hv: array<long>>")
+    def _feats(texts: pd.Series) -> pd.DataFrame:
+        sigs_out, hv_out = [], []
+        for t in texts:
+            s = (t or "").lower().strip()
+            w = ws.split(s) if s else []
+            if len(w) < k:
+                sigs_out.append([-1] * num_hashes)
+                hv_out.append([])
+                continue
+            grams = {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+            sigs = [
+                min(int(hashlib.md5(f"{salt}:{g}".encode()).hexdigest()[:8], 16) for g in grams)
+                for salt in range(num_hashes)
+            ]
+            sigs_out.append(sigs)
+            hv_out.append(sorted(int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams))
+        return pd.DataFrame({"sigs": sigs_out, "hv": hv_out})
+
+    return _feats(text)
+
+
 def dedup_minhash_lsh(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -142,48 +183,39 @@ def dedup_minhash_lsh(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact shingle Jaccard.
 
-    Plan shape (the 100 TB story): per-doc signatures are narrow; candidate
-    generation explodes band keys and self-joins on the band key (equi-join,
-    broadcast-able bucket index at low collision rates, AQE-skew-safe);
-    only candidates compute the exact Jaccard.
+    Plan shape (the 100 TB story): per-doc signatures are narrow (one
+    Arrow-batched text pass); candidate generation explodes band keys and
+    self-joins on the band key (equi-join, broadcast-able bucket index at
+    low collision rates, AQE-skew-safe); candidate id-pairs are deduped as
+    ints BEFORE the shingle-id arrays are attached; only candidates compute
+    the exact Jaccard (vectorized sorted-array intersect).
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
     """
-    base = docs.select(F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("sh"))
-
-    # Signature via explode + 16-way min hash-aggregate instead of the
-    # array-lambda form: md5 stays inside whole-stage codegen (higher-order
-    # lambdas are interpreted row-at-a-time and ~50× slower here), and the
-    # partial+final min-agg shuffles only (id, 16 longs) per document.
-    ex = base.select("id", F.explode("sh").alias("s"))
     num_hashes = config.MINHASH_NUM_HASHES
-    sig = ex.groupBy("id").agg(
-        *[F.min(_md5_int(F.col("s"), k)).alias(f"h{k}") for k in range(num_hashes)]
-    )
+    base = docs.select(
+        F.col(id_col).alias("id"), minhash_feats_pandas(F.col(text_col)).alias("f")
+    ).select("id", F.col("f.sigs").alias("sigs"), F.col("f.hv").alias("hv"))
+
     band_keys = []
     for b in range(num_hashes // config.MINHASH_BAND_SIZE):
         parts = [
-            F.coalesce(F.col(f"h{b * config.MINHASH_BAND_SIZE + i}"), F.lit(-1)).cast("string")
+            F.element_at(F.col("sigs"), b * config.MINHASH_BAND_SIZE + i + 1).cast("string")
             for i in range(config.MINHASH_BAND_SIZE)
         ]
         band_keys.append(F.concat_ws("_", F.lit(str(b)), *parts))
-    banded = sig.select("id", F.explode(F.array(*band_keys)).alias("band"))
+    banded = base.select("id", F.explode(F.array(*band_keys)).alias("band"))
     left = banded.alias("l")
     right = banded.alias("r")
-    # dedupe candidate id-pairs FIRST (ints only), and only then attach the
-    # shingle arrays — shuffling wide arrays through dropDuplicates is the
-    # expensive anti-pattern.
     cand_ids = (
         left.join(right, (F.col("l.band") == F.col("r.band")) & (F.col("l.id") < F.col("r.id")))
         .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
     cand = (
-        cand_ids.join(base.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id")
-        .join(base.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
+        cand_ids.join(base.select(F.col("id").alias("a_id"), F.col("hv").alias("hv_a")), "a_id")
+        .join(base.select(F.col("id").alias("b_id"), F.col("hv").alias("hv_b")), "b_id")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    jac = _jaccard_sorted_unique(F.col("hv_a"), F.col("hv_b"))
     return (
         cand.select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
