@@ -101,3 +101,22 @@ def test_config_change_refuses_resume(spark, docs, tmp_path):
     json.dump(rec, open(path, "w"))
     with pytest.raises(RuntimeError, match="different pipeline config"):
         _run(spark, docs, out)
+
+
+def test_bucket_scheme_change_refuses_resume(spark, docs, tmp_path):
+    """Re-running with a different num_buckets or id_col must refuse:
+    old pmod buckets are incompatible — skipping them silently loses the
+    rows hashed to buckets that no longer exist."""
+    out = tmp_path / "scheme"
+    _run(spark, docs, out)
+    with pytest.raises(RuntimeError, match="num_buckets=4 but this run uses 8"):
+        run_checkpointed(
+            spark, span_corpus(docs), str(out), extract_documents,
+            num_buckets=8, input_lineage="unit-test",
+        )
+    with pytest.raises(RuntimeError, match="id_col"):
+        run_checkpointed(
+            spark, span_corpus(docs).withColumnRenamed("doc_id", "docid"),
+            str(out), extract_documents, num_buckets=4, id_col="docid",
+            input_lineage="unit-test",
+        )
