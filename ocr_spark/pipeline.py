@@ -49,6 +49,72 @@ def route_documents(df: DataFrame, direct_text_col: str = "direct_text") -> Data
     )
 
 
+def process_pdfs(text_pages: DataFrame, visual_pages: DataFrame | None = None) -> DataFrame:
+    """The reference's full ``POST /pdf/process`` dataflow
+    (pdf_processor.process_pdf, :28-140) as ONE declarative plan:
+
+        per-page text layer (S2) → ordered concat (A4) → min-text route
+        (F6) → 'direct': the concatenated text layer
+             → 'ocr':    rasterize pages (S3) → OCR scan (S6) →
+                         conf-gated corrected box assembly (F1+T3+A6) →
+                         ordered page concat
+
+    ``text_pages``   (doc_id, page_number, text) — the extracted text layer
+    ``visual_pages`` same schema — what the page LOOKS like (defaults to
+                     the text layer; pass the original pages when
+                     simulating scanned PDFs whose text layer is empty)
+
+    Output: (doc_id, route, full_text, total_pages). Only routed-to-OCR
+    documents enter the rasterize/scan stages (semi-join pushdown — the
+    ~100-1000× costlier branch never touches direct-path documents).
+    """
+    from ocr_spark.operators.layout import full_text_from_boxes
+    from ocr_spark.sources import pdf as P
+    from ocr_spark.sources.ocr_engine import scan_images
+
+    visual = visual_pages if visual_pages is not None else text_pages
+    direct = P.concat_pages(text_pages)  # (doc_id, all_text, total_pages)
+    routed = route_documents(direct, direct_text_col="all_text")
+
+    ocr_ids = routed.filter(F.col("route") == "ocr").select("doc_id")
+    scans = P.rasterize_pages(visual.join(ocr_ids, "doc_id"))
+    imgs = scans.select(
+        (F.col("doc_id") * 1000 + F.col("page_number")).alias("image_id"),
+        "data",
+        "width",
+        "height",
+    )
+    boxes = scan_images(imgs, include_preprocess=False)
+    page_text = boxes.select(
+        (F.col("image_id") / 1000).cast("long").alias("doc_id"),
+        (F.col("image_id") % 1000).cast("int").alias("page_number"),
+        full_text_from_boxes(F.col("boxes")).alias("text"),
+    )
+    ocr_text = page_text.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("page_number").alias("p"), F.col("text").alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            "\n",
+        ).alias("ocr_text")
+    )
+
+    out = routed.join(ocr_text, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "route",
+        F.when(F.col("route") == "direct", F.col("all_text"))
+        .otherwise(F.coalesce(F.col("ocr_text"), F.lit("")))
+        .alias("full_text"),
+        F.col("total_pages"),
+    )
+
+
 def extract_documents(
     docs: DataFrame,
     drop_boilerplate: bool = True,

@@ -1537,6 +1537,47 @@ def q_pdf_ocr_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "pdf_process",
+    f"""
+WITH fpd AS (SELECT i AS doc_id, (1 + i % 4) AS n_pages FROM range({_N_PDF_DOCS}) t(i)),
+fpp AS (SELECT doc_id, (unnest(range(n_pages)) + 1) AS page_number FROM fpd),
+fpl AS (
+  SELECT doc_id, page_number,
+         'Page ' || page_number || ' of doc ' || doc_id AS line
+  FROM fpp
+),
+fout AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN string_agg({_sql_ocr_correct(_strip("'line-0'"))}, chr(10)
+                              ORDER BY page_number)
+              ELSE string_agg(line, chr(10) ORDER BY page_number) END AS full_text,
+         count(*)::INT AS total_pages
+  FROM fpl GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'ocr' ELSE 'direct' END AS route,
+       full_text, total_pages
+FROM fout""",
+)
+def q_pdf_process(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's POST /pdf/process end-to-end on real bytes: page
+    text → route → direct concat OR rasterize+OCR+corrected assembly.
+    Docs with doc_id % 5 == 0 simulate SCANNED PDFs (visual content
+    present, text layer empty) and must take the OCR branch; the oracle
+    derives both branches in closed form (the OCR branch's page text is
+    the corrected 'line-0' band label — single-line fixture pages)."""
+    import ocr_spark.sources.pdf as P
+    from ocr_spark.pipeline import process_pdfs
+
+    pages = P.extract_pages(P.synth_pdf_docs(spark, _N_PDF_DOCS))
+    text_layer = pages.withColumn(
+        "text", F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(F.col("text"))
+    )
+    return process_pdfs(text_layer, visual_pages=pages)
+
+
 # --- HTML boilerplate strip (north_star: Boilerpipe text-density) -------------
 
 # the same deterministic page wrapper in both engines: nav + body <p> blocks

@@ -212,3 +212,26 @@ def test_rasterize_pages_band_structure(spark):
     blank = out[(2, 1)]
     b = np.frombuffer(bytes(blank["data"]), dtype=np.uint8)
     assert (b == 255).all()
+
+
+def test_process_pdfs_routes_both_branches(spark):
+    from ocr_spark.pipeline import process_pdfs
+
+    docs = pdf.synth_pdf_docs(spark, 10)
+    pages = pdf.extract_pages(docs)
+    # docs 0 and 5 simulate scanned PDFs: visual content, empty text layer
+    text_layer = pages.withColumn(
+        "text", F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(F.col("text"))
+    )
+    out = {r["doc_id"]: r for r in process_pdfs(text_layer, visual_pages=pages).collect()}
+    assert len(out) == 10
+    for d, r in out.items():
+        if d % 5 == 0:
+            assert r["route"] == "ocr"
+            # one corrected band label per page, page-ordered
+            assert len(r["full_text"].split("\n")) == r["total_pages"]
+            assert "Page" not in r["full_text"]  # OCR sees bands, not glyphs
+        else:
+            assert r["route"] == "direct"
+            assert r["full_text"].split("\n")[0] == f"Page 1 of doc {d}"
+        assert r["total_pages"] == 1 + d % 4
