@@ -323,6 +323,16 @@ def adaptive_gaussian_threshold(img: np.ndarray, block: int = 11, c: float = 2.0
     return np.where(img.astype(np.float64) > local - c, np.uint8(255), np.uint8(0))
 
 
+def adaptive_mean_threshold(img: np.ndarray, block: int = 15, c: float = 10.0) -> np.ndarray:
+    """cv2.adaptiveThreshold(ADAPTIVE_THRESH_MEAN_C, BINARY, block, C) —
+    the I3 candidate-variant binarization (ocr_service.py:71-79)."""
+    p = np.pad(img.astype(np.float64), block // 2, mode="edge")
+    k = np.ones(block, dtype=np.float64) / block
+    tmp = np.apply_along_axis(lambda r: np.convolve(r, k, mode="valid"), 1, p)
+    local = np.apply_along_axis(lambda col: np.convolve(col, k, mode="valid"), 0, tmp)
+    return np.where(img.astype(np.float64) > local - c, np.uint8(255), np.uint8(0))
+
+
 def denoise_array(img: np.ndarray, noise_type: str = "auto") -> np.ndarray:
     """I6 + I10 dispatch (noise_handler.py:213-247):
     'gaussian' → blur-dominant path; 'salt_pepper' → median-dominant path;

@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ocr_spark.operators.image import (
+    adaptive_mean_threshold,
     decode_gray,
     detect_skew_angle,
     preprocess_array,
@@ -173,6 +174,15 @@ def scan_images(
                 if include_preprocess:
                     pre = preprocess_array(img, floor=floor)
                     variants.append((pre, pre.shape[0] / img.shape[0]))
+                    if real:
+                        # the reference's full candidate set
+                        # (ocr_service.py:57-81): inverted base + adaptive
+                        # MEAN threshold(15,10) on the gray input. Only
+                        # meaningful for real readers — the deterministic
+                        # band engine would "read" an inverted page as
+                        # all-bands.
+                        variants.append((255 - pre, pre.shape[0] / img.shape[0]))
+                        variants.append((adaptive_mean_threshold(img), 1.0))
                 candidates = [
                     (rot, s) for v, s in variants for _angle, rot in rotation_candidates(v)
                 ]

@@ -221,3 +221,15 @@ def test_detect_skew_angle_recovers_rotation():
     fixed = I.rotate_arbitrary(rot, 6)
     var = lambda x: float(((x.mean(axis=1) - x.mean()) ** 2).mean())
     assert var(fixed) > var(rot)
+
+
+def test_adaptive_mean_threshold_binary_and_differs_from_gaussian():
+    img = I.synth_image_array(6)
+    amt = I.adaptive_mean_threshold(img)
+    agt = I.adaptive_gaussian_threshold(img)
+    assert set(np.unique(amt).tolist()) <= {0, 255}
+    assert amt.shape == img.shape
+    assert not np.array_equal(amt, agt)  # mean(15,10) vs gaussian(11,2) windows
+    # flat image thresholds to all-white (x > mean - c everywhere)
+    flat = np.full((20, 20), 80, dtype=np.uint8)
+    assert (I.adaptive_mean_threshold(flat) == 255).all()

@@ -31,6 +31,8 @@ AUDIT = [
     "ann_topk_lsh",
     "metrics_pairwise",
     "layout_boxes",
+    "html_extract",
+    "pdf_process",
 ]
 
 
