@@ -36,7 +36,7 @@ HEADLINE = [
     "ann_topk_lsh",
     "pdf_pages",
     "layout_flags",
-    "layout_boxes",
+    "layout_boxes_arrow",
     "token_stats",
     "events_windowed",
     "sessionize",

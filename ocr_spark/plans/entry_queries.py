@@ -1308,6 +1308,25 @@ def q_layout_boxes(spark: SparkSession, sf: str) -> DataFrame:
 ORACLES["layout_boxes_df"] = ORACLES["layout_boxes"]
 
 
+# third form, same oracle again: the Arrow-batched twin (the bench path)
+ORACLES["layout_boxes_arrow"] = ORACLES["layout_boxes"]
+
+
+@_q("layout_boxes_arrow")
+def q_layout_boxes_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    b = D.boxes(D.load(spark, sf, "documents"))
+    cols = L.analyze_box_columns_pandas(F.col("boxes"), D.BOX_IMAGE_WIDTH)
+    return b.select("doc_id", F.posexplode(cols).alias("pos", "c")).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("c.text").alias("text"),
+        F.col("c.side").alias("side"),
+        F.col("c.language").alias("language"),
+        F.col("c.items_count").cast("long").alias("items_count"),
+        F.round(F.col("c.confidence_avg"), 6).alias("confidence_avg"),
+    )
+
+
 @_q("layout_boxes_df")
 def q_layout_boxes_df(spark: SparkSession, sf: str) -> DataFrame:
     b = D.boxes(D.load(spark, sf, "documents"))

@@ -207,3 +207,23 @@ def test_b3_b4_single(box_results):
     assert [c["side"] for c in box_results["b3"]["columns"]] == ["single"]
     assert [c["side"] for c in box_results["b4"]["columns"]] == ["single"]
     assert len(box_results["b5"]["columns"]) == 0
+
+
+def test_box_columns_three_forms_agree(spark):
+    """Expression, exploded-DataFrame, and Arrow-batched forms of the
+    geometry analyzer must produce identical column rows."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans import derived as D
+    from ocr_spark.plans.entry_queries import (
+        q_layout_boxes,
+        q_layout_boxes_arrow,
+        q_layout_boxes_df,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (r["doc_id"], r["pos"], r["side"])
+    a = sorted([tuple(r) for r in q_layout_boxes(spark, sf).collect()])
+    b = sorted([tuple(r) for r in q_layout_boxes_df(spark, sf).collect()])
+    c = sorted([tuple(r) for r in q_layout_boxes_arrow(spark, sf).collect()])
+    assert a == b == c and len(a) > 0
