@@ -203,3 +203,74 @@ def test_streaming_assembly_duplicate_offset_tie_break(spark, tmp_path):
     # the tie group is ordered media(null text, img://a) < media(img://b) < text
     k1 = [x for x in got[1] if x[3] >= 1]
     assert [x[2] for x in k1[:2]] == ["img://a", "img://b"]
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed counts with a watermark: a window only emits
+    once the watermark passes it, and events arriving after that are
+    DROPPED (state already closed) — the late-data contract at scale."""
+    from pyspark.sql import functions as F
+
+    import ocr_spark.streaming.events as EV
+
+    src = str(tmp_path / "late_events")
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, sec long, user_id long, event_type string, value double, props string"
+        ).selectExpr(
+            "event_id", "timestamp_seconds(sec) as ts", "user_id",
+            "event_type", "value", "props"
+        )
+
+    import time as _time
+
+    base = 1_767_225_600  # 2026-01-01 00:00:00 UTC
+    on_time = mk([
+        (1, base + 600, 1, "click", 1.0, "{}"),
+        (2, base + 1200, 1, "click", 1.0, "{}"),
+    ])
+    # two watermark-driver batches: the first advances the watermark past
+    # the [00:00, 01:00) window end (04:00 - 2h > 01:00), the second is the
+    # batch in which that window's state is EVICTED and emitted — the late
+    # row must arrive after eviction to exercise the drop path (a late row
+    # landing in the same batch as the eviction still merges: Spark's
+    # guarantee is one-sided)
+    driver1 = mk([(3, base + 4 * 3600, 1, "view", 1.0, "{}")])
+    driver2 = mk([(5, base + 5 * 3600, 1, "view", 1.0, "{}")])
+    late = mk([(4, base + 1800, 1, "click", 1.0, "{}")])  # late for [0,1h)
+    # distinct mtimes → deterministic file order → one file per micro-batch
+    for f in (on_time, driver1, driver2, late):
+        f.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")  # reader option: one file per batch
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+    )
+    counts = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from late_counts").collect()
+    }
+    # the click window emitted with the TWO on-time events only; the late
+    # third click (file 2, behind the watermark) was dropped
+    click = [v for (w, t), v in rows.items() if t == "click"]
+    assert click == [2], rows
