@@ -35,6 +35,8 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "pdf_pages",
+    "pdf_process",
+    "html_extract",
     "layout_flags",
     "layout_boxes_arrow",
     "token_stats",
