@@ -32,28 +32,28 @@ def main() -> None:
     ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
+    import os
 
-    from ocr_spark.operators.dedup import dedup_exact, dedup_minhash_lsh
-    from ocr_spark.plans.checkpoint import run_checkpointed
+    from pyspark.sql import SparkSession
+
+    from ocr_spark.operators.dedup import corpus_dedup_losers
+    from ocr_spark.plans.checkpoint import materialize_once, run_checkpointed
 
     spark = SparkSession.builder.appName("ocr-spark-dedup").getOrCreate()
     docs = spark.read.parquet(args.input).select("doc_id", "text")
 
     # The keep/drop decision is GLOBAL (duplicates land in different hash
-    # buckets), so it is computed over the full corpus; only the WRITE is
-    # bucketed for resume. The loser set is a deterministic function of the
-    # input, so a resumed run recomputes the identical set and uncommitted
-    # buckets stay consistent with committed ones.
-    exact_losers = dedup_exact(docs).filter(~F.col("keep")).select("doc_id")
-    losers = exact_losers
-    if args.mode == "minhash":
-        kept = docs.join(exact_losers, "doc_id", "left_anti")
-        pairs = dedup_minhash_lsh(kept, jaccard_threshold=args.threshold)
-        # greedy: within every near-dup pair the higher id loses
-        near_losers = pairs.select(F.col("b_id").alias("doc_id")).distinct()
-        losers = exact_losers.unionByName(near_losers).distinct()
+    # buckets), so it is computed over the full corpus — EXACTLY ONCE:
+    # materialized to _losers before the bucket loop. Unmaterialized, the
+    # per-bucket transform would re-execute the whole LSH pipeline once per
+    # bucket (~16× at --buckets 16); the parquet read-back also pins the
+    # resume contract to the originally committed loser set.
+    losers = materialize_once(
+        spark,
+        corpus_dedup_losers(docs, mode=args.mode, threshold=args.threshold),
+        os.path.join(args.output, "_losers"),
+        meta={"mode": args.mode, "threshold": args.threshold, "input": args.input},
+    )
 
     def transform(part):
         return part.join(losers, "doc_id", "left_anti")

@@ -65,20 +65,30 @@ def html_blocks(html: Column) -> Column:
     parts = F.split(h, BLOCK_TAG_RE)
     tags = F.regexp_extract_all(h, F.lit(BLOCK_TAG_RE), 0)
 
-    def depth_before(i: Column) -> Column:
-        # running Σ over the first i boundary tags: +1 container open,
-        # -1 container close. Blocks per document are few (10s-100s), so
-        # the O(n²) slice-sum stays cheap and engine-portable.
-        return F.aggregate(
-            F.slice(tags, 1, i),
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(t.rlike(_DEPTH_OPEN_RE), F.lit(1))
-            .when(t.rlike(_DEPTH_CLOSE_RE), F.lit(-1))
-            .otherwise(F.lit(0)),
-        )
+    # running depth computed ONCE per document: each boundary tag's ±1/0
+    # delta is evaluated a single time (one rlike pair per tag, not per
+    # tag×block), then folded into a prefix-sum array. The fold appends one
+    # int per step — flat int copies, no re-evaluated lambdas — so
+    # pathological HTML (10⁴+ boundary tags) stays linear in regex work
+    # where the per-block slice-sum form was quadratic.
+    deltas = F.transform(
+        tags,
+        lambda t: F.when(t.rlike(_DEPTH_OPEN_RE), F.lit(1))
+        .when(t.rlike(_DEPTH_CLOSE_RE), F.lit(-1))
+        .otherwise(F.lit(0)),
+    )
+    # prefix[i] (0-based) = depth before block i; prefix has n_tags+1
+    # entries — exactly as many as `parts`, so it zips with the blocks.
+    # It is passed to zip_with as an ARGUMENT (evaluated once per document),
+    # never referenced inside a lambda body, where higher-order functions
+    # re-evaluate the whole subtree per element.
+    prefix = F.aggregate(
+        deltas,
+        F.array(F.lit(0)),
+        lambda acc, d: F.concat(acc, F.array(F.element_at(acc, -1) + d)),
+    )
 
-    def block_struct(part: Column, i: Column) -> Column:
+    def block_struct(part: Column, depth: Column) -> Column:
         text = py_strip(F.regexp_replace(part, _TAG_RE, ""))
         anchor_text = F.array_join(
             F.transform(
@@ -95,10 +105,10 @@ def html_blocks(html: Column) -> Column:
             text.alias("text"),
             _word_count(text).alias("n_words"),
             ld.alias("link_density"),
-            depth_before(i).alias("depth"),
+            depth.alias("depth"),
         )
 
-    all_blocks = F.transform(parts, lambda p, i: block_struct(p, i))
+    all_blocks = F.zip_with(parts, prefix, lambda p, d: block_struct(p, d))
     return F.filter(all_blocks, lambda b: b["text"] != "")
 
 
@@ -118,19 +128,37 @@ def classify_blocks(blocks: Column) -> Column:
       else BOILER
 
     Out-of-range neighbors count as empty blocks (0 words, 0 density).
-    """
 
-    def at(i: Column, field: str, default):
-        # F.get is 0-based and yields NULL out of range (never an error)
-        return F.coalesce(F.get(blocks, i)[field], F.lit(default))
+    Neighbor access is SHIFTED-ZIP, not indexed lookup: an earlier form
+    did ``F.get(blocks, i±1)`` inside the transform lambda, and a lambda
+    body re-evaluates every non-lambda-variable subtree per ELEMENT —
+    O(n²) in block count once ``blocks`` is a real expression. Here
+    ``blocks`` appears only as zip_with/slice ARGUMENTS, each evaluated
+    once per row."""
+    n = F.size(blocks)
+    pad = F.struct(
+        F.lit("").alias("text"),
+        F.lit(0).alias("n_words"),
+        F.lit(0.0).alias("link_density"),
+        F.lit(0).alias("depth"),
+    )
+    # blocks shifted right/left by one, padded with the empty block
+    prev = F.when(n == 0, blocks).otherwise(
+        F.concat(F.array(pad), F.slice(blocks, 1, n - 1))
+    )
+    nxt = F.when(n == 0, blocks).otherwise(
+        F.concat(F.slice(blocks, 2, n - 1), F.array(pad))
+    )
+    curr_prev = F.zip_with(
+        blocks, prev, lambda c, p: F.struct(c.alias("c"), p.alias("p"))
+    )
 
-    def is_content(i: Column) -> Column:
-        # i is the 0-based element index
-        curr_w = at(i, "n_words", 0)
-        curr_ld = at(i, "link_density", 0.0)
-        prev_w = at(i - 1, "n_words", 0)
-        prev_ld = at(i - 1, "link_density", 0.0)
-        next_w = at(i + 1, "n_words", 0)
+    def decide(cp: Column, nx: Column) -> Column:
+        curr_w = cp["c"]["n_words"]
+        curr_ld = cp["c"]["link_density"]
+        prev_w = cp["p"]["n_words"]
+        prev_ld = cp["p"]["link_density"]
+        next_w = nx["n_words"]
         return F.when(
             curr_ld <= _CURR_LD_MAX,
             F.when(
@@ -144,7 +172,7 @@ def classify_blocks(blocks: Column) -> Column:
             ),
         ).otherwise(F.lit(False))
 
-    return F.transform(blocks, lambda _b, i: is_content(i))
+    return F.zip_with(curr_prev, nxt, decide)
 
 
 def extract_main_content(html: Column) -> dict[str, Column]:

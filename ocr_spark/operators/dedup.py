@@ -144,8 +144,9 @@ def minhash_feats_pandas(
     exact _md5_int/oracle formula, hashlib md5 == Spark/DuckDB md5) plus
     the sorted 60-bit interned shingle ids for the Jaccard verify. One
     text pass replaces three interpreted shingle-expression corpus walks.
-    Documents with no shingles get sigs=[-1]*K (they can only band-collide
-    with other empty docs, whose Jaccard 0.0 never passes the threshold)."""
+    Documents with no shingles get sigs=[-1]*K and hv=[]; consumers must
+    exclude them from banding (dedup_minhash_lsh filters size(hv) > 0) or
+    every short/empty doc collides with every other in every band."""
     import hashlib
     import re
 
@@ -203,7 +204,13 @@ def dedup_minhash_lsh(
             for i in range(config.MINHASH_BAND_SIZE)
         ]
         band_keys.append(F.concat_ws("_", F.lit(str(b)), *parts))
-    banded = base.select("id", F.explode(F.array(*band_keys)).alias("band"))
+    # docs with no shingles (sentinel sigs [-1]*K, hv=[]) would ALL collide
+    # in every band — O(E²) candidate pairs for E empty/short docs at corpus
+    # scale, every one verified to Jaccard 0.0 and discarded. They can never
+    # pass a threshold > 0, so drop them before band explosion.
+    banded = base.filter(F.size("hv") > 0).select(
+        "id", F.explode(F.array(*band_keys)).alias("band")
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     cand_ids = (
@@ -220,6 +227,29 @@ def dedup_minhash_lsh(
         cand.select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+
+
+def corpus_dedup_losers(
+    docs: DataFrame,
+    mode: str = "exact",
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The GLOBAL drop set of a corpus dedup run: exact-dup non-representatives,
+    plus (mode='minhash') the greedy higher-id member of every MinHash-LSH
+    near-dup pair among the exact-kept docs. One column (doc_id).
+
+    Callers that consume this per-partition (jobs/dedup_job.py's bucket
+    loop) MUST materialize it first (plans.checkpoint.materialize_once) —
+    it is a full corpus-wide pipeline, not a cheap lookup."""
+    exact_losers = dedup_exact(docs, id_col, text_col).filter(~F.col("keep")).select(id_col)
+    if mode == "minhash":
+        kept = docs.join(exact_losers, id_col, "left_anti")
+        pairs = dedup_minhash_lsh(kept, id_col, text_col, jaccard_threshold=threshold)
+        near = pairs.select(F.col("b_id").alias(id_col)).distinct()
+        return exact_losers.unionByName(near).distinct()
+    return exact_losers
 
 
 # --- n-gram Jaccard (inverted-index join) ------------------------------------
@@ -248,7 +278,9 @@ def dedup_ngram_jaccard(
 
     Cost: one DF aggregation + one join to rank shingles; candidates are
     equi-joined on prefix shingles only (int-pair dedup before the wide
-    arrays are attached).
+    arrays are attached), then PPJoin's positional bound prunes matches
+    whose best-case overlap cannot reach the α(t) requirement before any
+    verify work happens — still exact (see inline proof).
     """
     t = float(jaccard_threshold)
     # intern shingles to 60-bit md5 ints: distinct strings → distinct ints
@@ -274,9 +306,21 @@ def dedup_ngram_jaccard(
     pref = (
         ranked.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("id", "n", "h")
+        .select("id", "n", "h", "rn")
     )
     l, r = pref.alias("l"), pref.alias("r")
+    # PPJoin positional filter (Xiao/Wang/Lin/Yu, WWW'08): a match on the
+    # shingle at prefix position i of A and j of B bounds the total overlap
+    # by 1 + min(|A|-i, |B|-j); J >= t requires overlap >= α =
+    # ceil(t·(|A|+|B|)/(1+t)). EXACT because for every qualifying pair the
+    # FIRST common shingle under the global DF order lies inside both
+    # prefixes and its positional bound >= the true overlap >= α — the
+    # pair survives via that match row even if later matches are filtered
+    # (keep-if-any-match-passes, then pair dedup).
+    ubound = 1 + F.least(F.col("l.n") - F.col("l.rn"), F.col("r.n") - F.col("r.rn"))
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("l.n") + F.col("r.n")) - F.lit(1e-9)
+    )
     cand_ids = (
         l.join(
             r,
@@ -284,7 +328,8 @@ def dedup_ngram_jaccard(
             & (F.col("l.id") < F.col("r.id"))
             # size filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
             & (F.lit(t) * F.col("l.n") <= F.col("r.n") + F.lit(1e-9))
-            & (F.lit(t) * F.col("r.n") <= F.col("l.n") + F.lit(1e-9)),
+            & (F.lit(t) * F.col("r.n") <= F.col("l.n") + F.lit(1e-9))
+            & (ubound >= alpha),
         )
         .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
@@ -454,6 +499,11 @@ def dedup_embedding_cosine(
     recall yardstick.
 
     Returns (a_id, b_id, cosine) with a_id < b_id, round(cosine,6) >= threshold.
+
+    Id contract: ``id_col`` must be integer-typed (the GEMM kernel carries
+    ids as an int64 ndarray and the output schema is ``a_id long``). For
+    string ids, join a dense ``monotonically_increasing_id`` surrogate
+    before calling and map back after — do not widen the kernel schema.
     """
     nb = num_blocks
     # block by md5-prefix of the id (engine-neutral, uniform); the blocking
@@ -499,8 +549,11 @@ def dedup_embedding_cosine(
         bid = ids[ib][None, :] + np.zeros_like(cos, dtype=np.int64)
         # loose pre-filter (exact >= on the rounded value happens in Spark);
         # a same-block GEMM holds each pair twice → keep the triangle, while
-        # a cross-block GEMM holds each unordered pair once → keep all
-        keep = cos >= thr - 1e-9
+        # a cross-block GEMM holds each unordered pair once → keep all.
+        # Margin 2e-6 > half a round(·,6) step: a raw cosine in
+        # [thr-5e-7, thr) rounds UP to pass the final filter (and the
+        # all-pairs oracle), so the pre-filter must not drop it.
+        keep = cos >= thr - 2e-6
         if pi == pj:
             keep &= aid < bid
         lo = np.minimum(aid[keep], bid[keep])

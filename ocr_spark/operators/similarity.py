@@ -105,6 +105,10 @@ def topk_bruteforce(
     cosines can never lose a round-tied candidate) — a superset of every
     global top-k element, so the final global window rank is exact.
     Shuffle: corpus once (block agg), then ≈Q·k·num_blocks candidate rows.
+
+    Id contract: ``id_col`` / ``query_id_col`` must be integer-typed (the
+    GEMM kernel carries ids as int64 ndarrays, output schema ``long``);
+    map string ids through a dense integer surrogate at the call site.
     """
     qrow = F.broadcast(
         queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")).agg(

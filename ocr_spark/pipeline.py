@@ -79,15 +79,16 @@ def process_pdfs(text_pages: DataFrame, visual_pages: DataFrame | None = None) -
     ocr_ids = routed.filter(F.col("route") == "ocr").select("doc_id")
     scans = P.rasterize_pages(visual.join(ocr_ids, "doc_id"))
     imgs = scans.select(
-        (F.col("doc_id") * 1000 + F.col("page_number")).alias("image_id"),
+        P.pack_image_id(F.col("doc_id"), F.col("page_number")).alias("image_id"),
         "data",
         "width",
         "height",
     )
     boxes = scan_images(imgs, include_preprocess=False)
+    u_doc, u_page = P.unpack_image_id(F.col("image_id"))
     page_text = boxes.select(
-        (F.col("image_id") / 1000).cast("long").alias("doc_id"),
-        (F.col("image_id") % 1000).cast("int").alias("page_number"),
+        u_doc.alias("doc_id"),
+        u_page.alias("page_number"),
         full_text_from_boxes(F.col("boxes")).alias("text"),
     )
     ocr_text = page_text.groupBy("doc_id").agg(

@@ -82,6 +82,48 @@ def _commit(output_dir: str, rec: dict) -> None:
     os.replace(tmp, final)
 
 
+def materialize_once(
+    spark: SparkSession, df: DataFrame, path: str, meta: dict | None = None
+) -> DataFrame:
+    """Compute ``df`` exactly once per job: write it to ``path`` (parquet)
+    unless a committed copy already exists, and return the READ-BACK
+    DataFrame.
+
+    Two jobs need this: (1) a global side input consumed by every bucket
+    of a checkpointed run — without materialization the side plan is
+    re-executed once per bucket (a 16-bucket dedup run would execute the
+    whole MinHash-LSH pipeline ~16×); (2) the resume contract — a resumed
+    run re-uses the exact bytes the original run committed, so the outputs
+    stay consistent even if the side plan were nondeterministic.
+
+    Commit = parquet _SUCCESS marker + a ``<path>.meta.json`` matching
+    ``meta`` (both present, meta equal). A mismatched meta (different
+    mode/threshold/input) refuses, like run_checkpointed's fingerprint
+    guard; a missing meta next to _SUCCESS means the commit was torn —
+    recompute."""
+    meta = meta or {}
+    meta_path = path + ".meta.json"
+    success = os.path.join(path, "_SUCCESS")
+    if os.path.exists(success) and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            committed = json.load(f)
+        if committed != meta:
+            raise RuntimeError(
+                f"materialized side input at {path} was committed under "
+                f"different parameters {committed} (this run: {meta}); "
+                "refusing to resume (clear the output dir)"
+            )
+        return spark.read.parquet(path)
+    df.write.mode("overwrite").parquet(path)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, meta_path)
+    return spark.read.parquet(path)
+
+
 def run_checkpointed(
     spark: SparkSession,
     docs: DataFrame,

@@ -1539,16 +1539,17 @@ def q_pdf_ocr_scan(spark: SparkSession, sf: str) -> DataFrame:
 
     pages = P.extract_pages(P.synth_pdf_docs(spark, _N_PDF_DOCS))
     imgs = P.rasterize_pages(pages).select(
-        (F.col("doc_id") * 1000 + F.col("page_number")).alias("image_id"),
+        P.pack_image_id(F.col("doc_id"), F.col("page_number")).alias("image_id"),
         "data",
         "width",
         "height",
     )
     out = scan_images(imgs, include_preprocess=False)
     b = out.select("image_id", F.explode("boxes").alias("b"))
+    u_doc, u_page = P.unpack_image_id(F.col("image_id"))
     return b.select(
-        (F.col("image_id") / 1000).cast("long").alias("doc_id"),
-        (F.col("image_id") % 1000).cast("int").alias("page_number"),
+        u_doc.alias("doc_id"),
+        u_page.alias("page_number"),
         F.col("b.text").alias("box_text"),
         F.col("b.conf").alias("conf"),
         F.col("b.cx").alias("cx"),

@@ -139,7 +139,10 @@ def _score(boxes: list[tuple[str, float, float, float]]) -> float:
 
 
 def scan_images(
-    images: DataFrame, engine: str | None = None, include_preprocess: bool = True
+    images: DataFrame,
+    engine: str | None = None,
+    include_preprocess: bool = True,
+    detect_skew: bool | None = None,
 ) -> DataFrame:
     """S6/S7: OCR scan over (image_id, data, width, height) → box arrays.
 
@@ -148,9 +151,15 @@ def scan_images(
     wins, SURVEY §4) and the argmax by score is kept.
 
     Real engines preprocess with the reference's 3000px upscale floor and
-    box coordinates are divided back by the scale factor; the fake engine
-    skips the upscale (floor=1) so its deterministic geometry stays in
-    input coordinates.
+    box coordinates are divided back by per-axis scale factors; the fake
+    engine skips the upscale (floor=1) so its deterministic geometry stays
+    in input coordinates.
+
+    ``detect_skew`` controls the arbitrary-angle OSD sweep (I4's
+    projection-profile analog): None (default) runs it for real engines
+    only — the synthetic band rasters are axis-aligned by construction and
+    the sweep was pure overhead on the fake/bench path; pass True to force
+    it (e.g. skew-recovery tests on the fake engine).
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -170,10 +179,16 @@ def scan_images(
                 # include_preprocess=False restricts to raw+rotations for
                 # callers needing oracle-predictable candidates (the
                 # rasterized-PDF scan).
-                variants = [(img, 1.0)]
+                # per-variant (sx, sy): int() truncation in upscale_floor
+                # makes the effective x and y factors differ by up to ~1px
+                # equivalent — dividing cx by the y-derived factor would
+                # skew x coordinates into the gap-based column splitter
+                variants = [(img, 1.0, 1.0)]
                 if include_preprocess:
                     pre = preprocess_array(img, floor=floor)
-                    variants.append((pre, pre.shape[0] / img.shape[0]))
+                    psx = pre.shape[1] / img.shape[1]
+                    psy = pre.shape[0] / img.shape[0]
+                    variants.append((pre, psx, psy))
                     if real:
                         # the reference's full candidate set
                         # (ocr_service.py:57-81): inverted base + adaptive
@@ -181,24 +196,33 @@ def scan_images(
                         # meaningful for real readers — the deterministic
                         # band engine would "read" an inverted page as
                         # all-bands.
-                        variants.append((255 - pre, pre.shape[0] / img.shape[0]))
-                        variants.append((adaptive_mean_threshold(img), 1.0))
+                        variants.append((255 - pre, psx, psy))
+                        variants.append((adaptive_mean_threshold(img), 1.0, 1.0))
+                # a 90°/270° rotation swaps the axes, so the rotated image's
+                # x coordinates carry the variant's y scale (and vice versa)
                 candidates = [
-                    (rot, s) for v, s in variants for _angle, rot in rotation_candidates(v)
+                    (rot, (sy, sx) if a % 180 == 90 else (sx, sy))
+                    for v, sx, sy in variants
+                    for a, rot in rotation_candidates(v)
                 ]
                 # OSD analog (ocr_service.py:88-97): if the projection
                 # profile finds a non-right skew, add the corrected image
-                # to the sweep — right angles are already covered above
-                skew = detect_skew_angle(img)
-                if skew % 90 != 0:
-                    candidates.extend(
-                        (rotate_arbitrary(v, skew), s) for v, s in variants
-                    )
-                scored = [(_recognize(model, c), s) for c, s in candidates]
-                best, s = max(scored, key=lambda r: _score(r[0]))
+                # to the sweep — right angles are already covered above.
+                # Gated to real engines by default: the deterministic band
+                # rasters are axis-aligned by construction, and the 21-angle
+                # full-image sweep dominated the fake/bench path cost.
+                if real if detect_skew is None else detect_skew:
+                    skew = detect_skew_angle(img)
+                    if skew % 90 != 0:
+                        candidates.extend(
+                            (rotate_arbitrary(v, skew), (sx, sy))
+                            for v, sx, sy in variants
+                        )
+                scored = [(_recognize(model, c), sc) for c, sc in candidates]
+                best, (sx, sy) = max(scored, key=lambda r: _score(r[0]))
                 out["image_id"].append(int(image_id))
                 out["boxes"].append([
-                    {"text": t, "conf": c, "cx": cx / s, "cy": cy / s}
+                    {"text": t, "conf": c, "cx": cx / sx, "cy": cy / sy}
                     for (t, c, cx, cy) in best
                 ])
                 out["engine"].append(model["engine"])

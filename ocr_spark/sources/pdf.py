@@ -6,11 +6,11 @@ The reference shells out to PyPDF2 / pdf2image+poppler per request
 - S5 sniffer        pure Column expression over (path, content) — magic
                     bytes '%PDF' or extension (pdf_processor.py:1011-1035)
 - S2 direct text    Arrow-batched UDF: pypdf when importable; otherwise a
-                    built-in minimal reader that parses UNCOMPRESSED
-                    content streams (Tj operators) — enough for the
-                    vendored deterministic fixtures (sources/pdf_fixture)
-                    and any Flate-free PDF; compressed streams raise an
-                    actionable error naming pypdf
+                    built-in minimal reader that parses uncompressed AND
+                    /FlateDecode content streams (Tj operators, stdlib
+                    zlib) — enough for the vendored deterministic fixtures
+                    (sources/pdf_fixture) and real-world Flate PDFs; other
+                    filters raise an actionable error naming pypdf
 - S3 rasterizer     poppler is a process boundary the sandbox lacks —
                     explicit stub
 - S4 metadata       same reader pair as S2 (trailer /Info dictionary)
@@ -53,7 +53,6 @@ import re as _re
 
 _OBJ_RE = _re.compile(rb"(\d+) 0 obj(.*?)endobj", _re.DOTALL)
 _TJ_RE = _re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
-_STREAM_RE = _re.compile(rb"stream\r?\n(.*?)\r?\nendstream", _re.DOTALL)
 
 
 def _pdf_unescape(raw: bytes) -> str:
@@ -66,10 +65,46 @@ def _minipdf_objects(data: bytes) -> dict[int, bytes]:
     return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
 
 
+def _content_stream_bytes(content_obj: bytes) -> bytes:
+    """Decoded bytes of one content-stream object.
+
+    The stream is sliced by its /Length entry when present (binary Flate
+    data may contain any delimiter bytes, so the `endstream` scan is only
+    the fallback for length-less writers). /FlateDecode streams — what
+    virtually every real-world PDF writes (reference path
+    pdf_processor.py:168-184 via PyPDF2) — inflate with stdlib zlib; any
+    other filter (DCT, LZW, ASCII85, …) raises the actionable pypdf
+    boundary error."""
+    sm = _re.search(rb"stream\r?\n", content_obj)
+    if sm is None:
+        return b""
+    head = content_obj[: sm.start()]
+    data = content_obj[sm.end() :]
+    lm = _re.search(rb"/Length\s+(\d+)", head)
+    if lm:
+        data = data[: int(lm.group(1))]
+    else:
+        em = _re.search(rb"\r?\nendstream", data)
+        data = data[: em.start()] if em else data
+    fm = _re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", head)
+    if fm:
+        if fm.group(1) == b"FlateDecode":
+            import zlib
+
+            data = zlib.decompress(data)
+        else:
+            raise NotImplementedError(
+                f"unsupported PDF stream filter /{fm.group(1).decode()}: "
+                "install pypdf for general PDFs (the built-in reader handles "
+                "uncompressed and /FlateDecode streams)"
+            )
+    return data
+
+
 def _minipdf_pages(data: bytes) -> list[str]:
-    """Per-page text of a PDF with UNCOMPRESSED content streams, in page-tree
-    order (the /Kids array). Compressed (/Filter) streams raise — that's the
-    pypdf/poppler boundary, named explicitly."""
+    """Per-page text of a PDF with uncompressed or /FlateDecode content
+    streams, in page-tree order (the /Kids array). Other filters raise —
+    that's the pypdf/poppler boundary, named explicitly."""
     objs = _minipdf_objects(data)
     kids_m = _re.search(rb"/Kids\s*\[(.*?)\]", data, _re.DOTALL)
     if not kids_m:
@@ -82,14 +117,8 @@ def _minipdf_pages(data: bytes) -> list[str]:
         if not cm:
             pages.append("")
             continue
-        content_obj = objs[int(cm.group(1))]
-        if b"/Filter" in content_obj:
-            raise NotImplementedError(
-                "compressed PDF content stream: install pypdf for general "
-                "PDFs (the built-in reader handles uncompressed streams only)"
-            )
-        sm = _STREAM_RE.search(content_obj)
-        chunks = _TJ_RE.findall(sm.group(1)) if sm else []
+        stream = _content_stream_bytes(objs[int(cm.group(1))])
+        chunks = _TJ_RE.findall(stream)
         pages.append("\n".join(_pdf_unescape(c) for c in chunks))
     return pages
 
@@ -233,7 +262,12 @@ def pages_with_columns(pages: DataFrame) -> DataFrame:
 def synth_pdf_docs(spark, n: int = 40) -> DataFrame:
     """Deterministic fixture corpus: n docs, doc i has 1 + i % 4 pages of
     real PDF bytes (sources/pdf_fixture.synth_pdf_bytes), built inside the
-    plan via an Arrow-batched UDF — no driver-side byte assembly."""
+    plan via an Arrow-batched UDF — no driver-side byte assembly.
+
+    Odd doc_ids are written /FlateDecode-compressed, even ones raw, so
+    every consumer of this corpus (pdf_pages/pdf_fulltext/pdf_process and
+    their oracles) exercises BOTH reader paths on every run — compression
+    never changes the extracted text, only the bytes."""
     from pyspark.sql.functions import pandas_udf
 
     from ocr_spark.sources.pdf_fixture import synth_pdf_bytes
@@ -241,7 +275,10 @@ def synth_pdf_docs(spark, n: int = 40) -> DataFrame:
     @pandas_udf("binary")
     def gen(ids: pd.Series, pages: pd.Series) -> pd.Series:
         return pd.Series(
-            [synth_pdf_bytes(int(i), int(p)) for i, p in zip(ids, pages)]
+            [
+                synth_pdf_bytes(int(i), int(p), compress=bool(int(i) % 2))
+                for i, p in zip(ids, pages)
+            ]
         )
 
     base = spark.range(n).select(
@@ -310,6 +347,40 @@ def rasterize_pages(pages: DataFrame, width: int = RASTER_W) -> DataFrame:
     return pages.mapInPandas(
         process, "doc_id long, page_number int, data binary, width int, height int"
     )
+
+
+PAGE_PACK = 1_000_000  # max pages representable in a packed (doc, page) key
+
+
+def pack_image_id(doc_id: Column, page_number: Column) -> Column:
+    """Packed image key for the per-page OCR stages: doc_id*PAGE_PACK + page.
+
+    Real PDFs routinely exceed 1,000 pages, so the multiplier is 10^6 —
+    and the guard is explicit: a page number outside [0, PAGE_PACK) raises
+    instead of silently bleeding into the next doc_id when unpacked. At
+    10^12 docs the packed key tops out near 10^18, inside int64."""
+    return F.when(
+        (page_number >= 0) & (page_number < PAGE_PACK),
+        doc_id.cast("long") * PAGE_PACK + page_number,
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"page_number outside packing range [0, {PAGE_PACK}): "),
+                page_number.cast("string"),
+            )
+        ).cast("long")
+    )
+
+
+def unpack_image_id(image_id: Column) -> tuple[Column, Column]:
+    """Inverse of :func:`pack_image_id` → (doc_id, page_number) columns.
+
+    The quotient goes through decimal, not double, division: packed keys
+    reach ~10^18 at corpus scale and float64 loses integer exactness past
+    2^53."""
+    page = F.pmod(image_id, F.lit(PAGE_PACK))
+    doc = ((image_id - page).cast("decimal(38,0)") / PAGE_PACK).cast("long")
+    return doc, page.cast("int")
 
 
 def rasterize_stub(*_a, **_k):

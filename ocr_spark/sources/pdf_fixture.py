@@ -27,10 +27,17 @@ PDF_AUTHOR = "ocr-spark-synth"
 PDF_PRODUCER = "ocr_spark.sources.pdf_fixture"
 
 
-def synth_pdf_bytes(doc_id: int, n_pages: int) -> bytes:
-    """A complete n_pages-page PDF with deterministic text and metadata."""
+def synth_pdf_bytes(doc_id: int, n_pages: int, compress: bool = False) -> bytes:
+    """A complete n_pages-page PDF with deterministic text and metadata.
+
+    ``compress=True`` writes each content stream /FlateDecode-compressed
+    (stdlib zlib level 9 — deterministic bytes on every platform), the way
+    virtually every real-world PDF writer does; False keeps the raw
+    ``BT … Tj ET`` stream. Both forms carry an exact /Length, so readers
+    never have to delimiter-scan binary data."""
     if n_pages < 1:
         raise ValueError("n_pages must be >= 1")
+    import zlib
     objects: list[bytes] = []
 
     # object numbers: 1 catalog, 2 pages, 3 font, 4 info,
@@ -54,9 +61,16 @@ def synth_pdf_bytes(doc_id: int, n_pages: int) -> bytes:
             ).encode()
         )
         content = f"BT /F1 12 Tf 72 720 Td ({page_text(doc_id, p + 1)}) Tj ET".encode()
-        objects.append(
-            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
-        )
+        if compress:
+            z = zlib.compress(content, 9)
+            objects.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                % (len(z), z)
+            )
+        else:
+            objects.append(
+                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+            )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]  # object 0 is the free head

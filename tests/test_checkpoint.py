@@ -92,6 +92,67 @@ def test_torn_manifest_record_is_uncommitted(spark, docs, tmp_path):
     assert summary["buckets_run"] == 1  # only the torn bucket re-ran
 
 
+def _dedup_docs(spark):
+    # 30 unique texts, 10 exact dups of doc 0-9, plus 5 near-dups (one word
+    # appended) of docs 0-4 — enough for both the exact and minhash paths
+    rows = [(i, f"unique{i} alpha beta gamma delta epsilon zeta eta " * 4) for i in range(30)]
+    rows += [(100 + i, rows[i][1]) for i in range(10)]  # exact dups
+    rows += [(200 + i, rows[i][1] + " tail") for i in range(5)]  # near dups
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_losers_materialized_once_and_buckets_scan_parquet(spark, tmp_path):
+    """The corpus-wide loser set (the full MinHash-LSH pipeline in minhash
+    mode) must execute ONCE per job, not once per bucket: after
+    materialize_once, the per-bucket transform's plan joins against a
+    parquet SCAN — no Arrow/pandas UDF stage (the LSH signature pass) may
+    appear in it."""
+    from ocr_spark.operators.dedup import corpus_dedup_losers
+    from ocr_spark.plans.checkpoint import materialize_once
+
+    docs = _dedup_docs(spark)
+    out = tmp_path / "dedup"
+    meta = {"mode": "minhash", "threshold": 0.5}
+    losers_path = str(out / "_losers")
+    losers = materialize_once(
+        spark, corpus_dedup_losers(docs, "minhash", 0.5), losers_path, meta
+    )
+    # the global decision: all 10 exact dups + the 5 near-dup higher ids
+    assert sorted(r["doc_id"] for r in losers.collect()) == list(range(100, 110)) + list(
+        range(200, 205)
+    )
+
+    # per-bucket transform plan: parquet scan, no Python/Arrow eval stage
+    transform = lambda part: part.join(losers, "doc_id", "left_anti")  # noqa: E731
+    plan = transform(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower()
+    for marker in ("ArrowEvalPython", "FlatMapGroupsInPandas", "BatchEvalPython", "EvalPython"):
+        assert marker not in plan, f"bucket transform re-executes the LSH pipeline: {marker}"
+
+    # resume: a second materialize_once must NOT recompute (bytes untouched)
+    mtime = os.path.getmtime(os.path.join(losers_path, "_SUCCESS"))
+    again = materialize_once(
+        spark, corpus_dedup_losers(docs, "minhash", 0.5), losers_path, meta
+    )
+    assert os.path.getmtime(os.path.join(losers_path, "_SUCCESS")) == mtime
+    assert again.count() == 15
+
+    # mismatched parameters refuse the stale side input
+    with pytest.raises(RuntimeError, match="different parameters"):
+        materialize_once(
+            spark, corpus_dedup_losers(docs, "minhash", 0.8), losers_path,
+            {"mode": "minhash", "threshold": 0.8},
+        )
+
+    # end-to-end: bucketed write against the materialized set == global dedup
+    summary = run_checkpointed(
+        spark, docs, str(out), transform, num_buckets=4, input_lineage="unit-test"
+    )
+    assert summary["rows"] == 30
+    kept = spark.read.parquet(str(out / "bucket=*"))
+    assert sorted(r["doc_id"] for r in kept.collect()) == list(range(30))
+
+
 def test_config_change_refuses_resume(spark, docs, tmp_path):
     out = tmp_path / "cfg"
     _run(spark, docs, out)

@@ -57,6 +57,92 @@ def _gen_html(rng: random.Random) -> str:
     return "".join(out)
 
 
+def _py_boilerpipe(html: str):
+    """Linear-time pure-Python twin of operators/boilerplate — used where
+    the DuckDB oracle's per-block depth slice (quadratic in tag count)
+    would make pathological-HTML parity checks impractically slow."""
+    import re
+
+    block_re = re.compile(
+        r"</?(?:p|div|br|h[1-6]|li|ul|ol|table|tr|td|article|section|"
+        r"header|footer|nav)\b[^>]*>",
+        re.I,
+    )
+    open_re = re.compile(r"^<(?:div|ul|ol|table|article|section|header|footer|nav)\b", re.I)
+    close_re = re.compile(r"^</(?:div|ul|ol|table|article|section|header|footer|nav)\b", re.I)
+    anchor_re = re.compile(r"<a\b[^>]*>(.*?)</a>", re.I | re.S)
+    tag_re = re.compile(r"<[^>]*>", re.S)
+
+    html = html or ""
+    parts = block_re.split(html)
+    tags = block_re.findall(html)
+    depth, blocks = 0, []
+    for i, p in enumerate(parts):
+        if i > 0:
+            t = tags[i - 1]
+            depth += 1 if open_re.match(t) else (-1 if close_re.match(t) else 0)
+        text = tag_re.sub("", p).strip()
+        if text == "":
+            continue
+        anchor = "".join(tag_re.sub("", a) for a in anchor_re.findall(p))
+        ld = min(len(anchor) / len(text), 1.0) if text else 0.0
+        blocks.append({"text": text, "n_words": len(text.split()), "ld": ld, "depth": depth})
+
+    def feat(j, f, default):
+        return blocks[j][f] if 0 <= j < len(blocks) else default
+
+    flags = []
+    for j in range(len(blocks)):
+        if feat(j, "ld", 0.0) <= 0.333333:
+            if feat(j - 1, "ld", 0.0) <= 0.555556:
+                if feat(j, "n_words", 0) <= 16:
+                    ok = feat(j - 1, "n_words", 0) > 4 if feat(j + 1, "n_words", 0) <= 15 else True
+                else:
+                    ok = True
+            else:
+                ok = feat(j + 1, "n_words", 0) > 17 if feat(j, "n_words", 0) <= 40 else True
+        else:
+            ok = False
+        flags.append(ok)
+    main = "\n".join(b["text"] for b, f in zip(blocks, flags) if f)
+    return (
+        main,
+        len(blocks),
+        sum(flags),
+        max((b["depth"] for b in blocks), default=0),
+        sum(len(b["text"]) for b, f in zip(blocks, flags) if not f),
+    )
+
+
+def test_pathological_html_depth_stays_linear(spark):
+    """A doc with thousands of boundary tags (the 100×-scale-up HTML the
+    per-block slice-sum was quadratic on): correct output, sane wall time.
+    The quadratic form evaluated ~2·(2n)² interpreted rlike lambdas per doc
+    (~10⁸ at n=3000 — minutes); the prefix-sum form does one regex pair per
+    tag."""
+    import time
+
+    n = 3000
+    body = "".join(
+        f"<div>word {'w ' * 19}</div>" if i % 7 else f"<div><a href='/x'>link {i}</a></div>"
+        for i in range(n)
+    )
+    docs = [(i, f"<section>{body}</section>") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, html string")
+    t0 = time.monotonic()
+    got = {
+        r["doc_id"]: (
+            r["main_text"], r["n_blocks"], r["n_content_blocks"], r["max_depth"], r["boiler_chars"]
+        )
+        for r in extract_html_documents(df).collect()
+    }
+    wall = time.monotonic() - t0
+    want = _py_boilerpipe(docs[0][1])
+    assert all(v == want for v in got.values())
+    assert want[1] == n and want[3] == 2
+    assert wall < 60, f"pathological-HTML extraction took {wall:.1f}s — depth likely quadratic again"
+
+
 @pytest.mark.parametrize("seed", [20260817])
 def test_fuzz_html_extract_matches_duckdb_oracle(spark, seed):
     rng = random.Random(seed)

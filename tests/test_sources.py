@@ -27,12 +27,25 @@ def test_extract_pages_bad_bytes_drop_gracefully(spark):
     assert pdf.extract_pages(df).count() == 0
 
 
-def test_minipdf_compressed_stream_raises_actionable():
+def test_minipdf_unsupported_filter_raises_actionable():
     from ocr_spark.sources.pdf_fixture import synth_pdf_bytes
 
-    data = synth_pdf_bytes(1, 1).replace(b"<< /Length", b"<< /Filter /FlateDecode /Length")
+    data = synth_pdf_bytes(1, 1).replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
     with pytest.raises(NotImplementedError, match="pypdf"):
         pdf._minipdf_pages(data)
+
+
+def test_minipdf_reads_flate_compressed_streams():
+    """Real-world PDFs are /FlateDecode-compressed; the built-in reader
+    must inflate them with stdlib zlib and extract identical text."""
+    from ocr_spark.sources.pdf_fixture import synth_pdf_bytes
+
+    for doc_id, n in ((7, 3), (2, 1)):
+        raw = synth_pdf_bytes(doc_id, n, compress=False)
+        z = synth_pdf_bytes(doc_id, n, compress=True)
+        assert z != raw and b"/FlateDecode" in z
+        assert pdf._minipdf_pages(z) == pdf._minipdf_pages(raw)
+        assert pdf._minipdf_info(z) == pdf._minipdf_info(raw)
 
 
 def test_pdf_fixture_roundtrip(spark):
@@ -71,10 +84,11 @@ def test_minipdf_matches_pypdf():
     from ocr_spark.sources.pdf_fixture import synth_pdf_bytes
 
     for doc_id, n in ((0, 1), (3, 4)):
-        data = synth_pdf_bytes(doc_id, n)
-        reader = pdf.pypdf.PdfReader(io.BytesIO(data))
-        got_pypdf = [p.extract_text() or "" for p in reader.pages]
-        assert [t.strip() for t in got_pypdf] == pdf._minipdf_pages(data)
+        for compress in (False, True):
+            data = synth_pdf_bytes(doc_id, n, compress=compress)
+            reader = pdf.pypdf.PdfReader(io.BytesIO(data))
+            got_pypdf = [p.extract_text() or "" for p in reader.pages]
+            assert [t.strip() for t in got_pypdf] == pdf._minipdf_pages(data)
 
 
 def test_concat_pages_orders_inside_aggregation(spark):
@@ -120,6 +134,24 @@ def test_ocr_scan_recovers_rotated_image(spark):
     out = {r["image_id"]: r["boxes"] for r in ocr_engine.scan_images(df).collect()}
     # the rotation sweep must find the same horizontal bands in the rotated copy
     assert len(out[1]) == len(out[0]) >= 1
+
+
+def test_ocr_scan_skew_sweep_forceable_on_fake_engine(spark):
+    """The OSD-analog arbitrary-angle sweep is gated off for the fake
+    engine by default (synthetic rasters are axis-aligned) but must stay
+    wired into the ensemble: forcing detect_skew=True on a -6°-skewed page
+    recovers every band the upright page has."""
+    base = I.synth_image_array(6)
+    skewed = I.rotate_arbitrary(base, -6)
+    df = spark.createDataFrame(
+        [(0, bytearray(skewed.tobytes()), skewed.shape[1], skewed.shape[0])],
+        "image_id long, data binary, width int, height int",
+    )
+    forced = ocr_engine.scan_images(df, detect_skew=True).collect()[0]["boxes"]
+    gated = ocr_engine.scan_images(df).collect()[0]["boxes"]
+    upright = ocr_engine._recognize_fake(base)
+    assert len(forced) == len(upright) >= 1
+    assert len(gated) <= len(forced)
 
 
 def test_validate_upload_quarantine(spark):
