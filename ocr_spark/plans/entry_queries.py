@@ -294,6 +294,26 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+def _golden_sql(name: str) -> str:
+    """Oracle for kernels a portable SQL string cannot express (CLAHE, Otsu,
+    Gauss, Lanczos): read a COMMITTED golden parquet of per-image checksums,
+    regenerated driver-side in pure numpy by tools/make_image_goldens.py and
+    staleness-guarded by tests/test_image.py::test_image_golden_parquets_fresh.
+    The hash-green row then proves the Spark side (binary decode → mapInPandas
+    batch shape → kernel → checksum) reproduces the kernel byte-for-byte on
+    every partition layout; kernel correctness vs the reference chain is
+    carried by the pytest byte-parity goldens."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests",
+        "golden",
+        f"{name}.parquet",
+    )
+    return f"SELECT * FROM read_parquet('{path}')"
+
+
 # --- metrics (M1, M3–M6, A1; SURVEY §2.4/§2.5) ------------------------------
 
 _SQL_METRICS_BASE = f"""
@@ -1773,7 +1793,7 @@ def q_image_noise_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@_q("image_denoise")  # I6+I10 chain → rows-only check
+@_q("image_denoise", _golden_sql("image_denoise"))  # I6+I10 chain
 def q_image_denoise(spark: SparkSession, sf: str) -> DataFrame:
     imgs = IMG.synth_images(spark, n=_IMG_N, width=_IMG_W, height=_IMG_H)
     out = IMG.denoise(imgs, "auto")
@@ -1784,7 +1804,7 @@ def q_image_denoise(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@_q("image_preprocess")  # binary-out mapInPandas chain → rows-only check
+@_q("image_preprocess", _golden_sql("image_preprocess"))  # I2 full chain
 def q_image_preprocess(spark: SparkSession, sf: str) -> DataFrame:
     # floor=256 scales the reference's 3000px upscale floor down to the
     # 48x32 synthetic fixtures (the Lanczos resize path still runs; the
@@ -1798,7 +1818,7 @@ def q_image_preprocess(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@_q("image_enhance_text")  # I9 full chain (sharpen→CLAHE→binarize→artifacts)
+@_q("image_enhance_text", _golden_sql("image_enhance_text"))  # I9 full chain
 def q_image_enhance_text(spark: SparkSession, sf: str) -> DataFrame:
     imgs = IMG.synth_images(spark, n=_IMG_N, width=_IMG_W, height=_IMG_H)
     out = IMG.enhance_text(imgs)
@@ -1842,7 +1862,7 @@ def q_image_features(spark: SparkSession, sf: str) -> DataFrame:
     return IMG.extract_features(imgs)
 
 
-@_q("image_resize")  # binary-out resize chain → rows-only check
+@_q("image_resize", _golden_sql("image_resize"))  # binary-out resize chain
 def q_image_resize(spark: SparkSession, sf: str) -> DataFrame:
     imgs = IMG.synth_images(spark, n=_IMG_N, width=_IMG_W, height=_IMG_H)
     out = IMG.resize(imgs, 24, 16)

@@ -233,3 +233,26 @@ def test_adaptive_mean_threshold_binary_and_differs_from_gaussian():
     # flat image thresholds to all-white (x > mean - c everywhere)
     flat = np.full((20, 20), 80, dtype=np.uint8)
     assert (I.adaptive_mean_threshold(flat) == 255).all()
+
+
+def test_image_golden_parquets_fresh():
+    """The committed tests/golden/*.parquet oracle files (read by the
+    image_preprocess/denoise/enhance_text/resize DuckDB oracles) match an
+    in-memory regeneration — catches kernel or fixture drift without Spark."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from make_image_goldens import GOLDEN_DIR, golden_tables
+    finally:
+        sys.path.pop(0)
+
+    for name, fresh in golden_tables().items():
+        path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
+        assert os.path.exists(path), f"missing golden {path}; run tools/make_image_goldens.py"
+        committed = pq.read_table(path)
+        assert committed.equals(fresh), f"stale golden {name}; run tools/make_image_goldens.py"
