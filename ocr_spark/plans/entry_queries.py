@@ -987,6 +987,34 @@ def q_spans_assemble(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "spans_assemble_stream",
+    f"""
+WITH {_SQL_KEPT_SPANS}
+SELECT doc_id, kind, text, media_ref,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY "offset") - 1)::BIGINT AS ord
+FROM skept""",
+)
+def q_spans_assemble_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 stateful streaming span assembly, driven end-to-end through a
+    real file-source stream (2 micro-batches, every doc straddling the
+    boundary) and checked against the SAME oracle as the batch
+    ``spans_assemble`` — stream == batch on the full corpus."""
+    import tempfile
+
+    from ocr_spark.streaming.spans import run_stream_assembly
+
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    assembled = run_stream_assembly(corpus, tempfile.mkdtemp(prefix="spans_stream_"))
+    return assembled.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.order").cast("long").alias("ord"),
+    )
+
+
+@_q(
     "extract_documents",
     f"""
 WITH {_SQL_KEPT_SPANS},

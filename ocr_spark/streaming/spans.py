@@ -60,7 +60,7 @@ def _emit(doc_id: int, kinds, texts, refs, offsets, finalized: bool) -> pd.DataF
     return pd.DataFrame({"doc_id": [doc_id], "spans": [spans], "finalized": [finalized]})
 
 
-def _assemble_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+def _assemble_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState, timeout: bool = True):
     (doc_id,) = key
     kinds, texts, refs, offsets = ([], [], [], []) if not state.exists else [
         list(x) for x in state.get
@@ -86,21 +86,107 @@ def _assemble_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         state.remove()
     else:
         state.update((kinds, texts, refs, offsets))
-        state.setTimeoutDuration(FLUSH_MS)
+        if timeout:
+            state.setTimeoutDuration(FLUSH_MS)
 
 
-def assemble_spans_stream(span_rows: DataFrame) -> DataFrame:
+def assemble_spans_stream(span_rows: DataFrame, timeout: bool = True) -> DataFrame:
     """Input (streaming): (doc_id, kind, text, media_ref, offset) rows.
-    Output (append): (doc_id, spans, finalized) — one row per assembled doc."""
+    Output (append): (doc_id, spans, finalized) — one row per assembled doc.
+
+    ``timeout=False`` disables the crash-safe idle flush (NoTimeout state):
+    for eof-terminated replay inputs this lets an availableNow pass terminate
+    by itself instead of scheduling timeout-check batches forever."""
+    import functools
+
     kept = span_rows.filter(
         (F.col("kind") == "eof")
         | (F.col("kind") == "media")
         | ~is_boilerplate(F.col("text"))
     )
     return kept.groupBy("doc_id").applyInPandasWithState(
-        _assemble_group,
+        functools.partial(_assemble_group, timeout=timeout),
         OUT_SCHEMA,
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.ProcessingTimeTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout
+        else GroupStateTimeout.NoTimeout,
     )
+
+
+def run_stream_assembly(corpus: DataFrame, work_dir: str, n_batches: int = 2) -> DataFrame:
+    """Drive the stateful streaming assembly end-to-end over a real file
+    source and return the finalized results as a BATCH DataFrame of
+    (doc_id, spans, finalized) — the batch-twin driver surface.
+
+    ``corpus`` is the batch span table (doc_id, spans array<struct<kind,
+    text, media_ref, offset>>). Its exploded rows are split across
+    ``n_batches`` parquet files (offset-striped so every document straddles
+    micro-batch boundaries) with per-doc ``eof`` markers in the LAST file,
+    then streamed with maxFilesPerTrigger=1 so each file is one micro-batch.
+    Every document finalizes via its eof marker (never the timeout path),
+    so an availableNow pass terminates with all state cleanly removed.
+    """
+    import os
+    import time
+
+    from pyspark.sql import functions as SF
+
+    spark = corpus.sparkSession
+    rows = corpus.select("doc_id", SF.explode("spans").alias("s")).select(
+        "doc_id",
+        "s.kind",
+        "s.text",
+        "s.media_ref",
+        SF.col("s.offset").cast("long").alias("offset"),
+    )
+    eofs = corpus.select(
+        "doc_id",
+        SF.lit("eof").alias("kind"),
+        SF.lit("").alias("text"),
+        SF.lit("").alias("media_ref"),
+        SF.lit(999_999_999).cast("long").alias("offset"),
+    )
+    n_docs = corpus.count()
+    src = os.path.join(work_dir, "span_rows_src")
+    # offset-striped split: file i gets offsets ≡ i (mod n_batches); written
+    # in order so the file source (modification-time ordered) replays them
+    # as successive micro-batches, eofs strictly last
+    for i in range(n_batches):
+        part = rows.filter(SF.col("offset") % n_batches == i)
+        if i == n_batches - 1:
+            part = part.unionByName(eofs)
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)  # distinct mtimes → deterministic file order
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, kind string, text string, media_ref string, offset long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_dir = os.path.join(work_dir, "assembled_out")
+    # timeout=False: with processing-time timeouts on, pending timeout checks
+    # registered in earlier micro-batches keep the availableNow query
+    # scheduling empty batches forever (measured: no self-termination in
+    # 150 s after full output), forcing a mid-batch q.stop(). Every doc here
+    # finalizes via its eof marker, so the idle-flush timeout adds nothing
+    # and NoTimeout lets the pass terminate cleanly on its own.
+    q = (
+        assemble_spans_stream(stream, timeout=False)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        q.awaitTermination(30)
+    n_out = spark.read.parquet(out_dir).count()
+    if n_out < n_docs:
+        raise RuntimeError(f"stream assembly incomplete: {n_out}/{n_docs} docs finalized")
+    return spark.read.parquet(out_dir).filter("finalized")

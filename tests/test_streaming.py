@@ -274,3 +274,30 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # third click (file 2, behind the watermark) was dropped
     click = [v for (w, t), v in rows.items() if t == "click"]
     assert click == [2], rows
+
+
+def test_run_stream_assembly_batch_twin(spark, tmp_path):
+    """The driver-surface wrapper (NoTimeout, availableNow, parquet sink)
+    self-terminates and equals the batch pipeline span-for-span."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.spans import assemble_spans, classify_spans
+    from ocr_spark.plans.derived import span_corpus
+    from ocr_spark.streaming.spans import run_stream_assembly
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(12)],
+        "doc_id long, text string",
+    )
+    corpus = span_corpus(docs)
+    got_df = run_stream_assembly(corpus, str(tmp_path / "rsa"))
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+        for r in got_df.collect()
+    }
+    want = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+        for r in assemble_spans(classify_spans(corpus)).collect()
+    }
+    assert got == want
+    assert all(len(v) > 0 for v in want.values())
