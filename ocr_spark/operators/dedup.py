@@ -193,9 +193,21 @@ def dedup_minhash_lsh(
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
     """
     num_hashes = config.MINHASH_NUM_HASHES
-    base = docs.select(
-        F.col(id_col).alias("id"), minhash_feats_pandas(F.col(text_col)).alias("f")
-    ).select("id", F.col("f.sigs").alias("sigs"), F.col("f.hv").alias("hv"))
+    # The feature table is referenced by THREE subplans (band explode + the
+    # two per-side hv attach joins); unpersisted, each re-executes the Arrow
+    # UDF over the full corpus (and a filter above the UDF stacks a 2nd
+    # evaluation into the same branch — measured 6 corpus-scale UDF passes).
+    # Persist it once — narrow (id, sigs, hv), MEMORY_AND_DISK — the same
+    # lifecycle Spark ML's MinHashLSH uses for its signature table.
+    from pyspark import StorageLevel
+
+    base = (
+        docs.select(
+            F.col(id_col).alias("id"), minhash_feats_pandas(F.col(text_col)).alias("f")
+        )
+        .select("id", F.col("f.sigs").alias("sigs"), F.col("f.hv").alias("hv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     band_keys = []
     for b in range(num_hashes // config.MINHASH_BAND_SIZE):
