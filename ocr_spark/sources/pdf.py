@@ -6,11 +6,13 @@ The reference shells out to PyPDF2 / pdf2image+poppler per request
 - S5 sniffer        pure Column expression over (path, content) — magic
                     bytes '%PDF' or extension (pdf_processor.py:1011-1035)
 - S2 direct text    Arrow-batched UDF: pypdf when importable; otherwise a
-                    built-in minimal reader that parses uncompressed AND
-                    /FlateDecode content streams (Tj operators, stdlib
-                    zlib) — enough for the vendored deterministic fixtures
-                    (sources/pdf_fixture) and real-world Flate PDFs; other
-                    filters raise an actionable error naming pypdf
+                    built-in reader covering the real-world structural
+                    range — classic and PDF 1.5+ object-stream (/ObjStm)
+                    files, /FlateDecode (+PNG predictors), Tj / ' / TJ
+                    arrays, literal+hex strings with full escape decoding,
+                    nested page trees, /Contents arrays, indirect /Length;
+                    unsupported stream FILTERS (DCT, LZW, …) raise an
+                    actionable error naming pypdf
 - S3 rasterizer     poppler is a process boundary the sandbox lacks —
                     explicit stub
 - S4 metadata       same reader pair as S2 (trailer /Info dictionary)
@@ -51,86 +53,282 @@ def is_pdf(path: Column, content: Column) -> Column:
 
 import re as _re
 
-_OBJ_RE = _re.compile(rb"(\d+) 0 obj(.*?)endobj", _re.DOTALL)
-_TJ_RE = _re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+# --- minipdf: a dependency-free reader for real-world PDF structure ---------
+#
+# Covers what the large majority of real PDFs use (reference path
+# pdf_processor.py:168-184 via PyPDF2): classic AND PDF 1.5+ object-stream
+# ("/ObjStm") files, /FlateDecode, literal/hex strings with full escape
+# decoding, Tj / ' / TJ-array show operators, nested page trees, /Contents
+# arrays, and indirect /Length. Unsupported stream FILTERS (DCT, LZW,
+# ASCII85, JBIG2, …) raise the actionable pypdf boundary error — never a
+# silent empty page.
+
+_OBJ_HEAD_RE = _re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_RE = _re.compile(rb"stream\r?\n")
+_REF_RE = _re.compile(rb"(\d+)\s+\d+\s+R")
+_SHOW_RE = _re.compile(
+    rb"""\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')            # literal string + Tj / '
+       | <([0-9A-Fa-f\s]*)>\s*(?:Tj|')                # hex string + Tj / '
+       | \[((?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|[^\]()<])*)\]\s*TJ  # TJ array
+    """,
+    _re.VERBOSE,
+)
+_ARRAY_STR_RE = _re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
+_ESC_RE = _re.compile(rb"\\([0-7]{1,3}|\r\n|\n|\r|.)")
+_ESC_MAP = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f"}
 
 
 def _pdf_unescape(raw: bytes) -> str:
-    return (
-        raw.replace(b"\\(", b"(").replace(b"\\)", b")").replace(b"\\\\", b"\\")
-    ).decode("latin-1")
+    """Decode a literal-string body: \\( \\) \\\\ , \\n-style controls,
+    1-3 digit octal escapes, and escaped-newline line continuations."""
+
+    def sub(m: _re.Match) -> bytes:
+        e = m.group(1)
+        if e[:1] in b"01234567" and e.isdigit():
+            return bytes([int(e, 8) & 0xFF])
+        if e in (b"\r\n", b"\n", b"\r"):
+            return b""  # line continuation
+        return _ESC_MAP.get(e, e)
+
+    return _ESC_RE.sub(sub, raw).decode("latin-1")
 
 
-def _minipdf_objects(data: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+def _pdf_unhex(raw: bytes) -> str:
+    """Decode a hex-string body: whitespace ignored, odd digit padded 0."""
+    h = b"".join(raw.split())
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii")).decode("latin-1")
 
 
-def _content_stream_bytes(content_obj: bytes) -> bytes:
-    """Decoded bytes of one content-stream object.
-
-    The stream is sliced by its /Length entry when present (binary Flate
-    data may contain any delimiter bytes, so the `endstream` scan is only
-    the fallback for length-less writers). /FlateDecode streams — what
-    virtually every real-world PDF writes (reference path
-    pdf_processor.py:168-184 via PyPDF2) — inflate with stdlib zlib; any
-    other filter (DCT, LZW, ASCII85, …) raises the actionable pypdf
-    boundary error."""
-    sm = _re.search(rb"stream\r?\n", content_obj)
-    if sm is None:
-        return b""
-    head = content_obj[: sm.start()]
-    data = content_obj[sm.end() :]
-    lm = _re.search(rb"/Length\s+(\d+)", head)
-    if lm:
-        data = data[: int(lm.group(1))]
-    else:
-        em = _re.search(rb"\r?\nendstream", data)
-        data = data[: em.start()] if em else data
-    fm = _re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", head)
-    if fm:
-        if fm.group(1) == b"FlateDecode":
-            import zlib
-
-            data = zlib.decompress(data)
+def _show_text_chunks(stream: bytes) -> list[str]:
+    """Every shown string in content-stream order: Tj, ' (next-line show),
+    and TJ arrays (elements of one TJ concatenated — kerning numbers are
+    positioning, not line breaks)."""
+    chunks: list[str] = []
+    for m in _SHOW_RE.finditer(stream):
+        lit, hx, arr = m.group(1), m.group(2), m.group(3)
+        if lit is not None:
+            chunks.append(_pdf_unescape(lit))
+        elif hx is not None:
+            chunks.append(_pdf_unhex(hx))
         else:
+            parts = []
+            for am in _ARRAY_STR_RE.finditer(arr):
+                parts.append(
+                    _pdf_unescape(am.group(1)) if am.group(1) is not None else _pdf_unhex(am.group(2))
+                )
+            chunks.append("".join(parts))
+    return chunks
+
+
+class _MiniPdf:
+    """Parsed object table of one PDF: obj number → (dict/body bytes,
+    raw stream bytes | None). The scan is sequential and /Length-aware, so
+    binary Flate data containing 'endobj' or 'N 0 obj' never corrupts
+    object boundaries; objects inside /ObjStm object streams (how PDF 1.5+
+    writers pack non-stream objects) are inflated and merged in."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.objs: dict[int, tuple[bytes, bytes | None]] = {}
+        self._scan(data)
+        self._merge_object_streams()
+
+    # -- object table ------------------------------------------------------
+    def _scan(self, data: bytes) -> None:
+        pos = 0
+        while True:
+            hm = _OBJ_HEAD_RE.search(data, pos)
+            if hm is None:
+                break
+            num = int(hm.group(1))
+            body_start = hm.end()
+            em = data.find(b"endobj", body_start)
+            sm = _STREAM_RE.search(data, body_start, em if em != -1 else len(data))
+            if sm is None:
+                body = data[body_start : em if em != -1 else len(data)]
+                self.objs[num] = (body, None)
+                pos = em + 6 if em != -1 else len(data)
+                continue
+            head = data[body_start : sm.start()]
+            raw_start = sm.end()
+            length = self._stream_length(head, data, raw_start)
+            raw = data[raw_start : raw_start + length]
+            end = data.find(b"endobj", raw_start + length)
+            self.objs[num] = (head, raw)
+            pos = end + 6 if end != -1 else raw_start + length
+
+    def _stream_length(self, head: bytes, data: bytes, raw_start: int) -> int:
+        lm = _re.search(rb"/Length\s+(\d+)(\s+\d+\s+R)?", head)
+        if lm and not lm.group(2):
+            return int(lm.group(1))
+        if lm:  # indirect /Length — resolve if the target already scanned,
+            ref = int(lm.group(1))  # else fall through to delimiter scan
+            if ref in self.objs and self.objs[ref][1] is None:
+                try:
+                    return int(self.objs[ref][0].strip())
+                except ValueError:
+                    pass
+        em = _re.compile(rb"\r?\n?endstream").search(data, raw_start)
+        return (em.start() if em else len(data)) - raw_start
+
+    # -- stream decode -----------------------------------------------------
+    def stream_bytes(self, num: int) -> bytes:
+        head, raw = self.objs[num]
+        if raw is None:
+            return b""
+        return self._decode(head, raw)
+
+    @staticmethod
+    def _decode(head: bytes, raw: bytes) -> bytes:
+        fm = _re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", head)
+        if not fm:
+            return raw
+        if fm.group(1) != b"FlateDecode":
             raise NotImplementedError(
                 f"unsupported PDF stream filter /{fm.group(1).decode()}: "
                 "install pypdf for general PDFs (the built-in reader handles "
                 "uncompressed and /FlateDecode streams)"
             )
-    return data
+        import zlib
+
+        data = zlib.decompress(raw)
+        pm = _re.search(rb"/Predictor\s+(\d+)", head)
+        if pm and int(pm.group(1)) >= 10:
+            cm = _re.search(rb"/Columns\s+(\d+)", head)
+            data = _png_unpredict(data, int(cm.group(1)) if cm else 1)
+        return data
+
+    # -- PDF 1.5+ object streams ------------------------------------------
+    def _merge_object_streams(self) -> None:
+        for num in [n for n, (h, r) in self.objs.items() if r is not None]:
+            head = self.objs[num][0]
+            if b"/ObjStm" not in head:
+                continue
+            nm = _re.search(rb"/N\s+(\d+)", head)
+            fm = _re.search(rb"/First\s+(\d+)", head)
+            if not (nm and fm):
+                continue
+            data = self.stream_bytes(num)
+            first = int(fm.group(1))
+            pairs = [int(x) for x in data[:first].split()]
+            nums, offs = pairs[0::2], pairs[1::2]
+            bounds = offs[1:] + [len(data) - first]
+            for onum, off, end in zip(nums, offs, bounds):
+                self.objs.setdefault(onum, (data[first + off : first + end], None))
+
+    # -- document structure ------------------------------------------------
+    def _ref(self, body: bytes, key: bytes) -> int | None:
+        m = _re.search(key + rb"\s+(\d+)\s+\d+\s+R", body)
+        return int(m.group(1)) if m else None
+
+    def page_ids(self) -> list[int]:
+        """Leaf /Page object numbers in page-tree order (nested /Kids
+        walked depth-first; cycle-guarded)."""
+        root = self._ref(self.data, rb"/Root")
+        pages_ref = None
+        if root is not None and root in self.objs:
+            pages_ref = self._ref(self.objs[root][0], rb"/Pages")
+        if pages_ref is None:  # damaged trailer/catalog: first /Kids found
+            for num, (body, _raw) in sorted(self.objs.items()):
+                if b"/Kids" in body:
+                    pages_ref = num
+                    break
+        if pages_ref is None:
+            raise ValueError("no /Kids page tree")
+        out: list[int] = []
+        seen: set[int] = set()
+
+        def walk(num: int) -> None:
+            if num in seen or num not in self.objs:
+                return
+            seen.add(num)
+            body = self.objs[num][0]
+            km = _re.search(rb"/Kids\s*\[(.*?)\]", body, _re.DOTALL)
+            if km:
+                for rm in _REF_RE.finditer(km.group(1)):
+                    walk(int(rm.group(1)))
+            elif b"/Page" in body:
+                out.append(num)
+
+        walk(pages_ref)
+        if not out:
+            raise ValueError("no /Kids page tree")
+        return out
+
+    def page_content(self, page_num: int) -> bytes:
+        """Concatenated decoded content streams of one page (/Contents as a
+        single ref or an array of refs)."""
+        body = self.objs[page_num][0]
+        cm = _re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", body)
+        if not cm:
+            return b""
+        refs = [int(m.group(1)) for m in _REF_RE.finditer(cm.group(1))]
+        return b"\n".join(self.stream_bytes(r) for r in refs if r in self.objs)
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse PNG row predictors (PDF /Predictor >= 10, 8-bit, 1 color):
+    each row is [tag][columns bytes]; used by xref and some object streams."""
+    row_w = columns + 1
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data) - row_w + 1, row_w):
+        tag = data[r]
+        row = bytearray(data[r + 1 : r + row_w])
+        if tag == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b, c = prev[i], (prev[i - 1] if i else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
 
 
 def _minipdf_pages(data: bytes) -> list[str]:
-    """Per-page text of a PDF with uncompressed or /FlateDecode content
-    streams, in page-tree order (the /Kids array). Other filters raise —
-    that's the pypdf/poppler boundary, named explicitly."""
-    objs = _minipdf_objects(data)
-    kids_m = _re.search(rb"/Kids\s*\[(.*?)\]", data, _re.DOTALL)
-    if not kids_m:
-        raise ValueError("no /Kids page tree")
-    page_ids = [int(x) for x in _re.findall(rb"(\d+) 0 R", kids_m.group(1))]
+    """Per-page text in page-tree order. Show-operator coverage: Tj, ',
+    TJ arrays (concatenated), literal + hex strings, full escape decoding.
+    Chunks from successive show ops join with newlines (the reference's
+    PyPDF2 extract_text analog for simple layouts)."""
+    pdf = _MiniPdf(data)
     pages = []
-    for pid in page_ids:
-        page_obj = objs[pid]
-        cm = _re.search(rb"/Contents\s+(\d+) 0 R", page_obj)
-        if not cm:
-            pages.append("")
-            continue
-        stream = _content_stream_bytes(objs[int(cm.group(1))])
-        chunks = _TJ_RE.findall(stream)
-        pages.append("\n".join(_pdf_unescape(c) for c in chunks))
+    for pid in pdf.page_ids():
+        chunks = _show_text_chunks(pdf.page_content(pid))
+        pages.append("\n".join(chunks))
     return pages
 
 
 def _minipdf_info(data: bytes) -> dict[str, str | None]:
-    objs = _minipdf_objects(data)
+    pdf = _MiniPdf(data)
     out: dict[str, str | None] = {}
-    im = _re.search(rb"/Info\s+(\d+) 0 R", data)
-    info_obj = objs.get(int(im.group(1)), b"") if im else b""
+    im = _re.search(rb"/Info\s+(\d+)\s+\d+\s+R", data)
+    info_obj = pdf.objs.get(int(im.group(1)), (b"", None))[0] if im else b""
     for key in ("Title", "Author", "Subject", "Creator", "Producer"):
-        m = _re.search(rb"/" + key.encode() + rb"\s*\(((?:[^()\\]|\\.)*)\)", info_obj)
-        out[key.lower()] = _pdf_unescape(m.group(1)) if m else None
+        m = _re.search(
+            rb"/" + key.encode() + rb"\s*(?:\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>)",
+            info_obj,
+        )
+        if m is None:
+            out[key.lower()] = None
+        elif m.group(1) is not None:
+            out[key.lower()] = _pdf_unescape(m.group(1))
+        else:
+            out[key.lower()] = _pdf_unhex(m.group(2))
     return out
 
 
@@ -264,19 +462,26 @@ def synth_pdf_docs(spark, n: int = 40) -> DataFrame:
     real PDF bytes (sources/pdf_fixture.synth_pdf_bytes), built inside the
     plan via an Arrow-batched UDF — no driver-side byte assembly.
 
-    Odd doc_ids are written /FlateDecode-compressed, even ones raw, so
-    every consumer of this corpus (pdf_pages/pdf_fulltext/pdf_process and
-    their oracles) exercises BOTH reader paths on every run — compression
-    never changes the extracted text, only the bytes."""
+    Odd doc_ids are /FlateDecode-compressed, even ones raw, and the writer
+    STYLE cycles with doc_id % 3 — classic ``(s) Tj``, TJ-array/hex/octal,
+    and PDF 1.5 object-stream+xref-stream — so every consumer of this
+    corpus (pdf_pages/pdf_fulltext/pdf_process and their oracles) exercises
+    all reader paths on every run; neither compression nor writer style
+    ever changes the extracted text, only the bytes."""
     from pyspark.sql.functions import pandas_udf
 
-    from ocr_spark.sources.pdf_fixture import synth_pdf_bytes
+    from ocr_spark.sources.pdf_fixture import STYLES, synth_pdf_bytes
 
     @pandas_udf("binary")
     def gen(ids: pd.Series, pages: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                synth_pdf_bytes(int(i), int(p), compress=bool(int(i) % 2))
+                synth_pdf_bytes(
+                    int(i),
+                    int(p),
+                    compress=bool(int(i) % 2),
+                    style=STYLES[int(i) % 3],
+                )
                 for i, p in zip(ids, pages)
             ]
         )

@@ -267,3 +267,68 @@ def test_process_pdfs_routes_both_branches(spark):
             assert r["route"] == "direct"
             assert r["full_text"].split("\n")[0] == f"Page 1 of doc {d}"
         assert r["total_pages"] == 1 + d % 4
+
+
+def test_minipdf_writer_styles_identical_text():
+    """TJ-array (hex + octal + kerning) and PDF 1.5 object-stream layouts
+    must extract byte-identical text/metadata to the classic layout."""
+    from ocr_spark.sources.pdf_fixture import STYLES, synth_pdf_bytes
+
+    for doc_id, n in ((0, 1), (7, 3), (12, 4)):
+        base_pages = None
+        base_info = None
+        for style in STYLES:
+            for compress in (False, True):
+                data = synth_pdf_bytes(doc_id, n, compress=compress, style=style)
+                pages = pdf._minipdf_pages(data)
+                info = pdf._minipdf_info(data)
+                if base_pages is None:
+                    base_pages, base_info = pages, info
+                assert pages == base_pages, (style, compress)
+                assert info == base_info, (style, compress)
+    objstm = synth_pdf_bytes(7, 2, style="objstm")
+    assert b"/ObjStm" in objstm and b"/Type /XRef" in objstm
+    assert b"/Predictor 12" in objstm  # PNG row filter on the object stream
+    tj = synth_pdf_bytes(7, 2, style="tj")
+    assert b"TJ" in tj and b"\\147" in tj  # octal escape exercised
+
+
+def test_minipdf_string_decoding():
+    """Escape/hex decoding: octal, control escapes, line continuation,
+    hex whitespace + odd-length padding."""
+    assert pdf._pdf_unescape(rb"Pa\147e \(x\) \\ A\nB".replace(b"\\n", b"\\n")) == "Page (x) \\ A\nB"
+    assert pdf._pdf_unescape(b"li\\\nne") == "line"  # escaped newline joins
+    assert pdf._pdf_unhex(b"48 65 6c 6C 6f") == "Hello"
+    assert pdf._pdf_unhex(b"7") == "p"  # odd digit pads trailing 0
+
+
+def test_minipdf_structure_tolerance():
+    """Nested page trees, /Contents arrays, indirect /Length."""
+    from ocr_spark.sources.pdf_fixture import synth_pdf_bytes
+
+    data = synth_pdf_bytes(3, 2)
+    # split the page tree into a nested intermediate node
+    nested = data.replace(
+        b"<< /Type /Pages /Kids [5 0 R 7 0 R] /Count 2 >>",
+        b"<< /Type /Pages /Kids [9 0 R 7 0 R] /Count 2 >>",
+    )
+    assert nested != data
+    # append intermediate node 9 holding page 5 (object scan needs no xref)
+    nested = nested.replace(
+        b"\nxref\n", b"\n9 0 obj\n<< /Type /Pages /Kids [5 0 R] /Count 1 >>\nendobj\nxref\n"
+    )
+    assert pdf._minipdf_pages(nested) == pdf._minipdf_pages(data)
+
+    # /Contents as a one-element array
+    arr = data.replace(b"/Contents 6 0 R", b"/Contents [6 0 R]")
+    assert pdf._minipdf_pages(arr) == pdf._minipdf_pages(data)
+
+
+def test_png_unpredict_roundtrip():
+    from ocr_spark.sources.pdf_fixture import _png_predict_up
+
+    payload = bytes(range(256)) * 3 + b"tail"
+    cols = 16
+    enc = _png_predict_up(payload, cols)
+    dec = pdf._png_unpredict(enc, cols)
+    assert dec.rstrip(b" ") == payload  # space padding to whole rows
