@@ -820,6 +820,48 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_SQL_SHINGLE_BASE},
+{_sql_minhash_bands()},
+dcand AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+  FROM dband l JOIN dband r ON l.band = r.band AND l.doc_id < r.doc_id
+),
+dj AS (
+  SELECT c.a_id, c.b_id,
+         CASE WHEN len(list_distinct(list_concat(la.sh, lb.sh))) > 0
+              THEN len(list_intersect(la.sh, lb.sh))::DOUBLE
+                   / len(list_distinct(list_concat(la.sh, lb.sh)))
+              ELSE 0.0 END AS jaccard
+  FROM dcand c JOIN dsh la ON la.doc_id = c.a_id JOIN dsh lb ON lb.doc_id = c.b_id
+),
+dpairs AS (SELECT a_id, b_id FROM dj WHERE jaccard >= 0.5),
+dedges AS (
+  SELECT a_id AS s, b_id AS d FROM dpairs
+  UNION SELECT b_id, a_id FROM dpairs
+),
+dverts AS (SELECT DISTINCT s AS id FROM dedges),
+dreach(id, label) AS (
+  SELECT id, id FROM dverts
+  UNION
+  SELECT e.d, r.label FROM dreach r JOIN dedges e ON e.s = r.id
+)
+SELECT id, min(label) AS cluster_id, (min(label) = id) AS is_canonical
+FROM dreach GROUP BY id""",
+)
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive closure of the MinHash-LSH near-dup pairs: A~B, B~C ⇒
+    one cluster {A,B,C} with min-id canonical — the post-LSH step a real
+    dedup job needs before dropping losers. The oracle computes the same
+    components with a recursive CTE (min reachable id)."""
+    pairs = DD.dedup_minhash_lsh(
+        D.dedup_docs(D.load(spark, sf, "documents")), jaccard_threshold=0.5
+    )
+    return DD.connected_components(pairs)
+
+
+@_q(
     "dedup_ngram_jaccard",
     f"""
 WITH {_SQL_SHINGLE_BASE},

@@ -326,3 +326,52 @@ def test_media_decode_plumbing(spark):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         MM.real_decode_stub(b"bytes")
+
+
+def _cc_python(pairs):
+    """Union-find ground truth: id -> min id in component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_chain_and_disjoint(spark):
+    # chain 1-2-3-4 (diameter 3: A~B, B~C transitivity) + clique {10,11,12}
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    got = {r["id"]: (r["cluster_id"], r["is_canonical"]) for r in D.connected_components(df).collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        10: (10, True), 11: (10, False), 12: (10, False),
+    }
+
+
+def test_connected_components_fuzz_vs_union_find(spark):
+    import random
+
+    rnd = random.Random(42)
+    for trial in range(3):
+        n = 60
+        pairs = sorted({
+            tuple(sorted(rnd.sample(range(n), 2))) for _ in range(40 + trial * 20)
+        })
+        df = spark.createDataFrame([(a, b) for a, b in pairs], "a_id long, b_id long")
+        got = {r["id"]: r["cluster_id"] for r in D.connected_components(df).collect()}
+        assert got == _cc_python(pairs)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="converge"):
+        D.connected_components(df, max_iter=1)
