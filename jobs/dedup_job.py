@@ -10,6 +10,9 @@ Modes:
             (dedup_exact); writes the KEPT documents
   minhash   additionally drop near-duplicates: MinHash-LSH pairs at
             --threshold, greedy keep-lowest-id within each pair
+  minhash-cc  cluster-level near-dup dedup: connected components over the
+            LSH pair graph, keep one canonical (min id) per component
+            (transitive: A~B, B~C drops both B and C)
 
 Resumable exactly like extract_job: hash-bucketed writes with a commit
 manifest (ocr_spark.plans.checkpoint); re-run the same command after a
@@ -26,7 +29,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--mode", choices=("exact", "minhash"), default="exact")
+    ap.add_argument("--mode", choices=("exact", "minhash", "minhash-cc"), default="exact")
     ap.add_argument("--threshold", type=float, default=0.8, help="minhash Jaccard threshold")
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")

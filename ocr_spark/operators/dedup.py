@@ -249,18 +249,38 @@ def corpus_dedup_losers(
     text_col: str = "text",
 ) -> DataFrame:
     """The GLOBAL drop set of a corpus dedup run: exact-dup non-representatives,
-    plus (mode='minhash') the greedy higher-id member of every MinHash-LSH
-    near-dup pair among the exact-kept docs. One column (doc_id).
+    plus the MinHash-LSH near-dup losers among the exact-kept docs. One
+    column (doc_id).
+
+    Near-dup loser semantics by mode:
+
+    - ``minhash``     greedy per-pair: drop the higher id of every LSH pair.
+      No two kept docs are direct near-dups, but two kept docs may both be
+      near-dups of a dropped third (A~C, B~C keeps A and B).
+    - ``minhash-cc``  cluster-level: run :func:`connected_components` over
+      the pair graph and keep ONE canonical (min id) per component — the
+      transitive-closure semantics standard in training-data dedup (A~B,
+      B~C drops both B and C even though A~C was never an LSH pair).
+      Strictly drops a superset of ``minhash``'s losers.
 
     Callers that consume this per-partition (jobs/dedup_job.py's bucket
     loop) MUST materialize it first (plans.checkpoint.materialize_once) —
     it is a full corpus-wide pipeline, not a cheap lookup."""
     exact_losers = dedup_exact(docs, id_col, text_col).filter(~F.col("keep")).select(id_col)
-    if mode == "minhash":
+    if mode in ("minhash", "minhash-cc"):
         kept = docs.join(exact_losers, id_col, "left_anti")
         pairs = dedup_minhash_lsh(kept, id_col, text_col, jaccard_threshold=threshold)
-        near = pairs.select(F.col("b_id").alias(id_col)).distinct()
+        if mode == "minhash-cc":
+            near = (
+                connected_components(pairs)
+                .filter(~F.col("is_canonical"))
+                .select(F.col("id").alias(id_col))
+            )
+        else:
+            near = pairs.select(F.col("b_id").alias(id_col)).distinct()
         return exact_losers.unionByName(near).distinct()
+    if mode != "exact":
+        raise ValueError(f"unknown dedup mode {mode!r}")
     return exact_losers
 
 

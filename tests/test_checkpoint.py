@@ -181,3 +181,51 @@ def test_bucket_scheme_change_refuses_resume(spark, docs, tmp_path):
             str(out), extract_documents, num_buckets=4, id_col="docid",
             input_lineage="unit-test",
         )
+
+
+def test_dedup_cc_mode_drops_transitive_chain(spark):
+    """minhash-cc is the cluster-level semantics: in a chain A~B~C where
+    A~C never forms an LSH pair, pairwise mode can keep a doc whose
+    near-dup was dropped; cc mode keeps exactly one doc per component.
+
+    The corpus is a pre-searched deterministic construction (md5 minhash is
+    seedless): B = 120 distinct words, A/C overlap B on opposite 85-word
+    ends -> exact shingle Jaccard 0.542/0.542/0.255, LSH pairs exactly
+    {(A,B),(B,C)} at threshold 0.5."""
+    from ocr_spark.operators.dedup import corpus_dedup_losers, dedup_minhash_lsh
+
+    m = [f"w2x{i}" for i in range(120)]
+    a_uni = [f"a2u{i}" for i in range(35)]
+    c_uni = [f"c2u{i}" for i in range(35)]
+    a = " ".join(m[:85] + a_uni)
+    b = " ".join(m)
+    c = " ".join(m[35:] + c_uni)
+    docs = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in dedup_minhash_lsh(docs, jaccard_threshold=0.5).collect()
+    }
+    # the premise: a chain through doc 2, no direct 1~3 pair
+    assert pairs == {(1, 2), (2, 3)}
+
+    pairwise = {r["doc_id"] for r in corpus_dedup_losers(docs, "minhash", 0.5).collect()}
+    cc = {r["doc_id"] for r in corpus_dedup_losers(docs, "minhash-cc", 0.5).collect()}
+    assert pairwise == {2, 3}
+    assert cc == {2, 3}  # same here, but via one component {1,2,3}
+
+    # the distinguishing shape: relabel so the chain's middle doc has the
+    # HIGHEST id -- pairs become (1,4),(3,4), no direct 1~3 pair
+    docs2 = spark.createDataFrame([(1, a), (4, b), (3, c)], "doc_id long, text string")
+    pairwise2 = {r["doc_id"] for r in corpus_dedup_losers(docs2, "minhash", 0.5).collect()}
+    cc2 = {r["doc_id"] for r in corpus_dedup_losers(docs2, "minhash-cc", 0.5).collect()}
+    assert pairwise2 == {4}  # keeps 1 AND 3 -- both near-dups of dropped 4
+    assert cc2 == {3, 4}  # one canonical (1) for the whole component
+
+
+def test_dedup_job_rejects_unknown_mode(spark):
+    from ocr_spark.operators.dedup import corpus_dedup_losers
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown dedup mode"):
+        corpus_dedup_losers(docs, "bogus")
