@@ -294,3 +294,132 @@ def topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# --- IVF-flat (inverted-file) ANN --------------------------------------------
+
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def ivf_cell_order(
+    vec: Column,
+    centroids: list[list[int]],
+    scale: int = 1000,
+) -> Column:
+    """Cell indices ordered nearest-first for one vector: quantized cosine
+    against every centroid, ties broken by lowest cell index (matching the
+    oracle's ``ORDER BY cos DESC, cidx ASC`` row_number).
+
+    ``centroids`` are QUANTIZED int vectors (the codebook — tiny, folded
+    into the UDF closure). One numpy GEMM per Arrow batch against the
+    (n_cells, dim) matrix; int64 dots and normsqs are exact (|dot| <=
+    dim*scale^2 = 6.4e7, exact in float64 too), so the float64 cosine is
+    bit-identical to DuckDB's list_dot_product/sqrt formula."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.int64)
+    n_cells, dim = C.shape  # vector width follows the codebook
+    cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+
+    @pandas_udf("array<int>")
+    def _order(vs: pd.Series) -> pd.Series:
+        out = []
+        idx = np.arange(n_cells)
+        for v in vs:
+            if v is None:
+                out.append([int(i) for i in idx])
+                continue
+            m = np.asarray(v, dtype=np.float64) * scale
+            q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)).astype(np.int64)
+            if len(q) < dim:
+                q = np.pad(q, (0, dim - len(q)))
+            q = q[:dim]
+            nq = np.sqrt(float((q * q).sum()))
+            dots = (C @ q).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (nq * cn)
+            cos = np.where((nq > 0) & (cn > 0), cos, 0.0)
+            # stable: equal cosines keep ascending cell index
+            order = np.lexsort((idx, -cos))
+            out.append([int(i) for i in order])
+        return pd.Series(out)
+
+    return _order(vec)
+
+
+def ivf_codebook(
+    corpus: DataFrame,
+    n_cells: int = IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> list[list[int]]:
+    """Deterministic seed codebook: the quantized vectors of the n_cells
+    lowest-id rows. A 16-row driver fetch of the TRAINED MODEL (the same
+    shape Spark ML's KMeansModel.clusterCenters holds on the driver) — not
+    a data collect; the corpus itself never leaves the executors. Seeded
+    selection (vs. Lloyd iterations) keeps the quantizer a pure function
+    of the input, so the DuckDB oracle can reproduce it in SQL."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = []
+    for r in rows:
+        m = np.asarray(r["v"], dtype=np.float64) * scale
+        q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)).astype(np.int64)
+        cents.append([int(x) for x in q])
+    return cents
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k via an inverted-file index (IVF-flat): corpus vectors are
+    bucketed to their nearest codebook centroid; each query probes only
+    its ``nprobe`` nearest cells and re-ranks exactly inside them.
+
+    The scale shape: the corpus is scanned ONCE, assignment is one
+    Arrow-batched GEMM per partition (no shuffle), and candidate selection
+    is a BROADCAST join against Q*nprobe probe rows — expected candidate
+    volume N * Q * nprobe / n_cells, the classic IVF pruning ratio. Only
+    candidates (not the corpus) shuffle into the per-query rank window.
+    Recall < 1.0 by design (a true neighbor in an unprobed cell is missed);
+    deterministic, with an exact SQL twin (seed codebook, no RNG).
+    """
+    cents = ivf_codebook(corpus, n_cells, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(ivf_cell_order(F.col(vec_col), cents), 1).alias("cell"),
+    )
+    probes = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.slice(ivf_cell_order(F.col(vec_col), cents), 1, nprobe).alias("cells"),
+        ).select("query_id", "qv", F.explode("cells").alias("cell"))
+    )
+    cand = probes.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(quantized_cosine_pandas(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -998,6 +998,63 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_q(
+    "ann_topk_ivf",
+    f"""
+WITH {_SQL_EMB_Q},
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, q AS cq
+  FROM (SELECT vec_id, q FROM eq ORDER BY vec_id LIMIT {SIM.IVF_CELLS})
+),
+asgn AS (
+  SELECT e.vec_id, c.cidx, {_sql_qcos('e.q', 'c.cq')} AS cos
+  FROM eq e CROSS JOIN cent c
+),
+cells AS (
+  SELECT vec_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cidx ASC) AS rn
+    FROM asgn) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cidx ASC) AS rn
+    FROM asgn WHERE vec_id < 20) WHERE rn <= {SIM.IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, s.vec_id AS neighbor_id
+  FROM probes p JOIN cells s ON p.cell = s.cell
+  WHERE p.query_id != s.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round({_sql_qcos('a.q', 'b.q')}, 6) AS cosine
+  FROM cand
+  JOIN eq a ON a.vec_id = cand.query_id
+  JOIN eq b ON b.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, cosine FROM ranked WHERE rank <= 5""",
+)
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat ANN: deterministic seed codebook (the {SIM.IVF_CELLS}
+    lowest-id vectors), nearest-centroid cell assignment, nprobe-cell
+    candidate search, exact quantized-cosine re-rank. The oracle rebuilds
+    the identical index in SQL (centroids via ORDER BY/LIMIT, assignment
+    via the same cos-DESC/cidx-ASC argmax)."""
+    emb = D.load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = SIM.topk_ivf(emb, queries, k=5, query_id_col="query_id")
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # --- the span pipeline (north_rule core) --------------------------------------
 
 _SQL_KEPT_SPANS = f"""

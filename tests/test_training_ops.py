@@ -375,3 +375,56 @@ def test_connected_components_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a_id long, b_id long")
     with pytest.raises(RuntimeError, match="converge"):
         D.connected_components(df, max_iter=1)
+
+
+@pytest.fixture(scope="module")
+def ivf_emb_df(spark):
+    # 8 well-separated clusters; ids 0-7 are one member of each cluster, so
+    # the seed codebook (lowest 8 ids) covers every cluster
+    rng = np.random.RandomState(7)
+    base = rng.randn(8, 16) * 4
+    rows = [
+        (i, [float(x) for x in base[i % 8] + rng.randn(16) * 0.05])
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_topk_ivf_full_probe_equals_bruteforce(ivf_emb_df):
+    """With nprobe = n_cells every cell is probed, so IVF degenerates to
+    exact search: row-for-row equal to the brute-force baseline."""
+    queries = ivf_emb_df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = SIM.topk_ivf(ivf_emb_df, queries, k=3, n_cells=8, nprobe=8)
+    bf = SIM.topk_bruteforce(ivf_emb_df, queries, k=3)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, ivf.collect()), key=lambda t: (t[0], t[2])) == sorted(
+        map(tuple, bf.collect()), key=lambda t: (t[0], t[2])
+    )
+
+
+def test_topk_ivf_recall_on_clustered_corpus(ivf_emb_df):
+    """nprobe=2 of 8 cells: the true neighbors live in the query's own
+    cluster=cell, so recall@3 stays perfect while candidate volume drops
+    to ~nprobe/n_cells of the corpus."""
+    queries = ivf_emb_df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.topk_ivf(ivf_emb_df, queries, k=3, n_cells=8, nprobe=2).collect()
+    }
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.topk_bruteforce(ivf_emb_df, queries, k=3).collect()
+    }
+    assert len(ivf & bf) / len(bf) == 1.0
+    for q, n in ivf:
+        assert q != n
+
+
+def test_ivf_codebook_deterministic(ivf_emb_df):
+    a = SIM.ivf_codebook(ivf_emb_df, n_cells=8)
+    b = SIM.ivf_codebook(ivf_emb_df, n_cells=8)
+    assert a == b and len(a) == 8
