@@ -32,8 +32,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding",
+    "dedup_clusters",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "pdf_pages",
     "pdf_process",
     "html_extract",
