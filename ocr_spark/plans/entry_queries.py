@@ -1588,6 +1588,68 @@ def q_pdf_route(spark: SparkSession, sf: str) -> DataFrame:
     return route_documents(rt).select("doc_id", "route")
 
 
+@_q(
+    "upload_validate",
+    """
+WITH v AS (
+  SELECT doc_id,
+         'doc_' || doc_id ||
+           (['.pdf', '.png', '.jpg', '.exe', '.txt', '.tiff'])[(doc_id % 6)::INT + 1] AS path,
+         CASE WHEN doc_id % 11 = 0 THEN ''
+              WHEN doc_id % 5 = 0 THEN '%PDF-1.4' || chr(10) || coalesce(text, '')
+              ELSE coalesce(text, '') END AS c
+  FROM documents
+),
+v2 AS (SELECT doc_id, path, octet_length(encode(c)) AS n, c FROM v),
+r AS (
+  SELECT doc_id, path, n, c,
+         CASE WHEN NOT (path LIKE '%.jpg' OR path LIKE '%.jpeg' OR path LIKE '%.png'
+                        OR path LIKE '%.bmp' OR path LIKE '%.tiff' OR path LIKE '%.pdf')
+                THEN 'unsupported_extension'
+              WHEN n = 0 THEN 'empty_file'
+              WHEN (CASE WHEN path LIKE '%.pdf' THEN n > 400 ELSE n > 300 END)
+                THEN 'file_too_large'
+         END AS reject_reason
+  FROM v2
+)
+SELECT doc_id, path, reject_reason IS NULL AS ok, reject_reason,
+       ((path LIKE '%.pdf') OR substr(c, 1, 4) = '%PDF') AS is_pdf
+FROM r""",
+)
+def q_upload_validate(spark: SparkSession, sf: str) -> DataFrame:
+    """F5 (upload quarantine) + S5 (PDF sniffer) as one oracle row: a
+    deterministic path/content facade over the documents table exercises
+    every branch — unsupported extension, empty file, per-type size caps
+    (tight caps via the parameterized knobs so real text lengths trip
+    them), and magic-byte detection on non-.pdf paths."""
+    import ocr_spark.sources.pdf as P
+
+    docs = D.load(spark, sf, "documents")
+    exts = F.array(*[F.lit(e) for e in (".pdf", ".png", ".jpg", ".exe", ".txt", ".tiff")])
+    text = F.coalesce(F.col("text"), F.lit(""))
+    facade = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc_"),
+            F.col("doc_id").cast("string"),
+            F.element_at(exts, (F.col("doc_id") % 6).cast("int") + 1),
+        ).alias("path"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(""))
+        .when(F.col("doc_id") % 5 == 0, F.concat(F.lit("%PDF-1.4\n"), text))
+        .otherwise(text)
+        .cast("binary")
+        .alias("content"),
+    )
+    out = P.validate_upload(facade, max_pdf_bytes=400, max_image_bytes=300)
+    return out.select(
+        "doc_id",
+        "path",
+        "ok",
+        "reject_reason",
+        P.is_pdf(F.col("path"), F.col("content")).alias("is_pdf"),
+    )
+
+
 # --- real-bytes PDF path (S2/S4/A4 over vendored fixtures) --------------------
 
 _N_PDF_DOCS = 40

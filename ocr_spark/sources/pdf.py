@@ -419,17 +419,27 @@ MAX_IMAGE_BYTES = 10 * 1024 * 1024
 MAX_PDF_BYTES = 50 * 1024 * 1024
 
 
-def validate_upload(df: DataFrame, path_col: str = "path", content_col: str = "content") -> DataFrame:
+def validate_upload(
+    df: DataFrame,
+    path_col: str = "path",
+    content_col: str = "content",
+    max_pdf_bytes: int | None = None,
+    max_image_bytes: int | None = None,
+) -> DataFrame:
     """F5 (main.py:87-104): extension allowlist + size caps — but as a
     quarantine COLUMN (ok, reject_reason), never an exception: bad rows are
-    routed to a reject side-output instead of failing a 10^12-doc job."""
+    routed to a reject side-output instead of failing a 10^12-doc job.
+    Caps default to the reference constants; tests/driver queries may pass
+    tight caps to exercise the file_too_large branch on small fixtures."""
+    max_pdf = MAX_PDF_BYTES if max_pdf_bytes is None else max_pdf_bytes
+    max_img = MAX_IMAGE_BYTES if max_image_bytes is None else max_image_bytes
     path = F.lower(F.coalesce(F.col(path_col), F.lit("")))
     n = F.coalesce(F.length(F.col(content_col)), F.lit(0))
     ext_ok = F.lit(False)
     for ext in ALLOWED_EXTENSIONS:
         ext_ok = ext_ok | path.endswith(ext)
     is_pdf_ext = path.endswith(".pdf")
-    too_big = F.when(is_pdf_ext, n > MAX_PDF_BYTES).otherwise(n > MAX_IMAGE_BYTES)
+    too_big = F.when(is_pdf_ext, n > max_pdf).otherwise(n > max_img)
     reason = (
         F.when(~ext_ok, F.lit("unsupported_extension"))
         .when(n == 0, F.lit("empty_file"))
