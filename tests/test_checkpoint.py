@@ -229,3 +229,23 @@ def test_dedup_job_rejects_unknown_mode(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="unknown dedup mode"):
         corpus_dedup_losers(docs, "bogus")
+
+
+def test_string_doc_ids_flagship_and_resume(spark, docs, tmp_path):
+    """input_hint contract: doc_id is a STRING in the graded table shape.
+    The span pipeline and the bucketed checkpoint runner must both accept
+    string keys (bucket = pmod(hash(id)) works on any orderable type)."""
+    corpus = span_corpus(docs).withColumn(
+        "doc_id", F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+    )
+    out = extract_documents(corpus)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    assert out.count() == 40
+
+    d = tmp_path / "strids"
+    summary = run_checkpointed(
+        spark, corpus, str(d), extract_documents, num_buckets=4, input_lineage="t"
+    )
+    assert summary["rows"] == 40
+    kept = spark.read.parquet(str(d / "bucket=*")).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(f"doc-{i}" for i in range(40))
