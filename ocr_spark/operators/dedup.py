@@ -295,10 +295,13 @@ def connected_components(
 
     Real dedup pipelines need this step after LSH: A~B and B~C does not
     put A and C in one LSH pair, but only one of {A,B,C} should survive.
-    Pregel-lite min-label propagation — every iteration is one distributed
-    join + min-aggregation; convergence is O(component diameter), and LSH
-    near-dup components are band-induced near-cliques (diameter ≤ ~3), so
-    the loop runs 2–4 rounds at any corpus size. Each iteration's labels
+    Pregel-lite min-label propagation with POINTER DOUBLING: each round
+    pushes labels one hop along edges AND shortcuts label→label-of-label
+    (two joins + one min-aggregation), so convergence is O(log diameter)
+    rather than O(diameter). LSH near-dup components are band-induced
+    near-cliques (2–3 rounds), but the doubling step makes pathological
+    chain graphs (e.g. sorted-id exact-dup runs) safe too: a 10^6-long
+    chain resolves in ~20 rounds instead of 10^6. Each round's labels
     are materialized with ``localCheckpoint(eager=True)``: iterative
     self-referencing plans otherwise nest union+join+agg one level deeper
     per round and Catalyst re-analysis goes super-linear (measured: the
@@ -326,8 +329,17 @@ def connected_components(
         msgs = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), "label"
         )
+        # pointer doubling: id's label jumps to its label's own label
+        # (labels only ever decrease toward the component min, so the
+        # shortcut is always valid and halves the remaining path length)
+        l2 = labels.select(F.col("id").alias("mid"), F.col("label").alias("l2"))
+        shortcut = (
+            labels.join(l2, labels.label == l2.mid)
+            .select("id", F.col("l2").alias("label"))
+        )
         new_labels = (
             labels.unionByName(msgs)
+            .unionByName(shortcut)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)

@@ -428,3 +428,14 @@ def test_ivf_codebook_deterministic(ivf_emb_df):
     a = SIM.ivf_codebook(ivf_emb_df, n_cells=8)
     b = SIM.ivf_codebook(ivf_emb_df, n_cells=8)
     assert a == b and len(a) == 8
+
+
+def test_connected_components_long_chain_logarithmic(spark):
+    """Pointer doubling: a 300-node path graph must converge in O(log n)
+    rounds (max_iter=12 here), where plain one-hop propagation would need
+    ~300 — the pathological shape for sorted-id duplicate runs."""
+    n = 300
+    df = spark.createDataFrame([(i, i + 1) for i in range(n)], "a_id long, b_id long")
+    got = D.connected_components(df, max_iter=12).collect()
+    assert all(r["cluster_id"] == 0 for r in got)
+    assert sum(r["is_canonical"] for r in got) == 1
