@@ -8,7 +8,7 @@ integer-polynomial based specifically so both engines agree bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from ocr_spark import config
@@ -108,3 +108,145 @@ def quality_features(text: Column) -> dict[str, Column]:
         "stopword_ratio": F.when(n_words > 0, stop.cast("double") / n_words).otherwise(F.lit(0.0)),
         "quality_score": text_quality_score(t),
     }
+
+
+def gopher_quality(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_dup_line_char_frac: float = 0.3,
+    max_top_2gram_char_frac: float = 0.20,
+    max_top_3gram_char_frac: float = 0.18,
+):
+    """Repetition-aware document quality gate in the style of the Gopher
+    rules (Rae et al. 2021 §A.1.1, public thresholds): word-count and
+    mean-word-length bounds, fraction of characters in duplicated LINES,
+    and fraction of characters covered by the most frequent word 2-gram /
+    3-gram. Complements :func:`quality_features` (which scores shape, not
+    repetition) — repetition is the dominant failure mode of crawled
+    training text.
+
+    Definitions (shared with the DuckDB twin): words = lowered whitespace
+    tokens; lines = trimmed non-empty '\\n' segments; char fractions count
+    word characters (separators excluded), with the lexicographically
+    smallest n-gram winning count ties. Plan shape: three doc_id-keyed
+    aggregations (lines, 2-grams, 3-grams) joined back onto per-doc word
+    stats — every shuffle is keyed on doc_id or (doc_id, gram), no
+    corpus-wide hot key.
+
+    Returns (doc_id, n_words, mean_word_len, frac_dup_line_chars,
+    frac_top_2gram, frac_top_3gram, quality_pass)."""
+    zero = F.lit(0).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        words_of(F.col(text_col)).alias("w"),
+    )
+    word_chars = F.aggregate(F.col("w"), zero, lambda a, x: a + F.length(x))
+    wordstats = base.select(
+        "doc_id",
+        "t",
+        "w",
+        F.size("w").alias("n_words"),
+        word_chars.alias("word_chars"),
+        F.round(
+            F.when(
+                F.size("w") > 0, word_chars.cast("double") / F.size("w")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mean_word_len"),
+    )
+
+    lines = wordstats.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col("t"), "\n"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        ).alias("line"),
+    )
+    linestats = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line")).otherwise(0)
+            ).alias("dup_line_chars"),
+        )
+    )
+
+    def top_gram_frac(n: int, out_col: str):
+        grams = wordstats.filter(F.size("w") >= n).select(
+            "doc_id",
+            "word_chars",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, n)),
+                )
+            ).alias("gram"),
+        )
+        counts = grams.groupBy("doc_id", "word_chars", "gram").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        win = Window.partitionBy("doc_id").orderBy(
+            F.col("cnt").desc(), F.col("gram").asc()
+        )
+        return (
+            counts.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                F.round(
+                    F.when(
+                        F.col("word_chars") > 0,
+                        (
+                            F.col("cnt")
+                            * F.length(F.regexp_replace(F.col("gram"), " ", ""))
+                        ).cast("double")
+                        / F.col("word_chars"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias(out_col),
+            )
+        )
+
+    out = (
+        wordstats.select("doc_id", "n_words", "mean_word_len")
+        .join(
+            linestats.select(
+                "doc_id",
+                F.round(
+                    F.when(
+                        F.col("line_chars") > 0,
+                        F.col("dup_line_chars").cast("double") / F.col("line_chars"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("frac_dup_line_chars"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(top_gram_frac(2, "frac_top_2gram"), "doc_id", "left")
+        .join(top_gram_frac(3, "frac_top_3gram"), "doc_id", "left")
+        .na.fill(
+            {"frac_dup_line_chars": 0.0, "frac_top_2gram": 0.0, "frac_top_3gram": 0.0}
+        )
+    )
+    return out.withColumn(
+        "quality_pass",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("frac_dup_line_chars") <= max_dup_line_char_frac)
+        & (F.col("frac_top_2gram") <= max_top_2gram_char_frac)
+        & (F.col("frac_top_3gram") <= max_top_3gram_char_frac),
+    )

@@ -734,6 +734,84 @@ def q_quality_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "gopher_quality",
+    f"""
+WITH gws AS (
+  SELECT doc_id, coalesce(text, '') AS t, {_words_lower('text')} AS w,
+         len({_words_lower('text')}) AS n_words,
+         list_reduce(list_prepend(0::BIGINT,
+             list_transform({_words_lower('text')}, x -> length(x)::BIGINT)),
+             (a, b) -> a + b) AS word_chars
+  FROM documents
+),
+gl AS (
+  SELECT doc_id,
+         sum(cnt * length(line)) AS line_chars,
+         sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS dup_line_chars
+  FROM (
+    SELECT doc_id, line, count(*) AS cnt FROM (
+      SELECT doc_id,
+             unnest(list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                                x -> x != '')) AS line
+      FROM gws
+    ) GROUP BY doc_id, line
+  ) GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, gram, cnt FROM (
+    SELECT doc_id, gram, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))) AS gram
+      FROM gws WHERE len(w) >= 2
+    ) GROUP BY doc_id, gram
+  ) WHERE rn = 1
+),
+g3 AS (
+  SELECT doc_id, gram, cnt FROM (
+    SELECT doc_id, gram, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS gram
+      FROM gws WHERE len(w) >= 3
+    ) GROUP BY doc_id, gram
+  ) WHERE rn = 1
+),
+gq AS (
+  SELECT gws.doc_id,
+         gws.n_words::BIGINT AS n_words,
+         round(CASE WHEN gws.n_words > 0 THEN gws.word_chars::DOUBLE / gws.n_words ELSE 0.0 END, 6) AS mean_word_len,
+         coalesce(round(CASE WHEN gl.line_chars > 0
+                   THEN gl.dup_line_chars::DOUBLE / gl.line_chars ELSE 0.0 END, 6), 0.0) AS frac_dup_line_chars,
+         coalesce(round(CASE WHEN gws.word_chars > 0
+                   THEN (g2.cnt * length(replace(g2.gram, ' ', '')))::DOUBLE / gws.word_chars
+                   ELSE 0.0 END, 6), 0.0) AS frac_top_2gram,
+         coalesce(round(CASE WHEN gws.word_chars > 0
+                   THEN (g3.cnt * length(replace(g3.gram, ' ', '')))::DOUBLE / gws.word_chars
+                   ELSE 0.0 END, 6), 0.0) AS frac_top_3gram
+  FROM gws
+  LEFT JOIN gl ON gl.doc_id = gws.doc_id
+  LEFT JOIN g2 ON g2.doc_id = gws.doc_id
+  LEFT JOIN g3 ON g3.doc_id = gws.doc_id
+)
+SELECT doc_id, n_words, mean_word_len, frac_dup_line_chars, frac_top_2gram, frac_top_3gram,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND frac_dup_line_chars <= 0.3
+        AND frac_top_2gram <= 0.2
+        AND frac_top_3gram <= 0.18) AS quality_pass
+FROM gq""",
+)
+def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality gate over the documents table (word
+    bounds, mean word length, duplicate-line char fraction, top 2/3-gram
+    char fraction)."""
+    return TS.gopher_quality(D.load(spark, sf, "documents"))
+
+
 def _sql_ocr_correct(e: str) -> str:
     src = "".join(config.OCR_CHAR_CORRECTIONS.keys())
     dst = "".join(config.OCR_CHAR_CORRECTIONS.values())

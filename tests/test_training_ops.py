@@ -439,3 +439,23 @@ def test_connected_components_long_chain_logarithmic(spark):
     got = D.connected_components(df, max_iter=12).collect()
     assert all(r["cluster_id"] == 0 for r in got)
     assert sum(r["is_canonical"] for r in got) == 1
+
+
+def test_gopher_quality_flags_repetition(spark):
+    import ocr_spark.operators.textstats as TS
+
+    clean = " ".join(f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}" for i in range(12))
+    spammy = "buy cheap now " * 40                       # one 3-gram dominates
+    dup_lines = "\n".join(["the same exact line here"] * 10 + ["a unique closing line"])
+    docs = spark.createDataFrame(
+        [(1, clean), (2, spammy), (3, dup_lines)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in TS.gopher_quality(docs).collect()}
+    assert got[1]["quality_pass"]
+    assert got[1]["frac_top_2gram"] < 0.05 and got[1]["frac_dup_line_chars"] == 0.0
+    assert not got[2]["quality_pass"] and got[2]["frac_top_3gram"] > 0.5
+    assert not got[3]["quality_pass"] and got[3]["frac_dup_line_chars"] > 0.8
+    # fractions are in [0, 1] and mean_word_len is chars-per-word
+    for r in got.values():
+        for c in ("frac_dup_line_chars", "frac_top_2gram", "frac_top_3gram"):
+            assert 0.0 <= r[c] <= 1.0
