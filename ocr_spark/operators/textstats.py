@@ -250,3 +250,30 @@ def gopher_quality(
         & (F.col("frac_top_2gram") <= max_top_2gram_char_frac)
         & (F.col("frac_top_3gram") <= max_top_3gram_char_frac),
     )
+
+
+# Redaction patterns — restricted to syntax with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs, ASCII
+# classes only. Order matters: URLs first (they contain email/IP lookalikes),
+# then emails, IPs, phones — each stage counts on ITS input, so a pattern
+# swallowed by an earlier stage is never double-counted.
+PII_PATTERNS = (
+    ("url", r"https?://[^ \t\n]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9]{1,3}[- ]?\(?[0-9]{2,4}\)?[- ]?[0-9]{2,4}[- ]?[0-9]{2,4}", "<PHONE>"),
+)
+
+
+def pii_scrub(text: Column) -> dict[str, Column]:
+    """PII / link redaction for training corpora: replaces URLs, emails,
+    IPv4s and international-format phone numbers with typed tokens and
+    counts each kind. Pure regexp expressions (whole-stage codegen), with
+    per-stage sequential semantics shared with the DuckDB twin."""
+    t = F.coalesce(text, F.lit(""))
+    out: dict[str, Column] = {}
+    for name, pat, token in PII_PATTERNS:
+        out[f"n_{name}"] = F.regexp_count(t, F.lit(pat)).cast("long")
+        t = F.regexp_replace(t, pat, token)
+    out["redacted"] = t
+    return out

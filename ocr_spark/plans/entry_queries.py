@@ -812,6 +812,70 @@ def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     return TS.gopher_quality(D.load(spark, sf, "documents"))
 
 
+def _sql_pii_stages() -> str:
+    """textstats.pii_scrub twin: sequential per-stage count + global
+    replace. Patterns are RE2/Java-identical by construction."""
+    t = "t0"
+    lines = []
+    for i, (name, pat, token) in enumerate(TS.PII_PATTERNS):
+        lines.append(f"len(regexp_extract_all({t}, '{pat}'))::BIGINT AS n_{name}")
+        nxt = f"t{i+1}"
+        lines.append(f"regexp_replace({t}, '{pat}', '{token}', 'g') AS {nxt}")
+        t = nxt
+    return ",\n         ".join(lines) + f",\n         {t} AS redacted"
+
+
+@_q(
+    "pii_scrub",
+    f"""
+WITH paug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+                THEN coalesce(text, '') || ' contact: user' || doc_id || '@example.com'
+              WHEN doc_id % 4 = 1
+                THEN coalesce(text, '') || ' see https://example.org/p/' || doc_id || '?x=1'
+              WHEN doc_id % 4 = 2
+                THEN coalesce(text, '') || ' server 10.0.' || (doc_id % 256) || '.7 or +1 (555) 123-4567'
+              ELSE coalesce(text, '') END AS t0
+  FROM documents
+),
+pst AS (
+  SELECT doc_id,
+         {{stages}}
+  FROM paug
+)
+SELECT doc_id, n_url, n_email, n_ip, n_phone, md5(redacted) AS redacted_md5 FROM pst""".replace(
+        "{stages}", _sql_pii_stages()
+    ),
+)
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction counts + redacted-text hash over a deterministic
+    facade (a quarter of the docs each get an email, a URL, or an
+    IP+phone suffix so every pattern fires)."""
+    docs = D.load(spark, sf, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    did = F.col("doc_id").cast("string")
+    aug = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(text, F.lit(" contact: user"), did, F.lit("@example.com")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(text, F.lit(" see https://example.org/p/"), did, F.lit("?x=1")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(text, F.lit(" server 10.0."), (F.col("doc_id") % 256).cast("string"),
+                       F.lit(".7 or +1 (555) 123-4567")))
+        .otherwise(text)
+    )
+    p = TS.pii_scrub(aug)
+    return docs.select(
+        "doc_id",
+        p["n_url"].alias("n_url"),
+        p["n_email"].alias("n_email"),
+        p["n_ip"].alias("n_ip"),
+        p["n_phone"].alias("n_phone"),
+        F.md5(p["redacted"].cast("binary")).alias("redacted_md5"),
+    )
+
+
 def _sql_ocr_correct(e: str) -> str:
     src = "".join(config.OCR_CHAR_CORRECTIONS.keys())
     dst = "".join(config.OCR_CHAR_CORRECTIONS.values())

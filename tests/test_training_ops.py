@@ -459,3 +459,29 @@ def test_gopher_quality_flags_repetition(spark):
     for r in got.values():
         for c in ("frac_dup_line_chars", "frac_top_2gram", "frac_top_3gram"):
             assert 0.0 <= r[c] <= 1.0
+
+
+def test_pii_scrub_redacts_each_kind(spark):
+    import ocr_spark.operators.textstats as TS
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@test.org or see https://x.io/a?b=1 from 192.168.1.1 call +44 20 7946 0958")],
+        "doc_id long, text string",
+    )
+    p = TS.pii_scrub(F.col("text"))
+    r = df.select(*[p[k].alias(k) for k in ("n_url", "n_email", "n_ip", "n_phone", "redacted")]).first()
+    assert (r["n_url"], r["n_email"], r["n_ip"], r["n_phone"]) == (1, 1, 1, 1)
+    red = r["redacted"]
+    for tok in ("<URL>", "<EMAIL>", "<IP>", "<PHONE>"):
+        assert tok in red
+    assert "test.org" not in red and "192.168" not in red and "x.io" not in red
+
+
+def test_pii_scrub_no_double_count_inside_url(spark):
+    import ocr_spark.operators.textstats as TS
+
+    # the IP lives inside the URL: the URL stage swallows it first
+    df = spark.createDataFrame([(1, "go to http://10.0.0.1/path now")], "doc_id long, text string")
+    p = TS.pii_scrub(F.col("text"))
+    r = df.select(p["n_url"].alias("u"), p["n_ip"].alias("i"), p["redacted"].alias("t")).first()
+    assert r["u"] == 1 and r["i"] == 0 and r["t"] == "go to <URL> now"
