@@ -1,0 +1,118 @@
+"""spark-submit entry point: end-to-end training-corpus curation.
+
+One resumable job composing the pipeline a 100 TB pretraining-data pass
+actually runs, in the canonical order (cheap row-local filters after the
+one global decision, so rejected docs never pay the later stages twice):
+
+  1. near-dup removal   — corpus-wide loser set (exact / minhash /
+                          minhash-cc), computed ONCE and materialized
+  2. quality gate       — Gopher repetition rules (word bounds, dup-line
+                          chars, top n-gram chars)
+  3. language filter    — stopword-profile language ID against --langs
+  4. PII redaction      — URL/email/IP/phone → typed tokens
+
+    python tools/make_package.py
+    spark-submit --master local[32] --py-files dist/ocr_spark.zip \\
+        jobs/curate_job.py --input .../documents.parquet --output /tmp/cur \\
+        --dedup minhash-cc --threshold 0.8 --langs en,ru --buckets 16
+
+Stages 2-4 are doc-local (their groupBys key on doc_id), so they run
+inside the per-bucket transform and resume for free; only the dedup
+decision is global, materialized to ``output/_losers`` exactly once
+(resume-pinned, parameter-fingerprinted). Output rows: (doc_id, lang,
+text = redacted, n_words, n_redactions).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def curate_transform(part, langs):
+    """Bucket-local stages 2-4: quality gate -> language filter -> PII."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.textstats import gopher_quality, language_id, pii_scrub
+
+    q = gopher_quality(part).filter(F.col("quality_pass")).select("doc_id", "n_words")
+    kept = part.join(q, "doc_id")
+    kept = kept.withColumn("lang", language_id(F.col("text")))
+    if langs:
+        kept = kept.filter(F.col("lang").isin(list(langs)))
+    p = pii_scrub(F.col("text"))
+    return kept.select(
+        "doc_id",
+        "lang",
+        p["redacted"].alias("text"),
+        "n_words",
+        (p["n_url"] + p["n_email"] + p["n_ip"] + p["n_phone"]).alias("n_redactions"),
+    )
+
+
+def run_curate(
+    spark,
+    input_path: str,
+    output_dir: str,
+    dedup_mode: str = "minhash-cc",
+    threshold: float = 0.8,
+    langs: tuple[str, ...] = (),
+    num_buckets: int = 16,
+    fail_after: int | None = None,
+) -> dict:
+    import os
+
+    from ocr_spark.operators.dedup import corpus_dedup_losers
+    from ocr_spark.plans.checkpoint import materialize_once, run_checkpointed
+
+    docs = spark.read.parquet(input_path).select("doc_id", "text")
+    losers = materialize_once(
+        spark,
+        corpus_dedup_losers(docs, mode=dedup_mode, threshold=threshold),
+        os.path.join(output_dir, "_losers"),
+        meta={"mode": dedup_mode, "threshold": threshold, "input": input_path},
+    )
+
+    def transform(part):
+        return curate_transform(part.join(losers, "doc_id", "left_anti"), langs)
+
+    return run_checkpointed(
+        spark,
+        docs,
+        output_dir,
+        transform,
+        num_buckets=num_buckets,
+        input_lineage=input_path,
+        fail_after=fail_after,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--dedup", choices=("exact", "minhash", "minhash-cc"), default="minhash-cc")
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--langs", default="", help="comma-separated allowlist; empty = keep all")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("ocr-spark-curate").getOrCreate()
+    summary = run_curate(
+        spark,
+        args.input,
+        args.output,
+        dedup_mode=args.dedup,
+        threshold=args.threshold,
+        langs=tuple(x for x in args.langs.split(",") if x),
+        num_buckets=args.buckets,
+        fail_after=args.fail_after,
+    )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

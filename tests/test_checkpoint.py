@@ -249,3 +249,52 @@ def test_string_doc_ids_flagship_and_resume(spark, docs, tmp_path):
     assert summary["rows"] == 40
     kept = spark.read.parquet(str(d / "bucket=*")).select("doc_id").collect()
     assert sorted(r["doc_id"] for r in kept) == sorted(f"doc-{i}" for i in range(40))
+
+
+def _curate_docs(spark):
+    """40 quality docs (unique words + English stopwords), 5 near-dups of
+    docs 0-4, 5 repetition-spam docs, 2 exact dups of doc 0."""
+    import random
+
+    rnd = random.Random(3)
+    sw = ["the", "and", "of", "to", "in", "is", "was", "for"]
+    rows = []
+    for i in range(40):
+        words = []
+        for j in range(70):
+            words.append(f"w{i}x{j}" if j % 3 else rnd.choice(sw))
+        rows.append((i, " ".join(words)))
+    rows += [(100 + i, rows[i][1] + " tail") for i in range(5)]      # near dups
+    rows += [(200 + i, "spam ham jam " * 30) for i in range(5)]      # fails gopher
+    rows += [(300, rows[0][1]), (301, rows[0][1])]                   # exact dups
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_job_end_to_end_and_resume(spark, tmp_path):
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    inp = str(tmp_path / "in.parquet")
+    docs.write.parquet(inp)
+
+    out = tmp_path / "cur"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_curate(spark, inp, str(out), dedup_mode="minhash-cc",
+                   threshold=0.5, langs=("en",), num_buckets=4, fail_after=2)
+    summary = run_curate(spark, inp, str(out), dedup_mode="minhash-cc",
+                         threshold=0.5, langs=("en",), num_buckets=4)
+    assert summary["buckets_skipped"] == 2  # resumed, not recomputed
+
+    got = spark.read.parquet(str(out / "bucket=*"))
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    # near-dup/exact-dup losers (100-104, 300, 301) and spam (200-204) gone
+    assert ids == list(range(40))
+    row = got.filter(F.col("doc_id") == 0).first()
+    assert row["lang"] == "en" and row["n_words"] >= 50 and row["n_redactions"] == 0
+
+    # uninterrupted run == resumed run (same kept set, same texts)
+    ref = tmp_path / "ref"
+    run_curate(spark, inp, str(ref), dedup_mode="minhash-cc",
+               threshold=0.5, langs=("en",), num_buckets=4)
+    want = spark.read.parquet(str(ref / "bucket=*"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
