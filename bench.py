@@ -42,6 +42,9 @@ HEADLINE = [
     "layout_flags",
     "layout_boxes_arrow",
     "token_stats",
+    "gopher_quality",
+    "pii_scrub",
+    "upload_validate",
     "events_windowed",
     "sessionize",
     "media_decode",
