@@ -876,6 +876,33 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "top_terms",
+    f"""
+WITH tw AS (
+  SELECT doc_id, unnest({_words_lower('text')}) AS term FROM documents
+),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM tw GROUP BY doc_id, term),
+tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+tn AS (SELECT count(*) AS n_docs FROM documents),
+tsc AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf::DOUBLE * (n.n_docs + 1)::DOUBLE / (d.df + 1)::DOUBLE AS score
+  FROM ttf t JOIN tdf d USING (term) CROSS JOIN tn n
+),
+trk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM tsc
+)
+SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df, score, rank::BIGINT AS rank
+FROM trk WHERE rank <= 3""",
+)
+def q_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc salient terms (TF × linear-idf; integer-exact score — see
+    textstats.top_terms for why not ln)."""
+    return TS.top_terms(D.load(spark, sf, "documents"), k=3)
+
+
 def _sql_ocr_correct(e: str) -> str:
     src = "".join(config.OCR_CHAR_CORRECTIONS.keys())
     dst = "".join(config.OCR_CHAR_CORRECTIONS.values())

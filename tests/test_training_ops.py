@@ -485,3 +485,16 @@ def test_pii_scrub_no_double_count_inside_url(spark):
     p = TS.pii_scrub(F.col("text"))
     r = df.select(p["n_url"].alias("u"), p["n_ip"].alias("i"), p["redacted"].alias("t")).first()
     assert r["u"] == 1 and r["i"] == 0 and r["t"] == "go to <URL> now"
+
+
+def test_top_terms_rarity_beats_frequency(spark):
+    import ocr_spark.operators.textstats as TS
+
+    # 'common' is in every doc; each doc also has a unique rare term that
+    # appears twice. The rare term must outrank the 3x-frequent common one.
+    docs = spark.createDataFrame(
+        [(i, f"common common common rare{i} rare{i} filler{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    top1 = {r["doc_id"]: r["term"] for r in TS.top_terms(docs, k=1).collect()}
+    assert top1 == {i: f"rare{i}" for i in range(10)}
