@@ -114,3 +114,74 @@ def media_spans_to_table(docs: DataFrame) -> DataFrame:
         .filter(F.col("s.kind") == "media")
         .select("doc_id", F.col("s.media_ref").alias("media_ref"), F.col("s.offset").alias("offset"))
     )
+
+
+# --- audio -------------------------------------------------------------------
+
+AUDIO_DECODE_SCHEMA = (
+    "doc_id string, media_ref string, codec string, sample_rate long, "
+    "n_samples long, decode_ok boolean"
+)
+
+
+def _fake_decode_audio(media_ref: str) -> tuple[str, int, int]:
+    """Deterministic stand-in for audio decode (soundfile/ffmpeg absent in
+    this container — replace this body; the plumbing around it is
+    production-shaped). Uses md5 bytes 4-6 so it is independent of the
+    image decoder's bytes 0-3."""
+    h = hashlib.md5((media_ref or "").encode()).digest()
+    codec = ["wav", "mp3", "flac", "opus"][h[4] % 4]
+    sample_rate = [8000, 16000, 22050, 44100][h[5] % 4]
+    n_samples = sample_rate * (1 + h[6] % 120)  # 1..120 seconds
+    return codec, sample_rate, n_samples
+
+
+def decode_audio(docs: DataFrame, id_col: str = "doc_id", ref_col: str = "media_ref") -> DataFrame:
+    """Arrow-batched audio 'decode' producing typed metadata columns."""
+    id_name, ref_name = id_col, ref_col
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _get_decoder()
+        for pdf in batches:
+            decoded = [_fake_decode_audio(r) for r in pdf[ref_name]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_name].astype(str),
+                    "media_ref": pdf[ref_name],
+                    "codec": [d[0] for d in decoded],
+                    "sample_rate": [d[1] for d in decoded],
+                    "n_samples": [d[2] for d in decoded],
+                    "decode_ok": [bool(r) for r in pdf[ref_name].notna()],
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(ref_col)).mapInPandas(
+        process, AUDIO_DECODE_SCHEMA
+    )
+
+
+def audio_chunk(decoded: DataFrame, chunk_seconds: int = 30) -> DataFrame:
+    """Fixed-duration chunking for ASR-style processing: one row per
+    ``chunk_seconds`` window — pure Column expressions (sequence +
+    explode), no Python. The final chunk is truncated to the clip length.
+
+    Input needs (doc_id, media_ref, sample_rate, n_samples). Output:
+    (doc_id, media_ref, chunk_idx, start_sample, chunk_samples)."""
+    step = (F.col("sample_rate") * chunk_seconds).cast("long")
+    starts = F.sequence(F.lit(0).cast("long"), F.col("n_samples") - 1, step)
+    out = decoded.select(
+        "doc_id",
+        "media_ref",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        step.alias("step"),
+        F.posexplode(starts).alias("chunk_idx", "start_sample"),
+    )
+    return out.select(
+        "doc_id",
+        "media_ref",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "start_sample",
+        F.least(F.col("step"), F.col("n_samples") - F.col("start_sample")).alias(
+            "chunk_samples"
+        ),
+    )

@@ -2260,6 +2260,40 @@ def q_media_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "audio_chunks",
+    f"""
+WITH {{span_corpus}},
+au AS (
+  SELECT doc_id::VARCHAR AS doc_id, media_ref,
+         ('0x' || substr(md5(media_ref), 11, 2))::INT AS h5,
+         ('0x' || substr(md5(media_ref), 13, 2))::INT AS h6
+  FROM span_rows WHERE kind = 'media'
+),
+am AS (
+  SELECT doc_id, media_ref,
+         ([8000, 16000, 22050, 44100])[h5 % 4 + 1]::BIGINT AS sample_rate,
+         (([8000, 16000, 22050, 44100])[h5 % 4 + 1] * (1 + h6 % 120))::BIGINT AS n_samples
+  FROM au
+)
+SELECT doc_id, media_ref,
+       (s / (sample_rate * 30))::BIGINT AS chunk_idx,
+       s AS start_sample,
+       least(sample_rate * 30, n_samples - s)::BIGINT AS chunk_samples
+FROM am, UNNEST(range(0, n_samples, sample_rate * 30)) t(s)""".replace(
+        "{span_corpus}", D.SQL_SPAN_CORPUS
+    ),
+)
+def q_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio half of the multimodal plumbing: deterministic fake decode
+    (codec/sample-rate/length from md5 bytes disjoint from the image
+    decoder's) + fixed 30 s chunking as pure expressions."""
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    decoded = MD.decode_audio(MD.media_spans_to_table(corpus))
+    return MD.audio_chunk(decoded, chunk_seconds=30)
+
+
+
+@_q(
     "media_decode",
     f"""
 WITH {D.SQL_SPAN_CORPUS},

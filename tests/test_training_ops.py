@@ -498,3 +498,30 @@ def test_top_terms_rarity_beats_frequency(spark):
     )
     top1 = {r["doc_id"]: r["term"] for r in TS.top_terms(docs, k=1).collect()}
     assert top1 == {i: f"rare{i}" for i in range(10)}
+
+
+def test_audio_chunk_boundaries(spark):
+    # 16 kHz, 70 s clip, 30 s chunks -> 30/30/10 s
+    decoded = spark.createDataFrame(
+        [("1", "m1", 16000, 16000 * 70)],
+        "doc_id string, media_ref string, sample_rate long, n_samples long",
+    )
+    rows = sorted(
+        map(tuple, MM.audio_chunk(decoded, chunk_seconds=30).collect()),
+        key=lambda t: t[2],
+    )
+    assert rows == [
+        ("1", "m1", 0, 0, 480000),
+        ("1", "m1", 1, 480000, 480000),
+        ("1", "m1", 2, 960000, 160000),
+    ]
+    assert sum(r[4] for r in rows) == 16000 * 70  # chunks tile the clip exactly
+
+
+def test_decode_audio_deterministic(spark):
+    refs = spark.createDataFrame([("1", "a"), ("2", "b")], "doc_id string, media_ref string")
+    a = sorted(map(tuple, MM.decode_audio(refs).collect()))
+    b = sorted(map(tuple, MM.decode_audio(refs).collect()))
+    assert a == b
+    for r in a:
+        assert r[3] in (8000, 16000, 22050, 44100) and r[4] % r[3] == 0
