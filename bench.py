@@ -42,6 +42,7 @@ HEADLINE = [
     "layout_flags",
     "layout_boxes_arrow",
     "token_stats",
+    "top_terms",
     "gopher_quality",
     "pii_scrub",
     "upload_validate",
@@ -49,6 +50,7 @@ HEADLINE = [
     "sessionize",
     "media_decode",
     "media_frame_sample",
+    "audio_chunks",
     "image_noise_stats",
     "image_features",
 ]
