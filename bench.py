@@ -62,6 +62,17 @@ def materialize(df) -> float:
     return time.time() - t0
 
 
+def build_and_materialize(fn, spark, sf_dir) -> float:
+    """Time plan CONSTRUCTION + execution. Construction is not free for
+    every query: iterative operators (connected components) run their
+    distributed loop while the plan is being built, so timing only the
+    final materialize would hide almost all of their cost."""
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -132,7 +143,10 @@ def main() -> None:
         # best-of-2: host CPU steal on this VM moves single passes by 2-3×
         # (BENCH.md); the min of two passes is the reproducible figure
         per_query[name] = round(
-            min(materialize(fn(spark, sf_dir)), materialize(fn(spark, sf_dir))), 3
+            min(
+                build_and_materialize(fn, spark, sf_dir),
+                build_and_materialize(fn, spark, sf_dir),
+            ), 3
         )
 
     # ANN quality: recall@5 of the LSH path against the exact brute force
