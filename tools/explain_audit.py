@@ -28,6 +28,11 @@ ACCEPTED = {
         "collect_list-folded query-matrix row (blocked GEMM), not a pair "
         "blowup — row count equals the block count"
     ),
+    ("top_terms", "BroadcastNestedLoopJoin"): (
+        "bounded N×1 crossJoin: the per-(doc,term) tf table × the single "
+        "broadcast n_docs aggregate row — attaches one scalar, row count "
+        "unchanged"
+    ),
 }
 
 AUDIT = [
@@ -42,6 +47,15 @@ AUDIT = [
     "layout_boxes",
     "html_extract",
     "pdf_process",
+    "ann_topk_ivf",
+    "top_terms",
+    "gopher_quality",
+    "pii_scrub",
+    "audio_chunks",
+    "upload_validate",
+    # dedup_clusters is excluded: connected components EXECUTES its
+    # distributed loop at plan-construction time, so "explaining" it runs
+    # the job; its per-round plan is the audited join+agg shape.
 ]
 
 
