@@ -1090,6 +1090,47 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     return DD.dedup_embedding_cosine(D.load(spark, sf, "embeddings"), threshold=0.4)
 
 
+def _sql_multiset_sigs_p(bits: int, sets: int) -> str:
+    """dedup_embedding_lsh's signature twin (parameterized bits/sets)."""
+    return (
+        "["
+        + ", ".join(
+            _sql_lsh_sig("q", planes=bits, plane_offset=s * bits) for s in range(sets)
+        )
+        + "]"
+    )
+
+
+@_q(
+    "dedup_embedding_lsh",
+    f"""
+WITH {_SQL_EMB_Q},
+lsig AS (SELECT vec_id, q, {_sql_multiset_sigs_p(8, 8)} AS sigs FROM eq),
+lx AS (
+  SELECT vec_id, u.si AS si, u.sig AS sig FROM (
+    SELECT vec_id, unnest(list_transform(sigs, (x, i) -> {{'si': i, 'sig': x}})) AS u
+    FROM lsig
+  )
+),
+lcand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM lx a JOIN lx b ON a.si = b.si AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id, round({_sql_qcos('a.q', 'b.q')}, 6) AS cosine
+FROM lcand c JOIN eq a ON a.vec_id = c.a_id JOIN eq b ON b.vec_id = c.b_id
+WHERE round({_sql_qcos('a.q', 'b.q')}, 6) >= 0.4""",
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """The subquadratic embedding-dedup path (multi-set sign-LSH candidates
+    + exact verify), same 0.4 threshold as the exact twin so the two
+    queries' results can be compared for recall. APPROXIMATE by design —
+    the oracle reproduces the identical candidate generation, so parity is
+    still exact."""
+    return DD.dedup_embedding_lsh(
+        D.load(spark, sf, "embeddings"), threshold=0.4, bits=8, sets=8
+    )
+
+
 # --- similarity search (ANN) --------------------------------------------------
 
 
