@@ -20,14 +20,33 @@ def _java_ci(pattern: str) -> str:
     return "(?iU)" + pattern
 
 
-def _extract_raw(text: Column, field: str) -> Column:
+def available_fields(patterns: dict[str, list[str]] | None = None) -> list[str]:
+    """get_available_fields analog (data_extractor.py:391-393): the fields
+    the extractor currently knows, built-in plus any overlay."""
+    merged = dict(config.FIELD_PATTERNS)
+    merged.update(patterns or {})
+    return sorted(merged)
+
+
+def _patterns_for(field: str, patterns: dict[str, list[str]] | None) -> list[str]:
+    """add_custom_field_pattern analog (data_extractor.py:376-389), Spark
+    style: instead of mutating a registry at runtime, callers pass a
+    pattern OVERLAY that extends/overrides the config table per plan —
+    the dict folds into generated regexp_extract columns at plan build,
+    so executors see only literal patterns (nothing to synchronize)."""
+    if patterns and field in patterns:
+        return patterns[field]
+    return config.FIELD_PATTERNS[field]
+
+
+def _extract_raw(text: Column, field: str, patterns: dict[str, list[str]] | None = None) -> Column:
     """First match of the first matching pattern (data_extractor.py:96-103).
 
     Python: `re.findall(p, text, I|M)[0].strip()`, skipping patterns whose
     first match strips to ''. regexp_extract returns '' on no match → nullif.
     """
     candidates = []
-    for pat in config.FIELD_PATTERNS[field]:
+    for pat in _patterns_for(field, patterns):
         m = py_strip(F.regexp_extract(text, _java_ci(pat), 1))
         candidates.append(F.nullif(m, F.lit("")))
     return F.coalesce(*candidates)
@@ -75,19 +94,30 @@ _NORMALIZERS = {
 }
 
 
-def extract_field(text: Column, field: str) -> Column:
-    """T6 + per-field cleanup (data_extractor.py:79-146). Null if absent."""
-    raw = _extract_raw(text, field)
+def extract_field(text: Column, field: str, patterns: dict[str, list[str]] | None = None) -> Column:
+    """T6 + per-field cleanup (data_extractor.py:79-146). Null if absent.
+    ``patterns`` overlays/extends the config table (custom fields get no
+    normalizer, matching the reference's add_custom_field_pattern)."""
+    raw = _extract_raw(text, field, patterns)
     norm = _NORMALIZERS.get(field)
     return norm(raw) if norm else raw
 
 
-def extract_fields_map(text: Column, fields: list[str] | None = None) -> Column:
+def extract_fields_map(
+    text: Column,
+    fields: list[str] | None = None,
+    patterns: dict[str, list[str]] | None = None,
+) -> Column:
     """All fields as map<string,string>, with F4 cleanup: entries whose value
-    is null/blank are dropped (data_extractor.py:200-221)."""
-    fields = fields or config.DEFAULT_FIELDS
+    is null/blank are dropped (data_extractor.py:200-221). With a
+    ``patterns`` overlay and no explicit ``fields``, custom fields are
+    extracted alongside the defaults."""
+    if fields is None:
+        fields = list(config.DEFAULT_FIELDS) + sorted(
+            f for f in (patterns or {}) if f not in config.FIELD_PATTERNS
+        )
     entries = [
-        (F.lit(f), extract_field(text, f))
+        (F.lit(f), extract_field(text, f, patterns))
         for f in fields
     ]
     m = F.map_from_arrays(

@@ -118,3 +118,40 @@ def test_exact_match_pct(spark):
     df = spark.createDataFrame(rows, "doc string, extracted_data map<string,string>, ground_truth_data map<string,string>")
     row = FX.exact_match_pct(df).collect()[0]
     assert abs(row["exact_match_percentage"] - 75.0) < 1e-12
+
+
+def test_custom_field_pattern_overlay(spark):
+    """add_custom_field_pattern / get_available_fields analogs
+    (data_extractor.py:376-393): a pattern overlay extends the extractor
+    per-plan, without touching the config registry."""
+    from ocr_spark.functions import fields as FF
+
+    overlay = {"order_id": [r"order\s+#(\w+)"]}
+    assert "order_id" in FF.available_fields(overlay)
+    assert "order_id" not in FF.available_fields()
+
+    df = spark.createDataFrame(
+        [(1, "please ship Order #A17B9 today"), (2, "no order here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["m"]
+        for r in df.select(
+            "doc_id", FF.extract_fields_map(F.col("text"), patterns=overlay).alias("m")
+        ).collect()
+    }
+    assert got[1]["order_id"] == "A17B9"  # (?i) case-insensitive like built-ins
+    assert "order_id" not in got[2]
+    # built-in extraction still works through the overlay path
+    df2 = spark.createDataFrame([(3, "email: Foo@Bar.COM")], "doc_id long, text string")
+    m = df2.select(FF.extract_fields_map(F.col("text"), patterns=overlay).alias("m")).first()["m"]
+    assert m["email"] == "foo@bar.com"
+
+
+def test_custom_pattern_overrides_builtin(spark):
+    from ocr_spark.functions import fields as FF
+
+    overlay = {"email": [r"contact=(\S+)"]}  # replaces the built-in pattern
+    df = spark.createDataFrame([(1, "contact=X@Y.Z no plain email")], "doc_id long, text string")
+    v = df.select(FF.extract_field(F.col("text"), "email", overlay).alias("v")).first()["v"]
+    assert v == "x@y.z"  # email normalizer still applies
