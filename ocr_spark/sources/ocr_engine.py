@@ -53,29 +53,43 @@ _MODEL: dict | None = None
 _MODEL_INITS = 0  # observable by tests: must stay at 1 per process
 
 
-def _load_model(engine: str | None = None) -> dict:
+# ISO 639-1 → tesseract codes for the languages the reference serves plus
+# common additions; unknown codes pass through unchanged.
+_TESS_LANG = {"ru": "rus", "en": "eng", "de": "deu", "fr": "fra", "es": "spa", "uk": "ukr"}
+
+
+def _load_model(engine: str | None = None, langs: tuple[str, ...] | None = None) -> dict:
+    """Executor-singleton model registry. ``langs`` is the set_languages
+    analog (ocr_service.py:668-677): a new language tuple re-initializes
+    the model — same behavior, but keyed functionally (env
+    OCR_SPARK_LANGS="ru,en" or per-call) instead of mutated in place."""
     global _MODEL, _MODEL_INITS
     engine = engine or os.environ.get("OCR_SPARK_ENGINE", DEFAULT_ENGINE)
-    if _MODEL is None or _MODEL["engine_key"] != engine:
+    if langs is None:
+        langs = tuple(
+            x for x in os.environ.get("OCR_SPARK_LANGS", "ru,en").split(",") if x
+        )
+    key = (engine, langs)
+    if _MODEL is None or _MODEL["engine_key"] != key:
         _MODEL_INITS += 1
         if engine == "easyocr":
             import easyocr  # noqa: F401 — import-gated extra
 
             # ~60s init — exactly why this happens once per executor
-            reader = easyocr.Reader(["ru", "en"], gpu=False)
-            _MODEL = {"engine_key": engine, "engine": "easyocr", "reader": reader}
+            reader = easyocr.Reader(list(langs), gpu=False)
+            _MODEL = {"engine_key": key, "engine": "easyocr", "reader": reader}
         elif engine == "tesseract":
             import pytesseract  # noqa: F401 — import-gated extra
 
             _MODEL = {
-                "engine_key": engine,
+                "engine_key": key,
                 "engine": "tesseract",
                 "pytesseract": pytesseract,
                 "config": "--psm 6",
-                "lang": "rus+eng",
+                "lang": "+".join(_TESS_LANG.get(x, x) for x in langs),
             }
         else:
-            _MODEL = {"engine_key": engine, "engine": "fake-deterministic", "langs": ["ru", "en"]}
+            _MODEL = {"engine_key": key, "engine": "fake-deterministic", "langs": list(langs)}
     return _MODEL
 
 
@@ -143,6 +157,7 @@ def scan_images(
     engine: str | None = None,
     include_preprocess: bool = True,
     detect_skew: bool | None = None,
+    langs: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """S6/S7: OCR scan over (image_id, data, width, height) → box arrays.
 
@@ -163,7 +178,7 @@ def scan_images(
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _load_model(engine)  # once per executor; cheap no-op afterwards
+        model = _load_model(engine, langs)  # once per executor; cheap no-op afterwards
         real = model["engine"] != "fake-deterministic"
         floor = 3000 if real else 1
         for pdf in batches:

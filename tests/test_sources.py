@@ -332,3 +332,27 @@ def test_png_unpredict_roundtrip():
     enc = _png_predict_up(payload, cols)
     dec = pdf._png_unpredict(enc, cols)
     assert dec.rstrip(b" ") == payload  # space padding to whole rows
+
+
+def test_set_languages_analog_reinitializes_model():
+    """ocr_service.set_languages re-initializes the OCR model on a language
+    change; the singleton must reload on a new lang tuple and no-op on the
+    same one."""
+    import ocr_spark.sources.ocr_engine as OE
+
+    OE._MODEL = None
+    before = OE._MODEL_INITS
+    m1 = OE._load_model("fake", ("ru", "en"))
+    assert OE._MODEL_INITS == before + 1 and m1["langs"] == ["ru", "en"]
+    m2 = OE._load_model("fake", ("ru", "en"))
+    assert OE._MODEL_INITS == before + 1 and m2 is m1  # no-op
+    m3 = OE._load_model("fake", ("de",))
+    assert OE._MODEL_INITS == before + 2 and m3["langs"] == ["de"]
+    OE._MODEL = None
+
+
+def test_tesseract_lang_mapping():
+    import ocr_spark.sources.ocr_engine as OE
+
+    assert "+".join(OE._TESS_LANG.get(x, x) for x in ("ru", "en")) == "rus+eng"
+    assert "+".join(OE._TESS_LANG.get(x, x) for x in ("en", "xx")) == "eng+xx"
