@@ -8,6 +8,10 @@ must match bit-for-bit (the whole oracle design guarantees it) — any
 Decimal coming back from DuckDB is reported as a type smell.
 
 Usage: python tools/driver_sim.py [sf_dir] [query ...]
+Env:   OCR_SPARK_SIM_ANSI=1        run Spark with spark.sql.ansi.enabled=true
+       OCR_SPARK_SIM_TZ=<zone>     set a non-UTC session timezone
+(the session-agnostic hardening claims in README.md are validated by
+running the full sweep under both knobs)
 """
 
 from __future__ import annotations
@@ -44,7 +48,16 @@ def main() -> int:
     from ocr_spark.plans.derived import TABLES
     from ocr_spark.session import get_spark
 
-    spark = get_spark("driver-sim", master="local[8]", shuffle_partitions=8)
+    import os
+
+    extra = {}
+    if os.environ.get("OCR_SPARK_SIM_ANSI"):
+        extra["spark.sql.ansi.enabled"] = "true"
+    if os.environ.get("OCR_SPARK_SIM_TZ"):
+        extra["spark.sql.session.timeZone"] = os.environ["OCR_SPARK_SIM_TZ"]
+    spark = get_spark(
+        "driver-sim", master="local[8]", shuffle_partitions=8, extra_conf=extra or None
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
