@@ -322,7 +322,7 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the sum action below
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
@@ -342,7 +342,9 @@ def connected_components(
             .unionByName(shortcut)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            # lazy: the convergence-check action right below materializes
+            # the checkpoint, so each round runs ONE job instead of two
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
