@@ -146,3 +146,18 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) 
         )
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+def dedup_events(events: DataFrame, key_cols: tuple[str, ...] = ("event_id",),
+                 watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event dedup for at-least-once sources (replayed
+    Kafka/file batches). On a stream, ``dropDuplicatesWithinWatermark``
+    keeps each key's state only until the watermark passes it — bounded
+    state at any input rate, the scale requirement a plain streaming
+    dropDuplicates (unbounded state) violates. On a batch frame it is the
+    ordinary distinct-by-key."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return events.dropDuplicates(list(key_cols))

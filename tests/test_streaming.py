@@ -301,3 +301,28 @@ def test_run_stream_assembly_batch_twin(spark, tmp_path):
     }
     assert got == want
     assert all(len(v) > 0 for v in want.values())
+
+
+def test_dedup_stream_equals_batch_distinct(spark, events_path, tmp_path):
+    """§2.9: replayed-input dedup — a stream with every event delivered
+    twice must come out identical to the batch distinct, with state
+    bounded by the watermark."""
+    dup_path = str(tmp_path / "dup_events")
+    base = spark.read.parquet(events_path)
+    base.unionByName(base).coalesce(2).write.parquet(dup_path)
+
+    stream = EV.read_events_stream(spark, dup_path)
+    deduped = EV.dedup_events(stream)
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_ev")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.sql("select event_id from dedup_ev").collect())
+    want = sorted(r["event_id"] for r in base.select("event_id").distinct().collect())
+    assert got == want
