@@ -121,12 +121,13 @@ def gopher_quality(
     max_dup_line_char_frac: float = 0.3,
     max_top_2gram_char_frac: float = 0.20,
     max_top_3gram_char_frac: float = 0.18,
+    max_top_4gram_char_frac: float = 0.16,
 ):
     """Repetition-aware document quality gate in the style of the Gopher
     rules (Rae et al. 2021 §A.1.1, public thresholds): word-count and
     mean-word-length bounds, fraction of characters in duplicated LINES,
     and fraction of characters covered by the most frequent word 2-gram /
-    3-gram. Complements :func:`quality_features` (which scores shape, not
+    3-gram / 4-gram. Complements :func:`quality_features` (which scores shape, not
     repetition) — repetition is the dominant failure mode of crawled
     training text.
 
@@ -139,7 +140,7 @@ def gopher_quality(
     corpus-wide hot key.
 
     Returns (doc_id, n_words, mean_word_len, frac_dup_line_chars,
-    frac_top_2gram, frac_top_3gram, quality_pass)."""
+    frac_top_2gram, frac_top_3gram, frac_top_4gram, quality_pass)."""
     zero = F.lit(0).cast("long")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -236,8 +237,14 @@ def gopher_quality(
         )
         .join(top_gram_frac(2, "frac_top_2gram"), "doc_id", "left")
         .join(top_gram_frac(3, "frac_top_3gram"), "doc_id", "left")
+        .join(top_gram_frac(4, "frac_top_4gram"), "doc_id", "left")
         .na.fill(
-            {"frac_dup_line_chars": 0.0, "frac_top_2gram": 0.0, "frac_top_3gram": 0.0}
+            {
+                "frac_dup_line_chars": 0.0,
+                "frac_top_2gram": 0.0,
+                "frac_top_3gram": 0.0,
+                "frac_top_4gram": 0.0,
+            }
         )
     )
     return out.withColumn(
@@ -248,7 +255,8 @@ def gopher_quality(
         & (F.col("mean_word_len") <= max_mean_word_len)
         & (F.col("frac_dup_line_chars") <= max_dup_line_char_frac)
         & (F.col("frac_top_2gram") <= max_top_2gram_char_frac)
-        & (F.col("frac_top_3gram") <= max_top_3gram_char_frac),
+        & (F.col("frac_top_3gram") <= max_top_3gram_char_frac)
+        & (F.col("frac_top_4gram") <= max_top_4gram_char_frac),
     )
 
 

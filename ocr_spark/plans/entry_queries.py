@@ -780,6 +780,17 @@ g3 AS (
     ) GROUP BY doc_id, gram
   ) WHERE rn = 1
 ),
+g4 AS (
+  SELECT doc_id, gram, cnt FROM (
+    SELECT doc_id, gram, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' '))) AS gram
+      FROM gws WHERE len(w) >= 4
+    ) GROUP BY doc_id, gram
+  ) WHERE rn = 1
+),
 gq AS (
   SELECT gws.doc_id,
          gws.n_words::BIGINT AS n_words,
@@ -791,18 +802,24 @@ gq AS (
                    ELSE 0.0 END, 6), 0.0) AS frac_top_2gram,
          coalesce(round(CASE WHEN gws.word_chars > 0
                    THEN (g3.cnt * length(replace(g3.gram, ' ', '')))::DOUBLE / gws.word_chars
-                   ELSE 0.0 END, 6), 0.0) AS frac_top_3gram
+                   ELSE 0.0 END, 6), 0.0) AS frac_top_3gram,
+         coalesce(round(CASE WHEN gws.word_chars > 0
+                   THEN (g4.cnt * length(replace(g4.gram, ' ', '')))::DOUBLE / gws.word_chars
+                   ELSE 0.0 END, 6), 0.0) AS frac_top_4gram
   FROM gws
   LEFT JOIN gl ON gl.doc_id = gws.doc_id
   LEFT JOIN g2 ON g2.doc_id = gws.doc_id
   LEFT JOIN g3 ON g3.doc_id = gws.doc_id
+  LEFT JOIN g4 ON g4.doc_id = gws.doc_id
 )
 SELECT doc_id, n_words, mean_word_len, frac_dup_line_chars, frac_top_2gram, frac_top_3gram,
+       frac_top_4gram,
        (n_words >= 50 AND n_words <= 100000
         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
         AND frac_dup_line_chars <= 0.3
         AND frac_top_2gram <= 0.2
-        AND frac_top_3gram <= 0.18) AS quality_pass
+        AND frac_top_3gram <= 0.18
+        AND frac_top_4gram <= 0.16) AS quality_pass
 FROM gq""",
 )
 def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
