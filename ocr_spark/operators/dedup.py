@@ -726,3 +726,55 @@ def dedup_embedding_lsh(
     return cand.select("a_id", "b_id", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+# --- cross-document line dedup (C4-style) ------------------------------------
+
+
+def dedup_lines_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide LINE dedup (the C4-family cleanup step): a non-blank
+    line that appears in multiple documents survives only in its canonical
+    occurrence — the (min doc_id, min position) one — and is dropped
+    everywhere else. Complements document-level dedup: boilerplate
+    sentences shared across thousands of pages (cookie banners, footers)
+    never form document-level near-dups but still flood a training corpus.
+
+    Plan shape: explode to (doc, pos, line), ONE shuffle keyed on
+    md5(trimmed line) for the global first-occurrence window (partial
+    map-side aggregation absorbs hot common lines), then a doc_id-keyed
+    sort-reassembly. Blank lines are structural and always kept.
+
+    Returns (doc_id, text = deduped, n_lines, n_removed)."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    ).withColumn("norm", F.trim(F.col("line")))
+    w = Window.partitionBy(F.md5(F.col("norm"))).orderBy("doc_id", "pos")
+    flagged = lines.withColumn(
+        "keep",
+        (F.col("norm") == "") | (F.row_number().over(w) == 1),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        )
+    )

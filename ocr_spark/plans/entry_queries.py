@@ -1048,6 +1048,36 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "dedup_lines",
+    """
+WITH dl AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                 (x, i) -> {'pos': i, 'line': x})) AS u
+    FROM documents
+  )
+),
+dlf AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN trim(line) = '' THEN TRUE
+              ELSE row_number() OVER (PARTITION BY md5(trim(line))
+                                      ORDER BY doc_id, pos) = 1 END AS keep
+  FROM dl
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed
+FROM dlf GROUP BY doc_id""",
+)
+def q_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style cross-document line dedup: repeated non-blank lines keep
+    only their canonical (min doc_id, min pos) occurrence."""
+    return DD.dedup_lines_corpus(D.load(spark, sf, "documents"))
+
+
+@_q(
     "dedup_ngram_jaccard",
     f"""
 WITH {_SQL_SHINGLE_BASE},

@@ -525,3 +525,20 @@ def test_decode_audio_deterministic(spark):
     assert a == b
     for r in a:
         assert r[3] in (8000, 16000, 22050, 44100) and r[4] % r[3] == 0
+
+
+def test_dedup_lines_corpus_keeps_canonical(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "shared footer\nunique one\n\nshared footer"),
+            (2, "unique two\nshared footer"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in D.dedup_lines_corpus(docs).collect()}
+    # doc 1 owns the canonical occurrence (min doc_id, min pos); its OWN
+    # later repeat and doc 2's copy are both dropped; blank lines survive
+    assert got[1]["text"] == "shared footer\nunique one\n"
+    assert got[1]["n_lines"] == 4 and got[1]["n_removed"] == 1
+    assert got[2]["text"] == "unique two"
+    assert got[2]["n_lines"] == 2 and got[2]["n_removed"] == 1
