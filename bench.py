@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding",
     "dedup_clusters",
+    "dedup_lines",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
