@@ -6,6 +6,9 @@ one global decision, so rejected docs never pay the later stages twice):
 
   1. near-dup removal   — corpus-wide loser set (exact / minhash /
                           minhash-cc), computed ONCE and materialized
+  1b. line dedup        — (--line-dedup) cross-document repeated-line
+                          removal via a second materialized global index
+                          (line_md5 → canonical occurrence)
   2. quality gate       — Gopher repetition rules (word bounds, dup-line
                           chars, top n-gram chars)
   3. language filter    — stopword-profile language ID against --langs
@@ -29,12 +32,16 @@ import argparse
 import json
 
 
-def curate_transform(part, langs):
-    """Bucket-local stages 2-4: quality gate -> language filter -> PII."""
+def curate_transform(part, langs, line_index=None):
+    """Bucket-local stages 1b-4: line dedup -> quality gate -> language
+    filter -> PII."""
     from pyspark.sql import functions as F
 
+    from ocr_spark.operators.dedup import apply_line_dedup
     from ocr_spark.operators.textstats import gopher_quality, language_id, pii_scrub
 
+    if line_index is not None:
+        part = apply_line_dedup(part, line_index)
     q = gopher_quality(part).filter(F.col("quality_pass")).select("doc_id", "n_words")
     kept = part.join(q, "doc_id")
     kept = kept.withColumn("lang", language_id(F.col("text")))
@@ -59,10 +66,11 @@ def run_curate(
     langs: tuple[str, ...] = (),
     num_buckets: int = 16,
     fail_after: int | None = None,
+    line_dedup: bool = False,
 ) -> dict:
     import os
 
-    from ocr_spark.operators.dedup import corpus_dedup_losers
+    from ocr_spark.operators.dedup import corpus_dedup_losers, dup_line_index
     from ocr_spark.plans.checkpoint import materialize_once, run_checkpointed
 
     docs = spark.read.parquet(input_path).select("doc_id", "text")
@@ -72,9 +80,24 @@ def run_curate(
         os.path.join(output_dir, "_losers"),
         meta={"mode": dedup_mode, "threshold": threshold, "input": input_path},
     )
+    line_index = None
+    if line_dedup:
+        # global like the loser set: the canonical-occurrence decision
+        # spans buckets, so it materializes once over the DEDUPED corpus
+        # (losers removed first — a dropped document must not claim a
+        # line's canonical slot)
+        line_index = materialize_once(
+            spark,
+            dup_line_index(docs.join(losers, "doc_id", "left_anti")),
+            os.path.join(output_dir, "_dup_lines"),
+            meta={"stage": "line_dedup", "input": input_path, "mode": dedup_mode,
+                  "threshold": threshold},
+        )
 
     def transform(part):
-        return curate_transform(part.join(losers, "doc_id", "left_anti"), langs)
+        return curate_transform(
+            part.join(losers, "doc_id", "left_anti"), langs, line_index
+        )
 
     return run_checkpointed(
         spark,
@@ -96,6 +119,8 @@ def main() -> None:
     ap.add_argument("--langs", default="", help="comma-separated allowlist; empty = keep all")
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="also drop cross-document repeated lines (C4-style)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -110,6 +135,7 @@ def main() -> None:
         langs=tuple(x for x in args.langs.split(",") if x),
         num_buckets=args.buckets,
         fail_after=args.fail_after,
+        line_dedup=args.line_dedup,
     )
     print(json.dumps(summary))
 

@@ -778,3 +778,83 @@ def dedup_lines_corpus(
             F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+def dup_line_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The GLOBAL side table for resumable line dedup: one row per
+    DUPLICATED non-blank line — (line_md5, canonical_doc_id,
+    canonical_pos). Globally-unique lines are absent, so the index is far
+    smaller than the corpus (it scales with the *duplicated* line
+    vocabulary) and joins per-bucket like the document loser set.
+    Materialize once (plans.checkpoint.materialize_once) before a bucket
+    loop — it is a corpus-wide aggregation."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    ).withColumn("norm", F.trim(F.col("line")))
+    return (
+        lines.filter(F.col("norm") != "")
+        .groupBy(F.md5(F.col("norm")).alias("line_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("doc_id", "pos")).alias("c"),
+        )
+        .filter(F.col("n") > 1)
+        .select(
+            "line_md5",
+            F.col("c.doc_id").alias("canonical_doc_id"),
+            F.col("c.pos").alias("canonical_pos"),
+        )
+    )
+
+
+def apply_line_dedup(
+    part: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bucket-local application of :func:`dup_line_index`: drop every
+    occurrence of an indexed line except the canonical one. Matches
+    :func:`dedup_lines_corpus` exactly when the index covers the same
+    corpus (pinned by test). Join is keyed on line_md5 against the small
+    index — broadcast-able at real duplicate rates."""
+    lines = part.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    ).withColumn("norm", F.trim(F.col("line")))
+    joined = lines.join(
+        index, F.md5(lines.norm) == index.line_md5, "left"
+    ).withColumn(
+        "keep",
+        (F.col("norm") == "")
+        | F.col("line_md5").isNull()
+        | (
+            (F.col("doc_id") == F.col("canonical_doc_id"))
+            & (F.col("pos") == F.col("canonical_pos"))
+        ),
+    )
+    out = (
+        joined.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias(text_col),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed_lines"),
+        )
+    )
+    return part.drop(text_col).join(out.withColumnRenamed("doc_id", id_col), id_col)

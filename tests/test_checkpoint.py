@@ -298,3 +298,27 @@ def test_curate_job_end_to_end_and_resume(spark, tmp_path):
                threshold=0.5, langs=("en",), num_buckets=4)
     want = spark.read.parquet(str(ref / "bucket=*"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_curate_job_line_dedup(spark, tmp_path):
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    # inject a line shared by the first three quality docs
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") < 3,
+            F.concat(F.lit("the shared cookie banner line\n"), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    inp = str(tmp_path / "in2.parquet")
+    docs.write.parquet(inp)
+    out = tmp_path / "cur2"
+    run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+               num_buckets=4, line_dedup=True)
+    got = spark.read.parquet(str(out / "bucket=*"))
+    texts = {r["doc_id"]: r["text"] for r in got.select("doc_id", "text").collect()}
+    n_with_banner = sum("shared cookie banner" in t for t in texts.values())
+    assert n_with_banner == 1  # canonical occurrence only (doc 0)
+    assert "shared cookie banner" in texts[0]

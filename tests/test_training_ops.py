@@ -542,3 +542,28 @@ def test_dedup_lines_corpus_keeps_canonical(spark):
     assert got[1]["n_lines"] == 4 and got[1]["n_removed"] == 1
     assert got[2]["text"] == "unique two"
     assert got[2]["n_lines"] == 2 and got[2]["n_removed"] == 1
+
+
+def test_apply_line_dedup_equals_global(spark):
+    """Index-and-apply (the resumable bucket path) must match the one-shot
+    corpus operator on any bucketing, including bucket-of-one."""
+    docs = spark.createDataFrame(
+        [
+            (1, "shared footer\nalpha\nshared footer"),
+            (2, "beta\nshared footer\ngamma"),
+            (3, "delta\n\nbeta line"),
+        ],
+        "doc_id long, text string",
+    )
+    want = {
+        r["doc_id"]: r["text"] for r in D.dedup_lines_corpus(docs).collect()
+    }
+    idx = D.dup_line_index(docs)
+    # apply per single-doc "bucket" — the worst-case split
+    got = {}
+    for i in (1, 2, 3):
+        part = docs.filter(F.col("doc_id") == i)
+        got.update(
+            {r["doc_id"]: r["text"] for r in D.apply_line_dedup(part, idx).collect()}
+        )
+    assert got == want
