@@ -335,3 +335,33 @@ def top_terms(docs, k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def split_assign(
+    id_c: Column,
+    ratios: dict[str, float] | None = None,
+    seed: str = "split-v1",
+) -> Column:
+    """Deterministic dataset-split assignment for corpus prep: hash the id
+    with a named seed into [0, 1) and map to labeled ratio bands. Stable
+    across runs, engines and cluster sizes (md5 arithmetic, no RNG), so a
+    document never migrates between train and eval when the corpus is
+    re-processed — the property a Spark ``randomSplit`` (partition-index
+    dependent) does not give you. Band edges are exact integer thresholds
+    on the 48-bit hash, so the twin SQL agrees bit-for-bit."""
+    ratios = ratios or {"train": 0.98, "val": 0.01, "test": 0.01}
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), id_c.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    space = 1 << 48
+    expr = None
+    acc = 0.0
+    items = list(ratios.items())
+    for name, r in items[:-1]:
+        acc += r
+        cond = h < int(acc * space)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    return (expr.otherwise(F.lit(last)) if expr is not None else F.lit(last))

@@ -920,6 +920,31 @@ def q_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return TS.top_terms(D.load(spark, sf, "documents"), k=3)
 
 
+_SPLIT_SPACE = 1 << 48
+_SPLIT_T1 = int(0.98 * _SPLIT_SPACE)
+_SPLIT_T2 = int(0.99 * _SPLIT_SPACE)
+
+
+@_q(
+    "corpus_splits",
+    f"""
+SELECT doc_id,
+       CASE WHEN h < {_SPLIT_T1} THEN 'train'
+            WHEN h < {_SPLIT_T2} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5('split-v1:' || doc_id), 1, 12))::BIGINT AS h
+  FROM documents
+)""",
+)
+def q_corpus_splits(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment (hash bands, no RNG): a
+    doc's split never changes across runs, engines, or cluster sizes."""
+    docs = D.load(spark, sf, "documents")
+    return docs.select("doc_id", TS.split_assign(F.col("doc_id")).alias("split"))
+
+
 def _sql_ocr_correct(e: str) -> str:
     src = "".join(config.OCR_CHAR_CORRECTIONS.keys())
     dst = "".join(config.OCR_CHAR_CORRECTIONS.values())

@@ -567,3 +567,23 @@ def test_apply_line_dedup_equals_global(spark):
             {r["doc_id"]: r["text"] for r in D.apply_line_dedup(part, idx).collect()}
         )
     assert got == want
+
+
+def test_split_assign_stable_and_proportional(spark):
+    import ocr_spark.operators.textstats as TS
+
+    df = spark.createDataFrame([(i,) for i in range(20000)], "doc_id long")
+    a = df.select("doc_id", TS.split_assign(F.col("doc_id")).alias("s"))
+    counts = {r["s"]: r["c"] for r in a.groupBy("s").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.97 < counts["train"] / 20000 < 0.99      # ~0.98
+    assert 0.005 < counts["val"] / 20000 < 0.015      # ~0.01
+    # stability: same ids -> identical assignment on a re-run
+    b = df.select("doc_id", TS.split_assign(F.col("doc_id")).alias("s"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # a different seed reshuffles some assignments
+    j = a.withColumnRenamed("s", "s1").join(
+        df.select("doc_id", TS.split_assign(F.col("doc_id"), seed="split-v2").alias("s2")),
+        "doc_id",
+    )
+    assert j.filter(F.col("s1") != F.col("s2")).count() > 0
