@@ -47,6 +47,7 @@ HEADLINE = [
     "gopher_quality",
     "pii_scrub",
     "upload_validate",
+    "corpus_splits",
     "events_windowed",
     "sessionize",
     "media_decode",
