@@ -356,6 +356,7 @@ def connected_components(
                 (F.col("label") == F.col("id")).alias("is_canonical"),
             )
         prev_sum = new_sum
+    edges.unpersist()  # do not leak the edge cache on the failure path
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations "
         "(pathological chain graph? raise max_iter)"
