@@ -154,6 +154,7 @@ def main() -> None:
     # ANN quality: recall@5 of the LSH path against the exact brute force
     # (bench instrumentation — the only place a collect belongs)
     ann_recall = None
+    ivf_recall = None
     if "ann_topk_bruteforce" in per_query and "ann_topk_lsh" in per_query:
         bf = {
             (r["query_id"], r["neighbor_id"])
@@ -164,6 +165,12 @@ def main() -> None:
             for r in EQ.QUERIES["ann_topk_lsh"](spark, sf_dir).collect()
         }
         ann_recall = round(len(bf & ls) / max(len(bf), 1), 3)
+        if "ann_topk_ivf" in per_query:
+            iv = {
+                (r["query_id"], r["neighbor_id"])
+                for r in EQ.QUERIES["ann_topk_ivf"](spark, sf_dir).collect()
+            }
+            ivf_recall = round(len(bf & iv) / max(len(bf), 1), 3)
 
     total = sum(per_query.values())
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -176,6 +183,7 @@ def main() -> None:
         "cpus": cpus,
         "scale": scale,
         "ann_recall_at_5": ann_recall,
+        "ann_recall_at_5_ivf": ivf_recall,
         "flagship": {
             "n_docs": n_docs,
             "n_spans": int(n_spans),
