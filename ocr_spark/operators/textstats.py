@@ -365,3 +365,18 @@ def split_assign(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
     return (expr.otherwise(F.lit(last)) if expr is not None else F.lit(last))
+
+
+# Neutral demo blocklist — real deployments pass their own list (the
+# C4-style badword filter is list-driven; the operator is the product).
+DEFAULT_BLOCKLIST = ("viagra", "casino", "xxx", "clickbait", "free-money")
+
+
+def blocklist_flag(text: Column, terms: tuple[str, ...] = DEFAULT_BLOCKLIST) -> dict[str, Column]:
+    """List-driven document filter (the C4 badword-gate shape): counts
+    whole-word (lowered) occurrences of blocklist terms and flags the doc.
+    Pure expressions — the literal term array folds into the plan, so a
+    10^5-term list is a broadcast-free constant on every executor."""
+    arr = F.array(*[F.lit(t) for t in terms])
+    n = F.size(F.filter(words_of(text), lambda w: F.array_contains(arr, w)))
+    return {"n_blocked_terms": n.cast("long"), "blocked": n > 0}

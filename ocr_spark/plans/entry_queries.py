@@ -920,6 +920,39 @@ def q_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return TS.top_terms(D.load(spark, sf, "documents"), k=3)
 
 
+@_q(
+    "blocklist_filter",
+    f"""
+WITH bl AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+                THEN coalesce(text, '') || ' win FREE-MONEY at the casino'
+              ELSE coalesce(text, '') END AS t
+  FROM documents
+),
+blw AS (
+  SELECT doc_id,
+         len(list_filter({_words_lower('t')},
+             w -> list_contains({list(TS.DEFAULT_BLOCKLIST)!r}::VARCHAR[], w)))::BIGINT AS n_blocked_terms
+  FROM bl
+)
+SELECT doc_id, n_blocked_terms, n_blocked_terms > 0 AS blocked FROM blw""",
+)
+def q_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style blocklist gate over a facade where every 7th doc gets two
+    spam terms appended (whole-word, case-insensitive matching)."""
+    docs = D.load(spark, sf, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(text, F.lit(" win FREE-MONEY at the casino")),
+    ).otherwise(text)
+    b = TS.blocklist_flag(aug)
+    return docs.select(
+        "doc_id", b["n_blocked_terms"].alias("n_blocked_terms"), b["blocked"].alias("blocked")
+    )
+
+
 _SPLIT_SPACE = 1 << 48
 _SPLIT_T1 = int(0.98 * _SPLIT_SPACE)
 _SPLIT_T2 = int(0.99 * _SPLIT_SPACE)

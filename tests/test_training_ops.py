@@ -587,3 +587,20 @@ def test_split_assign_stable_and_proportional(spark):
         "doc_id",
     )
     assert j.filter(F.col("s1") != F.col("s2")).count() > 0
+
+
+def test_blocklist_flag_whole_word(spark):
+    import ocr_spark.operators.textstats as TS
+
+    df = spark.createDataFrame(
+        [(1, "Visit the CASINO now"), (2, "casinos are buildings"), (3, "clean text")],
+        "doc_id long, text string",
+    )
+    b = TS.blocklist_flag(F.col("text"))
+    got = {
+        r["doc_id"]: (r["n"], r["f"])
+        for r in df.select("doc_id", b["n_blocked_terms"].alias("n"), b["blocked"].alias("f")).collect()
+    }
+    assert got[1] == (1, True)      # case-insensitive whole word
+    assert got[2] == (0, False)     # 'casinos' is not a whole-word match
+    assert got[3] == (0, False)
