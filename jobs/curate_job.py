@@ -13,6 +13,7 @@ one global decision, so rejected docs never pay the later stages twice):
                           chars, top n-gram chars)
   3. language filter    — stopword-profile language ID against --langs
   4. PII redaction      — URL/email/IP/phone → typed tokens
+  5. blocklist gate     — (--blocklist a,b,c) whole-word term filter
 
     python tools/make_package.py
     spark-submit --master local[32] --py-files dist/ocr_spark.zip \\
@@ -32,13 +33,18 @@ import argparse
 import json
 
 
-def curate_transform(part, langs, line_index=None):
-    """Bucket-local stages 1b-4: line dedup -> quality gate -> language
-    filter -> PII."""
+def curate_transform(part, langs, line_index=None, blocklist=()):
+    """Bucket-local stages 1b-5: line dedup -> quality gate -> language
+    filter -> blocklist -> PII."""
     from pyspark.sql import functions as F
 
     from ocr_spark.operators.dedup import apply_line_dedup
-    from ocr_spark.operators.textstats import gopher_quality, language_id, pii_scrub
+    from ocr_spark.operators.textstats import (
+        blocklist_flag,
+        gopher_quality,
+        language_id,
+        pii_scrub,
+    )
 
     if line_index is not None:
         part = apply_line_dedup(part, line_index)
@@ -47,6 +53,8 @@ def curate_transform(part, langs, line_index=None):
     kept = kept.withColumn("lang", language_id(F.col("text")))
     if langs:
         kept = kept.filter(F.col("lang").isin(list(langs)))
+    if blocklist:
+        kept = kept.filter(~blocklist_flag(F.col("text"), tuple(blocklist))["blocked"])
     p = pii_scrub(F.col("text"))
     return kept.select(
         "doc_id",
@@ -67,6 +75,7 @@ def run_curate(
     num_buckets: int = 16,
     fail_after: int | None = None,
     line_dedup: bool = False,
+    blocklist: tuple[str, ...] = (),
 ) -> dict:
     import os
 
@@ -96,7 +105,7 @@ def run_curate(
 
     def transform(part):
         return curate_transform(
-            part.join(losers, "doc_id", "left_anti"), langs, line_index
+            part.join(losers, "doc_id", "left_anti"), langs, line_index, blocklist
         )
 
     return run_checkpointed(
@@ -121,6 +130,8 @@ def main() -> None:
     ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")
     ap.add_argument("--line-dedup", action="store_true",
                     help="also drop cross-document repeated lines (C4-style)")
+    ap.add_argument("--blocklist", default="",
+                    help="comma-separated blocked terms (whole-word); empty = off")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -136,6 +147,7 @@ def main() -> None:
         num_buckets=args.buckets,
         fail_after=args.fail_after,
         line_dedup=args.line_dedup,
+        blocklist=tuple(x for x in args.blocklist.split(",") if x),
     )
     print(json.dumps(summary))
 

@@ -322,3 +322,24 @@ def test_curate_job_line_dedup(spark, tmp_path):
     n_with_banner = sum("shared cookie banner" in t for t in texts.values())
     assert n_with_banner == 1  # canonical occurrence only (doc 0)
     assert "shared cookie banner" in texts[0]
+
+
+def test_curate_job_blocklist(spark, tmp_path):
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 5, F.concat(F.col("text"), F.lit(" casino"))).otherwise(
+            F.col("text")
+        ),
+    )
+    inp = str(tmp_path / "in3.parquet")
+    docs.write.parquet(inp)
+    out = tmp_path / "cur3"
+    run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+               num_buckets=4, blocklist=("casino",))
+    ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out / "bucket=*")).select("doc_id").collect()
+    )
+    assert 5 not in ids and 4 in ids and 6 in ids
