@@ -68,11 +68,17 @@ def build_and_materialize(fn, spark, sf_dir) -> float:
     """Time plan CONSTRUCTION + execution. Construction is not free for
     every query: iterative operators (connected components) run their
     distributed loop while the plan is being built, so timing only the
-    final materialize would hide almost all of their cost."""
+    final materialize would hide almost all of their cost. Operator-
+    internal persisted side tables are released between measurements so
+    repeated queries in one session don't accumulate pinned caches."""
+    from ocr_spark.operators.dedup import release_feature_caches
+
     t0 = time.time()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    dt = time.time() - t0
+    release_feature_caches()
+    return dt
 
 
 def main() -> None:
@@ -155,16 +161,19 @@ def main() -> None:
     # (bench instrumentation — the only place a collect belongs)
     ann_recall = None
     ivf_recall = None
-    if "ann_topk_bruteforce" in per_query and "ann_topk_lsh" in per_query:
+    if "ann_topk_bruteforce" in per_query and (
+        "ann_topk_lsh" in per_query or "ann_topk_ivf" in per_query
+    ):
         bf = {
             (r["query_id"], r["neighbor_id"])
             for r in EQ.QUERIES["ann_topk_bruteforce"](spark, sf_dir).collect()
         }
-        ls = {
-            (r["query_id"], r["neighbor_id"])
-            for r in EQ.QUERIES["ann_topk_lsh"](spark, sf_dir).collect()
-        }
-        ann_recall = round(len(bf & ls) / max(len(bf), 1), 3)
+        if "ann_topk_lsh" in per_query:
+            ls = {
+                (r["query_id"], r["neighbor_id"])
+                for r in EQ.QUERIES["ann_topk_lsh"](spark, sf_dir).collect()
+            }
+            ann_recall = round(len(bf & ls) / max(len(bf), 1), 3)
         if "ann_topk_ivf" in per_query:
             iv = {
                 (r["query_id"], r["neighbor_id"])

@@ -12,8 +12,9 @@ one global decision, so rejected docs never pay the later stages twice):
   2. quality gate       — Gopher repetition rules (word bounds, dup-line
                           chars, top n-gram chars)
   3. language filter    — stopword-profile language ID against --langs
-  4. PII redaction      — URL/email/IP/phone → typed tokens
-  5. blocklist gate     — (--blocklist a,b,c) whole-word term filter
+  4. blocklist gate     — (--blocklist a,b,c) whole-word term filter
+                          (applied to the RAW text, before redaction)
+  5. PII redaction      — URL/email/IP/phone → typed tokens
 
     python tools/make_package.py
     spark-submit --master local[32] --py-files dist/ocr_spark.zip \\
@@ -35,7 +36,7 @@ import json
 
 def curate_transform(part, langs, line_index=None, blocklist=()):
     """Bucket-local stages 1b-5: line dedup -> quality gate -> language
-    filter -> blocklist -> PII."""
+    filter -> blocklist (raw text) -> PII redaction (last)."""
     from pyspark.sql import functions as F
 
     from ocr_spark.operators.dedup import apply_line_dedup
@@ -89,6 +90,9 @@ def run_curate(
         os.path.join(output_dir, "_losers"),
         meta={"mode": dedup_mode, "threshold": threshold, "input": input_path},
     )
+    from ocr_spark.operators.dedup import release_feature_caches
+
+    release_feature_caches()  # the losers parquet replaces the live plan
     line_index = None
     if line_dedup:
         # global like the loser set: the canonical-occurrence decision
@@ -116,6 +120,13 @@ def run_curate(
         num_buckets=num_buckets,
         input_lineage=input_path,
         fail_after=fail_after,
+        job_params={
+            "dedup_mode": dedup_mode,
+            "threshold": threshold,
+            "langs": list(langs),
+            "line_dedup": line_dedup,
+            "blocklist": list(blocklist),
+        },
     )
 
 

@@ -57,6 +57,9 @@ def main() -> None:
         os.path.join(args.output, "_losers"),
         meta={"mode": args.mode, "threshold": args.threshold, "input": args.input},
     )
+    from ocr_spark.operators.dedup import release_feature_caches
+
+    release_feature_caches()  # the losers parquet replaces the live plan
 
     def transform(part):
         return part.join(losers, "doc_id", "left_anti")
@@ -69,6 +72,7 @@ def main() -> None:
         num_buckets=args.buckets,
         input_lineage=args.input,
         fail_after=args.fail_after,
+        job_params={"mode": args.mode, "threshold": args.threshold},
     )
     print(json.dumps(summary))
 

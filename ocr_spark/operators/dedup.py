@@ -98,6 +98,28 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# Persisted side tables created inside lazily-returned plans (the caller
+# gets a DataFrame, not the cache handle). A long-lived session that builds
+# the same operator repeatedly — the bench loop, a multi-stage job — calls
+# release_feature_caches() after materializing each result; otherwise every
+# call pins another MEMORY_AND_DISK copy until the session dies.
+_FEATURE_CACHES: list[DataFrame] = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    _FEATURE_CACHES.append(df)
+    return df
+
+
+def release_feature_caches() -> int:
+    """Unpersist every registered operator-internal cache; returns how many."""
+    n = 0
+    while _FEATURE_CACHES:
+        _FEATURE_CACHES.pop().unpersist()
+        n += 1
+    return n
+
+
 # --- minhash + LSH -----------------------------------------------------------
 
 
@@ -198,10 +220,12 @@ def dedup_minhash_lsh(
     # UDF over the full corpus (and a filter above the UDF stacks a 2nd
     # evaluation into the same branch — measured 6 corpus-scale UDF passes).
     # Persist it once — narrow (id, sigs, hv), MEMORY_AND_DISK — the same
-    # lifecycle Spark ML's MinHashLSH uses for its signature table.
+    # lifecycle Spark ML's MinHashLSH uses for its signature table. The
+    # handle is registered so long-lived sessions (bench loops, jobs) can
+    # release it after materializing the result: release_feature_caches().
     from pyspark import StorageLevel
 
-    base = (
+    base = _register_cache(
         docs.select(
             F.col(id_col).alias("id"), minhash_feats_pandas(F.col(text_col)).alias("f")
         )
@@ -309,10 +333,12 @@ def connected_components(
     checkpointed one finishes in seconds). On a long-lived cluster job,
     swap localCheckpoint for reliable ``checkpoint()`` against the job's
     checkpoint dir — same truncation, executor-loss-tolerant. The
-    driver-side loop holds only ONE scalar per round (the label-sum
-    convergence check) — no collect of vertex data. Raises after
-    ``max_iter`` rounds instead of silently emitting a half-propagated
-    clustering."""
+    driver-side loop holds only ONE scalar per round (the count of ids
+    whose label changed — type-agnostic, so STRING ids converge correctly
+    and huge int ids cannot overflow an accumulator; an earlier sum-based
+    check cast string labels to NULL and declared victory after one
+    round) — no collect of vertex data. Raises after ``max_iter`` rounds
+    instead of silently emitting a half-propagated clustering."""
     from pyspark import StorageLevel
 
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -322,9 +348,8 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=False)  # materialized by the sum action below
+        .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         msgs = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), "label"
@@ -346,16 +371,21 @@ def connected_components(
             # the checkpoint, so each round runs ONE job instead of two
             .localCheckpoint(eager=False)
         )
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        # type-agnostic fixpoint test: count ids whose label changed
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
         labels = new_labels
-        if new_sum == prev_sum:  # min-labels only ever decrease; fixpoint
+        if changed == 0:  # min-labels only ever decrease; fixpoint
             edges.unpersist()
             return labels.select(
                 F.col("id"),
                 F.col("label").alias("cluster_id"),
                 (F.col("label") == F.col("id")).alias("is_canonical"),
             )
-        prev_sum = new_sum
     edges.unpersist()  # do not leak the edge cache on the failure path
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations "
@@ -744,40 +774,23 @@ def dedup_lines_corpus(
     sentences shared across thousands of pages (cookie banners, footers)
     never form document-level near-dups but still flood a training corpus.
 
-    Plan shape: explode to (doc, pos, line), ONE shuffle keyed on
-    md5(trimmed line) for the global first-occurrence window (partial
-    map-side aggregation absorbs hot common lines), then a doc_id-keyed
-    sort-reassembly. Blank lines are structural and always kept.
+    Plan shape: index-then-apply (:func:`dup_line_index` +
+    :func:`apply_line_dedup`) — the canonical occurrence per duplicated
+    line comes from a groupBy+min aggregation, which PARTIAL-aggregates
+    map-side, so a cookie-banner line repeated across millions of pages
+    costs one partial row per map task instead of funneling every
+    occurrence through a single window partition (the first
+    implementation's hot-key failure mode). Blank lines are structural
+    and always kept.
 
     Returns (doc_id, text = deduped, n_lines, n_removed)."""
-    lines = docs.select(
+    idx = dup_line_index(docs, id_col, text_col)
+    out = apply_line_dedup(docs.select(F.col(id_col), F.col(text_col)), idx, id_col, text_col)
+    return out.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
-            "pos", "line"
-        ),
-    ).withColumn("norm", F.trim(F.col("line")))
-    w = Window.partitionBy(F.md5(F.col("norm"))).orderBy("doc_id", "pos")
-    flagged = lines.withColumn(
-        "keep",
-        (F.col("norm") == "") | (F.row_number().over(w) == 1),
-    )
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("keep"), F.struct("pos", "line"))
-                        )
-                    ),
-                    lambda s: s["line"],
-                ),
-            ).alias("text"),
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed"),
-        )
+        F.col(text_col).alias("text"),
+        "n_lines",
+        F.col("n_removed_lines").alias("n_removed"),
     )
 
 
@@ -855,6 +868,7 @@ def apply_line_dedup(
                     lambda s: s["line"],
                 ),
             ).alias(text_col),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
             F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed_lines"),
         )
     )

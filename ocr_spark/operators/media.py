@@ -166,7 +166,11 @@ def audio_chunk(decoded: DataFrame, chunk_seconds: int = 30) -> DataFrame:
     explode), no Python. The final chunk is truncated to the clip length.
 
     Input needs (doc_id, media_ref, sample_rate, n_samples). Output:
-    (doc_id, media_ref, chunk_idx, start_sample, chunk_samples)."""
+    (doc_id, media_ref, chunk_idx, start_sample, chunk_samples). A clip
+    with n_samples <= 0 or sample_rate <= 0 (a real decoder's failure
+    substitute) yields ZERO chunks rather than an illegal-sequence crash
+    that would kill the job over one bad file."""
+    decoded = decoded.filter((F.col("n_samples") > 0) & (F.col("sample_rate") > 0))
     step = (F.col("sample_rate") * chunk_seconds).cast("long")
     starts = F.sequence(F.lit(0).cast("long"), F.col("n_samples") - 1, step)
     out = decoded.select(

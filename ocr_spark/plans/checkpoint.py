@@ -133,14 +133,25 @@ def run_checkpointed(
     id_col: str = "doc_id",
     input_lineage: str = "",
     fail_after: int | None = None,
+    job_params: dict | None = None,
 ) -> dict:
     """Run ``transform`` over ``docs`` in resumable hash-buckets.
 
     Returns a summary dict {buckets_total, buckets_run, buckets_skipped,
     rows, bytes}. Call again after a crash to resume; completed buckets are
     never recomputed or rewritten.
+
+    ``job_params`` is hashed into the recorded fingerprint: a resumed run
+    whose TRANSFORM semantics differ (a new --langs, --blocklist, dedup
+    mode, ...) must refuse, or committed buckets silently keep the old
+    filters while fresh ones apply the new — per-bucket inconsistency,
+    not resume. Pass every parameter the transform closure depends on.
     """
     fp = config_fingerprint()
+    if job_params:
+        fp = fp + ":" + hashlib.md5(
+            json.dumps(job_params, default=str, sort_keys=True).encode()
+        ).hexdigest()[:12]
     done = committed_buckets(output_dir)
     for b, rec in done.items():
         if rec.get("config_fingerprint") not in (None, fp):

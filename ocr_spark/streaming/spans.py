@@ -153,12 +153,23 @@ def run_stream_assembly(corpus: DataFrame, work_dir: str, n_batches: int = 2) ->
     # offset-striped split: file i gets offsets ≡ i (mod n_batches); written
     # in order so the file source (modification-time ordered) replays them
     # as successive micro-batches, eofs strictly last
+    base_t = time.time()
     for i in range(n_batches):
+        seen = set(os.listdir(src)) if os.path.isdir(src) else set()
         part = rows.filter(SF.col("offset") % n_batches == i)
         if i == n_batches - 1:
             part = part.unionByName(eofs)
         part.coalesce(1).write.mode("append").parquet(src)
-        time.sleep(0.05)  # distinct mtimes → deterministic file order
+        # FileStreamSource orders by mtime, ties broken by arbitrary
+        # filename order; on a coarse-granularity filesystem (1 s mtimes
+        # on some network/object-store mounts) a tie could schedule the
+        # eof file FIRST, finalizing docs before their spans arrive.
+        # Stamp each batch's files with an explicitly increasing mtime
+        # instead of trusting sleep+clock resolution.
+        t = base_t + (i + 1) * 2.0
+        for f in set(os.listdir(src)) - seen:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(src, f), (t, t))
 
     stream = (
         spark.readStream.schema(

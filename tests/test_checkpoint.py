@@ -343,3 +343,25 @@ def test_curate_job_blocklist(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(str(out / "bucket=*")).select("doc_id").collect()
     )
     assert 5 not in ids and 4 in ids and 6 in ids
+
+
+def test_curate_resume_refuses_changed_filters(spark, tmp_path):
+    """Changing --langs (or any transform-semantics parameter) between a
+    crash and its resume must refuse: committed buckets would keep the old
+    filters while fresh ones applied the new."""
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    inp = str(tmp_path / "in4.parquet")
+    docs.write.parquet(inp)
+    out = tmp_path / "cur4"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+                   num_buckets=4, fail_after=2)
+    with pytest.raises(RuntimeError, match="different pipeline config"):
+        run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en", "ru"),
+                   num_buckets=4)
+    # unchanged parameters resume fine
+    summary = run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+                         num_buckets=4)
+    assert summary["buckets_skipped"] == 2

@@ -604,3 +604,26 @@ def test_blocklist_flag_whole_word(spark):
     assert got[1] == (1, True)      # case-insensitive whole word
     assert got[2] == (0, False)     # 'casinos' is not a whole-word match
     assert got[3] == (0, False)
+
+
+def test_connected_components_string_ids(spark):
+    """Regression: the old sum(label) fixpoint check cast STRING labels to
+    NULL, compared None == None, and returned a half-propagated clustering
+    after one round. The chain e~a~d~0 (diameter 3) must fully converge
+    on string ids."""
+    pairs = [("a", "e"), ("a", "d"), ("d", "0")]
+    df = spark.createDataFrame(pairs, "a_id string, b_id string")
+    got = {r["id"]: (r["cluster_id"], r["is_canonical"]) for r in D.connected_components(df).collect()}
+    assert got == {
+        "0": ("0", True), "a": ("0", False), "d": ("0", False), "e": ("0", False),
+    }
+    assert sum(v[1] for v in got.values()) == 1
+
+
+def test_audio_chunk_skips_failed_decodes(spark):
+    decoded = spark.createDataFrame(
+        [("1", "ok", 16000, 16000), ("2", "bad", 0, 0), ("3", "empty", 16000, 0)],
+        "doc_id string, media_ref string, sample_rate long, n_samples long",
+    )
+    rows = MM.audio_chunk(decoded, chunk_seconds=30).collect()
+    assert {r["doc_id"] for r in rows} == {"1"}  # bad clips yield no chunks, no crash
