@@ -953,6 +953,51 @@ def q_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "jsonl_roundtrip",
+    """
+SELECT doc_id, md5(coalesce(text, '')) AS payload_md5, FALSE AS is_corrupt
+FROM documents WHERE doc_id % 13 != 0
+UNION ALL
+SELECT NULL::BIGINT AS doc_id,
+       md5('{"doc_id": ' || doc_id || ', "BROKEN') AS payload_md5,
+       TRUE AS is_corrupt
+FROM documents WHERE doc_id % 13 = 0""",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL source round-trip with corrupt-record quarantine: the corpus
+    is written as line-delimited JSON (every 13th document replaced by a
+    deterministically truncated line), read back with an explicit schema
+    in PERMISSIVE mode, and the query proves (a) valid lines round-trip
+    text byte-exactly through the engine's JSON writer+reader and (b)
+    malformed lines are quarantined as raw strings, never exceptions."""
+    import os
+
+    from ocr_spark.sources import jsonl as J
+
+    docs = D.load(spark, sf, "documents").select("doc_id", F.col("text"))
+    tag = sf.rstrip("/").split("/")[-1]
+    path = os.path.join("/tmp", f"ocr_spark_jsonl_{tag}")
+    J.write_jsonl(docs.filter(F.col("doc_id") % 13 != 0), path)
+    broken = docs.filter(F.col("doc_id") % 13 == 0).select(
+        F.concat(
+            F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "BROKEN')
+        ).alias("value")
+    )
+    broken.coalesce(1).write.mode("append").text(path)
+
+    back = J.read_documents_jsonl(spark, path)
+    return back.select(
+        "doc_id",
+        F.when(
+            F.col("corrupt_record").isNotNull(), F.md5(F.col("corrupt_record").cast("binary"))
+        )
+        .otherwise(F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")))
+        .alias("payload_md5"),
+        F.col("corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+
+
 _SPLIT_SPACE = 1 << 48
 _SPLIT_T1 = int(0.98 * _SPLIT_SPACE)
 _SPLIT_T2 = int(0.99 * _SPLIT_SPACE)

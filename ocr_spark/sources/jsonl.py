@@ -1,0 +1,53 @@
+"""JSONL corpus source/sink — the interchange format most external
+document corpora arrive in (one JSON object per line).
+
+Reference analog: the service accepts uploads one request at a time
+(main.py:72); a Spark engine instead ingests bulk line-delimited JSON.
+Robustness contract mirrors validate_upload's (F5): malformed lines are
+QUARANTINED to a side column, never an exception — at 10^12 documents a
+single truncated line must not kill the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def write_jsonl(docs: DataFrame, path: str, partitions: int = 1) -> None:
+    """Write (doc_id, text) as newline-delimited JSON via Spark's native
+    JSON writer (escaping and unicode handled by the engine)."""
+    docs.select("doc_id", "text").coalesce(partitions).write.mode("overwrite").json(path)
+
+
+def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read a documents JSONL corpus with an EXPLICIT schema (schema
+    inference at corpus scale is an extra full pass) in PERMISSIVE mode:
+    malformed lines land in ``corrupt_record`` with null fields, valid
+    lines have it null. Callers route ``corrupt_record IS NOT NULL`` to a
+    reject sink, like validate_upload's quarantine column."""
+    df = (
+        spark.read.schema(DOC_SCHEMA + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return df.withColumnRenamed("_corrupt_record", "corrupt_record")
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid_rows, quarantined_raw_lines) — the F5-style routing.
+
+    The parsed frame is cached first: Spark disallows a query whose only
+    referenced column from a raw JSON scan is the internal corrupt-record
+    column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and caching the full parse
+    is the documented workaround — it also means the file is parsed once
+    for both sides of the split."""
+    df = df.cache()
+    valid = df.filter(F.col("corrupt_record").isNull()).drop("corrupt_record")
+    bad = df.filter(F.col("corrupt_record").isNotNull()).select(
+        F.col("corrupt_record").alias("raw_line")
+    )
+    return valid, bad

@@ -356,3 +356,24 @@ def test_tesseract_lang_mapping():
 
     assert "+".join(OE._TESS_LANG.get(x, x) for x in ("ru", "en")) == "rus+eng"
     assert "+".join(OE._TESS_LANG.get(x, x) for x in ("en", "xx")) == "eng+xx"
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    from ocr_spark.sources import jsonl as J
+
+    docs = spark.createDataFrame(
+        [(1, 'uniçode "quoted" text\nwith newline'), (2, "plain")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "jl")
+    J.write_jsonl(docs, path)
+    import os
+
+    with open(os.path.join(path, "broken.json"), "w") as f:
+        f.write('{"doc_id": 99, "tex\n{not json at all\n')
+    back = J.read_documents_jsonl(spark, path)
+    valid, bad = J.split_quarantine(back)
+    got = {r["doc_id"]: r["text"] for r in valid.collect()}
+    assert got == {1: 'uniçode "quoted" text\nwith newline', 2: "plain"}
+    raws = sorted(r["raw_line"] for r in bad.collect())
+    assert raws == ['{"doc_id": 99, "tex', "{not json at all"]
