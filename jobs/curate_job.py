@@ -77,13 +77,15 @@ def run_curate(
     fail_after: int | None = None,
     line_dedup: bool = False,
     blocklist: tuple[str, ...] = (),
+    input_format: str = "parquet",
 ) -> dict:
     import os
 
     from ocr_spark.operators.dedup import corpus_dedup_losers, dup_line_index
     from ocr_spark.plans.checkpoint import materialize_once, run_checkpointed
+    from ocr_spark.sources import jsonl as J
 
-    docs = spark.read.parquet(input_path).select("doc_id", "text")
+    docs = J.load_documents(spark, input_path, input_format).select("doc_id", "text")
     losers = materialize_once(
         spark,
         corpus_dedup_losers(docs, mode=dedup_mode, threshold=threshold),
@@ -143,6 +145,8 @@ def main() -> None:
                     help="also drop cross-document repeated lines (C4-style)")
     ap.add_argument("--blocklist", default="",
                     help="comma-separated blocked terms (whole-word); empty = off")
+    ap.add_argument("--format", choices=("parquet", "jsonl"), default="parquet",
+                    help="input corpus format (jsonl quarantines malformed lines)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -159,6 +163,7 @@ def main() -> None:
         fail_after=args.fail_after,
         line_dedup=args.line_dedup,
         blocklist=tuple(x for x in args.blocklist.split(",") if x),
+        input_format=args.format,
     )
     print(json.dumps(summary))
 

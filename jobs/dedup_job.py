@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.8, help="minhash Jaccard threshold")
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")
+    ap.add_argument("--format", choices=("parquet", "jsonl"), default="parquet",
+                    help="input corpus format (jsonl quarantines malformed lines)")
     args = ap.parse_args()
 
     import os
@@ -41,9 +43,10 @@ def main() -> None:
 
     from ocr_spark.operators.dedup import corpus_dedup_losers
     from ocr_spark.plans.checkpoint import materialize_once, run_checkpointed
+    from ocr_spark.sources import jsonl as J
 
     spark = SparkSession.builder.appName("ocr-spark-dedup").getOrCreate()
-    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    docs = J.load_documents(spark, args.input, args.format).select("doc_id", "text")
 
     # The keep/drop decision is GLOBAL (duplicates land in different hash
     # buckets), so it is computed over the full corpus — EXACTLY ONCE:

@@ -51,3 +51,19 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("corrupt_record").alias("raw_line")
     )
     return valid, bad
+
+
+def load_documents(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Job-facing loader: ``parquet`` reads as-is; ``jsonl`` reads with the
+    quarantine schema, logs the reject count, and returns only valid rows
+    (the quarantined raw lines are written next to nothing — jobs that
+    want them call read_documents_jsonl/split_quarantine directly)."""
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "jsonl":
+        valid, bad = split_quarantine(read_documents_jsonl(spark, path))
+        n_bad = bad.count()
+        if n_bad:
+            print(f"jsonl ingest: quarantined {n_bad} malformed lines from {path}")
+        return valid
+    raise ValueError(f"unknown input format {fmt!r}")

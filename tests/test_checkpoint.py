@@ -365,3 +365,24 @@ def test_curate_resume_refuses_changed_filters(spark, tmp_path):
     summary = run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
                          num_buckets=4)
     assert summary["buckets_skipped"] == 2
+
+
+def test_curate_job_jsonl_input(spark, tmp_path):
+    """End-to-end curation from a JSONL corpus with a malformed line."""
+    import os
+
+    from jobs.curate_job import run_curate
+    from ocr_spark.sources import jsonl as J
+
+    docs = _curate_docs(spark)
+    inp = str(tmp_path / "in.jsonl")
+    J.write_jsonl(docs, inp)
+    with open(os.path.join(inp, "junk.json"), "w") as f:
+        f.write('{"doc_id": 999, "tex\n')
+    out = tmp_path / "cur_jl"
+    summary = run_curate(spark, inp, str(out), dedup_mode="minhash-cc", threshold=0.5,
+                         langs=("en",), num_buckets=4, input_format="jsonl")
+    ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out / "bucket=*")).select("doc_id").collect()
+    )
+    assert ids == list(range(40)) and summary["rows"] == 40  # junk line never crashes
