@@ -24,6 +24,8 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--keep-boilerplate", action="store_true")
     ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")
+    ap.add_argument("--output-format", choices=("parquet", "jsonl"), default="parquet",
+                    help="bucket output format (jsonl = the reference's JSON response shape)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -45,6 +47,7 @@ def main() -> None:
         num_buckets=args.buckets,
         input_lineage=args.input,
         fail_after=args.fail_after,
+        output_format=args.output_format,
     )
     print(json.dumps(summary))
 

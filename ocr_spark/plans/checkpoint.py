@@ -134,6 +134,7 @@ def run_checkpointed(
     input_lineage: str = "",
     fail_after: int | None = None,
     job_params: dict | None = None,
+    output_format: str = "parquet",
 ) -> dict:
     """Run ``transform`` over ``docs`` in resumable hash-buckets.
 
@@ -146,7 +147,14 @@ def run_checkpointed(
     mode, ...) must refuse, or committed buckets silently keep the old
     filters while fresh ones apply the new — per-bucket inconsistency,
     not resume. Pass every parameter the transform closure depends on.
+
+    ``output_format``: ``parquet`` (default) or ``jsonl`` — line-delimited
+    JSON per bucket, the reference's native response shape (S8) for
+    downstream consumers that are not Spark. The format participates in
+    the resume fingerprint via the manifest's bucket records.
     """
+    if output_format not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown output format {output_format!r}")
     fp = config_fingerprint()
     if job_params:
         fp = fp + ":" + hashlib.md5(
@@ -166,6 +174,12 @@ def run_checkpointed(
             raise RuntimeError(
                 f"manifest bucket {b} was committed with num_buckets="
                 f"{rec.get('num_buckets')} but this run uses {num_buckets}; "
+                "refusing to resume (clear the output dir)"
+            )
+        if rec.get("output_format") not in (None, output_format):
+            raise RuntimeError(
+                f"manifest bucket {b} was committed as "
+                f"{rec.get('output_format')} but this run writes {output_format}; "
                 "refusing to resume (clear the output dir)"
             )
         if rec.get("id_col") not in (None, id_col):
@@ -191,12 +205,18 @@ def run_checkpointed(
         t0 = time.time()
         part = transform(docs_b.filter(F.col("__bucket") == b).drop("__bucket"))
         path = os.path.join(output_dir, f"bucket={b}")
-        part.write.mode("overwrite").parquet(path)
-        n_rows = spark.read.parquet(path).count()
+        if output_format == "jsonl":
+            part.write.mode("overwrite").json(path)
+            n_rows = spark.read.json(path).count()
+            data_ext = ".json"
+        else:
+            part.write.mode("overwrite").parquet(path)
+            n_rows = spark.read.parquet(path).count()
+            data_ext = ".parquet"
         n_bytes = sum(
             os.path.getsize(os.path.join(path, f))
             for f in os.listdir(path)
-            if f.endswith(".parquet")
+            if f.endswith(data_ext)
         )
         _commit(
             output_dir,
@@ -208,6 +228,7 @@ def run_checkpointed(
                 "wall_sec": round(time.time() - t0, 3),
                 "committed_at": time.time(),
                 "input": input_lineage,
+                "output_format": output_format,
                 "num_buckets": num_buckets,
                 "id_col": id_col,
                 "config_fingerprint": fp,

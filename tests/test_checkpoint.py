@@ -386,3 +386,21 @@ def test_curate_job_jsonl_input(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(str(out / "bucket=*")).select("doc_id").collect()
     )
     assert ids == list(range(40)) and summary["rows"] == 40  # junk line never crashes
+
+
+def test_jsonl_output_format_and_resume_guard(spark, docs, tmp_path):
+    """run_checkpointed can emit line-delimited JSON per bucket (the
+    reference's response shape); a resume in the OTHER format refuses."""
+    out = tmp_path / "jl_out"
+    summary = run_checkpointed(
+        spark, span_corpus(docs), str(out), extract_documents,
+        num_buckets=4, input_lineage="t", output_format="jsonl",
+    )
+    assert summary["rows"] == 40
+    back = spark.read.json(str(out / "bucket=*"))
+    assert back.count() == 40 and "doc_id" in back.columns
+    with pytest.raises(RuntimeError, match="committed as jsonl"):
+        run_checkpointed(
+            spark, span_corpus(docs), str(out), extract_documents,
+            num_buckets=4, input_lineage="t", output_format="parquet",
+        )
