@@ -145,8 +145,8 @@ def main() -> None:
                     help="also drop cross-document repeated lines (C4-style)")
     ap.add_argument("--blocklist", default="",
                     help="comma-separated blocked terms (whole-word); empty = off")
-    ap.add_argument("--format", choices=("parquet", "jsonl"), default="parquet",
-                    help="input corpus format (jsonl quarantines malformed lines)")
+    ap.add_argument("--format", choices=("parquet", "jsonl", "csv"), default="parquet",
+                    help="input corpus format (jsonl/csv quarantine malformed records)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession

@@ -33,8 +33,8 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.8, help="minhash Jaccard threshold")
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")
-    ap.add_argument("--format", choices=("parquet", "jsonl"), default="parquet",
-                    help="input corpus format (jsonl quarantines malformed lines)")
+    ap.add_argument("--format", choices=("parquet", "jsonl", "csv"), default="parquet",
+                    help="input corpus format (jsonl/csv quarantine malformed records)")
     args = ap.parse_args()
 
     import os

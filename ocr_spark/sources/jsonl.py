@@ -60,10 +60,43 @@ def load_documents(spark: SparkSession, path: str, fmt: str = "parquet") -> Data
     want them call read_documents_jsonl/split_quarantine directly)."""
     if fmt == "parquet":
         return spark.read.parquet(path)
-    if fmt == "jsonl":
-        valid, bad = split_quarantine(read_documents_jsonl(spark, path))
+    if fmt in ("jsonl", "csv"):
+        reader = read_documents_jsonl if fmt == "jsonl" else read_documents_csv
+        valid, bad = split_quarantine(reader(spark, path))
         n_bad = bad.count()
         if n_bad:
-            print(f"jsonl ingest: quarantined {n_bad} malformed lines from {path}")
+            print(f"{fmt} ingest: quarantined {n_bad} malformed records from {path}")
         return valid
     raise ValueError(f"unknown input format {fmt!r}")
+
+
+def write_csv(docs: DataFrame, path: str, partitions: int = 1) -> None:
+    """Write (doc_id, text) as RFC-4180-quoted CSV with a header. Document
+    text embeds quotes/newlines routinely — quoteAll + escaped quotes keep
+    the file parseable by the multiLine reader below."""
+    (
+        docs.select("doc_id", "text")
+        .coalesce(partitions)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV twin of :func:`read_documents_jsonl`: explicit schema,
+    ``multiLine`` (quoted newlines inside text fields), PERMISSIVE with a
+    quarantine column. Same split_quarantine routing applies."""
+    df = (
+        spark.read.schema(DOC_SCHEMA + ", _corrupt_record string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return df.withColumnRenamed("_corrupt_record", "corrupt_record")

@@ -377,3 +377,37 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     assert got == {1: 'uniçode "quoted" text\nwith newline', 2: "plain"}
     raws = sorted(r["raw_line"] for r in bad.collect())
     assert raws == ['{"doc_id": 99, "tex', "{not json at all"]
+
+
+def test_csv_roundtrip_quoted_newlines(spark, tmp_path):
+    from ocr_spark.sources import jsonl as J
+
+    docs = spark.createDataFrame(
+        [(1, 'text with "quotes", commas\nand a newline'), (2, "plain")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "csv")
+    J.write_csv(docs, path)
+    back = J.read_documents_csv(spark, path)
+    valid, bad = J.split_quarantine(back)
+    got = {r["doc_id"]: r["text"] for r in valid.collect()}
+    assert got == {1: 'text with "quotes", commas\nand a newline', 2: "plain"}
+    assert bad.count() == 0
+
+
+def test_jsonl_reads_gzip_transparently(spark, tmp_path):
+    """Compressed corpora (.json.gz) read through the same source — the
+    engine decompresses per file; the quarantine contract is unchanged."""
+    import gzip
+    import os
+
+    from ocr_spark.sources import jsonl as J
+
+    path = str(tmp_path / "gz")
+    os.makedirs(path)
+    with gzip.open(os.path.join(path, "part.json.gz"), "wt") as f:
+        f.write('{"doc_id": 1, "text": "compressed doc"}\n{"doc_id": 2, "tex\n')
+    back = J.read_documents_jsonl(spark, path)
+    valid, bad = J.split_quarantine(back)
+    assert {r["doc_id"] for r in valid.collect()} == {1}
+    assert bad.count() == 1
