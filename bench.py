@@ -48,6 +48,7 @@ HEADLINE = [
     "pii_scrub",
     "upload_validate",
     "corpus_splits",
+    "jsonl_roundtrip",
     "events_windowed",
     "sessionize",
     "media_decode",
