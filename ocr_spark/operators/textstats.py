@@ -122,6 +122,10 @@ def gopher_quality(
     max_top_2gram_char_frac: float = 0.20,
     max_top_3gram_char_frac: float = 0.18,
     max_top_4gram_char_frac: float = 0.16,
+    max_bullet_line_frac: float = 0.90,
+    max_ellipsis_line_frac: float = 0.30,
+    min_alpha_word_frac: float = 0.80,
+    min_stopwords_present: int = 2,
 ):
     """Repetition-aware document quality gate in the style of the Gopher
     rules (Rae et al. 2021 §A.1.1, public thresholds): word-count and
@@ -139,8 +143,16 @@ def gopher_quality(
     stats — every shuffle is keyed on doc_id or (doc_id, gram), no
     corpus-wide hot key.
 
+    Beyond the repetition rules, the published shape rules are applied
+    too: ≤90% of lines may start with a bullet, ≤30% may end with an
+    ellipsis, ≥80% of words must contain an alphabetic character, and at
+    least 2 distinct English stop words must appear ({the, be, to, of,
+    and, that, have, with} — the paper's list).
+
     Returns (doc_id, n_words, mean_word_len, frac_dup_line_chars,
-    frac_top_2gram, frac_top_3gram, frac_top_4gram, quality_pass)."""
+    frac_top_2gram, frac_top_3gram, frac_top_4gram, frac_bullet_lines,
+    frac_ellipsis_lines, frac_alpha_words, n_stopwords_present,
+    quality_pass)."""
     zero = F.lit(0).cast("long")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -148,6 +160,24 @@ def gopher_quality(
         words_of(F.col(text_col)).alias("w"),
     )
     word_chars = F.aggregate(F.col("w"), zero, lambda a, x: a + F.length(x))
+    nb_lines = F.filter(
+        F.transform(F.split(F.col("t"), "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    n_lines = F.size(nb_lines)
+    bullet = F.size(
+        F.filter(
+            nb_lines,
+            lambda x: x.startswith("•") | x.startswith("-") | x.startswith("*"),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(nb_lines, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    alpha = F.size(F.filter(F.col("w"), lambda x: x.rlike("[A-Za-z]")))
+    stoplist = F.array(
+        *[F.lit(x) for x in ("the", "be", "to", "of", "and", "that", "have", "with")]
+    )
+    n_stop = F.size(F.array_intersect(F.array_distinct(F.col("w")), stoplist))
     wordstats = base.select(
         "doc_id",
         "t",
@@ -160,6 +190,17 @@ def gopher_quality(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("mean_word_len"),
+        F.round(
+            F.when(n_lines > 0, bullet.cast("double") / n_lines).otherwise(F.lit(0.0)), 6
+        ).alias("frac_bullet_lines"),
+        F.round(
+            F.when(n_lines > 0, ellipsis.cast("double") / n_lines).otherwise(F.lit(0.0)), 6
+        ).alias("frac_ellipsis_lines"),
+        F.round(
+            F.when(F.size("w") > 0, alpha.cast("double") / F.size("w")).otherwise(F.lit(0.0)),
+            6,
+        ).alias("frac_alpha_words"),
+        n_stop.cast("long").alias("n_stopwords_present"),
     )
 
     lines = wordstats.select(
@@ -220,7 +261,10 @@ def gopher_quality(
         )
 
     out = (
-        wordstats.select("doc_id", "n_words", "mean_word_len")
+        wordstats.select(
+            "doc_id", "n_words", "mean_word_len", "frac_bullet_lines",
+            "frac_ellipsis_lines", "frac_alpha_words", "n_stopwords_present",
+        )
         .join(
             linestats.select(
                 "doc_id",
@@ -256,7 +300,11 @@ def gopher_quality(
         & (F.col("frac_dup_line_chars") <= max_dup_line_char_frac)
         & (F.col("frac_top_2gram") <= max_top_2gram_char_frac)
         & (F.col("frac_top_3gram") <= max_top_3gram_char_frac)
-        & (F.col("frac_top_4gram") <= max_top_4gram_char_frac),
+        & (F.col("frac_top_4gram") <= max_top_4gram_char_frac)
+        & (F.col("frac_bullet_lines") <= max_bullet_line_frac)
+        & (F.col("frac_ellipsis_lines") <= max_ellipsis_line_frac)
+        & (F.col("frac_alpha_words") >= min_alpha_word_frac)
+        & (F.col("n_stopwords_present") >= min_stopwords_present),
     )
 
 

@@ -742,7 +742,12 @@ WITH gws AS (
          len({_words_lower('text')}) AS n_words,
          list_reduce(list_prepend(0::BIGINT,
              list_transform({_words_lower('text')}, x -> length(x)::BIGINT)),
-             (a, b) -> a + b) AS word_chars
+             (a, b) -> a + b) AS word_chars,
+         list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), x -> trim(x)),
+                     x -> x != '') AS nb,
+         len(list_filter({_words_lower('text')}, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         len(list_intersect(list_distinct({_words_lower('text')}),
+             ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_stop
   FROM documents
 ),
 gl AS (
@@ -805,7 +810,18 @@ gq AS (
                    ELSE 0.0 END, 6), 0.0) AS frac_top_3gram,
          coalesce(round(CASE WHEN gws.word_chars > 0
                    THEN (g4.cnt * length(replace(g4.gram, ' ', '')))::DOUBLE / gws.word_chars
-                   ELSE 0.0 END, 6), 0.0) AS frac_top_4gram
+                   ELSE 0.0 END, 6), 0.0) AS frac_top_4gram,
+         round(CASE WHEN len(gws.nb) > 0
+               THEN len(list_filter(gws.nb, x -> starts_with(x, '•') OR starts_with(x, '-')
+                                                 OR starts_with(x, '*')))::DOUBLE / len(gws.nb)
+               ELSE 0.0 END, 6) AS frac_bullet_lines,
+         round(CASE WHEN len(gws.nb) > 0
+               THEN len(list_filter(gws.nb, x -> ends_with(x, '...') OR ends_with(x, '…')))::DOUBLE
+                    / len(gws.nb)
+               ELSE 0.0 END, 6) AS frac_ellipsis_lines,
+         round(CASE WHEN gws.n_words > 0
+               THEN gws.n_alpha::DOUBLE / gws.n_words ELSE 0.0 END, 6) AS frac_alpha_words,
+         gws.n_stop::BIGINT AS n_stopwords_present
   FROM gws
   LEFT JOIN gl ON gl.doc_id = gws.doc_id
   LEFT JOIN g2 ON g2.doc_id = gws.doc_id
@@ -813,13 +829,18 @@ gq AS (
   LEFT JOIN g4 ON g4.doc_id = gws.doc_id
 )
 SELECT doc_id, n_words, mean_word_len, frac_dup_line_chars, frac_top_2gram, frac_top_3gram,
-       frac_top_4gram,
+       frac_top_4gram, frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words,
+       n_stopwords_present,
        (n_words >= 50 AND n_words <= 100000
         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
         AND frac_dup_line_chars <= 0.3
         AND frac_top_2gram <= 0.2
         AND frac_top_3gram <= 0.18
-        AND frac_top_4gram <= 0.16) AS quality_pass
+        AND frac_top_4gram <= 0.16
+        AND frac_bullet_lines <= 0.9
+        AND frac_ellipsis_lines <= 0.3
+        AND frac_alpha_words >= 0.8
+        AND n_stopwords_present >= 2) AS quality_pass
 FROM gq""",
 )
 def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:

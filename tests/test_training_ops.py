@@ -444,7 +444,9 @@ def test_connected_components_long_chain_logarithmic(spark):
 def test_gopher_quality_flags_repetition(spark):
     import ocr_spark.operators.textstats as TS
 
-    clean = " ".join(f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}" for i in range(12))
+    clean = " ".join(
+        f"the alpha{i} and beta{i} of gamma{i} delta{i} epsilon{i}" for i in range(12)
+    )
     spammy = "buy cheap now " * 40                       # one 3-gram dominates
     dup_lines = "\n".join(["the same exact line here"] * 10 + ["a unique closing line"])
     docs = spark.createDataFrame(
@@ -627,3 +629,22 @@ def test_audio_chunk_skips_failed_decodes(spark):
     )
     rows = MM.audio_chunk(decoded, chunk_seconds=30).collect()
     assert {r["doc_id"] for r in rows} == {"1"}  # bad clips yield no chunks, no crash
+
+
+def test_gopher_shape_rules(spark):
+    import ocr_spark.operators.textstats as TS
+
+    prose = " ".join(
+        f"the alpha{i} and beta{i} of gamma{i} delta{i} have epsilon{i} zeta{i}"
+        for i in range(15)
+    )
+    bullets = "\n".join(f"- the item{i} and of" for i in range(20))
+    numbers = " ".join("12345 67890 00000 11111 22222" for _ in range(15))
+    docs = spark.createDataFrame(
+        [(1, prose), (2, bullets), (3, numbers)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in TS.gopher_quality(docs).collect()}
+    assert got[1]["quality_pass"] and got[1]["n_stopwords_present"] >= 4
+    assert got[2]["frac_bullet_lines"] == 1.0 and not got[2]["quality_pass"]
+    assert got[3]["frac_alpha_words"] == 0.0 and not got[3]["quality_pass"]
+    assert got[3]["n_stopwords_present"] == 0
