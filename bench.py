@@ -48,6 +48,8 @@ HEADLINE = [
     "pii_scrub",
     "upload_validate",
     "corpus_splits",
+    "decontaminate",
+    "pack_sequences",
     "jsonl_roundtrip",
     "events_windowed",
     "sessionize",

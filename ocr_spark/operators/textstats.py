@@ -415,6 +415,126 @@ def split_assign(
     return (expr.otherwise(F.lit(last)) if expr is not None else F.lit(last))
 
 
+def ngrams_of(text: Column, n: int) -> Column:
+    """Sliding word n-grams of the lowered text, space-joined (empty
+    array when the document has fewer than n words)."""
+    w = words_of(text)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train,
+    eval_docs,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Eval-set decontamination (the GPT-3 appendix-C / PaLM shape): flag
+    every training document that shares at least one word n-gram with any
+    benchmark/eval document, so evaluation text can be excluded from the
+    training corpus before a leak inflates the metric.
+
+    Plan: the eval side — benchmarks are small relative to a training
+    corpus — collapses to DISTINCT grams and is BROADCAST; the training
+    corpus explodes its per-document distinct grams and probes the
+    broadcast map-side (no shuffle of corpus data for the join), then the
+    per-doc overlap count partial-aggregates before its one keyed
+    shuffle. At 10^12 training docs the corpus is touched in a single
+    narrow pass; only (doc_id, count) rows ever move. If the eval side
+    outgrows broadcast (~10s of GiB of grams), drop the broadcast hint
+    and the same plan becomes a shuffle hash join keyed on the gram —
+    no other change.
+
+    Returns one row per TRAINING doc: (doc_id, n_contaminated_grams —
+    distinct overlapping n-grams, contaminated)."""
+    def grams(df):
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(ngrams_of(F.col(text_col), n))).alias("gram"),
+        )
+
+    eval_grams = grams(eval_docs).select("gram").distinct()
+    hits = (
+        grams(train)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_contaminated_grams"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(
+    docs,
+    seq_len: int = 2048,
+    num_shards: int = 8,
+    seed: str = "pack-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Concat-and-chunk sequence-packing plan (the GPT pretraining data
+    layout): documents are concatenated token-wise within a shard and cut
+    every ``seq_len`` tokens; each document learns which training
+    sequences it lands in and whether it straddles a cut.
+
+    Sharding is a seeded md5 hash of the id (engine-neutral, no RNG), so
+    the layout is stable across runs and cluster sizes. The cumulative
+    position is a window sum PARTITIONED BY SHARD — at 10^12 docs you
+    raise ``num_shards`` so each window partition stays executor-sized;
+    packing is then embarrassingly parallel, which is exactly how
+    production pipelines shard this job. Token positions use integer
+    ``div`` (never double division), so offsets stay exact past 2^53.
+
+    Returns (doc_id, shard, n_tokens, tok_start, seq_start, seq_end,
+    crosses_boundary); empty docs occupy zero tokens at their boundary."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (h % num_shards).cast("long").alias("shard"),
+        token_count_bpe(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = base.withColumn("tok_end", F.sum("n_tokens").over(win)).withColumn(
+        "tok_start", F.col("tok_end") - F.col("n_tokens")
+    )
+    seq_start = F.expr(f"tok_start div {seq_len}")
+    seq_end = F.when(
+        F.col("n_tokens") > 0, F.expr(f"(tok_end - 1) div {seq_len}")
+    ).otherwise(seq_start)
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok_start",
+        seq_start.alias("seq_start"),
+        seq_end.alias("seq_end"),
+        (seq_end > seq_start).alias("crosses_boundary"),
+    )
+
+
 # Neutral demo blocklist — real deployments pass their own list (the
 # C4-style badword filter is list-driven; the operator is the product).
 DEFAULT_BLOCKLIST = ("viagra", "casino", "xxx", "clickbait", "free-money")

@@ -1044,6 +1044,75 @@ def q_corpus_splits(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", TS.split_assign(F.col("doc_id")).alias("split"))
 
 
+@_q(
+    "decontaminate",
+    f"""
+WITH w AS (
+  SELECT doc_id, {_words_lower('text')} AS w FROM documents
+),
+tg AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 3),
+                i -> array_to_string(w[i:i+4], ' ')))) AS gram
+  FROM w WHERE doc_id % 20 != 7 AND len(w) >= 5
+),
+eg AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - 3),
+                  i -> array_to_string(w[i:i+4], ' ')))) AS gram
+  FROM w WHERE doc_id % 20 = 7 AND len(w) >= 5
+),
+hits AS (
+  SELECT tg.doc_id, count(*) AS n FROM tg JOIN eg USING (gram) GROUP BY tg.doc_id
+)
+SELECT d.doc_id,
+       coalesce(hits.n, 0)::BIGINT AS n_contaminated_grams,
+       coalesce(hits.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+WHERE d.doc_id % 20 != 7""",
+)
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 20 == 7 stand in for
+    the eval set; every other doc is flagged if it shares a 5-gram."""
+    docs = D.load(spark, sf, "documents")
+    return TS.decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 7),
+        docs.filter(F.col("doc_id") % 20 == 7),
+        n=5,
+    )
+
+
+@_q(
+    "pack_sequences",
+    f"""
+WITH p AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('pack-v1:' || doc_id), 1, 12))::BIGINT % 8 AS shard,
+         len(regexp_extract_all(coalesce(text, ''),
+             '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]', 0))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+  FROM p
+)
+SELECT doc_id, shard::BIGINT AS shard, n_tokens,
+       (tok_end - n_tokens)::BIGINT AS tok_start,
+       ((tok_end - n_tokens) // 2048)::BIGINT AS seq_start,
+       (CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 2048
+             ELSE (tok_end - n_tokens) // 2048 END)::BIGINT AS seq_end,
+       (CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 2048
+             ELSE (tok_end - n_tokens) // 2048 END)
+         > ((tok_end - n_tokens) // 2048) AS crosses_boundary
+FROM c""",
+)
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk packing layout over the corpus (8 shards,
+    2048-token sequences, BPE-ish token counts)."""
+    return TS.pack_sequences(D.load(spark, sf, "documents"))
+
+
 def _sql_ocr_correct(e: str) -> str:
     src = "".join(config.OCR_CHAR_CORRECTIONS.keys())
     dst = "".join(config.OCR_CHAR_CORRECTIONS.values())

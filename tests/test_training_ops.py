@@ -631,6 +631,58 @@ def test_audio_chunk_skips_failed_decodes(spark):
     assert {r["doc_id"] for r in rows} == {"1"}  # bad clips yield no chunks, no crash
 
 
+def test_decontaminate_flags_ngram_overlap(spark):
+    import ocr_spark.operators.textstats as TS
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "he said the quick brown fox jumps far away"),   # shares 5-grams
+            (2, "completely unrelated content about other topics here"),
+            (3, "quick brown fox"),                              # < n words shared
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TS.decontaminate(train, ev, n=5).collect()}
+    assert len(got) == 4
+    # doc 1 shares exactly "the quick brown fox jumps" and "quick brown fox jumps far"?
+    # only grams present in BOTH count: "the quick brown fox jumps" alone.
+    assert got[1]["contaminated"] and got[1]["n_contaminated_grams"] == 1
+    assert not got[2]["contaminated"] and got[2]["n_contaminated_grams"] == 0
+    assert not got[3]["contaminated"]  # too short to form a 5-gram
+    assert not got[4]["contaminated"]
+
+
+def test_pack_sequences_layout(spark):
+    import ocr_spark.operators.textstats as TS
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (600 * (i % 3 + 1))) for i in range(20)] + [(99, "")],
+        "doc_id long, text string",
+    )
+    rows = TS.pack_sequences(docs, seq_len=1000, num_shards=4).collect()
+    assert len(rows) == 21
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        # positions are a contiguous concatenation within each shard
+        assert r["tok_start"] == by_shard.get(r["shard"], 0)
+        by_shard[r["shard"]] = r["tok_start"] + r["n_tokens"]
+        assert r["seq_start"] == r["tok_start"] // 1000
+        if r["n_tokens"] > 0:
+            assert r["seq_end"] == (r["tok_start"] + r["n_tokens"] - 1) // 1000
+        else:
+            assert r["seq_end"] == r["seq_start"]
+        assert r["crosses_boundary"] == (r["seq_end"] > r["seq_start"])
+    empty = next(r for r in rows if r["doc_id"] == 99)
+    assert empty["n_tokens"] == 0 and not empty["crosses_boundary"]
+    # at least one doc straddles a 1000-token cut in this layout
+    assert any(r["crosses_boundary"] for r in rows)
+
+
 def test_gopher_shape_rules(spark):
     import ocr_spark.operators.textstats as TS
 
