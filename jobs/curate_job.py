@@ -9,23 +9,33 @@ one global decision, so rejected docs never pay the later stages twice):
   1b. line dedup        — (--line-dedup) cross-document repeated-line
                           removal via a second materialized global index
                           (line_md5 → canonical occurrence)
-  2. quality gate       — Gopher repetition rules (word bounds, dup-line
-                          chars, top n-gram chars)
+  1c. decontamination   — (--decon-eval PATH) drop training docs sharing
+                          any word n-gram with the eval corpus; the
+                          contaminated-id set is the third global
+                          decision, materialized once
+  2. quality gate       — Gopher rules (repetition + shape)
   3. language filter    — stopword-profile language ID against --langs
   4. blocklist gate     — (--blocklist a,b,c) whole-word term filter
                           (applied to the RAW text, before redaction)
   5. PII redaction      — URL/email/IP/phone → typed tokens
+  6. sequence packing   — (--pack-seq-len N) post-pass over the committed
+                          survivors: concat-and-chunk layout (doc →
+                          training-sequence spans) written to _packed,
+                          materialize-once so a resumed job reuses it
 
     python tools/make_package.py
     spark-submit --master local[32] --py-files dist/ocr_spark.zip \\
         jobs/curate_job.py --input .../documents.parquet --output /tmp/cur \\
         --dedup minhash-cc --threshold 0.8 --langs en,ru --buckets 16
 
-Stages 2-4 are doc-local (their groupBys key on doc_id), so they run
-inside the per-bucket transform and resume for free; only the dedup
-decision is global, materialized to ``output/_losers`` exactly once
-(resume-pinned, parameter-fingerprinted). Output rows: (doc_id, lang,
-text = redacted, n_words, n_redactions).
+Stages 2-5 are doc-local (their groupBys key on doc_id), so they run
+inside the per-bucket transform and resume for free; the dedup, line
+and contamination decisions are global, each materialized under the
+output dir exactly once (resume-pinned, parameter-fingerprinted).
+Output rows: (doc_id, lang, text = redacted, n_words, n_redactions);
+with --pack-seq-len, ``_packed`` additionally holds (doc_id, shard,
+n_tokens, tok_start, seq_start, seq_end, crosses_boundary) over the
+REDACTED text — the token stream a trainer would actually see.
 """
 
 from __future__ import annotations
@@ -78,10 +88,17 @@ def run_curate(
     line_dedup: bool = False,
     blocklist: tuple[str, ...] = (),
     input_format: str = "parquet",
+    decon_eval: str | None = None,
+    decon_n: int = 5,
+    pack_seq_len: int | None = None,
+    pack_shards: int = 8,
 ) -> dict:
     import os
 
+    from pyspark.sql import functions as F
+
     from ocr_spark.operators.dedup import corpus_dedup_losers, dup_line_index
+    from ocr_spark.operators.textstats import decontaminate, pack_sequences
     from ocr_spark.plans.checkpoint import materialize_once, run_checkpointed
     from ocr_spark.sources import jsonl as J
 
@@ -109,12 +126,29 @@ def run_curate(
                   "threshold": threshold},
         )
 
-    def transform(part):
-        return curate_transform(
-            part.join(losers, "doc_id", "left_anti"), langs, line_index, blocklist
+    contaminated = None
+    if decon_eval:
+        # global decision #3: the eval grams span buckets. Computed over
+        # the DEDUPED corpus (fewer docs to probe) and materialized so a
+        # 16-bucket run builds the broadcast probe once, not 16×.
+        ev = J.load_documents(spark, decon_eval, input_format).select("doc_id", "text")
+        contaminated = materialize_once(
+            spark,
+            decontaminate(docs.join(losers, "doc_id", "left_anti"), ev, n=decon_n)
+            .filter(F.col("contaminated"))
+            .select("doc_id"),
+            os.path.join(output_dir, "_contaminated"),
+            meta={"stage": "decontaminate", "eval": decon_eval, "n": decon_n,
+                  "mode": dedup_mode, "threshold": threshold, "input": input_path},
         )
 
-    return run_checkpointed(
+    def transform(part):
+        part = part.join(losers, "doc_id", "left_anti")
+        if contaminated is not None:
+            part = part.join(contaminated, "doc_id", "left_anti")
+        return curate_transform(part, langs, line_index, blocklist)
+
+    summary = run_checkpointed(
         spark,
         docs,
         output_dir,
@@ -128,8 +162,35 @@ def run_curate(
             "langs": list(langs),
             "line_dedup": line_dedup,
             "blocklist": list(blocklist),
+            "decon_eval": decon_eval,
+            "decon_n": decon_n,
         },
     )
+
+    if pack_seq_len:
+        # packing is a LAYOUT over the final survivors, so it must see the
+        # committed output (post-redaction text = the trainer's stream).
+        # materialize_once gives resumed jobs the identical layout bytes.
+        kept = spark.read.parquet(os.path.join(output_dir, "bucket=*"))
+        packed = materialize_once(
+            spark,
+            pack_sequences(kept, seq_len=pack_seq_len, num_shards=pack_shards),
+            os.path.join(output_dir, "_packed"),
+            meta={"stage": "pack", "seq_len": pack_seq_len, "shards": pack_shards,
+                  "input": input_path},
+        )
+        summary = dict(summary)
+        summary["packed_docs"] = packed.count()
+        summary["packed_sequences"] = int(
+            packed.groupBy("shard")
+            .agg(F.max(F.col("tok_start") + F.col("n_tokens")).alias("toks"))
+            .agg(
+                F.sum(F.expr(f"(toks + {pack_seq_len} - 1) div {pack_seq_len}"))
+            )
+            .first()[0]
+            or 0
+        )
+    return summary
 
 
 def main() -> None:
@@ -147,6 +208,13 @@ def main() -> None:
                     help="comma-separated blocked terms (whole-word); empty = off")
     ap.add_argument("--format", choices=("parquet", "jsonl", "csv"), default="parquet",
                     help="input corpus format (jsonl/csv quarantine malformed records)")
+    ap.add_argument("--decon-eval", default=None,
+                    help="eval/benchmark corpus path; drops training docs sharing "
+                         "any --decon-n-gram with it")
+    ap.add_argument("--decon-n", type=int, default=5)
+    ap.add_argument("--pack-seq-len", type=int, default=None,
+                    help="also write the concat-and-chunk packing layout to _packed")
+    ap.add_argument("--pack-shards", type=int, default=8)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -164,6 +232,10 @@ def main() -> None:
         line_dedup=args.line_dedup,
         blocklist=tuple(x for x in args.blocklist.split(",") if x),
         input_format=args.format,
+        decon_eval=args.decon_eval,
+        decon_n=args.decon_n,
+        pack_seq_len=args.pack_seq_len,
+        pack_shards=args.pack_shards,
     )
     print(json.dumps(summary))
 

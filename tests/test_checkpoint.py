@@ -345,6 +345,39 @@ def test_curate_job_blocklist(spark, tmp_path):
     assert 5 not in ids and 4 in ids and 6 in ids
 
 
+def test_curate_job_decontaminate_and_pack(spark, tmp_path):
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    inp = str(tmp_path / "in4.parquet")
+    docs.write.parquet(inp)
+    # eval corpus = doc 6's text verbatim plus an unrelated doc
+    ev_text = docs.filter(F.col("doc_id") == 6).first()["text"]
+    ev = spark.createDataFrame(
+        [(9000, ev_text), (9001, "nothing in common here at all")],
+        "doc_id long, text string",
+    )
+    evp = str(tmp_path / "eval.parquet")
+    ev.write.parquet(evp)
+
+    out = tmp_path / "cur4"
+    summary = run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+                         num_buckets=4, decon_eval=evp, pack_seq_len=64,
+                         pack_shards=2)
+    got = spark.read.parquet(str(out / "bucket=*"))
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    assert 6 not in ids and 5 in ids and 7 in ids  # only the leaked doc dropped
+
+    packed = spark.read.parquet(str(out / "_packed"))
+    assert sorted(r["doc_id"] for r in packed.select("doc_id").collect()) == ids
+    assert summary["packed_docs"] == len(ids)
+    assert summary["packed_sequences"] >= 1
+    pos = {}
+    for r in sorted(packed.collect(), key=lambda r: (r["shard"], r["doc_id"])):
+        assert r["tok_start"] == pos.get(r["shard"], 0)  # contiguous per shard
+        pos[r["shard"]] = r["tok_start"] + r["n_tokens"]
+
+
 def test_curate_resume_refuses_changed_filters(spark, tmp_path):
     """Changing --langs (or any transform-semantics parameter) between a
     crash and its resume must refuse: committed buckets would keep the old
