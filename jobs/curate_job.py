@@ -45,8 +45,9 @@ import json
 
 
 def curate_transform(part, langs, line_index=None, blocklist=()):
-    """Bucket-local stages 1b-5: line dedup -> quality gate -> language
-    filter -> blocklist (raw text) -> PII redaction (last)."""
+    """Bucket-local stages 1b-5: line dedup -> language ID -> quality
+    gate (language-aware: English-only Gopher rules gate only en docs) ->
+    language filter -> blocklist (raw text) -> PII redaction (last)."""
     from pyspark.sql import functions as F
 
     from ocr_spark.operators.dedup import apply_line_dedup
@@ -59,9 +60,16 @@ def curate_transform(part, langs, line_index=None, blocklist=()):
 
     if line_index is not None:
         part = apply_line_dedup(part, line_index)
-    q = gopher_quality(part).filter(F.col("quality_pass")).select("doc_id", "n_words")
+    # language first: the Gopher stop-word / alpha-word rules are
+    # English-specific, so the gate must know each doc's language or a
+    # --langs ru / de / fr corpus is silently wiped out at stage 2.
+    part = part.withColumn("lang", language_id(F.col("text")))
+    q = (
+        gopher_quality(part, lang_col="lang")
+        .filter(F.col("quality_pass"))
+        .select("doc_id", "n_words")
+    )
     kept = part.join(q, "doc_id")
-    kept = kept.withColumn("lang", language_id(F.col("text")))
     if langs:
         kept = kept.filter(F.col("lang").isin(list(langs)))
     if blocklist:
@@ -89,6 +97,7 @@ def run_curate(
     blocklist: tuple[str, ...] = (),
     input_format: str = "parquet",
     decon_eval: str | None = None,
+    decon_format: str | None = None,
     decon_n: int = 5,
     pack_seq_len: int | None = None,
     pack_shards: int = 8,
@@ -131,7 +140,23 @@ def run_curate(
         # global decision #3: the eval grams span buckets. Computed over
         # the DEDUPED corpus (fewer docs to probe) and materialized so a
         # 16-bucket run builds the broadcast probe once, not 16×.
-        ev = J.load_documents(spark, decon_eval, input_format).select("doc_id", "text")
+        # the eval corpus has its OWN format (--decon-format): benchmark
+        # sets routinely arrive as parquet next to a jsonl training crawl,
+        # and parsing parquet bytes as jsonl quarantines every "line" —
+        # decontamination silently becomes a no-op. The empty-eval guard
+        # below turns that class of mistake into a loud failure.
+        ev = J.load_documents(
+            spark, decon_eval, decon_format or input_format
+        ).select("doc_id", "text")
+        # limit(1).collect(), not count(): count() prunes every data column
+        # so a jsonl scan would reference ONLY the corrupt-record column,
+        # which Spark refuses (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+        if not ev.limit(1).collect():
+            raise ValueError(
+                f"decontamination eval corpus at {decon_eval} parsed to zero "
+                f"valid rows (format {decon_format or input_format!r}) — wrong "
+                "--decon-format? refusing to run a no-op decontamination"
+            )
         contaminated = materialize_once(
             spark,
             decontaminate(docs.join(losers, "doc_id", "left_anti"), ev, n=decon_n)
@@ -211,6 +236,8 @@ def main() -> None:
     ap.add_argument("--decon-eval", default=None,
                     help="eval/benchmark corpus path; drops training docs sharing "
                          "any --decon-n-gram with it")
+    ap.add_argument("--decon-format", choices=("parquet", "jsonl", "csv"), default=None,
+                    help="format of --decon-eval (default: same as --format)")
     ap.add_argument("--decon-n", type=int, default=5)
     ap.add_argument("--pack-seq-len", type=int, default=None,
                     help="also write the concat-and-chunk packing layout to _packed")
@@ -233,6 +260,7 @@ def main() -> None:
         blocklist=tuple(x for x in args.blocklist.split(",") if x),
         input_format=args.format,
         decon_eval=args.decon_eval,
+        decon_format=args.decon_format,
         decon_n=args.decon_n,
         pack_seq_len=args.pack_seq_len,
         pack_shards=args.pack_shards,

@@ -126,6 +126,7 @@ def gopher_quality(
     max_ellipsis_line_frac: float = 0.30,
     min_alpha_word_frac: float = 0.80,
     min_stopwords_present: int = 2,
+    lang_col: str | None = None,
 ):
     """Repetition-aware document quality gate in the style of the Gopher
     rules (Rae et al. 2021 §A.1.1, public thresholds): word-count and
@@ -149,15 +150,28 @@ def gopher_quality(
     least 2 distinct English stop words must appear ({the, be, to, of,
     and, that, have, with} — the paper's list).
 
+    The alpha-word ([A-Za-z]) and stop-word rules are ENGLISH-specific:
+    applied unconditionally they would zero out a ru/de/fr/es corpus
+    (the reference pipeline is ru+en, config.py OCR_LANGUAGES). Pass
+    ``lang_col`` — a language-code column on ``docs`` (e.g. from
+    :func:`language_id`) — and those two rules gate only rows whose
+    language is ``'en'``; all language-neutral rules still apply to
+    every row. Default ``None`` keeps the unconditional published
+    behavior (the `gopher_quality` driver query / oracle twin).
+
     Returns (doc_id, n_words, mean_word_len, frac_dup_line_chars,
     frac_top_2gram, frac_top_3gram, frac_top_4gram, frac_bullet_lines,
     frac_ellipsis_lines, frac_alpha_words, n_stopwords_present,
     quality_pass)."""
     zero = F.lit(0).cast("long")
+    # __is_en rides along the narrow doc-local projection (no extra
+    # shuffle): rules gated on it only when lang_col was supplied.
+    is_en = F.lit(True) if lang_col is None else (F.col(lang_col) == F.lit("en"))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(F.col(text_col), F.lit("")).alias("t"),
         words_of(F.col(text_col)).alias("w"),
+        is_en.alias("__is_en"),
     )
     word_chars = F.aggregate(F.col("w"), zero, lambda a, x: a + F.length(x))
     nb_lines = F.filter(
@@ -182,6 +196,7 @@ def gopher_quality(
         "doc_id",
         "t",
         "w",
+        "__is_en",
         F.size("w").alias("n_words"),
         word_chars.alias("word_chars"),
         F.round(
@@ -264,6 +279,7 @@ def gopher_quality(
         wordstats.select(
             "doc_id", "n_words", "mean_word_len", "frac_bullet_lines",
             "frac_ellipsis_lines", "frac_alpha_words", "n_stopwords_present",
+            "__is_en",
         )
         .join(
             linestats.select(
@@ -303,9 +319,14 @@ def gopher_quality(
         & (F.col("frac_top_4gram") <= max_top_4gram_char_frac)
         & (F.col("frac_bullet_lines") <= max_bullet_line_frac)
         & (F.col("frac_ellipsis_lines") <= max_ellipsis_line_frac)
-        & (F.col("frac_alpha_words") >= min_alpha_word_frac)
-        & (F.col("n_stopwords_present") >= min_stopwords_present),
-    )
+        & (
+            ~F.col("__is_en")
+            | (
+                (F.col("frac_alpha_words") >= min_alpha_word_frac)
+                & (F.col("n_stopwords_present") >= min_stopwords_present)
+            )
+        ),
+    ).drop("__is_en")
 
 
 # Redaction patterns — restricted to syntax with identical semantics in

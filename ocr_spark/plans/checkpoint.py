@@ -176,11 +176,15 @@ def run_checkpointed(
                 f"{rec.get('num_buckets')} but this run uses {num_buckets}; "
                 "refusing to resume (clear the output dir)"
             )
-        if rec.get("output_format") not in (None, output_format):
+        # Legacy records (pre-output_format) were always parquet, so a
+        # missing field is compatible ONLY with parquet — accepting None
+        # for jsonl would resume a parquet-bucket run into a mixed-format
+        # output directory.
+        if (rec.get("output_format") or "parquet") != output_format:
             raise RuntimeError(
                 f"manifest bucket {b} was committed as "
-                f"{rec.get('output_format')} but this run writes {output_format}; "
-                "refusing to resume (clear the output dir)"
+                f"{rec.get('output_format') or 'parquet'} but this run writes "
+                f"{output_format}; refusing to resume (clear the output dir)"
             )
         if rec.get("id_col") not in (None, id_col):
             raise RuntimeError(
@@ -207,7 +211,10 @@ def run_checkpointed(
         path = os.path.join(output_dir, f"bucket={b}")
         if output_format == "jsonl":
             part.write.mode("overwrite").json(path)
-            n_rows = spark.read.json(path).count()
+            # one line per row, so a text count verifies the commit in a
+            # single pass — schemaless read.json would run a full
+            # inference pass over the bucket before even counting.
+            n_rows = spark.read.text(path).count()
             data_ext = ".json"
         else:
             part.write.mode("overwrite").parquet(path)

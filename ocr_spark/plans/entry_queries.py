@@ -998,7 +998,12 @@ def q_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = D.load(spark, sf, "documents").select("doc_id", F.col("text"))
     tag = sf.rstrip("/").split("/")[-1]
-    path = os.path.join("/tmp", f"ocr_spark_jsonl_{tag}")
+    # app-id suffix: the path must be private to this session, or two
+    # concurrent runs at the same sf overwrite each other under the lazy
+    # read below (bench + oracle sweep + pytest workers can all race here)
+    path = os.path.join(
+        "/tmp", f"ocr_spark_jsonl_{tag}_{spark.sparkContext.applicationId}"
+    )
     J.write_jsonl(docs.filter(F.col("doc_id") % 13 != 0), path)
     broken = docs.filter(F.col("doc_id") % 13 == 0).select(
         F.concat(

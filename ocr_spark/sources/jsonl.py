@@ -16,10 +16,17 @@ from pyspark.sql import functions as F
 DOC_SCHEMA = "doc_id long, text string"
 
 
-def write_jsonl(docs: DataFrame, path: str, partitions: int = 1) -> None:
+def write_jsonl(docs: DataFrame, path: str, partitions: int | None = None) -> None:
     """Write (doc_id, text) as newline-delimited JSON via Spark's native
-    JSON writer (escaping and unicode handled by the engine)."""
-    docs.select("doc_id", "text").coalesce(partitions).write.mode("overwrite").json(path)
+    JSON writer (escaping and unicode handled by the engine). Default
+    keeps the input's partitioning — every core writes; pass
+    ``partitions=1`` only when a single output file is genuinely needed
+    (tiny fixtures), since that serializes the whole write through one
+    task."""
+    out = docs.select("doc_id", "text")
+    if partitions:
+        out = out.coalesce(partitions)
+    out.write.mode("overwrite").json(path)
 
 
 def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
@@ -53,31 +60,48 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, bad
 
 
-def load_documents(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    """Job-facing loader: ``parquet`` reads as-is; ``jsonl`` reads with the
-    quarantine schema, logs the reject count, and returns only valid rows
-    (the quarantined raw lines are written next to nothing — jobs that
-    want them call read_documents_jsonl/split_quarantine directly)."""
+def load_documents(
+    spark: SparkSession, path: str, fmt: str = "parquet", log_quarantine: bool = False
+) -> DataFrame:
+    """Job-facing loader: ``parquet`` reads as-is; ``jsonl``/``csv`` read
+    with the quarantine schema and return only valid rows, LAZILY — no
+    cache, no load-time count, so the corpus is first materialized by the
+    job's own first pass (at 10^12 documents an eager corpus-wide cache +
+    count here would be a blocking full scan spilled to executor disk
+    before any real work starts). ``log_quarantine=True`` adds one extra
+    counting pass and prints the reject total; jobs that want the
+    quarantined raw LINES call read_documents_jsonl/split_quarantine
+    directly."""
     if fmt == "parquet":
         return spark.read.parquet(path)
     if fmt in ("jsonl", "csv"):
         reader = read_documents_jsonl if fmt == "jsonl" else read_documents_csv
-        valid, bad = split_quarantine(reader(spark, path))
-        n_bad = bad.count()
-        if n_bad:
-            print(f"{fmt} ingest: quarantined {n_bad} malformed records from {path}")
+        df = reader(spark, path)
+        valid = df.filter(F.col("corrupt_record").isNull()).drop("corrupt_record")
+        if log_quarantine:
+            # doc_id rides along so the scan is not a corrupt-column-only
+            # query (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — no cache needed.
+            n_bad = (
+                df.select("doc_id", "corrupt_record")
+                .filter(F.col("corrupt_record").isNotNull())
+                .count()
+            )
+            if n_bad:
+                print(f"{fmt} ingest: quarantined {n_bad} malformed records from {path}")
         return valid
     raise ValueError(f"unknown input format {fmt!r}")
 
 
-def write_csv(docs: DataFrame, path: str, partitions: int = 1) -> None:
+def write_csv(docs: DataFrame, path: str, partitions: int | None = None) -> None:
     """Write (doc_id, text) as RFC-4180-quoted CSV with a header. Document
     text embeds quotes/newlines routinely — quoteAll + escaped quotes keep
-    the file parseable by the multiLine reader below."""
+    the file parseable by the multiLine reader below. Partitioning default
+    as in :func:`write_jsonl` (keep the input's; don't serialize)."""
+    out = docs.select("doc_id", "text")
+    if partitions:
+        out = out.coalesce(partitions)
     (
-        docs.select("doc_id", "text")
-        .coalesce(partitions)
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .option("header", "true")
         .option("quoteAll", "true")
         .option("escape", '"')

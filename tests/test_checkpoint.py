@@ -437,3 +437,55 @@ def test_jsonl_output_format_and_resume_guard(spark, docs, tmp_path):
             spark, span_corpus(docs), str(out), extract_documents,
             num_buckets=4, input_lineage="t", output_format="parquet",
         )
+
+
+def test_curate_job_keeps_non_english_corpora(spark, tmp_path):
+    """Regression: the Gopher stop-word / alpha-word rules are English-
+    specific; applied unconditionally they drop EVERY Russian document
+    (zero English stopwords, ~0% [A-Za-z] words) before the --langs ru
+    filter even runs. The gate must be language-aware."""
+    import random
+
+    from jobs.curate_job import run_curate
+
+    rnd = random.Random(7)
+    sw_ru = ["что", "это", "как", "для", "при", "или", "его", "там"]
+    rows = []
+    for i in range(12):
+        words = []
+        for j in range(70):
+            words.append(f"сло{i}во{j}" if j % 3 else rnd.choice(sw_ru))
+        rows.append((i, " ".join(words)))
+    # a Russian repetition-spam doc must STILL fail the neutral rules
+    rows.append((100, "спам спам спам " * 30))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inp = str(tmp_path / "ru.parquet")
+    docs.write.parquet(inp)
+
+    out = tmp_path / "cur_ru"
+    run_curate(spark, inp, str(out), dedup_mode="exact", langs=("ru",),
+               num_buckets=2)
+    got = spark.read.parquet(str(out / "bucket=*"))
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    assert ids == list(range(12))  # quality Russian docs kept, spam dropped
+    assert {r["lang"] for r in got.select("lang").collect()} == {"ru"}
+
+
+def test_curate_decon_rejects_empty_eval_parse(spark, tmp_path):
+    """--decon-eval in the wrong format parses to zero valid rows; the job
+    must refuse loudly rather than run a no-op decontamination."""
+    import pytest as _pytest
+
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    inp = str(tmp_path / "in.parquet")
+    docs.write.parquet(inp)
+    # eval set written as parquet but declared jsonl → every "line" quarantined
+    ev = str(tmp_path / "eval.parquet")
+    docs.limit(3).write.parquet(ev)
+
+    with _pytest.raises(ValueError, match="zero valid rows"):
+        run_curate(spark, inp, str(tmp_path / "o"), dedup_mode="exact",
+                   num_buckets=2, decon_eval=ev, input_format="parquet",
+                   decon_format="jsonl")
