@@ -17,6 +17,8 @@ one global decision, so rejected docs never pay the later stages twice):
   3. language filter    — stopword-profile language ID against --langs
   4. blocklist gate     — (--blocklist a,b,c) whole-word term filter
                           (applied to the RAW text, before redaction)
+  4b. domain gate       — (--blocked-domains a.com,b.net) drop docs whose
+                          in-text URLs hit a blocked domain or subdomain
   5. PII redaction      — URL/email/IP/phone → typed tokens
   6. sequence packing   — (--pack-seq-len N) post-pass over the committed
                           survivors: concat-and-chunk layout (doc →
@@ -44,15 +46,17 @@ import argparse
 import json
 
 
-def curate_transform(part, langs, line_index=None, blocklist=()):
+def curate_transform(part, langs, line_index=None, blocklist=(), blocked_domains=()):
     """Bucket-local stages 1b-5: line dedup -> language ID -> quality
     gate (language-aware: English-only Gopher rules gate only en docs) ->
-    language filter -> blocklist (raw text) -> PII redaction (last)."""
+    language filter -> blocklist + domain gates (raw text) -> PII
+    redaction (last)."""
     from pyspark.sql import functions as F
 
     from ocr_spark.operators.dedup import apply_line_dedup
     from ocr_spark.operators.textstats import (
         blocklist_flag,
+        domain_flag,
         gopher_quality,
         language_id,
         pii_scrub,
@@ -74,6 +78,12 @@ def curate_transform(part, langs, line_index=None, blocklist=()):
         kept = kept.filter(F.col("lang").isin(list(langs)))
     if blocklist:
         kept = kept.filter(~blocklist_flag(F.col("text"), tuple(blocklist))["blocked"])
+    if blocked_domains:
+        # on the RAW text like the term gate — pii_scrub replaces every
+        # URL with <URL> in the final select, which would blind this stage
+        kept = kept.filter(
+            ~domain_flag(F.col("text"), tuple(blocked_domains))["blocked"]
+        )
     p = pii_scrub(F.col("text"))
     return kept.select(
         "doc_id",
@@ -95,6 +105,7 @@ def run_curate(
     fail_after: int | None = None,
     line_dedup: bool = False,
     blocklist: tuple[str, ...] = (),
+    blocked_domains: tuple[str, ...] = (),
     input_format: str = "parquet",
     decon_eval: str | None = None,
     decon_format: str | None = None,
@@ -171,7 +182,7 @@ def run_curate(
         part = part.join(losers, "doc_id", "left_anti")
         if contaminated is not None:
             part = part.join(contaminated, "doc_id", "left_anti")
-        return curate_transform(part, langs, line_index, blocklist)
+        return curate_transform(part, langs, line_index, blocklist, blocked_domains)
 
     summary = run_checkpointed(
         spark,
@@ -187,6 +198,7 @@ def run_curate(
             "langs": list(langs),
             "line_dedup": line_dedup,
             "blocklist": list(blocklist),
+            "blocked_domains": list(blocked_domains),
             "decon_eval": decon_eval,
             "decon_n": decon_n,
         },
@@ -231,6 +243,9 @@ def main() -> None:
                     help="also drop cross-document repeated lines (C4-style)")
     ap.add_argument("--blocklist", default="",
                     help="comma-separated blocked terms (whole-word); empty = off")
+    ap.add_argument("--blocked-domains", default="",
+                    help="comma-separated blocked URL domains (subdomains match); "
+                         "empty = off")
     ap.add_argument("--format", choices=("parquet", "jsonl", "csv"), default="parquet",
                     help="input corpus format (jsonl/csv quarantine malformed records)")
     ap.add_argument("--decon-eval", default=None,
@@ -258,6 +273,7 @@ def main() -> None:
         fail_after=args.fail_after,
         line_dedup=args.line_dedup,
         blocklist=tuple(x for x in args.blocklist.split(",") if x),
+        blocked_domains=tuple(x for x in args.blocked_domains.split(",") if x),
         input_format=args.format,
         decon_eval=args.decon_eval,
         decon_format=args.decon_format,

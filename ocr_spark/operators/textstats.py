@@ -569,3 +569,47 @@ def blocklist_flag(text: Column, terms: tuple[str, ...] = DEFAULT_BLOCKLIST) -> 
     arr = F.array(*[F.lit(t) for t in terms])
     n = F.size(F.filter(words_of(text), lambda w: F.array_contains(arr, w)))
     return {"n_blocked_terms": n.cast("long"), "blocked": n > 0}
+
+
+# Neutral demo domain blocklist — like DEFAULT_BLOCKLIST, the LIST is the
+# deployment's; the operator (C4-style domain gate over in-text URLs) is
+# the product.
+DEFAULT_DOMAIN_BLOCKLIST = ("spamsite.com", "casino-hub.net", "tracker.io")
+
+
+def url_domains(text: Column) -> Column:
+    """Hosts of every http(s) URL in ``text``: lowered, port/path stripped,
+    leading ``www.`` removed. Pure expressions (regexp_extract_all +
+    transform) — no UDF, whole-stage codegen."""
+    urls = F.regexp_extract_all(
+        F.coalesce(text, F.lit("")), F.lit(r"https?://[^ \t\n]+"), F.lit(0)
+    )
+    return F.transform(
+        urls,
+        lambda u: F.regexp_replace(
+            F.lower(F.regexp_extract(u, r"^https?://([^/:?#]+)", 1)),
+            r"^www\.",
+            "",
+        ),
+    )
+
+
+def domain_flag(
+    text: Column, domains: tuple[str, ...] = DEFAULT_DOMAIN_BLOCKLIST
+) -> dict[str, Column]:
+    """Domain-blocklist gate (the C4/RefinedWeb URL-filter shape applied to
+    in-text links): a document is flagged when any URL it contains points
+    at a blocked registrable domain OR a subdomain of one
+    (``ads.spamsite.com`` matches blocked ``spamsite.com``). The literal
+    domain array folds into the plan like :func:`blocklist_flag`'s terms."""
+    hosts = url_domains(text)
+    arr = F.array(*[F.lit(d.lower()) for d in domains])
+    blocked_host = lambda h: F.exists(  # noqa: E731
+        arr, lambda b: (h == b) | h.endswith(F.concat(F.lit("."), b))
+    )
+    n = F.size(F.filter(hosts, blocked_host))
+    return {
+        "n_urls": F.size(hosts).cast("long"),
+        "n_blocked_domains": n.cast("long"),
+        "blocked": n > 0,
+    }

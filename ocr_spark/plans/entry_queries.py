@@ -974,6 +974,73 @@ def q_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sql_blocked_host() -> str:
+    """domain_flag's host-match twin: exact domain or any subdomain."""
+    return " OR ".join(
+        f"h = '{d}' OR ends_with(h, '.{d}')" for d in TS.DEFAULT_DOMAIN_BLOCKLIST
+    )
+
+
+@_q(
+    "domain_filter",
+    f"""
+WITH du AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+                THEN coalesce(text, '') || ' visit https://ads.spamsite.com/offer/' || doc_id
+              WHEN doc_id % 5 = 1
+                THEN coalesce(text, '') || ' read https://example.org/a/' || doc_id
+              WHEN doc_id % 5 = 2
+                THEN coalesce(text, '') || ' win http://WWW.Casino-Hub.NET/' || doc_id || ' now'
+              WHEN doc_id % 5 = 3
+                THEN coalesce(text, '') || ' api https://tracker.io:8080/t?d=' || doc_id
+              ELSE coalesce(text, '') END AS t
+  FROM documents
+),
+dh AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(t, 'https?://[^ \\t\\n]+'),
+           u -> regexp_replace(lower(regexp_extract(u, '^https?://([^/:?#]+)', 1)),
+                               '^www\\.', '')
+         ) AS hosts
+  FROM du
+)
+SELECT doc_id,
+       len(hosts)::BIGINT AS n_urls,
+       len(list_filter(hosts, h -> {{blocked}}))::BIGINT AS n_blocked_domains,
+       len(list_filter(hosts, h -> {{blocked}})) > 0 AS blocked
+FROM dh""".replace("{blocked}", _sql_blocked_host()),
+)
+def q_domain_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4/RefinedWeb-style domain-blocklist gate over a facade where docs
+    get deterministic URLs appended: a blocked subdomain (mod 0), a clean
+    domain (mod 1), a www+mixed-case blocked host (mod 2), a blocked host
+    with a port (mod 3), or no URL (mod 4). Proves host extraction
+    (lowering, www/port/path stripping) and subdomain suffix matching."""
+    docs = D.load(spark, sf, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    did = F.col("doc_id").cast("string")
+    aug = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(text, F.lit(" visit https://ads.spamsite.com/offer/"), did))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(text, F.lit(" read https://example.org/a/"), did))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(text, F.lit(" win http://WWW.Casino-Hub.NET/"), did, F.lit(" now")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(text, F.lit(" api https://tracker.io:8080/t?d="), did))
+        .otherwise(text)
+    )
+    d = TS.domain_flag(aug)
+    return docs.select(
+        "doc_id",
+        d["n_urls"].alias("n_urls"),
+        d["n_blocked_domains"].alias("n_blocked_domains"),
+        d["blocked"].alias("blocked"),
+    )
+
+
 @_q(
     "jsonl_roundtrip",
     """

@@ -489,3 +489,25 @@ def test_curate_decon_rejects_empty_eval_parse(spark, tmp_path):
         run_curate(spark, inp, str(tmp_path / "o"), dedup_mode="exact",
                    num_buckets=2, decon_eval=ev, input_format="parquet",
                    decon_format="jsonl")
+
+
+def test_curate_job_domain_gate(spark, tmp_path):
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 7,
+            F.concat(F.col("text"), F.lit(" see https://m.badsite.example/x")),
+        ).otherwise(F.col("text")),
+    )
+    inp = str(tmp_path / "in_dom.parquet")
+    docs.write.parquet(inp)
+    out = tmp_path / "cur_dom"
+    run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+               num_buckets=4, blocked_domains=("badsite.example",))
+    ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out / "bucket=*")).select("doc_id").collect()
+    )
+    assert 7 not in ids and 6 in ids and 8 in ids

@@ -700,3 +700,35 @@ def test_gopher_shape_rules(spark):
     assert got[2]["frac_bullet_lines"] == 1.0 and not got[2]["quality_pass"]
     assert got[3]["frac_alpha_words"] == 0.0 and not got[3]["quality_pass"]
     assert got[3]["n_stopwords_present"] == 0
+
+
+def test_domain_flag_host_extraction_and_suffix_match(spark):
+    import ocr_spark.operators.textstats as TS
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://ads.spamsite.com/offer/1 deal"),   # blocked subdomain
+            (2, "read https://example.org/a and http://docs.example.org/b"),  # clean
+            (3, "win http://WWW.Casino-Hub.NET/x now"),          # www + case
+            (4, "api https://tracker.io:8080/t?d=4"),            # port stripped
+            (5, "plain text, no links"),
+            (6, "https://notspamsite.com/x"),                    # suffix must not match mid-label
+        ],
+        "doc_id long, text string",
+    )
+    d = TS.domain_flag(F.col("text"))
+    got = {
+        r["doc_id"]: (r["n"], r["b"], r["f"])
+        for r in df.select(
+            "doc_id",
+            d["n_urls"].alias("n"),
+            d["n_blocked_domains"].alias("b"),
+            d["blocked"].alias("f"),
+        ).collect()
+    }
+    assert got[1] == (1, 1, True)
+    assert got[2] == (2, 0, False)
+    assert got[3] == (1, 1, True)
+    assert got[4] == (1, 1, True)
+    assert got[5] == (0, 0, False)
+    assert got[6] == (1, 0, False)  # 'notspamsite.com' !endswith '.spamsite.com'
