@@ -51,6 +51,7 @@ HEADLINE = [
     "decontaminate",
     "pack_sequences",
     "jsonl_roundtrip",
+    "warc_html_extract",
     "events_windowed",
     "sessionize",
     "media_decode",

@@ -246,7 +246,7 @@ def main() -> None:
     ap.add_argument("--blocked-domains", default="",
                     help="comma-separated blocked URL domains (subdomains match); "
                          "empty = off")
-    ap.add_argument("--format", choices=("parquet", "jsonl", "csv"), default="parquet",
+    ap.add_argument("--format", choices=("parquet", "jsonl", "csv", "warc"), default="parquet",
                     help="input corpus format (jsonl/csv quarantine malformed records)")
     ap.add_argument("--decon-eval", default=None,
                     help="eval/benchmark corpus path; drops training docs sharing "

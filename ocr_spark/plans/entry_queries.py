@@ -2449,6 +2449,95 @@ def q_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     return extract_html_documents(docs.select("doc_id", html.alias("html")))
 
 
+# --- WARC web-archive source ---------------------------------------------------
+
+_N_WARC_DOCS, _N_WARC_FILES = 120, 6
+
+# sources/warc.warc_html reconstructed in SQL (ASCII only, so length() ==
+# byte length on both engines); shared by both warc oracles
+_SQL_WARC_HTML = f"""CASE WHEN doc_id % 11 = 3
+  THEN '<html><head><title>404</title></head><body><p>Not found.</p></body></html>'
+  ELSE '<html><head><title>Doc ' || doc_id || '</title></head><body>'
+       || '<div class="nav"><a href="/">Home</a> <a href="/x">Links</a></div><div><p>'
+       || array_to_string(list_transform(range(1, 2 + doc_id % 3), j ->
+            'Doc ' || doc_id || ' paragraph ' || j || ' covers alpha beta gamma '
+            || 'delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron '
+            || 'pi rho sigma tau upsilon phi chi psi omega and further synthetic '
+            || 'crawl content tokens extending this paragraph well past the '
+            || 'forty word content threshold.'), '</p><p>')
+       || '</p></div><div class="footer"><a>(c) 2026 Synth Corp</a></div></body></html>'
+  END"""
+
+
+def _warc_responses(spark: SparkSession):
+    import ocr_spark.sources.warc as W
+
+    return W.responses(
+        W.parse_warc_records(W.synth_warc_files(spark, _N_WARC_DOCS, _N_WARC_FILES))
+    )
+
+
+@_q(
+    "warc_extract",
+    f"""
+WITH wh AS (
+  SELECT doc_id, {_SQL_WARC_HTML} AS html
+  FROM range({_N_WARC_DOCS}) t(doc_id)
+)
+SELECT doc_id,
+       'https://site' || (doc_id % 7) || '.example/page/' || doc_id AS target_uri,
+       (CASE WHEN doc_id % 11 = 3 THEN 404 ELSE 200 END)::INT AS http_status,
+       'text/html; charset=utf-8' AS content_type,
+       length(html)::BIGINT AS payload_bytes,
+       CASE WHEN doc_id % 11 = 3 THEN '404' ELSE 'Doc ' || doc_id END AS title
+FROM wh""",
+)
+def q_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC web-archive ingest end-to-end on real archive bytes: the
+    fixture corpus (sources/warc.synth_warc_files — half the files
+    per-record-gzip .warc.gz, half plain, request + warcinfo records
+    interleaved) is framed-parsed back by parse_warc_records, HTTP
+    responses decoded (status line, Content-Type, body split), and
+    per-page facts emitted. Proves gzip member walking, record framing,
+    non-response skipping, and 404 passthrough."""
+    r = _warc_responses(spark)
+    return r.select(
+        F.regexp_extract("target_uri", r"/page/(\d+)$", 1).cast("long").alias("doc_id"),
+        "target_uri",
+        F.col("http_status").cast("int").alias("http_status"),
+        F.col("http_content_type").alias("content_type"),
+        F.octet_length("html").cast("long").alias("payload_bytes"),
+        F.regexp_extract("html", r"(?i)<title>(.*?)</title>", 1).alias("title"),
+    )
+
+
+@_q(
+    "warc_html_extract",
+    _sql_html_extract(
+        src=f"SELECT doc_id, {_SQL_WARC_HTML} AS html "
+        f"FROM range({_N_WARC_DOCS}) t(doc_id) WHERE doc_id % 11 <> 3"
+    ),
+)
+def q_warc_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """The web-scale extraction dataflow the tier exists for: crawl
+    archive -> parsed responses -> 200-OK routing -> Boilerpipe
+    main-content strip, all inside one plan (archive parse in
+    mapInPandas, boilerplate as pure Column expressions). Oracle is the
+    parameterized html_extract twin over the reconstructed fixture
+    pages."""
+    from ocr_spark.operators.boilerplate import extract_html_documents
+
+    r = _warc_responses(spark).filter(F.col("http_status") == 200)
+    return extract_html_documents(
+        r.select(
+            F.regexp_extract("target_uri", r"/page/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "html",
+        )
+    )
+
+
 # --- image / noise operators (I1, I7, I8) --------------------------------------
 
 _IMG_N, _IMG_W, _IMG_H = 64, 48, 32

@@ -89,6 +89,14 @@ def load_documents(
             if n_bad:
                 print(f"{fmt} ingest: quarantined {n_bad} malformed records from {path}")
         return valid
+    if fmt == "warc":
+        from ocr_spark.sources.warc import read_warc, warc_documents
+
+        # web-archive ingest: 200-OK text/html responses, boilerplate
+        # stripped, doc_id = xxhash64(target_uri); malformed records are
+        # quarantined inside the parser (error rows are simply not
+        # responses), matching the lazy no-count contract above
+        return warc_documents(read_warc(spark, path))
     raise ValueError(f"unknown input format {fmt!r}")
 
 

@@ -1,0 +1,122 @@
+"""WARC source: record framing, gzip members, quarantine, corpus view."""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+import ocr_spark.sources.warc as W
+
+
+def _parsed(spark, n_docs=24, n_files=4):
+    return W.parse_warc_records(W.synth_warc_files(spark, n_docs, n_files))
+
+
+def test_roundtrip_plain_and_gzip(spark):
+    parsed = _parsed(spark).cache()
+    try:
+        assert parsed.filter(F.col("error").isNotNull()).count() == 0
+        resp = W.responses(parsed)
+        rows = {r["target_uri"]: r for r in resp.collect()}
+        assert len(rows) == 24  # every doc exactly once, across both codecs
+        for i in (0, 1, 3, 22):  # even file=plain, odd file=gz, 404 doc, tail
+            r = rows[W.warc_uri(i)]
+            assert r["html"] == W.warc_html(i)
+            assert r["http_status"] == (404 if W.is_not_found(i) else 200)
+            assert r["http_content_type"] == "text/html; charset=utf-8"
+            assert r["warc_date"] == W.warc_date(i)
+    finally:
+        parsed.unpersist()
+
+
+def test_non_response_records_skipped_but_parsed(spark):
+    parsed = _parsed(spark).cache()
+    try:
+        by_type = {
+            r["warc_type"]: r["n"]
+            for r in parsed.groupBy("warc_type").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_type["warcinfo"] == 4  # one per file
+        assert by_type["response"] == 24
+        assert by_type["request"] == 6  # docs 0,4,8,12,16,20
+        assert W.responses(parsed).count() == 24
+    finally:
+        parsed.unpersist()
+
+
+def test_gunzip_members_concatenated():
+    members = [b"alpha", b"beta", b"gamma"]
+    blob = b"".join(zlib.compress(m, 6, wbits=31) for m in members)
+    assert W.gunzip_members(blob) == b"alphabetagamma"
+
+
+def test_truncated_record_quarantined_not_fatal():
+    good = W.synth_warc_file(0, [2, 8], compress=False)
+    # cut into the middle of the LAST record's body: earlier records must
+    # still parse, the tail must become exactly one error row
+    rows_full = list(W.parse_warc_bytes("f", good))
+    cut = W.parse_warc_bytes("f", good[: len(good) - 40])
+    rows = list(cut)
+    errs = [r for r in rows if r.get("error")]
+    assert len(errs) == 1 and "content-length" in errs[0]["error"]
+    assert len(rows) == len(rows_full)  # same framing, tail quarantined
+
+
+def test_corrupt_gzip_quarantined():
+    rows = list(W.parse_warc_bytes("f", b"\x1f\x8b broken not gzip"))
+    assert len(rows) == 1 and rows[0]["error"].startswith("gzip:")
+
+
+def test_bad_version_line_resync():
+    a, b = W.synth_warc_file(0, [2], False), W.synth_warc_file(0, [8], False)
+    blob = a + b"JUNK-not-a-record\r\n\r\n" + b
+    rows = list(W.parse_warc_bytes("f", blob))
+    errs = [r for r in rows if r.get("error")]
+    # junk quarantined, records on BOTH sides of it parsed
+    assert len(errs) == 1
+    uris = {r.get("target_uri") for r in rows if r.get("warc_type") == "response"}
+    assert uris == {W.warc_uri(2), W.warc_uri(8)}
+
+
+def test_read_warc_and_corpus_view(spark, tmp_path):
+    for f in range(2):
+        name = f"crawl-{f:04d}.warc" + (".gz" if f % 2 else "")
+        (tmp_path / name).write_bytes(
+            W.synth_warc_file(f, range(f, 12, 2), bool(f % 2))
+        )
+    docs = W.warc_documents(W.read_warc(spark, str(tmp_path))).cache()
+    try:
+        got = docs.collect()
+        # 12 docs minus the 404 (doc 3): boilerplate-stripped main text
+        assert len(got) == 11
+        assert all(r["doc_id"] is not None for r in got)
+        assert len({r["doc_id"] for r in got}) == 11  # xxhash64(uri) unique
+        texts = [r["text"] for r in got]
+        assert all("paragraph" in t for t in texts)  # content kept
+        assert all("Home" not in t for t in texts)  # nav boiler stripped
+    finally:
+        docs.unpersist()
+
+
+def test_load_documents_warc_format(spark, tmp_path):
+    from ocr_spark.sources.jsonl import load_documents
+
+    (tmp_path / "c.warc").write_bytes(W.synth_warc_file(0, range(6), False))
+    df = load_documents(spark, str(tmp_path), fmt="warc")
+    assert set(df.columns) == {"doc_id", "text"}
+    assert df.count() == 5  # doc 3 is the 404
+
+
+def test_fixture_html_matches_oracle_reconstruction(spark):
+    """The SQL twin in entry_queries reconstructs warc_html byte-for-byte."""
+    import duckdb
+
+    from ocr_spark.plans.entry_queries import _N_WARC_DOCS, _SQL_WARC_HTML
+
+    got = duckdb.sql(
+        f"SELECT doc_id, {_SQL_WARC_HTML} AS html "
+        f"FROM range({_N_WARC_DOCS}) t(doc_id) ORDER BY doc_id"
+    ).fetchall()
+    assert len(got) == _N_WARC_DOCS
+    for i, html in got:
+        assert html == W.warc_html(i), f"doc {i} diverges"

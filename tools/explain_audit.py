@@ -53,6 +53,7 @@ AUDIT = [
     "pii_scrub",
     "audio_chunks",
     "upload_validate",
+    "warc_html_extract",
     # dedup_clusters is excluded: connected components EXECUTES its
     # distributed loop at plan-construction time, so "explaining" it runs
     # the job; its per-round plan is the audited join+agg shape.
