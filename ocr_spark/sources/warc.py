@@ -323,6 +323,24 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return parse_warc_records(files)
 
 
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Continuous crawl ingestion: a Structured Streaming ``binaryFile``
+    source over an archive drop directory -> the same parsed record frame
+    as :func:`read_warc`, one micro-batch per file batch. The whole
+    downstream extraction chain (``responses`` -> ``warc_documents``) is
+    stateless per record, so it composes onto this stream unchanged;
+    watermark/stateful assembly belongs to streaming/spans.py. Pair with
+    ``.option("maxFilesPerTrigger", k)`` semantics via
+    ``spark.readStream``'s options when rate-limiting a backlog."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .load(path)
+        .select(F.col("path").alias("file_name"), F.col("content"))
+    )
+    return parse_warc_records(files)
+
+
 def responses(parsed: DataFrame) -> DataFrame:
     """Well-formed response records with the HTML payload decoded to a
     string column — the frame the extraction operators consume."""

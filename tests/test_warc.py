@@ -120,3 +120,37 @@ def test_fixture_html_matches_oracle_reconstruction(spark):
     assert len(got) == _N_WARC_DOCS
     for i, html in got:
         assert html == W.warc_html(i), f"doc {i} diverges"
+
+
+def test_warc_stream_matches_batch(spark, tmp_path):
+    """Continuous crawl ingestion: files dropped across micro-batches
+    produce exactly the batch parse's corpus view."""
+    import ocr_spark.sources.warc as W
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "crawl-0000.warc").write_bytes(W.synth_warc_file(0, range(0, 12, 2), False))
+    stream = W.warc_documents(W.read_warc_stream(spark, str(drop)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warc_docs_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) n FROM warc_docs_stream").collect()[0]["n"]
+        # second drop, incl. the gzip codec, lands in a later micro-batch
+        (drop / "crawl-0001.warc.gz").write_bytes(
+            W.synth_warc_file(1, range(1, 12, 2), True)
+        )
+        q.processAllAvailable()
+        got = spark.table("warc_docs_stream").collect()
+    finally:
+        q.stop()
+    batch = W.warc_documents(W.read_warc(spark, str(drop))).collect()
+    assert 0 < n1 < len(got)
+    assert {(r["doc_id"], r["text"]) for r in got} == {
+        (r["doc_id"], r["text"]) for r in batch
+    }
