@@ -123,6 +123,15 @@ def run_curate(
     from ocr_spark.sources import jsonl as J
 
     docs = J.load_documents(spark, input_path, input_format).select("doc_id", "text")
+    if input_format == "warc":
+        # the warc chain (gunzip + record framing + boilerplate strip) is
+        # a heavy Python pass; unmaterialized, the bucketed runner and
+        # every global side input would re-parse every archive per bucket.
+        # Parquet/jsonl/csv scans are cheap JVM reads and stay lazy.
+        docs = materialize_once(
+            spark, docs, os.path.join(output_dir, "_ingest"),
+            meta={"stage": "warc_ingest", "input": input_path},
+        )
     losers = materialize_once(
         spark,
         corpus_dedup_losers(docs, mode=dedup_mode, threshold=threshold),

@@ -47,6 +47,13 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("ocr-spark-dedup").getOrCreate()
     docs = J.load_documents(spark, args.input, args.format).select("doc_id", "text")
+    if args.format == "warc":
+        # heavy Python parse chain: materialize once so neither the loser
+        # computation nor the per-bucket loop re-parses the archives
+        docs = materialize_once(
+            spark, docs, os.path.join(args.output, "_ingest"),
+            meta={"stage": "warc_ingest", "input": args.input},
+        )
 
     # The keep/drop decision is GLOBAL (duplicates land in different hash
     # buckets), so it is computed over the full corpus — EXACTLY ONCE:

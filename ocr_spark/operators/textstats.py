@@ -334,8 +334,18 @@ def gopher_quality(
 # classes only. Order matters: URLs first (they contain email/IP lookalikes),
 # then emails, IPs, phones — each stage counts on ITS input, so a pattern
 # swallowed by an earlier stage is never double-counted.
+# ONE definition of "a URL" shared by pii_scrub and the domain gate (the
+# curation job filters on raw text precisely because both must agree).
+# \r excluded too: on CRLF corpora a line-final URL must not capture the
+# carriage return (a host with a trailing \r escapes every domain match).
+URL_RE = r"https?://[^ \t\r\n]+"
+# Host of a URL: optional userinfo dropped (user:pass@host — otherwise
+# "https://x@blocked.com" hides the host), then everything up to the
+# first port/path/query/fragment delimiter. RE2/Java-identical syntax.
+HOST_RE = r"^https?://(?:[^/?#]*@)?([^/:?#]+)"
+
 PII_PATTERNS = (
-    ("url", r"https?://[^ \t\n]+", "<URL>"),
+    ("url", URL_RE, "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
     ("phone", r"\+[0-9]{1,3}[- ]?\(?[0-9]{2,4}\)?[- ]?[0-9]{2,4}[- ]?[0-9]{2,4}", "<PHONE>"),
@@ -582,12 +592,12 @@ def url_domains(text: Column) -> Column:
     leading ``www.`` removed. Pure expressions (regexp_extract_all +
     transform) — no UDF, whole-stage codegen."""
     urls = F.regexp_extract_all(
-        F.coalesce(text, F.lit("")), F.lit(r"https?://[^ \t\n]+"), F.lit(0)
+        F.coalesce(text, F.lit("")), F.lit(URL_RE), F.lit(0)
     )
     return F.transform(
         urls,
         lambda u: F.regexp_replace(
-            F.lower(F.regexp_extract(u, r"^https?://([^/:?#]+)", 1)),
+            F.lower(F.regexp_extract(u, HOST_RE, 1)),
             r"^www\.",
             "",
         ),

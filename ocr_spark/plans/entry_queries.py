@@ -986,22 +986,26 @@ def _sql_blocked_host() -> str:
     f"""
 WITH du AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 5 = 0
+         CASE WHEN doc_id % 7 = 0
                 THEN coalesce(text, '') || ' visit https://ads.spamsite.com/offer/' || doc_id
-              WHEN doc_id % 5 = 1
+              WHEN doc_id % 7 = 1
                 THEN coalesce(text, '') || ' read https://example.org/a/' || doc_id
-              WHEN doc_id % 5 = 2
+              WHEN doc_id % 7 = 2
                 THEN coalesce(text, '') || ' win http://WWW.Casino-Hub.NET/' || doc_id || ' now'
-              WHEN doc_id % 5 = 3
+              WHEN doc_id % 7 = 3
                 THEN coalesce(text, '') || ' api https://tracker.io:8080/t?d=' || doc_id
+              WHEN doc_id % 7 = 4
+                THEN coalesce(text, '') || ' check https://x:y@spamsite.com/u/' || doc_id
+              WHEN doc_id % 7 = 5
+                THEN coalesce(text, '') || ' see https://casino-hub.net' || chr(13) || chr(10) || 'line ' || doc_id
               ELSE coalesce(text, '') END AS t
   FROM documents
 ),
 dh AS (
   SELECT doc_id,
          list_transform(
-           regexp_extract_all(t, 'https?://[^ \\t\\n]+'),
-           u -> regexp_replace(lower(regexp_extract(u, '^https?://([^/:?#]+)', 1)),
+           regexp_extract_all(t, '{TS.URL_RE}'),
+           u -> regexp_replace(lower(regexp_extract(u, '{TS.HOST_RE}', 1)),
                                '^www\\.', '')
          ) AS hosts
   FROM du
@@ -1016,20 +1020,26 @@ def q_domain_filter(spark: SparkSession, sf: str) -> DataFrame:
     """C4/RefinedWeb-style domain-blocklist gate over a facade where docs
     get deterministic URLs appended: a blocked subdomain (mod 0), a clean
     domain (mod 1), a www+mixed-case blocked host (mod 2), a blocked host
-    with a port (mod 3), or no URL (mod 4). Proves host extraction
-    (lowering, www/port/path stripping) and subdomain suffix matching."""
+    with a port (mod 3), a blocked host hidden behind userinfo (mod 4), a
+    line-final blocked host on a CRLF line ending (mod 5), or no URL
+    (mod 6). Proves host extraction (lowering, www/port/userinfo/path
+    stripping, \\r exclusion) and subdomain suffix matching."""
     docs = D.load(spark, sf, "documents")
     text = F.coalesce(F.col("text"), F.lit(""))
     did = F.col("doc_id").cast("string")
     aug = (
-        F.when(F.col("doc_id") % 5 == 0,
+        F.when(F.col("doc_id") % 7 == 0,
                F.concat(text, F.lit(" visit https://ads.spamsite.com/offer/"), did))
-        .when(F.col("doc_id") % 5 == 1,
+        .when(F.col("doc_id") % 7 == 1,
               F.concat(text, F.lit(" read https://example.org/a/"), did))
-        .when(F.col("doc_id") % 5 == 2,
+        .when(F.col("doc_id") % 7 == 2,
               F.concat(text, F.lit(" win http://WWW.Casino-Hub.NET/"), did, F.lit(" now")))
-        .when(F.col("doc_id") % 5 == 3,
+        .when(F.col("doc_id") % 7 == 3,
               F.concat(text, F.lit(" api https://tracker.io:8080/t?d="), did))
+        .when(F.col("doc_id") % 7 == 4,
+              F.concat(text, F.lit(" check https://x:y@spamsite.com/u/"), did))
+        .when(F.col("doc_id") % 7 == 5,
+              F.concat(text, F.lit(" see https://casino-hub.net\r\nline "), did))
         .otherwise(text)
     )
     d = TS.domain_flag(aug)

@@ -27,6 +27,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import codecs
+import re
 import zlib
 from typing import Iterable, Iterator
 
@@ -212,9 +214,53 @@ def gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Transfer-Encoding: chunked de-framing (size-line;ext CRLF data CRLF
+    ... 0 CRLF) — real crawl responses carry it routinely."""
+    out, pos = [], 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("chunked: missing size line")
+        size = int(body[pos:nl].split(b";")[0], 16)
+        pos = nl + 2
+        if size == 0:
+            return b"".join(out)
+        if pos + size > len(body):
+            raise ValueError("chunked: truncated chunk")
+        out.append(body[pos : pos + size])
+        pos += size + 2  # chunk-terminating CRLF
+
+
+def _decode_body(body: bytes, headers: dict[str, str]) -> bytes:
+    """Undo the transport layers a real archive captures verbatim:
+    chunked framing, gzip/deflate Content-Encoding, and a non-UTF-8
+    charset (transcoded to UTF-8 so the downstream binary->string cast is
+    faithful). Unknown charset labels are left as-is rather than
+    quarantining the page."""
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    ce = headers.get("content-encoding", "").strip().lower()
+    if ce in ("gzip", "x-gzip", "deflate"):
+        try:
+            body = zlib.decompress(body, wbits=47)
+        except zlib.error:
+            body = zlib.decompress(body, wbits=-15)  # raw-deflate servers
+    m = re.search(r"charset=\"?([\w.:-]+)", headers.get("content-type", ""), re.I)
+    if m and m.group(1).lower() not in ("utf-8", "utf8", "ascii", "us-ascii"):
+        try:
+            codecs.lookup(m.group(1))
+        except LookupError:
+            pass
+        else:
+            body = body.decode(m.group(1), errors="replace").encode("utf-8")
+    return body
+
+
 def _parse_http_response(content: bytes):
     """(status, content_type, body) from an HTTP response message; raises
-    ValueError on a malformed message (caller quarantines)."""
+    ValueError on a malformed message (caller quarantines the record but
+    keeps the archive framing, so the next record is unaffected)."""
     sep = content.find(b"\r\n\r\n")
     if sep < 0:
         raise ValueError("http: no header/body separator")
@@ -223,12 +269,12 @@ def _parse_http_response(content: bytes):
     if len(parts) < 2 or not parts[0].startswith("HTTP/"):
         raise ValueError(f"http: bad status line {head[0]!r}")
     status = int(parts[1])
-    ctype = None
+    headers: dict[str, str] = {}
     for line in head[1:]:
         k, _, v = line.partition(":")
-        if k.strip().lower() == "content-type":
-            ctype = v.strip()
-    return status, ctype, content[sep + 4 :]
+        headers[k.strip().lower()] = v.strip()
+    body = _decode_body(content[sep + 4 :], headers)
+    return status, headers.get("content-type"), body
 
 
 def parse_warc_bytes(file_name: str, data: bytes) -> Iterator[dict]:
@@ -239,13 +285,23 @@ def parse_warc_bytes(file_name: str, data: bytes) -> Iterator[dict]:
     violates the frame yields ONE error row and the parser resynchronizes
     at the next ``\\r\\nWARC/`` boundary; for ``.gz`` files offsets are in
     the decompressed stream."""
+    gz_error = None
     if data[:2] == GZIP_MAGIC:
+        # salvage: a corrupt member quarantines ITSELF, not the records
+        # already decompressed before it — at 1 GB/archive a late bit
+        # flip must not discard thousands of good pages
+        chunks, rest = [], data
         try:
-            data = gunzip_members(data)
-        except Exception as e:  # corrupt archive: one quarantine row
-            yield {"file_name": file_name, "rec_offset": 0,
-                   "error": f"gzip: {e}"}
-            return
+            while rest:
+                d = zlib.decompressobj(wbits=47)
+                chunks.append(d.decompress(rest))
+                chunks.append(d.flush())
+                if not d.unused_data or d.unused_data == rest:
+                    break
+                rest = d.unused_data
+        except Exception as e:
+            gz_error = f"gzip: {e}"
+        data = b"".join(chunks)
     pos, n = 0, len(data)
     while pos < n:
         while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
@@ -253,6 +309,7 @@ def parse_warc_bytes(file_name: str, data: bytes) -> Iterator[dict]:
         if pos >= n:
             break
         start = pos
+        scan_from = start + 1  # framing-error resync floor
         try:
             hdr_end = data.find(b"\r\n\r\n", pos)
             if hdr_end < 0:
@@ -260,6 +317,9 @@ def parse_warc_bytes(file_name: str, data: bytes) -> Iterator[dict]:
             lines = data[pos:hdr_end].decode("latin-1").split("\r\n")
             if not lines[0].startswith("WARC/"):
                 raise ValueError(f"warc: bad version line {lines[0]!r}")
+            # version line is sound: a later framing error may resync
+            # past this record's header (its bytes can't start a record)
+            scan_from = hdr_end + 4
             hdrs: dict[str, str] = {}
             for line in lines[1:]:
                 k, _, v = line.partition(":")
@@ -277,21 +337,31 @@ def parse_warc_bytes(file_name: str, data: bytes) -> Iterator[dict]:
                 "target_uri": hdrs.get("warc-target-uri"),
                 "warc_date": hdrs.get("warc-date"),
             }
-            if row["warc_type"] == "response":
-                status, ctype, body = _parse_http_response(content)
-                row.update(http_status=status, http_content_type=ctype,
-                           payload=body)
-            else:
-                row["payload"] = content
-            yield row
-            pos = body_start + clen
+            pos = body_start + clen  # framing is sound past this point
+            try:
+                if row["warc_type"] == "response":
+                    status, ctype, body = _parse_http_response(content)
+                    row.update(http_status=status, http_content_type=ctype,
+                               payload=body)
+                else:
+                    row["payload"] = content
+                yield row
+            except Exception as e:
+                # HTTP-level damage: quarantine THIS record, framing keeps
+                # the parser exactly at the next record (no resync scan)
+                yield {"file_name": file_name, "rec_offset": start,
+                       "target_uri": row.get("target_uri"),
+                       "warc_type": row.get("warc_type"),
+                       "error": f"http: {e}"}
         except Exception as e:
             yield {"file_name": file_name, "rec_offset": start,
                    "error": str(e)}
-            nxt = data.find(b"\r\nWARC/", start + 1)
+            nxt = data.find(b"\r\nWARC/", scan_from)
             if nxt < 0:
                 break
             pos = nxt + 2
+    if gz_error is not None:
+        yield {"file_name": file_name, "rec_offset": n, "error": gz_error}
 
 
 _ROW_KEYS = [f.split(" ")[0] for f in RECORD_SCHEMA.split(", ")]
@@ -303,12 +373,17 @@ def parse_warc_records(files: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: dict[str, list] = {k: [] for k in _ROW_KEYS}
+            # one output frame PER FILE, not per Arrow batch: a batch can
+            # hold several ~1 GB archives, and accumulating all of their
+            # decompressed pages in one dict would defeat the per-task
+            # memory bound the module exists to keep
             for fname, blob in zip(pdf["file_name"], pdf["content"]):
+                rows: dict[str, list] = {k: [] for k in _ROW_KEYS}
                 for rec in parse_warc_bytes(str(fname), bytes(blob)):
                     for k in _ROW_KEYS:
                         rows[k].append(rec.get(k))
-            yield pd.DataFrame(rows)
+                if rows["file_name"]:
+                    yield pd.DataFrame(rows)
 
     return files.mapInPandas(run, RECORD_SCHEMA)
 
@@ -361,9 +436,10 @@ def warc_documents(parsed: DataFrame) -> DataFrame:
     like textstats.split_assign's hashing)."""
     from ocr_spark.operators.boilerplate import extract_main_content
 
+    ct = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
     r = responses(parsed).filter(
         (F.col("http_status") == 200)
-        & F.col("http_content_type").startswith("text/html")
+        & (ct.startswith("text/html") | ct.startswith("application/xhtml+xml"))
     )
     main = extract_main_content(F.col("html"))
     return r.select(

@@ -713,6 +713,8 @@ def test_domain_flag_host_extraction_and_suffix_match(spark):
             (4, "api https://tracker.io:8080/t?d=4"),            # port stripped
             (5, "plain text, no links"),
             (6, "https://notspamsite.com/x"),                    # suffix must not match mid-label
+            (7, "creds https://x:y@spamsite.com/u"),             # userinfo stripped
+            (8, "line-final https://casino-hub.net\r\nnext"),    # CRLF: no trailing \r in host
         ],
         "doc_id long, text string",
     )
@@ -732,3 +734,5 @@ def test_domain_flag_host_extraction_and_suffix_match(spark):
     assert got[4] == (1, 1, True)
     assert got[5] == (0, 0, False)
     assert got[6] == (1, 0, False)  # 'notspamsite.com' !endswith '.spamsite.com'
+    assert got[7] == (1, 1, True)
+    assert got[8] == (1, 1, True)

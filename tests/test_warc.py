@@ -154,3 +154,88 @@ def test_warc_stream_matches_batch(spark, tmp_path):
     assert {(r["doc_id"], r["text"]) for r in got} == {
         (r["doc_id"], r["text"]) for r in batch
     }
+
+
+def _http_record(doc_id, http_bytes):
+    return W._record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", f"<urn:ocr-spark:rec:{doc_id}>"),
+            ("WARC-Date", W.warc_date(doc_id)),
+            ("WARC-Target-URI", W.warc_uri(doc_id)),
+            ("Content-Type", "application/http;msgtype=response"),
+        ],
+        http_bytes,
+    )
+
+
+def test_chunked_transfer_encoding_decoded():
+    body = W.warc_html(2).encode()
+    mid = len(body) // 2
+    chunked = (
+        f"{mid:x}\r\n".encode() + body[:mid] + b"\r\n"
+        + f"{len(body) - mid:x}\r\n".encode() + body[mid:] + b"\r\n0\r\n\r\n"
+    )
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    rows = list(W.parse_warc_bytes("f", _http_record(2, http)))
+    assert len(rows) == 1 and rows[0].get("error") is None
+    assert rows[0]["payload"] == body
+
+
+def test_content_encoding_gzip_decoded():
+    body = W.warc_html(5).encode()
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + zlib.compress(body, 6, wbits=31)
+    )
+    rows = list(W.parse_warc_bytes("f", _http_record(5, http)))
+    assert rows[0].get("error") is None and rows[0]["payload"] == body
+
+
+def test_charset_transcoded_to_utf8():
+    text = "<html><body><p>café résumé</p></body></html>"
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=iso-8859-1\r\n\r\n"
+        + text.encode("iso-8859-1")
+    )
+    rows = list(W.parse_warc_bytes("f", _http_record(6, http)))
+    assert rows[0]["payload"] == text.encode("utf-8")
+
+
+def test_corrupt_gzip_member_salvages_prefix():
+    recs = [W._warcinfo_record(0), W._response_record(2), W._response_record(8)]
+    members = [zlib.compress(r, 6, wbits=31) for r in recs]
+    members[-1] = members[-1][:10] + b"\x00\x00\x00\x00" + members[-1][14:]
+    rows = list(W.parse_warc_bytes("f", b"".join(members)))
+    # the two intact members' records survive; corruption is one error row
+    ok = [r for r in rows if not r.get("error")]
+    errs = [r for r in rows if r.get("error")]
+    assert {r.get("warc_type") for r in ok} >= {"warcinfo", "response"}
+    assert any(r.get("target_uri") == W.warc_uri(2) for r in ok)
+    assert len(errs) == 1 and errs[0]["error"].startswith("gzip:")
+
+
+def test_http_error_keeps_framing():
+    bad_http = b"NOT-HTTP garbage without a status line\r\n\r\nbody"
+    blob = _http_record(3, bad_http) + W._response_record(8)
+    rows = list(W.parse_warc_bytes("f", blob))
+    assert len(rows) == 2  # no fabricated records from a resync scan
+    assert rows[0]["error"].startswith("http:")
+    assert rows[0]["target_uri"] == W.warc_uri(3)  # provenance preserved
+    assert rows[1].get("error") is None and rows[1]["target_uri"] == W.warc_uri(8)
+
+
+def test_xhtml_and_case_insensitive_content_type(spark):
+    body = W.warc_html(1).encode()
+    recs = b"".join(
+        _http_record(i, f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n\r\n".encode() + body)
+        for i, ct in ((20, "Text/HTML; charset=utf-8"), (21, "application/xhtml+xml"))
+    )
+    files = spark.createDataFrame([("f.warc", bytearray(recs))],
+                                  "file_name string, content binary")
+    docs = W.warc_documents(W.parse_warc_records(files))
+    assert docs.count() == 2
