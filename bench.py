@@ -45,6 +45,10 @@ HEADLINE = [
     "token_stats",
     "top_terms",
     "gopher_quality",
+    "lm_surprisal",
+    "dedup_paragraphs",
+    "url_dedup",
+    "temperature_mix",
     "pii_scrub",
     "upload_validate",
     "corpus_splits",

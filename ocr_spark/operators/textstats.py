@@ -604,6 +604,220 @@ def url_domains(text: Column) -> Column:
     )
 
 
+def _bits(n: Column) -> Column:
+    """Binary digit count of a positive integer — ``floor(log2(n)) + 1`` —
+    computed WITHOUT libm (length of the base-2 string), so Spark and
+    DuckDB agree bit-for-bit. ln()/log2() are libm-dependent (measured
+    one-ulp JVM/DuckDB mismatches on this value domain, see top_terms);
+    integer bit length is the hash-verifiable stand-in."""
+    return F.length(F.conv(n.cast("string"), 10, 2)).cast("long")
+
+
+def lm_surprisal(docs, model_docs=None, id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet-style language-model quality score (Wenzek et al. 2020): score
+    every document by the average surprisal of its word bigrams under a
+    count-based bigram model, so high-perplexity junk (gibberish, OCR
+    noise, keyword stuffing) can be filtered or bucketed head/middle/tail.
+
+    The model is trained on ``model_docs`` (default: the corpus itself —
+    the self-trained analog; production swaps in a curated reference
+    corpus exactly like CCNet's Wikipedia-trained KenLM by passing a
+    different DataFrame — the plan is identical). Surprisal uses
+    INTEGER-BIT arithmetic instead of -log2 p: for a bigram (w1,w2) with
+    context count C = count(w1 as a left word) and pair count B =
+    count(w1,w2), surprisal = bits(C) - bits(B) where bits(n) is the
+    binary digit count. That is floor-log2 surprisal within 1 bit of the
+    true value — rank-equivalent for filtering — and every step is exact
+    integer math, so the DuckDB twin hash-matches (a float log cannot,
+    see :func:`top_terms`).
+
+    Plan shape (and the 10^12-doc posture):
+      1. one corpus pass explodes per-doc bigrams (narrow),
+      2. the MODEL is a (gram → count) hash aggregation — partial
+         (map-side) combine absorbs the Zipf head before the shuffle;
+         the context table derives from the model by a second, far
+         smaller aggregation (first word of the gram), never from a
+         second corpus pass,
+      3. scoring joins doc-grams to the model keyed on gram. The Zipf
+         head ("of the") makes this the classic skew join — AQE
+         skew-split handles it (the build side is counts, one row per
+         distinct gram, so no pair blowup is possible),
+      4. per-doc sum/count partial-aggregates before its doc_id shuffle.
+    Docs with <2 words score 0 bits over 0 bigrams (left join keeps them).
+
+    Self-trained scoring never sees an unknown bigram (every scored gram
+    is in the model by construction). With an external ``model_docs``,
+    unseen grams take a flat out-of-vocabulary penalty of 20 bits (a
+    ~1-in-10^6 event under the model), so junk the model has never seen
+    scores high instead of crashing the join. Known self-trained
+    artifact (and the reason CCNet trains on a curated corpus): a
+    bigram whose context appears exactly once scores 0 bits — hapax
+    gibberish looks "predictable" to a model that only ever saw it
+    once. Filtering decisions on a self-trained model should therefore
+    weight by n_bigrams or corpus df; the external-model path has no
+    such blind spot.
+
+    Returns (doc_id, n_bigrams, total_bits, avg_bits)."""
+    _OOV_BITS = 20
+    model_docs = docs if model_docs is None else model_docs
+    def grams(df):
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(ngrams_of(F.col(text_col), 2)).alias("gram"),
+        )
+
+    model = grams(model_docs).groupBy("gram").agg(F.count(F.lit(1)).alias("b_cnt"))
+    ctx = (
+        model.select(F.split(F.col("gram"), " ")[0].alias("ctx"), "b_cnt")
+        .groupBy("ctx")
+        .agg(F.sum("b_cnt").alias("c_cnt"))
+    )
+    scored = (
+        grams(docs)
+        .join(model, "gram", "left")
+        .join(ctx, F.split(F.col("gram"), " ")[0] == F.col("ctx"), "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("b_cnt").isNotNull(), _bits(F.col("c_cnt")) - _bits(F.col("b_cnt"))
+            )
+            .otherwise(F.lit(_OOV_BITS))
+            .alias("bits"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("bits").alias("total_bits")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("total_bits", F.lit(0)).cast("long").alias("total_bits"),
+            F.round(
+                F.when(
+                    F.coalesce("n_bigrams", F.lit(0)) > 0,
+                    F.col("total_bits").cast("double") / F.col("n_bigrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("avg_bits"),
+        )
+    )
+
+
+def dedup_paragraphs(text: Column) -> dict[str, Column]:
+    """WITHIN-document repetition removal: drop repeated lines/paragraphs
+    keeping the FIRST occurrence in reading order (navigation bars,
+    repeated footers and OCR stutter inside one document — the intra-doc
+    complement of the cross-doc ``dedup_lines`` operator). Pure array
+    expressions over the '\\n' segmentation; ``array_distinct`` preserves
+    first-occurrence order by contract, which the DuckDB twin reproduces
+    with an index-lambda filter. Blank segments are dropped (consistent
+    with gopher_quality's line definition)."""
+    segs = F.filter(
+        F.transform(F.split(F.coalesce(text, F.lit("")), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    deduped = F.array_distinct(segs)
+    return {
+        "n_lines": F.size(segs).cast("long"),
+        "n_unique": F.size(deduped).cast("long"),
+        "n_removed": (F.size(segs) - F.size(deduped)).cast("long"),
+        "dedup_text": F.array_join(deduped, "\n"),
+    }
+
+
+# Tracking query parameters stripped by canonical_url (the URL-dedup
+# normalizer): the standard analytics/click-id families. The LIST is a
+# deployment choice; the operator is the product.
+TRACKING_PARAM_RE = r"(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref_src)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL for URL-level dedup (the crawl
+    frontier / re-crawl dedup normalizer): lowercase scheme and host,
+    strip userinfo, the scheme's default port (:80 http / :443 https),
+    fragments, tracking query parameters (utm_*, fbclid, gclid, ...) and
+    their emptied '?', a leading 'www.', and one URL-final '/'.
+
+    Two spellings of the same page ("http://WWW.X.com:80/a?utm_s=1#top"
+    and "http://x.com/a") canonicalize equal, so an exact groupBy on the
+    result IS url-dedup — at crawl scale that replaces a fuzzy join.
+    Pure sequential regexp passes restricted to syntax with identical
+    Java/RE2 semantics (no lookaround, no backrefs in patterns; inline
+    (?i) only), so the DuckDB twin applies the same passes verbatim.
+    Non-http(s) input canonicalizes to '' (caller filters)."""
+    u = F.coalesce(url, F.lit(""))
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    # tracking params: non-leading ones drop with their '&'; a leading one
+    # either hands '?' to the next param or drops it when it was the last
+    u = F.regexp_replace(u, r"&" + TRACKING_PARAM_RE + r"=[^&]*", "")
+    u = F.regexp_replace(u, r"\?" + TRACKING_PARAM_RE + r"=[^&]*&", "?")
+    u = F.regexp_replace(u, r"\?" + TRACKING_PARAM_RE + r"=[^&]*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^(?i)(https?)://", 1))
+    hostport = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"^(?i)https?://(?:[^/?#]*@)?([^/?#]*)", 1)),
+        r"^www\.",
+        "",
+    )
+    hostport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    tail = F.regexp_replace(
+        F.regexp_extract(u, r"^(?i)https?://[^/?#]*(.*)$", 1), r"/$", ""
+    )
+    return F.when(scheme == "", F.lit("")).otherwise(
+        F.concat(scheme, F.lit("://"), hostport, tail)
+    )
+
+
+def temperature_sample(
+    docs,
+    bucket_col: str,
+    cap: int = 10_000,
+    seed: str = "mix-v1",
+    id_col: str = "doc_id",
+):
+    """Temperature-based corpus mixing (the multilingual-pretraining
+    exponent-smoothing shape, τ = 0.5): per-bucket deterministic
+    downsampling at rate min(1, sqrt(cap / N_bucket)), so buckets below
+    ``cap`` docs are kept whole and a 100×-larger bucket is kept at 10×
+    the rate — flattening the head languages/domains without upsampling.
+
+    Every arithmetic step is a single correctly-rounded IEEE op (one
+    divide, one sqrt, one multiply) — sqrt is exactly rounded by IEEE
+    754 in both the JVM and libm, so the keep/drop decision is
+    bit-reproducible across engines and cluster sizes; the document hash
+    is the same seeded md5-48bit used by split_assign (no RNG, no
+    partition-order dependence). Plan: one count aggregation per bucket
+    (tiny result, broadcast back), then a narrow per-row decision — the
+    corpus is never shuffled.
+
+    Returns (doc_id, bucket, n_bucket, rate, kept)."""
+    b = F.col(bucket_col)
+    counts = docs.groupBy(b.alias("bucket")).agg(F.count(F.lit(1)).alias("n_bucket"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    rate = F.least(F.lit(1.0), F.sqrt(F.lit(float(cap)) / F.col("n_bucket")))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), b.alias("bucket"), h.alias("__h"))
+        .join(F.broadcast(counts), "bucket")
+        .select(
+            "doc_id",
+            "bucket",
+            F.col("n_bucket").cast("long").alias("n_bucket"),
+            F.round(rate, 6).alias("rate"),
+            (F.col("__h").cast("double") < rate * F.lit(float(1 << 48))).alias("kept"),
+        )
+    )
+
+
 def domain_flag(
     text: Column, domains: tuple[str, ...] = DEFAULT_DOMAIN_BLOCKLIST
 ) -> dict[str, Column]:

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocr_spark import config
@@ -1193,6 +1193,197 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Concat-and-chunk packing layout over the corpus (8 shards,
     2048-token sequences, BPE-ish token counts)."""
     return TS.pack_sequences(D.load(spark, sf, "documents"))
+
+
+@_q(
+    "lm_surprisal",
+    f"""
+WITH lw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),
+lg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))) AS gram
+  FROM lw WHERE len(w) >= 2
+),
+lm AS (SELECT gram, count(*) AS b_cnt FROM lg GROUP BY gram),
+lc AS (
+  SELECT string_split(gram, ' ')[1] AS ctx, sum(b_cnt)::BIGINT AS c_cnt
+  FROM lm GROUP BY 1
+),
+ls AS (
+  SELECT lg.doc_id,
+         (length(to_base(lc.c_cnt, 2)) - length(to_base(lm.b_cnt::BIGINT, 2)))::BIGINT AS bits
+  FROM lg JOIN lm USING (gram)
+  JOIN lc ON lc.ctx = string_split(lg.gram, ' ')[1]
+),
+lp AS (SELECT doc_id, count(*) AS n_bigrams, sum(bits) AS total_bits FROM ls GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(lp.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(lp.total_bits, 0)::BIGINT AS total_bits,
+       round(CASE WHEN coalesce(lp.n_bigrams, 0) > 0
+                  THEN lp.total_bits::DOUBLE / lp.n_bigrams ELSE 0.0 END, 6) AS avg_bits
+FROM documents d LEFT JOIN lp ON lp.doc_id = d.doc_id""",
+)
+def q_lm_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality score: avg integer-bit surprisal of each
+    doc's word bigrams under the corpus-trained bigram model (exact
+    cross-engine math — see textstats.lm_surprisal)."""
+    return TS.lm_surprisal(D.load(spark, sf, "documents"))
+
+
+@_q(
+    "dedup_paragraphs",
+    f"""
+WITH dp0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+                THEN coalesce(text, '') || chr(10) || 'repeated footer line'
+                     || chr(10) || 'repeated footer line'
+              WHEN doc_id % 3 = 1
+                THEN coalesce(text, '') || chr(10) || 'unique tail ' || doc_id
+              ELSE coalesce(text, '') END AS t
+  FROM documents
+),
+dp1 AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                     x -> x != '') AS segs
+  FROM dp0
+),
+dp2 AS (
+  SELECT doc_id, segs,
+         list_filter(segs, (x, i) -> list_position(segs, x) = i) AS ded
+  FROM dp1
+)
+SELECT doc_id,
+       len(segs)::BIGINT AS n_lines,
+       len(ded)::BIGINT AS n_unique,
+       (len(segs) - len(ded))::BIGINT AS n_removed,
+       md5(array_to_string(ded, chr(10))) AS dedup_md5
+FROM dp2""",
+)
+def q_dedup_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition removal over a facade where every 3rd
+    doc gets a duplicated footer line appended (and every 3rd+1 a unique
+    tail): repeated lines drop, first occurrence and order kept."""
+    docs = D.load(spark, sf, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    aug = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(text, F.lit("\nrepeated footer line\nrepeated footer line")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(text, F.lit("\nunique tail "), F.col("doc_id").cast("string")),
+        )
+        .otherwise(text)
+    )
+    d = TS.dedup_paragraphs(aug)
+    return docs.select(
+        "doc_id",
+        d["n_lines"].alias("n_lines"),
+        d["n_unique"].alias("n_unique"),
+        d["n_removed"].alias("n_removed"),
+        F.md5(d["dedup_text"].cast("binary")).alias("dedup_md5"),
+    )
+
+
+def _sql_canon_url(e: str) -> str:
+    """canonical_url twin: the same sequential regexp passes (patterns are
+    shared Python constants; only DuckDB's explicit 'g' flag differs)."""
+    trk = TS.TRACKING_PARAM_RE
+    a = f"regexp_replace({e}, '#.*$', '')"
+    b = f"regexp_replace({a}, '&{trk}=[^&]*', '', 'g')"
+    c = f"regexp_replace({b}, '\\?{trk}=[^&]*&', '?')"
+    d = f"regexp_replace({c}, '\\?{trk}=[^&]*$', '')"
+    scheme = f"lower(regexp_extract({d}, '^(?i)(https?)://', 1))"
+    hp = (
+        f"regexp_replace(lower(regexp_extract({d}, "
+        f"'^(?i)https?://(?:[^/?#]*@)?([^/?#]*)', 1)), '^www\\.', '')"
+    )
+    hp2 = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hp}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({hp}, ':443$', '') "
+        f"ELSE {hp} END"
+    )
+    tail = (
+        f"regexp_replace(regexp_extract({d}, '^(?i)https?://[^/?#]*(.*)$', 1), '/$', '')"
+    )
+    return f"CASE WHEN {scheme} = '' THEN '' ELSE {scheme} || '://' || {hp2} || {tail} END"
+
+
+@_q(
+    "url_dedup",
+    f"""
+WITH uu AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0
+                THEN 'https://example.org/page/' || (doc_id % 50)
+              WHEN doc_id % 6 = 1
+                THEN 'https://WWW.Example.ORG/page/' || (doc_id % 50)
+              WHEN doc_id % 6 = 2
+                THEN 'https://example.org:443/page/' || (doc_id % 50) || '?utm_source=news'
+              WHEN doc_id % 6 = 3
+                THEN 'https://user:pw@example.org/page/' || (doc_id % 50) || '#top'
+              WHEN doc_id % 6 = 4
+                THEN 'https://example.org/page/' || (doc_id % 50) || '/'
+              ELSE 'http://example.org:8080/page/' || (doc_id % 50) END AS url
+  FROM documents
+),
+ucn AS (SELECT doc_id, url, {_sql_canon_url('url')} AS canon_url FROM uu)
+SELECT doc_id, url, canon_url,
+       count(*) OVER (PARTITION BY canon_url)::BIGINT AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep
+FROM ucn""",
+)
+def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + exact URL-level dedup over a facade where six
+    spellings of the same page URL (www/case, default port + tracking
+    param, userinfo + fragment, trailing slash, and a genuinely different
+    :8080 variant) are assigned round-robin: spellings of the same page
+    canonicalize into one group; the smallest doc_id wins."""
+    docs = D.load(spark, sf, "documents")
+    k = (F.col("doc_id") % 50).cast("string")
+    m = F.col("doc_id") % 6
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://example.org/page/"), k))
+        .when(m == 1, F.concat(F.lit("https://WWW.Example.ORG/page/"), k))
+        .when(m == 2, F.concat(F.lit("https://example.org:443/page/"), k, F.lit("?utm_source=news")))
+        .when(m == 3, F.concat(F.lit("https://user:pw@example.org/page/"), k, F.lit("#top")))
+        .when(m == 4, F.concat(F.lit("https://example.org/page/"), k, F.lit("/")))
+        .otherwise(F.concat(F.lit("http://example.org:8080/page/"), k))
+    )
+    base = docs.select("doc_id", url.alias("url"))
+    canon = base.select("doc_id", "url", TS.canonical_url(F.col("url")).alias("canon_url"))
+    w = Window.partitionBy("canon_url")
+    return canon.select(
+        "doc_id",
+        "url",
+        "canon_url",
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+
+
+@_q(
+    "temperature_mix",
+    f"""
+WITH tb AS (SELECT doc_id, {_sql_langid('text')} AS bucket FROM documents),
+tc AS (SELECT bucket, count(*) AS n_bucket FROM tb GROUP BY bucket)
+SELECT tb.doc_id, tb.bucket, tc.n_bucket::BIGINT AS n_bucket,
+       round(least(1.0, sqrt(100.0 / tc.n_bucket)), 6) AS rate,
+       ('0x' || substr(md5('mix-v1:' || tb.doc_id), 1, 12))::BIGINT::DOUBLE
+         < least(1.0, sqrt(100.0 / tc.n_bucket)) * 281474976710656.0 AS kept
+FROM tb JOIN tc USING (bucket)""",
+)
+def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-0.5 corpus mixing over language buckets (cap 100 docs):
+    head buckets downsample at sqrt-rate, tail buckets survive whole —
+    keep/drop decided by the seeded doc hash, bit-reproducibly (sqrt is
+    correctly rounded by IEEE 754 in both engines)."""
+    docs = D.load(spark, sf, "documents")
+    bucketed = docs.select("doc_id", TS.language_id(F.col("text")).alias("lang"))
+    return TS.temperature_sample(bucketed, "lang", cap=100)
 
 
 def _sql_ocr_correct(e: str) -> str:

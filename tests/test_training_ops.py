@@ -736,3 +736,93 @@ def test_domain_flag_host_extraction_and_suffix_match(spark):
     assert got[6] == (1, 0, False)  # 'notspamsite.com' !endswith '.spamsite.com'
     assert got[7] == (1, 1, True)
     assert got[8] == (1, 1, True)
+
+
+# --- lm surprisal / paragraph dedup / url canon / temperature mix -----------
+
+
+def test_lm_surprisal_hand_computed(spark):
+    # model over the corpus: "a a"->2 (ctx a->3), "a b"->1; "c d"->1 (ctx c->1)
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "c d"), (3, "one"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TS.lm_surprisal(df).collect()}
+    # doc 1: bits("a a") = bits(3)-bits(2) = 0 (x2); bits("a b") = bits(3)-bits(1) = 1
+    assert (got[1]["n_bigrams"], got[1]["total_bits"]) == (3, 1)
+    assert got[1]["avg_bits"] == round(1 / 3, 6)
+    # hapax artifact: unique context "c" scores 0 bits (documented)
+    assert (got[2]["n_bigrams"], got[2]["total_bits"]) == (1, 0)
+    # <2 words: zero bigrams, zero score, row survives the left join
+    assert (got[3]["n_bigrams"], got[3]["avg_bits"]) == (0, 0.0)
+    assert (got[4]["n_bigrams"], got[4]["avg_bits"]) == (0, 0.0)
+
+
+def test_lm_surprisal_external_model_oov(spark):
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    model = spark.createDataFrame([(9, "p q p q")], "doc_id long, text string")
+    row = TS.lm_surprisal(docs, model_docs=model).collect()[0]
+    assert (row["n_bigrams"], row["total_bits"]) == (1, 20)  # flat OOV penalty
+
+
+def test_dedup_paragraphs_keeps_first_occurrence_order(spark):
+    df = spark.createDataFrame(
+        [(1, "b\na\nb\nc\na"), (2, "  \n\nx\n"), (3, None)],
+        "doc_id long, text string",
+    )
+    d = TS.dedup_paragraphs(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", d["n_lines"].alias("nl"), d["n_unique"].alias("nu"),
+            d["n_removed"].alias("nr"), d["dedup_text"].alias("t"),
+        ).collect()
+    }
+    assert (got[1]["nl"], got[1]["nu"], got[1]["nr"]) == (5, 3, 2)
+    assert got[1]["t"] == "b\na\nc"  # reading order, first occurrence
+    assert (got[2]["nl"], got[2]["t"]) == (1, "x")  # blanks dropped, trimmed
+    assert (got[3]["nl"], got[3]["t"]) == (0, "")
+
+
+def test_canonical_url_equivalence_classes(spark):
+    cases = [
+        # six spellings of one page -> one canonical form
+        ("http://WWW.X.com:80/a?utm_source=1#top", "http://x.com/a"),
+        ("http://x.com/a", "http://x.com/a"),
+        ("http://user:pw@x.com/a", "http://x.com/a"),
+        ("http://x.com/a/", "http://x.com/a"),
+        ("http://x.com/a?utm_a=1&utm_b=2", "http://x.com/a"),
+        ("http://x.com/a?fbclid=z", "http://x.com/a"),
+        # differences that must SURVIVE canonicalization
+        ("http://x.com:8080/a", "http://x.com:8080/a"),      # non-default port
+        ("https://x.com/a", "https://x.com/a"),               # scheme
+        ("http://x.com/a?q=2&gclid=z", "http://x.com/a?q=2"),  # real param kept
+        ("http://x.com/a?utm_a=1&q=2", "http://x.com/a?q=2"),  # leading tracker
+        ("ftp://x.com/a", ""),                                 # non-http
+        (None, ""),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
+    got = {r["i"]: r["c"] for r in df.select("i", TS.canonical_url(F.col("u")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i])
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "small").otherwise("big").alias("lang"),
+    )
+    out = TS.temperature_sample(df, "lang", cap=100).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # small bucket (100 docs) is exactly at cap: rate 1.0, all kept
+    assert all(r["rate"] == 1.0 and r["kept"] for r in by_bucket["small"])
+    # big bucket (200 docs): rate sqrt(100/200), kept fraction near it
+    assert by_bucket["big"][0]["rate"] == round(math.sqrt(0.5), 6)
+    kept = sum(r["kept"] for r in by_bucket["big"])
+    assert 0.55 * 200 < kept < 0.85 * 200
+    # deterministic: same decision on re-run, independent of partitioning
+    again = {r["doc_id"]: r["kept"] for r in TS.temperature_sample(
+        df.repartition(7), "lang", cap=100).collect()}
+    assert all(again[r["doc_id"]] == r["kept"] for r in out)

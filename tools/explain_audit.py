@@ -54,6 +54,9 @@ AUDIT = [
     "audio_chunks",
     "upload_validate",
     "warc_html_extract",
+    "lm_surprisal",
+    "url_dedup",
+    "temperature_mix",
     # dedup_clusters is excluded: connected components EXECUTES its
     # distributed loop at plan-construction time, so "explaining" it runs
     # the job; its per-round plan is the audited join+agg shape.
