@@ -17,9 +17,19 @@ one global decision, so rejected docs never pay the later stages twice):
   3. language filter    — stopword-profile language ID against --langs
   4. blocklist gate     — (--blocklist a,b,c) whole-word term filter
                           (applied to the RAW text, before redaction)
+  1d. LM quality filter — (--lm-max-bits X) drop docs whose average
+                          bigram surprisal under the corpus-trained LM
+                          exceeds X bits (the CCNet perplexity-filter
+                          shape); the model/score pass is the fourth
+                          global decision, materialized once
   4b. domain gate       — (--blocked-domains a.com,b.net) drop docs whose
                           in-text URLs hit a blocked domain or subdomain
   5. PII redaction      — URL/email/IP/phone → typed tokens
+  5b. temperature mix   — (--mix-cap N) post-pass over the committed
+                          survivors: per-language sqrt-rate downsampling
+                          (τ=0.5 mixing) decided by the seeded doc hash,
+                          written to _mix; packing then packs only the
+                          mixed-in docs
   6. sequence packing   — (--pack-seq-len N) post-pass over the committed
                           survivors: concat-and-chunk layout (doc →
                           training-sequence spans) written to _packed,
@@ -112,13 +122,20 @@ def run_curate(
     decon_n: int = 5,
     pack_seq_len: int | None = None,
     pack_shards: int = 8,
+    lm_max_bits: float | None = None,
+    mix_cap: int | None = None,
 ) -> dict:
     import os
 
     from pyspark.sql import functions as F
 
     from ocr_spark.operators.dedup import corpus_dedup_losers, dup_line_index
-    from ocr_spark.operators.textstats import decontaminate, pack_sequences
+    from ocr_spark.operators.textstats import (
+        decontaminate,
+        lm_surprisal,
+        pack_sequences,
+        temperature_sample,
+    )
     from ocr_spark.plans.checkpoint import materialize_once, run_checkpointed
     from ocr_spark.sources import jsonl as J
 
@@ -187,10 +204,28 @@ def run_curate(
                   "mode": dedup_mode, "threshold": threshold, "input": input_path},
         )
 
+    lm_losers = None
+    if lm_max_bits is not None:
+        # global decision #4: the bigram model's counts span buckets. The
+        # model trains on the DEDUPED corpus (a near-dup cluster would
+        # otherwise vote its own bigrams "predictable" and smuggle junk
+        # under the threshold), and the scored loser ids materialize once.
+        lm_losers = materialize_once(
+            spark,
+            lm_surprisal(docs.join(losers, "doc_id", "left_anti"))
+            .filter(F.col("avg_bits") > lm_max_bits)
+            .select("doc_id"),
+            os.path.join(output_dir, "_lm_losers"),
+            meta={"stage": "lm_filter", "max_bits": lm_max_bits,
+                  "mode": dedup_mode, "threshold": threshold, "input": input_path},
+        )
+
     def transform(part):
         part = part.join(losers, "doc_id", "left_anti")
         if contaminated is not None:
             part = part.join(contaminated, "doc_id", "left_anti")
+        if lm_losers is not None:
+            part = part.join(lm_losers, "doc_id", "left_anti")
         return curate_transform(part, langs, line_index, blocklist, blocked_domains)
 
     summary = run_checkpointed(
@@ -210,14 +245,36 @@ def run_curate(
             "blocked_domains": list(blocked_domains),
             "decon_eval": decon_eval,
             "decon_n": decon_n,
+            "lm_max_bits": lm_max_bits,
         },
     )
+
+    mixed_kept = None
+    if mix_cap:
+        # mixing is a post-pass like packing: the per-language counts are
+        # over the FINAL survivors, which only the committed output knows.
+        # The decision itself is the seeded doc hash, so _mix is stable
+        # across resumes; materialize_once pins it regardless.
+        kept = spark.read.parquet(os.path.join(output_dir, "bucket=*"))
+        mixed = materialize_once(
+            spark,
+            temperature_sample(kept, "lang", cap=mix_cap),
+            os.path.join(output_dir, "_mix"),
+            meta={"stage": "mix", "cap": mix_cap, "input": input_path},
+        )
+        mixed_kept = mixed.filter(F.col("kept")).select("doc_id")
+        summary = dict(summary)
+        summary["mix_kept_docs"] = mixed_kept.count()
 
     if pack_seq_len:
         # packing is a LAYOUT over the final survivors, so it must see the
         # committed output (post-redaction text = the trainer's stream).
         # materialize_once gives resumed jobs the identical layout bytes.
+        # With --mix-cap, "survivors" means the mixed-in docs: the trainer
+        # never sees a doc the mixer dropped, so it must not occupy tokens.
         kept = spark.read.parquet(os.path.join(output_dir, "bucket=*"))
+        if mixed_kept is not None:
+            kept = kept.join(mixed_kept, "doc_id")
         packed = materialize_once(
             spark,
             pack_sequences(kept, seq_len=pack_seq_len, num_shards=pack_shards),
@@ -266,6 +323,12 @@ def main() -> None:
     ap.add_argument("--pack-seq-len", type=int, default=None,
                     help="also write the concat-and-chunk packing layout to _packed")
     ap.add_argument("--pack-shards", type=int, default=8)
+    ap.add_argument("--lm-max-bits", type=float, default=None,
+                    help="drop docs whose avg bigram surprisal under the "
+                         "corpus-trained LM exceeds this (CCNet-style filter)")
+    ap.add_argument("--mix-cap", type=int, default=None,
+                    help="temperature-0.5 language mixing: buckets above this "
+                         "doc count downsample at sqrt-rate (written to _mix)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -289,6 +352,8 @@ def main() -> None:
         decon_n=args.decon_n,
         pack_seq_len=args.pack_seq_len,
         pack_shards=args.pack_shards,
+        lm_max_bits=args.lm_max_bits,
+        mix_cap=args.mix_cap,
     )
     print(json.dumps(summary))
 

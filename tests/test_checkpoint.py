@@ -511,3 +511,50 @@ def test_curate_job_domain_gate(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(str(out / "bucket=*")).select("doc_id").collect()
     )
     assert 7 not in ids and 6 in ids and 8 in ids
+
+
+def test_curate_job_lm_filter_and_mix(spark, tmp_path):
+    from jobs.curate_job import run_curate
+    from ocr_spark.operators.textstats import lm_surprisal, temperature_sample
+
+    docs = _curate_docs(spark)
+    inp = str(tmp_path / "in_lm.parquet")
+    docs.write.parquet(inp)
+
+    # expected LM scores over the exact-deduped corpus (300/301 are the
+    # exact-dup losers); threshold = a mid quantile so both sides are
+    # non-empty among the docs that survive the other gates
+    deduped = docs.filter(~F.col("doc_id").isin([300, 301]))
+    scores = {r["doc_id"]: r["avg_bits"] for r in lm_surprisal(deduped).collect()}
+    survivors = [i for i in list(range(40)) + list(range(100, 105))]
+    mid = sorted(scores[i] for i in survivors)[len(survivors) // 2]
+    expected = sorted(i for i in survivors if scores[i] <= mid)
+    assert 0 < len(expected) < len(survivors)  # the gate actually splits
+
+    out = tmp_path / "cur_lm"
+    summary = run_curate(
+        spark, inp, str(out), dedup_mode="exact", langs=("en",), num_buckets=4,
+        lm_max_bits=mid, mix_cap=15, pack_seq_len=128,
+    )
+    got = spark.read.parquet(str(out / "bucket=*"))
+    assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) == expected
+    assert (out / "_lm_losers").exists()
+
+    # mixing: _mix holds the seeded per-language decision over the
+    # committed survivors, and packing packs EXACTLY the mixed-in docs
+    mix = spark.read.parquet(str(out / "_mix"))
+    want_mix = {
+        r["doc_id"]: r["kept"]
+        for r in temperature_sample(got, "lang", cap=15).collect()
+    }
+    got_mix = {r["doc_id"]: r["kept"] for r in mix.collect()}
+    assert got_mix == want_mix
+    n_kept = sum(got_mix.values())
+    assert 0 < n_kept < len(got_mix)  # cap=15 over ~20+ en docs downsamples
+    assert summary["mix_kept_docs"] == n_kept
+    assert summary["packed_docs"] == n_kept
+    packed_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(out / "_packed")).select("doc_id").collect()
+    }
+    assert packed_ids == {d for d, k in got_mix.items() if k}
