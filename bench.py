@@ -49,6 +49,9 @@ HEADLINE = [
     "dedup_paragraphs",
     "url_dedup",
     "temperature_mix",
+    "fix_text",
+    "chunk_docs",
+    "corpus_report",
     "pii_scrub",
     "upload_validate",
     "corpus_splits",

@@ -818,6 +818,110 @@ def temperature_sample(
     )
 
 
+# fix_text's 1:1 character normalizations (translate() in both engines):
+# curly/low-9 quotes -> ASCII, en/em-dash and minus -> '-', NBSP -> space.
+FIX_FROM = "\u2018\u2019\u201a\u201c\u201d\u201e\u2013\u2014\u2212\u00a0"
+FIX_TO = "'''\"\"\"--- "
+# C0 control chars except \t\n\r, plus DEL — never legitimate in text
+CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def fix_text(text: Column) -> dict[str, Column]:
+    """ftfy-lite text normalization for crawled corpora: strip C0 control
+    characters (except tab/newline/CR), map typographic quotes and dashes
+    to ASCII, NBSP to space, the one-char ellipsis to '...', and collapse
+    3+ blank-line runs to one blank line. Counts each class BEFORE
+    repair so the pipeline can report how dirty the corpus was. Pure
+    expressions (translate + regexp) with identical Java/RE2 semantics."""
+    t = F.coalesce(text, F.lit(""))
+    n_control = F.size(F.regexp_extract_all(t, F.lit(CONTROL_RE), F.lit(0)))
+    n_quote = F.size(F.regexp_extract_all(t, F.lit("[‘’‚“”„]"), F.lit(0)))
+    n_dash = F.size(F.regexp_extract_all(t, F.lit("[–—−]"), F.lit(0)))
+    n_nbsp = F.length(t) - F.length(F.replace(t, F.lit("\u00a0"), F.lit("")))
+    n_ellipsis = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    fixed = F.translate(t, FIX_FROM, FIX_TO)
+    fixed = F.replace(fixed, F.lit("…"), F.lit("..."))
+    fixed = F.regexp_replace(fixed, CONTROL_RE, "")
+    fixed = F.regexp_replace(fixed, r"\n{3,}", "\n\n")
+    return {
+        "n_control": n_control.cast("long"),
+        "n_quote": n_quote.cast("long"),
+        "n_dash": n_dash.cast("long"),
+        "n_nbsp": n_nbsp.cast("long"),
+        "n_ellipsis": n_ellipsis.cast("long"),
+        "fixed": fixed,
+    }
+
+
+def chunk_documents(
+    docs,
+    size: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Overlapping fixed-token chunk layout (the RAG / retrieval-indexing
+    complement of :func:`pack_sequences`, which packs WITHOUT overlap for
+    training): each document yields windows of ``size`` BPE-ish tokens
+    advancing by ``size - overlap``, the last window clamped to the
+    document end. Emits the layout (offsets), not the token text — at
+    10^12 docs the layout is the shuffle-free narrow pass (one
+    sequence+explode per doc, no Python, no join); slicing actual text
+    happens where the tokens already live. Empty docs yield no rows.
+
+    Returns (doc_id, chunk_id, tok_start, tok_end, n_tokens) where
+    n_tokens is the document total."""
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    stride = size - overlap
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count_bpe(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    # windows cover [0, n): one window when n <= size, else enough stride
+    # steps that the last window's end reaches n: 1 + ceil((n-size)/stride)
+    n = F.col("n_tokens")
+    n_chunks = F.when(n <= size, F.when(n > 0, F.lit(1)).otherwise(F.lit(0))).otherwise(
+        F.lit(1) + F.expr(f"cast(ceil((n_tokens - {size}) / {float(stride)}) as bigint)")
+    ).cast("long")
+    # guard the empty case: sequence(1, 0) would DESCEND and fabricate
+    # chunks [1, 0] — empty docs must explode an empty array instead
+    ks = F.when(n_chunks > 0, F.sequence(F.lit(1).cast("long"), n_chunks)).otherwise(
+        F.array().cast("array<long>")
+    )
+    c = base.select("doc_id", "n_tokens", F.explode(ks).alias("k"))
+    start = (F.col("k") - 1) * stride
+    return c.select(
+        "doc_id",
+        (F.col("k") - 1).cast("long").alias("chunk_id"),
+        start.cast("long").alias("tok_start"),
+        F.least(start + size, F.col("n_tokens")).cast("long").alias("tok_end"),
+        "n_tokens",
+    )
+
+
+def corpus_report(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-(language, split) corpus inventory — the report a data team
+    reads before training: document counts and exact token/char sums.
+    Integer sums only (order-independent, engine-exact); one hash
+    aggregation keyed on the tiny (lang, split) space with map-side
+    partials absorbing the corpus."""
+    return (
+        docs.select(
+            language_id(F.col(text_col)).alias("lang"),
+            split_assign(F.col(id_col)).alias("split"),
+            token_count_ws(F.col(text_col)).cast("long").alias("toks"),
+            F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("chars"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.sum("chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
 def domain_flag(
     text: Column, domains: tuple[str, ...] = DEFAULT_DOMAIN_BLOCKLIST
 ) -> dict[str, Column]:

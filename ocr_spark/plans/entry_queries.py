@@ -1366,6 +1366,121 @@ def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "fix_text",
+    f"""
+WITH fx0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+                THEN coalesce(text, '') || ' “curly” and ‘single’ with' || chr(160) || 'nbsp'
+              WHEN doc_id % 4 = 1
+                THEN coalesce(text, '') || chr(7) || ' bell' || chr(10) || chr(10) || chr(10) || chr(10) || 'far'
+              WHEN doc_id % 4 = 2
+                THEN coalesce(text, '') || ' a – b — c − d wait…'
+              ELSE coalesce(text, '') END AS t
+  FROM documents
+),
+fx1 AS (
+  SELECT doc_id, t,
+         len(regexp_extract_all(t, '{TS.CONTROL_RE}'))::BIGINT AS n_control,
+         len(regexp_extract_all(t, '[‘’‚“”„]'))::BIGINT AS n_quote,
+         len(regexp_extract_all(t, '[–—−]'))::BIGINT AS n_dash,
+         (length(t) - length(replace(t, chr(160), '')))::BIGINT AS n_nbsp,
+         (length(t) - length(replace(t, '…', '')))::BIGINT AS n_ellipsis,
+         regexp_replace(
+           regexp_replace(
+             replace(translate(t, '{TS.FIX_FROM}', '{TS.FIX_TO.replace(chr(39), chr(39) * 2)}'), '…', '...'),
+             '{TS.CONTROL_RE}', '', 'g'),
+           '\\n{{3,}}', chr(10) || chr(10), 'g') AS fixed
+  FROM fx0
+)
+SELECT doc_id, n_control, n_quote, n_dash, n_nbsp, n_ellipsis, md5(fixed) AS fixed_md5
+FROM fx1""",
+)
+def q_fix_text(spark: SparkSession, sf: str) -> DataFrame:
+    """ftfy-lite normalization over a facade where quarters of the corpus
+    get typographic quotes + NBSP, a control char + a 4-newline run, or
+    dashes + ellipsis appended — counts each dirt class and hashes the
+    repaired text."""
+    docs = D.load(spark, sf, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    aug = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(text, F.lit(" “curly” and ‘single’ with\u00a0nbsp")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(text, F.lit("\x07 bell\n\n\n\nfar")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(text, F.lit(" a – b — c − d wait…")))
+        .otherwise(text)
+    )
+    fx = TS.fix_text(aug)
+    return docs.select(
+        "doc_id",
+        fx["n_control"].alias("n_control"),
+        fx["n_quote"].alias("n_quote"),
+        fx["n_dash"].alias("n_dash"),
+        fx["n_nbsp"].alias("n_nbsp"),
+        fx["n_ellipsis"].alias("n_ellipsis"),
+        F.md5(fx["fixed"].cast("binary")).alias("fixed_md5"),
+    )
+
+
+@_q(
+    "chunk_docs",
+    f"""
+WITH cb AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''),
+             '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]', 0))::BIGINT AS n_tokens
+  FROM documents
+),
+cn AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens = 0 THEN 0
+              WHEN n_tokens <= 64 THEN 1
+              ELSE 1 + ceil((n_tokens - 64) / 48.0)::BIGINT END AS n_chunks
+  FROM cb
+)
+SELECT doc_id,
+       (k - 1)::BIGINT AS chunk_id,
+       ((k - 1) * 48)::BIGINT AS tok_start,
+       least((k - 1) * 48 + 64, n_tokens)::BIGINT AS tok_end,
+       n_tokens
+FROM (SELECT doc_id, n_tokens, unnest(range(1, n_chunks + 1)) AS k FROM cn)""",
+)
+def q_chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping retrieval-chunk layout (size 64, overlap 16 BPE-ish
+    tokens) over the corpus — the RAG-indexing complement of
+    pack_sequences."""
+    return TS.chunk_documents(D.load(spark, sf, "documents"), size=64, overlap=16)
+
+
+@_q(
+    "corpus_report",
+    f"""
+SELECT lang, split,
+       count(*)::BIGINT AS n_docs,
+       sum(toks)::BIGINT AS n_tokens,
+       sum(chars)::BIGINT AS n_chars
+FROM (
+  SELECT {_sql_langid('text')} AS lang,
+         CASE WHEN ('0x' || substr(md5('split-v1:' || doc_id), 1, 12))::BIGINT < {_SPLIT_T1}
+                THEN 'train'
+              WHEN ('0x' || substr(md5('split-v1:' || doc_id), 1, 12))::BIGINT < {_SPLIT_T2}
+                THEN 'val'
+              ELSE 'test' END AS split,
+         len({_words_lower('text')})::BIGINT AS toks,
+         length(coalesce(text, ''))::BIGINT AS chars
+  FROM documents
+)
+GROUP BY lang, split""",
+)
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(language, split) corpus inventory: doc counts and exact
+    token/char sums — the pre-training data report."""
+    return TS.corpus_report(D.load(spark, sf, "documents"))
+
+
+@_q(
     "temperature_mix",
     f"""
 WITH tb AS (SELECT doc_id, {_sql_langid('text')} AS bucket FROM documents),

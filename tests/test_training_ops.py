@@ -826,3 +826,44 @@ def test_temperature_sample_rates_and_determinism(spark):
     again = {r["doc_id"]: r["kept"] for r in TS.temperature_sample(
         df.repartition(7), "lang", cap=100).collect()}
     assert all(again[r["doc_id"]] == r["kept"] for r in out)
+
+
+def test_fix_text_repairs_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "“q” – d… a b\x07c\n\n\n\n\nend"), (2, None), (3, "clean")],
+        "doc_id long, text string",
+    )
+    fx = TS.fix_text(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", fx["n_control"].alias("nc"), fx["n_quote"].alias("nq"),
+            fx["n_dash"].alias("nd"), fx["n_nbsp"].alias("nn"),
+            fx["n_ellipsis"].alias("ne"), fx["fixed"].alias("t"),
+        ).collect()
+    }
+    r = got[1]
+    assert (r["nc"], r["nq"], r["nd"], r["nn"], r["ne"]) == (1, 2, 1, 1, 1)
+    assert r["t"] == '"q" - d... a bc\n\nend'
+    assert got[2]["t"] == "" and got[3]["t"] == "clean"
+
+
+def test_chunk_documents_tiling_and_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "w " * 1000), (2, "a b c"), (3, ""), (4, "x " * 512)],
+        "doc_id long, text string",
+    )
+    rows = TS.chunk_documents(df, size=512, overlap=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["tok_start"], r["tok_end"]))
+    assert sorted(by_doc[1]) == [(0, 0, 512), (1, 448, 960), (2, 896, 1000)]
+    assert by_doc[2] == [(0, 0, 3)]
+    assert 3 not in by_doc  # empty doc: no chunks (not a descending sequence)
+    assert by_doc[4] == [(0, 0, 512)]  # exactly size: one chunk
+    # consecutive chunks overlap by exactly `overlap` and cover every token
+    for cid, s, e in sorted(by_doc[1])[1:]:
+        prev_e = sorted(by_doc[1])[cid - 1][2]
+        assert s == prev_e - 64 or prev_e == 1000
+    with pytest.raises(ValueError, match="overlap"):
+        TS.chunk_documents(df, size=64, overlap=64)
