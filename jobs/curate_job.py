@@ -4,6 +4,10 @@ One resumable job composing the pipeline a 100 TB pretraining-data pass
 actually runs, in the canonical order (cheap row-local filters after the
 one global decision, so rejected docs never pay the later stages twice):
 
+  0. text repair        — (--fix-text) ftfy-lite normalization (control
+                          chars, typographic quotes/dashes, NBSP, blank
+                          runs) BEFORE dedup, so two spellings of the
+                          same page hash equal
   1. near-dup removal   — corpus-wide loser set (exact / minhash /
                           minhash-cc), computed ONCE and materialized
   1b. line dedup        — (--line-dedup) cross-document repeated-line
@@ -124,6 +128,7 @@ def run_curate(
     pack_shards: int = 8,
     lm_max_bits: float | None = None,
     mix_cap: int | None = None,
+    do_fix_text: bool = False,
 ) -> dict:
     import os
 
@@ -140,6 +145,13 @@ def run_curate(
     from ocr_spark.sources import jsonl as J
 
     docs = J.load_documents(spark, input_path, input_format).select("doc_id", "text")
+    if do_fix_text:
+        # repair FIRST: dedup/LM/line hashing must see the normalized
+        # bytes or two spellings of one page ("…" vs "...") never collide.
+        # A narrow projection (no shuffle) — it rides every later pass.
+        from ocr_spark.operators.textstats import fix_text
+
+        docs = docs.select("doc_id", fix_text(F.col("text"))["fixed"].alias("text"))
     if input_format == "warc":
         # the warc chain (gunzip + record framing + boilerplate strip) is
         # a heavy Python pass; unmaterialized, the bucketed runner and
@@ -246,6 +258,7 @@ def run_curate(
             "decon_eval": decon_eval,
             "decon_n": decon_n,
             "lm_max_bits": lm_max_bits,
+            "fix_text": do_fix_text,
         },
     )
 
@@ -329,6 +342,8 @@ def main() -> None:
     ap.add_argument("--mix-cap", type=int, default=None,
                     help="temperature-0.5 language mixing: buckets above this "
                          "doc count downsample at sqrt-rate (written to _mix)")
+    ap.add_argument("--fix-text", action="store_true",
+                    help="ftfy-lite text repair before any hashing/dedup")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -354,6 +369,7 @@ def main() -> None:
         pack_shards=args.pack_shards,
         lm_max_bits=args.lm_max_bits,
         mix_cap=args.mix_cap,
+        do_fix_text=args.fix_text,
     )
     print(json.dumps(summary))
 

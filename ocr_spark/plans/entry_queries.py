@@ -1292,10 +1292,13 @@ def _sql_canon_url(e: str) -> str:
     """canonical_url twin: the same sequential regexp passes (patterns are
     shared Python constants; only DuckDB's explicit 'g' flag differs)."""
     trk = TS.TRACKING_PARAM_RE
-    a = f"regexp_replace({e}, '#.*$', '')"
+    # every pass carries 'g': Spark's regexp_replace is ALWAYS global, and
+    # adversarial URLs (a second literal '?' in the query) can make the
+    # leading-tracker pattern match twice
+    a = f"regexp_replace({e}, '#.*$', '', 'g')"
     b = f"regexp_replace({a}, '&{trk}=[^&]*', '', 'g')"
-    c = f"regexp_replace({b}, '\\?{trk}=[^&]*&', '?')"
-    d = f"regexp_replace({c}, '\\?{trk}=[^&]*$', '')"
+    c = f"regexp_replace({b}, '\\?{trk}=[^&]*&', '?', 'g')"
+    d = f"regexp_replace({c}, '\\?{trk}=[^&]*$', '', 'g')"
     scheme = f"lower(regexp_extract({d}, '^(?i)(https?)://', 1))"
     hp = (
         f"regexp_replace(lower(regexp_extract({d}, "

@@ -558,3 +558,35 @@ def test_curate_job_lm_filter_and_mix(spark, tmp_path):
         for r in spark.read.parquet(str(out / "_packed")).select("doc_id").collect()
     }
     assert packed_ids == {d for d, k in got_mix.items() if k}
+
+
+def test_curate_job_fix_text_dedups_styled_twins(spark, tmp_path):
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    # doc 310 = doc 1's text with typographic quotes/dashes — an exact dup
+    # only AFTER repair
+    base = docs.filter(F.col("doc_id") == 1).first()["text"]
+    styled = "“" + base.replace(" the ", " the – ", 1) + "”"
+    plain = '"' + base.replace(" the ", " the - ", 1) + '"'
+    extra = spark.createDataFrame([(310, styled), (311, plain)], "doc_id long, text string")
+    inp = str(tmp_path / "in_fix.parquet")
+    docs.union(extra).write.parquet(inp)
+
+    out = tmp_path / "cur_fix"
+    run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+               num_buckets=4, do_fix_text=True)
+    got = spark.read.parquet(str(out / "bucket=*"))
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    # exactly one of the styled/plain twins survives, and its text is repaired
+    assert len(ids & {310, 311}) == 1
+    kept = got.filter(F.col("doc_id").isin([310, 311])).first()
+    assert "“" not in kept["text"] and "–" not in kept["text"]
+
+    # without repair both twins survive (they hash differently)
+    out2 = tmp_path / "cur_nofix"
+    run_curate(spark, inp, str(out2), dedup_mode="exact", langs=("en",),
+               num_buckets=4)
+    ids2 = {r["doc_id"] for r in
+            spark.read.parquet(str(out2 / "bucket=*")).select("doc_id").collect()}
+    assert {310, 311} <= ids2

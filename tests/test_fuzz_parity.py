@@ -131,3 +131,129 @@ def test_reference_second_pass_is_noop(fuzz_pairs):
     extra = ["watафж mix", "TOOл", "aгc 6еда l1ne ПрИвЕт hello-мир", "kиt"]
     for t in [x for _, x, _ in rows] + extra:
         assert two_pass(t) == R.correct_ocr_errors(t), repr(t)
+
+
+# --- curation text ops vs pure-Python twins ---------------------------------
+
+_URL_BITS = [
+    "http://", "https://", "HTTPS://", "WWW.", "www.", "user:pw@", "x@",
+    "Example.COM", "x.com", "sub.domain.ORG", ":80", ":443", ":8080",
+    "/path/a", "/p/", "/", "?q=1", "?utm_source=x", "&utm_medium=y",
+    "&real=2", "&fbclid=abc", "#frag", "#", "?&", "?utm_a=1?utm_b=2",
+]
+
+
+def _gen_url(rng: random.Random) -> str:
+    scheme = rng.choice(["http://", "https://", "HTTPS://", "ftp://", ""])
+    host = rng.choice(["Example.COM", "x.com", "WWW.sub.Domain.org", "a.b"])
+    out = scheme + rng.choice(["", "user:pw@", "x@"]) + host
+    out += rng.choice(["", ":80", ":443", ":8080"])
+    for _ in range(rng.randint(0, 4)):
+        out += rng.choice(_URL_BITS[14:])
+    return out
+
+
+def py_canon_url(u: str) -> str:
+    import re
+
+    from ocr_spark.operators.textstats import TRACKING_PARAM_RE
+
+    u = u or ""
+    u = re.sub(r"#.*$", "", u)
+    u = re.sub(r"&" + TRACKING_PARAM_RE + r"=[^&]*", "", u)
+    u = re.sub(r"\?" + TRACKING_PARAM_RE + r"=[^&]*&", "?", u)
+    u = re.sub(r"\?" + TRACKING_PARAM_RE + r"=[^&]*$", "", u)
+    m = re.match(r"(?i)(https?)://", u)
+    if not m:
+        return ""
+    scheme = m.group(1).lower()
+    hm = re.match(r"(?i)https?://(?:[^/?#]*@)?([^/?#]*)", u)
+    hostport = re.sub(r"^www\.", "", hm.group(1).lower())
+    if scheme == "http":
+        hostport = re.sub(r":80$", "", hostport)
+    else:
+        hostport = re.sub(r":443$", "", hostport)
+    tm = re.match(r"(?i)https?://[^/?#]*(.*)$", u)
+    tail = re.sub(r"/$", "", tm.group(1))
+    return f"{scheme}://{hostport}{tail}"
+
+
+def test_fuzz_canonical_url_parity(spark):
+    from ocr_spark.operators import textstats as TS
+
+    rng = random.Random(20260817)
+    urls = [_gen_url(rng) for _ in range(400)] + ["", "http://", "https://#", "http://?utm_a=1"]
+    df = spark.createDataFrame(list(enumerate(urls)), "id long, u string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", TS.canonical_url(F.col("u")).alias("c")).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == py_canon_url(u), (i, repr(u))
+
+
+def py_fix_text(t: str):
+    import re
+
+    from ocr_spark.operators import textstats as TS
+
+    t = t or ""
+    counts = (
+        len(re.findall(TS.CONTROL_RE, t)),
+        len(re.findall(r"[‘’‚“”„]", t)),
+        len(re.findall(r"[–—−]", t)),
+        t.count("\u00a0"),
+        t.count("…"),
+    )
+    fixed = t.translate(str.maketrans(TS.FIX_FROM, TS.FIX_TO)).replace("…", "...")
+    fixed = re.sub(TS.CONTROL_RE, "", fixed)
+    fixed = re.sub(r"\n{3,}", "\n\n", fixed)
+    return counts, fixed
+
+
+def test_fuzz_fix_text_parity(spark):
+    from ocr_spark.operators import textstats as TS
+
+    rng = random.Random(20260818)
+    pool = _WORD_POOL + ["“q”", "‘s’", "–", "—", "−", "…", "\u00a0", "\x01", "\x07", "\n\n\n", "\n\n\n\n\n"]
+    texts = []
+    for _ in range(300):
+        texts.append("".join(rng.choice(pool) + rng.choice(_SPACERS) for _ in range(rng.randint(0, 10))))
+    texts += ["", "…" * 5, "\x00\x1f\x7f", "\n" * 7]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, t string")
+    fx = TS.fix_text(F.col("t"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id", fx["n_control"].alias("nc"), fx["n_quote"].alias("nq"),
+            fx["n_dash"].alias("nd"), fx["n_nbsp"].alias("nn"),
+            fx["n_ellipsis"].alias("ne"), fx["fixed"].alias("f"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        (nc, nq, nd, nn, ne), fixed = py_fix_text(t)
+        r = got[i]
+        assert (r["nc"], r["nq"], r["nd"], r["nn"], r["ne"]) == (nc, nq, nd, nn, ne), (i, repr(t))
+        assert r["f"] == fixed, (i, repr(t))
+
+
+def test_fuzz_dedup_paragraphs_parity(spark):
+    from ocr_spark.operators import textstats as TS
+
+    rng = random.Random(20260819)
+    lines = ["alpha", "beta", "alpha", "  alpha  ", "", " ", "gamma", "beta beta"]
+    texts = ["\n".join(rng.choice(lines) for _ in range(rng.randint(0, 12))) for _ in range(300)]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, t string")
+    d = TS.dedup_paragraphs(F.col("t"))
+    got = {
+        r["id"]: (r["nl"], r["nu"], r["t2"])
+        for r in df.select(
+            "id", d["n_lines"].alias("nl"), d["n_unique"].alias("nu"),
+            d["dedup_text"].alias("t2"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        segs = [x.strip() for x in t.split("\n")]
+        segs = [x for x in segs if x]
+        ded = list(dict.fromkeys(segs))
+        assert got[i] == (len(segs), len(ded), "\n".join(ded)), (i, repr(t))
