@@ -1231,6 +1231,53 @@ def q_lm_surprisal(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "lm_surprisal_xmodel",
+    f"""
+WITH xw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),
+xmg AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))) AS gram
+  FROM xw WHERE doc_id % 2 = 0 AND len(w) >= 2
+),
+xmm AS (SELECT gram, count(*) AS b_cnt FROM xmg GROUP BY gram),
+xmc AS (
+  SELECT string_split(gram, ' ')[1] AS ctx, sum(b_cnt)::BIGINT AS c_cnt
+  FROM xmm GROUP BY 1
+),
+xsg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))) AS gram
+  FROM xw WHERE doc_id % 2 = 1 AND len(w) >= 2
+),
+xls AS (
+  SELECT xsg.doc_id,
+         CASE WHEN xmm.b_cnt IS NULL THEN 20
+              ELSE length(to_base(xmc.c_cnt, 2)) - length(to_base(xmm.b_cnt::BIGINT, 2))
+              END::BIGINT AS bits
+  FROM xsg LEFT JOIN xmm USING (gram)
+  LEFT JOIN xmc ON xmc.ctx = string_split(xsg.gram, ' ')[1]
+),
+xlp AS (SELECT doc_id, count(*) AS n_bigrams, sum(bits) AS total_bits FROM xls GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(xlp.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(xlp.total_bits, 0)::BIGINT AS total_bits,
+       round(CASE WHEN coalesce(xlp.n_bigrams, 0) > 0
+                  THEN xlp.total_bits::DOUBLE / xlp.n_bigrams ELSE 0.0 END, 6) AS avg_bits
+FROM documents d LEFT JOIN xlp ON xlp.doc_id = d.doc_id
+WHERE d.doc_id % 2 = 1""",
+)
+def q_lm_surprisal_xmodel(spark: SparkSession, sf: str) -> DataFrame:
+    """The EXTERNAL-model path of lm_surprisal (the true CCNet shape: a
+    curated reference corpus scores the crawl): even doc_ids train the
+    bigram model, odd doc_ids are scored against it, unseen bigrams take
+    the flat 20-bit out-of-vocabulary penalty."""
+    docs = D.load(spark, sf, "documents")
+    return TS.lm_surprisal(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        model_docs=docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+@_q(
     "dedup_paragraphs",
     f"""
 WITH dp0 AS (
