@@ -231,6 +231,7 @@ def run_curate(
             meta={"stage": "lm_filter", "max_bits": lm_max_bits,
                   "mode": dedup_mode, "threshold": threshold, "input": input_path},
         )
+        release_feature_caches()  # the losers parquet replaces the gram cache
 
     def transform(part):
         part = part.join(losers, "doc_id", "left_anti")

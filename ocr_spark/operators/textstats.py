@@ -659,31 +659,43 @@ def lm_surprisal(docs, model_docs=None, id_col: str = "doc_id", text_col: str = 
 
     Returns (doc_id, n_bigrams, total_bits, avg_bits)."""
     _OOV_BITS = 20
-    model_docs = docs if model_docs is None else model_docs
+    self_trained = model_docs is None
+    model_docs = docs if self_trained else model_docs
+
     def grams(df):
         return df.select(
             F.col(id_col).alias("doc_id"),
             F.explode(ngrams_of(F.col(text_col), 2)).alias("gram"),
         )
 
-    model = grams(model_docs).groupBy("gram").agg(F.count(F.lit(1)).alias("b_cnt"))
+    probe = grams(docs)
+    if self_trained:
+        # model and probe read the SAME explode — persist it so the corpus
+        # pays one tokenize/explode pass, not two (registered in the shared
+        # cache registry; callers release via dedup.release_feature_caches)
+        from pyspark import StorageLevel
+
+        from ocr_spark.operators.dedup import _register_cache
+
+        probe = _register_cache(probe.persist(StorageLevel.MEMORY_AND_DISK))
+    model = (probe if self_trained else grams(model_docs)).groupBy("gram").agg(
+        F.count(F.lit(1)).alias("b_cnt")
+    )
     ctx = (
         model.select(F.split(F.col("gram"), " ")[0].alias("ctx"), "b_cnt")
         .groupBy("ctx")
         .agg(F.sum("b_cnt").alias("c_cnt"))
     )
+    # per-gram surprisal computed ONCE on the distinct-gram model table
+    # (model-sized join), so the corpus-sized probe pays a single keyed
+    # join attaching one small int — not two joins per occurrence
+    gram_bits = (
+        model.join(ctx, F.split(F.col("gram"), " ")[0] == F.col("ctx"))
+        .select("gram", (_bits(F.col("c_cnt")) - _bits(F.col("b_cnt"))).alias("gbits"))
+    )
     scored = (
-        grams(docs)
-        .join(model, "gram", "left")
-        .join(ctx, F.split(F.col("gram"), " ")[0] == F.col("ctx"), "left")
-        .select(
-            "doc_id",
-            F.when(
-                F.col("b_cnt").isNotNull(), _bits(F.col("c_cnt")) - _bits(F.col("b_cnt"))
-            )
-            .otherwise(F.lit(_OOV_BITS))
-            .alias("bits"),
-        )
+        probe.join(gram_bits, "gram", "left")
+        .select("doc_id", F.coalesce(F.col("gbits"), F.lit(_OOV_BITS)).alias("bits"))
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"), F.sum("bits").alias("total_bits")
