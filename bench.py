@@ -52,6 +52,7 @@ HEADLINE = [
     "fix_text",
     "chunk_docs",
     "corpus_report",
+    "classifier_score",
     "pii_scrub",
     "upload_validate",
     "corpus_splits",

@@ -830,6 +830,86 @@ def temperature_sample(
     )
 
 
+# Hashed-feature linear classifier (the model-based quality-filter shape:
+# a fasttext/logistic scorer over hashed bag-of-words features). Buckets
+# and weights are engine-neutral integers; the DEMO weight formula below
+# stands in for trained weights — production swaps in a (bucket, weight)
+# table with `weights` and the plan is identical.
+CLS_BUCKETS = 1 << 18
+CLS_WEIGHT_A = 2654435761  # Knuth multiplicative constant
+CLS_WEIGHT_M = 1 << 20
+
+
+def _cls_bucket(word: Column, seed: str) -> Column:
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), word)), 1, 12), 16, 10)
+        .cast("long")
+        % CLS_BUCKETS
+    )
+
+
+def _demo_weight(bucket: Column) -> Column:
+    # deterministic integer weight in [-M/2, M/2): multiplicative hash of
+    # the bucket id — integer ops only, bit-identical in any engine
+    return (bucket * CLS_WEIGHT_A) % CLS_WEIGHT_M - CLS_WEIGHT_M // 2
+
+
+def classifier_score(
+    docs,
+    weights=None,
+    seed: str = "cls-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Model-based quality scoring via the hashing trick (the
+    FineWeb-Edu / DCLM classifier-filter shape): every token hashes to one
+    of 2^18 buckets, the document's score is the mean bucket weight in
+    exact micro-units — a linear text classifier evaluated as a pure
+    Spark plan.
+
+    ``weights`` is an optional (bucket:long, weight:long) DataFrame of
+    TRAINED integer weights (export float weights × 2^20 and round);
+    it is broadcast and the corpus pays one narrow pass + one broadcast
+    join — at 10^12 docs nothing shuffles but per-doc partial sums. With
+    ``weights=None`` a deterministic multiplicative-hash demo weight
+    stands in (the operator/plumbing is the product, the weight table is
+    the deployment's). Integer weight sums are order-independent, so the
+    DuckDB twin hash-matches — a float dot product cannot (see
+    :func:`top_terms` on libm).
+
+    Returns (doc_id, n_tokens, score_units — Σ integer weights,
+    score — score_units / (n_tokens · 2^20), one exact division)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words_of(F.col(text_col))).alias("w")
+    ).select("doc_id", _cls_bucket(F.col("w"), seed).alias("bucket"))
+    if weights is not None:
+        toks = toks.join(F.broadcast(weights), "bucket", "left").select(
+            "doc_id", F.coalesce(F.col("weight"), F.lit(0)).cast("long").alias("wt")
+        )
+    else:
+        toks = toks.select("doc_id", _demo_weight(F.col("bucket")).alias("wt"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("wt").alias("score_units")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("score_units", F.lit(0)).cast("long").alias("score_units"),
+            F.round(
+                F.when(
+                    F.coalesce("n_tokens", F.lit(0)) > 0,
+                    F.col("score_units").cast("double")
+                    / (F.col("n_tokens") * F.lit(CLS_WEIGHT_M)).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+
+
 # fix_text's 1:1 character normalizations (translate() in both engines):
 # curly/low-9 quotes -> ASCII, en/em-dash and minus -> '-', NBSP -> space.
 FIX_FROM = "\u2018\u2019\u201a\u201c\u201d\u201e\u2013\u2014\u2212\u00a0"

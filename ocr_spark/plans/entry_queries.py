@@ -1416,6 +1416,36 @@ def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "classifier_score",
+    f"""
+WITH cw AS (SELECT doc_id, unnest({_words_lower('text')}) AS w FROM documents),
+cbk AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('cls-v1:' || w), 1, 12))::BIGINT % {TS.CLS_BUCKETS} AS bucket
+  FROM cw
+),
+csc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum((bucket * {TS.CLS_WEIGHT_A}) % {TS.CLS_WEIGHT_M} - {TS.CLS_WEIGHT_M // 2})
+           AS score_units
+  FROM cbk GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(csc.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(csc.score_units, 0)::BIGINT AS score_units,
+       round(CASE WHEN coalesce(csc.n_tokens, 0) > 0
+                  THEN csc.score_units::DOUBLE / (csc.n_tokens * {TS.CLS_WEIGHT_M})::DOUBLE
+                  ELSE 0.0 END, 6) AS score
+FROM documents d LEFT JOIN csc ON csc.doc_id = d.doc_id""",
+)
+def q_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (the FineWeb-Edu/DCLM
+    model-filter shape) over the corpus: tokens hash to 2^18 buckets,
+    exact integer weight sums, one division for the mean score."""
+    return TS.classifier_score(D.load(spark, sf, "documents"))
+
+
+@_q(
     "fix_text",
     f"""
 WITH fx0 AS (

@@ -867,3 +867,33 @@ def test_chunk_documents_tiling_and_edges(spark):
         assert s == prev_e - 64 or prev_e == 1000
     with pytest.raises(ValueError, match="overlap"):
         TS.chunk_documents(df, size=64, overlap=64)
+
+
+def test_classifier_score_demo_and_weights_table(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    # demo-weight path: hand-compute the expected integer score
+    import hashlib
+
+    def bucket(w):
+        return int(hashlib.md5(f"cls-v1:{w}".encode()).hexdigest()[:12], 16) % TS.CLS_BUCKETS
+
+    def wt(b):
+        return (b * TS.CLS_WEIGHT_A) % TS.CLS_WEIGHT_M - TS.CLS_WEIGHT_M // 2
+
+    want_units = wt(bucket("alpha")) * 2 + wt(bucket("beta"))
+    got = {r["doc_id"]: r for r in TS.classifier_score(df).collect()}
+    assert (got[1]["n_tokens"], got[1]["score_units"]) == (3, want_units)
+    assert got[1]["score"] == round(want_units / (3 * TS.CLS_WEIGHT_M), 6)
+    assert (got[2]["n_tokens"], got[2]["score"]) == (0, 0.0)
+    assert (got[3]["n_tokens"], got[3]["score"]) == (0, 0.0)
+
+    # trained-weights path: a (bucket, weight) table overrides the formula;
+    # unlisted buckets weigh 0
+    w = spark.createDataFrame(
+        [(bucket("alpha"), 100)], "bucket long, weight long"
+    )
+    got2 = {r["doc_id"]: r for r in TS.classifier_score(df, weights=w).collect()}
+    assert got2[1]["score_units"] == 200  # two alphas, beta unlisted -> 0
