@@ -26,6 +26,12 @@ one global decision, so rejected docs never pay the later stages twice):
                           exceeds X bits (the CCNet perplexity-filter
                           shape); the model/score pass is the fourth
                           global decision, materialized once
+  1e. classifier filter — (--cls-weights PATH --cls-min-score X) drop
+                          docs scoring below X under a trained
+                          hashed-feature linear classifier (the
+                          FineWeb-Edu/DCLM model-filter shape); doc-local
+                          once the broadcast weights load, so it runs
+                          inside the bucketed transform
   4b. domain gate       — (--blocked-domains a.com,b.net) drop docs whose
                           in-text URLs hit a blocked domain or subdomain
   5. PII redaction      — URL/email/IP/phone → typed tokens
@@ -60,7 +66,8 @@ import argparse
 import json
 
 
-def curate_transform(part, langs, line_index=None, blocklist=(), blocked_domains=()):
+def curate_transform(part, langs, line_index=None, blocklist=(), blocked_domains=(),
+                     cls_weights=None, cls_min_score=None):
     """Bucket-local stages 1b-5: line dedup -> language ID -> quality
     gate (language-aware: English-only Gopher rules gate only en docs) ->
     language filter -> blocklist + domain gates (raw text) -> PII
@@ -78,6 +85,15 @@ def curate_transform(part, langs, line_index=None, blocklist=(), blocked_domains
 
     if line_index is not None:
         part = apply_line_dedup(part, line_index)
+    if cls_min_score is not None:
+        # doc-local (per-doc hash + broadcast weights): no global decision,
+        # so it rides the bucketed transform and resumes for free
+        from ocr_spark.operators.textstats import classifier_score
+
+        good = classifier_score(part, weights=cls_weights).filter(
+            F.col("score") >= cls_min_score
+        ).select("doc_id")
+        part = part.join(good, "doc_id")
     # language first: the Gopher stop-word / alpha-word rules are
     # English-specific, so the gate must know each doc's language or a
     # --langs ru / de / fr corpus is silently wiped out at stage 2.
@@ -129,6 +145,8 @@ def run_curate(
     lm_max_bits: float | None = None,
     mix_cap: int | None = None,
     do_fix_text: bool = False,
+    cls_weights_path: str | None = None,
+    cls_min_score: float | None = None,
 ) -> dict:
     import os
 
@@ -233,13 +251,18 @@ def run_curate(
         )
         release_feature_caches()  # the losers parquet replaces the gram cache
 
+    cls_weights = (
+        spark.read.parquet(cls_weights_path) if cls_weights_path else None
+    )
+
     def transform(part):
         part = part.join(losers, "doc_id", "left_anti")
         if contaminated is not None:
             part = part.join(contaminated, "doc_id", "left_anti")
         if lm_losers is not None:
             part = part.join(lm_losers, "doc_id", "left_anti")
-        return curate_transform(part, langs, line_index, blocklist, blocked_domains)
+        return curate_transform(part, langs, line_index, blocklist, blocked_domains,
+                                cls_weights, cls_min_score)
 
     summary = run_checkpointed(
         spark,
@@ -260,6 +283,8 @@ def run_curate(
             "decon_n": decon_n,
             "lm_max_bits": lm_max_bits,
             "fix_text": do_fix_text,
+            "cls_weights": cls_weights_path,
+            "cls_min_score": cls_min_score,
         },
     )
 
@@ -345,6 +370,12 @@ def main() -> None:
                          "doc count downsample at sqrt-rate (written to _mix)")
     ap.add_argument("--fix-text", action="store_true",
                     help="ftfy-lite text repair before any hashing/dedup")
+    ap.add_argument("--cls-weights", default=None,
+                    help="parquet of trained (bucket, weight) classifier "
+                         "rows; omit to use the demo weight formula")
+    ap.add_argument("--cls-min-score", type=float, default=None,
+                    help="drop docs scoring below this under the hashed "
+                         "linear classifier")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -371,6 +402,8 @@ def main() -> None:
         lm_max_bits=args.lm_max_bits,
         mix_cap=args.mix_cap,
         do_fix_text=args.fix_text,
+        cls_weights_path=args.cls_weights,
+        cls_min_score=args.cls_min_score,
     )
     print(json.dumps(summary))
 

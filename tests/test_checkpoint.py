@@ -590,3 +590,45 @@ def test_curate_job_fix_text_dedups_styled_twins(spark, tmp_path):
     ids2 = {r["doc_id"] for r in
             spark.read.parquet(str(out2 / "bucket=*")).select("doc_id").collect()}
     assert {310, 311} <= ids2
+
+
+def test_curate_job_classifier_filter(spark, tmp_path):
+    from jobs.curate_job import run_curate
+    from ocr_spark.operators.textstats import classifier_score
+
+    docs = _curate_docs(spark)
+    inp = str(tmp_path / "in_cls.parquet")
+    docs.write.parquet(inp)
+
+    # trained weights: every bucket a quality doc uses gets +1000, so docs
+    # score positive iff their words hash into the weighted buckets; give
+    # weight only to doc 0-19's vocabulary
+    from ocr_spark.operators.textstats import CLS_BUCKETS, CLS_WEIGHT_A  # noqa: F401
+    import hashlib
+
+    def bucket(w):
+        return int(hashlib.md5(f"cls-v1:{w}".encode()).hexdigest()[:12], 16) % CLS_BUCKETS
+
+    favored = set()
+    for r in docs.filter(F.col("doc_id") < 20).collect():
+        for w in r["text"].lower().split():
+            favored.add(bucket(w))
+    wdf = spark.createDataFrame([(b, 1000) for b in sorted(favored)],
+                                "bucket long, weight long")
+    wpath = str(tmp_path / "weights.parquet")
+    wdf.write.parquet(wpath)
+
+    out = tmp_path / "cur_cls"
+    run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+               num_buckets=4, cls_weights_path=wpath, cls_min_score=0.0005)
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.parquet(str(out / "bucket=*")).select("doc_id").collect())
+    # expected: survivors of the other gates whose classifier score clears
+    # the bar — docs 0-19 fully favored; 20-39 share only stopword buckets
+    scored = {r["doc_id"]: r["score"]
+              for r in classifier_score(docs, weights=wdf).collect()}
+    want = sorted(i for i in list(range(40)) + list(range(100, 105))
+                  if i not in (300, 301) and scored[i] >= 0.0005)
+    assert ids == want
+    assert set(range(20)) <= set(ids)          # favored docs survive
+    assert len(set(range(20, 40)) & set(ids)) < 20  # most unfavored drop
