@@ -64,6 +64,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from ocr_spark.operators.dedup import release_feature_caches
+
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
@@ -79,6 +81,10 @@ def main() -> int:
             print(f"FAIL  {name}: SPARK ERROR {type(ex).__name__}: {str(ex)[:300]}")
             failures.append(name)
             continue
+        finally:
+            # operators that persist internal side tables (minhash features,
+            # the LM gram explode) must not pin one copy per swept query
+            release_feature_caches()
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
             continue
