@@ -67,7 +67,7 @@ import json
 
 
 def curate_transform(part, langs, line_index=None, blocklist=(), blocked_domains=(),
-                     cls_weights=None, cls_min_score=None):
+                     cls_weights=None, cls_min_score=None, gopher_overrides=None):
     """Bucket-local stages 1b-5: line dedup -> language ID -> quality
     gate (language-aware: English-only Gopher rules gate only en docs) ->
     language filter -> blocklist + domain gates (raw text) -> PII
@@ -99,7 +99,7 @@ def curate_transform(part, langs, line_index=None, blocklist=(), blocked_domains
     # --langs ru / de / fr corpus is silently wiped out at stage 2.
     part = part.withColumn("lang", language_id(F.col("text")))
     q = (
-        gopher_quality(part, lang_col="lang")
+        gopher_quality(part, lang_col="lang", **(gopher_overrides or {}))
         .filter(F.col("quality_pass"))
         .select("doc_id", "n_words")
     )
@@ -147,6 +147,7 @@ def run_curate(
     do_fix_text: bool = False,
     cls_weights_path: str | None = None,
     cls_min_score: float | None = None,
+    gopher_overrides: dict | None = None,
 ) -> dict:
     import os
 
@@ -262,7 +263,7 @@ def run_curate(
         if lm_losers is not None:
             part = part.join(lm_losers, "doc_id", "left_anti")
         return curate_transform(part, langs, line_index, blocklist, blocked_domains,
-                                cls_weights, cls_min_score)
+                                cls_weights, cls_min_score, gopher_overrides)
 
     summary = run_checkpointed(
         spark,
@@ -285,6 +286,7 @@ def run_curate(
             "fix_text": do_fix_text,
             "cls_weights": cls_weights_path,
             "cls_min_score": cls_min_score,
+            "gopher_overrides": gopher_overrides,
         },
     )
 
@@ -376,6 +378,10 @@ def main() -> None:
     ap.add_argument("--cls-min-score", type=float, default=None,
                     help="drop docs scoring below this under the hashed "
                          "linear classifier")
+    ap.add_argument("--gopher", default=None,
+                    help="JSON dict of gopher_quality threshold overrides, "
+                         "e.g. '{\"min_words\": 20}' (published defaults "
+                         "otherwise; part of the resume fingerprint)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -404,6 +410,7 @@ def main() -> None:
         do_fix_text=args.fix_text,
         cls_weights_path=args.cls_weights,
         cls_min_score=args.cls_min_score,
+        gopher_overrides=json.loads(args.gopher) if args.gopher else None,
     )
     print(json.dumps(summary))
 
