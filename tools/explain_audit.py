@@ -57,6 +57,8 @@ AUDIT = [
     "lm_surprisal",
     "url_dedup",
     "temperature_mix",
+    "classifier_score",
+    "chunk_docs",
     # dedup_clusters is excluded: connected components EXECUTES its
     # distributed loop at plan-construction time, so "explaining" it runs
     # the job; its per-round plan is the audited join+agg shape.
