@@ -257,3 +257,39 @@ def test_fuzz_dedup_paragraphs_parity(spark):
         segs = [x for x in segs if x]
         ded = list(dict.fromkeys(segs))
         assert got[i] == (len(segs), len(ded), "\n".join(ded)), (i, repr(t))
+
+
+def test_fuzz_chunk_documents_invariants(spark):
+    """Property fuzz: for random (n_tokens, size, overlap), the chunk
+    layout tiles [0, n) exactly — starts advance by stride, first chunk
+    at 0, last chunk ends at n, consecutive chunks overlap by exactly
+    `overlap` (except a shorter final window), and no empty chunks."""
+    from ocr_spark.operators import textstats as TS
+
+    rng = random.Random(20260820)
+    cases = []
+    for i in range(60):
+        size = rng.randint(2, 64)
+        overlap = rng.randint(0, size - 1)
+        n = rng.choice([0, 1, size - 1, size, size + 1, rng.randint(0, 500)])
+        cases.append((i, n, size, overlap))
+    # one doc per case: n single-char tokens
+    for i, n, size, overlap in cases:
+        if i % 7:  # keep the Spark-job count down: spot-check a sample
+            continue
+        df = spark.createDataFrame([(i, "x " * n)], "doc_id long, text string")
+        rows = sorted(
+            (r["chunk_id"], r["tok_start"], r["tok_end"])
+            for r in TS.chunk_documents(df, size=size, overlap=overlap).collect()
+        )
+        if n == 0:
+            assert rows == [], (i, n, size, overlap)
+            continue
+        stride = size - overlap
+        assert rows[0][1] == 0
+        assert rows[-1][2] == n, (rows, n, size, overlap)
+        for (c0, s0, e0), (c1, s1, e1) in zip(rows, rows[1:]):
+            assert c1 == c0 + 1 and s1 == s0 + stride and e0 > s1 - 1, (rows,)
+        for _, s, e in rows:
+            assert 0 <= s < e <= n  # no empty/overhanging chunks
+            assert e - s <= size
