@@ -53,6 +53,7 @@ HEADLINE = [
     "chunk_docs",
     "corpus_report",
     "classifier_score",
+    "license_filter",
     "pii_scrub",
     "upload_validate",
     "corpus_splits",

@@ -910,6 +910,32 @@ def classifier_score(
     )
 
 
+# License / copyright boilerplate detection (the license-filtering stage
+# of corpus prep). Two pattern classes, both Java/RE2-identical with an
+# inline (?i): ownership marks and named license phrases.
+COPYRIGHT_RE = r"(?i)(©|\(c\)\s*(19|20)[0-9]{2}|copyright\s+(19|20)[0-9]{2}|all rights reserved)"
+LICENSE_RE = (
+    r"(?i)(creative commons|cc[- ]by(-[a-z]{2})*|gnu general public license"
+    r"|gpl-?[23]|mit license|apache license|bsd license|public domain)"
+)
+
+
+def license_flag(text: Column) -> dict[str, Column]:
+    """Flag documents carrying copyright marks or named license phrases,
+    so a corpus can route them to a rights-review split (or drop them)
+    before training. Counts the two classes separately — a single ©
+    footer is a weaker signal than an embedded license block. Pure
+    regexp expressions; the literal patterns fold into codegen."""
+    t = F.coalesce(text, F.lit(""))
+    n_c = F.size(F.regexp_extract_all(t, F.lit(COPYRIGHT_RE), F.lit(0)))
+    n_l = F.size(F.regexp_extract_all(t, F.lit(LICENSE_RE), F.lit(0)))
+    return {
+        "n_copyright_marks": n_c.cast("long"),
+        "n_license_phrases": n_l.cast("long"),
+        "flagged": (n_c + n_l) > 0,
+    }
+
+
 # fix_text's 1:1 character normalizations (translate() in both engines):
 # curly/low-9 quotes -> ASCII, en/em-dash and minus -> '-', NBSP -> space.
 FIX_FROM = "\u2018\u2019\u201a\u201c\u201d\u201e\u2013\u2014\u2212\u00a0"

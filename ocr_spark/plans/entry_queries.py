@@ -1416,6 +1416,52 @@ def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "license_filter",
+    f"""
+WITH lf AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+                THEN coalesce(text, '') || ' © ' || (2000 + doc_id % 25) || ' Example Corp. All Rights Reserved.'
+              WHEN doc_id % 5 = 1
+                THEN coalesce(text, '') || ' Licensed under the Apache License, Version 2.0'
+              WHEN doc_id % 5 = 2
+                THEN coalesce(text, '') || ' released as CC-BY-SA content'
+              ELSE coalesce(text, '') END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{TS.COPYRIGHT_RE}'))::BIGINT AS n_copyright_marks,
+       len(regexp_extract_all(t, '{TS.LICENSE_RE}'))::BIGINT AS n_license_phrases,
+       (len(regexp_extract_all(t, '{TS.COPYRIGHT_RE}'))
+        + len(regexp_extract_all(t, '{TS.LICENSE_RE}'))) > 0 AS flagged
+FROM lf""",
+)
+def q_license_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """License/copyright boilerplate gate over a facade: fifths of the
+    corpus get a © footer, an Apache-license phrase, or a CC-BY-SA
+    mark appended; the rest stay clean."""
+    docs = D.load(spark, sf, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    did = (F.lit(2000) + F.col("doc_id") % 25).cast("string")
+    aug = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(text, F.lit(" © "), did, F.lit(" Example Corp. All Rights Reserved.")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(text, F.lit(" Licensed under the Apache License, Version 2.0")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(text, F.lit(" released as CC-BY-SA content")))
+        .otherwise(text)
+    )
+    lf = TS.license_flag(aug)
+    return docs.select(
+        "doc_id",
+        lf["n_copyright_marks"].alias("n_copyright_marks"),
+        lf["n_license_phrases"].alias("n_license_phrases"),
+        lf["flagged"].alias("flagged"),
+    )
+
+
+@_q(
     "classifier_score",
     f"""
 WITH cw AS (SELECT doc_id, unnest({_words_lower('text')}) AS w FROM documents),

@@ -897,3 +897,33 @@ def test_classifier_score_demo_and_weights_table(spark):
     )
     got2 = {r["doc_id"]: r for r in TS.classifier_score(df, weights=w).collect()}
     assert got2[1]["score_units"] == 200  # two alphas, beta unlisted -> 0
+
+
+def test_license_flag_classes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "© 2019 Some Corp"),
+            (2, "Copyright 2021 by X. All rights reserved."),
+            (3, "licensed under the APACHE LICENSE v2"),
+            (4, "this text is cc-by-sa licensed"),
+            (5, "gnu general public license applies; also GPL-3"),
+            (6, "plain text mentioning a copyright lawyer"),  # no year: no hit
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    lf = TS.license_flag(F.col("text"))
+    got = {
+        r["doc_id"]: (r["c"], r["l"], r["f"])
+        for r in df.select(
+            "doc_id", lf["n_copyright_marks"].alias("c"),
+            lf["n_license_phrases"].alias("l"), lf["flagged"].alias("f"),
+        ).collect()
+    }
+    assert got[1] == (1, 0, True)
+    assert got[2] == (2, 0, True)   # 'Copyright 2021' + 'All rights reserved'
+    assert got[3] == (0, 1, True)
+    assert got[4] == (0, 1, True)
+    assert got[5] == (0, 2, True)
+    assert got[6] == (0, 0, False)
+    assert got[7] == (0, 0, False)
