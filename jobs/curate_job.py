@@ -178,13 +178,14 @@ def run_curate(
         # Parquet/jsonl/csv scans are cheap JVM reads and stay lazy.
         docs = materialize_once(
             spark, docs, os.path.join(output_dir, "_ingest"),
-            meta={"stage": "warc_ingest", "input": input_path},
+            meta={"stage": "warc_ingest", "input": input_path, "fix_text": do_fix_text},
         )
     losers = materialize_once(
         spark,
         corpus_dedup_losers(docs, mode=dedup_mode, threshold=threshold),
         os.path.join(output_dir, "_losers"),
-        meta={"mode": dedup_mode, "threshold": threshold, "input": input_path},
+        meta={"mode": dedup_mode, "threshold": threshold, "input": input_path,
+              "fix_text": do_fix_text},
     )
     from ocr_spark.operators.dedup import release_feature_caches
 
@@ -200,7 +201,7 @@ def run_curate(
             dup_line_index(docs.join(losers, "doc_id", "left_anti")),
             os.path.join(output_dir, "_dup_lines"),
             meta={"stage": "line_dedup", "input": input_path, "mode": dedup_mode,
-                  "threshold": threshold},
+                  "threshold": threshold, "fix_text": do_fix_text},
         )
 
     contaminated = None
@@ -232,7 +233,8 @@ def run_curate(
             .select("doc_id"),
             os.path.join(output_dir, "_contaminated"),
             meta={"stage": "decontaminate", "eval": decon_eval, "n": decon_n,
-                  "mode": dedup_mode, "threshold": threshold, "input": input_path},
+                  "mode": dedup_mode, "threshold": threshold, "input": input_path,
+                  "fix_text": do_fix_text},
         )
 
     lm_losers = None
@@ -248,10 +250,18 @@ def run_curate(
             .select("doc_id"),
             os.path.join(output_dir, "_lm_losers"),
             meta={"stage": "lm_filter", "max_bits": lm_max_bits,
-                  "mode": dedup_mode, "threshold": threshold, "input": input_path},
+                  "mode": dedup_mode, "threshold": threshold, "input": input_path,
+                  "fix_text": do_fix_text},
         )
         release_feature_caches()  # the losers parquet replaces the gram cache
 
+    if cls_weights_path and cls_min_score is None:
+        raise ValueError(
+            "--cls-weights was given without --cls-min-score: the classifier "
+            "stage is gated on the threshold, so the weights would load and "
+            "silently never be applied — pass --cls-min-score (or drop the "
+            "weights)"
+        )
     cls_weights = (
         spark.read.parquet(cls_weights_path) if cls_weights_path else None
     )
@@ -301,7 +311,8 @@ def run_curate(
             spark,
             temperature_sample(kept, "lang", cap=mix_cap),
             os.path.join(output_dir, "_mix"),
-            meta={"stage": "mix", "cap": mix_cap, "input": input_path},
+            meta={"stage": "mix", "cap": mix_cap, "input": input_path,
+                  "fix_text": do_fix_text},
         )
         mixed_kept = mixed.filter(F.col("kept")).select("doc_id")
         summary = dict(summary)
@@ -321,7 +332,7 @@ def run_curate(
             pack_sequences(kept, seq_len=pack_seq_len, num_shards=pack_shards),
             os.path.join(output_dir, "_packed"),
             meta={"stage": "pack", "seq_len": pack_seq_len, "shards": pack_shards,
-                  "input": input_path},
+                  "input": input_path, "mix_cap": mix_cap, "fix_text": do_fix_text},
         )
         summary = dict(summary)
         summary["packed_docs"] = packed.count()

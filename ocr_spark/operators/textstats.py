@@ -19,6 +19,19 @@ CHAR_BASE = 131
 WORD_BASE = 31
 
 
+def seeded_hash48(value: Column, seed: str) -> Column:
+    """48-bit seeded md5 hash of ``'{seed}:' || value`` as a BIGINT — the
+    one deterministic-decision hash every sampling/sharding operator uses
+    (split_assign, pack_sequences, temperature_sample, classifier
+    buckets). Engine-neutral: DuckDB twins spell it
+    ``('0x' || substr(md5('{seed}:' || v), 1, 12))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), value.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+
+
 def words_of(text: Column) -> Column:
     """Whitespace tokens of the lowered text (empty array for blank)."""
     s = py_strip(F.lower(F.coalesce(text, F.lit(""))))
@@ -429,11 +442,7 @@ def split_assign(
     dependent) does not give you. Band edges are exact integer thresholds
     on the 48-bit hash, so the twin SQL agrees bit-for-bit."""
     ratios = ratios or {"train": 0.98, "val": 0.01, "test": 0.01}
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), id_c.cast("string"))), 1, 12),
-        16,
-        10,
-    ).cast("long")
+    h = seeded_hash48(id_c, seed)
     space = 1 << 48
     expr = None
     acc = 0.0
@@ -531,13 +540,7 @@ def pack_sequences(
 
     Returns (doc_id, shard, n_tokens, tok_start, seq_start, seq_end,
     crosses_boundary); empty docs occupy zero tokens at their boundary."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 12
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = seeded_hash48(F.col(id_col), seed)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         (h % num_shards).cast("long").alias("shard"),
@@ -742,8 +745,11 @@ def dedup_paragraphs(text: Column) -> dict[str, Column]:
 
 # Tracking query parameters stripped by canonical_url (the URL-dedup
 # normalizer): the standard analytics/click-id families. The LIST is a
-# deployment choice; the operator is the product.
-TRACKING_PARAM_RE = r"(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref_src)"
+# deployment choice; the operator is the product. Scoped-case-insensitive
+# (?i:...) — real crawls carry UTM_SOURCE from email templates — spelled
+# as a scoped group because Java, RE2 AND Python 3.11+ all accept it
+# mid-pattern (a bare mid-pattern (?i) is a Python error).
+TRACKING_PARAM_RE = r"(?i:utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref_src)"
 
 
 def canonical_url(url: Column) -> Column:
@@ -763,10 +769,13 @@ def canonical_url(url: Column) -> Column:
     u = F.coalesce(url, F.lit(""))
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
     # tracking params: non-leading ones drop with their '&'; a leading one
-    # either hands '?' to the next param or drops it when it was the last
+    # either hands '?' to the next param or drops it when it was the last;
+    # then any dangling '?'/'&' run left at the END is itself non-canonical
+    # ('page?' ≡ 'page') and would otherwise split a dedup group
     u = F.regexp_replace(u, r"&" + TRACKING_PARAM_RE + r"=[^&]*", "")
     u = F.regexp_replace(u, r"\?" + TRACKING_PARAM_RE + r"=[^&]*&", "?")
     u = F.regexp_replace(u, r"\?" + TRACKING_PARAM_RE + r"=[^&]*$", "")
+    u = F.regexp_replace(u, r"[?&]+$", "")
     scheme = F.lower(F.regexp_extract(u, r"^(?i)(https?)://", 1))
     hostport = F.regexp_replace(
         F.lower(F.regexp_extract(u, r"^(?i)https?://(?:[^/?#]*@)?([^/?#]*)", 1)),
@@ -810,16 +819,16 @@ def temperature_sample(
 
     Returns (doc_id, bucket, n_bucket, rate, kept)."""
     b = F.col(bucket_col)
-    counts = docs.groupBy(b.alias("bucket")).agg(F.count(F.lit(1)).alias("n_bucket"))
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 12),
-        16,
-        10,
-    ).cast("long")
+    counts = docs.groupBy(b.alias("__cb")).agg(F.count(F.lit(1)).alias("n_bucket"))
+    h = seeded_hash48(F.col(id_col), seed)
     rate = F.least(F.lit(1.0), F.sqrt(F.lit(float(cap)) / F.col("n_bucket")))
+    left = docs.select(F.col(id_col).alias("doc_id"), b.alias("bucket"), h.alias("__h"))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), b.alias("bucket"), h.alias("__h"))
-        .join(F.broadcast(counts), "bucket")
+        # null-SAFE join: a NULL bucket is its own group and must still get
+        # a keep/drop decision — an equi-join would silently drop those
+        # rows from the output, and a caller treating the result as total
+        # over the corpus (the curate mix stage does) would lose them
+        left.join(F.broadcast(counts), left["bucket"].eqNullSafe(F.col("__cb")))
         .select(
             "doc_id",
             "bucket",
@@ -841,11 +850,7 @@ CLS_WEIGHT_M = 1 << 20
 
 
 def _cls_bucket(word: Column, seed: str) -> Column:
-    return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), word)), 1, 12), 16, 10)
-        .cast("long")
-        % CLS_BUCKETS
-    )
+    return seeded_hash48(word, seed) % CLS_BUCKETS
 
 
 def _demo_weight(bucket: Column) -> Column:
@@ -883,6 +888,11 @@ def classifier_score(
         F.col(id_col).alias("doc_id"), F.explode(words_of(F.col(text_col))).alias("w")
     ).select("doc_id", _cls_bucket(F.col("w"), seed).alias("bucket"))
     if weights is not None:
+        # normalize to one row per bucket (duplicates SUM — a re-appended
+        # export must not fan out the probe join and corrupt n_tokens)
+        weights = weights.groupBy("bucket").agg(
+            F.sum("weight").cast("long").alias("weight")
+        )
         toks = toks.join(F.broadcast(weights), "bucket", "left").select(
             "doc_id", F.coalesce(F.col("weight"), F.lit(0)).cast("long").alias("wt")
         )
@@ -912,11 +922,17 @@ def classifier_score(
 
 # License / copyright boilerplate detection (the license-filtering stage
 # of corpus prep). Two pattern classes, both Java/RE2-identical with an
-# inline (?i): ownership marks and named license phrases.
-COPYRIGHT_RE = r"(?i)(©|\(c\)\s*(19|20)[0-9]{2}|copyright\s+(19|20)[0-9]{2}|all rights reserved)"
+# inline (?i): ownership marks and named license phrases. Word-boundary
+# anchored (\b works identically in Java and RE2) so substrings of
+# ordinary prose — 'subMIT LICENSE forms', 'traffic aCC BY the bridge' —
+# never false-flag; '©' and '(c)' start with non-word chars and need none.
+COPYRIGHT_RE = (
+    r"(?i)(©|\(c\)\s*(19|20)[0-9]{2}|\bcopyright\s+(19|20)[0-9]{2}"
+    r"|\ball rights reserved\b)"
+)
 LICENSE_RE = (
-    r"(?i)(creative commons|cc[- ]by(-[a-z]{2})*|gnu general public license"
-    r"|gpl-?[23]|mit license|apache license|bsd license|public domain)"
+    r"(?i)\b(creative commons|cc[- ]by(-[a-z]{2})*|gnu general public license"
+    r"|gpl-?[23]|mit license|apache license|bsd license|public domain)\b"
 )
 
 

@@ -1345,7 +1345,8 @@ def _sql_canon_url(e: str) -> str:
     a = f"regexp_replace({e}, '#.*$', '', 'g')"
     b = f"regexp_replace({a}, '&{trk}=[^&]*', '', 'g')"
     c = f"regexp_replace({b}, '\\?{trk}=[^&]*&', '?', 'g')"
-    d = f"regexp_replace({c}, '\\?{trk}=[^&]*$', '', 'g')"
+    d0 = f"regexp_replace({c}, '\\?{trk}=[^&]*$', '', 'g')"
+    d = f"regexp_replace({d0}, '[?&]+$', '', 'g')"
     scheme = f"lower(regexp_extract({d}, '^(?i)(https?)://', 1))"
     hp = (
         f"regexp_replace(lower(regexp_extract({d}, "

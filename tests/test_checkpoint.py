@@ -632,3 +632,50 @@ def test_curate_job_classifier_filter(spark, tmp_path):
     assert ids == want
     assert set(range(20)) <= set(ids)          # favored docs survive
     assert len(set(range(20, 40)) & set(ids)) < 20  # most unfavored drop
+
+
+def test_curate_job_refuses_stale_side_inputs_on_fix_text_toggle(spark, tmp_path):
+    """fix_text participates in every side-input meta: a run that died
+    before ANY bucket committed (where run_checkpointed's fingerprint
+    guard has nothing to check) must still refuse to reuse a loser set
+    computed on unrepaired text."""
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    inp = str(tmp_path / "in_tg.parquet")
+    docs.write.parquet(inp)
+    out = tmp_path / "cur_tg"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+                   num_buckets=4, fail_after=0)  # _losers committed, 0 buckets
+    with pytest.raises(RuntimeError, match="different parameters"):
+        run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+                   num_buckets=4, do_fix_text=True)
+
+
+def test_curate_job_refuses_stale_packed_on_mix_toggle(spark, tmp_path):
+    """_packed records mix participation: adding --mix-cap to a finished
+    run must not silently reuse a packing layout that includes documents
+    the mixer would drop."""
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    inp = str(tmp_path / "in_mx.parquet")
+    docs.write.parquet(inp)
+    out = tmp_path / "cur_mx"
+    run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+               num_buckets=4, pack_seq_len=128)
+    with pytest.raises(RuntimeError, match="different parameters"):
+        run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+                   num_buckets=4, pack_seq_len=128, mix_cap=15)
+
+
+def test_curate_job_cls_weights_without_threshold_is_loud(spark, tmp_path):
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    inp = str(tmp_path / "in_cw.parquet")
+    docs.write.parquet(inp)
+    with pytest.raises(ValueError, match="cls-min-score"):
+        run_curate(spark, inp, str(tmp_path / "cur_cw"), dedup_mode="exact",
+                   num_buckets=4, cls_weights_path=inp)

@@ -163,6 +163,7 @@ def py_canon_url(u: str) -> str:
     u = re.sub(r"&" + TRACKING_PARAM_RE + r"=[^&]*", "", u)
     u = re.sub(r"\?" + TRACKING_PARAM_RE + r"=[^&]*&", "?", u)
     u = re.sub(r"\?" + TRACKING_PARAM_RE + r"=[^&]*$", "", u)
+    u = re.sub(r"[?&]+$", "", u)
     m = re.match(r"(?i)(https?)://", u)
     if not m:
         return ""

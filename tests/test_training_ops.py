@@ -798,6 +798,9 @@ def test_canonical_url_equivalence_classes(spark):
         ("https://x.com/a", "https://x.com/a"),               # scheme
         ("http://x.com/a?q=2&gclid=z", "http://x.com/a?q=2"),  # real param kept
         ("http://x.com/a?utm_a=1&q=2", "http://x.com/a?q=2"),  # leading tracker
+        ("http://x.com/a?UTM_SOURCE=mail", "http://x.com/a"),  # mixed-case tracker
+        ("http://x.com/a?utm_x=1&", "http://x.com/a"),         # dangling '&' cleaned
+        ("http://x.com/a?", "http://x.com/a"),                 # bare '?' cleaned
         ("ftp://x.com/a", ""),                                 # non-http
         (None, ""),
     ]
@@ -927,3 +930,30 @@ def test_license_flag_classes(spark):
     assert got[5] == (0, 2, True)
     assert got[6] == (0, 0, False)
     assert got[7] == (0, 0, False)
+
+
+def test_classifier_weights_duplicates_sum_not_fanout(spark):
+    df = spark.createDataFrame([(1, "alpha alpha beta")], "doc_id long, text string")
+    import hashlib
+
+    def bucket(w):
+        return int(hashlib.md5(f"cls-v1:{w}".encode()).hexdigest()[:12], 16) % TS.CLS_BUCKETS
+
+    # duplicate rows for alpha's bucket: must SUM (one row per bucket),
+    # never fan out the probe join and inflate n_tokens
+    w = spark.createDataFrame(
+        [(bucket("alpha"), 10), (bucket("alpha"), 5)], "bucket long, weight long"
+    )
+    r = TS.classifier_score(df, weights=w).collect()[0]
+    assert r["n_tokens"] == 3
+    assert r["score_units"] == 2 * 15  # two alphas x summed weight
+
+
+def test_temperature_sample_null_bucket_gets_a_decision(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, None), (4, "en")], "doc_id long, lang string"
+    )
+    out = {r["doc_id"]: r for r in TS.temperature_sample(df, "lang", cap=100).collect()}
+    assert set(out) == {1, 2, 3, 4}  # NULL-bucket rows are not dropped
+    assert out[2]["bucket"] is None and out[2]["n_bucket"] == 2
+    assert out[2]["kept"] is True  # under cap: whole bucket kept
