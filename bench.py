@@ -54,6 +54,7 @@ HEADLINE = [
     "corpus_report",
     "classifier_score",
     "license_filter",
+    "dedup_substr",
     "pii_scrub",
     "upload_validate",
     "corpus_splits",

@@ -920,6 +920,98 @@ def classifier_score(
     )
 
 
+def dedup_substrings(
+    docs,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exact repeated-substring removal (the ExactSubstr dedup of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better"):
+    every K-token window that occurs more than once ANYWHERE in the corpus
+    (across documents or within one) is deleted from every occurrence
+    except the globally canonical one — the smallest (doc_id, position).
+    Document-level dedup misses this entirely: two long articles quoting
+    the same boilerplate paragraph are not near-dups, yet the paragraph is
+    still memorization fuel.
+
+    The paper builds a suffix array; the Spark-native equivalent is a
+    window-hash join, exact for ≥K-token repeats (a repeat of length
+    L ≥ K is covered by its L-K+1 duplicated K-windows, so the whole span
+    is removed; repeats shorter than K are below the dedup threshold by
+    definition). Plan shape at 10^12 docs:
+      1. one narrow pass explodes (doc, pos, md5(window)) rows,
+      2. per-hash canonical = min (doc, pos) — a hash-keyed aggregation
+         whose map-side partials absorb the Zipf head; only hashes with
+         count > 1 survive the filter,
+      3. non-canonical occurrences aggregate back to (doc, [positions]) —
+         doc-keyed, tiny rows — and join the corpus (left: docs with no
+         repeats pay nothing but the probe),
+      4. token deletion is a per-doc array expression (no shuffle):
+         token j survives unless some marked window start p covers it
+         (p ≤ j < p+K).
+
+    Window hashes are full md5 hex strings — no truncation, so collisions
+    are cryptographically negligible and the result is exact. Returns
+    (doc_id, n_tokens, n_removed, clean_text) — clean_text joins the
+    surviving (lowered) tokens with single spaces, the same token stream
+    every other textstats operator sees."""
+    w = words_of(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+    wins = base.filter(F.size("w") >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (k - 1)),
+                lambda i: F.struct(
+                    (i - 1).cast("long").alias("pos"),
+                    F.md5(F.array_join(F.slice(F.col("w"), i, k), " ").cast("binary")).alias("h"),
+                ),
+            )
+        ).alias("win"),
+    ).select("doc_id", F.col("win.pos").alias("pos"), F.col("win.h").alias("h"))
+    per_hash = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("canon"),
+    )
+    marked = (
+        wins.join(per_hash.filter(F.col("cnt") > 1), "h")
+        .filter(
+            (F.col("doc_id") != F.col("canon.doc_id"))
+            | (F.col("pos") != F.col("canon.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("marks"))
+    )
+    joined = base.join(marked, "doc_id", "left").select(
+        "doc_id",
+        "w",
+        F.coalesce(F.col("marks"), F.array().cast("array<long>")).alias("marks"),
+    )
+    # token j (0-based) survives unless a marked window start covers it
+    keep = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("w")),
+            lambda i: F.struct(
+                F.col("w")[i - 1].alias("t"),
+                (~F.exists(
+                    F.col("marks"), lambda p: (p <= i - 1) & (i - 1 < p + k)
+                )).alias("keep"),
+            ),
+        ),
+        lambda s: s["keep"],
+    )
+    kept_tokens = F.when(F.size("w") > 0, F.transform(keep, lambda s: s["t"])).otherwise(
+        F.array().cast("array<string>")
+    )
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        (F.size("w") - F.size(kept_tokens)).cast("long").alias("n_removed"),
+        F.array_join(kept_tokens, " ").alias("clean_text"),
+    )
+
+
 # License / copyright boilerplate detection (the license-filtering stage
 # of corpus prep). Two pattern classes, both Java/RE2-identical with an
 # inline (?i): ownership marks and named license phrases. Word-boundary

@@ -1417,6 +1417,58 @@ def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "dedup_substr",
+    f"""
+WITH ssw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),
+swn AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], ' ')) AS h
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM ssw WHERE len(w) >= 8)
+),
+sph AS (
+  SELECT h, count(*) AS cnt,
+         min(struct_pack(doc_id := doc_id, pos := pos)) AS canon
+  FROM swn GROUP BY h
+),
+smk AS (
+  SELECT swn.doc_id, list_sort(list(DISTINCT swn.pos)) AS marks
+  FROM swn JOIN sph USING (h)
+  WHERE sph.cnt > 1
+    AND (swn.doc_id != sph.canon.doc_id OR swn.pos != sph.canon.pos)
+  GROUP BY swn.doc_id
+),
+sjt AS (
+  SELECT ssw.doc_id, ssw.w, coalesce(smk.marks, []::BIGINT[]) AS marks
+  FROM ssw LEFT JOIN smk ON smk.doc_id = ssw.doc_id
+),
+skp AS (
+  SELECT doc_id, w,
+         list_filter(w, (t, j) ->
+           len(list_filter(marks, p -> p <= j - 1 AND j - 1 < p + 8)) = 0) AS kept
+  FROM sjt
+)
+SELECT doc_id,
+       len(w)::BIGINT AS n_tokens,
+       (len(w) - len(kept))::BIGINT AS n_removed,
+       -- DuckDB's array_to_string([]) is NULL, not '' (Spark's array_join
+       -- gives '') — coalesce so a fully-removed doc hashes the empty string
+       md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+FROM skp""",
+)
+def q_dedup_substr(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact repeated-substring removal (Lee et al. 2021 ExactSubstr, window
+    K=8 tokens for this corpus's ~54-word docs): every 8-token window
+    repeated anywhere in the corpus survives only at its globally smallest
+    (doc_id, pos) occurrence."""
+    out = TS.dedup_substrings(D.load(spark, sf, "documents"), k=8)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
+@_q(
     "license_filter",
     f"""
 WITH lf AS (

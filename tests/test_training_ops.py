@@ -957,3 +957,38 @@ def test_temperature_sample_null_bucket_gets_a_decision(spark):
     assert set(out) == {1, 2, 3, 4}  # NULL-bucket rows are not dropped
     assert out[2]["bucket"] is None and out[2]["n_bucket"] == 2
     assert out[2]["kept"] is True  # under cap: whole bucket kept
+
+
+def test_dedup_substrings_exactsubstr_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta unique one two"),
+            (2, "prefix words alpha beta gamma delta epsilon zeta suffix here"),
+            (3, "alpha beta gamma delta epsilon zeta"),  # whole doc = the repeat
+            (4, "totally different content with no repeats at all"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TS.dedup_substrings(docs, k=6).collect()}
+    # canonical occurrence (smallest doc_id, pos) keeps the repeat
+    assert got[1]["n_removed"] == 0
+    assert got[1]["clean_text"].startswith("alpha beta gamma")
+    # later occurrences lose exactly the 6-token window, context survives
+    assert got[2]["n_removed"] == 6
+    assert got[2]["clean_text"] == "prefix words suffix here"
+    # a doc that IS the repeat empties out
+    assert (got[3]["n_removed"], got[3]["clean_text"]) == (6, "")
+    # no repeats / empty: untouched
+    assert got[4]["n_removed"] == 0
+    assert (got[5]["n_tokens"], got[5]["clean_text"]) == (0, "")
+
+
+def test_dedup_substrings_within_doc_repeat(spark):
+    # the SAME doc repeating its own window: second occurrence removed
+    docs = spark.createDataFrame(
+        [(7, "a b c d e f X a b c d e f Y")], "doc_id long, text string"
+    )
+    r = TS.dedup_substrings(docs, k=6).collect()[0]
+    assert r["n_removed"] == 6
+    assert r["clean_text"] == "a b c d e f x y"
