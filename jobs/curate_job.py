@@ -13,6 +13,11 @@ one global decision, so rejected docs never pay the later stages twice):
   1b. line dedup        — (--line-dedup) cross-document repeated-line
                           removal via a second materialized global index
                           (line_md5 → canonical occurrence)
+  1b2. substr dedup     — (--substr-k N) exact repeated-substring removal
+                          (Lee et al. 2021 ExactSubstr): every N-token
+                          window repeated anywhere survives only at its
+                          canonical occurrence; the marks table is a
+                          materialized global decision like the line index
   1c. decontamination   — (--decon-eval PATH) drop training docs sharing
                           any word n-gram with the eval corpus; the
                           contaminated-id set is the third global
@@ -67,7 +72,8 @@ import json
 
 
 def curate_transform(part, langs, line_index=None, blocklist=(), blocked_domains=(),
-                     cls_weights=None, cls_min_score=None, gopher_overrides=None):
+                     cls_weights=None, cls_min_score=None, gopher_overrides=None,
+                     substr_marks_df=None, substr_k=50):
     """Bucket-local stages 1b-5: line dedup -> language ID -> quality
     gate (language-aware: English-only Gopher rules gate only en docs) ->
     language filter -> blocklist + domain gates (raw text) -> PII
@@ -85,6 +91,10 @@ def curate_transform(part, langs, line_index=None, blocklist=(), blocked_domains
 
     if line_index is not None:
         part = apply_line_dedup(part, line_index)
+    if substr_marks_df is not None:
+        from ocr_spark.operators.textstats import apply_substr_dedup
+
+        part = apply_substr_dedup(part, substr_marks_df, k=substr_k)
     if cls_min_score is not None:
         # doc-local (per-doc hash + broadcast weights): no global decision,
         # so it rides the bucketed transform and resumes for free
@@ -148,6 +158,7 @@ def run_curate(
     cls_weights_path: str | None = None,
     cls_min_score: float | None = None,
     gopher_overrides: dict | None = None,
+    substr_k: int | None = None,
 ) -> dict:
     import os
 
@@ -158,6 +169,7 @@ def run_curate(
         decontaminate,
         lm_surprisal,
         pack_sequences,
+        substr_marks,
         temperature_sample,
     )
     from ocr_spark.plans.checkpoint import materialize_once, run_checkpointed
@@ -202,6 +214,21 @@ def run_curate(
             os.path.join(output_dir, "_dup_lines"),
             meta={"stage": "line_dedup", "input": input_path, "mode": dedup_mode,
                   "threshold": threshold, "fix_text": do_fix_text},
+        )
+
+    substr_marks_df = None
+    if substr_k:
+        # global like the line index: a window's canonical occurrence may
+        # live in any bucket, so the marks table spans buckets and
+        # materializes once over the DEDUPED corpus (a dropped near-dup
+        # must not claim a window's canonical slot)
+        substr_marks_df = materialize_once(
+            spark,
+            substr_marks(docs.join(losers, "doc_id", "left_anti"), k=substr_k),
+            os.path.join(output_dir, "_substr_marks"),
+            meta={"stage": "substr_dedup", "k": substr_k, "input": input_path,
+                  "mode": dedup_mode, "threshold": threshold,
+                  "fix_text": do_fix_text},
         )
 
     contaminated = None
@@ -273,7 +300,8 @@ def run_curate(
         if lm_losers is not None:
             part = part.join(lm_losers, "doc_id", "left_anti")
         return curate_transform(part, langs, line_index, blocklist, blocked_domains,
-                                cls_weights, cls_min_score, gopher_overrides)
+                                cls_weights, cls_min_score, gopher_overrides,
+                                substr_marks_df, substr_k or 50)
 
     summary = run_checkpointed(
         spark,
@@ -297,6 +325,7 @@ def run_curate(
             "cls_weights": cls_weights_path,
             "cls_min_score": cls_min_score,
             "gopher_overrides": gopher_overrides,
+            "substr_k": substr_k,
         },
     )
 
@@ -389,6 +418,10 @@ def main() -> None:
     ap.add_argument("--cls-min-score", type=float, default=None,
                     help="drop docs scoring below this under the hashed "
                          "linear classifier")
+    ap.add_argument("--substr-k", type=int, default=None,
+                    help="exact repeated-substring removal: delete every "
+                         "N-token window repeated anywhere in the corpus "
+                         "except its canonical occurrence")
     ap.add_argument("--gopher", default=None,
                     help="JSON dict of gopher_quality threshold overrides, "
                          "e.g. '{\"min_words\": 20}' (published defaults "
@@ -422,6 +455,7 @@ def main() -> None:
         cls_weights_path=args.cls_weights,
         cls_min_score=args.cls_min_score,
         gopher_overrides=json.loads(args.gopher) if args.gopher else None,
+        substr_k=args.substr_k,
     )
     print(json.dumps(summary))
 

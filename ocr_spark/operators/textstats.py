@@ -955,7 +955,33 @@ def dedup_substrings(
     are cryptographically negligible and the result is exact. Returns
     (doc_id, n_tokens, n_removed, clean_text) — clean_text joins the
     surviving (lowered) tokens with single spaces, the same token stream
-    every other textstats operator sees."""
+    every other textstats operator sees.
+
+    Split into :func:`substr_marks` (the corpus-wide decision — in a
+    checkpointed job it materializes once like the loser set) and
+    :func:`apply_substr_dedup` (bucket-local token deletion)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), words_of(F.col(text_col)).alias("w")
+    )
+    joined = base.join(substr_marks(docs, k, id_col, text_col), "doc_id", "left").select(
+        "doc_id",
+        "w",
+        F.coalesce(F.col("marks"), F.array().cast("array<long>")).alias("marks"),
+    )
+    kept_tokens = _kept_tokens(F.col("w"), F.col("marks"), k)
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        (F.size("w") - F.size(kept_tokens)).cast("long").alias("n_removed"),
+        F.array_join(kept_tokens, " ").alias("clean_text"),
+    )
+
+
+def substr_marks(docs, k: int = 50, id_col: str = "doc_id", text_col: str = "text"):
+    """The global half of :func:`dedup_substrings`: per doc, the sorted
+    0-based token positions of every non-canonical duplicated K-window
+    (docs with no repeats emit no row). This is the table a checkpointed
+    job materializes once."""
     w = words_of(F.col(text_col))
     base = docs.select(F.col(id_col).alias("doc_id"), w.alias("w"))
     wins = base.filter(F.size("w") >= k).select(
@@ -974,7 +1000,7 @@ def dedup_substrings(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("doc_id", "pos")).alias("canon"),
     )
-    marked = (
+    return (
         wins.join(per_hash.filter(F.col("cnt") > 1), "h")
         .filter(
             (F.col("doc_id") != F.col("canon.doc_id"))
@@ -983,33 +1009,39 @@ def dedup_substrings(
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_set("pos")).alias("marks"))
     )
-    joined = base.join(marked, "doc_id", "left").select(
-        "doc_id",
-        "w",
-        F.coalesce(F.col("marks"), F.array().cast("array<long>")).alias("marks"),
-    )
+
+
+def _kept_tokens(w: Column, marks: Column, k: int) -> Column:
     # token j (0-based) survives unless a marked window start covers it
     keep = F.filter(
         F.transform(
-            F.sequence(F.lit(1), F.size("w")),
+            F.sequence(F.lit(1), F.size(w)),
             lambda i: F.struct(
-                F.col("w")[i - 1].alias("t"),
-                (~F.exists(
-                    F.col("marks"), lambda p: (p <= i - 1) & (i - 1 < p + k)
-                )).alias("keep"),
+                w[i - 1].alias("t"),
+                (~F.exists(marks, lambda p: (p <= i - 1) & (i - 1 < p + k))).alias(
+                    "keep"
+                ),
             ),
         ),
         lambda s: s["keep"],
     )
-    kept_tokens = F.when(F.size("w") > 0, F.transform(keep, lambda s: s["t"])).otherwise(
+    return F.when(F.size(w) > 0, F.transform(keep, lambda s: s["t"])).otherwise(
         F.array().cast("array<string>")
     )
-    return joined.select(
-        "doc_id",
-        F.size("w").cast("long").alias("n_tokens"),
-        (F.size("w") - F.size(kept_tokens)).cast("long").alias("n_removed"),
-        F.array_join(kept_tokens, " ").alias("clean_text"),
-    )
+
+
+def apply_substr_dedup(part, marks_df, k: int = 50, text_col: str = "text"):
+    """Bucket-local half of :func:`dedup_substrings`: rewrite ``text_col``
+    with the duplicated windows deleted, using a materialized
+    :func:`substr_marks` table. Documents without marks pass through
+    byte-identical (NOT re-tokenized — only marked docs are rewritten, so
+    the stage is a no-op for the clean majority)."""
+    w = words_of(F.col(text_col))
+    joined = part.join(marks_df, "doc_id", "left")
+    cleaned = F.when(
+        F.col("marks").isNull(), F.col(text_col)
+    ).otherwise(F.array_join(_kept_tokens(w, F.col("marks"), k), " "))
+    return joined.withColumn(text_col, cleaned).drop("marks")
 
 
 # License / copyright boilerplate detection (the license-filtering stage

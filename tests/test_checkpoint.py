@@ -679,3 +679,30 @@ def test_curate_job_cls_weights_without_threshold_is_loud(spark, tmp_path):
     with pytest.raises(ValueError, match="cls-min-score"):
         run_curate(spark, inp, str(tmp_path / "cur_cw"), dedup_mode="exact",
                    num_buckets=4, cls_weights_path=inp)
+
+
+def test_curate_job_substr_dedup(spark, tmp_path):
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    # inject an 8-token boilerplate sentence into docs 2 and 3 (doc 2's
+    # occurrence is canonical; doc 3's must be deleted)
+    boiler = "shared promotional footer sentence appears twice across documents"
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id").isin([2, 3]),
+               F.concat(F.col("text"), F.lit(" " + boiler))).otherwise(F.col("text")),
+    )
+    inp = str(tmp_path / "in_ss.parquet")
+    docs.write.parquet(inp)
+    out = tmp_path / "cur_ss"
+    run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+               num_buckets=4, substr_k=8)
+    texts = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(str(out / "bucket=*")).select("doc_id", "text").collect()}
+    assert (out / "_substr_marks").exists()
+    assert "promotional footer" in texts[2]      # canonical occurrence kept
+    assert "promotional footer" not in texts[3]  # duplicate deleted
+    # untouched docs pass through byte-identical (not re-tokenized)
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert texts[10] == orig[10]  # no marks, no URL/PII: byte-identical
