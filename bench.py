@@ -55,6 +55,7 @@ HEADLINE = [
     "classifier_score",
     "license_filter",
     "dedup_substr",
+    "bloom_membership",
     "pii_scrub",
     "upload_validate",
     "corpus_splits",

@@ -873,3 +873,92 @@ def apply_line_dedup(
         )
     )
     return part.drop(text_col).join(out.withColumnRenamed("doc_id", id_col), id_col)
+
+
+# --- Bloom-filter membership (crawl-scale "seen set") ------------------------
+
+
+def _bloom_positions(df, m_words: int, n_hashes: int, seed: str, carry=()):
+    """(word_idx, mask) rows for every (key, hash-function) pair; the
+    shift count must be a column, so the mask is an expr over a named
+    bit column (shiftleft's Python API only takes literal counts)."""
+    from ocr_spark.operators.textstats import seeded_hash48
+
+    # 63 usable bits per int64 word: bit 63 stays clear because DuckDB's
+    # << overflow-checks (1::BIGINT << 63 errors) while the JVM wraps —
+    # the twins must never disagree, and non-negative words are also
+    # saner to eyeball. m_words words still hold m_words*63 bits.
+    m_bits = m_words * 63
+    parts = [
+        F.struct(
+            *[F.col(c).alias(c) for c in carry],
+            (seeded_hash48(F.col("__k"), f"{seed}:{i}") % m_bits).alias("pos"),
+        )
+        for i in range(n_hashes)
+    ]
+    return (
+        df.select(F.explode(F.array(*parts)).alias("p"))
+        .select(*[F.col(f"p.{c}").alias(c) for c in carry], F.col("p.pos").alias("pos"))
+        .select(
+            *carry,
+            F.expr("CAST(pos div 63 AS BIGINT)").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("mask"),
+        )
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_words: int = 1024,
+    n_hashes: int = 4,
+    seed: str = "bloom-v1",
+) -> DataFrame:
+    """Build a Bloom filter over a column as (word_idx, bits) rows — the
+    crawl-frontier / incremental-ingest "have I seen this URL/document"
+    primitive. At 10^12 keys an exact seen-set join shuffles the full key
+    corpus every batch; a Bloom filter of the historical set is a few GB
+    of int64 words that BROADCASTS, turning the membership check into a
+    narrow map-side pass with zero false negatives (new data is never
+    wrongly dropped) and a tunable false-positive rate (a duplicate
+    slipping through costs one redundant exact check downstream, not
+    correctness).
+
+    Bit math is integer-exact and engine-neutral: bit positions come from
+    the seeded 48-bit md5 hash (per hash function ``seed:i``), words
+    aggregate with ``bit_or`` — the DuckDB twin reproduces the filter
+    bit-for-bit (63 usable bits per int64 word; bit 63 stays clear so
+    DuckDB's overflow-checked shift agrees with the JVM's wrapping one).
+    Only non-zero words are emitted (m_words rows max)."""
+    exploded = _bloom_positions(df.select(F.col(col).alias("__k")), m_words, n_hashes, seed)
+    return exploded.groupBy("word_idx").agg(F.bit_or("mask").alias("bits"))
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    id_col: str = "doc_id",
+    m_words: int = 1024,
+    n_hashes: int = 4,
+    seed: str = "bloom-v1",
+) -> DataFrame:
+    """Probe a :func:`bloom_build` filter: (id, maybe_member). True means
+    every one of the key's ``n_hashes`` bits is set (possible member —
+    confirm with an exact check if it matters); False is definitive
+    non-membership. The filter joins BROADCAST on word_idx, so the probe
+    side never shuffles."""
+    probes = _bloom_positions(
+        df.select(F.col(id_col).alias("doc_id"), F.col(col).alias("__k")),
+        m_words, n_hashes, seed, carry=["doc_id"],
+    )
+    hits = probes.join(F.broadcast(bloom), "word_idx", "left").select(
+        "doc_id",
+        (
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+        ).cast("int").alias("hit"),
+    )
+    return hits.groupBy("doc_id").agg(
+        (F.sum("hit") == n_hashes).alias("maybe_member")
+    )

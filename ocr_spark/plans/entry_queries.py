@@ -1417,6 +1417,43 @@ def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "bloom_membership",
+    f"""
+WITH bk AS (SELECT doc_id, coalesce(text, '') AS k FROM documents),
+bp2 AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('bloom-v1:' || i || ':' || k), 1, 12))::BIGINT % {512 * 63} AS pos
+  FROM (SELECT doc_id, k, unnest([0, 1, 2, 3]) AS i FROM bk)
+),
+bwords AS (
+  SELECT pos // 63 AS word_idx,
+         bit_or(1::BIGINT << (pos % 63)::INT) AS bits
+  FROM bp2 WHERE doc_id % 3 = 0 GROUP BY 1
+),
+bhits AS (
+  SELECT bp2.doc_id,
+         CASE WHEN bw.bits IS NOT NULL
+                   AND (bw.bits & (1::BIGINT << (bp2.pos % 63)::INT))
+                       = (1::BIGINT << (bp2.pos % 63)::INT)
+              THEN 1 ELSE 0 END AS hit
+  FROM bp2 LEFT JOIN bwords bw ON bw.word_idx = bp2.pos // 63
+)
+SELECT doc_id, sum(hit) = 4 AS maybe_member FROM bhits GROUP BY doc_id""",
+)
+def q_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter seen-set (the crawl-frontier membership primitive):
+    every 3rd doc's text builds the filter (512 words × 63 bits, 4 hash
+    functions), then ALL docs probe it — members always hit (no false
+    negatives), non-members mostly miss; the filter's bit image is
+    reproduced exactly by the DuckDB twin."""
+    docs = D.load(spark, sf, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("k")
+    )
+    bloom = DD.bloom_build(docs.filter(F.col("doc_id") % 3 == 0), "k", m_words=512)
+    return DD.bloom_probe(docs, "k", bloom, m_words=512)
+
+
+@_q(
     "dedup_substr",
     f"""
 WITH ssw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),

@@ -992,3 +992,33 @@ def test_dedup_substrings_within_doc_repeat(spark):
     r = TS.dedup_substrings(docs, k=6).collect()[0]
     assert r["n_removed"] == 6
     assert r["clean_text"] == "a b c d e f x y"
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    seen = spark.createDataFrame(
+        [(i, f"url-{i}") for i in range(0, 300, 3)], "doc_id long, u string"
+    )
+    probe = spark.createDataFrame(
+        [(i, f"url-{i}") for i in range(300)], "doc_id long, u string"
+    )
+    bloom = D.bloom_build(seen, "u", m_words=64)
+    out = {r["doc_id"]: r["maybe_member"]
+           for r in D.bloom_probe(probe, "u", bloom, m_words=64).collect()}
+    # the Bloom guarantee: every member hits
+    assert all(out[i] for i in range(0, 300, 3))
+    # at 100 keys in 64*63 bits with 4 hashes, FP rate is ~1e-4 — the
+    # non-member side must be overwhelmingly (here: fully) misses
+    fp = sum(out[i] for i in range(300) if i % 3)
+    assert fp <= 2
+    # bit image is non-negative (63 usable bits/word — engine parity)
+    assert bloom.filter(F.col("bits") < 0).count() == 0
+
+
+def test_bloom_filter_tiny_filter_saturates_not_lies(spark):
+    # an undersized filter saturates to all-ones: false POSITIVES may
+    # explode but members still always hit
+    seen = spark.createDataFrame([(i, f"k{i}") for i in range(500)], "doc_id long, u string")
+    bloom = D.bloom_build(seen, "u", m_words=2)
+    out = {r["doc_id"]: r["maybe_member"]
+           for r in D.bloom_probe(seen, "u", bloom, m_words=2).collect()}
+    assert all(out.values())
