@@ -103,6 +103,7 @@ def main() -> None:
             # (published 50-word floor rejects half) and contract-style text
             # that lacks the paper's 8 English function words entirely
             gopher_overrides={"min_words": 20, "min_stopwords_present": 0},
+            substr_k=8,
         )
         wall = time.time() - t0
         kept = spark.read.parquet(os.path.join(out, "bucket=*")).count()
@@ -115,8 +116,8 @@ def main() -> None:
             "wall_sec": round(wall, 2),
             "buckets": buckets,
             "cpus": cpus,
-            "stages": "fix-text,minhash-cc,line-dedup,decon,lm,gopher,lang,"
-                      "blocklist,domains,pii,mix,pack",
+            "stages": "fix-text,minhash-cc,line-dedup,substr-dedup,decon,lm,"
+                      "gopher,lang,blocklist,domains,pii,mix,pack",
             "summary": {k: v for k, v in summary.items()
                         if k in ("buckets_done", "buckets_skipped",
                                  "packed_docs", "packed_sequences", "mix_kept_docs")},
