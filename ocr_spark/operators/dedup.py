@@ -665,7 +665,7 @@ def dedup_embedding_cosine(
     scale = 1000
     thr = float(threshold)
 
-    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (pk,) = key
         pi, pj = divmod(int(pk), nb)
         ids = np.asarray(pdf["id"].tolist(), dtype=np.int64)
