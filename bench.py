@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding",
+    "dedup_semantic",
     "dedup_clusters",
     "dedup_lines",
     "ann_topk_bruteforce",

@@ -759,6 +759,106 @@ def dedup_embedding_lsh(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    scale: int = 1000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then inside each cluster drop every example whose
+    cosine to another cluster member is >= threshold, keeping the member
+    with the LOWEST cosine to the cluster centroid (the paper's keep-low
+    policy — the example farthest from the cluster's "center of mass"
+    carries the most marginal information; ties break to the lowest id).
+
+    This is the published semantic complement to the lexical family above:
+    MinHash/SimHash/ngram catch re-typed copies, embedding-cosine catches
+    global near-dups, SemDeDup catches *templated* semantic duplicates
+    cheaply by confining the quadratic pair work within clusters —
+    Σ cᵢ² ≪ N² for a k-way clustering, the paper's scaling argument.
+    Cross-cluster duplicates are invisible BY DESIGN (documented recall
+    trade: the paper accepts it for a 50k-cluster LAION run).
+
+    Deterministic + oracle-exact: the codebook is the seeded IVF scheme
+    (:func:`~ocr_spark.operators.similarity.ivf_codebook` — the n_cells
+    lowest-id vectors, no RNG), assignment is one Arrow GEMM pass (NO
+    shuffle), and all cosines are int64-quantized (exact in float64), so
+    a DuckDB twin reproduces every keep/drop bit-for-bit. The per-cell
+    pairwise GEMM runs inside applyInPandas with row-block iteration
+    (B=1024) bounding peak memory at B×|cell|; n_cells is the scale knob
+    (grow it with N — the paper uses √N-order cluster counts), and the
+    rounding-margin pre-filter (2e-6 > half a round(·,6) step) matches
+    :func:`dedup_embedding_cosine` so no boundary pair is lost.
+
+    Returns one row per input: (id_col, cell int, cent_cos double
+    rounded to 6, kept boolean). Id contract: integer-typed ids, as in
+    the other GEMM kernels (map string ids through a surrogate)."""
+    from ocr_spark.operators.similarity import ivf_cell_assign, ivf_codebook
+
+    cents = ivf_codebook(emb, n_cells, id_col, vec_col, scale)
+    asgn = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            ivf_cell_assign(F.col(vec_col), cents, scale).alias("a"),
+        )
+        .select("id", "v", F.col("a.cell").alias("cell"), F.col("a.cos").alias("cent_cos"))
+    )
+    thr = float(threshold)
+
+    def pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.asarray(pdf["id"].tolist(), dtype=np.int64)
+        cc = np.asarray(pdf["cent_cos"].tolist(), dtype=np.float64)
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]]) * scale
+        q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5))
+        norms = np.sqrt((q * q).sum(axis=1))
+        cols = {"a_id": [], "b_id": [], "a_cent": [], "b_cent": [], "cosine": []}
+        n = len(ids)
+        B = 1024  # row-block bound: peak pair matrix is B x n, not n x n
+        for s in range(0, n, B):
+            e = min(s + B, n)
+            g = q[s:e] @ q.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = g / np.outer(norms[s:e], norms)
+            cos = np.where(np.outer(norms[s:e] > 0, norms > 0), cos, 0.0)
+            keep = (cos >= thr - 2e-6) & (ids[s:e][:, None] < ids[None, :])
+            ri, ci = np.nonzero(keep)
+            cols["a_id"].append(ids[s:e][ri])
+            cols["b_id"].append(ids[ci])
+            cols["a_cent"].append(cc[s:e][ri])
+            cols["b_cent"].append(cc[ci])
+            cols["cosine"].append(cos[keep])
+        return pd.DataFrame(
+            {k: np.concatenate(v) if v else np.array([]) for k, v in cols.items()}
+        ).astype(
+            {"a_id": "int64", "b_id": "int64", "a_cent": "float64",
+             "b_cent": "float64", "cosine": "float64"}
+        )
+
+    dup_pairs = asgn.groupBy("cell").applyInPandas(
+        pairs, "a_id long, b_id long, a_cent double, b_cent double, cosine double"
+    ).filter(F.round(F.col("cosine"), 6) >= thr)
+    # keep-low: the pair member with the HIGHER centroid cosine loses
+    loser = F.when(
+        (F.col("a_cent") > F.col("b_cent"))
+        | ((F.col("a_cent") == F.col("b_cent")) & (F.col("a_id") > F.col("b_id"))),
+        F.col("a_id"),
+    ).otherwise(F.col("b_id"))
+    losers = dup_pairs.select(loser.alias("id")).distinct()
+    return (
+        asgn.join(losers.withColumn("is_loser", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.round(F.col("cent_cos"), 6).alias("cent_cos"),
+            F.coalesce(~F.col("is_loser"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 # --- cross-document line dedup (C4-style) ------------------------------------
 
 

@@ -349,6 +349,54 @@ def ivf_cell_order(
     return _order(vec)
 
 
+def ivf_cell_assign(
+    vec: Column,
+    centroids: list[list[int]],
+    scale: int = 1000,
+) -> Column:
+    """Nearest-centroid assignment PLUS the winning cosine, as
+    ``struct<cell:int, cos:double>`` — the :func:`ivf_cell_order` argmax
+    with its score kept (SemDeDup's keep-low policy ranks cluster members
+    by their similarity to the centroid, so the assignment pass must
+    surface it; re-deriving it later would double the GEMM work).
+
+    Same arithmetic contract as the rest of the IVF family: int64
+    quantized dots are exact in float64, ties prefer the lowest cell
+    index, None/zero-norm vectors land in cell 0 with cos 0.0 — all
+    reproducible by the oracle's ``ORDER BY cos DESC, cidx ASC`` argmax."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.int64)
+    n_cells, dim = C.shape
+    cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    idx = np.arange(n_cells)
+
+    @pandas_udf("struct<cell:int, cos:double>")
+    def _assign(vs: pd.Series) -> pd.DataFrame:
+        cells, coss = [], []
+        for v in vs:
+            if v is None:
+                cells.append(0)
+                coss.append(0.0)
+                continue
+            m = np.asarray(v, dtype=np.float64) * scale
+            q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)).astype(np.int64)
+            if len(q) < dim:
+                q = np.pad(q, (0, dim - len(q)))
+            q = q[:dim]
+            nq = np.sqrt(float((q * q).sum()))
+            dots = (C @ q).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (nq * cn)
+            cos = np.where((nq > 0) & (cn > 0), cos, 0.0)
+            best = int(np.lexsort((idx, -cos))[0])
+            cells.append(best)
+            coss.append(float(cos[best]))
+        return pd.DataFrame({"cell": cells, "cos": coss})
+
+    return _assign(vec)
+
+
 def ivf_codebook(
     corpus: DataFrame,
     n_cells: int = IVF_CELLS,

@@ -1975,6 +1975,47 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_semantic",
+    f"""
+WITH {_SQL_EMB_Q},
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, q AS cq
+  FROM (SELECT vec_id, q FROM eq ORDER BY vec_id LIMIT {SIM.IVF_CELLS})
+),
+asgn AS (
+  SELECT e.vec_id, c.cidx, {_sql_qcos('e.q', 'c.cq')} AS cos
+  FROM eq e CROSS JOIN cent c
+),
+cells AS (
+  SELECT vec_id, cidx AS cell, cos AS cent_cos FROM (
+    SELECT vec_id, cidx, cos,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cidx ASC) AS rn
+    FROM asgn) WHERE rn = 1
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN x.cent_cos > y.cent_cos
+                         OR (x.cent_cos = y.cent_cos AND x.vec_id > y.vec_id)
+                       THEN x.vec_id ELSE y.vec_id END AS vec_id
+  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  JOIN eq a ON a.vec_id = x.vec_id JOIN eq b ON b.vec_id = y.vec_id
+  WHERE round({_sql_qcos('a.q', 'b.q')}, 6) >= 0.4
+)
+SELECT c.vec_id, c.cell::INT AS cell, round(c.cent_cos, 6) AS cent_cos,
+       c.vec_id NOT IN (SELECT vec_id FROM losers) AS kept
+FROM cells c""",
+)
+def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): seeded-codebook clustering, within-
+    cluster pairwise cosine at the 0.4 threshold (same as the exact and
+    LSH embedding twins, so the three dedup policies are comparable),
+    keep-lowest-centroid-cosine. The oracle rebuilds the identical
+    clustering in SQL (the IVF codebook CTEs) and replays every keep/drop
+    decision — cluster-confined recall is part of the CHECKED semantics,
+    not an approximation the oracle papers over."""
+    return DD.semdedup(D.load(spark, sf, "embeddings"), threshold=0.4)
+
+
 # --- similarity search (ANN) --------------------------------------------------
 
 

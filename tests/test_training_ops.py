@@ -249,6 +249,73 @@ def test_embedding_blocked_gemm_exact(emb_df):
             assert math.isclose(got[k], want[k], rel_tol=1e-9), (nb, k)
 
 
+def py_semdedup(rows, threshold, n_cells, scale=1000):
+    """Pure-python SemDeDup golden replaying the operator's quantized
+    arithmetic: seeded codebook, argmax cell assignment, within-cell
+    pairwise cosine, keep-lowest-centroid-cosine."""
+
+    def quant(v):
+        m = np.asarray(v, dtype=np.float64) * scale
+        return np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5))
+
+    ids = sorted(r[0] for r in rows)
+    byid = dict(rows)
+    cents = [quant(byid[i]) for i in ids[:n_cells]]
+    cn = [float(np.sqrt((c * c).sum())) for c in cents]
+
+    def cos(a, na, b, nb):
+        return float(a @ b) / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    asgn = {}
+    for i in ids:
+        q = quant(byid[i])
+        nq = float(np.sqrt((q * q).sum()))
+        scored = [(cos(q, nq, c, n), -ci) for ci, (c, n) in enumerate(zip(cents, cn))]
+        best = max(range(n_cells), key=lambda ci: scored[ci])
+        asgn[i] = (best, scored[best][0])
+    losers = set()
+    for a in ids:
+        for b in ids:
+            if a >= b or asgn[a][0] != asgn[b][0]:
+                continue
+            qa, qb = quant(byid[a]), quant(byid[b])
+            na, nb = float(np.sqrt((qa * qa).sum())), float(np.sqrt((qb * qb).sum()))
+            if round(cos(qa, na, qb, nb), 6) >= threshold:
+                losers.add(max((asgn[a][1], a), (asgn[b][1], b))[1])
+    return asgn, losers
+
+
+def test_semdedup_matches_golden(emb_df):
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb_df.collect()]
+    asgn, losers = py_semdedup(rows, threshold=0.9, n_cells=4)
+    got = {r["vec_id"]: r for r in D.semdedup(emb_df, threshold=0.9, n_cells=4).collect()}
+    assert len(got) == len(rows)  # one verdict per input, none dropped
+    assert losers, "fixture should contain semantic dups"
+    for i, (cell, cent) in asgn.items():
+        assert got[i]["cell"] == cell, i
+        assert math.isclose(got[i]["cent_cos"], round(cent, 6), rel_tol=1e-9), i
+        assert got[i]["kept"] == (i not in losers), i
+
+
+def test_semdedup_keep_low_policy(spark):
+    """In a duplicate pair the member with the HIGHER centroid cosine is
+    dropped (Abbas et al.'s keep-low: the far-from-center example carries
+    more marginal information)."""
+    rows = [
+        (0, [1.0] + [0.0] * 7),            # codebook centroid 0
+        (1, [0.0, 1.0] + [0.0] * 6),       # codebook centroid 1
+        (2, [0.72, 0.3] + [0.0] * 6),      # cell 0 (cos to centroid ≈0.92)
+        (3, [0.66, 0.4] + [0.0] * 6),      # cell 0, farther (≈0.86); cos(2,3)≈0.99
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in D.semdedup(df, threshold=0.95, n_cells=2).collect()}
+    assert got[2]["cell"] == 0 and got[3]["cell"] == 0
+    assert got[2]["cent_cos"] > got[3]["cent_cos"]
+    assert not got[2]["kept"]  # closer-to-centroid member loses
+    assert got[3]["kept"]
+    assert got[0]["kept"] and got[1]["kept"]
+
+
 def test_embedding_lsh_high_threshold_recall(spark):
     """At real dedup thresholds (cos >= 0.95) the LSH path recovers every
     pair the exact form finds (same-cluster near-identical vectors)."""
