@@ -221,14 +221,25 @@ def run_curate(
         # global like the line index: a window's canonical occurrence may
         # live in any bucket, so the marks table spans buckets and
         # materializes once over the DEDUPED corpus (a dropped near-dup
-        # must not claim a window's canonical slot)
+        # must not claim a window's canonical slot). Crucially the marks
+        # are TOKEN POSITIONS into the text the bucketed transform will
+        # rewrite — and curate_transform applies line dedup BEFORE substr
+        # dedup — so with --line-dedup the marks must be computed over the
+        # line-deduped view: built on the raw text they'd stamp shifted
+        # windows in every doc that lost a line (the dup window survives
+        # and innocent tokens die).
+        pre = docs.join(losers, "doc_id", "left_anti")
+        if line_index is not None:
+            from ocr_spark.operators.dedup import apply_line_dedup
+
+            pre = apply_line_dedup(pre, line_index)
         substr_marks_df = materialize_once(
             spark,
-            substr_marks(docs.join(losers, "doc_id", "left_anti"), k=substr_k),
+            substr_marks(pre, k=substr_k),
             os.path.join(output_dir, "_substr_marks"),
             meta={"stage": "substr_dedup", "k": substr_k, "input": input_path,
                   "mode": dedup_mode, "threshold": threshold,
-                  "fix_text": do_fix_text},
+                  "fix_text": do_fix_text, "line_dedup": line_dedup},
         )
 
     contaminated = None

@@ -706,3 +706,43 @@ def test_curate_job_substr_dedup(spark, tmp_path):
     # untouched docs pass through byte-identical (not re-tokenized)
     orig = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert texts[10] == orig[10]  # no marks, no URL/PII: byte-identical
+
+
+def test_curate_job_substr_marks_align_after_line_dedup(spark, tmp_path):
+    """Substr marks are TOKEN POSITIONS into the text the transform
+    rewrites — and line dedup rewrites that text first. Marks built on the
+    raw text would stamp shifted windows in every doc that lost a line
+    (the dup window survives, innocent tokens die); this pins the
+    composition: marks are computed over the line-deduped view."""
+    from jobs.curate_job import run_curate
+
+    tail1 = " ".join(f"left{c}" for c in "abcdefghijklmnop")
+    tail2 = " ".join(f"right{c}" for c in "abcdefghijklmnop")
+    rows = [
+        # docs 1 and 2 share a duplicated LINE (doc 1's copy canonical)
+        # and, after it, a duplicated 4-token WINDOW (doc 1's canonical).
+        (1, "header line one\nalpha beta gamma delta " + tail1),
+        (2, "header line one\nalpha beta gamma delta " + tail2),
+        (3, " ".join(f"solo{c}" for c in "abcdefghijklmnopqrst")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inp = str(tmp_path / "in_la.parquet")
+    docs.write.parquet(inp)
+    out = tmp_path / "cur_la"
+    run_curate(
+        spark, inp, str(out), dedup_mode="exact", num_buckets=2,
+        line_dedup=True, substr_k=4,
+        gopher_overrides={
+            "min_words": 1, "min_stopwords_present": 0,
+            "max_top_2gram_char_frac": 1.0, "max_top_3gram_char_frac": 1.0,
+            "max_top_4gram_char_frac": 1.0, "max_dup_line_char_frac": 1.0,
+        },
+    )
+    texts = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(str(out / "bucket=*")).select("doc_id", "text").collect()}
+    # doc 2 lost the dup line (3 tokens) THEN the dup window, which sits at
+    # token 0 of the line-deduped text. Misaligned (raw-text) marks would
+    # instead delete tokens 3-6 and leave "alpha beta gamma delta" alive.
+    assert texts[2] == tail2
+    assert "alpha beta gamma delta" in texts[1]  # canonical occurrence kept
+    assert "header line one" in texts[1]         # canonical line kept
