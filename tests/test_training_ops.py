@@ -1061,6 +1061,51 @@ def test_dedup_substrings_within_doc_repeat(spark):
     assert r["clean_text"] == "a b c d e f x y"
 
 
+def test_apply_substr_dedup_matches_expression_twin(spark):
+    """The production apply is an Arrow interval-stamping UDF (python
+    lower/strip/\\s+ split); the oracle-facing :func:`TS.dedup_substrings`
+    keeps the pure-expression form (words_of + per-token exists). The two
+    tokenizations and the window-coverage logic must agree byte-for-byte —
+    this runs both over a generated corpus plus handcrafted edges
+    (unicode whitespace, NBSP, marks at the text tail, self-repeats)."""
+    import random
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]  # tiny vocab → dense repeats
+    rows = [
+        (1000, "tab\tseparated tokens tab\tseparated tokens trailing"),
+        (1001, "nbsp bound nbsp bound tail words here"),
+        (1002, "  leading and trailing whitespace leading and trailing whitespace  "),
+        (1003, "short"),
+        (1004, ""),
+        (1005, None),
+        (1006, "a b c d a b c d a b c d"),  # overlapping self-repeats
+        (1007, "x y z tail a b c d"),       # repeat ends exactly at the tail
+    ]
+    rows += [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(0, 40))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (3, 4):
+        marks = TS.substr_marks(docs, k=k)
+        got = {r["doc_id"]: r["text"]
+               for r in TS.apply_substr_dedup(docs, marks, k=k).collect()}
+        w = TS.words_of(F.col("text"))
+        expr = (
+            docs.join(marks, "doc_id", "left")
+            .withColumn(
+                "text",
+                F.when(F.col("marks").isNull(), F.col("text")).otherwise(
+                    F.array_join(TS._kept_tokens(w, F.col("marks"), k), " ")
+                ),
+            )
+            .drop("marks")
+        )
+        want = {r["doc_id"]: r["text"] for r in expr.collect()}
+        assert got == want, k
+
+
 def test_bloom_filter_no_false_negatives(spark):
     seen = spark.createDataFrame(
         [(i, f"url-{i}") for i in range(0, 300, 3)], "doc_id long, u string"
