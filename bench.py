@@ -57,6 +57,7 @@ HEADLINE = [
     "license_filter",
     "dedup_substr",
     "bloom_membership",
+    "pagerank",
     "pii_scrub",
     "upload_validate",
     "corpus_splits",

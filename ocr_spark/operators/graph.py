@@ -1,0 +1,109 @@
+"""Link-graph analytics for crawl corpora: integer-exact PageRank.
+
+The reference has no graph surface at all; this extends the crawl-side
+toolkit (Bloom seen-set, URL canonicalization, domain gates, near-dup
+connected components) with the canonical link-quality signal a web-scale
+curation pipeline ranks domains/pages by before sampling.
+
+Formulation: the classic simplified PageRank of the Spark examples
+(no dangling-mass redistribution — a node with no outlinks absorbs rank
+without re-emitting it; documented trade, identical to
+`examples/src/main/python/pagerank.py` in the Apache Spark tree), but in
+EXACT INTEGER MICRO-UNITS so a DuckDB oracle replays every iteration
+bit-for-bit:
+
+    UNIT         = 10^12            (one full unit of rank mass)
+    r_0(v)       = UNIT div N
+    contrib(u→v) = r_i(u) div outdeg(u)
+    r_{i+1}(v)   = (15·UNIT) div (100·N) + (85 · Σ contrib) div 100
+
+Every operation is integer division/multiplication/sum on non-negative
+longs: order-independent, overflow-free (85·Σ ≤ 85·UNIT < 2^63), and
+truncation (div) equals floor, which DuckDB's `//` matches exactly. A
+float PageRank could never hash-match across engines — float addition is
+not associative and shuffle order is nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer-exact PageRank over an edge table → (node, rank_units).
+
+    Plan shape (the canonical iterative-Spark workload): edges are
+    deduped and persisted ONCE with their out-degrees attached; each
+    iteration is one join (ranks onto edges, keyed on src) + one
+    aggregation (contribution sum keyed on dst) + one left join back onto
+    the node set — two shuffles per round, both on the natural keys, with
+    the rank table localCheckpoint-truncated every round so Catalyst
+    re-analysis stays flat (same lesson as
+    :func:`~ocr_spark.operators.dedup.connected_components`: iterative
+    self-referencing plans otherwise deepen per round). On a long-lived
+    cluster job swap localCheckpoint for reliable ``checkpoint()``.
+
+    The single driver-side scalar is N (the node count — the "model
+    size", like the IVF codebook fetch); vertex data never collects.
+    ``n_iters`` is fixed, not convergence-tested: the oracle unrolls the
+    same number of rounds, and rank consumers (sampling weights) want a
+    deterministic cost, not a tolerance. Node ids must be integer-typed
+    (map string URLs through a surrogate — the same id contract as the
+    GEMM kernels)."""
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()  # driver scalar; also materializes the persisted nodes
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_units"))
+    base = (15 * UNIT) // (100 * n)
+    ranks = nodes.select("node", F.lit(UNIT // n).cast("long").alias("r"))
+    for _ in range(n_iters):
+        contrib = ew.join(ranks, ew.src == ranks.node).select(
+            "dst", F.expr("r div outdeg").alias("c")
+        )
+        insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(insum, nodes.node == insum.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("r"),
+            )
+            # lazy: the final eager checkpoint below materializes the
+            # whole (bounded, n_iters-deep) chain in ONE job
+            .localCheckpoint(eager=False)
+        )
+    # eager: pin the result BEFORE releasing the edge/node caches — a lazy
+    # return would re-execute every round against the unpersisted (i.e.
+    # recomputed-per-use) edge table at the caller's first action
+    out = ranks.select("node", F.col("r").alias("rank_units")).localCheckpoint(
+        eager=True
+    )
+    ew.unpersist()
+    nodes.unpersist()
+    return out

@@ -1453,6 +1453,61 @@ def q_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
     return DD.bloom_probe(docs, "k", bloom, m_words=512)
 
 
+def _sql_pagerank(iters: int) -> str:
+    """Unrolled integer-PageRank oracle: DuckDB's recursive CTEs cannot
+    aggregate over the recursive table, so each fixed iteration becomes
+    its own CTE — same div/COALESCE arithmetic as operators.graph."""
+    parts = [
+        """WITH pedges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id % 10 AS dst FROM documents
+    UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+    UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 3 = 0
+  )
+),
+pnodes AS (SELECT src AS node FROM pedges UNION SELECT dst FROM pedges),
+pdeg AS (SELECT src, count(*) AS outdeg FROM pedges GROUP BY src),
+pn AS (SELECT count(*) AS n FROM pnodes),
+pr0 AS (SELECT node, 1000000000000 // (SELECT n FROM pn) AS r FROM pnodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+pr{i} AS (
+  SELECT v.node,
+         (15 * 1000000000000) // (100 * (SELECT n FROM pn))
+         + (85 * COALESCE(s.insum, 0)) // 100 AS r
+  FROM pnodes v LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // d.outdeg) AS insum
+    FROM pedges e JOIN pr{i - 1} p ON p.node = e.src
+    JOIN pdeg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = v.node
+)""")
+    parts.append(f"\nSELECT node, r AS rank_units FROM pr{iters}")
+    return "".join(parts)
+
+
+@_q("pagerank", _sql_pagerank(3))
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py) over a deterministic
+    synthetic link graph derived from doc_ids: every doc links to one of
+    10 hub pages and to its div-2 parent (a tree spine), every 3rd doc
+    links forward to doc_id+1 — one node past the corpus edge, which has
+    no outlinks and exercises the dangling-absorber path. 3 fixed
+    iterations; the oracle unrolls the identical integer arithmetic."""
+    from ocr_spark.operators.graph import pagerank
+
+    docs = D.load(spark, sf, "documents").select("doc_id")
+    e1 = docs.select(F.col("doc_id").alias("src"), (F.col("doc_id") % 10).alias("dst"))
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), F.expr("doc_id div 2").alias("dst")
+    )
+    e3 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    return pagerank(e1.unionByName(e2).unionByName(e3), n_iters=3)
+
+
 @_q(
     "dedup_substr",
     f"""

@@ -1,0 +1,68 @@
+"""Integer-exact PageRank: python-golden parity + structural properties."""
+
+from __future__ import annotations
+
+import random
+
+from ocr_spark.operators.graph import UNIT, pagerank
+
+
+def py_pagerank(edges, iters):
+    """Reference implementation of the exact integer formulation."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: UNIT // n for v in nodes}
+    base = (15 * UNIT) // (100 * n)
+    for _ in range(iters):
+        insum = {v: 0 for v in nodes}
+        for s, d in edges:
+            insum[d] += r[s] // outdeg[s]
+        r = {v: base + (85 * insum[v]) // 100 for v in nodes}
+    return r
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_pagerank_matches_golden_random_graph(spark):
+    rnd = random.Random(5)
+    edges = list({(rnd.randrange(40), rnd.randrange(40)) for _ in range(150)})
+    for iters in (1, 3):
+        want = py_pagerank(edges, iters)
+        got = {r["node"]: r["rank_units"]
+               for r in pagerank(_df(spark, edges), n_iters=iters).collect()}
+        assert got == want, iters
+
+
+def test_pagerank_star_hub_dominates(spark):
+    # 10 spokes all pointing at node 99 (the hub), hub points back at 0
+    edges = [(i, 99) for i in range(10)] + [(99, 0)]
+    got = {r["node"]: r["rank_units"]
+           for r in pagerank(_df(spark, edges), n_iters=3).collect()}
+    assert max(got, key=got.get) == 99
+    assert got == py_pagerank(edges, 3)
+
+
+def test_pagerank_dangling_node_absorbs(spark):
+    # node 2 has no outlinks: it receives rank but re-emits nothing
+    # (the simplified Spark-examples formulation — documented trade)
+    edges = [(0, 1), (1, 2), (0, 2)]
+    got = {r["node"]: r["rank_units"]
+           for r in pagerank(_df(spark, edges), n_iters=2).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got == py_pagerank(edges, 2)
+    # 0 gets no in-edges: floor of the base share exactly
+    assert got[0] == (15 * UNIT) // (100 * 3)
+
+
+def test_pagerank_mass_never_exceeds_unit(spark):
+    rnd = random.Random(9)
+    edges = list({(rnd.randrange(25), rnd.randrange(25)) for _ in range(80)})
+    got = pagerank(_df(spark, edges), n_iters=4).collect()
+    total = sum(r["rank_units"] for r in got)
+    assert 0 < total <= UNIT  # div truncation + dangling leak only lose mass

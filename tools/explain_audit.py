@@ -62,6 +62,7 @@ AUDIT = [
     "dedup_substr",
     "bloom_membership",
     "dedup_semantic",
+    "pagerank",
     # dedup_clusters is excluded: connected components EXECUTES its
     # distributed loop at plan-construction time, so "explaining" it runs
     # the job; its per-round plan is the audited join+agg shape.
