@@ -404,12 +404,12 @@ def main() -> None:
     ap.add_argument("--blocked-domains", default="",
                     help="comma-separated blocked URL domains (subdomains match); "
                          "empty = off")
-    ap.add_argument("--format", choices=("parquet", "jsonl", "csv", "warc"), default="parquet",
+    ap.add_argument("--format", choices=("parquet", "orc", "jsonl", "csv", "warc"), default="parquet",
                     help="input corpus format (jsonl/csv quarantine malformed records)")
     ap.add_argument("--decon-eval", default=None,
                     help="eval/benchmark corpus path; drops training docs sharing "
                          "any --decon-n-gram with it")
-    ap.add_argument("--decon-format", choices=("parquet", "jsonl", "csv"), default=None,
+    ap.add_argument("--decon-format", choices=("parquet", "orc", "jsonl", "csv"), default=None,
                     help="format of --decon-eval (default: same as --format)")
     ap.add_argument("--decon-n", type=int, default=5)
     ap.add_argument("--pack-seq-len", type=int, default=None,

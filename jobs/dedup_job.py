@@ -33,7 +33,7 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.8, help="minhash Jaccard threshold")
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")
-    ap.add_argument("--format", choices=("parquet", "jsonl", "csv", "warc"), default="parquet",
+    ap.add_argument("--format", choices=("parquet", "orc", "jsonl", "csv", "warc"), default="parquet",
                     help="input corpus format (jsonl/csv quarantine malformed records)")
     args = ap.parse_args()
 

@@ -1101,6 +1101,33 @@ def q_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "orc_roundtrip",
+    """
+SELECT doc_id, md5(coalesce(text, '')) AS payload_md5 FROM documents""",
+)
+def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC source round-trip: the corpus written as ORC (Spark-native
+    columnar, the job loaders accept it via --format orc) and read back
+    must carry text byte-exactly. Typed + self-describing like parquet —
+    no quarantine path; the oracle reads the source table directly."""
+    import os
+
+    docs = D.load(spark, sf, "documents").select("doc_id", "text")
+    tag = sf.rstrip("/").split("/")[-1]
+    path = os.path.join(
+        "/tmp", f"ocr_spark_orc_{tag}_{spark.sparkContext.applicationId}"
+    )
+    docs.write.mode("overwrite").orc(path)
+    from ocr_spark.sources.jsonl import load_documents
+
+    back = load_documents(spark, path, "orc")
+    return back.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("payload_md5"),
+    )
+
+
 _SPLIT_SPACE = 1 << 48
 _SPLIT_T1 = int(0.98 * _SPLIT_SPACE)
 _SPLIT_T2 = int(0.99 * _SPLIT_SPACE)

@@ -74,6 +74,10 @@ def load_documents(
     directly."""
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        # columnar like parquet (typed, self-describing, no quarantine
+        # path needed) — Spark-native reader, same lazy contract
+        return spark.read.orc(path)
     if fmt in ("jsonl", "csv"):
         reader = read_documents_jsonl if fmt == "jsonl" else read_documents_csv
         df = reader(spark, path)

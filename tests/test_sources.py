@@ -395,6 +395,20 @@ def test_csv_roundtrip_quoted_newlines(spark, tmp_path):
     assert bad.count() == 0
 
 
+def test_orc_roundtrip_via_loader(spark, tmp_path):
+    from ocr_spark.sources import jsonl as J
+
+    docs = spark.createDataFrame(
+        [(1, "unicode ё text\nwith newline"), (2, None), (3, "plain")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "orc")
+    docs.write.orc(path)
+    got = {r["doc_id"]: r["text"]
+           for r in J.load_documents(spark, path, "orc").collect()}
+    assert got == {1: "unicode ё text\nwith newline", 2: None, 3: "plain"}
+
+
 def test_jsonl_reads_gzip_transparently(spark, tmp_path):
     """Compressed corpora (.json.gz) read through the same source — the
     engine decompresses per file; the quarantine contract is unchanged."""
