@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_substr",
     "bloom_membership",
     "pagerank",
+    "hll_distinct",
     "pii_scrub",
     "upload_validate",
     "corpus_splits",

@@ -1062,3 +1062,76 @@ def bloom_probe(
     return hits.groupBy("doc_id").agg(
         (F.sum("hit") == n_hashes).alias("maybe_member")
     )
+
+
+# --- HyperLogLog cardinality (crawl-scale distinct counting) ------------------
+
+HLL_SCALE = 50  # 2^(SCALE - reg) register weights: exact int64, reg <= w+1
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    p: int = 10,
+    seed: str = "hll-v1",
+) -> DataFrame:
+    """HyperLogLog register table for a column: (bucket, reg), one row per
+    OCCUPIED register (Flajolet et al. 2007). At crawl scale the question
+    "how many distinct URLs / shingles / domains?" cannot afford an exact
+    distinct (a full shuffle of the key universe); HLL answers it with a
+    2^p-row sketch and ~1.04/sqrt(2^p) relative error.
+
+    Engine-neutral by construction: the hash is the shared seeded 48-bit
+    md5 (:func:`~ocr_spark.operators.textstats.seeded_hash48`), bucket =
+    top p bits, and rho = leading-zero rank of the remaining w = 48-p bits
+    computed via ``length(bin(rest))`` — a STRING length, identical in
+    Spark and DuckDB, with no log2() float that could round the wrong way
+    at power-of-two boundaries. Registers max-aggregate, so sketches are
+    MERGEABLE (union = max per bucket) across partitions, shards, or days
+    of crawl — the property that makes the sketch a checkpointable side
+    input. Plan: one narrow projection + one 2^p-key aggregation; nothing
+    else shuffles."""
+    w = 48 - p
+    from ocr_spark.operators.textstats import seeded_hash48
+
+    h = seeded_hash48(F.col(col), seed)
+    base = df.select(h.alias("__h")).select(
+        F.expr(f"__h div {1 << w}").alias("bucket"),
+        (F.col("__h") % (1 << w)).alias("rest"),
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - (F.length(F.bin(F.col("rest"))) - 1)
+    )
+    return base.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("reg")
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
+    """Fold a :func:`hll_registers` table to ONE row: (m, used_buckets,
+    s_units, estimate). The harmonic sum is kept EXACT: each register
+    contributes the integer 2^(HLL_SCALE - reg) (empty registers
+    contribute 2^HLL_SCALE), summed as int64 (<= 2^p * 2^50 < 2^63), and
+    only the final alpha_m * m^2 * 2^SCALE / S is floating — one
+    correctly-rounded division of identical operands in either engine, so
+    the estimate hash-matches bit-for-bit. The raw estimator only (no
+    linear-counting small-range correction — that needs ln(), whose libm
+    rounding differs across engines; ``used_buckets`` is returned so a
+    caller can apply corrections downstream if approximate is enough)."""
+    m = 1 << p
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("used_buckets"),
+        F.sum(F.expr(f"shiftleft(1L, cast({HLL_SCALE} - reg as int))")).alias("s_occ"),
+    )
+    s_units = F.coalesce(F.col("s_occ"), F.lit(0)) + (
+        F.lit(m) - F.coalesce(F.col("used_buckets"), F.lit(0))
+    ) * F.lit(1 << HLL_SCALE)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        F.coalesce(F.col("used_buckets"), F.lit(0)).cast("long").alias("used_buckets"),
+        s_units.cast("long").alias("s_units"),
+        F.round(
+            F.lit(alpha_m2) * F.lit(float(1 << HLL_SCALE)) / s_units.cast("double"), 3
+        ).alias("estimate"),
+    )

@@ -1534,6 +1534,46 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     return pagerank(e1.unionByName(e2).unionByName(e3), n_iters=3)
 
+@_q(
+    "hll_distinct",
+    f"""
+WITH hv AS (SELECT 'v' || (doc_id * 10 + t.u)::VARCHAR AS v
+            FROM documents CROSS JOIN (SELECT unnest(range(10)) AS u) t),
+hh AS (SELECT ('0x' || substr(md5('hll-v1:' || v), 1, 12))::BIGINT AS h FROM hv),
+bb AS (SELECT h // 274877906944 AS bucket, h % 274877906944 AS rest FROM hh),
+rr AS (SELECT bucket,
+              max(CASE WHEN rest = 0 THEN 39
+                       ELSE 38 - (length(bin(rest)) - 1) END) AS reg
+       FROM bb GROUP BY bucket),
+ag AS (SELECT count(*) AS used, sum(1::BIGINT << (50 - reg)) AS s_occ FROM rr)
+SELECT 1024::BIGINT AS m,
+       COALESCE(used, 0)::BIGINT AS used_buckets,
+       (COALESCE(s_occ, 0) + (1024 - COALESCE(used, 0)) * (1::BIGINT << 50))::BIGINT AS s_units,
+       round(755541.746198293::DOUBLE * 1125899906842624.0::DOUBLE
+             / ((COALESCE(s_occ, 0) + (1024 - COALESCE(used, 0)) * (1::BIGINT << 50))::DOUBLE),
+             3) AS estimate
+FROM ag""",
+)
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct count (crawl-scale cardinality): a facade of
+    10 distinct values per document (true cardinality = 10 × corpus size,
+    safely above the raw estimator's ~2.5·m small-range bias zone — below
+    it the published correction needs ln(), whose libm rounding is
+    engine-specific, so hll_estimate deliberately returns the raw
+    estimator plus used_buckets for downstream correction) is sketched
+    into 2^10 registers and folded — harmonic sum kept as EXACT int64
+    units, one final float division, so the estimate hash-matches the SQL
+    twin bit-for-bit."""
+    docs = D.load(spark, sf, "documents")
+    vals = docs.select(
+        F.col("doc_id"), F.explode(F.sequence(F.lit(0), F.lit(9))).alias("u")
+    ).select(
+        F.concat(F.lit("v"), (F.col("doc_id") * 10 + F.col("u")).cast("string")).alias("v")
+    )
+    regs = DD.hll_registers(vals, "v", p=10)
+    return DD.hll_estimate(regs, p=10)
+
+
 
 @_q(
     "dedup_substr",

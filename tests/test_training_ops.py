@@ -1134,3 +1134,20 @@ def test_bloom_filter_tiny_filter_saturates_not_lies(spark):
     out = {r["doc_id"]: r["maybe_member"]
            for r in D.bloom_probe(seen, "u", bloom, m_words=2).collect()}
     assert all(out.values())
+
+
+def test_hll_cardinality_accuracy_merge_and_dup_invariance(spark):
+    n = 5000
+    df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+    regs = D.hll_registers(df, "v", p=10)
+    est = D.hll_estimate(regs, p=10).collect()[0]
+    assert abs(est["estimate"] - n) / n < 0.1  # ~3.3% stderr at p=10
+    assert est["m"] == 1024
+    # mergeable: per-bucket max of two half-sketches == the full sketch
+    r1 = D.hll_registers(df.filter("id < 2500"), "v", p=10)
+    r2 = D.hll_registers(df.filter("id >= 2500"), "v", p=10)
+    merged = r1.unionByName(r2).groupBy("bucket").agg(F.max("reg").alias("reg"))
+    assert D.hll_estimate(merged, p=10).collect()[0] == est
+    # duplicate rows never move a register (cardinality, not count)
+    dup = D.hll_registers(df.unionByName(df), "v", p=10)
+    assert D.hll_estimate(dup, p=10).collect()[0] == est

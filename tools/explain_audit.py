@@ -63,6 +63,7 @@ AUDIT = [
     "bloom_membership",
     "dedup_semantic",
     "pagerank",
+    "hll_distinct",
     # dedup_clusters is excluded: connected components EXECUTES its
     # distributed loop at plan-construction time, so "explaining" it runs
     # the job; its per-round plan is the audited join+agg shape.
