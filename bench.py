@@ -59,6 +59,7 @@ HEADLINE = [
     "bloom_membership",
     "pagerank",
     "hll_distinct",
+    "cms_heavy_hitters",
     "pii_scrub",
     "upload_validate",
     "corpus_splits",

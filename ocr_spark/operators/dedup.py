@@ -1135,3 +1135,104 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
             F.lit(alpha_m2) * F.lit(float(1 << HLL_SCALE)) / s_units.cast("double"), 3
         ).alias("estimate"),
     )
+
+
+# --- Count-Min sketch (crawl-scale heavy hitters) ------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    w: int = 1024,
+    d: int = 4,
+    seed: str = "cms-v1",
+) -> DataFrame:
+    """Count-Min sketch of a key column (Cormode & Muthukrishnan 2005):
+    a d×w integer counter matrix as (row, cell, cnt) rows — the
+    memory-bounded answer to "how often does each boilerplate line /
+    domain / shingle occur?" when the key universe is too large to
+    groupBy exactly. Estimates overcount only (never undercount), with
+    error ≤ N·e/w at probability 1−e^−d.
+
+    Engine-neutral: row r hashes the key with the shared seeded 48-bit
+    md5 under seed '{seed}:{r}', cell = hash % w; counters are exact
+    int64 sums, so the sketch image — and every estimate read from it —
+    is reproducible bit-for-bit in SQL. Mergeable by cell-wise addition
+    (sum cnt on (row, cell)), the same side-input/checkpoint property as
+    the Bloom and HLL sketches. Plan: one narrow projection + one d·w-key
+    aggregation; the corpus never shuffles."""
+    rows = df.select(F.col(col).alias("__k")).select(
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"), "__k"
+    )
+    # per-row seed: '{seed}:{row}:' prefixes the key so the d hash
+    # functions are independent md5 streams (same 48-bit md5-prefix
+    # construction as seeded_hash48)
+    cell = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:"),
+                        F.col("row").cast("string"),
+                        F.lit(":"),
+                        F.col("__k").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+    return (
+        rows.select("row", cell.alias("cell"))
+        .groupBy("row", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    sketch: DataFrame,
+    col: str,
+    w: int = 1024,
+    d: int = 4,
+    seed: str = "cms-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Point-query a :func:`cms_build` sketch: (id, est) — the MIN over
+    the d row counters (absent cells read 0). The sketch is tiny (≤ d·w
+    rows) and joins BROADCAST, so the probe side never shuffles for the
+    lookup; the only shuffle is the d-way min per probe id."""
+    p = probes.select(F.col(id_col).alias("__id"), F.col(col).alias("__k")).select(
+        "__id",
+        "__k",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"),
+    )
+    cell = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:"),
+                        F.col("row").cast("string"),
+                        F.lit(":"),
+                        F.col("__k").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+    looked = p.select("__id", "row", cell.alias("cell")).join(
+        F.broadcast(sketch), ["row", "cell"], "left"
+    )
+    return looked.groupBy(F.col("__id").alias(id_col)).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+    )

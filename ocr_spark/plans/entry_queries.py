@@ -1574,6 +1574,50 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return DD.hll_estimate(regs, p=10)
 
 
+@_q(
+    "cms_heavy_hitters",
+    """
+WITH ck AS (
+  SELECT CASE WHEN doc_id % 5 = 0 THEN 'hot-footer'
+              ELSE 'k' || (doc_id % 37)::VARCHAR END AS k
+  FROM documents
+),
+crows AS (SELECT unnest(range(4)) AS row),
+ce AS (
+  SELECT row,
+         ('0x' || substr(md5('cms-v1:' || row || ':' || k), 1, 12))::BIGINT % 1024 AS cell
+  FROM ck CROSS JOIN crows
+),
+sk AS (SELECT row, cell, count(*) AS cnt FROM ce GROUP BY row, cell),
+pk AS (SELECT DISTINCT k FROM ck),
+pe AS (
+  SELECT k,
+         row,
+         ('0x' || substr(md5('cms-v1:' || row || ':' || k), 1, 12))::BIGINT % 1024 AS cell
+  FROM pk CROSS JOIN crows
+)
+SELECT pe.k AS key, min(COALESCE(sk.cnt, 0))::BIGINT AS est
+FROM pe LEFT JOIN sk USING (row, cell) GROUP BY pe.k""",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min heavy hitters: a facade key stream with one hot key
+    (every 5th doc emits 'hot-footer', the boilerplate-line shape) plus a
+    37-value tail is sketched into a 4x1024 integer counter matrix, then
+    every distinct key point-queries it (min over the 4 row counters).
+    Counters are exact int64 sums, so the sketch image and every estimate
+    hash-match the SQL twin; CMS overcounts only, and the driver corpus is
+    far below the collision bound, so the estimates here equal the true
+    counts."""
+    docs = D.load(spark, sf, "documents")
+    k = F.when(F.col("doc_id") % 5 == 0, F.lit("hot-footer")).otherwise(
+        F.concat(F.lit("k"), (F.col("doc_id") % 37).cast("string"))
+    )
+    keyed = docs.select(k.alias("k"))
+    sketch = DD.cms_build(keyed, "k", w=1024, d=4)
+    probes = keyed.distinct().select(F.col("k").alias("key"), "k")
+    return DD.cms_estimate(probes, sketch, "k", w=1024, d=4, id_col="key")
+
+
 
 @_q(
     "dedup_substr",

@@ -1151,3 +1151,39 @@ def test_hll_cardinality_accuracy_merge_and_dup_invariance(spark):
     # duplicate rows never move a register (cardinality, not count)
     dup = D.hll_registers(df.unionByName(df), "v", p=10)
     assert D.hll_estimate(dup, p=10).collect()[0] == est
+
+
+def test_cms_overcounts_only_and_merges(spark):
+    import collections
+
+    rows = [(i, f"k{i % 40}") for i in range(400)] + [(1000 + i, "hot") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, v string")
+    true = collections.Counter(v for _, v in rows)
+    sketch = D.cms_build(df, "v", w=256, d=4)
+    probes = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(sorted(true))], "doc_id long, v string"
+    )
+    got = {r["doc_id"]: r["est"] for r in
+           D.cms_estimate(probes, sketch, "v", w=256, d=4).collect()}
+    keys = sorted(true)
+    for i, k in enumerate(keys):
+        assert got[i] >= true[k], k            # never undercounts
+        assert got[i] <= true[k] + 600 // 256 * 4 + 40, k  # loose collision bound
+    # the heavy hitter reads (near-)exact: collisions only inflate it
+    hot_i = keys.index("hot")
+    assert got[hot_i] >= 200
+    # mergeable: cell-wise sum of two half-sketches == the full sketch
+    s1 = D.cms_build(df.filter("doc_id < 300"), "v", w=256, d=4)
+    s2 = D.cms_build(df.filter("doc_id >= 300"), "v", w=256, d=4)
+    merged = (s1.unionByName(s2).groupBy("row", "cell")
+              .agg(F.sum("cnt").cast("long").alias("cnt")))
+    got2 = {r["doc_id"]: r["est"] for r in
+            D.cms_estimate(probes, merged, "v", w=256, d=4).collect()}
+    assert got2 == got
+    # absent key: min over cells may collide but usually reads 0/small;
+    # at minimum it never errors and never goes negative
+    miss = D.cms_estimate(
+        spark.createDataFrame([(0, "never-seen-key")], "doc_id long, v string"),
+        sketch, "v", w=256, d=4,
+    ).collect()[0]["est"]
+    assert miss >= 0

@@ -64,6 +64,7 @@ AUDIT = [
     "dedup_semantic",
     "pagerank",
     "hll_distinct",
+    "cms_heavy_hitters",
     # dedup_clusters is excluded: connected components EXECUTES its
     # distributed loop at plan-construction time, so "explaining" it runs
     # the job; its per-round plan is the audited join+agg shape.
