@@ -1229,3 +1229,28 @@ def domain_flag(
         "n_blocked_domains": n.cast("long"),
         "blocked": n > 0,
     }
+
+
+def sample_per_group(
+    docs,
+    group_col: str,
+    k: int,
+    seed: str = "sample-v1",
+    id_col: str = "doc_id",
+):
+    """Deterministic k-per-group sample (the corpus-inspection primitive:
+    "show me 5 documents per language/domain/quality-tier"): rows rank by
+    the seeded doc hash inside their group and the k smallest win. No
+    RNG, no partition-order dependence — the same rows come back on every
+    run, every cluster size, and in the DuckDB twin, so samples are
+    citable in reports and stable across resumed jobs.
+
+    One window shuffle keyed on the group; ties (hash collisions) break
+    by id, so the selection is total. Returns the input columns plus
+    ``sample_rank`` (1..k)."""
+    h = seeded_hash48(F.col(id_col), seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

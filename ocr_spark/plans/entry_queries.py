@@ -1618,6 +1618,33 @@ def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     return DD.cms_estimate(probes, sketch, "k", w=1024, d=4, id_col="key")
 
 
+@_q(
+    "corpus_sample",
+    """
+WITH cs AS (
+  SELECT doc_id,
+         'g' || (doc_id % 7)::VARCHAR AS grp,
+         ('0x' || substr(md5('sample-v1:' || doc_id::VARCHAR), 1, 12))::BIGINT AS h
+  FROM documents
+),
+rk AS (
+  SELECT doc_id, grp,
+         row_number() OVER (PARTITION BY grp ORDER BY h ASC, doc_id ASC) AS sample_rank
+  FROM cs
+)
+SELECT doc_id, grp, sample_rank::BIGINT AS sample_rank FROM rk WHERE sample_rank <= 5""",
+)
+def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 5-per-group corpus sample over a 7-bucket facade —
+    the inspection primitive: the same documents come back on every run,
+    cluster size and engine (seeded-hash ranking, id tie-break), so
+    sampled examples are citable and diffable across pipeline versions."""
+    docs = D.load(spark, sf, "documents").select(
+        "doc_id", F.concat(F.lit("g"), (F.col("doc_id") % 7).cast("string")).alias("grp")
+    )
+    return TS.sample_per_group(docs, "grp", k=5)
+
+
 
 @_q(
     "dedup_substr",

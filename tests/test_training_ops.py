@@ -1187,3 +1187,19 @@ def test_cms_overcounts_only_and_merges(spark):
         sketch, "v", w=256, d=4,
     ).collect()[0]["est"]
     assert miss >= 0
+
+
+def test_sample_per_group_deterministic_and_total(spark):
+    docs = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(100)], "doc_id long, grp string"
+    )
+    a = TS.sample_per_group(docs, "grp", k=4).collect()
+    b = TS.sample_per_group(docs, "grp", k=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # stable across runs
+    by_g = {}
+    for r in a:
+        by_g.setdefault(r["grp"], []).append(r["sample_rank"])
+    assert all(sorted(v) == [1, 2, 3, 4] for v in by_g.values())
+    # k beyond the group size returns the whole group, ranked
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, grp string")
+    assert TS.sample_per_group(small, "grp", k=10).count() == 2
