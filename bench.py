@@ -60,6 +60,7 @@ HEADLINE = [
     "pagerank",
     "hll_distinct",
     "cms_heavy_hitters",
+    "events_asof",
     "pii_scrub",
     "upload_validate",
     "corpus_splits",

@@ -1645,6 +1645,38 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
     return TS.sample_per_group(docs, "grp", k=5)
 
 
+@_q(
+    "events_asof",
+    """
+WITH cl AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click') WHERE rn = 1
+),
+pu AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT pu.event_id, pu.user_id, pu.ts,
+       cl.ts AS ts_asof, cl.value AS value_asof
+FROM pu ASOF LEFT JOIN cl ON pu.user_id = cl.user_id AND pu.ts >= cl.ts""",
+)
+def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: every purchase event picks up the latest same-user
+    click at-or-before it (the attribution shape). The Spark side is the
+    union+window plan (operators/timeseries.py — one key shuffle, no pair
+    rows); the oracle is DuckDB's NATIVE ASOF LEFT JOIN, an independent
+    implementation of the semantics rather than a formulation twin."""
+    from ocr_spark.operators.timeseries import asof_join
+
+    ev = D.load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        purchases, clicks,
+        key_col="user_id", ts_col="ts", left_id_col="event_id",
+        value_cols=("value",), tie_col="event_id",
+    )
+
+
 
 @_q(
     "dedup_substr",

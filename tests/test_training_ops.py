@@ -1203,3 +1203,39 @@ def test_sample_per_group_deterministic_and_total(spark):
     # k beyond the group size returns the whole group, ranked
     small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, grp string")
     assert TS.sample_per_group(small, "grp", k=10).count() == 2
+
+
+def test_asof_join_golden_with_ties_and_missing(spark):
+    from datetime import datetime
+
+    from ocr_spark.operators.timeseries import asof_join
+
+    T = datetime
+    left = spark.createDataFrame(
+        [
+            (1, 10, T(2024, 1, 1, 0, 10)),   # after r at 0:05 → value 5.0
+            (2, 10, T(2024, 1, 1, 0, 5)),    # EQUAL ts to right → inclusive match
+            (3, 10, T(2024, 1, 1, 0, 1)),    # before any right → nulls
+            (4, 20, T(2024, 1, 1, 1, 0)),    # tie: two rights at 0:30 → max event_id wins
+            (5, 30, T(2024, 1, 1, 2, 0)),    # key with no right rows at all → nulls
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, T(2024, 1, 1, 0, 5), 5.0),
+            (101, 20, T(2024, 1, 1, 0, 30), 7.0),
+            (102, 20, T(2024, 1, 1, 0, 30), 9.0),  # same ts, higher id → wins
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {r["event_id"]: r for r in asof_join(
+        left, right, key_col="user_id", ts_col="ts", left_id_col="event_id",
+        value_cols=("value",), tie_col="event_id",
+    ).collect()}
+    assert len(got) == 5
+    assert got[1]["value_asof"] == 5.0 and got[1]["ts_asof"] == T(2024, 1, 1, 0, 5)
+    assert got[2]["value_asof"] == 5.0          # inclusive at equal ts
+    assert got[3]["value_asof"] is None and got[3]["ts_asof"] is None
+    assert got[4]["value_asof"] == 9.0          # deterministic tie-break
+    assert got[5]["value_asof"] is None
