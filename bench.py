@@ -61,6 +61,7 @@ HEADLINE = [
     "hll_distinct",
     "cms_heavy_hitters",
     "events_asof",
+    "search_topk",
     "pii_scrub",
     "upload_validate",
     "corpus_splits",

@@ -1254,3 +1254,44 @@ def sample_per_group(
         docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def search_topk(
+    docs,
+    terms: tuple[str, ...],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Boolean keyword retrieval with integer-only ranking: the corpus-
+    debugging primitive ("which documents talk about X?") as one explode +
+    one per-doc aggregation + a global top-k. Score = (#distinct query
+    terms present DESC, total query-term occurrences DESC, id ASC) — a
+    total order on exact integers, so the ranking is reproducible
+    everywhere; BM25-style idf/length weights need ln(), whose libm
+    rounding is engine-specific, and this operator deliberately stays on
+    the integer side of that line.
+
+    Plan shape: words explode narrow, the term filter (a broadcast-size
+    literal list) prunes before the shuffle, only matching (doc, term)
+    rows aggregate, and the global top-k is orderBy+limit — Spark executes
+    that as TakeOrdered (per-partition heaps + driver merge of k rows),
+    never a single-reducer full sort. Returns (rank, id, n_matched,
+    tf_sum) for docs matching at least one term."""
+    qt = [t.lower() for t in terms]
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words_of(F.col(text_col))).alias("w")
+    ).filter(F.col("w").isin(qt))
+    scored = tok.groupBy("doc_id").agg(
+        F.count_distinct("w").cast("long").alias("n_matched"),
+        F.count(F.lit(1)).cast("long").alias("tf_sum"),
+    )
+    top = scored.orderBy(
+        F.col("n_matched").desc(), F.col("tf_sum").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    w = Window.orderBy(
+        F.col("n_matched").desc(), F.col("tf_sum").desc(), F.col("doc_id").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", F.col("doc_id").alias(id_col), "n_matched", "tf_sum"
+    )

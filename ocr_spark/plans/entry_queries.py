@@ -1677,6 +1677,29 @@ def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "search_topk",
+    f"""
+WITH tw AS (SELECT doc_id, unnest({_words_lower('text')}) AS w FROM documents),
+mt AS (SELECT doc_id, w FROM tw WHERE w IN ('spark', 'shuffle', 'vector')),
+sc AS (SELECT doc_id, count(DISTINCT w) AS n_matched, count(*) AS tf_sum
+       FROM mt GROUP BY doc_id),
+tk AS (SELECT doc_id, n_matched, tf_sum,
+              row_number() OVER (ORDER BY n_matched DESC, tf_sum DESC, doc_id ASC) AS rank
+       FROM sc)
+SELECT rank::BIGINT AS rank, doc_id, n_matched::BIGINT AS n_matched,
+       tf_sum::BIGINT AS tf_sum
+FROM tk WHERE rank <= 20""",
+)
+def q_search_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Boolean keyword retrieval: top-20 documents for the query
+    {{spark, shuffle, vector}} ranked by (#terms matched, total term
+    occurrences, id) — exact integers only, executed as a TakeOrdered
+    top-k, never a full global sort."""
+    docs = D.load(spark, sf, "documents")
+    return TS.search_topk(docs, ("spark", "shuffle", "vector"), k=20)
+
+
 
 @_q(
     "dedup_substr",

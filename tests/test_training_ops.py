@@ -1239,3 +1239,19 @@ def test_asof_join_golden_with_ties_and_missing(spark):
     assert got[3]["value_asof"] is None and got[3]["ts_asof"] is None
     assert got[4]["value_asof"] == 9.0          # deterministic tie-break
     assert got[5]["value_asof"] is None
+
+
+def test_search_topk_ranking_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),           # 1 term, tf 3
+            (2, "spark shuffle"),               # 2 terms, tf 2 → outranks 1
+            (3, "spark shuffle vector vector"), # 3 terms, tf 4 → rank 1
+            (4, "nothing relevant here"),       # excluded
+            (5, "spark spark spark"),           # ties doc 1 → id breaks
+        ],
+        "doc_id long, text string",
+    )
+    got = TS.search_topk(docs, ("spark", "shuffle", "vector"), k=10).collect()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [(1, 3), (2, 2), (3, 1), (4, 5)]
+    assert got[0]["n_matched"] == 3 and got[0]["tf_sum"] == 4

@@ -66,6 +66,7 @@ AUDIT = [
     "hll_distinct",
     "cms_heavy_hitters",
     "events_asof",
+    "search_topk",
     # dedup_clusters is excluded: connected components EXECUTES its
     # distributed loop at plan-construction time, so "explaining" it runs
     # the job; its per-round plan is the audited join+agg shape.
