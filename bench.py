@@ -62,6 +62,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "events_asof",
     "search_topk",
+    "events_range_join",
     "pii_scrub",
     "upload_validate",
     "corpus_splits",

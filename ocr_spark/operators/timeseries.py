@@ -97,3 +97,51 @@ def asof_join(
         F.col("__c.rts").alias(f"{ts_col}{suffix}"),
         *[F.col(f"__c.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    value_cols: tuple[str, ...] = (),
+    bucket: int = 1800,
+) -> DataFrame:
+    """Point-in-interval join (``start <= ts <= end`` within a key group)
+    without the nested-loop theta join Spark would otherwise plan: both
+    sides bucketize time (integer ``div`` on LONG columns — callers
+    convert timestamps with ``wall_epoch_seconds`` first, keeping the
+    whole operator in the engine-neutral integer domain), intervals
+    replicate to every bucket they overlap, and the join is a plain
+    equi-join on (key, bucket) with the exact range predicate as a
+    post-filter. A point lives in exactly ONE bucket, so no dedup pass is
+    needed. Replication factor = interval_len/bucket + 1 — pick ``bucket``
+    near the median interval length (the standard bucketed-range-join
+    tuning; Databricks ships the same idea as a join hint).
+
+    Returns every point column plus the matched interval's
+    ``value_cols``; points matching no interval are dropped (inner)."""
+    p = points.withColumn("__b", F.expr(f"{ts_col} div {bucket}"))
+    i = intervals.select(
+        F.col(key_col).alias("__ik"),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+        *[F.col(c) for c in value_cols],
+    ).withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.expr(f"__s div {bucket}"), F.expr(f"__e div {bucket}")
+            )
+        ),
+    )
+    j = p.join(
+        i,
+        (p[key_col] == i["__ik"])
+        & (p["__b"] == i["__b"])
+        & (p[ts_col] >= i["__s"])
+        & (p[ts_col] <= i["__e"]),
+    )
+    return j.select(*[points[c] for c in points.columns], *[F.col(c) for c in value_cols])

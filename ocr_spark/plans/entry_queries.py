@@ -1700,6 +1700,63 @@ def q_search_topk(spark: SparkSession, sf: str) -> DataFrame:
     return TS.search_topk(docs, ("spark", "shuffle", "vector"), k=20)
 
 
+@_q(
+    "events_range_join",
+    """
+WITH se AS (
+  SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS sec FROM events
+),
+sb AS (
+  SELECT user_id, event_id, ts, sec,
+         CASE WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+  FROM se WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sg AS (
+  SELECT user_id, event_id, sec,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM sb
+),
+sess AS (
+  SELECT user_id, min(sec) AS s, max(sec) AS e, count(*)::BIGINT AS n_events
+  FROM sg GROUP BY user_id, sess_id
+)
+SELECT p.event_id, p.user_id, p.sec,
+       sess.s AS session_start_epoch, sess.n_events AS session_n_events
+FROM (SELECT user_id, event_id, sec FROM se) p
+JOIN sess ON p.user_id = sess.user_id AND p.sec BETWEEN sess.s AND sess.e""",
+)
+def q_events_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join: every event rejoined to its session interval (the
+    point-in-interval shape) via the bucketized equi-join plan — never a
+    BroadcastNestedLoopJoin. Sessions come from the batch sessionizer, so
+    each event matches exactly one interval and the output is one row per
+    event; the oracle is the plain SQL BETWEEN theta join over the same
+    session CTEs."""
+    from ocr_spark.operators.timeseries import range_join
+    from ocr_spark.streaming.events import sessionize_batch, wall_epoch_seconds
+
+    ev = D.load(spark, sf, "events")
+    points = ev.select(
+        "event_id", "user_id", wall_epoch_seconds(F.col("ts")).alias("sec")
+    )
+    sess = sessionize_batch(ev, gap_seconds=1800).select(
+        "user_id",
+        wall_epoch_seconds(F.col("session_start")).alias("s"),
+        wall_epoch_seconds(F.col("session_end")).alias("e"),
+        F.col("n_events").cast("long").alias("session_n_events"),
+    )
+    out = range_join(
+        points, sess, key_col="user_id", ts_col="sec",
+        start_col="s", end_col="e",
+        value_cols=("s", "session_n_events"), bucket=1800,
+    )
+    return out.select(
+        "event_id", "user_id", "sec",
+        F.col("s").alias("session_start_epoch"), "session_n_events",
+    )
+
+
 
 @_q(
     "dedup_substr",

@@ -1255,3 +1255,31 @@ def test_search_topk_ranking_order(spark):
     got = TS.search_topk(docs, ("spark", "shuffle", "vector"), k=10).collect()
     assert [(r["rank"], r["doc_id"]) for r in got] == [(1, 3), (2, 2), (3, 1), (4, 5)]
     assert got[0]["n_matched"] == 3 and got[0]["tf_sum"] == 4
+
+
+def test_range_join_buckets_and_boundaries(spark):
+    from ocr_spark.operators.timeseries import range_join
+
+    points = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 1800), (3, 10, 1801), (4, 10, 5000), (5, 20, 100)],
+        "event_id long, user_id long, sec long",
+    )
+    # interval [100, 1800] spans two 1800s buckets; [4000, 4500] misses p4
+    intervals = spark.createDataFrame(
+        [(10, 100, 1800, "a"), (10, 4000, 4500, "b"), (20, 0, 99, "c")],
+        "user_id long, s long, e long, tag string",
+    )
+    got = {r["event_id"]: r["tag"] for r in range_join(
+        points, intervals, key_col="user_id", ts_col="sec",
+        start_col="s", end_col="e", value_cols=("tag",), bucket=1800,
+    ).collect()}
+    # inclusive at both ends; out-of-range and wrong-key points drop
+    assert got == {1: "a", 2: "a"}
+    # a long interval replicated across MANY buckets still matches each
+    # point exactly once (a point owns one bucket)
+    wide = spark.createDataFrame([(10, 0, 100000, "w")],
+                                 "user_id long, s long, e long, tag string")
+    rows = range_join(points.filter("user_id = 10"), wide,
+                      key_col="user_id", ts_col="sec", start_col="s",
+                      end_col="e", value_cols=("tag",), bucket=100).collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3, 4]

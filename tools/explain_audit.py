@@ -67,6 +67,7 @@ AUDIT = [
     "cms_heavy_hitters",
     "events_asof",
     "search_topk",
+    "events_range_join",
     # dedup_clusters is excluded: connected components EXECUTES its
     # distributed loop at plan-construction time, so "explaining" it runs
     # the job; its per-round plan is the audited join+agg shape.
