@@ -63,12 +63,14 @@ HEADLINE = [
     "events_asof",
     "search_topk",
     "events_range_join",
+    "length_quantiles",
     "pii_scrub",
     "upload_validate",
     "corpus_splits",
     "decontaminate",
     "pack_sequences",
     "jsonl_roundtrip",
+    "orc_roundtrip",
     "warc_html_extract",
     "events_windowed",
     "sessionize",

@@ -1295,3 +1295,40 @@ def search_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", F.col("doc_id").alias(id_col), "n_matched", "tf_sum"
     )
+
+
+def length_quantiles(
+    docs,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    text_col: str = "text",
+):
+    """Deterministic corpus length percentiles (the report line every
+    curation run prints: p50/p90/p99 document length) via an EXACT
+    rank-statistic read: one count aggregation per distinct length (far
+    fewer rows than docs), a cumulative window over the sorted lengths,
+    and for each q the smallest length whose cumulative count reaches
+    ceil(q·N) — the classic "lower" quantile definition, all integers.
+    No approx_percentile (engine-private sketch, not reproducible) and no
+    interpolation (float division). Scale: the shuffle carries one row
+    per DISTINCT length — bounded by the length domain, not the corpus.
+
+    Returns one row per q: (q, n_chars) sorted by q."""
+    n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    counts = docs.select(n_chars.alias("len")).groupBy("len").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy())
+    )
+    picks = [
+        cum.filter(F.col("cum") >= F.ceil(F.lit(q) * F.col("total")))
+        .orderBy("len")
+        .limit(1)
+        .select(F.lit(q).alias("q"), F.col("len").cast("long").alias("n_chars"))
+        for q in qs
+    ]
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

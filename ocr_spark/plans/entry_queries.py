@@ -1757,6 +1757,30 @@ def q_events_range_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "length_quantiles",
+    """
+WITH lc AS (SELECT length(coalesce(text, '')) AS len FROM documents),
+cc AS (SELECT len, count(*) AS cnt FROM lc GROUP BY len),
+cw AS (SELECT len,
+              sum(cnt) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(cnt) OVER () AS total
+       FROM cc)
+SELECT 0.5::DOUBLE AS q, min(len)::BIGINT AS n_chars FROM cw WHERE cum >= ceil(0.5::DOUBLE * total)
+UNION ALL
+SELECT 0.9::DOUBLE AS q, min(len)::BIGINT AS n_chars FROM cw WHERE cum >= ceil(0.9::DOUBLE * total)
+UNION ALL
+SELECT 0.99::DOUBLE AS q, min(len)::BIGINT AS n_chars FROM cw WHERE cum >= ceil(0.99::DOUBLE * total)""",
+)
+def q_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact corpus length percentiles (p50/p90/p99 document length — the
+    curation report line) via rank statistics over per-distinct-length
+    counts: all integers, no approx_percentile sketch (engine-private,
+    irreproducible) and no interpolation."""
+    docs = D.load(spark, sf, "documents")
+    return TS.length_quantiles(docs, qs=(0.5, 0.9, 0.99))
+
+
 
 @_q(
     "dedup_substr",

@@ -1283,3 +1283,16 @@ def test_range_join_buckets_and_boundaries(spark):
                       key_col="user_id", ts_col="sec", start_col="s",
                       end_col="e", value_cols=("tag",), bucket=100).collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2, 3, 4]
+
+
+def test_length_quantiles_exact_rank_semantics(spark):
+    # lengths: 1..10 (one each) → p50 = 5 (ceil(0.5*10)=5th), p90 = 9, p99 = 10
+    docs = spark.createDataFrame(
+        [(i, "x" * i) for i in range(1, 11)], "doc_id long, text string"
+    )
+    got = {r["q"]: r["n_chars"] for r in TS.length_quantiles(docs).collect()}
+    assert got == {0.5: 5, 0.9: 9, 0.99: 10}
+    # null text counts as length 0
+    with_null = docs.union(spark.createDataFrame([(11, None)], "doc_id long, text string"))
+    got2 = {r["q"]: r["n_chars"] for r in TS.length_quantiles(with_null).collect()}
+    assert got2[0.5] == 5  # ceil(0.5*11)=6th of [0,1..10] = 5
