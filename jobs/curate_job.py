@@ -49,6 +49,10 @@ one global decision, so rejected docs never pay the later stages twice):
                           survivors: concat-and-chunk layout (doc →
                           training-sequence spans) written to _packed,
                           materialize-once so a resumed job reuses it
+  7. corpus report      — (--report) one-row statistics artifact over the
+                          committed survivors (doc/token totals, exact
+                          length quantiles, small-range-corrected HLL
+                          distinct-content estimate) written to _report
 
     python tools/make_package.py
     spark-submit --master local[32] --py-files dist/ocr_spark.zip \\
@@ -159,6 +163,7 @@ def run_curate(
     cls_min_score: float | None = None,
     gopher_overrides: dict | None = None,
     substr_k: int | None = None,
+    report: bool = False,
 ) -> dict:
     import os
 
@@ -340,6 +345,45 @@ def run_curate(
         },
     )
 
+    if report:
+        # post-pass over the committed survivors, like mix/pack: one row of
+        # corpus statistics a data team reads before training. Composes the
+        # engine's sketch/report primitives — exact length quantiles (rank
+        # statistics, no approx_percentile) and an HLL estimate of DISTINCT
+        # text payloads (content diversity after all the dedup stages) —
+        # and pins the result with materialize_once so a resumed job
+        # reports the bytes it actually committed.
+        from ocr_spark.operators.dedup import hll_estimate, hll_registers
+        from ocr_spark.operators.textstats import length_quantiles, token_count_ws
+
+        kept = spark.read.parquet(os.path.join(output_dir, "bucket=*"))
+        totals = kept.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(token_count_ws(F.col("text")).cast("long")).cast("long").alias("n_tokens"),
+        )
+        lq = length_quantiles(kept).agg(
+            *[
+                F.max(F.when(F.col("q") == q, F.col("n_chars")))
+                .cast("long")
+                .alias(f"p{int(q * 100)}_chars")
+                for q in (0.5, 0.9, 0.99)
+            ]
+        )
+        distinct_est = hll_estimate(
+            hll_registers(
+                kept.select(F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("v")), "v"
+            ),
+            small_range_correct=True,  # reports need the linear-counting fix
+        ).select(F.col("estimate").alias("distinct_text_est"))
+        rep = materialize_once(
+            spark,
+            totals.crossJoin(lq).crossJoin(distinct_est),
+            os.path.join(output_dir, "_report"),
+            meta={"stage": "report", "input": input_path, "fix_text": do_fix_text},
+        )
+        summary = dict(summary)
+        summary["report"] = {k: v for k, v in rep.first().asDict().items()}
+
     mixed_kept = None
     if mix_cap:
         # mixing is a post-pass like packing: the per-language counts are
@@ -433,6 +477,10 @@ def main() -> None:
                     help="exact repeated-substring removal: delete every "
                          "N-token window repeated anywhere in the corpus "
                          "except its canonical occurrence")
+    ap.add_argument("--report", action="store_true",
+                    help="write a one-row corpus statistics report to "
+                         "_report (doc/token totals, exact length "
+                         "quantiles, HLL distinct-content estimate)")
     ap.add_argument("--gopher", default=None,
                     help="JSON dict of gopher_quality threshold overrides, "
                          "e.g. '{\"min_words\": 20}' (published defaults "
@@ -467,6 +515,7 @@ def main() -> None:
         cls_min_score=args.cls_min_score,
         gopher_overrides=json.loads(args.gopher) if args.gopher else None,
         substr_k=args.substr_k,
+        report=args.report,
     )
     print(json.dumps(summary))
 

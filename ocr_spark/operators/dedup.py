@@ -1107,17 +1107,26 @@ def hll_registers(
     )
 
 
-def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame, p: int = 10, small_range_correct: bool = False
+) -> DataFrame:
     """Fold a :func:`hll_registers` table to ONE row: (m, used_buckets,
     s_units, estimate). The harmonic sum is kept EXACT: each register
     contributes the integer 2^(HLL_SCALE - reg) (empty registers
     contribute 2^HLL_SCALE), summed as int64 (<= 2^p * 2^50 < 2^63), and
     only the final alpha_m * m^2 * 2^SCALE / S is floating — one
     correctly-rounded division of identical operands in either engine, so
-    the estimate hash-matches bit-for-bit. The raw estimator only (no
-    linear-counting small-range correction — that needs ln(), whose libm
-    rounding differs across engines; ``used_buckets`` is returned so a
-    caller can apply corrections downstream if approximate is enough)."""
+    the estimate hash-matches bit-for-bit.
+
+    By default the RAW estimator only: the published small-range
+    correction (Flajolet linear counting, m·ln(m/V) when the raw estimate
+    falls below 2.5m) needs ln(), whose libm rounding differs across
+    engines — ``used_buckets`` is returned so callers can correct
+    downstream. ``small_range_correct=True`` applies it in-engine for
+    REPORTING consumers (the curate job's _report) where cross-engine
+    hash parity is not required; raw HLL overestimates badly below
+    n ≈ 2.5m (measured 759 for a true 45 at p=10), so reports must
+    correct."""
     m = 1 << p
     alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
     agg = registers.agg(
@@ -1127,13 +1136,19 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
     s_units = F.coalesce(F.col("s_occ"), F.lit(0)) + (
         F.lit(m) - F.coalesce(F.col("used_buckets"), F.lit(0))
     ) * F.lit(1 << HLL_SCALE)
+    raw = F.lit(alpha_m2) * F.lit(float(1 << HLL_SCALE)) / s_units.cast("double")
+    est = raw
+    if small_range_correct:
+        used = F.coalesce(F.col("used_buckets"), F.lit(0))
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (used < m),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - used).cast("double")),
+        ).otherwise(raw)
     return agg.select(
         F.lit(m).cast("long").alias("m"),
         F.coalesce(F.col("used_buckets"), F.lit(0)).cast("long").alias("used_buckets"),
         s_units.cast("long").alias("s_units"),
-        F.round(
-            F.lit(alpha_m2) * F.lit(float(1 << HLL_SCALE)) / s_units.cast("double"), 3
-        ).alias("estimate"),
+        F.round(est, 3).alias("estimate"),
     )
 
 

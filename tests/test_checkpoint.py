@@ -746,3 +746,26 @@ def test_curate_job_substr_marks_align_after_line_dedup(spark, tmp_path):
     assert texts[2] == tail2
     assert "alpha beta gamma delta" in texts[1]  # canonical occurrence kept
     assert "header line one" in texts[1]         # canonical line kept
+
+
+def test_curate_job_report(spark, tmp_path):
+    """--report composes the sketch/report primitives over the COMMITTED
+    survivors: totals, exact length quantiles, HLL distinct-content
+    estimate — one materialize_once-pinned row."""
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    inp = str(tmp_path / "in_rp.parquet")
+    docs.write.parquet(inp)
+    out = tmp_path / "cur_rp"
+    summary = run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+                         num_buckets=4, report=True)
+    rep = summary["report"]
+    assert (out / "_report" / "_SUCCESS").exists()
+    kept = spark.read.parquet(str(out / "bucket=*"))
+    n = kept.count()
+    assert rep["n_docs"] == n and n > 0
+    assert 0 < rep["p50_chars"] <= rep["p90_chars"] <= rep["p99_chars"]
+    assert rep["n_tokens"] > rep["n_docs"]  # docs have many words
+    # every kept text is unique post-dedup → the HLL estimate sits near n
+    assert abs(rep["distinct_text_est"] - n) / n < 0.2

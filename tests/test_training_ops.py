@@ -1296,3 +1296,14 @@ def test_length_quantiles_exact_rank_semantics(spark):
     with_null = docs.union(spark.createDataFrame([(11, None)], "doc_id long, text string"))
     got2 = {r["q"]: r["n_chars"] for r in TS.length_quantiles(with_null).collect()}
     assert got2[0.5] == 5  # ceil(0.5*11)=6th of [0,1..10] = 5
+
+
+def test_hll_small_range_correction(spark):
+    # raw HLL overestimates badly below ~2.5m; linear counting fixes it
+    n = 45
+    df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+    regs = D.hll_registers(df, "v", p=10)
+    raw = D.hll_estimate(regs, p=10).collect()[0]["estimate"]
+    fixed = D.hll_estimate(regs, p=10, small_range_correct=True).collect()[0]["estimate"]
+    assert raw > 10 * n            # the documented bias zone
+    assert abs(fixed - n) / n < 0.15
