@@ -812,7 +812,14 @@ def semdedup(
     def pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = np.asarray(pdf["id"].tolist(), dtype=np.int64)
         cc = np.asarray(pdf["cent_cos"].tolist(), dtype=np.float64)
-        m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]]) * scale
+        # null embeddings land in cell 0 with cent_cos 0 (assign pass) and
+        # must behave as zero vectors here too (cosine 0 to everything,
+        # matching the oracle's NULL-dot → 0.0), not crash the stack
+        dim = next((len(x) for x in pdf["v"] if x is not None), 1)
+        m = np.stack(
+            [np.zeros(dim) if x is None else np.asarray(x, dtype=np.float64)
+             for x in pdf["v"]]
+        ) * scale
         q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5))
         norms = np.sqrt((q * q).sum(axis=1))
         cols = {"a_id": [], "b_id": [], "a_cent": [], "b_cent": [], "cosine": []}

@@ -1307,3 +1307,12 @@ def test_hll_small_range_correction(spark):
     fixed = D.hll_estimate(regs, p=10, small_range_correct=True).collect()[0]["estimate"]
     assert raw > 10 * n            # the documented bias zone
     assert abs(fixed - n) / n < 0.15
+
+
+def test_semdedup_null_embedding_is_inert(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in D.semdedup(df, threshold=0.9, n_cells=2).collect()}
+    assert len(got) == 4
+    assert got[3]["cell"] == 0 and got[3]["cent_cos"] == 0.0 and got[3]["kept"]
+    assert not got[2]["kept"]  # the real dup pair still resolves
