@@ -1316,3 +1316,63 @@ def test_semdedup_null_embedding_is_inert(spark):
     assert len(got) == 4
     assert got[3]["cell"] == 0 and got[3]["cent_cos"] == 0.0 and got[3]["kept"]
     assert not got[2]["kept"]  # the real dup pair still resolves
+
+
+def test_asof_join_random_matches_python_golden(spark):
+    import random
+
+    from ocr_spark.operators.timeseries import asof_join
+
+    rnd = random.Random(42)
+    lefts = [(i, rnd.randrange(5), rnd.randrange(0, 10_000)) for i in range(300)]
+    rights = [(1000 + i, rnd.randrange(5), rnd.randrange(0, 10_000), float(i))
+              for i in range(150)]
+    l_df = spark.createDataFrame(lefts, "event_id long, user_id long, ts long")
+    r_df = spark.createDataFrame(rights, "event_id long, user_id long, ts long, value double")
+    got = {r["event_id"]: (r["ts_asof"], r["value_asof"]) for r in asof_join(
+        l_df, r_df, key_col="user_id", ts_col="ts", left_id_col="event_id",
+        value_cols=("value",), tie_col="event_id",
+    ).collect()}
+    # python golden: per (key, ts) keep max-id right row, then latest <= ts
+    best = {}
+    for rid, k, ts, v in rights:
+        cur = best.get((k, ts))
+        if cur is None or rid > cur[0]:
+            best[(k, ts)] = (rid, v)
+    by_key = {}
+    for (k, ts), (rid, v) in best.items():
+        by_key.setdefault(k, []).append((ts, v))
+    for k in by_key:
+        by_key[k].sort()
+    for lid, k, ts in lefts:
+        cand = [(rt, v) for rt, v in by_key.get(k, []) if rt <= ts]
+        want = max(cand) if cand else (None, None)
+        assert got[lid] == want, (lid, k, ts)
+
+
+def test_range_join_random_matches_python_golden(spark):
+    import random
+
+    from ocr_spark.operators.timeseries import range_join
+
+    rnd = random.Random(7)
+    points = [(i, rnd.randrange(4), rnd.randrange(0, 5000)) for i in range(200)]
+    ivals = []
+    for i in range(60):
+        s = rnd.randrange(0, 5000)
+        ivals.append((rnd.randrange(4), s, s + rnd.randrange(0, 800), f"t{i}"))
+    p_df = spark.createDataFrame(points, "event_id long, user_id long, sec long")
+    i_df = spark.createDataFrame(ivals, "user_id long, s long, e long, tag string")
+    got = sorted(
+        (r["event_id"], r["tag"]) for r in range_join(
+            p_df, i_df, key_col="user_id", ts_col="sec",
+            start_col="s", end_col="e", value_cols=("tag",), bucket=300,
+        ).collect()
+    )
+    want = sorted(
+        (pid, tag)
+        for pid, pk, ts in points
+        for ik, s, e, tag in ivals
+        if pk == ik and s <= ts <= e
+    )
+    assert got == want
