@@ -670,7 +670,13 @@ def dedup_embedding_cosine(
         pi, pj = divmod(int(pk), nb)
         ids = np.asarray(pdf["id"].tolist(), dtype=np.int64)
         blocks = np.asarray(pdf["b"].tolist(), dtype=np.int64)
-        m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]]) * scale
+        # null embeddings behave as zero vectors (cosine 0 → never a pair),
+        # matching the all-pairs oracle's NULL-dot → 0.0 arithmetic
+        dim = next((len(x) for x in pdf["v"] if x is not None), 1)
+        m = np.stack(
+            [np.zeros(dim) if x is None else np.asarray(x, dtype=np.float64)
+             for x in pdf["v"]]
+        ) * scale
         q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5))
         norms = np.sqrt((q * q).sum(axis=1))
         if pi == pj:

@@ -140,8 +140,20 @@ def topk_bruteforce(
                 nids = np.asarray([r["nid"] for r in cs], dtype=np.int64)
                 qids = np.asarray([r["qid"] for r in qs], dtype=np.int64)
 
+                # null vectors → zero rows (cosine 0, oracle-consistent);
+                # ONE width for both matrices or the GEMM shapes diverge
+                # when a block holds only null vectors
+                dim = next(
+                    (len(r[k]) for rows, k in ((cs, "cv"), (qs, "qv"))
+                     for r in rows if r[k] is not None),
+                    1,
+                )
+
                 def quant(rows, key):
-                    m = np.stack([np.asarray(r[key], dtype=np.float64) for r in rows]) * scale
+                    m = np.stack(
+                        [np.zeros(dim) if r[key] is None
+                         else np.asarray(r[key], dtype=np.float64) for r in rows]
+                    ) * scale
                     return np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5))
 
                 qc = quant(cs, "cv")

@@ -1376,3 +1376,18 @@ def test_range_join_random_matches_python_golden(spark):
         if pk == ik and s <= ts <= e
     )
     assert got == want
+
+
+def test_embedding_gemm_kernels_tolerate_null_vectors(spark):
+    rows = [(0, [1.0, 0.0]), (1, None), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["a_id"], r["b_id"]) for r in
+             D.dedup_embedding_cosine(df, threshold=0.9, num_blocks=2).collect()}
+    assert pairs == {(0, 2)}  # the null row never pairs, never crashes
+    queries = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.topk_bruteforce(df, queries, k=3).collect()
+    assert {r["neighbor_id"] for r in out} == {1, 2, 3}
+    by_n = {r["neighbor_id"]: r["cosine"] for r in out}
+    assert by_n[2] == 1.0 and by_n[1] == 0.0  # null reads as zero vector
