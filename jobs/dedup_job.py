@@ -17,6 +17,17 @@ Modes:
 Resumable exactly like extract_job: hash-bucketed writes with a commit
 manifest (ocr_spark.plans.checkpoint); re-run the same command after a
 kill to process only uncommitted buckets.
+
+Incremental drops: every run writes `_index` — the minhash index of its
+kept corpus. The NEXT crawl drop passes it back with `--against`:
+
+    spark-submit ... jobs/dedup_job.py --input drop2.parquet \
+        --output /tmp/drop2 --mode minhash-cc --against /tmp/drop1/_index
+
+and dedups the new drop within itself AND against everything previously
+committed — without re-reading a byte of old corpus text (equal, by
+pinned test, to a full re-dedup with old docs winning every tie). The
+run's own `_index` then contains old ∪ new-kept, so drops chain.
 """
 
 from __future__ import annotations
@@ -35,11 +46,16 @@ def main() -> None:
     ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")
     ap.add_argument("--format", choices=("parquet", "orc", "jsonl", "csv", "warc"), default="parquet",
                     help="input corpus format (jsonl/csv quarantine malformed records)")
+    ap.add_argument("--against", default=None,
+                    help="path to a previous run's _index: dedup this drop "
+                         "against the already-committed corpus (old docs "
+                         "always win) without re-reading its text")
     args = ap.parse_args()
 
     import os
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from ocr_spark.operators.dedup import corpus_dedup_losers
     from ocr_spark.plans.checkpoint import materialize_once, run_checkpointed
@@ -61,14 +77,35 @@ def main() -> None:
     # per-bucket transform would re-execute the whole LSH pipeline once per
     # bucket (~16× at --buckets 16); the parquet read-back also pins the
     # resume contract to the originally committed loser set.
-    losers = materialize_once(
-        spark,
-        corpus_dedup_losers(docs, mode=args.mode, threshold=args.threshold),
-        os.path.join(args.output, "_losers"),
-        meta={"mode": args.mode, "threshold": args.threshold, "input": args.input},
+    from ocr_spark.operators.dedup import (
+        dedup_losers_incremental,
+        minhash_index,
+        release_feature_caches,
     )
-    from ocr_spark.operators.dedup import release_feature_caches
 
+    if args.against:
+        old_index = spark.read.parquet(args.against)
+        new_index = materialize_once(
+            spark, minhash_index(docs), os.path.join(args.output, "_new_index"),
+            meta={"stage": "new_index", "input": args.input},
+        )
+        release_feature_caches()
+        losers = materialize_once(
+            spark,
+            dedup_losers_incremental(
+                new_index, old_index, mode=args.mode, threshold=args.threshold
+            ).select(F.col("id").alias("doc_id")),
+            os.path.join(args.output, "_losers"),
+            meta={"mode": args.mode, "threshold": args.threshold,
+                  "input": args.input, "against": args.against},
+        )
+    else:
+        losers = materialize_once(
+            spark,
+            corpus_dedup_losers(docs, mode=args.mode, threshold=args.threshold),
+            os.path.join(args.output, "_losers"),
+            meta={"mode": args.mode, "threshold": args.threshold, "input": args.input},
+        )
     release_feature_caches()  # the losers parquet replaces the live plan
 
     def transform(part):
@@ -82,8 +119,28 @@ def main() -> None:
         num_buckets=args.buckets,
         input_lineage=args.input,
         fail_after=args.fail_after,
-        job_params={"mode": args.mode, "threshold": args.threshold},
+        job_params={"mode": args.mode, "threshold": args.threshold,
+                    "against": args.against},
     )
+
+    # the chainable index of everything committed so far: this drop's kept
+    # docs (old ∪ new when --against) — the NEXT drop's --against input.
+    # With --against the new drop's index is already materialized: reuse it
+    # (anti-join the losers) instead of re-shingling the kept output.
+    if args.against:
+        kept_index = spark.read.parquet(args.against).unionByName(
+            new_index.join(losers.select(F.col("doc_id").alias("id")), "id", "left_anti")
+        )
+    else:
+        kept_index = minhash_index(
+            spark.read.parquet(os.path.join(args.output, "bucket=*"))
+        )
+    materialize_once(
+        spark, kept_index, os.path.join(args.output, "_index"),
+        meta={"stage": "index", "input": args.input, "against": args.against,
+              "mode": args.mode, "threshold": args.threshold},
+    )
+    release_feature_caches()
     print(json.dumps(summary))
 
 

@@ -1264,3 +1264,142 @@ def cms_estimate(
     return looked.groupBy(F.col("__id").alias(id_col)).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
     )
+
+
+# --- incremental dedup (daily crawl drops) ------------------------------------
+
+
+def minhash_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exportable dedup index of a corpus: (id, sigs, hv, text_md5) — one
+    Arrow pass over the text, after which the text is never needed again.
+    A production corpus accretes in drops (daily crawls); re-deduping the
+    whole 100 TB history per drop is the naive plan. Instead each run
+    saves this index of its KEPT documents and the next drop dedups
+    against the INDEX: the old corpus bytes are never re-read or
+    re-shingled. Index size is O(total shingles) — the standard trade
+    every LSH index makes. Ids must be globally unique across drops (use
+    content/URL hashes in practice)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        minhash_feats_pandas(F.col(text_col)).alias("f"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("text_md5"),
+    ).select("id", F.col("f.sigs").alias("sigs"), F.col("f.hv").alias("hv"), "text_md5")
+
+
+def _band_key_cols() -> list[Column]:
+    keys = []
+    for b in range(config.MINHASH_NUM_HASHES // config.MINHASH_BAND_SIZE):
+        parts = [
+            F.element_at(F.col("sigs"), b * config.MINHASH_BAND_SIZE + i + 1).cast("string")
+            for i in range(config.MINHASH_BAND_SIZE)
+        ]
+        keys.append(F.concat_ws("_", F.lit(str(b)), *parts))
+    return keys
+
+
+def dedup_losers_incremental(
+    new_index: DataFrame,
+    old_index: DataFrame,
+    mode: str = "minhash",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Loser ids among a NEW drop, deduping within the drop AND against a
+    previously committed corpus — equal, by construction, to
+    :func:`corpus_dedup_losers` over (old ∪ new) with every old id
+    ordered before every new id, restricted to new ids (pinned by test
+    for all three modes). Old documents always win: they are already
+    committed downstream and must never be retroactively dropped.
+
+    Both inputs are :func:`minhash_index` tables; the old corpus TEXT is
+    never touched. Plan: exact losers are one md5 semi-join (old) plus a
+    min-id window (new); near-dup candidates band-join the new drop's
+    keys against old ∪ new (the heavy side is the index scan, not a
+    corpus re-shingle); verification is the same exact-Jaccard used
+    everywhere. minhash-cc runs connected components over the edges
+    incident to the new drop — old↔old edges cannot affect the outcome
+    (any component holding an old node drops its new members regardless
+    of how old components merge), so they are correctly omitted."""
+    exact_old = new_index.join(
+        old_index.select("text_md5").distinct(), "text_md5", "left_semi"
+    ).select("id")
+    w = Window.partitionBy("text_md5")
+    exact_new = (
+        new_index.select("id", "text_md5")
+        .withColumn("__min", F.min("id").over(w))
+        .filter(F.col("id") != F.col("__min"))
+        .select("id")
+    )
+    exact_losers = exact_old.unionByName(exact_new).distinct()
+    if mode == "exact":
+        return exact_losers
+    if mode not in ("minhash", "minhash-cc"):
+        raise ValueError(f"unknown dedup mode {mode!r}")
+
+    from pyspark import StorageLevel
+
+    kept_new = _register_cache(
+        new_index.join(exact_losers, "id", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = F.explode(F.array(*_band_key_cols())).alias("band")
+    new_b = kept_new.filter(F.size("hv") > 0).select("id", bands)
+    all_idx = old_index.select("id", "sigs", "hv").withColumn(
+        "is_old", F.lit(True)
+    ).unionByName(kept_new.select("id", "sigs", "hv").withColumn("is_old", F.lit(False)))
+    all_b = all_idx.filter(F.size("hv") > 0).select("id", "is_old", bands)
+    cand = (
+        new_b.alias("n")
+        .join(
+            all_b.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("o.is_old") | (F.col("n.id") != F.col("o.id"))),
+        )
+        .select(
+            F.col("n.id").alias("new_id"),
+            F.col("o.id").alias("other_id"),
+            F.col("o.is_old").alias("other_old"),
+        )
+        .dropDuplicates(["new_id", "other_id", "other_old"])
+    )
+    hv_new = kept_new.select(F.col("id").alias("new_id"), F.col("hv").alias("hv_a"))
+    hv_other = all_idx.select(
+        F.col("id").alias("other_id"), F.col("is_old").alias("other_old"),
+        F.col("hv").alias("hv_b"),
+    )
+    verified = (
+        cand.join(hv_new, "new_id")
+        .join(hv_other, ["other_id", "other_old"])
+        .select(
+            "new_id", "other_id", "other_old",
+            _jaccard_sorted_unique(F.col("hv_a"), F.col("hv_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    if mode == "minhash":
+        near = verified.filter(
+            F.col("other_old") | (F.col("other_id") < F.col("new_id"))
+        ).select(F.col("new_id").alias("id")).distinct()
+        return exact_losers.unionByName(near).distinct()
+    # minhash-cc: transitive closure over edges incident to the new drop
+    edges = verified.select(
+        F.least("new_id", "other_id").alias("a_id"),
+        F.greatest("new_id", "other_id").alias("b_id"),
+    ).distinct()
+    labels = connected_components(edges)
+    old_ids = old_index.select(F.col("id").alias("label_member")).distinct()
+    comp = labels.select("id", "cluster_id")
+    has_old = (
+        comp.join(old_ids, comp["id"] == old_ids["label_member"], "left_semi")
+        .select(F.col("cluster_id").alias("__l"))
+        .distinct()
+        .withColumn("__has_old", F.lit(True))
+    )
+    new_members = comp.join(kept_new.select("id"), "id")
+    wmin = Window.partitionBy("cluster_id")
+    near_cc = (
+        new_members.withColumn("__minnew", F.min("id").over(wmin))
+        .join(has_old, new_members["cluster_id"] == has_old["__l"], "left")
+        .filter(F.coalesce(F.col("__has_old"), F.lit(False)) | (F.col("id") != F.col("__minnew")))
+        .select("id")
+        .distinct()
+    )
+    return exact_losers.unionByName(near_cc).distinct()

@@ -769,3 +769,53 @@ def test_curate_job_report(spark, tmp_path):
     assert rep["n_tokens"] > rep["n_docs"]  # docs have many words
     # every kept text is unique post-dedup → the HLL estimate sits near n
     assert abs(rep["distinct_text_est"] - n) / n < 0.2
+
+
+def test_dedup_job_incremental_against_prior_index(spark, tmp_path):
+    """Two chained drops: drop 2 passes drop 1's _index via against= and
+    must drop exact/near dups of ALREADY-COMMITTED docs without re-reading
+    drop 1's text; its own _index chains (old ∪ new kept)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    docs1 = _dedup_docs(spark)
+    in1 = str(tmp_path / "drop1.parquet")
+    docs1.write.parquet(in1)
+    out1 = str(tmp_path / "out1")
+    r1 = subprocess.run(
+        [sys.executable, "jobs/dedup_job.py", "--input", in1, "--output", out1,
+         "--mode", "minhash", "--threshold", "0.5", "--buckets", "2"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert os.path.exists(os.path.join(out1, "_index", "_SUCCESS"))
+    kept1 = spark.read.parquet(out1 + "/bucket=*")
+    n1 = kept1.count()
+
+    # drop 2: one exact dup of a committed doc, one near dup, one fresh
+    base1 = {r["doc_id"]: r["text"] for r in docs1.collect()}
+    rows2 = [
+        (900, base1[5]),          # exact dup of committed doc 5
+        # near dup of committed doc 6: UPPER-cased → different md5 (not an
+        # exact dup) but identical lowered shingles → Jaccard 1.0, so the
+        # LSH banding is GUARANTEED to collide (a drifted-text fixture sat
+        # in the ~8% no-band-collision zone and made the test flaky)
+        (901, base1[6].upper()),
+        (902, "genuinely new content with twelve fresh words appearing here only once"),
+    ]
+    in2 = str(tmp_path / "drop2.parquet")
+    spark.createDataFrame(rows2, "doc_id long, text string").write.parquet(in2)
+    out2 = str(tmp_path / "out2")
+    r2 = subprocess.run(
+        [sys.executable, "jobs/dedup_job.py", "--input", in2, "--output", out2,
+         "--mode", "minhash", "--threshold", "0.5", "--buckets", "2",
+         "--against", os.path.join(out1, "_index")],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out2 + "/bucket=*").collect())
+    assert kept2 == [902]
+    # the chained index covers old ∪ new kept
+    idx2 = spark.read.parquet(os.path.join(out2, "_index"))
+    assert idx2.count() == n1 + 1

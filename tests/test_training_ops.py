@@ -1391,3 +1391,42 @@ def test_embedding_gemm_kernels_tolerate_null_vectors(spark):
     assert {r["neighbor_id"] for r in out} == {1, 2, 3}
     by_n = {r["neighbor_id"]: r["cosine"] for r in out}
     assert by_n[2] == 1.0 and by_n[1] == 0.0  # null reads as zero vector
+
+
+def test_incremental_dedup_equals_full_run_all_modes(spark):
+    """dedup_losers_incremental(new, index(old_kept)) must equal the full
+    corpus_dedup_losers over (old_kept ∪ new) restricted to new ids, for
+    every mode — old ids order before new ids, so old docs always win."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    old_rows = [(i, f"old{i} " + base + f" tail{i} " * 4) for i in range(12)]
+    old_rows += [(100, old_rows[2][1]), (101, old_rows[3][1] + " x")]  # dups in raw old
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    for mode in ("exact", "minhash", "minhash-cc"):
+        old_losers = D.corpus_dedup_losers(old, mode=mode, threshold=0.5)
+        old_kept = old.join(old_losers, "doc_id", "left_anti")
+
+        new_rows = [
+            (1000, old_rows[5][1]),                      # exact dup of old
+            (1001, old_rows[6][1] + " drift"),           # near dup of old
+            (1002, "completely fresh content " + base),
+            (1003, "completely fresh content " + base),  # exact dup within new
+            (1004, "completely fresh content " + base + " shifted"),  # near dup within new
+            (1005, "isolated brand new words nothing shared with anyone else here"),
+        ]
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+        full = D.corpus_dedup_losers(old_kept.unionByName(new), mode=mode, threshold=0.5)
+        want = sorted(
+            r["doc_id"] for r in full.collect() if r["doc_id"] >= 1000
+        )
+        got = sorted(
+            r["id"] for r in D.dedup_losers_incremental(
+                D.minhash_index(new), D.minhash_index(old_kept),
+                mode=mode, threshold=0.5,
+            ).collect()
+        )
+        D.release_feature_caches()
+        assert got == want, mode
+        if mode != "exact":
+            assert 1000 in got and 1001 in got  # old always wins
+            assert 1003 in got and 1005 not in got
