@@ -164,6 +164,7 @@ def run_curate(
     gopher_overrides: dict | None = None,
     substr_k: int | None = None,
     report: bool = False,
+    against: str | None = None,
 ) -> dict:
     import os
 
@@ -197,13 +198,34 @@ def run_curate(
             spark, docs, os.path.join(output_dir, "_ingest"),
             meta={"stage": "warc_ingest", "input": input_path, "fix_text": do_fix_text},
         )
-    losers = materialize_once(
-        spark,
-        corpus_dedup_losers(docs, mode=dedup_mode, threshold=threshold),
-        os.path.join(output_dir, "_losers"),
-        meta={"mode": dedup_mode, "threshold": threshold, "input": input_path,
-              "fix_text": do_fix_text},
-    )
+    if against:
+        # incremental drop: dedup against the previously committed corpus
+        # via its saved minhash index (old text never re-read, old docs
+        # always win) — same contract as jobs/dedup_job.py --against
+        from ocr_spark.operators.dedup import dedup_losers_incremental, minhash_index
+
+        new_index = materialize_once(
+            spark, minhash_index(docs), os.path.join(output_dir, "_new_index"),
+            meta={"stage": "new_index", "input": input_path, "fix_text": do_fix_text},
+        )
+        losers = materialize_once(
+            spark,
+            dedup_losers_incremental(
+                new_index, spark.read.parquet(against),
+                mode=dedup_mode, threshold=threshold,
+            ).select(F.col("id").alias("doc_id")),
+            os.path.join(output_dir, "_losers"),
+            meta={"mode": dedup_mode, "threshold": threshold, "input": input_path,
+                  "fix_text": do_fix_text, "against": against},
+        )
+    else:
+        losers = materialize_once(
+            spark,
+            corpus_dedup_losers(docs, mode=dedup_mode, threshold=threshold),
+            os.path.join(output_dir, "_losers"),
+            meta={"mode": dedup_mode, "threshold": threshold, "input": input_path,
+                  "fix_text": do_fix_text},
+        )
     from ocr_spark.operators.dedup import release_feature_caches
 
     release_feature_caches()  # the losers parquet replaces the live plan
@@ -342,6 +364,7 @@ def run_curate(
             "cls_min_score": cls_min_score,
             "gopher_overrides": gopher_overrides,
             "substr_k": substr_k,
+            "against": against,
         },
     )
 
@@ -429,6 +452,24 @@ def run_curate(
             .first()[0]
             or 0
         )
+    # chainable dedup index for the NEXT drop: the survivors' ids with
+    # their PRE-redaction (post fix-text) content — the output text is
+    # PII-redacted, and the next drop arrives raw, so indexing redacted
+    # bytes would silently stop matching any document containing PII
+    from ocr_spark.operators.dedup import minhash_index
+
+    survivor_ids = spark.read.parquet(os.path.join(output_dir, "bucket=*")).select("doc_id")
+    kept_index = minhash_index(docs.join(survivor_ids, "doc_id"))
+    if against:
+        kept_index = spark.read.parquet(against).unionByName(kept_index)
+    materialize_once(
+        spark, kept_index, os.path.join(output_dir, "_index"),
+        meta={"stage": "index", "input": input_path, "against": against,
+              "mode": dedup_mode, "threshold": threshold, "fix_text": do_fix_text},
+    )
+    from ocr_spark.operators.dedup import release_feature_caches as _rfc
+
+    _rfc()
     return summary
 
 
@@ -477,6 +518,10 @@ def main() -> None:
                     help="exact repeated-substring removal: delete every "
                          "N-token window repeated anywhere in the corpus "
                          "except its canonical occurrence")
+    ap.add_argument("--against", default=None,
+                    help="path to a previous curate/dedup run's _index: "
+                         "dedup this drop against the committed corpus "
+                         "(old docs always win) without re-reading its text")
     ap.add_argument("--report", action="store_true",
                     help="write a one-row corpus statistics report to "
                          "_report (doc/token totals, exact length "
@@ -516,6 +561,7 @@ def main() -> None:
         gopher_overrides=json.loads(args.gopher) if args.gopher else None,
         substr_k=args.substr_k,
         report=args.report,
+        against=args.against,
     )
     print(json.dumps(summary))
 

@@ -819,3 +819,41 @@ def test_dedup_job_incremental_against_prior_index(spark, tmp_path):
     # the chained index covers old ∪ new kept
     idx2 = spark.read.parquet(os.path.join(out2, "_index"))
     assert idx2.count() == n1 + 1
+
+
+def test_curate_job_incremental_against_prior_index(spark, tmp_path):
+    """Curation drop 2 against drop 1's _index: committed content never
+    re-admitted even when drop 2's copy differs only by case; the new
+    _index chains over the survivors' PRE-redaction text."""
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    in1 = str(tmp_path / "cin1.parquet")
+    docs.write.parquet(in1)
+    out1 = tmp_path / "cout1"
+    run_curate(spark, in1, str(out1), dedup_mode="minhash", threshold=0.5,
+               langs=("en",), num_buckets=2)
+    kept1 = spark.read.parquet(str(out1 / "bucket=*"))
+    assert (out1 / "_index" / "_SUCCESS").exists()
+    n_idx1 = spark.read.parquet(str(out1 / "_index")).count()
+    assert n_idx1 == kept1.count()
+
+    base = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows2 = [
+        (900, base[5].upper()),   # same shingles as committed doc 5 → drop
+        (901, " ".join(f"fresh{c} lexicon garden window morning" for c in "abcdefgh")),
+    ]
+    in2 = str(tmp_path / "cin2.parquet")
+    spark.createDataFrame(rows2, "doc_id long, text string").write.parquet(in2)
+    out2 = tmp_path / "cout2"
+    run_curate(spark, in2, str(out2), dedup_mode="minhash", threshold=0.5,
+               langs=(), num_buckets=2,
+               gopher_overrides={"min_words": 1, "min_stopwords_present": 0,
+                                 "max_top_2gram_char_frac": 1.0,
+                                 "max_top_3gram_char_frac": 1.0,
+                                 "max_top_4gram_char_frac": 1.0,
+                                 "max_dup_line_char_frac": 1.0},
+               against=str(out1 / "_index"))
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(str(out2 / "bucket=*")).collect())
+    assert kept2 == [901]
+    assert spark.read.parquet(str(out2 / "_index")).count() == n_idx1 + 1
