@@ -165,6 +165,7 @@ def run_curate(
     substr_k: int | None = None,
     report: bool = False,
     against: str | None = None,
+    write_index: bool = False,
 ) -> dict:
     import os
 
@@ -455,21 +456,25 @@ def run_curate(
     # chainable dedup index for the NEXT drop: the survivors' ids with
     # their PRE-redaction (post fix-text) content — the output text is
     # PII-redacted, and the next drop arrives raw, so indexing redacted
-    # bytes would silently stop matching any document containing PII
-    from ocr_spark.operators.dedup import minhash_index
+    # bytes would silently stop matching any document containing PII.
+    # Opt-in (write_index / implied by against): O(total shingles) is
+    # wasted cost and storage for a one-shot curation.
+    if write_index or against:
+        from ocr_spark.operators.dedup import minhash_index
 
-    survivor_ids = spark.read.parquet(os.path.join(output_dir, "bucket=*")).select("doc_id")
-    kept_index = minhash_index(docs.join(survivor_ids, "doc_id"))
-    if against:
-        kept_index = spark.read.parquet(against).unionByName(kept_index)
-    materialize_once(
-        spark, kept_index, os.path.join(output_dir, "_index"),
-        meta={"stage": "index", "input": input_path, "against": against,
-              "mode": dedup_mode, "threshold": threshold, "fix_text": do_fix_text},
-    )
-    from ocr_spark.operators.dedup import release_feature_caches as _rfc
-
-    _rfc()
+        survivor_ids = spark.read.parquet(
+            os.path.join(output_dir, "bucket=*")
+        ).select("doc_id")
+        kept_index = minhash_index(docs.join(survivor_ids, "doc_id"))
+        if against:
+            kept_index = spark.read.parquet(against).unionByName(kept_index)
+        materialize_once(
+            spark, kept_index, os.path.join(output_dir, "_index"),
+            meta={"stage": "index", "input": input_path, "against": against,
+                  "mode": dedup_mode, "threshold": threshold,
+                  "fix_text": do_fix_text},
+        )
+        release_feature_caches()
     return summary
 
 
@@ -522,6 +527,9 @@ def main() -> None:
                     help="path to a previous curate/dedup run's _index: "
                          "dedup this drop against the committed corpus "
                          "(old docs always win) without re-reading its text")
+    ap.add_argument("--write-index", action="store_true",
+                    help="export _index for a future --against run "
+                         "(implied by --against)")
     ap.add_argument("--report", action="store_true",
                     help="write a one-row corpus statistics report to "
                          "_report (doc/token totals, exact length "
@@ -562,6 +570,7 @@ def main() -> None:
         substr_k=args.substr_k,
         report=args.report,
         against=args.against,
+        write_index=args.write_index,
     )
     print(json.dumps(summary))
 

@@ -50,6 +50,10 @@ def main() -> None:
                     help="path to a previous run's _index: dedup this drop "
                          "against the already-committed corpus (old docs "
                          "always win) without re-reading its text")
+    ap.add_argument("--write-index", action="store_true",
+                    help="export _index (the kept corpus's minhash index, "
+                         "O(total shingles)) for a future --against run; "
+                         "implied by --against so chains continue")
     args = ap.parse_args()
 
     import os
@@ -125,8 +129,15 @@ def main() -> None:
 
     # the chainable index of everything committed so far: this drop's kept
     # docs (old ∪ new when --against) — the NEXT drop's --against input.
-    # With --against the new drop's index is already materialized: reuse it
-    # (anti-join the losers) instead of re-shingling the kept output.
+    # Opt-in (--write-index): the index is O(total shingles), wasted cost
+    # and storage for a one-shot run; --against implies it so chains
+    # continue. With --against the new drop's index is already
+    # materialized: reuse it (anti-join the losers) instead of
+    # re-shingling the kept output.
+    write_index = args.write_index or bool(args.against)
+    if not write_index:
+        print(json.dumps(summary))
+        return
     if args.against:
         kept_index = spark.read.parquet(args.against).unionByName(
             new_index.join(losers.select(F.col("doc_id").alias("id")), "id", "left_anti")

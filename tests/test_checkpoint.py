@@ -785,7 +785,8 @@ def test_dedup_job_incremental_against_prior_index(spark, tmp_path):
     out1 = str(tmp_path / "out1")
     r1 = subprocess.run(
         [sys.executable, "jobs/dedup_job.py", "--input", in1, "--output", out1,
-         "--mode", "minhash", "--threshold", "0.5", "--buckets", "2"],
+         "--mode", "minhash", "--threshold", "0.5", "--buckets", "2",
+         "--write-index"],
         capture_output=True, text=True, cwd="/root/repo", env=env,
     )
     assert r1.returncode == 0, r1.stderr[-2000:]
@@ -832,7 +833,7 @@ def test_curate_job_incremental_against_prior_index(spark, tmp_path):
     docs.write.parquet(in1)
     out1 = tmp_path / "cout1"
     run_curate(spark, in1, str(out1), dedup_mode="minhash", threshold=0.5,
-               langs=("en",), num_buckets=2)
+               langs=("en",), num_buckets=2, write_index=True)
     kept1 = spark.read.parquet(str(out1 / "bucket=*"))
     assert (out1 / "_index" / "_SUCCESS").exists()
     n_idx1 = spark.read.parquet(str(out1 / "_index")).count()
