@@ -64,6 +64,7 @@ HEADLINE = [
     "search_topk",
     "events_range_join",
     "length_quantiles",
+    "events_rollup",
     "pii_scrub",
     "upload_validate",
     "corpus_splits",

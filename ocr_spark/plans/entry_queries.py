@@ -1781,6 +1781,44 @@ def q_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return TS.length_quantiles(docs, qs=(0.5, 0.9, 0.99))
 
 
+@_q(
+    "events_rollup",
+    """
+WITH ev AS (
+  SELECT floor(epoch(ts))::BIGINT AS sec, event_type,
+         round(coalesce(value, 0) * 1000000)::BIGINT AS vm
+  FROM events
+)
+SELECT 'hour' AS level, sec // 3600 AS bucket, event_type,
+       count(*)::BIGINT AS n_events, sum(vm)::BIGINT AS value_micros
+FROM ev GROUP BY sec // 3600, event_type
+UNION ALL
+SELECT 'day' AS level, sec // 86400 AS bucket, event_type,
+       count(*)::BIGINT AS n_events, sum(vm)::BIGINT AS value_micros
+FROM ev GROUP BY sec // 86400, event_type""",
+)
+def q_events_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-resolution rollup cascade (minute → hour → day, each level
+    aggregating the PREVIOUS level): the Spark side returns the hour and
+    day levels produced by the cascade, while the oracle aggregates each
+    level DIRECTLY from the raw events — the hash match is therefore a
+    proof that cascading loses nothing, which only holds because values
+    are integer micro-units (float sums would drift between the two
+    paths)."""
+    from ocr_spark.streaming.events import rollup_cascade
+
+    ev = D.load(spark, sf, "events")
+    _minute, hour, day = rollup_cascade(ev)
+    return (
+        hour.select(F.lit("hour").alias("level"), "bucket", "event_type",
+                    "n_events", "value_micros")
+        .unionByName(
+            day.select(F.lit("day").alias("level"), "bucket", "event_type",
+                       "n_events", "value_micros")
+        )
+    )
+
+
 
 @_q(
     "dedup_substr",

@@ -161,3 +161,62 @@ def dedup_events(events: DataFrame, key_cols: tuple[str, ...] = ("event_id",),
             list(key_cols)
         )
     return events.dropDuplicates(list(key_cols))
+
+
+def rollup_cascade(events: DataFrame, value_col: str = "value"):
+    """Multi-resolution continuous aggregates (the hypertable-rollup /
+    warehouse-cube shape): minute → hour → day per-event-type counts and
+    value sums, where every coarser level aggregates THE PREVIOUS LEVEL,
+    never the raw events — at 10^12 events the day table reads 1,440×
+    fewer rows than a raw rescan, and in a streaming deployment each
+    level is an independent incremental materialization.
+
+    Exactness contract: values are quantized to integer micro-units
+    (round(value·10⁶) as int64) at the finest level, so every cascaded
+    sum is an order-independent integer and the cascade provably equals a
+    direct aggregation from raw — float sums would drift between the two
+    paths (non-associative addition) and between engines. Time buckets
+    are integer epoch division (wall_epoch_seconds div 60/3600/86400) —
+    engine-neutral, timezone-pinned.
+
+    Returns (minute_df, hour_df, day_df); each has
+    (bucket long, event_type, n_events long, value_micros long)."""
+    sec = wall_epoch_seconds(F.col("ts"))
+    minute = (
+        events.select(
+            sec.alias("__sec"),
+            "event_type",
+            F.round(F.coalesce(F.col(value_col), F.lit(0.0)) * 1_000_000)
+            .cast("long")
+            .alias("__vm"),
+        )
+        .select(
+            F.expr("__sec div 60").alias("bucket"),
+            "event_type",
+            "__vm",
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("__vm").cast("long").alias("value_micros"),
+        )
+    )
+
+    def up(df: DataFrame, factor: int) -> DataFrame:
+        return (
+            df.select(
+                F.expr(f"bucket div {factor}").alias("bucket"),
+                "event_type",
+                "n_events",
+                "value_micros",
+            )
+            .groupBy("bucket", "event_type")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("value_micros").cast("long").alias("value_micros"),
+            )
+        )
+
+    hour = up(minute, 60)
+    day = up(hour, 24)
+    return minute, hour, day

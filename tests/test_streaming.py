@@ -326,3 +326,40 @@ def test_dedup_stream_equals_batch_distinct(spark, events_path, tmp_path):
     got = sorted(r["event_id"] for r in spark.sql("select event_id from dedup_ev").collect())
     want = sorted(r["event_id"] for r in base.select("event_id").distinct().collect())
     assert got == want
+
+
+def test_rollup_cascade_equals_direct(spark):
+    """Each cascaded level must equal a direct aggregation from raw —
+    guaranteed by integer micro-unit sums (order-independent)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.streaming.events import rollup_cascade, wall_epoch_seconds
+
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=37 * i), i % 3, f"t{i % 2}", 0.1 * i + 0.003)
+        for i in range(500)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    minute, hour, day = rollup_cascade(ev)
+
+    def direct(factor):
+        sec = wall_epoch_seconds(F.col("ts"))
+        return (
+            ev.select(sec.alias("__s"), "event_type",
+                      F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1_000_000)
+                      .cast("long").alias("vm"))
+            .select(F.expr(f"__s div {factor}").alias("bucket"), "event_type", "vm")
+            .groupBy("bucket", "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum("vm").cast("long").alias("value_micros"))
+        )
+
+    for lvl, factor in ((minute, 60), (hour, 3600), (day, 86400)):
+        got = sorted(map(tuple, lvl.collect()))
+        want = sorted(map(tuple, direct(factor).collect()))
+        assert got == want, factor

@@ -69,6 +69,7 @@ AUDIT = [
     "search_topk",
     "events_range_join",
     "length_quantiles",
+    "events_rollup",
     # dedup_clusters is excluded: connected components EXECUTES its
     # distributed loop at plan-construction time, so "explaining" it runs
     # the job; its per-round plan is the audited join+agg shape.
