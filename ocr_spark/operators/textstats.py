@@ -1245,13 +1245,29 @@ def sample_per_group(
     run, every cluster size, and in the DuckDB twin, so samples are
     citable in reports and stable across resumed jobs.
 
-    One window shuffle keyed on the group; ties (hash collisions) break
-    by id, so the selection is total. Returns the input columns plus
+    Scale shape: a single per-group window would sort an entire group on
+    one reducer — a mega-group (one language owning half the corpus) is
+    exactly the case sampling exists for. So the selection is a SALTED
+    two-phase top-k: rank within (group, hash-salt) sub-partitions first
+    (bounded by group_size/S), keep each sub-partition's k best, then
+    rank the ≤ S·k survivors per group — the second window is bounded by
+    S·k rows regardless of group size. Both phases order by the same
+    total key (hash, id), so the result is identical to the single-window
+    form (the k global minima survive phase 1 by construction). Ties
+    (hash collisions) break by id. Returns the input columns plus
     ``sample_rank`` (1..k)."""
+    S = 32
     h = seeded_hash48(F.col(id_col), seed)
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    salt = (h % S).cast("int")
+    w1 = Window.partitionBy(group_col, salt).orderBy(h.asc(), F.col(id_col).asc())
+    survivors = (
+        docs.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
-        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        survivors.withColumn("sample_rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
 

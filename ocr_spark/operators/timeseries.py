@@ -42,7 +42,14 @@ def asof_join(
     with the maximum tie value wins — without this the match would be
     partition-order-dependent and no two engines (or two runs) would have
     to agree. Right-side ties are deduped with one window pass BEFORE the
-    union, so the carry-forward sees a total order."""
+    union, so the carry-forward sees a total order.
+
+    Mega-key caveat: the carry-forward window sorts each key group on one
+    reducer — correct at any size, but a key owning 10⁹ rows serializes.
+    The documented scale path for such keys mirrors the span-assembly
+    hybrid: range-split the key's timeline into chunks, run this operator
+    per chunk, and stitch by carrying each chunk's last right-side row
+    into the next chunk's seed — the window math is unchanged."""
     rsel = right.select(
         F.col(key_col).alias("__k"),
         F.col(ts_col).alias("__ts"),
