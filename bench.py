@@ -65,6 +65,7 @@ HEADLINE = [
     "events_range_join",
     "length_quantiles",
     "events_rollup",
+    "corpus_sample",
     "pii_scrub",
     "upload_validate",
     "corpus_splits",
