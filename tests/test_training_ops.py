@@ -1430,3 +1430,43 @@ def test_incremental_dedup_equals_full_run_all_modes(spark):
         if mode != "exact":
             assert 1000 in got and 1001 in got  # old always wins
             assert 1003 in got and 1005 not in got
+
+
+def test_incremental_dedup_equivalence_randomized(spark):
+    """Randomized reinforcement of the incremental≡full claim: seeded
+    corpora with heavy cross-drop duplication, all three modes."""
+    import random
+
+    rnd = random.Random(17)
+    vocab = [f"tok{i}" for i in range(60)]
+
+    def mk(n, id0):
+        rows = []
+        for i in range(n):
+            words = [rnd.choice(vocab) for _ in range(rnd.randrange(12, 30))]
+            rows.append((id0 + i, " ".join(words)))
+        return rows
+
+    for trial in range(2):
+        old_rows = mk(25, trial * 10_000)
+        # contaminate: new drop reuses old texts verbatim and near-verbatim
+        new_rows = mk(10, trial * 10_000 + 5000)
+        new_rows += [(trial * 10_000 + 5100 + j, old_rows[j][1]) for j in range(4)]
+        new_rows += [(trial * 10_000 + 5200 + j, old_rows[4 + j][1] + " extra")
+                     for j in range(3)]
+        old = spark.createDataFrame(old_rows, "doc_id long, text string")
+        for mode in ("exact", "minhash", "minhash-cc"):
+            ol = D.corpus_dedup_losers(old, mode=mode, threshold=0.5)
+            old_kept = old.join(ol, "doc_id", "left_anti")
+            new = spark.createDataFrame(new_rows, "doc_id long, text string")
+            full = D.corpus_dedup_losers(
+                old_kept.unionByName(new), mode=mode, threshold=0.5
+            )
+            want = sorted(r["doc_id"] for r in full.collect()
+                          if r["doc_id"] >= trial * 10_000 + 5000)
+            got = sorted(r["id"] for r in D.dedup_losers_incremental(
+                D.minhash_index(new), D.minhash_index(old_kept),
+                mode=mode, threshold=0.5,
+            ).collect())
+            D.release_feature_caches()
+            assert got == want, (trial, mode)
