@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding",
     "dedup_semantic",
+    "dedup_containment",
     "dedup_clusters",
     "dedup_lines",
     "ann_topk_bruteforce",

@@ -2261,6 +2261,57 @@ def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_containment",
+    f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         'prefix words before the quoted document body begins ' || text ||
+         ' trailing boilerplate after the quotation ends here' AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+cw AS (SELECT doc_id, {_words_lower('text')} AS ws FROM base),
+csh AS (SELECT doc_id, {_sql_shingles('ws')} AS sh FROM cw WHERE len({_sql_shingles('ws')}) > 0),
+cinv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM csh),
+chot AS (SELECT s FROM cinv GROUP BY s HAVING count(*) > 50),
+ccold AS (SELECT doc_id, n, s FROM cinv ANTI JOIN chot USING (s)),
+cpair AS (
+  SELECT l.doc_id AS a_id, r.doc_id AS b_id
+  FROM ccold l JOIN ccold r ON l.s = r.s AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+cver AS (
+  SELECT p.a_id, p.b_id,
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+           / least(len(a.sh), len(b.sh))::DOUBLE AS c
+  FROM cpair p JOIN csh a ON a.doc_id = p.a_id JOIN csh b ON b.doc_id = p.b_id
+)
+SELECT a_id, b_id, round(c, 6) AS containment FROM cver
+WHERE round(c, 6) >= 0.9""",
+)
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment (quote-inclusion) dedup over a facade where every 5th
+    document also appears WRAPPED inside boilerplate (the syndication
+    shape): the wrapped copy's Jaccard to its source is well below any
+    LSH threshold, but its containment is ~1 — exactly the pair class
+    MinHash structurally misses. df-capped inverted index (cap 50),
+    exact verify."""
+    docs = D.load(spark, sf, "documents").select("doc_id", "text")
+    wrapped = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("prefix words before the quoted document body begins "),
+            F.col("text"),
+            F.lit(" trailing boilerplate after the quotation ends here"),
+        ).alias("text"),
+    )
+    return DD.dedup_containment(
+        docs.unionByName(wrapped), threshold=0.9, max_df=50
+    )
+
+
 def _sql_simhash(ws: str) -> str:
     hs = f"list_transform(list_distinct({ws}), w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)"
     bits = []

@@ -1470,3 +1470,39 @@ def test_incremental_dedup_equivalence_randomized(spark):
             ).collect())
             D.release_feature_caches()
             assert got == want, (trial, mode)
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    quoted = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    wrapper = (
+        " ".join(f"nav{i} menu{i} header{i}" for i in range(20)) + " "
+        + quoted
+        + " " + " ".join(f"footer{i} legal{i} tracker{i}" for i in range(20))
+    )
+    docs = spark.createDataFrame(
+        [(1, quoted), (2, wrapper), (3, "entirely different content nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    got = {(r["a_id"], r["b_id"]): r["containment"]
+           for r in D.dedup_containment(docs, threshold=0.9, max_df=100).collect()}
+    D.release_feature_caches()
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # every shingle of 1 is in 2
+    assert (1, 3) not in got and (2, 3) not in got
+    # the same pair is invisible to Jaccard at any realistic threshold
+    jac = {(r["a_id"], r["b_id"]): r["jaccard"]
+           for r in D.dedup_ngram_jaccard(docs, jaccard_threshold=0.0).collect()}
+    D.release_feature_caches()
+    assert jac.get((1, 2), 0.0) < 0.2
+
+
+def test_containment_df_cap_drops_ubiquitous_evidence(spark):
+    # every doc shares one boilerplate sentence; with the cap below the
+    # corpus size, that shingle alone cannot generate candidates
+    boiler = "shared cookie banner sentence appearing on every single page"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i}a unique{i}b unique{i}c {boiler}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = D.dedup_containment(docs, threshold=0.5, max_df=10).collect()
+    D.release_feature_caches()
+    assert out == []  # the only shared shingles are over the cap

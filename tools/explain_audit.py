@@ -70,6 +70,7 @@ AUDIT = [
     "events_range_join",
     "length_quantiles",
     "events_rollup",
+    "dedup_containment",
     # dedup_clusters is excluded: connected components EXECUTES its
     # distributed loop at plan-construction time, so "explaining" it runs
     # the job; its per-round plan is the audited join+agg shape.
