@@ -80,7 +80,7 @@ def pagerank(
         return nodes.select("node", F.lit(0).cast("long").alias("rank_units"))
     base = (15 * UNIT) // (100 * n)
     ranks = nodes.select("node", F.lit(UNIT // n).cast("long").alias("r"))
-    for _ in range(n_iters):
+    for i in range(n_iters):
         contrib = ew.join(ranks, ew.src == ranks.node).select(
             "dst", F.expr("r div outdeg").alias("c")
         )
@@ -94,9 +94,12 @@ def pagerank(
                     + F.expr("(85 * coalesce(s, 0L)) div 100")
                 ).cast("long").alias("r"),
             )
-            # lazy: the final eager checkpoint below materializes the
-            # whole (bounded, n_iters-deep) chain in ONE job
-            .localCheckpoint(eager=False)
+            # lazy within a cadence window, eager every 8th round: a lazy
+            # chain nests one plan level per round and Catalyst re-analysis
+            # goes super-linear past ~dozens of levels (the connected-
+            # components lesson), so long runs pin the chain periodically
+            # while short runs still execute in one job
+            .localCheckpoint(eager=(i + 1) % 8 == 0)
         )
     # eager: pin the result BEFORE releasing the edge/node caches — a lazy
     # return would re-execute every round against the unpersisted (i.e.

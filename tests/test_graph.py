@@ -66,3 +66,13 @@ def test_pagerank_mass_never_exceeds_unit(spark):
     got = pagerank(_df(spark, edges), n_iters=4).collect()
     total = sum(r["rank_units"] for r in got)
     assert 0 < total <= UNIT  # div truncation + dangling leak only lose mass
+
+
+def test_pagerank_long_run_crosses_checkpoint_cadence(spark):
+    # 10 rounds crosses the eager-every-8 cadence boundary; results must
+    # still equal the golden (checkpointing is a plan concern, not math)
+    rnd = random.Random(3)
+    edges = list({(rnd.randrange(20), rnd.randrange(20)) for _ in range(60)})
+    got = {r["node"]: r["rank_units"]
+           for r in pagerank(_df(spark, edges), n_iters=10).collect()}
+    assert got == py_pagerank(edges, 10)

@@ -1506,3 +1506,25 @@ def test_containment_df_cap_drops_ubiquitous_evidence(spark):
     out = D.dedup_containment(docs, threshold=0.5, max_df=10).collect()
     D.release_feature_caches()
     assert out == []  # the only shared shingles are over the cap
+
+
+def test_asof_join_chunked_equals_plain(spark):
+    """The mega-key chunked form must equal the single-window asof_join
+    on random data, across chunk sizes (including chunks smaller than
+    typical gaps, so the cross-chunk carry path is exercised hard)."""
+    import random
+
+    from ocr_spark.operators.timeseries import asof_join, asof_join_chunked
+
+    rnd = random.Random(13)
+    lefts = [(i, rnd.randrange(4), rnd.randrange(0, 20_000)) for i in range(250)]
+    rights = [(1000 + i, rnd.randrange(4), rnd.randrange(0, 20_000), float(i))
+              for i in range(80)]
+    l_df = spark.createDataFrame(lefts, "event_id long, user_id long, ts long")
+    r_df = spark.createDataFrame(rights, "event_id long, user_id long, ts long, value double")
+    kw = dict(key_col="user_id", ts_col="ts", left_id_col="event_id",
+              value_cols=("value",), tie_col="event_id")
+    want = sorted(map(tuple, asof_join(l_df, r_df, **kw).collect()))
+    for chunk in (100, 1_000, 50_000):
+        got = sorted(map(tuple, asof_join_chunked(l_df, r_df, chunk=chunk, **kw).collect()))
+        assert got == want, chunk
