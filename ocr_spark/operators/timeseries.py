@@ -170,13 +170,15 @@ def asof_join_chunked(
     ``ts_col`` must be an integer (epoch seconds/millis — convert with
     ``wall_epoch_seconds``); rows partition into ``chunk``-sized windows
     and the carry-forward runs per (key, chunk) — bounded partitions at
-    any key size. Cross-chunk carry is a SECOND, tiny pass: one summary
-    row per non-empty (key, chunk) (the chunk's last right-side row),
-    prefix-carried per key ordered by chunk — that window holds
-    #chunks-per-key rows, not #events — then left rows that found nothing
-    inside their own chunk take the carry of the latest earlier chunk via
-    an as-of join on chunk numbers (itself tiny). Same right-tie dedup,
-    same inclusive-at-equal-ts convention."""
+    any key size. Cross-chunk carry is a SECOND, bounded pass over the
+    DISTINCT chunk axis: one summary row per non-empty (key, chunk) (the
+    chunk's last right-side row) unions with the distinct miss chunks,
+    one per-key window over those ≤ 2·chunks-per-key rows carries the
+    latest summary forward (miss rows ordered before same-chunk
+    summaries, so a miss never sees a right row later in its own chunk),
+    and misses resolve by plain equi-join on (key, chunk) — never a
+    chunk-range theta join. Same right-tie dedup, same
+    inclusive-at-equal-ts convention."""
     rsel = right.select(
         F.col(key_col).alias("__k"),
         F.col(ts_col).alias("__ts"),
