@@ -72,6 +72,7 @@ HEADLINE = [
     "corpus_splits",
     "decontaminate",
     "pack_sequences",
+    "pack_interleaved",
     "jsonl_roundtrip",
     "orc_roundtrip",
     "warc_html_extract",

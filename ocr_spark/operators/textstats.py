@@ -547,6 +547,11 @@ def pack_sequences(
         (h % num_shards).cast("long").alias("shard"),
         token_count_bpe(F.col(text_col)).cast("long").alias("n_tokens"),
     )
+    return _pack_layout(base, seq_len)
+
+
+def _pack_layout(base, seq_len: int):
+    """Shared packing layout math over (doc_id, shard, n_tokens)."""
     win = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
@@ -568,6 +573,41 @@ def pack_sequences(
         seq_end.alias("seq_end"),
         (seq_end > seq_start).alias("crosses_boundary"),
     )
+
+
+def pack_interleaved(
+    corpus,
+    seq_len: int = 2048,
+    num_shards: int = 8,
+    media_tokens: int = 256,
+    seed: str = "pack-v1",
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+):
+    """Sequence packing over the CANONICAL INTERLEAVED input shape
+    (doc_id, spans array<struct<kind, text, media_ref, offset>>) — the
+    multimodal-pretraining layout: text spans contribute their BPE-ish
+    sub-token count, every media span a fixed ``media_tokens`` budget
+    (the vision-token placeholder convention — an image patch grid costs
+    a constant number of sequence positions regardless of pixels).
+    Per-doc counting is one higher-order expression over the spans array
+    (no explode, no shuffle before the layout window); the layout math is
+    byte-identical to :func:`pack_sequences`."""
+    tok = F.aggregate(
+        F.col(spans_col),
+        F.lit(0).cast("long"),
+        lambda acc, sp: acc
+        + F.when(
+            sp["kind"] == "text", token_count_bpe(sp["text"]).cast("long")
+        ).otherwise(F.lit(int(media_tokens)).cast("long")),
+    )
+    h = seeded_hash48(F.col(id_col), seed)
+    base = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        (h % num_shards).cast("long").alias("shard"),
+        tok.alias("n_tokens"),
+    )
+    return _pack_layout(base, seq_len)
 
 
 # Neutral demo blocklist — real deployments pass their own list (the

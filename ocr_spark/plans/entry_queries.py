@@ -1223,6 +1223,49 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "pack_interleaved",
+    f"""
+WITH {D.SQL_SPAN_CORPUS},
+pit AS (
+  SELECT doc_id,
+         sum(CASE WHEN kind = 'text'
+                  THEN len(regexp_extract_all(coalesce(text, ''),
+                       '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]', 0))
+                  ELSE 256 END)::BIGINT AS n_tokens
+  FROM span_rows GROUP BY doc_id
+),
+pib AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('pack-v1:' || doc_id), 1, 12))::BIGINT % 8 AS shard,
+         n_tokens
+  FROM pit
+),
+pic AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+  FROM pib
+)
+SELECT doc_id, shard::BIGINT AS shard, n_tokens,
+       (tok_end - n_tokens)::BIGINT AS tok_start,
+       ((tok_end - n_tokens) // 2048)::BIGINT AS seq_start,
+       (CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 2048
+             ELSE (tok_end - n_tokens) // 2048 END)::BIGINT AS seq_end,
+       (CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 2048
+             ELSE (tok_end - n_tokens) // 2048 END)
+         > ((tok_end - n_tokens) // 2048) AS crosses_boundary
+FROM pic""",
+)
+def q_pack_interleaved(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing over the canonical interleaved spans table: text spans
+    count BPE-ish sub-tokens, media spans a fixed 256-token budget (the
+    vision-placeholder convention) — the multimodal training layout over
+    exactly the input_hint shape."""
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    return TS.pack_interleaved(corpus)
+
+
+@_q(
     "lm_surprisal",
     f"""
 WITH lw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),

@@ -1528,3 +1528,27 @@ def test_asof_join_chunked_equals_plain(spark):
     for chunk in (100, 1_000, 50_000):
         got = sorted(map(tuple, asof_join_chunked(l_df, r_df, chunk=chunk, **kw).collect()))
         assert got == want, chunk
+
+
+def test_pack_interleaved_media_budget(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=1, spans=[
+            Row(kind="text", text="three little words", media_ref="", offset=0),
+            Row(kind="media", text="", media_ref="img-1", offset=16),
+        ]),
+        Row(doc_id=2, spans=[
+            Row(kind="media", text="", media_ref="img-2", offset=0),
+        ]),
+        Row(doc_id=3, spans=[]),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r["doc_id"]: r for r in
+           TS.pack_interleaved(df, seq_len=300, media_tokens=256).collect()}
+    assert got[1]["n_tokens"] == 3 + 256   # text BPE count + media budget
+    assert got[2]["n_tokens"] == 256
+    assert got[3]["n_tokens"] == 0         # empty spans occupy nothing
+    # layout invariants hold (same math as pack_sequences)
+    for r in got.values():
+        assert r["tok_start"] >= 0 and r["seq_end"] >= r["seq_start"]

@@ -71,6 +71,7 @@ AUDIT = [
     "length_quantiles",
     "events_rollup",
     "dedup_containment",
+    "pack_interleaved",
     # dedup_clusters is excluded: connected components EXECUTES its
     # distributed loop at plan-construction time, so "explaining" it runs
     # the job; its per-round plan is the audited join+agg shape.
