@@ -2318,7 +2318,7 @@ WITH base AS (
 cw AS (SELECT doc_id, {_words_lower('text')} AS ws FROM base),
 csh AS (SELECT doc_id, {_sql_shingles('ws')} AS sh FROM cw WHERE len({_sql_shingles('ws')}) > 0),
 cinv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM csh),
-chot AS (SELECT s FROM cinv GROUP BY s HAVING count(*) > 50),
+chot AS (SELECT s FROM cinv GROUP BY s HAVING count(*) > 10),
 ccold AS (SELECT doc_id, n, s FROM cinv ANTI JOIN chot USING (s)),
 cpair AS (
   SELECT l.doc_id AS a_id, r.doc_id AS b_id
@@ -2339,8 +2339,11 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     document also appears WRAPPED inside boilerplate (the syndication
     shape): the wrapped copy's Jaccard to its source is well below any
     LSH threshold, but its containment is ~1 — exactly the pair class
-    MinHash structurally misses. df-capped inverted index (cap 50),
-    exact verify."""
+    MinHash structurally misses. df-capped inverted index (cap 10 — the
+    quote evidence is the source's own body shingles at df=2, far below
+    any cap; this synthetic corpus's tiny vocabulary makes mid-df
+    shingles pair-heavy, which is exactly what the cap is for), exact
+    verify."""
     docs = D.load(spark, sf, "documents").select("doc_id", "text")
     wrapped = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -2351,7 +2354,7 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("text"),
     )
     return DD.dedup_containment(
-        docs.unionByName(wrapped), threshold=0.9, max_df=50
+        docs.unionByName(wrapped), threshold=0.9, max_df=10
     )
 
 
