@@ -68,11 +68,23 @@ def pagerank(
         .distinct()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # pre-partition the two cached sides on their join keys: a persisted
+    # DataFrame's partitioning is visible to Catalyst, so when the rank
+    # table outgrows the broadcast threshold and the per-round join goes
+    # sort-merge, only the N-row rank table exchanges — never the ~3N-row
+    # edge table (below the threshold Spark broadcasts ranks and neither
+    # side shuffles; on this steal-bound host the wall clock is dominated
+    # by the sort/agg CPU either way — see tools/pagerank_scale_bench.py)
+    ew = (
+        e.join(outdeg, "src")
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition("node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()  # driver scalar; also materializes the persisted nodes
