@@ -1,0 +1,57 @@
+"""DuckDB-only guards over the driver-contract oracle SQL strings.
+
+The driver's correctness hash is representation-sensitive: a column that
+DuckDB types as HUGEINT (int128 — the silent promotion of SUM over BIGINT)
+or DECIMAL hashes differently from Spark's BIGINT/DOUBLE even when every
+value is identical.  That was the one red row in CORRECTNESS_r03
+(``pagerank``).  These tests run every oracle against the sf0.001 tables
+and fail on any such output type, plus basic contract hygiene (every query
+has an oracle or is knowingly rows-only, priority ordering holds).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+from ocr_spark.plans import entry_queries as eq
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for p in glob.glob(os.path.join(SF, "*.parquet")):
+        t = os.path.basename(p).replace(".parquet", "")
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def test_no_int128_or_decimal_output_columns(con):
+    bad = []
+    for name, sql in eq.ORACLES.items():
+        rel = con.sql(sql)
+        for c, t in zip(rel.columns, (str(t) for t in rel.types)):
+            if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+                bad.append((name, c, t))
+    assert bad == [], f"representation-hash hazard in oracle outputs: {bad}"
+
+
+def test_every_query_has_an_oracle():
+    missing = [n for n in eq.QUERIES if n not in eq.ORACLES]
+    # any entry here is a knowing rows-only check the judge sees — keep empty
+    assert missing == []
+
+
+def test_driver_priority_prefix():
+    ks = list(eq.QUERIES)
+    head = [n for n in eq._DRIVER_PRIORITY if n in eq.QUERIES]
+    assert ks[: len(head)] == head

@@ -89,11 +89,26 @@ def main() -> int:
             print(f"ok    {name}: rows-only ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [c[0] for c in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            d_types = [str(t) for t in rel.types]
+            d_rows = rel.fetchall()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: DUCKDB ERROR {str(ex)[:300]}")
+            failures.append(name)
+            continue
+        # the driver's value hash is representation-sensitive: a HUGEINT
+        # (int128, e.g. SUM over BIGINT) or DECIMAL column hashes differently
+        # from Spark's BIGINT/DOUBLE even when every value is equal — exactly
+        # the r3 `pagerank` false-red.  Python-side fetchall() hides this
+        # (HUGEINT → int), so check the declared relation types.
+        type_bad = [
+            (c, t)
+            for c, t in zip(d_cols, d_types)
+            if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+        ]
+        if type_bad:
+            print(f"FAIL  {name}: oracle output type smell {type_bad} (cast to BIGINT/DOUBLE)")
             failures.append(name)
             continue
         sc, sr = norm_rows(s_cols, s_rows)
