@@ -396,11 +396,19 @@ def connected_components(
 # --- n-gram Jaccard (inverted-index join) ------------------------------------
 
 
+# explicit-broadcast ceiling for the shingle-vocabulary (h, df) table:
+# ~32 bytes serialized per entry → 10^7 entries ≈ 320 MB, the upper edge of
+# what a driver/executor comfortably ships as a broadcast.  Past it the
+# DF-rank join falls back to a shuffle join on h — same plan semantics.
+VOCAB_BROADCAST_MAX = 10_000_000
+
+
 def dedup_ngram_jaccard(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.1,
+    vocab_broadcast_max: int = VOCAB_BROADCAST_MAX,
 ) -> DataFrame:
     """All near-dup pairs by exact shingle Jaccard — prefix-filtered
     inverted index (Chaudhuri/Bayardo/Xiao prefix-filtering principle).
@@ -430,16 +438,26 @@ def dedup_ngram_jaccard(
     # Arrow-batched hashing: the expression form (element_at k-gram build +
     # per-shingle md5 in interpreted higher-order lambdas) costs ~5s per
     # corpus pass at sf0.1 and this plan walks the corpus three times.
-    base2 = docs.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes_pandas(F.col(text_col)).alias("hv"),
-    ).select("id", F.size("hv").alias("n"), "hv")
+    base2 = _register_cache(
+        docs.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes_pandas(F.col(text_col)).alias("hv"),
+        )
+        .select("id", F.size("hv").alias("n"), "hv")
+        .persist()
+    )
     inv = base2.select("id", "n", F.explode("hv").alias("h"))
     dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    # vocabulary tables broadcast comfortably to ~10^7 entries; beyond that
-    # AQE falls back to a shuffle join on h (drop the hint for open-vocab
-    # corpora — the plan stays correct either way)
-    ranked = inv.join(F.broadcast(dfreq), "h")
+    # the broadcast hint is GATED on a one-pass HLL estimate of the
+    # vocabulary size (approx_count_distinct: map-side sketch merge, and the
+    # job doubles as the materialization of the persisted feature table the
+    # plan reuses three times).  Open-vocab corpora past the ceiling get a
+    # shuffle join on h instead — same semantics, no 320 MB+ broadcast.
+    est_vocab = int(
+        inv.agg(F.approx_count_distinct("h").alias("v")).first()["v"]
+    )
+    dfreq_side = F.broadcast(dfreq) if est_vocab <= vocab_broadcast_max else dfreq
+    ranked = inv.join(dfreq_side, "h")
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("h").asc())
     # ceil with an epsilon so float slop (0.2*15 = 3.0000000000000004) can
     # never OVERestimate ceil(t*n) and truncate a required prefix element
@@ -1425,12 +1443,43 @@ def _intersect_size_sorted(a: Column, b: Column) -> Column:
     return _inter(a, b)
 
 
+def derive_df_cap(
+    dfreq: DataFrame, quantile: float = 0.999, floor: int = 8
+) -> int:
+    """Corpus-derived document-frequency cap for the containment inverted
+    index: the smallest df value covering ``quantile`` of distinct shingles,
+    but never below ``floor``.
+
+    A literal cap tuned on one corpus is wrong on the next — vocabulary
+    Zipf shape decides where "ubiquitous boilerplate" starts.  The
+    derivation is scale-safe: ``dfreq`` (h, df) collapses to a histogram of
+    at most max(df) rows (groupBy df), the cumulative quantile is a window
+    over that tiny table, and exactly one scalar comes back to the driver —
+    a model fetch, not a data collect.  The floor keeps genuinely small
+    corpora (where the q-quantile is 1–2) from capping away the df≈2 quote
+    evidence containment exists to find."""
+    hist = dfreq.groupBy("df").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    row = (
+        hist.withColumn("cum", F.sum("n").over(w_cum))
+        .withColumn("total", F.sum("n").over(w_all))
+        .filter(F.col("cum").cast("double") >= F.col("total") * quantile)
+        .agg(F.min("df").alias("cap"))
+        .collect()
+    )
+    cap = row[0]["cap"] if row and row[0]["cap"] is not None else floor
+    return max(int(cap), floor)
+
+
 def dedup_containment(
     docs: DataFrame,
     threshold: float = 0.9,
-    max_df: int = 1000,
+    max_df: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_quantile: float = 0.999,
+    df_floor: int = 8,
 ) -> DataFrame:
     """Containment near-dup pairs — the QUOTE-INCLUSION detector: a short
     document wholly embedded in a longer one (syndicated article inside a
@@ -1446,9 +1495,14 @@ def dedup_containment(
     nothing about quoting and would alone recreate the hot-key f² blowup
     prefix filtering solved for Jaccard — no prefix bound exists for
     containment, so the cap is the honest scale knob; a pair is missed
-    only if EVERY shared shingle is corpus-ubiquitous). Verification is
-    exact over the full shingle sets. Returns (a_id, b_id, containment)
-    with a_id < b_id, round(containment, 6) >= threshold."""
+    only if EVERY shared shingle is corpus-ubiquitous). When ``max_df``
+    is None (the default) the cap is DERIVED from the corpus's own
+    shingle-DF distribution via :func:`derive_df_cap` — the
+    ``df_quantile`` of distinct shingles, floored at ``df_floor`` — so
+    the knob tracks vocabulary shape instead of a literal tuned on one
+    corpus. Verification is exact over the full shingle sets. Returns
+    (a_id, b_id, containment) with a_id < b_id,
+    round(containment, 6) >= threshold."""
     base = _register_cache(
         docs.select(
             F.col(id_col).alias("id"), shingle_hashes_pandas(F.col(text_col)).alias("hv")
@@ -1457,9 +1511,10 @@ def dedup_containment(
         .persist()
     )
     ex = base.select("id", F.explode("hv").alias("h"))
-    hot = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") > max_df
-    ).select("h")
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is None:
+        max_df = derive_df_cap(dfreq, quantile=df_quantile, floor=df_floor)
+    hot = dfreq.filter(F.col("df") > max_df).select("h")
     cold = ex.join(F.broadcast(hot), "h", "left_anti")
     cand = (
         cold.alias("l")

@@ -2318,7 +2318,15 @@ WITH base AS (
 cw AS (SELECT doc_id, {_words_lower('text')} AS ws FROM base),
 csh AS (SELECT doc_id, {_sql_shingles('ws')} AS sh FROM cw WHERE len({_sql_shingles('ws')}) > 0),
 cinv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM csh),
-chot AS (SELECT s FROM cinv GROUP BY s HAVING count(*) > 10),
+cdfr AS (SELECT s, count(*) AS df FROM cinv GROUP BY s),
+chist AS (SELECT df, count(*) AS n FROM cdfr GROUP BY df),
+ccap AS (
+  SELECT greatest(min(df), 8) AS cap FROM (
+    SELECT df, sum(n) OVER (ORDER BY df) AS cum, sum(n) OVER () AS total
+    FROM chist
+  ) WHERE cum::DOUBLE >= total * 0.999
+),
+chot AS (SELECT s FROM cdfr WHERE df > (SELECT cap FROM ccap)),
 ccold AS (SELECT doc_id, n, s FROM cinv ANTI JOIN chot USING (s)),
 cpair AS (
   SELECT l.doc_id AS a_id, r.doc_id AS b_id
@@ -2339,8 +2347,11 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     document also appears WRAPPED inside boilerplate (the syndication
     shape): the wrapped copy's Jaccard to its source is well below any
     LSH threshold, but its containment is ~1 — exactly the pair class
-    MinHash structurally misses. df-capped inverted index (cap 10 — the
-    quote evidence is the source's own body shingles at df=2, far below
+    MinHash structurally misses. df-capped inverted index with the cap
+    DERIVED from the corpus's shingle-DF distribution (derive_df_cap:
+    0.999-quantile of distinct-shingle df, floor 8; the oracle repeats
+    the identical derivation — the quote evidence is the source's own
+    body shingles at df=2, far below
     any cap; this synthetic corpus's tiny vocabulary makes mid-df
     shingles pair-heavy, which is exactly what the cap is for), exact
     verify."""
@@ -2353,9 +2364,7 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(" trailing boilerplate after the quotation ends here"),
         ).alias("text"),
     )
-    return DD.dedup_containment(
-        docs.unionByName(wrapped), threshold=0.9, max_df=10
-    )
+    return DD.dedup_containment(docs.unionByName(wrapped), threshold=0.9)
 
 
 def _sql_simhash(ws: str) -> str:

@@ -1508,6 +1508,109 @@ def test_containment_df_cap_drops_ubiquitous_evidence(spark):
     assert out == []  # the only shared shingles are over the cap
 
 
+def test_containment_adaptive_cap_two_vocab_scales(spark):
+    """The corpus-derived df cap (derive_df_cap) must adapt to vocabulary
+    shape: on a LARGE-vocabulary corpus the 0.999-quantile lands at the
+    floor and the ubiquitous boilerplate (df = n_docs) is dropped from the
+    inverted index, while the df=2 quote evidence survives — so the wrapped
+    pair is still found with containment 1.0 and candidate volume stays
+    bounded.  On a SMALL-vocabulary boiler-heavy corpus the quantile rises
+    to include the boilerplate df (the corpus really is mostly boilerplate),
+    recall is maximal, and exact verification still rejects boiler-only
+    pairs below threshold.  Either way recall of the quote pair is 1."""
+    boiler = " ".join(f"cookie{i} banner{i} legal{i}" for i in range(6))
+
+    def corpus(n_docs: int, words_per_doc: int):
+        rows = [
+            (
+                i,
+                " ".join(f"u{i}w{j}" for j in range(words_per_doc)) + " " + boiler,
+            )
+            for i in range(n_docs)
+        ]
+        # doc n_docs quotes doc 0's unique body inside fresh boilerplate
+        quoted = " ".join(f"u0w{j}" for j in range(words_per_doc))
+        rows.append((n_docs, boiler + " " + quoted + " " + boiler))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # -- large vocabulary: cap should hit the floor, boiler dropped --------
+    big = corpus(300, 80)
+    feats = big.select(
+        F.col("doc_id").alias("id"),
+        D.shingle_hashes_pandas(F.col("text")).alias("hv"),
+    )
+    dfreq = feats.select(F.explode("hv").alias("h")).groupBy("h").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    cap_big = D.derive_df_cap(dfreq, quantile=0.999, floor=8)
+    assert cap_big == 8  # 0.999-quantile of a df=1-dominated vocabulary
+    got = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in D.dedup_containment(big, threshold=0.9).collect()
+    }
+    D.release_feature_caches()
+    # doc 0's body is not fully contained (its boiler-boundary shingles
+    # differ), but the quote evidence keys both directions; the (0, 300)
+    # pair must be found via the df=2 body shingles
+    assert (0, 300) in got
+    assert all(a == 0 and b == 300 for (a, b) in got), got
+
+    # -- small boiler-heavy vocabulary: cap rises with the corpus ----------
+    small = corpus(40, 6)
+    feats_s = small.select(
+        F.col("doc_id").alias("id"),
+        D.shingle_hashes_pandas(F.col("text")).alias("hv"),
+    )
+    dfreq_s = feats_s.select(F.explode("hv").alias("h")).groupBy("h").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    cap_small = D.derive_df_cap(dfreq_s, quantile=0.999, floor=8)
+    assert cap_small > 8  # boiler is >0.1% of this vocabulary → included
+    got_s = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in D.dedup_containment(small, threshold=0.9).collect()
+    }
+    D.release_feature_caches()
+    assert (0, 40) in got_s  # recall preserved
+    # boiler-only overlap verifies well below 0.9 → exact check rejects it
+    assert all(a == 0 and b == 40 for (a, b) in got_s), got_s
+
+
+def test_ngram_jaccard_shuffle_join_fallback_equals_broadcast(spark):
+    """With ``vocab_broadcast_max`` below the actual vocabulary (the
+    open-vocab / >10^7-shingle regime), the DF-rank join must run WITHOUT
+    the broadcast hint and still produce the identical pair set."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(12)) + " shared tail words here")
+         for i in range(30)]
+        + [(100, " ".join(f"w0x{j}" for j in range(12)) + " shared tail words here")],
+        "doc_id long, text string",
+    )
+    fast = sorted(
+        map(tuple, D.dedup_ngram_jaccard(docs, jaccard_threshold=0.3).collect())
+    )
+    D.release_feature_caches()
+    slow = sorted(
+        map(
+            tuple,
+            D.dedup_ngram_jaccard(
+                docs, jaccard_threshold=0.3, vocab_broadcast_max=1
+            ).collect(),
+        )
+    )
+    D.release_feature_caches()
+    assert fast == slow and any(a == 0 and b == 100 for a, b, _ in fast)
+
+
+def test_derive_df_cap_quantile_and_floor(spark):
+    # 9990 shingles at df=1, 10 at df=500: the 0.999 quantile is df=1 →
+    # floor wins; at quantile=1.0 the cap is the max df
+    rows = [(h, 1) for h in range(9990)] + [(10_000 + h, 500) for h in range(10)]
+    dfreq = spark.createDataFrame(rows, "h long, df long")
+    assert D.derive_df_cap(dfreq, quantile=0.999, floor=8) == 8
+    assert D.derive_df_cap(dfreq, quantile=1.0, floor=8) == 500
+
+
 def test_asof_join_chunked_equals_plain(spark):
     """The mega-key chunked form must equal the single-window asof_join
     on random data, across chunk sizes (including chunks smaller than
