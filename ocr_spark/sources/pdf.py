@@ -308,7 +308,17 @@ def _minipdf_pages(data: bytes) -> list[str]:
     pdf = _MiniPdf(data)
     pages = []
     for pid in pdf.page_ids():
-        chunks = _show_text_chunks(pdf.page_content(pid))
+        try:
+            chunks = _show_text_chunks(pdf.page_content(pid))
+        except NotImplementedError:
+            # DCT/JPX/CCITT/LZW-filtered content stream (a scanned-image
+            # page, or compression the built-in reader doesn't decode):
+            # graceful-degradation parity with the reference
+            # (pdf_processor.py:142-166) — the page contributes NO direct
+            # text, so the F6 min-text gate (pipeline.route_documents)
+            # sends the document down the rasterize+OCR branch instead of
+            # the whole job dying on one exotic PDF.
+            chunks = []
         pages.append("\n".join(chunks))
     return pages
 
@@ -350,7 +360,12 @@ def extract_pages(docs: DataFrame, id_col: str = "doc_id", content_col: str = "c
                     else:
                         texts = _minipdf_pages(bytes(content))
                 except NotImplementedError:
-                    raise  # dependency boundary — fail loud, never silently empty
+                    # document-STRUCTURE-level unsupported compression (e.g.
+                    # a non-Flate ObjStm): no page tree is readable, so emit
+                    # one empty page row — the doc routes to the OCR branch
+                    # (F6) instead of killing the task.  Page-level filter
+                    # gaps are already absorbed inside _minipdf_pages.
+                    texts = [""]
                 except Exception:  # graceful degradation (§4): bad doc → no rows
                     continue
                 for i, text in enumerate(texts, start=1):
@@ -385,7 +400,10 @@ def extract_metadata(docs: DataFrame, id_col: str = "doc_id", content_col: str =
                         info = _minipdf_info(bytes(content))
                         n_pages = len(_minipdf_pages(bytes(content)))
                 except NotImplementedError:
-                    raise
+                    # unsupported structure compression: metadata unreadable
+                    # → emit the row with pages=0 / null fields (reference
+                    # degrades to empty metadata, pdf_processor.py:222-257)
+                    info, n_pages = {}, 0
                 except Exception:
                     continue
                 out["doc_id"].append(int(rid))

@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import sys
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -27,12 +30,41 @@ def test_extract_pages_bad_bytes_drop_gracefully(spark):
     assert pdf.extract_pages(df).count() == 0
 
 
-def test_minipdf_unsupported_filter_raises_actionable():
+def test_minipdf_unsupported_filter_routes_to_ocr():
+    """An LZW/DCT/CCITT-filtered CONTENT stream must not kill the job: the
+    decoder still raises the actionable error (dependency boundary), but
+    _minipdf_pages absorbs it per page into empty direct text so the F6
+    min-text gate routes the document to the OCR branch — reference
+    graceful-degradation parity (pdf_processor.py:142-166)."""
     from ocr_spark.sources.pdf_fixture import synth_pdf_bytes
 
-    data = synth_pdf_bytes(1, 1).replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
+    data = synth_pdf_bytes(1, 2).replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
     with pytest.raises(NotImplementedError, match="pypdf"):
-        pdf._minipdf_pages(data)
+        pdf._MiniPdf._decode(b"<< /Filter /LZWDecode >>", b"\x80")
+    assert pdf._minipdf_pages(data) == ["", ""]  # page count intact, no text
+
+
+def test_process_pdfs_mixed_filters_flow_green(spark):
+    """End-to-end: a corpus where one PDF's content streams use an
+    unsupported filter flows through process_pdfs with that doc routed to
+    'ocr' and every other doc unaffected — no exception anywhere."""
+    from ocr_spark.pipeline import process_pdfs
+    from ocr_spark.sources.pdf_fixture import synth_pdf_bytes
+
+    rows = []
+    for d in range(4):
+        data = synth_pdf_bytes(d, 1 + d % 3)
+        if d == 2:
+            data = data.replace(b"<< /Length", b"<< /Filter /DCTDecode /Length")
+        rows.append((d, bytearray(data)))
+    docs = spark.createDataFrame(rows, "doc_id long, content binary")
+    pages = pdf.extract_pages(docs)
+    out = {r["doc_id"]: r for r in process_pdfs(pages).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[2]["route"] == "ocr" and out[2]["total_pages"] == 3
+    for d in (0, 1, 3):
+        assert out[d]["route"] == "direct"
+        assert out[d]["full_text"].split("\n")[0] == f"Page 1 of doc {d}"
 
 
 def test_minipdf_reads_flate_compressed_streams():
@@ -425,3 +457,103 @@ def test_jsonl_reads_gzip_transparently(spark, tmp_path):
     valid, bad = J.split_quarantine(back)
     assert {r["doc_id"] for r in valid.collect()} == {1}
     assert bad.count() == 1
+
+
+# --- real-adapter wiring without torch (fake easyocr module) ------------------
+
+_FAKE_EASYOCR_SRC = '''
+"""Deterministic stand-in with easyocr's exact adapter-facing surface:
+Reader(langs, gpu=...).readtext(ndarray) -> [(4-point bbox, text, conf)].
+Boxes key off image shape/polarity so exactly one preprocess variant (the
+upscaled, non-inverted landscape one) wins the I5 argmax — box centers sit
+at fixed FRACTIONS of the image, so after scan_images divides by (sx, sy)
+the outputs must land at the same fractions of the ORIGINAL image."""
+
+INITS = []
+
+
+class Reader:
+    def __init__(self, lang_list, gpu=True):
+        INITS.append((tuple(lang_list), gpu))
+        self.lang_list = list(lang_list)
+        self.gpu = gpu
+
+    def readtext(self, img):
+        h, w = img.shape[:2]
+        if h >= 1000 and w > h and float(img.mean()) > 127:
+            return [
+                ([[w * 0.2, h * 0.4], [w * 0.3, h * 0.4],
+                  [w * 0.3, h * 0.6], [w * 0.2, h * 0.6]], "alpha", 0.95),
+                ([[w * 0.6, h * 0.1], [w * 0.8, h * 0.1],
+                  [w * 0.8, h * 0.3], [w * 0.6, h * 0.3]], "beta", 0.80),
+            ]
+        return []
+'''
+
+
+def _install_fake_easyocr(monkeypatch, tmp_path):
+    import importlib.util
+
+    p = tmp_path / "easyocr.py"
+    p.write_text(_FAKE_EASYOCR_SRC)
+    spec = importlib.util.spec_from_file_location("easyocr", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setitem(sys.modules, "easyocr", mod)
+    return p, mod
+
+
+def test_easyocr_adapter_wiring_without_torch(monkeypatch, tmp_path):
+    """Everything the import-gated real-engine tests would cover except the
+    network weights: _load_model builds Reader(langs, gpu=False) exactly
+    once per executor process, a language change re-initializes it
+    (ocr_service.py set_languages parity), and _recognize converts
+    readtext's 4-point bboxes to (text, conf, cx, cy) centroids."""
+    import ocr_spark.sources.ocr_engine as OE
+
+    _, fake = _install_fake_easyocr(monkeypatch, tmp_path)
+    OE._MODEL = None
+    before = OE._MODEL_INITS
+    m1 = OE._load_model("easyocr", ("ru", "en"))
+    assert fake.INITS == [(("ru", "en"), False)]  # gpu=False, langs in order
+    assert OE._MODEL_INITS == before + 1 and m1["engine"] == "easyocr"
+    m2 = OE._load_model("easyocr", ("ru", "en"))
+    assert m2 is m1 and len(fake.INITS) == 1  # executor singleton: no re-init
+    m3 = OE._load_model("easyocr", ("de",))
+    assert fake.INITS[-1] == (("de",), False) and OE._MODEL_INITS == before + 2
+
+    img = np.full((2000, 4000), 255, dtype=np.uint8)
+    boxes = OE._recognize(m3, img)
+    assert [(t, c) for t, c, _, _ in boxes] == [("alpha", 0.95), ("beta", 0.8)]
+    assert boxes[0][2] == pytest.approx(4000 * 0.25)  # bbox centroid x
+    assert boxes[0][3] == pytest.approx(2000 * 0.5)
+    OE._MODEL = None
+
+
+def test_easyocr_scan_descales_boxes(spark, monkeypatch, tmp_path):
+    """Full scan_images path on the easyocr adapter: the winning candidate
+    is the 3000px-upscaled preprocess variant, and the emitted cx/cy must
+    be divided back by the per-axis (sx, sy) into ORIGINAL-image
+    coordinates.  The fake module is shipped to Spark's python workers via
+    addPyFile (a driver-side sys.modules patch never reaches them)."""
+    import ocr_spark.sources.ocr_engine as OE
+
+    p, _ = _install_fake_easyocr(monkeypatch, tmp_path)
+    spark.sparkContext.addPyFile(str(p))
+
+    w, h = 200, 100
+    img = np.full((h, w), 255, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(img.tobytes()), w, h)],
+        "image_id long, data binary, width int, height int",
+    )
+    rows = OE.scan_images(df, engine="easyocr", detect_skew=False).collect()
+    assert len(rows) == 1 and rows[0]["engine"] == "easyocr"
+    got = {b["text"]: b for b in rows[0]["boxes"]}
+    assert set(got) == {"alpha", "beta"}
+    # fractions of the upscaled image ÷ (sx, sy) == fractions of the original
+    assert got["alpha"]["cx"] == pytest.approx(w * 0.25, rel=1e-9)
+    assert got["alpha"]["cy"] == pytest.approx(h * 0.5, rel=1e-9)
+    assert got["beta"]["cx"] == pytest.approx(w * 0.7, rel=1e-9)
+    assert got["beta"]["cy"] == pytest.approx(h * 0.2, rel=1e-9)
+    assert got["alpha"]["conf"] == 0.95
