@@ -9,6 +9,8 @@ Extra env:
   SPARK_GRAFT_SCALE   replicate the flagship corpus N× (scaling runs need
                       enough work per core; default 1)
   SPARK_GRAFT_QUERIES comma list to restrict (default: headline set)
+  SPARK_GRAFT_SHUFFLE override spark.sql.shuffle.partitions (default
+                      max(cpus, 8); the 8→32 tuning experiments)
 """
 
 from __future__ import annotations
@@ -92,6 +94,22 @@ def materialize(df) -> float:
     return time.time() - t0
 
 
+def stable_min(measure, tol: float = 1.25, max_passes: int = 4) -> float:
+    """Repeat ``measure()`` until the two fastest passes agree within
+    ``tol`` (then the min is reproducible, not a lucky gap in host steal),
+    up to ``max_passes``. Host CPU steal only ever INFLATES a pass, so the
+    min estimates the unloaded figure; requiring a second pass within tol
+    of it is what makes back-to-back bench runs comparable (±20% was not
+    achievable with a fixed best-of-2 on this VM — BENCH.md)."""
+    times = [measure(), measure()]
+    while len(times) < max_passes:
+        s = sorted(times)
+        if s[1] <= s[0] * tol:
+            break
+        times.append(measure())
+    return min(times)
+
+
 def build_and_materialize(fn, spark, sf_dir) -> float:
     """Time plan CONSTRUCTION + execution. Construction is not free for
     every query: iterative operators (connected components) run their
@@ -128,8 +146,9 @@ def main() -> None:
     from ocr_spark.plans.derived import span_corpus
     from ocr_spark.session import get_spark
 
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or max(cpus, 8)
     spark = get_spark(
-        "ocr-spark-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+        "ocr-spark-bench", master=f"local[{cpus}]", shuffle_partitions=shuffle
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -169,20 +188,15 @@ def main() -> None:
     # a limit(64) pass leaves the hot loops interpreted), then best-of-2
     flagship = extract_documents(corpus)
     materialize(flagship)
-    flagship_sec = min(materialize(flagship), materialize(flagship))
+    flagship_sec = stable_min(lambda: materialize(flagship))
 
     per_query: dict[str, float] = {"flagship_extract": round(flagship_sec, 3)}
     for name in names:
         if name == "extract_documents" and scale > 1:
             continue  # already measured as flagship at scale
         fn = EQ.QUERIES[name]
-        # best-of-2: host CPU steal on this VM moves single passes by 2-3×
-        # (BENCH.md); the min of two passes is the reproducible figure
         per_query[name] = round(
-            min(
-                build_and_materialize(fn, spark, sf_dir),
-                build_and_materialize(fn, spark, sf_dir),
-            ), 3
+            stable_min(lambda: build_and_materialize(fn, spark, sf_dir)), 3
         )
 
     # ANN quality: recall@5 of the LSH path against the exact brute force
