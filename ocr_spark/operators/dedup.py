@@ -1513,6 +1513,10 @@ def dedup_containment(
     ex = base.select("id", F.explode("hv").alias("h"))
     dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     if max_df is None:
+        # derive_df_cap is an action over dfreq; persist so the hot-shingle
+        # filter below reuses the shuffled (h, df) table instead of
+        # recomputing the explode+groupBy pass.
+        dfreq = _register_cache(dfreq.persist())
         max_df = derive_df_cap(dfreq, quantile=df_quantile, floor=df_floor)
     hot = dfreq.filter(F.col("df") > max_df).select("h")
     cold = ex.join(F.broadcast(hot), "h", "left_anti")
