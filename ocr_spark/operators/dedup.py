@@ -1443,6 +1443,34 @@ def _intersect_size_sorted(a: Column, b: Column) -> Column:
     return _inter(a, b)
 
 
+def _df_histogram(dfreq: DataFrame) -> list[tuple[int, int]]:
+    """Collect the (df, n_shingles) histogram of a shingle document-
+    frequency table, sorted by df ascending.  The histogram has one row per
+    DISTINCT df value — bounded by the frequency domain, not the
+    vocabulary (a few thousand rows even at web scale) — so collecting it
+    is a model fetch, not a data collect."""
+    rows = dfreq.groupBy("df").agg(F.count(F.lit(1)).alias("n")).collect()
+    return sorted((int(r["df"]), int(r["n"])) for r in rows)
+
+
+def _cap_from_hist(
+    hist: list[tuple[int, int]], quantile: float, floor: int
+) -> int:
+    """Smallest df whose cumulative distinct-shingle count reaches
+    ``quantile`` of the vocabulary, floored at ``floor`` (the 'lower'
+    quantile over the histogram — same arithmetic as the driver oracle's
+    SQL cumsum form)."""
+    total = sum(n for _, n in hist)
+    cum = 0
+    cap = floor
+    for df, n in hist:
+        cum += n
+        if float(cum) >= total * quantile:
+            cap = df
+            break
+    return max(int(cap), floor)
+
+
 def derive_df_cap(
     dfreq: DataFrame, quantile: float = 0.999, floor: int = 8
 ) -> int:
@@ -1452,24 +1480,12 @@ def derive_df_cap(
 
     A literal cap tuned on one corpus is wrong on the next — vocabulary
     Zipf shape decides where "ubiquitous boilerplate" starts.  The
-    derivation is scale-safe: ``dfreq`` (h, df) collapses to a histogram of
-    at most max(df) rows (groupBy df), the cumulative quantile is a window
-    over that tiny table, and exactly one scalar comes back to the driver —
-    a model fetch, not a data collect.  The floor keeps genuinely small
-    corpora (where the q-quantile is 1–2) from capping away the df≈2 quote
-    evidence containment exists to find."""
-    hist = dfreq.groupBy("df").agg(F.count(F.lit(1)).alias("n"))
-    w_cum = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    row = (
-        hist.withColumn("cum", F.sum("n").over(w_cum))
-        .withColumn("total", F.sum("n").over(w_all))
-        .filter(F.col("cum").cast("double") >= F.col("total") * quantile)
-        .agg(F.min("df").alias("cap"))
-        .collect()
-    )
-    cap = row[0]["cap"] if row and row[0]["cap"] is not None else floor
-    return max(int(cap), floor)
+    derivation is scale-safe: ``dfreq`` (h, df) collapses to the
+    per-distinct-df histogram (:func:`_df_histogram`, bounded rows) and the
+    quantile walk happens driver-side on that tiny list.  The floor keeps
+    genuinely small corpora (where the q-quantile is 1–2) from capping away
+    the df≈2 quote evidence containment exists to find."""
+    return _cap_from_hist(_df_histogram(dfreq), quantile, floor)
 
 
 def dedup_containment(
@@ -1480,6 +1496,7 @@ def dedup_containment(
     text_col: str = "text",
     df_quantile: float = 0.999,
     df_floor: int = 8,
+    hot_broadcast_max: int = VOCAB_BROADCAST_MAX,
 ) -> DataFrame:
     """Containment near-dup pairs — the QUOTE-INCLUSION detector: a short
     document wholly embedded in a longer one (syndicated article inside a
@@ -1511,15 +1528,24 @@ def dedup_containment(
         .persist()
     )
     ex = base.select("id", F.explode("hv").alias("h"))
-    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # The histogram collect below is an action over dfreq; persist so the
+    # hot-shingle filter reuses the shuffled (h, df) table instead of
+    # recomputing the explode+groupBy pass.
+    dfreq = _register_cache(
+        ex.groupBy("h").agg(F.count(F.lit(1)).alias("df")).persist()
+    )
+    hist = _df_histogram(dfreq)
     if max_df is None:
-        # derive_df_cap is an action over dfreq; persist so the hot-shingle
-        # filter below reuses the shuffled (h, df) table instead of
-        # recomputing the explode+groupBy pass.
-        dfreq = _register_cache(dfreq.persist())
-        max_df = derive_df_cap(dfreq, quantile=df_quantile, floor=df_floor)
+        max_df = _cap_from_hist(hist, quantile=df_quantile, floor=df_floor)
+    # The hot list is the (1 - quantile) tail of the VOCABULARY — usually
+    # tiny, but unbounded in principle (0.1% of 10^12 distinct shingles is
+    # 10^9 rows).  Its exact size is already known from the histogram, so
+    # gate the broadcast on it for free; oversized tails fall back to a
+    # shuffle anti-join on h — same semantics, no unbounded broadcast.
+    n_hot = sum(n for df, n in hist if df > max_df)
     hot = dfreq.filter(F.col("df") > max_df).select("h")
-    cold = ex.join(F.broadcast(hot), "h", "left_anti")
+    hot_side = F.broadcast(hot) if n_hot <= hot_broadcast_max else hot
+    cold = ex.join(hot_side, "h", "left_anti")
     cand = (
         cold.alias("l")
         .join(cold.alias("r"), (F.col("l.h") == F.col("r.h")) & (F.col("l.id") < F.col("r.id")))

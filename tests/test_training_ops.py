@@ -1602,6 +1602,33 @@ def test_ngram_jaccard_shuffle_join_fallback_equals_broadcast(spark):
     assert fast == slow and any(a == 0 and b == 100 for a, b, _ in fast)
 
 
+def test_containment_hot_tail_shuffle_fallback_equals_broadcast(spark):
+    """With ``hot_broadcast_max`` = 0 (the regime where the above-cap
+    vocabulary tail is too large to broadcast), the hot-shingle exclusion
+    must run as a shuffle anti-join and still produce the identical
+    containment pair set."""
+    quote = "the exact quoted passage that reappears verbatim elsewhere"
+    docs = spark.createDataFrame(
+        [(0, quote)]
+        + [(i, f"host page {i} unique filler body text " * 3 + quote)
+           for i in range(1, 6)]
+        + [(9, "unrelated document with its own words entirely")],
+        "doc_id long, text string",
+    )
+    fast = sorted(map(tuple, D.dedup_containment(docs, threshold=0.9, df_floor=8).collect()))
+    D.release_feature_caches()
+    slow = sorted(
+        map(
+            tuple,
+            D.dedup_containment(
+                docs, threshold=0.9, df_floor=8, hot_broadcast_max=0
+            ).collect(),
+        )
+    )
+    D.release_feature_caches()
+    assert fast == slow and any(a == 0 for a, b, c in fast)
+
+
 def test_derive_df_cap_quantile_and_floor(spark):
     # 9990 shingles at df=1, 10 at df=500: the 0.999 quantile is df=1 →
     # floor wins; at quantile=1.0 the cap is the max df
