@@ -961,6 +961,144 @@ def classifier_score(
     )
 
 
+# --- DSIR importance resampling (Xie et al. 2023) ----------------------------
+
+DSIR_BUCKETS = 16_384  # 2^14 hashed unigram+bigram feature buckets (paper: 10^4)
+
+
+def _dsir_features(docs, id_col: str, text_col: str, seed: str):
+    """Per-occurrence hashed feature stream (doc_id, bucket): unigrams and
+    word bigrams of the lowered whitespace tokens, hashed into
+    ``DSIR_BUCKETS`` with the engine-neutral seeded 48-bit md5 hash."""
+    feats = F.concat(words_of(F.col(text_col)), ngrams_of(F.col(text_col), 2))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(feats).alias("f")
+    ).select(
+        "doc_id", (seeded_hash48(F.col("f"), seed) % DSIR_BUCKETS).alias("bucket")
+    )
+
+
+def dsir_importance(
+    docs,
+    target_docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "dsir-v1",
+):
+    """DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much more likely its
+    hashed n-gram features are under a TARGET distribution (the curated
+    corpus you want more of) than under the raw corpus's own distribution.
+    This is the standard "make the crawl look like Wikipedia/books" step
+    of LLM pretraining pipelines, between quality gates and dedup.
+
+    Both distributions are Laplace-smoothed categorical models over
+    ``DSIR_BUCKETS`` hashed unigram+bigram buckets. The per-feature log
+    ratio uses INTEGER-BIT arithmetic — bits(p_b+1) − bits(p_tot+B) minus
+    the same under q, where bits(n) is the binary digit count — i.e.
+    floor-log2 of the smoothed probability ratio within ±2 bits:
+    rank-equivalent for selection, and every step exact integer math so
+    the DuckDB twin hash-matches (a float log cannot; see
+    :func:`top_terms` on libm).
+
+    Plan shape at 10^12 docs: the raw feature stream is ONE narrow
+    explode, persisted and reused for both the q-model aggregation and the
+    scoring probe (the corpus tokenizes once); the target corpus pays one
+    explode into a B-row aggregation; the weight table is dense
+    ``DSIR_BUCKETS`` rows joined BROADCAST, so scoring is a map-side pass
+    plus one per-doc partial aggregation. Nothing corpus-sized shuffles
+    except the per-doc sum.
+
+    Returns (doc_id, n_feats, logw_bits — Σ per-occurrence integer-bit
+    log ratios (negative = raw-like, positive = target-like), avg_bits —
+    logw_bits/n_feats, the length-normalized form). Note the paper
+    resamples by the UNNORMALIZED weight (Gumbel-noised); the
+    deterministic engine-neutral analog is :func:`dsir_select`."""
+    from pyspark import StorageLevel
+
+    from ocr_spark.operators.dedup import _register_cache
+
+    spark = docs.sparkSession
+    raw = _register_cache(
+        _dsir_features(docs, id_col, text_col, seed).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    tgt = _dsir_features(target_docs, id_col, text_col, seed)
+    qm = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("qc"))
+    pm = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("pc"))
+    dense = spark.range(DSIR_BUCKETS).select(F.col("id").alias("bucket"))
+    model = (
+        dense.join(qm, "bucket", "left")
+        .join(pm, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("qc", F.lit(0)).cast("long").alias("qc"),
+            F.coalesce("pc", F.lit(0)).cast("long").alias("pc"),
+        )
+    )
+    # totals are ONE row attached by a bounded B×1 broadcast crossJoin
+    tot = model.agg(
+        F.sum("qc").cast("long").alias("qt"), F.sum("pc").cast("long").alias("pt")
+    )
+    b = F.lit(DSIR_BUCKETS)
+    wt = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            (_bits(F.col("pc") + 1) - _bits(F.col("pt") + b))
+            - (_bits(F.col("qc") + 1) - _bits(F.col("qt") + b))
+        ).cast("long").alias("wbits"),
+    )
+    per_doc = raw.join(F.broadcast(wt), "bucket").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feats"), F.sum("wbits").alias("logw_bits")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("logw_bits", F.lit(0)).cast("long").alias("logw_bits"),
+            F.round(
+                F.when(
+                    F.coalesce("n_feats", F.lit(0)) > 0,
+                    F.col("logw_bits").cast("double") / F.col("n_feats"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("avg_bits"),
+        )
+    )
+
+
+def dsir_select(
+    docs,
+    target_docs,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "dsir-v1",
+):
+    """Deterministic DSIR selection: the k raw docs with the highest
+    importance weight (logw_bits DESC, doc_id ASC — a total order on exact
+    integers). The paper's sampled variant adds Gumbel noise to log w
+    before the top-k; that needs ln(), whose libm rounding is
+    engine-specific, so the reproducible analog selects by the weight
+    itself (the paper's own "top-k selection" baseline). orderBy+limit
+    executes as TakeOrdered (per-partition heaps + a k-row driver merge),
+    never a single-reducer sort; the rank window runs over k rows only.
+
+    Returns (rank, doc_id, n_feats, logw_bits)."""
+    scored = dsir_importance(
+        docs, target_docs, id_col=id_col, text_col=text_col, seed=seed
+    )
+    order = [F.col("logw_bits").desc(), F.col("doc_id").asc()]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "n_feats", "logw_bits"
+    )
+
+
 def dedup_substrings(
     docs,
     k: int = 50,

@@ -1992,6 +1992,57 @@ def q_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "dsir_score",
+    f"""
+WITH dsw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),
+dsf AS (
+  SELECT doc_id, unnest(w) AS f FROM dsw
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))) AS f
+  FROM dsw WHERE len(w) >= 2
+),
+fb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('dsir-v1:' || f), 1, 12))::BIGINT % {TS.DSIR_BUCKETS} AS bucket
+  FROM dsf
+),
+qm AS (SELECT bucket, count(*) AS qc FROM fb GROUP BY bucket),
+pm AS (SELECT bucket, count(*) AS pc FROM fb WHERE doc_id % 7 = 0 GROUP BY bucket),
+dense AS (SELECT range AS bucket FROM range({TS.DSIR_BUCKETS})),
+model AS (
+  SELECT dense.bucket, coalesce(qc, 0)::BIGINT AS qc, coalesce(pc, 0)::BIGINT AS pc
+  FROM dense LEFT JOIN qm USING (bucket) LEFT JOIN pm USING (bucket)
+),
+tot AS (SELECT sum(qc)::BIGINT AS qt, sum(pc)::BIGINT AS pt FROM model),
+wt AS (
+  SELECT bucket,
+         ((length(to_base(pc + 1, 2)) - length(to_base(pt + {TS.DSIR_BUCKETS}, 2)))
+          - (length(to_base(qc + 1, 2)) - length(to_base(qt + {TS.DSIR_BUCKETS}, 2))))::BIGINT
+           AS wbits
+  FROM model, tot
+),
+pd AS (
+  SELECT fb.doc_id, count(*) AS n_feats, sum(wbits) AS logw
+  FROM fb JOIN wt USING (bucket) GROUP BY fb.doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_feats, 0)::BIGINT AS n_feats,
+       coalesce(pd.logw, 0)::BIGINT AS logw_bits,
+       round(CASE WHEN coalesce(pd.n_feats, 0) > 0
+                  THEN pd.logw::DOUBLE / pd.n_feats ELSE 0.0 END, 6) AS avg_bits
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""",
+)
+def q_dsir_score(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie 2023) over the corpus, with the
+    deterministic every-7th-doc facade as the target distribution —
+    integer-bit log probability ratios under hashed unigram+bigram
+    models (see textstats.dsir_importance)."""
+    docs = D.load(spark, sf, "documents")
+    return TS.dsir_importance(docs, docs.filter(F.col("doc_id") % 7 == 0))
+
+
+@_q(
     "fix_text",
     f"""
 WITH fx0 AS (
@@ -3829,7 +3880,8 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 #   D. everything else with no r3 row, in original registration order,
 #   E. the r3-green remainder.
 _DRIVER_PRIORITY = [
-    # A
+    # A (dsir_score: new in round 4, no prior driver row)
+    "dsir_score",
     "dedup_embedding_lsh", "dedup_semantic", "ann_topk_ivf",
     "spans_assemble_stream", "upload_validate", "warc_extract",
     "warc_html_extract", "audio_chunks",

@@ -1016,6 +1016,59 @@ def test_classifier_weights_duplicates_sum_not_fanout(spark):
     assert r["score_units"] == 2 * 15  # two alphas x summed weight
 
 
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    """DSIR (Xie 2023): raw docs written in the target's vocabulary must
+    carry a higher length-normalized importance weight than raw docs in a
+    disjoint vocabulary, and weights must be exactly reproducible."""
+    target_text = "the curated encyclopedia article discusses history and science"
+    junk_text = "zzz click buy now cheap deals zzz win prizes casino"
+    raw = spark.createDataFrame(
+        [(i, target_text) for i in range(5)]
+        + [(10 + i, junk_text) for i in range(5)]
+        + [(99, "")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(1000 + i, target_text) for i in range(3)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in TS.dsir_importance(raw, target).collect()}
+    from ocr_spark.operators.dedup import release_feature_caches
+
+    release_feature_caches()
+    assert len(out) == 11
+    # every target-vocabulary doc outranks every junk doc on avg_bits
+    assert min(out[i]["avg_bits"] for i in range(5)) > max(
+        out[10 + i]["avg_bits"] for i in range(5)
+    )
+    # featureless doc: zero counts, zero score
+    assert (out[99]["n_feats"], out[99]["logw_bits"], out[99]["avg_bits"]) == (0, 0, 0.0)
+    # integer-exact determinism: a second run reproduces bit-for-bit
+    again = {r["doc_id"]: r for r in TS.dsir_importance(raw, target).collect()}
+    release_feature_caches()
+    assert all(
+        (out[k]["logw_bits"], out[k]["avg_bits"]) == (again[k]["logw_bits"], again[k]["avg_bits"])
+        for k in out
+    )
+
+
+def test_dsir_select_topk_order_and_rank(spark):
+    raw = spark.createDataFrame(
+        [(i, "history science article text") for i in range(4)]
+        + [(50 + i, "casino deals spam") for i in range(4)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "history science article text")], "doc_id long, text string"
+    )
+    top = TS.dsir_select(raw, target, k=4).collect()
+    from ocr_spark.operators.dedup import release_feature_caches
+
+    release_feature_caches()
+    assert [r["rank"] for r in top] == [1, 2, 3, 4]
+    # the 4 target-like docs win, tie-broken by doc_id ascending
+    assert [r["doc_id"] for r in top] == [0, 1, 2, 3]
+
+
 def test_temperature_sample_null_bucket_gets_a_decision(spark):
     df = spark.createDataFrame(
         [(1, "en"), (2, None), (3, None), (4, "en")], "doc_id long, lang string"
