@@ -57,6 +57,7 @@ HEADLINE = [
     "chunk_docs",
     "corpus_report",
     "classifier_score",
+    "dsir_score",
     "license_filter",
     "dedup_substr",
     "bloom_membership",

@@ -33,6 +33,16 @@ ACCEPTED = {
         "broadcast n_docs aggregate row — attaches one scalar, row count "
         "unchanged"
     ),
+    ("dsir_score", "SortMergeJoin"): (
+        "the final docs LEFT JOIN per_doc scores on doc_id: both sides are "
+        "corpus-sized, so a keyed shuffle join is the correct strategy — "
+        "broadcast is impossible at scale by definition"
+    ),
+    ("dsir_score", "BroadcastNestedLoopJoin"): (
+        "bounded B×1 crossJoin: the dense DSIR_BUCKETS-row model table × "
+        "the single broadcast totals row — attaches two scalars to a "
+        "16384-row table"
+    ),
 }
 
 AUDIT = [
@@ -61,6 +71,7 @@ AUDIT = [
     "chunk_docs",
     "dedup_substr",
     "bloom_membership",
+    "dsir_score",
     "dedup_semantic",
     "pagerank",
     "hll_distinct",
