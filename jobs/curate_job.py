@@ -31,6 +31,11 @@ one global decision, so rejected docs never pay the later stages twice):
                           exceeds X bits (the CCNet perplexity-filter
                           shape); the model/score pass is the fourth
                           global decision, materialized once
+  1f. DSIR selection   — (--dsir-target PATH --dsir-min-avg-bits X)
+                          importance selection (Xie 2023): drop docs whose
+                          hashed-n-gram distribution is less target-like
+                          than X bits/feature; fifth materialized global
+                          decision
   1e. classifier filter — (--cls-weights PATH --cls-min-score X) drop
                           docs scoring below X under a trained
                           hashed-feature linear classifier (the
@@ -157,6 +162,9 @@ def run_curate(
     pack_seq_len: int | None = None,
     pack_shards: int = 8,
     lm_max_bits: float | None = None,
+    dsir_target: str | None = None,
+    dsir_target_format: str | None = None,
+    dsir_min_avg_bits: float | None = None,
     mix_cap: int | None = None,
     do_fix_text: bool = False,
     cls_weights_path: str | None = None,
@@ -174,6 +182,7 @@ def run_curate(
     from ocr_spark.operators.dedup import corpus_dedup_losers, dup_line_index
     from ocr_spark.operators.textstats import (
         decontaminate,
+        dsir_importance,
         lm_surprisal,
         pack_sequences,
         substr_marks,
@@ -321,6 +330,44 @@ def run_curate(
         )
         release_feature_caches()  # the losers parquet replaces the gram cache
 
+    dsir_losers = None
+    if dsir_target:
+        if dsir_min_avg_bits is None:
+            raise ValueError(
+                "--dsir-target was given without --dsir-min-avg-bits: the "
+                "DSIR stage is gated on the threshold, so the target corpus "
+                "would load and silently never select anything — pass "
+                "--dsir-min-avg-bits (or drop the target)"
+            )
+        # global decision #5: DSIR importance selection (Xie 2023) — keep
+        # docs whose hashed-n-gram distribution looks at least
+        # dsir_min_avg_bits/feature more like the TARGET corpus than like
+        # the raw pool. Both bucket models span the corpus, so the scored
+        # loser ids materialize once; scoring runs on the DEDUPED pool for
+        # the same reason as the LM filter (a near-dup cluster would
+        # inflate its own raw-model probability and shift its own ratio).
+        tgt = J.load_documents(
+            spark, dsir_target, dsir_target_format or input_format
+        ).select("doc_id", "text")
+        if not tgt.limit(1).collect():
+            raise ValueError(
+                f"DSIR target corpus at {dsir_target} parsed to zero valid "
+                f"rows (format {dsir_target_format or input_format!r}) — "
+                "wrong --dsir-target-format? refusing a no-op selection"
+            )
+        dsir_losers = materialize_once(
+            spark,
+            dsir_importance(docs.join(losers, "doc_id", "left_anti"), tgt)
+            .filter(F.col("avg_bits") < dsir_min_avg_bits)
+            .select("doc_id"),
+            os.path.join(output_dir, "_dsir_losers"),
+            meta={"stage": "dsir", "target": dsir_target,
+                  "min_avg_bits": dsir_min_avg_bits,
+                  "mode": dedup_mode, "threshold": threshold,
+                  "input": input_path, "fix_text": do_fix_text},
+        )
+        release_feature_caches()  # the losers parquet replaces the feature cache
+
     if cls_weights_path and cls_min_score is None:
         raise ValueError(
             "--cls-weights was given without --cls-min-score: the classifier "
@@ -338,6 +385,8 @@ def run_curate(
             part = part.join(contaminated, "doc_id", "left_anti")
         if lm_losers is not None:
             part = part.join(lm_losers, "doc_id", "left_anti")
+        if dsir_losers is not None:
+            part = part.join(dsir_losers, "doc_id", "left_anti")
         return curate_transform(part, langs, line_index, blocklist, blocked_domains,
                                 cls_weights, cls_min_score, gopher_overrides,
                                 substr_marks_df, substr_k or 50)
@@ -360,6 +409,8 @@ def run_curate(
             "decon_eval": decon_eval,
             "decon_n": decon_n,
             "lm_max_bits": lm_max_bits,
+            "dsir_target": dsir_target,
+            "dsir_min_avg_bits": dsir_min_avg_bits,
             "fix_text": do_fix_text,
             "cls_weights": cls_weights_path,
             "cls_min_score": cls_min_score,
@@ -505,6 +556,14 @@ def main() -> None:
     ap.add_argument("--pack-seq-len", type=int, default=None,
                     help="also write the concat-and-chunk packing layout to _packed")
     ap.add_argument("--pack-shards", type=int, default=8)
+    ap.add_argument("--dsir-target", default=None,
+                    help="curated target corpus for DSIR importance "
+                         "selection (Xie 2023); requires --dsir-min-avg-bits")
+    ap.add_argument("--dsir-target-format", choices=("parquet", "orc", "jsonl", "csv"),
+                    default=None, help="target corpus format (default: --format)")
+    ap.add_argument("--dsir-min-avg-bits", type=float, default=None,
+                    help="drop docs whose avg integer-bit DSIR log ratio vs "
+                         "the target is below this")
     ap.add_argument("--lm-max-bits", type=float, default=None,
                     help="drop docs whose avg bigram surprisal under the "
                          "corpus-trained LM exceeds this (CCNet-style filter)")
@@ -562,6 +621,9 @@ def main() -> None:
         pack_seq_len=args.pack_seq_len,
         pack_shards=args.pack_shards,
         lm_max_bits=args.lm_max_bits,
+        dsir_target=args.dsir_target,
+        dsir_target_format=args.dsir_target_format,
+        dsir_min_avg_bits=args.dsir_min_avg_bits,
         mix_cap=args.mix_cap,
         do_fix_text=args.fix_text,
         cls_weights_path=args.cls_weights,

@@ -560,6 +560,63 @@ def test_curate_job_lm_filter_and_mix(spark, tmp_path):
     assert packed_ids == {d for d, k in got_mix.items() if k}
 
 
+def test_curate_job_dsir_selection(spark, tmp_path):
+    """--dsir-target + --dsir-min-avg-bits: docs less target-like than the
+    threshold drop, the loser set materializes once, and the stage composes
+    with the downstream gates."""
+    from jobs.curate_job import run_curate
+    from ocr_spark.operators.dedup import release_feature_caches
+    from ocr_spark.operators.textstats import dsir_importance
+
+    docs = _curate_docs(spark)
+    inp = str(tmp_path / "in_dsir.parquet")
+    docs.write.parquet(inp)
+    # target = the vocabulary of docs 0-9 (a "curated" slice)
+    target = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    tgt_path = str(tmp_path / "dsir_target.parquet")
+    target.write.parquet(tgt_path)
+
+    # expected scores over the exact-deduped corpus: 300/301 (dups of 0)
+    # AND 201-204 (the spam rows are identical, 200 is canonical) lose.
+    # Unlike the LM filter, DSIR's weights are global (the q-model totals
+    # cover every doc), so the reference pool must match the job's exactly.
+    deduped = docs.filter(~F.col("doc_id").isin([300, 301, 201, 202, 203, 204]))
+    scores = {
+        r["doc_id"]: r["avg_bits"]
+        for r in dsir_importance(deduped, spark.read.parquet(tgt_path)).collect()
+    }
+    release_feature_caches()
+    survivors = list(range(40)) + list(range(100, 105))
+    mid = sorted(scores[i] for i in survivors)[len(survivors) // 2]
+    expected = sorted(i for i in survivors if scores[i] >= mid)
+    assert 0 < len(expected) < len(survivors)  # the gate actually splits
+    # the target-vocabulary docs are the target-like side
+    assert all(scores[i] >= mid for i in range(10))
+
+    out = tmp_path / "cur_dsir"
+    summary = run_curate(
+        spark, inp, str(out), dedup_mode="exact", langs=("en",), num_buckets=4,
+        dsir_target=tgt_path, dsir_min_avg_bits=mid,
+    )
+    got = spark.read.parquet(str(out / "bucket=*"))
+    assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) == expected
+    assert (out / "_dsir_losers").exists()
+    assert summary["buckets_total"] == 4
+
+
+def test_curate_job_dsir_target_without_threshold_is_loud(spark, tmp_path):
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    inp = str(tmp_path / "in_dsir2.parquet")
+    docs.write.parquet(inp)
+    with pytest.raises(ValueError, match="dsir-min-avg-bits"):
+        run_curate(spark, inp, str(tmp_path / "cur_dsir2"), dedup_mode="exact",
+                   num_buckets=4, dsir_target=inp)
+
+
 def test_curate_job_fix_text_dedups_styled_twins(spark, tmp_path):
     from jobs.curate_job import run_curate
 
