@@ -73,6 +73,7 @@ HEADLINE = [
     "pii_scrub",
     "upload_validate",
     "corpus_splits",
+    "splits_by_cluster",
     "decontaminate",
     "pack_sequences",
     "pack_interleaved",

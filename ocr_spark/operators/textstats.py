@@ -456,6 +456,42 @@ def split_assign(
     return (expr.otherwise(F.lit(last)) if expr is not None else F.lit(last))
 
 
+def split_by_cluster(
+    docs,
+    clusters,
+    id_col: str = "doc_id",
+    ratios: dict[str, float] | None = None,
+    seed: str = "split-v1",
+):
+    """Leakage-safe dataset splits: assign train/val/test by the near-dup
+    CLUSTER representative, not the document id, so two near-duplicate
+    documents can never land on opposite sides of a train/eval boundary
+    (the contamination mode a plain per-doc hash split silently permits —
+    the doc-level complement of eval-set ``decontaminate``).
+
+    ``clusters`` is ``connected_components`` output ``(id, cluster_id,
+    is_canonical)`` over the near-dup pair graph. Documents outside any
+    cluster hash on their own id with the SAME seed, so their assignment
+    is identical to ``split_assign`` — adopting leakage-safe splits
+    re-shuffles only the clustered minority of the corpus.
+
+    Scale: one equi-join on the id; the cluster table holds only docs that
+    appear in a near-dup pair (a small fraction of the corpus), so AQE
+    broadcasts it when it fits and shuffle-joins otherwise — no new wide
+    dependency beyond what the dedup pass already computed.
+    """
+    reps = clusters.select(F.col("id").alias(id_col), "cluster_id")
+    rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return (
+        docs.join(reps, id_col, "left")
+        .select(
+            F.col(id_col),
+            rep.alias("split_key"),
+            split_assign(rep, ratios, seed).alias("split"),
+        )
+    )
+
+
 def ngrams_of(text: Column, n: int) -> Column:
     """Sliding word n-grams of the lowered text, space-joined (empty
     array when the document has fewer than n words)."""

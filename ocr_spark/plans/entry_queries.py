@@ -2306,6 +2306,63 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "splits_by_cluster",
+    f"""
+WITH RECURSIVE {_SQL_SHINGLE_BASE},
+{_sql_minhash_bands()},
+dcand AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+  FROM dband l JOIN dband r ON l.band = r.band AND l.doc_id < r.doc_id
+),
+dj AS (
+  SELECT c.a_id, c.b_id,
+         CASE WHEN len(list_distinct(list_concat(la.sh, lb.sh))) > 0
+              THEN len(list_intersect(la.sh, lb.sh))::DOUBLE
+                   / len(list_distinct(list_concat(la.sh, lb.sh)))
+              ELSE 0.0 END AS jaccard
+  FROM dcand c JOIN dsh la ON la.doc_id = c.a_id JOIN dsh lb ON lb.doc_id = c.b_id
+),
+dpairs AS (SELECT a_id, b_id FROM dj WHERE jaccard >= 0.5),
+dedges AS (
+  SELECT a_id AS s, b_id AS d FROM dpairs
+  UNION SELECT b_id, a_id FROM dpairs
+),
+dverts AS (SELECT DISTINCT s AS id FROM dedges),
+dreach(id, label) AS (
+  SELECT id, id FROM dverts
+  UNION
+  SELECT e.d, r.label FROM dreach r JOIN dedges e ON e.s = r.id
+),
+clus AS (SELECT id, min(label) AS cluster_id FROM dreach GROUP BY id),
+keyed AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster_id, d.doc_id)::BIGINT AS split_key,
+         ('0x' || substr(md5('split-v1:' || coalesce(c.cluster_id, d.doc_id)),
+                         1, 12))::BIGINT AS h
+  FROM documents d LEFT JOIN clus c ON c.id = d.doc_id
+)
+SELECT doc_id, split_key,
+       CASE WHEN h < {_SPLIT_T1} THEN 'train'
+            WHEN h < {_SPLIT_T2} THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed""",
+)
+def q_splits_by_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every member of a near-dup
+    cluster hashes on the cluster representative, so no near-duplicate
+    pair ever straddles a train/eval boundary; unclustered docs keep their
+    plain `corpus_splits` assignment (same seed). The oracle recomputes
+    the clusters with a recursive CTE and applies the identical 48-bit
+    hash bands."""
+    pairs = DD.dedup_minhash_lsh(
+        D.dedup_docs(D.load(spark, sf, "documents")), jaccard_threshold=0.5
+    )
+    clusters = DD.connected_components(pairs)
+    docs = D.load(spark, sf, "documents").select("doc_id")
+    return TS.split_by_cluster(docs, clusters)
+
+
+@_q(
     "dedup_lines",
     """
 WITH dl AS (

@@ -658,6 +658,48 @@ def test_split_assign_stable_and_proportional(spark):
     assert j.filter(F.col("s1") != F.col("s2")).count() > 0
 
 
+def test_split_by_cluster_leakage_safe(spark):
+    """Near-dup cluster members always share a split; unclustered docs get
+    exactly their plain split_assign label; assignment is deterministic
+    under repartitioning."""
+    import ocr_spark.operators.textstats as TS
+
+    docs = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    # synthetic near-dup graph: {10k, 10k+1, 10k+2} form one cluster each
+    pairs = spark.createDataFrame(
+        [(b, b + 1) for b in range(0, 5000, 10)]
+        + [(b + 1, b + 2) for b in range(0, 5000, 10)],  # chain, not clique
+        "a_id long, b_id long",
+    )
+    clusters = D.connected_components(pairs)
+    got = TS.split_by_cluster(docs, clusters)
+
+    # 1) no near-dup pair straddles a boundary: one split per cluster
+    per_cluster = (
+        got.filter(F.col("doc_id") % 10 <= 2)
+        .groupBy("split_key")
+        .agg(F.countDistinct("split").alias("n"))
+    )
+    assert per_cluster.filter(F.col("n") != 1).count() == 0
+    # every chain member keys on the cluster min
+    keyed = {r["doc_id"]: r["split_key"] for r in got.collect()}
+    for b in range(0, 5000, 10):
+        assert keyed[b] == keyed[b + 1] == keyed[b + 2] == b
+
+    # 2) unclustered docs match the plain per-doc assignment bit-for-bit
+    plain = docs.select("doc_id", TS.split_assign(F.col("doc_id")).alias("plain"))
+    diff = (
+        got.filter(F.col("doc_id") % 10 > 2)
+        .join(plain, "doc_id")
+        .filter(F.col("split") != F.col("plain"))
+    )
+    assert diff.count() == 0
+
+    # 3) deterministic under a different physical layout
+    again = TS.split_by_cluster(docs.repartition(7), clusters)
+    assert got.exceptAll(again).count() == 0 and again.exceptAll(got).count() == 0
+
+
 def test_blocklist_flag_whole_word(spark):
     import ocr_spark.operators.textstats as TS
 
