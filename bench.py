@@ -74,6 +74,8 @@ HEADLINE = [
     "upload_validate",
     "corpus_splits",
     "splits_by_cluster",
+    "dedup_keep_best",
+    "dedup_keep_best",
     "decontaminate",
     "pack_sequences",
     "pack_interleaved",

@@ -393,6 +393,51 @@ def connected_components(
     )
 
 
+def keep_best_in_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster keep
+    the member with the HIGHEST ``score`` (ties broken by min id), not the
+    min-id member. Min-id canonicals are arbitrary — when a page is crawled
+    five times the earliest copy is often the most truncated one; real
+    curation pipelines keep the best-quality capture and drop the rest.
+
+    ``clusters`` is ``connected_components`` output; ``score`` is any
+    deterministic Column over ``docs`` (e.g. the composite quality score).
+    Returns (id, cluster_id, is_canonical) for EVERY doc: unclustered docs
+    are their own canonical and never enter the window.
+
+    Scale: the rank window shuffles only cluster MEMBERS (the near-dup
+    minority of the corpus); the unclustered majority passes through a
+    broadcast-able anti-join with no wide dependency. LSH clusters are
+    small (band-induced near-cliques), so no window partition is ever a
+    straggler.
+    """
+    member = clusters.select(F.col("id").alias(id_col), "cluster_id")
+    win = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc(), F.col(id_col).asc()
+    )
+    best = (
+        docs.join(member, id_col, "inner")
+        .withColumn("_q", score)
+        .withColumn("_rn", F.row_number().over(win))
+        .select(
+            F.col(id_col).alias("id"),
+            "cluster_id",
+            (F.col("_rn") == 1).alias("is_canonical"),
+        )
+    )
+    singletons = docs.join(member.select(id_col), id_col, "left_anti").select(
+        F.col(id_col).alias("id"),
+        F.col(id_col).alias("cluster_id"),
+        F.lit(True).alias("is_canonical"),
+    )
+    return best.unionByName(singletons)
+
+
 # --- n-gram Jaccard (inverted-index join) ------------------------------------
 
 

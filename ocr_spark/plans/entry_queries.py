@@ -2363,6 +2363,79 @@ def q_splits_by_cluster(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "dedup_keep_best",
+    f"""
+WITH RECURSIVE {_SQL_SHINGLE_BASE},
+{_sql_minhash_bands()},
+dcand AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+  FROM dband l JOIN dband r ON l.band = r.band AND l.doc_id < r.doc_id
+),
+dj AS (
+  SELECT c.a_id, c.b_id,
+         CASE WHEN len(list_distinct(list_concat(la.sh, lb.sh))) > 0
+              THEN len(list_intersect(la.sh, lb.sh))::DOUBLE
+                   / len(list_distinct(list_concat(la.sh, lb.sh)))
+              ELSE 0.0 END AS jaccard
+  FROM dcand c JOIN dsh la ON la.doc_id = c.a_id JOIN dsh lb ON lb.doc_id = c.b_id
+),
+dpairs AS (SELECT a_id, b_id FROM dj WHERE jaccard >= 0.5),
+dedges AS (
+  SELECT a_id AS s, b_id AS d FROM dpairs
+  UNION SELECT b_id, a_id FROM dpairs
+),
+dverts AS (SELECT DISTINCT s AS id FROM dedges),
+dreach(id, label) AS (
+  SELECT id, id FROM dverts
+  UNION
+  SELECT e.d, r.label FROM dreach r JOIN dedges e ON e.s = r.id
+),
+clus AS (SELECT id, min(label) AS cluster_id FROM dreach GROUP BY id),
+kq AS (
+  SELECT doc_id, coalesce(text, '') AS t, {_words_lower('text')} AS w FROM dedup_docs
+),
+kq2 AS (
+  SELECT doc_id, t,
+    ({_cyr('t', yo=False)} + (length(t) - length(replace(t, 'ё', '')))) AS cyr,
+    (length(lower(t)) - length(regexp_replace(lower(t), '[а-яёa-z]', '', 'g'))) AS n_alpha,
+    len(list_filter(regexp_split_to_array({_strip('t')}, '{_WS}+'),
+                    x -> regexp_matches(x, '[а-яёА-ЯЁa-zA-Z]'))) AS n_toks
+  FROM kq
+),
+kscore AS (
+  SELECT doc_id,
+    CASE WHEN t = '' OR n_alpha = 0 THEN 0.0
+         ELSE 2.0 * (cyr / greatest(1, n_alpha))
+              + (n_toks / greatest(1.0, length(t) / 25.0))
+              + 0.5 * least(length(t) / 1000.0, 1.0) END AS q
+  FROM kq2
+),
+kmember AS (
+  SELECT c.id, c.cluster_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY s.q DESC, c.id ASC) AS rn
+  FROM clus c JOIN kscore s ON s.doc_id = c.id
+)
+SELECT id, cluster_id, (rn = 1) AS is_canonical FROM kmember
+UNION ALL
+SELECT d.doc_id AS id, d.doc_id AS cluster_id, TRUE AS is_canonical
+FROM dedup_docs d ANTI JOIN clus ON clus.id = d.doc_id""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware canonical selection: within each MinHash-LSH near-dup
+    cluster keep the highest-quality member (composite quality score, min
+    id on ties) instead of the arbitrary min-id copy — the FineWeb-style
+    'keep the best capture' policy. The cross-engine argmax is safe
+    because the quality score's double arithmetic is already proven
+    bit-equal by the `quality_features` oracle row."""
+    facade = D.dedup_docs(D.load(spark, sf, "documents"))
+    pairs = DD.dedup_minhash_lsh(facade, jaccard_threshold=0.5)
+    clusters = DD.connected_components(pairs)
+    score = TS.quality_features(F.col("text"))["quality_score"]
+    return DD.keep_best_in_cluster(facade, clusters, score)
+
+
+@_q(
     "dedup_lines",
     """
 WITH dl AS (

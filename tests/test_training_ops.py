@@ -700,6 +700,26 @@ def test_split_by_cluster_leakage_safe(spark):
     assert got.exceptAll(again).count() == 0 and again.exceptAll(got).count() == 0
 
 
+def test_keep_best_in_cluster(spark):
+    """The cluster survivor is the max-score member (min id on ties);
+    unclustered docs are their own canonical; output covers every doc."""
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a_id long, b_id long")
+    clusters = D.connected_components(pairs)
+    got = {
+        r["id"]: (r["cluster_id"], r["is_canonical"])
+        for r in D.keep_best_in_cluster(docs, clusters, F.col("score")).collect()
+    }
+    assert got[2] == (1, True)    # top score, min id among the 30-tie
+    assert got[3] == (1, False)   # tie loser
+    assert got[1] == (1, False)   # lower score despite being cluster min id
+    assert got[4] == (4, True) and got[9] == (9, True)  # singletons
+    assert len(got) == 5
+
+
 def test_blocklist_flag_whole_word(spark):
     import ocr_spark.operators.textstats as TS
 
