@@ -75,6 +75,7 @@ HEADLINE = [
     "corpus_splits",
     "splits_by_cluster",
     "dedup_keep_best",
+    "domain_report",
     "dedup_keep_best",
     "decontaminate",
     "pack_sequences",

@@ -829,6 +829,51 @@ def dedup_paragraphs(text: Column) -> dict[str, Column]:
 TRACKING_PARAM_RE = r"(?i:utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref_src)"
 
 
+def domain_report(
+    docs,
+    url_col: str = "url",
+    text_col: str = "text",
+):
+    """Domain-level curation signals (the RefinedWeb shape: filter or cap
+    DOMAINS, not just documents): per canonical host — document count,
+    distinct-text count, total characters, and the intra-domain
+    duplication factor n_docs / n_distinct_texts (mirror/boilerplate farms
+    score ≫ 1 and become blocklist candidates).
+
+    Two-phase aggregation for skew: the first groupBy keys on
+    (host, md5(text)) — well-spread even when one megasite owns half the
+    crawl — and the second reduces the already-tiny per-domain distinct
+    sets. A single-phase ``countDistinct`` per host would put a whole hot
+    domain in one task. The only float is ONE division of two exact
+    BIGINTs, so the result is bit-equal cross-engine.
+    """
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1)), r"^www\.", ""
+    )
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    per_text = (
+        docs.select(
+            host.alias("host"),
+            F.md5(t.cast("binary")).alias("text_md5"),
+            F.length(t).alias("n_chars"),
+        )
+        .groupBy("host", "text_md5")
+        .agg(F.count("*").alias("n"), F.first("n_chars").alias("n_chars"))
+    )
+    return (
+        per_text.groupBy("host")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_distinct_texts"),
+            F.sum(F.col("n") * F.col("n_chars")).cast("long").alias("total_chars"),
+        )
+        .withColumn(
+            "dup_factor",
+            F.col("n_docs").cast("double") / F.col("n_distinct_texts").cast("double"),
+        )
+    )
+
+
 def canonical_url(url: Column) -> Column:
     """Canonical form of an http(s) URL for URL-level dedup (the crawl
     frontier / re-crawl dedup normalizer): lowercase scheme and host,

@@ -1487,6 +1487,58 @@ def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "domain_report",
+    f"""
+WITH dru AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'https://Mirror-Farm.NET/p/' || (doc_id % 10)
+              WHEN doc_id % 4 = 1 THEN 'https://www.example.org/a/' || doc_id
+              WHEN doc_id % 4 = 2 THEN 'https://blog.example.org/x/' || doc_id
+              ELSE 'http://news.site.io:8080/n/' || doc_id END AS url,
+         CASE WHEN doc_id % 4 = 0 THEN 'syndicated mirror block ' || (doc_id % 5)
+              ELSE coalesce(text, '') END AS text
+  FROM documents
+),
+drh AS (
+  SELECT regexp_replace(lower(regexp_extract(url, '{TS.HOST_RE}', 1)),
+                        '^www\\.', '') AS host,
+         md5(text) AS text_md5, length(text) AS n_chars
+  FROM dru
+),
+drp AS (
+  SELECT host, text_md5, count(*) AS n, any_value(n_chars) AS n_chars
+  FROM drh GROUP BY 1, 2
+)
+SELECT host,
+       sum(n)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_distinct_texts,
+       sum(n * n_chars)::BIGINT AS total_chars,
+       (sum(n)::DOUBLE / count(*)::DOUBLE) AS dup_factor
+FROM drp GROUP BY host""",
+)
+def q_domain_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-level curation rollup (RefinedWeb shape) over a facade where
+    every 4th doc belongs to a mirror farm serving 5 distinct texts from
+    10 URLs: the farm's dup_factor lands ≫ 1 while the real-text domains
+    stay ≈ 1 — the signal a domain blocklist builder thresholds on."""
+    docs = D.load(spark, sf, "documents")
+    d = F.col("doc_id")
+    m = d % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://Mirror-Farm.NET/p/"), (d % 10).cast("string")))
+        .when(m == 1, F.concat(F.lit("https://www.example.org/a/"), d.cast("string")))
+        .when(m == 2, F.concat(F.lit("https://blog.example.org/x/"), d.cast("string")))
+        .otherwise(F.concat(F.lit("http://news.site.io:8080/n/"), d.cast("string")))
+    )
+    text = F.when(
+        m == 0, F.concat(F.lit("syndicated mirror block "), (d % 5).cast("string"))
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+    return TS.domain_report(
+        docs.select(url.alias("url"), text.alias("text"))
+    )
+
+
+@_q(
     "bloom_membership",
     f"""
 WITH bk AS (SELECT doc_id, coalesce(text, '') AS k FROM documents),

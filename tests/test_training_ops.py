@@ -700,6 +700,31 @@ def test_split_by_cluster_leakage_safe(spark):
     assert got.exceptAll(again).count() == 0 and again.exceptAll(got).count() == 0
 
 
+def test_domain_report_dup_factor(spark):
+    """Hosts normalize (case/www/port), exact-dup copies collapse into
+    n_distinct_texts, and dup_factor = n_docs / n_distinct_texts."""
+    import ocr_spark.operators.textstats as TS
+
+    rows = [
+        ("https://WWW.Farm.NET/a", "same block"),
+        ("https://farm.net:8080/b", "same block"),
+        ("http://farm.net/c", "same block"),
+        ("https://farm.net/d", "other block"),
+        ("https://real.org/x", "unique one"),
+        ("https://real.org/y", "unique two"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r["host"]: r for r in TS.domain_report(df).collect()}
+    assert set(got) == {"farm.net", "real.org"}
+    farm = got["farm.net"]
+    assert farm["n_docs"] == 4 and farm["n_distinct_texts"] == 2
+    assert farm["dup_factor"] == 2.0
+    assert farm["total_chars"] == 3 * len("same block") + len("other block")
+    real = got["real.org"]
+    assert real["n_docs"] == 2 and real["n_distinct_texts"] == 2
+    assert real["dup_factor"] == 1.0
+
+
 def test_keep_best_in_cluster(spark):
     """The cluster survivor is the max-score member (min id on ties);
     unclustered docs are their own canonical; output covers every doc."""
