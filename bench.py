@@ -41,6 +41,7 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "diversity_sample",
     "pdf_pages",
     "pdf_process",
     "html_extract",

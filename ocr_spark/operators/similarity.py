@@ -436,6 +436,40 @@ def ivf_codebook(
     return cents
 
 
+def diversity_sample(
+    corpus: DataFrame,
+    k_per_cell: int = 8,
+    n_cells: int = IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "diverse-v1",
+) -> DataFrame:
+    """Cluster-balanced subset selection over embedding space: assign every
+    vector to its nearest IVF cell, then keep at most ``k_per_cell`` per
+    cell by deterministic seeded-hash rank. A uniform random sample of a
+    crawl mirrors its topic skew (half the subset is the dominant topic);
+    capping per cell instead yields a topically diverse subset — the
+    embedding-space complement of ``temperature_sample``'s per-bucket
+    rates, and the selection policy DataComp-style curation applies after
+    SemDeDup.
+
+    Scale: one GEMM pass against the broadcast codebook (the corpus never
+    shuffles for assignment), then the salted two-phase top-k of
+    ``sample_per_group`` — a mega-cell (the dominant topic) never lands on
+    one reducer. Deterministic end-to-end: seeded codebook, exact argmax,
+    seeded-hash ranking — the same subset on every run, cluster size, and
+    in the DuckDB twin.
+    """
+    from ocr_spark.operators.textstats import sample_per_group
+
+    cents = ivf_codebook(corpus, n_cells, id_col, vec_col)
+    asg = corpus.select(
+        F.col(id_col),
+        ivf_cell_assign(F.col(vec_col), cents)["cell"].cast("long").alias("cell"),
+    )
+    return sample_per_group(asg, "cell", k_per_cell, seed=seed, id_col=id_col)
+
+
 def topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

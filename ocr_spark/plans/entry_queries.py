@@ -2800,6 +2800,44 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "diversity_sample",
+    f"""
+WITH {_SQL_EMB_Q},
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, q AS cq
+  FROM (SELECT vec_id, q FROM eq ORDER BY vec_id LIMIT {SIM.IVF_CELLS})
+),
+asgn AS (
+  SELECT e.vec_id, c.cidx, {_sql_qcos('e.q', 'c.cq')} AS cos
+  FROM eq e CROSS JOIN cent c
+),
+cells AS (
+  SELECT vec_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cidx ASC) AS rn
+    FROM asgn) WHERE rn = 1
+),
+dsr AS (
+  SELECT vec_id, cell::BIGINT AS cell,
+         row_number() OVER (PARTITION BY cell ORDER BY
+           ('0x' || substr(md5('diverse-v1:' || vec_id), 1, 12))::BIGINT ASC,
+           vec_id ASC) AS sample_rank
+  FROM cells
+)
+SELECT vec_id, cell, sample_rank::BIGINT AS sample_rank
+FROM dsr WHERE sample_rank <= 8""",
+)
+def q_diversity_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: nearest-IVF-cell assignment,
+    then at most 8 vectors per cell by seeded-hash rank — a topically
+    balanced subset instead of a skew-mirroring uniform sample. The oracle
+    rebuilds the identical index (ORDER BY/LIMIT centroids, cos-DESC
+    argmax) and the identical 48-bit hash ranking."""
+    emb = D.load(spark, sf, "embeddings")
+    return SIM.diversity_sample(emb, k_per_cell=8)
+
+
+@_q(
     "ann_topk_ivf",
     f"""
 WITH {_SQL_EMB_Q},

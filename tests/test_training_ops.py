@@ -457,6 +457,23 @@ def ivf_emb_df(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+def test_diversity_sample_balanced_and_deterministic(ivf_emb_df):
+    """Per-cell cap holds, every cluster contributes, and the selected
+    subset is identical across runs and physical layouts."""
+    got = SIM.diversity_sample(ivf_emb_df, k_per_cell=4, n_cells=8)
+    rows = got.collect()
+    per_cell = {}
+    for r in rows:
+        per_cell.setdefault(r["cell"], []).append(r["sample_rank"])
+    # 200 vectors over 8 tight clusters: every cell is populated and capped
+    assert set(per_cell) == set(range(8))
+    for ranks in per_cell.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 4
+    assert len(rows) == 32  # 8 cells × 4 (every cluster has ≥4 members)
+    again = SIM.diversity_sample(ivf_emb_df.repartition(13), k_per_cell=4, n_cells=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
 def test_topk_ivf_full_probe_equals_bruteforce(ivf_emb_df):
     """With nprobe = n_cells every cell is probed, so IVF degenerates to
     exact search: row-for-row equal to the brute-force baseline."""
