@@ -4100,8 +4100,9 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 #   D. everything else with no r3 row, in original registration order,
 #   E. the r3-green remainder.
 _DRIVER_PRIORITY = [
-    # A (dsir_score: new in round 4, no prior driver row)
-    "dsir_score",
+    # A (new in round 4, no prior driver row)
+    "dsir_score", "splits_by_cluster", "dedup_keep_best", "domain_report",
+    "diversity_sample",
     "dedup_embedding_lsh", "dedup_semantic", "ann_topk_ivf",
     "spans_assemble_stream", "upload_validate", "warc_extract",
     "warc_html_extract", "audio_chunks",
