@@ -59,6 +59,8 @@ HEADLINE = [
     "corpus_report",
     "classifier_score",
     "dsir_score",
+    "bpe_train",
+    "bpe_tokens",
     "license_filter",
     "dedup_substr",
     "bloom_membership",

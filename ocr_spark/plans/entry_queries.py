@@ -2094,6 +2094,105 @@ def q_dsir_score(spark: SparkSession, sf: str) -> DataFrame:
     return TS.dsir_importance(docs, docs.filter(F.col("doc_id") % 7 == 0))
 
 
+# --- distributed BPE tokenizer training (operators/bpe.py) -----------------
+
+_BPE_MERGES = 12
+
+
+def _sql_bpe_chain(iters: int) -> str:
+    """Unrolled BPE-training CTE chain shared by the bpe_train and
+    bpe_tokens oracles: bv0 = word-frequency vocab with ␟-framed char
+    symbols, then per merge i: bp{i} pair counts → bb{i} winning pair
+    (count DESC, pair ASC) → bv{i+1} merged vocab via the same
+    leftmost-non-overlapping literal replace the Spark side uses
+    (see operators/bpe.py for the framing proof)."""
+    sym_body = "regexp_replace(word, '(.)', '\\1' || chr(31) || chr(31), 'g')"
+    # every CTE is MATERIALIZED: bb{i} is referenced three times by
+    # bv{i+1} and bv{i} feeds both bp{i} and bv{i+1}, so plain (inlined)
+    # CTEs would expand the plan 3^iters-fold.
+    parts = [
+        f"""WITH bw AS MATERIALIZED (
+  SELECT unnest({_words_lower('text')}) AS word FROM documents
+),
+bv0 AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS freq,
+         chr(31) || left({sym_body}, length({sym_body}) - 1) AS sym
+  FROM bw WHERE NOT contains(word, chr(31)) GROUP BY word
+)"""
+    ]
+    for i in range(iters):
+        parts.append(f""",
+bp{i} AS MATERIALIZED (
+  SELECT p.lhs AS lhs, p.rhs AS rhs, SUM(freq)::BIGINT AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(syms)),
+                                 j -> {{'lhs': syms[j], 'rhs': syms[j + 1]}})) AS p
+    FROM (SELECT freq,
+                 string_split(substr(sym, 2, length(sym) - 2), chr(31) || chr(31)) AS syms
+          FROM bv{i})
+  ) GROUP BY p.lhs, p.rhs
+),
+bb{i} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM bp{i} ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+bv{i + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(sym,
+                 chr(31) || (SELECT lhs FROM bb{i}) || chr(31) || chr(31)
+                   || (SELECT rhs FROM bb{i}) || chr(31),
+                 chr(31) || (SELECT lhs || rhs FROM bb{i}) || chr(31)) AS sym
+  FROM bv{i})""")
+    return "".join(parts)
+
+
+def _sql_bpe_train(iters: int) -> str:
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i + 1}::INT AS merge_rank, lhs, rhs, cnt::BIGINT AS pair_count FROM bb{i}"
+        for i in range(iters)
+    )
+    return _sql_bpe_chain(iters) + "\nSELECT * FROM (" + sel + ")"
+
+
+def _sql_bpe_tokens(iters: int) -> str:
+    return _sql_bpe_chain(iters) + f""",
+btok AS (
+  SELECT word,
+         (length(sym) - length(replace(sym, chr(31) || chr(31), chr(31))) + 1)::BIGINT AS n_sub,
+         length(word)::BIGINT AS wlen
+  FROM bv{iters}
+),
+bdw AS (SELECT doc_id, unnest({_words_lower('text')}) AS word FROM documents),
+bagg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         SUM(n_sub)::BIGINT AS n_tokens, SUM(wlen)::BIGINT AS n_chars
+  FROM bdw JOIN btok USING (word) GROUP BY doc_id
+)
+SELECT doc_id,
+       COALESCE(a.n_words, 0)::BIGINT AS n_words,
+       COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(a.n_chars, 0)::BIGINT AS n_chars
+FROM documents d LEFT JOIN bagg a USING (doc_id)"""
+
+
+@_q("bpe_train", _sql_bpe_train(_BPE_MERGES))
+def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich 2016) over the
+    corpus: one corpus-scale word groupBy, then vocab-scale merge
+    iterations (top pair by count, ties lexicographic). Returns the
+    ordered merge table; the oracle unrolls the identical iterations."""
+    from ocr_spark.operators.bpe import bpe_merges_df
+
+    return bpe_merges_df(spark, D.load(spark, sf, "documents"), _BPE_MERGES)
+
+
+@_q("bpe_tokens", _sql_bpe_tokens(_BPE_MERGES))
+def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus tokenization with the BPE vocab trained on it: per-doc
+    whitespace-word, BPE-token, and word-char counts via a words→vocab
+    equi-join (never a corpus re-scan through the merge chain)."""
+    from ocr_spark.operators.bpe import bpe_token_stats
+
+    return bpe_token_stats(D.load(spark, sf, "documents"), _BPE_MERGES)
+
+
 @_q(
     "fix_text",
     f"""
@@ -4101,6 +4200,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 #   E. the r3-green remainder.
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
+    "bpe_train", "bpe_tokens",
     "dsir_score", "splits_by_cluster", "dedup_keep_best", "domain_report",
     "diversity_sample",
     "dedup_embedding_lsh", "dedup_semantic", "ann_topk_ivf",
