@@ -61,6 +61,7 @@ HEADLINE = [
     "dsir_score",
     "bpe_train",
     "bpe_tokens",
+    "kmeans_clusters",
     "license_filter",
     "dedup_substr",
     "bloom_membership",

@@ -517,3 +517,119 @@ def topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# ===========================================================================
+# distributed Lloyd k-means (integer fixed-point, bit-exact)
+# ===========================================================================
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division — the semantics Spark's
+    ``div`` and DuckDB's ``//`` share (Python's ``//`` floors, which
+    differs on negative sums)."""
+    q, r = divmod(abs(s), n)
+    return q if s >= 0 else -q
+
+
+def _qvec(vec: Column, scale: int) -> Column:
+    return F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def _dist_sq(q: Column, cent: list[int]) -> Column:
+    lit = F.array(*[F.lit(int(v)).cast("long") for v in cent])
+    return F.aggregate(
+        F.zip_with(q, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def _nearest(q: Column, cents: list[list[int]]) -> Column:
+    """(dist_sq, cluster) struct of the nearest centroid — array_min over
+    per-centroid structs gives argmin with smallest-cluster-id tie-break,
+    all inside whole-stage codegen (centroids are plan literals)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(_dist_sq(q, c).alias("d"), F.lit(j).alias("c"))
+                for j, c in enumerate(cents)
+            ]
+        )
+    )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column, integer-exact.
+
+    Vectors quantize to int64 micro-units (the engine-wide round-half-away
+    ×1000 contract), distances are integer squared L2, and centroid
+    updates are per-dimension truncated-integer means — so every engine
+    computes identical clusters and the DuckDB oracle
+    (``__spark_entry__.oracle_sql()['kmeans_clusters']``) unrolls the
+    same ``n_iters`` rounds bit-for-bit.  Seeding is deterministic: the k
+    lowest-id vectors (the ivf_codebook convention).
+
+    Scale shape: the corpus NEVER shuffles on data — each round is one
+    map pass (assignment against k plan-literal centroids, argmin in
+    codegen) plus one groupBy on the k-valued cluster id whose output is
+    k rows × (dim sums + count); the driver holds only the k×dim
+    centroid model between rounds (the KMeansModel.clusterCenters shape).
+    Empty clusters keep their previous centroid (deterministic, no
+    re-seeding RNG).  Returns (vec_id, cluster, dist_sq) under the FINAL
+    centroids.  Null/odd-width vectors are excluded up front (they have
+    no position in the metric space).
+    """
+    pre = corpus.select(
+        F.col(id_col).alias("vec_id"), _qvec(F.col(vec_col), scale).alias("q")
+    ).filter(F.col("q").isNotNull())
+    first = pre.orderBy("vec_id").limit(1).collect()
+    if not first:
+        return pre.select(
+            "vec_id",
+            F.lit(0).cast("int").alias("cluster"),
+            F.lit(0).cast("long").alias("dist_sq"),
+        )
+    # metric-space width = the lowest-id vector's width; rows of any other
+    # width are excluded BEFORE seeding so seeds and members agree
+    dim = len(first[0]["q"])
+    base = pre.filter(F.size("q") == dim).persist()
+    seed_rows = base.orderBy("vec_id").limit(k).collect()
+    cents = [[int(x) for x in r["q"]] for r in seed_rows]
+    for _ in range(n_iters):
+        assigned = base.withColumn("cl", _nearest(F.col("q"), cents)["c"])
+        stats = (
+            assigned.groupBy("cl")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("q", j + 1)).alias(f"s{j}")
+                    for j in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cl = {r["cl"]: r for r in stats}
+        cents = [
+            [
+                _trunc_div(int(by_cl[j][f"s{d}"]), int(by_cl[j]["n"]))
+                for d in range(dim)
+            ]
+            if j in by_cl
+            else cents[j]
+            for j in range(k)
+        ]
+    near = _nearest(F.col("q"), cents)
+    out = base.select(
+        "vec_id",
+        near["c"].cast("int").alias("cluster"),
+        near["d"].cast("long").alias("dist_sq"),
+    )
+    return out

@@ -2172,6 +2172,81 @@ SELECT doc_id,
 FROM documents d LEFT JOIN bagg a USING (doc_id)"""
 
 
+# --- distributed Lloyd k-means (similarity.kmeans_lloyd) -------------------
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def _sql_kmeans(k: int, iters: int) -> str:
+    """Unrolled integer Lloyd k-means oracle: per round, assignment is a
+    bounded k-row cross join + per-vector argmin (dist ASC, cid ASC), the
+    update is per-dimension SUM with truncate-toward-zero division —
+    exactly similarity.kmeans_lloyd's arithmetic. MATERIALIZED throughout
+    (kc{{i}} feeds two consumers; plain CTEs would inline exponentially)."""
+    dsq = (
+        "list_sum(list_transform(range(1, len(v.q) + 1), "
+        "j -> (v.q[j] - c.c[j]) * (v.q[j] - c.c[j])))"
+    )
+    parts = [
+        f"""WITH kq AS MATERIALIZED (
+  SELECT vec_id, {_sql_quantize('embedding')} AS q FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+kdim AS MATERIALIZED (SELECT len(q) AS dim FROM kq ORDER BY vec_id LIMIT 1),
+kv AS MATERIALIZED (SELECT vec_id, q FROM kq WHERE len(q) = (SELECT dim FROM kdim)),
+kc0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+  FROM (SELECT vec_id, q FROM kv ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(iters):
+        parts.append(f""",
+ka{i} AS MATERIALIZED (
+  SELECT vec_id, q, cid FROM (
+    SELECT v.vec_id, v.q, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dsq} ASC, c.cid ASC) AS rn
+    FROM kv v CROSS JOIN kc{i} c
+  ) WHERE rn = 1
+),
+ks{i} AS MATERIALIZED (
+  SELECT cid, d.j AS j, SUM(d.v)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM (SELECT cid,
+               unnest(list_transform(range(1, len(q) + 1), j -> {{'j': j, 'v': q[j]}})) AS d
+        FROM ka{i})
+  GROUP BY cid, d.j
+),
+kc{i + 1} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(m.c2, p.c) AS c
+  FROM kc{i} p LEFT JOIN (
+    SELECT cid,
+           list(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END ORDER BY j) AS c2
+    FROM ks{i} GROUP BY cid
+  ) m ON m.cid = p.cid
+)""")
+    parts.append(f"""
+SELECT vec_id, cid::INT AS cluster, dist::BIGINT AS dist_sq FROM (
+  SELECT v.vec_id, c.cid, {dsq}::BIGINT AS dist,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {dsq} ASC, c.cid ASC) AS rn
+  FROM kv v CROSS JOIN kc{iters} c
+) WHERE rn = 1""")
+    return "".join(parts)
+
+
+@_q("kmeans_clusters", _sql_kmeans(_KMEANS_K, _KMEANS_ITERS))
+def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact distributed Lloyd k-means over the embeddings table
+    (k=8, 3 rounds, lowest-id seeding): per-vector final cluster and
+    squared distance. Corpus never shuffles on data — assignment runs
+    against plan-literal centroids in codegen; each round's shuffle is a
+    k-row groupBy."""
+    return SIM.kmeans_lloyd(
+        D.load(spark, sf, "embeddings"), k=_KMEANS_K, n_iters=_KMEANS_ITERS
+    )
+
+
 @_q("bpe_train", _sql_bpe_train(_BPE_MERGES))
 def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed BPE vocabulary training (Sennrich 2016) over the
@@ -4200,7 +4275,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 #   E. the r3-green remainder.
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
-    "bpe_train", "bpe_tokens",
+    "bpe_train", "bpe_tokens", "kmeans_clusters",
     "dsir_score", "splits_by_cluster", "dedup_keep_best", "domain_report",
     "diversity_sample",
     "dedup_embedding_lsh", "dedup_semantic", "ann_topk_ivf",

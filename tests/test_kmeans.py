@@ -1,0 +1,104 @@
+"""Integer Lloyd k-means (similarity.kmeans_lloyd) vs a pure-Python
+reference with the identical fixed-point arithmetic."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import types as T
+
+from ocr_spark.operators.similarity import _trunc_div, kmeans_lloyd
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _py_quant(v, scale=1000):
+    out = []
+    for x in v:
+        m = float(x) * scale
+        out.append(int(m + 0.5) if m >= 0 else -int(-m + 0.5))
+    return out
+
+
+def py_kmeans(vecs: dict[int, list[float]], k: int, iters: int):
+    """Reference: quantize, seed with k lowest ids, assign by (dist, cid),
+    update with truncated-integer means, empty clusters keep centroids."""
+    q = {i: _py_quant(v) for i, v in sorted(vecs.items()) if v is not None}
+    if not q:
+        return {}
+    dim = len(q[min(q)])
+    q = {i: v for i, v in q.items() if len(v) == dim}
+    cents = [q[i] for i in sorted(q)[:k]]
+
+    def nearest(v):
+        return min(
+            (sum((a - b) ** 2 for a, b in zip(v, c)), j) for j, c in enumerate(cents)
+        )
+
+    for _ in range(iters):
+        groups: dict[int, list[list[int]]] = {}
+        for i, v in q.items():
+            groups.setdefault(nearest(v)[1], []).append(v)
+        cents = [
+            [
+                _trunc_div(sum(v[d] for v in groups[j]), len(groups[j]))
+                for d in range(dim)
+            ]
+            if j in groups
+            else cents[j]
+            for j in range(len(cents))
+        ]
+    return {i: nearest(v) for i, v in q.items()}
+
+
+def _run_both(spark, vecs, k, iters):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], _SCHEMA
+    )
+    got = {
+        r["vec_id"]: (r["dist_sq"], r["cluster"])
+        for r in kmeans_lloyd(df, k=k, n_iters=iters).collect()
+    }
+    return got, py_kmeans(vecs, k, iters)
+
+
+def test_random_vectors_match_python_reference(spark):
+    rng = random.Random(11)
+    vecs = {
+        i: [rng.uniform(-0.5, 0.5) for _ in range(8)] for i in range(60)
+    }
+    got, exp = _run_both(spark, vecs, k=4, iters=3)
+    assert got == exp
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    # two tight blobs, k=3: the third seed is immediately emptied and must
+    # retain its centroid (not crash or drift)
+    vecs = {}
+    for i in range(10):
+        vecs[i] = [0.001 * i] + [0.0] * 3
+    for i in range(10, 20):
+        vecs[i] = [0.5 + 0.001 * i] + [0.0] * 3
+    got, exp = _run_both(spark, vecs, k=3, iters=4)
+    assert got == exp
+    assert len({c for _, c in got.values()}) >= 2
+
+
+def test_null_and_odd_width_vectors_are_excluded(spark):
+    vecs = {0: [0.1, 0.2], 1: [0.3, 0.4], 2: None, 3: [0.1, 0.2, 0.3]}
+    df = spark.createDataFrame([(i, v) for i, v in vecs.items()], _SCHEMA)
+    rows = kmeans_lloyd(df, k=2, n_iters=2).collect()
+    assert sorted(r["vec_id"] for r in rows) == [0, 1]
+
+
+def test_trunc_div_matches_engines():
+    # Spark `div` and DuckDB `//` truncate toward zero; Python // floors
+    assert _trunc_div(-7, 2) == -3
+    assert _trunc_div(7, 2) == 3
+    assert _trunc_div(-6, 3) == -2
+    assert _trunc_div(0, 5) == 0
