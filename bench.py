@@ -62,6 +62,7 @@ HEADLINE = [
     "bpe_train",
     "bpe_tokens",
     "kmeans_clusters",
+    "table_scan_pruned",
     "license_filter",
     "dedup_substr",
     "bloom_membership",

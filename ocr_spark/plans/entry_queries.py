@@ -2172,6 +2172,48 @@ SELECT doc_id,
 FROM documents d LEFT JOIN bagg a USING (doc_id)"""
 
 
+# --- partitioned table layout + manifest pruning (plans/table.py) ----------
+
+
+@_q(
+    "table_scan_pruned",
+    """
+SELECT doc_id, lang, md5(coalesce(text, '')) AS payload_md5
+FROM documents WHERE lang = 'en' AND doc_id BETWEEN 100 AND 299""",
+)
+def q_table_scan_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Table-format round-trip: the corpus is rewritten as a hive-
+    partitioned (by lang), range-clustered (by doc_id) parquet table
+    with an atomically-committed snapshot manifest of file-level
+    min/max stats, then read back through manifest scan planning —
+    partition pruning (only the lang='en' directory) plus file skipping
+    (only files whose doc_id range overlaps [100, 299]). The oracle is
+    the same predicate on the original table: pruning must be a pure
+    optimization, never a semantics change."""
+    import os
+
+    from ocr_spark.plans import table as TBL
+
+    docs = D.load(spark, sf, "documents")
+    tag = sf.rstrip("/").split("/")[-1]
+    # app-id suffix: private to this session (same race note as
+    # jsonl_roundtrip — bench + oracle sweep + pytest can run concurrently)
+    path = os.path.join(
+        "/tmp", f"ocr_spark_table_{tag}_{spark.sparkContext.applicationId}"
+    )
+    TBL.write_partitioned(
+        docs, path, partition_cols=("lang",), stats_col="doc_id"
+    )
+    pruned = TBL.scan_pruned(
+        spark, path, lo=100, hi=299, partition_eq={"lang": "en"}
+    )
+    return pruned.select(
+        "doc_id",
+        "lang",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("payload_md5"),
+    )
+
+
 # --- distributed Lloyd k-means (similarity.kmeans_lloyd) -------------------
 
 _KMEANS_K = 8
@@ -4275,7 +4317,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 #   E. the r3-green remainder.
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
-    "bpe_train", "bpe_tokens", "kmeans_clusters",
+    "bpe_train", "bpe_tokens", "kmeans_clusters", "table_scan_pruned",
     "dsir_score", "splits_by_cluster", "dedup_keep_best", "domain_report",
     "diversity_sample",
     "dedup_embedding_lsh", "dedup_semantic", "ann_topk_ivf",

@@ -1,0 +1,111 @@
+"""Partitioned table layout + snapshot-manifest pruning (plans/table.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ocr_spark.plans import table as TBL
+
+
+def _mk_docs(spark, n=240):
+    langs = ["en", "ru", "de"]
+    rows = [
+        (i, f"document body {i} " * 3, langs[i % 3] if i % 40 != 7 else None)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def _tmp(spark, name):
+    return os.path.join(
+        "/tmp", f"ocr_spark_table_test_{name}_{spark.sparkContext.applicationId}"
+    )
+
+
+def test_roundtrip_and_pruned_scan_equal_full_filter(spark):
+    docs = _mk_docs(spark)
+    path = _tmp(spark, "rt")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+
+    # full round-trip (null lang lands in the hive default partition)
+    back = spark.read.option("basePath", path).parquet(path)
+    assert back.count() == docs.count()
+
+    got = sorted(
+        (r["doc_id"], r["lang"])
+        for r in TBL.scan_pruned(
+            spark, path, lo=50, hi=149, partition_eq={"lang": "en"}
+        ).collect()
+    )
+    exp = sorted(
+        (r["doc_id"], r["lang"])
+        for r in docs.filter(
+            (F.col("lang") == "en") & F.col("doc_id").between(50, 149)
+        ).collect()
+    )
+    assert got == exp and got
+
+
+def test_hive_partition_pruning_appears_in_plan(spark):
+    docs = _mk_docs(spark)
+    path = _tmp(spark, "pp")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("lang") == "ru")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "ru" in plan
+
+
+def test_manifest_file_skipping_reads_fewer_files(spark):
+    docs = _mk_docs(spark)
+    path = _tmp(spark, "fs")
+    m = TBL.write_partitioned(
+        docs, path, partition_cols=("lang",), stats_col="doc_id", n_range_files=8
+    )
+    total = len(m["files"])
+    picked = TBL.prune_files(m, lo=0, hi=29, partition_eq={"lang": "en"})
+    assert 0 < len(picked) < total
+    # every skipped en-file is genuinely out of range
+    for f in m["files"]:
+        if f["partition"]["lang"] == "en" and f not in picked:
+            assert f["min"] > 29 or f["max"] < 0
+    got = TBL.scan_pruned(spark, path, lo=0, hi=29, partition_eq={"lang": "en"})
+    exp = docs.filter((F.col("lang") == "en") & F.col("doc_id").between(0, 29))
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in exp.collect()
+    )
+
+
+def test_empty_selection_yields_empty_frame_with_schema(spark):
+    docs = _mk_docs(spark, n=30)
+    path = _tmp(spark, "empty")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    out = TBL.scan_pruned(spark, path, lo=10_000, hi=20_000)
+    assert out.count() == 0
+    assert "doc_id" in out.columns and "lang" in out.columns
+
+
+def test_manifest_commit_is_atomic_rename(spark):
+    docs = _mk_docs(spark, n=30)
+    path = _tmp(spark, "atomic")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    m = TBL.read_manifest(path)
+    assert m["format_version"] == 1 and m["files"]
+    # recommit a modified snapshot; the file must never be torn
+    m["files"] = m["files"][:1]
+    TBL.commit_manifest(path, m)
+    again = TBL.read_manifest(path)
+    assert len(again["files"]) == 1
+    assert not os.path.exists(
+        os.path.join(path, TBL.MANIFEST_DIR, TBL.MANIFEST_NAME + ".tmp")
+    )
+    # the manifest on disk is valid JSON end-to-end
+    with open(os.path.join(path, TBL.MANIFEST_DIR, TBL.MANIFEST_NAME)) as fh:
+        json.load(fh)
