@@ -174,6 +174,7 @@ def run_curate(
     report: bool = False,
     against: str | None = None,
     write_index: bool = False,
+    publish_table: str | None = None,
 ) -> dict:
     import os
 
@@ -504,6 +505,30 @@ def run_curate(
             .first()[0]
             or 0
         )
+    if publish_table:
+        # publish the final survivors as the consumable table layout
+        # (plans/table.py): hive-partitioned by lang, range-clustered by
+        # doc_id, file-level min/max stats in an atomically-renamed
+        # snapshot manifest. Overwrite-mode data write + atomic manifest
+        # swap make re-publish idempotent: a reader holds the previous
+        # snapshot until the new one is fully committed. With --mix-cap
+        # the published table contains only the mixed-in docs — same
+        # survivors contract as packing.
+        from ocr_spark.plans.table import write_partitioned
+
+        kept = spark.read.parquet(os.path.join(output_dir, "bucket=*"))
+        if mixed_kept is not None:
+            kept = kept.join(mixed_kept, "doc_id")
+        manifest = write_partitioned(
+            kept, publish_table, partition_cols=("lang",), stats_col="doc_id"
+        )
+        summary = dict(summary)
+        summary["published"] = {
+            "path": publish_table,
+            "files": len(manifest["files"]),
+            "rows": int(sum(f["rows"] for f in manifest["files"])),
+        }
+
     # chainable dedup index for the NEXT drop: the survivors' ids with
     # their PRE-redaction (post fix-text) content — the output text is
     # PII-redacted, and the next drop arrives raw, so indexing redacted
@@ -589,6 +614,10 @@ def main() -> None:
     ap.add_argument("--write-index", action="store_true",
                     help="export _index for a future --against run "
                          "(implied by --against)")
+    ap.add_argument("--publish-table", default=None,
+                    help="also publish the survivors as a hive-partitioned "
+                         "(lang), range-clustered (doc_id) parquet table "
+                         "with a min/max snapshot manifest at this path")
     ap.add_argument("--report", action="store_true",
                     help="write a one-row corpus statistics report to "
                          "_report (doc/token totals, exact length "
@@ -633,6 +662,7 @@ def main() -> None:
         report=args.report,
         against=args.against,
         write_index=args.write_index,
+        publish_table=args.publish_table,
     )
     print(json.dumps(summary))
 

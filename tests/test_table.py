@@ -109,3 +109,38 @@ def test_manifest_commit_is_atomic_rename(spark):
     # the manifest on disk is valid JSON end-to-end
     with open(os.path.join(path, TBL.MANIFEST_DIR, TBL.MANIFEST_NAME)) as fh:
         json.load(fh)
+
+
+def test_curate_publish_table_stage(spark, tmp_path):
+    """--publish-table writes the curated survivors through the layout:
+    partition dirs by lang, manifest rows equal to the committed output,
+    pruned scan equals a plain filter on the survivors."""
+    from jobs.curate_job import run_curate
+
+    rows = []
+    sw = "the and of to in is was for".split()
+    for i in range(30):
+        words = [f"w{i}x{j}" if j % 3 else sw[j % len(sw)] for j in range(70)]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inp = str(tmp_path / "in.parquet")
+    docs.write.parquet(inp)
+
+    out = tmp_path / "cur"
+    pub = str(tmp_path / "published")
+    summary = run_curate(
+        spark, inp, str(out), dedup_mode="exact", num_buckets=4,
+        publish_table=pub,
+    )
+    kept = spark.read.parquet(str(out / "bucket=*"))
+    assert summary["published"]["rows"] == kept.count()
+    back = spark.read.option("basePath", pub).parquet(pub)
+    assert back.count() == kept.count()
+    got = sorted(
+        r["doc_id"]
+        for r in TBL.scan_pruned(spark, pub, lo=5, hi=14).collect()
+    )
+    exp = sorted(
+        r["doc_id"] for r in kept.filter(F.col("doc_id").between(5, 14)).collect()
+    )
+    assert got == exp
