@@ -63,6 +63,7 @@ HEADLINE = [
     "bpe_tokens",
     "kmeans_clusters",
     "table_scan_pruned",
+    "search_bm25",
     "license_filter",
     "dedup_substr",
     "bloom_membership",

@@ -1607,3 +1607,98 @@ def length_quantiles(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+def search_bm25(
+    docs,
+    terms: tuple[str, ...],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+):
+    """BM25 top-k retrieval in pure integer arithmetic — the ranked
+    counterpart of :func:`search_topk` (whose docstring notes that real
+    BM25 needs ln(), whose libm rounding is engine-specific; this
+    operator crosses that line with the engine's integer-bit idiom
+    instead of floats).
+
+    Scaled Robertson/Spärck Jones BM25, everything exact int64:
+
+    - idf_bits(t) = bit_length(N + 1) - bit_length(df_t)  — the same
+      integer log2 approximation lm_surprisal and DSIR use.
+    - tf part in milli-units with k1/b as milli constants
+      (k1=1.2 → 1200, b=0.75 → 750):
+        dln      = (dl * 10^6) div avgdl_milli
+        K        = (k1 * (1000 - b + (b * dln) div 1000)) div 1000
+        tf_part  = (tf * (k1 + 1000) * 1000) div (tf * 1000 + K)
+    - score_units = Σ_t idf_bits(t) * tf_part(t); ranking by
+      (score_units DESC, doc_id ASC).
+
+    Plan shape: ONE corpus map pass computes (dl, tf per term) — the
+    term list is a plan literal, no explode, no join; one single-row
+    aggregation fetches the model scalars (N, Σdl, df per term) to the
+    driver; scoring is a map-side expression over matching docs only and
+    the top-k is TakeOrdered. The div-based arithmetic is identical in
+    Spark (`div`) and DuckDB (`//`) on the non-negative operands used
+    here, so the oracle is bit-exact."""
+    qt = sorted({t.lower() for t in terms})
+    w = words_of(F.col(text_col))
+
+    def _tf(term: str):
+        # NOTE: a single-parameter lambda is load-bearing — a second
+        # parameter (even a default) makes F.filter pass the element
+        # INDEX as the second argument
+        return F.size(F.filter(w, lambda x: x == F.lit(term))).cast("long")
+
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(w).cast("long").alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(qt)],
+    ).persist()
+    g = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(qt))
+        ],
+    ).collect()[0]
+    n_docs, sumdl = int(g["n"]), int(g["sumdl"] or 0)
+    empty = per_doc.limit(0).select(
+        F.lit(0).cast("long").alias("rank"),
+        "doc_id",
+        F.lit(0).cast("long").alias("score_units"),
+        F.lit(0).cast("long").alias("n_matched"),
+    )
+    if n_docs == 0 or sumdl == 0:
+        return empty
+    avgdl_milli = (1000 * sumdl) // n_docs
+    idf = [
+        (n_docs + 1).bit_length() - int(g[f"df_{i}"]).bit_length()
+        for i in range(len(qt))
+    ]
+    k_expr = (
+        f"(({k1_milli} * (1000 - {b_milli} "
+        f"+ ({b_milli} * ((dl * 1000000) div {avgdl_milli})) div 1000)) div 1000)"
+    )
+    score = " + ".join(
+        f"({idf[i]} * ((tf_{i} * {k1_milli + 1000} * 1000) "
+        f"div (tf_{i} * 1000 + {k_expr})))"
+        for i in range(len(qt))
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(qt))
+    )
+    scored = (
+        per_doc.filter(F.expr(" + ".join(f"tf_{i}" for i in range(len(qt))) + " > 0"))
+        .withColumn("score_units", F.expr(score).cast("long"))
+        .withColumn("n_matched", F.expr(matched).cast("long"))
+    )
+    top = scored.orderBy(F.desc("score_units"), F.asc("doc_id")).limit(k)
+    w_rank = Window.orderBy(F.desc("score_units"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .select("rank", "doc_id", "score_units", "n_matched")
+    )

@@ -2172,6 +2172,68 @@ SELECT doc_id,
 FROM documents d LEFT JOIN bagg a USING (doc_id)"""
 
 
+# --- integer-bit BM25 retrieval (textstats.search_bm25) --------------------
+
+
+def _sql_bm25(terms: tuple[str, ...], k: int, k1: int = 1200, b: int = 750) -> str:
+    """search_bm25 twin: identical milli-unit integer arithmetic (`//` ==
+    Spark `div` on these non-negative operands) and bit-length idf.
+    A term with df = 0 contributes 0 through tf_part regardless of its
+    idf value, so the to_base(0) = '0' edge is inert (matches the Spark
+    side's bit_length(0) = 0 the same way)."""
+    qt = sorted({t.lower() for t in terms})
+    tf_cols = ",\n".join(
+        f"       len(list_filter(w, x -> x = '{t}'))::BIGINT AS tf_{i}"
+        for i, t in enumerate(qt)
+    )
+    df_cols = ",\n".join(
+        f"       SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i in range(len(qt))
+    )
+    dln = "((dl * 1000000) // (SELECT am FROM qa))"
+    kx = f"(({k1} * (1000 - {b} + (({b} * {dln}) // 1000))) // 1000)"
+    idf = [
+        f"(length(to_base((SELECT n FROM qg) + 1, 2))"
+        f" - length(to_base((SELECT df_{i} FROM qg), 2)))"
+        for i in range(len(qt))
+    ]
+    score = " + ".join(
+        f"({idf[i]} * ((tf_{i} * {k1 + 1000} * 1000) // (tf_{i} * 1000 + {kx})))"
+        for i in range(len(qt))
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(qt))
+    )
+    anytf = " + ".join(f"tf_{i}" for i in range(len(qt)))
+    return f"""
+WITH qw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),
+qs AS (SELECT doc_id, len(w)::BIGINT AS dl,
+{tf_cols}
+       FROM qw),
+qg AS (SELECT count(*)::BIGINT AS n, SUM(dl)::BIGINT AS sumdl,
+{df_cols}
+       FROM qs),
+qa AS (SELECT (1000 * sumdl) // n AS am FROM qg),
+qm AS (SELECT doc_id,
+              ({score})::BIGINT AS score_units,
+              ({matched})::BIGINT AS n_matched
+       FROM qs WHERE {anytf} > 0),
+qr AS (SELECT doc_id, score_units, n_matched,
+              row_number() OVER (ORDER BY score_units DESC, doc_id ASC) AS rank
+       FROM qm)
+SELECT rank::BIGINT AS rank, doc_id, score_units, n_matched
+FROM qr WHERE rank <= {k}"""
+
+
+@_q("search_bm25", _sql_bm25(("spark", "shuffle", "vector"), 20))
+def q_search_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranked BM25 retrieval for {spark, shuffle, vector}, top-20 — the
+    scored counterpart of search_topk, exact in int64 (milli-unit
+    k1/b arithmetic, bit-length idf; see textstats.search_bm25)."""
+    docs = D.load(spark, sf, "documents")
+    return TS.search_bm25(docs, ("spark", "shuffle", "vector"), k=20)
+
+
 # --- partitioned table layout + manifest pruning (plans/table.py) ----------
 
 
@@ -4318,6 +4380,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "bpe_train", "bpe_tokens", "kmeans_clusters", "table_scan_pruned",
+    "search_bm25",
     "dsir_score", "splits_by_cluster", "dedup_keep_best", "domain_report",
     "diversity_sample",
     "dedup_embedding_lsh", "dedup_semantic", "ann_topk_ivf",

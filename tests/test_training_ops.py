@@ -1839,3 +1839,49 @@ def test_pack_interleaved_media_budget(spark):
     # layout invariants hold (same math as pack_sequences)
     for r in got.values():
         assert r["tok_start"] >= 0 and r["seq_end"] >= r["seq_start"]
+
+
+def test_bm25_matches_hand_computed_integer_model(spark):
+    from ocr_spark.operators.textstats import search_bm25
+
+    texts = {
+        1: "spark shuffle spark spark",          # tf(spark)=3, tf(shuffle)=1, dl=4
+        2: "spark " + "filler " * 19,            # tf(spark)=1, dl=21
+        3: "vector shuffle",                     # dl=2
+        4: "nothing relevant here",              # no match
+        5: "",                                   # empty
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["rank"], r["score_units"], r["n_matched"])
+        for r in search_bm25(docs, ("spark", "shuffle", "vector"), k=10).collect()
+    }
+
+    # pure-Python replica of the documented integer model
+    qt = sorted(("spark", "shuffle", "vector"))
+    words = {i: t.lower().split() for i, t in texts.items()}
+    dls = {i: len(w) for i, w in words.items()}
+    n, sumdl = len(words), sum(dls.values())
+    am = (1000 * sumdl) // n
+    df = {t: sum(1 for w in words.values() if t in w) for t in qt}
+    idf = {t: (n + 1).bit_length() - df[t].bit_length() for t in qt}
+
+    def score(i):
+        dl = dls[i]
+        dln = (dl * 1000000) // am
+        K = (1200 * (1000 - 750 + (750 * dln) // 1000)) // 1000
+        s = 0
+        for t in qt:
+            tf = words[i].count(t)
+            s += idf[t] * ((tf * 2200 * 1000) // (tf * 1000 + K))
+        return s
+
+    exp_scored = sorted(
+        ((score(i), i) for i in words if any(t in words[i] for t in qt)),
+        key=lambda x: (-x[0], x[1]),
+    )
+    assert sorted(got) == sorted(i for _, i in exp_scored)
+    for rank, (s, i) in enumerate(exp_scored, start=1):
+        assert got[i] == (rank, s, sum(1 for t in qt if t in words[i]))
+    # the repetition-heavy short doc must outrank the diluted long one
+    assert got[1][0] < got[2][0]
