@@ -2276,6 +2276,63 @@ def q_table_scan_pruned(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "table_stream_ingest",
+    """
+SELECT doc_id, lang, md5(coalesce(text, '')) AS payload_md5
+FROM documents WHERE lang = 'en' AND doc_id BETWEEN 100 AND 299""",
+)
+def q_table_stream_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured-Streaming ingestion into the table layout: the corpus
+    arrives as a file stream in ≥2 microbatches (maxFilesPerTrigger=1),
+    each committed via foreachBatch into its own ``ingest_batch=<id>``
+    directory (idempotent under at-least-once replay) with an O(batch)
+    incremental manifest merge, then read back through manifest scan
+    planning with the same partition + file-range pruning as the batch
+    table. The oracle is the plain predicate on the source table:
+    however the stream was microbatched, the committed table must be
+    byte-identical to a batch write."""
+    import os
+    import shutil
+
+    from ocr_spark.plans import table as TBL
+
+    docs = D.load(spark, sf, "documents").select("doc_id", "text", "lang")
+    tag = sf.rstrip("/").split("/")[-1]
+    base = os.path.join(
+        "/tmp", f"ocr_spark_stbl_{tag}_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    # two source files → two microbatches under maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    tbl = os.path.join(base, "tbl")
+    q = (
+        TBL.stream_to_table(stream, tbl, os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    pruned = TBL.scan_pruned(
+        spark, tbl, lo=100, hi=299, partition_eq={"lang": "en"}
+    )
+    return pruned.select(
+        "doc_id",
+        "lang",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("payload_md5"),
+    )
+
+
 # --- distributed Lloyd k-means (similarity.kmeans_lloyd) -------------------
 
 _KMEANS_K = 8
@@ -4380,7 +4437,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "bpe_train", "bpe_tokens", "kmeans_clusters", "table_scan_pruned",
-    "search_bm25",
+    "table_stream_ingest", "search_bm25",
     "dsir_score", "splits_by_cluster", "dedup_keep_best", "domain_report",
     "diversity_sample",
     "dedup_embedding_lsh", "dedup_semantic", "ann_topk_ivf",

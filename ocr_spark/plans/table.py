@@ -56,43 +56,7 @@ def write_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
-    spark = df.sparkSession
-    stats = (
-        spark.read.parquet(path)
-        .select(
-            F.input_file_name().alias("file"),
-            F.col(stats_col).alias("s"),
-            *[F.col(c).cast("string").alias(c) for c in partition_cols],
-        )
-        .groupBy("file", *partition_cols)
-        .agg(
-            F.min("s").alias("min"),
-            F.max("s").alias("max"),
-            F.count(F.lit(1)).alias("rows"),
-        )
-        .collect()
-    )
-    manifest = {
-        "format_version": 1,
-        "root": path,
-        "stats_col": stats_col,
-        "partition_cols": list(partition_cols),
-        "files": sorted(
-            (
-                {
-                    "path": r["file"],
-                    "partition": {c: r[c] for c in partition_cols},
-                    "min": r["min"],
-                    "max": r["max"],
-                    "rows": int(r["rows"]),
-                }
-                for r in stats
-            ),
-            key=lambda f: f["path"],
-        ),
-    }
-    commit_manifest(path, manifest)
-    return manifest
+    return refresh_manifest(df.sparkSession, path, partition_cols, stats_col)
 
 
 def commit_manifest(path: str, manifest: dict) -> None:
@@ -159,3 +123,139 @@ def scan_pruned(
     for c, v in (partition_eq or {}).items():
         df = df.filter(F.col(c) == v)
     return df
+
+
+# ---------------------------------------------------------------------------
+# streaming ingestion (Structured Streaming → table layout)
+# ---------------------------------------------------------------------------
+
+BATCH_COL = "ingest_batch"
+
+
+def _stat_files(
+    spark: SparkSession,
+    read_path: str,
+    base_path: str,
+    partition_cols: tuple[str, ...],
+    stats_col: str,
+) -> list[dict]:
+    """File-level min/max/rows under ``read_path`` — one aggregation keyed
+    on input_file_name() (#groups = #files, not #rows); the collect is
+    file-count-sized, the same driver-side footprint as Iceberg's
+    manifest list."""
+    stats = (
+        spark.read.option("basePath", base_path)
+        .parquet(read_path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col(stats_col).alias("s"),
+            *[F.col(c).cast("string").alias(c) for c in partition_cols],
+        )
+        .groupBy("file", *partition_cols)
+        .agg(
+            F.min("s").alias("min"),
+            F.max("s").alias("max"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        .collect()
+    )
+    return [
+        {
+            "path": r["file"],
+            "partition": {c: r[c] for c in partition_cols},
+            "min": r["min"],
+            "max": r["max"],
+            "rows": int(r["rows"]),
+        }
+        for r in stats
+    ]
+
+
+def _commit_files(
+    path: str,
+    files: list[dict],
+    partition_cols: tuple[str, ...],
+    stats_col: str,
+) -> dict:
+    manifest = {
+        "format_version": 1,
+        "root": path,
+        "stats_col": stats_col,
+        "partition_cols": list(partition_cols),
+        "files": sorted(files, key=lambda f: f["path"]),
+    }
+    commit_manifest(path, manifest)
+    return manifest
+
+
+def refresh_manifest(
+    spark: SparkSession,
+    path: str,
+    partition_cols: tuple[str, ...] = ("lang",),
+    stats_col: str = "doc_id",
+) -> dict:
+    """Rebuild and atomically commit the snapshot manifest from the files
+    currently on disk.  Full-table pass — used by the batch writer and as
+    a repair tool; streaming commits use the incremental merge in
+    append_batch instead."""
+    files = _stat_files(spark, path, path, partition_cols, stats_col)
+    return _commit_files(path, files, partition_cols, stats_col)
+
+
+def append_batch(
+    df: DataFrame,
+    path: str,
+    batch_id: int,
+    partition_cols: tuple[str, ...] = ("lang",),
+    stats_col: str = "doc_id",
+    n_range_files: int = 4,
+) -> dict:
+    """Commit one microbatch into the table: the batch writes to its OWN
+    hive directory (``ingest_batch=<id>/``, overwrite mode), so a
+    replayed batch — foreachBatch is at-least-once — overwrites its
+    previous attempt instead of duplicating rows; the manifest rebuild
+    afterwards is idempotent by construction. This is the same
+    replace-not-append discipline as Iceberg's streaming commits, done
+    with directory granularity. A streaming table's root must not be
+    shared with a plain write_partitioned table (the extra hive level
+    would break partition discovery).
+
+    The manifest update is INCREMENTAL: only the new batch directory is
+    statted, and its entries replace any prior entries under the same
+    batch id in the previous snapshot — O(batch) per commit, not
+    O(table), so commit cost stays flat as the table grows."""
+    batch_dir = os.path.join(path, f"{BATCH_COL}={int(batch_id)}")
+    (
+        df.repartitionByRange(n_range_files, F.col(stats_col))
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(batch_dir)
+    )
+    new_files = _stat_files(df.sparkSession, batch_dir, path, partition_cols, stats_col)
+    marker = f"/{BATCH_COL}={int(batch_id)}/"
+    try:
+        prev = [f for f in read_manifest(path)["files"] if marker not in f["path"]]
+    except FileNotFoundError:
+        prev = []
+    return _commit_files(path, prev + new_files, partition_cols, stats_col)
+
+
+def stream_to_table(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_cols: tuple[str, ...] = ("lang",),
+    stats_col: str = "doc_id",
+):
+    """Structured-Streaming sink into the table layout: every microbatch
+    is an append_batch commit (idempotent per batch id) followed by an
+    atomic manifest swap, so a reader planning through scan_pruned sees
+    each microbatch all-or-nothing. Returns the DataStreamWriter —
+    caller picks the trigger and calls .start()."""
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch(batch_df, path, batch_id, partition_cols, stats_col)
+
+    return stream_df.writeStream.foreachBatch(_commit).option(
+        "checkpointLocation", checkpoint_dir
+    )

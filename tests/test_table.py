@@ -144,3 +144,55 @@ def test_curate_publish_table_stage(spark, tmp_path):
         r["doc_id"] for r in kept.filter(F.col("doc_id").between(5, 14)).collect()
     )
     assert got == exp
+
+
+def test_stream_to_table_commits_batches_with_manifest(spark, tmp_path):
+    """Structured-Streaming ingestion: microbatches land as their own
+    ingest_batch dirs, the manifest covers every committed file, pruned
+    scans equal plain filters, and replaying a batch id is idempotent."""
+    docs = _mk_docs(spark, n=120)
+    src = str(tmp_path / "src")
+    docs.filter("doc_id < 60").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id >= 60").coalesce(1).write.mode("append").parquet(src)
+
+    tbl = str(tmp_path / "stream_tbl")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        TBL.stream_to_table(stream, tbl, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    back = spark.read.option("basePath", tbl).parquet(tbl)
+    assert back.count() == 120
+    assert TBL.BATCH_COL in back.columns  # one hive level per microbatch
+    assert back.select(TBL.BATCH_COL).distinct().count() >= 2
+
+    m = TBL.read_manifest(tbl)
+    assert sum(f["rows"] for f in m["files"]) == 120
+    got = sorted(
+        r["doc_id"]
+        for r in TBL.scan_pruned(
+            spark, tbl, lo=20, hi=99, partition_eq={"lang": "en"}
+        ).collect()
+    )
+    exp = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            (F.col("lang") == "en") & F.col("doc_id").between(20, 99)
+        ).collect()
+    )
+    assert got == exp
+
+    # at-least-once replay: re-committing batch 0 with the same rows must
+    # not duplicate anything (its directory is overwritten, not appended)
+    batch0 = spark.read.parquet(src).filter("doc_id < 60")
+    TBL.append_batch(batch0, tbl, 0)
+    assert spark.read.option("basePath", tbl).parquet(tbl).count() == 120
+    m2 = TBL.read_manifest(tbl)
+    assert sum(f["rows"] for f in m2["files"]) == 120
