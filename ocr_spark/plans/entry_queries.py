@@ -2333,6 +2333,100 @@ def q_table_stream_ingest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "table_cow_maintenance",
+    """
+WITH upd AS (
+  SELECT doc_id, 'UPDATED:' || CAST(doc_id AS VARCHAR) AS text, 'xx' AS lang
+  FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'NEW:' || CAST(doc_id AS VARCHAR), 'yy'
+  FROM documents WHERE doc_id % 101 = 0
+)
+SELECT doc_id, lang, md5(coalesce(text, '')) AS payload_md5 FROM upd
+UNION ALL
+SELECT d.doc_id, d.lang, md5(coalesce(d.text, '')) AS payload_md5
+FROM documents d
+WHERE d.doc_id % 89 <> 3 AND d.doc_id NOT IN (SELECT doc_id FROM upd)""",
+)
+def q_table_cow_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Copy-on-write table maintenance, end to end: the corpus is
+    committed as snapshot 0, a row-level DELETE rewrites only the files
+    that contain matching rows (snapshot 1), a MERGE replaces matched
+    keys / inserts new ones — including a deleted-then-merged key, which
+    must come back as an insert, and a partition-value change, which
+    must move the row between hive directories — (snapshot 2), and a
+    compaction folds the accumulated file groups into few range-
+    clustered files (snapshot 3).  The oracle recomputes the same
+    delete+merge relationally on the original table: four commits of
+    metadata churn must be value-invisible."""
+    import os
+
+    from ocr_spark.plans import table as TBL
+
+    docs = D.load(spark, sf, "documents").select("doc_id", "text", "lang")
+    tag = sf.rstrip("/").split("/")[-1]
+    path = os.path.join(
+        "/tmp", f"ocr_spark_cow_{tag}_{spark.sparkContext.applicationId}"
+    )
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    TBL.delete_where(spark, path, "doc_id % 89 = 3")
+    updates = docs.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id",
+        F.concat(F.lit("UPDATED:"), F.col("doc_id").cast("string")).alias("text"),
+        F.lit("xx").alias("lang"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 101 == 0).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.concat(F.lit("NEW:"), F.col("doc_id").cast("string")).alias("text"),
+            F.lit("yy").alias("lang"),
+        )
+    )
+    TBL.merge_upsert(spark, path, updates, key_col="doc_id")
+    TBL.compact(spark, path, n_range_files=4)
+    return TBL.scan_pruned(spark, path).select(
+        "doc_id",
+        "lang",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("payload_md5"),
+    )
+
+
+@_q(
+    "table_time_travel",
+    """
+SELECT doc_id, lang, md5(coalesce(text, '')) AS payload_md5 FROM documents""",
+)
+def q_table_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot time travel: after a delete commit, reading the table AT
+    the pre-delete snapshot id must reproduce the original corpus
+    byte-for-byte — data files are immutable and only ever added, so an
+    old manifest's file list stays exact until expire_snapshots.  The
+    oracle is the unmodified source table."""
+    import os
+    import shutil
+
+    from ocr_spark.plans import table as TBL
+
+    docs = D.load(spark, sf, "documents").select("doc_id", "text", "lang")
+    tag = sf.rstrip("/").split("/")[-1]
+    path = os.path.join(
+        "/tmp", f"ocr_spark_tt_{tag}_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    m0 = TBL.write_partitioned(
+        docs, path, partition_cols=("lang",), stats_col="doc_id"
+    )
+    TBL.delete_where(spark, path, "doc_id % 7 = 1")
+    return TBL.scan_pruned(spark, path, snapshot_id=m0["snapshot_id"]).select(
+        "doc_id",
+        "lang",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("payload_md5"),
+    )
+
+
 # --- distributed Lloyd k-means (similarity.kmeans_lloyd) -------------------
 
 _KMEANS_K = 8
@@ -4436,6 +4530,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 #   E. the r3-green remainder.
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
+    "table_cow_maintenance", "table_time_travel",
     "bpe_train", "bpe_tokens", "kmeans_clusters", "table_scan_pruned",
     "table_stream_ingest", "search_bm25",
     "dsir_score", "splits_by_cluster", "dedup_keep_best", "domain_report",

@@ -97,7 +97,7 @@ def test_manifest_commit_is_atomic_rename(spark):
     path = _tmp(spark, "atomic")
     TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
     m = TBL.read_manifest(path)
-    assert m["format_version"] == 1 and m["files"]
+    assert m["format_version"] == 2 and m["files"]
     # recommit a modified snapshot; the file must never be torn
     m["files"] = m["files"][:1]
     TBL.commit_manifest(path, m)
@@ -148,7 +148,7 @@ def test_curate_publish_table_stage(spark, tmp_path):
 
 def test_stream_to_table_commits_batches_with_manifest(spark, tmp_path):
     """Structured-Streaming ingestion: microbatches land as their own
-    ingest_batch dirs, the manifest covers every committed file, pruned
+    file_group=batch-<id> dirs, the manifest covers every committed file, pruned
     scans equal plain filters, and replaying a batch id is idempotent."""
     docs = _mk_docs(spark, n=120)
     src = str(tmp_path / "src")
@@ -196,3 +196,116 @@ def test_stream_to_table_commits_batches_with_manifest(spark, tmp_path):
     assert spark.read.option("basePath", tbl).parquet(tbl).count() == 120
     m2 = TBL.read_manifest(tbl)
     assert sum(f["rows"] for f in m2["files"]) == 120
+
+
+def test_delete_where_is_copy_on_write_with_time_travel(spark, tmp_path):
+    """Row delete rewrites only the files that contain matching rows;
+    untouched files are carried by reference, and the pre-delete
+    snapshot stays byte-readable (time travel)."""
+    docs = _mk_docs(spark, n=240)
+    path = str(tmp_path / "cow")
+    m0 = TBL.write_partitioned(
+        docs, path, partition_cols=("lang",), stats_col="doc_id", n_range_files=8
+    )
+    assert m0["snapshot_id"] == 0 and m0["operation"] == "overwrite"
+
+    m1 = TBL.delete_where(spark, path, "doc_id BETWEEN 0 AND 14")
+    assert m1["snapshot_id"] == 1 and m1["operation"] == "delete"
+    # copy-on-write: most files are shared between the two snapshots
+    f0 = {f["path"] for f in m0["files"]}
+    f1 = {f["path"] for f in m1["files"]}
+    assert f0 & f1, "untouched files must be carried by reference"
+    assert f1 - f0, "rewritten survivors must be new files"
+
+    head = sorted(r["doc_id"] for r in TBL.scan_pruned(spark, path).collect())
+    assert head == list(range(15, 240))
+    old = TBL.scan_pruned(spark, path, snapshot_id=0)
+    assert old.count() == 240  # time travel to the pre-delete snapshot
+
+    # no-match delete: no new snapshot committed
+    m_same = TBL.delete_where(spark, path, "doc_id > 10000000")
+    assert m_same["snapshot_id"] == 1
+    log = TBL.snapshots(path)
+    assert [s["snapshot_id"] for s in log] == [0, 1]
+    assert [s["operation"] for s in log] == ["overwrite", "delete"]
+
+
+def test_merge_upsert_replaces_matched_and_inserts_new(spark, tmp_path):
+    """MERGE: matched keys replace the stored row (even across a
+    partition-value change), unmatched keys insert; untouched files are
+    carried by reference."""
+    docs = _mk_docs(spark, n=90)
+    path = str(tmp_path / "merge")
+    m0 = TBL.write_partitioned(docs, path, n_range_files=6)
+
+    updates = spark.createDataFrame(
+        [
+            (5, "five rewritten", "en"),   # was lang 'de' (5 % 3 == 2)
+            (7, "seven rewritten", "ru"),
+            (1000, "brand new", "xx"),     # insert
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    m1 = TBL.merge_upsert(spark, path, updates)
+    assert m1["operation"] == "merge"
+    assert {f["path"] for f in m0["files"]} & {f["path"] for f in m1["files"]}
+
+    back = {r["doc_id"]: r for r in TBL.scan_pruned(spark, path).collect()}
+    assert len(back) == 91
+    assert back[5]["text"] == "five rewritten" and back[5]["lang"] == "en"
+    assert back[7]["text"] == "seven rewritten"
+    assert back[1000]["lang"] == "xx"
+    assert back[6]["text"].startswith("document body 6")  # untouched
+    # pre-merge snapshot unchanged
+    assert TBL.scan_pruned(spark, path, snapshot_id=0).count() == 90
+
+
+def test_compact_and_expire_snapshots(spark, tmp_path):
+    """Compaction folds a many-file table into few range-clustered files
+    with identical content; expire_snapshots drops old manifests and
+    physically removes files only dead snapshots referenced."""
+    docs = _mk_docs(spark, n=120)
+    path = str(tmp_path / "cmp")
+    TBL.write_partitioned(docs.filter("doc_id < 60"), path, n_range_files=6)
+    TBL.append_batch(docs.filter("doc_id >= 60"), path, 0, n_range_files=6)
+    m_before = TBL.read_manifest(path)
+
+    m_c = TBL.compact(spark, path, n_range_files=2)
+    assert m_c["operation"] == "compact"
+    assert len(m_c["files"]) < len(m_before["files"])
+    got = sorted(
+        (r["doc_id"], r["text"], r["lang"])
+        for r in TBL.scan_pruned(spark, path).collect()
+    )
+    exp = sorted(
+        (r["doc_id"], r["text"], r["lang"]) for r in docs.collect()
+    )
+    assert got == exp
+    # pruned scan on the compacted table still skips files
+    m = TBL.read_manifest(path)
+    assert 0 < len(TBL.prune_files(m, lo=0, hi=9, partition_eq={"lang": "en"})) < len(
+        m["files"]
+    )
+    # pre-compaction snapshots still readable
+    assert TBL.scan_pruned(spark, path, snapshot_id=1).count() == 120
+
+    res = TBL.expire_snapshots(path, keep_last=1)
+    assert res["removed_manifests"] == 2 and res["removed_files"] > 0
+    # HEAD unaffected; expired snapshot gone
+    assert TBL.scan_pruned(spark, path).count() == 120
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        TBL.read_manifest(path, 0)
+    # every file on disk is referenced by the kept snapshot
+    import os as _os
+
+    on_disk = set()
+    for root, _d, names in _os.walk(path):
+        if TBL.MANIFEST_DIR in root:
+            continue
+        on_disk.update(
+            _os.path.join(root, n) for n in names if n.endswith(".parquet")
+        )
+    live = {TBL._local(f["path"]) for f in TBL.read_manifest(path)["files"]}
+    assert on_disk == live
