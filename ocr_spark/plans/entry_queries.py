@@ -2427,6 +2427,108 @@ def q_table_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "table_schema_evolution",
+    """
+WITH upd AS (
+  SELECT doc_id, 'UPDATED:' || CAST(doc_id AS VARCHAR) AS body, 'xx' AS lang,
+         CAST(doc_id % 5 AS BIGINT) AS score
+  FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'NEW:' || CAST(doc_id AS VARCHAR), 'yy',
+         CAST(NULL AS BIGINT)
+  FROM documents WHERE doc_id % 101 = 0
+)
+SELECT doc_id, lang, md5(coalesce(body, '')) AS payload_md5, score FROM upd
+UNION ALL
+SELECT d.doc_id, d.lang, md5(coalesce(d.text, '')) AS payload_md5,
+       CAST(7 AS BIGINT) AS score
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)""",
+)
+def q_table_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution as metadata-only commits: the corpus is written
+    (snapshot 0), `text` is RENAMED to `body` and a `score` column is
+    ADDED with initial default 7 without touching a single data file
+    (snapshot 1), then a MERGE writes rows that carry the evolved schema
+    — an updated row with a real score, an inserted row with a genuine
+    NULL score that must NOT collapse into the initial default
+    (snapshot 2).  The scan reconciles old files (physical `text`, no
+    `score`) and new files (physical `body` + `score`) through the
+    manifest's name mapping; the oracle recomputes the same rename +
+    default + merge relationally on the original table."""
+    import os
+    import shutil
+
+    from ocr_spark.plans import table as TBL
+
+    docs = D.load(spark, sf, "documents").select("doc_id", "text", "lang")
+    tag = sf.rstrip("/").split("/")[-1]
+    path = os.path.join(
+        "/tmp", f"ocr_spark_evo_{tag}_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    TBL.evolve_schema(path, rename={"text": "body"}, add={"score": ("bigint", 7)})
+    updates = docs.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id",
+        F.concat(F.lit("UPDATED:"), F.col("doc_id").cast("string")).alias("body"),
+        F.lit("xx").alias("lang"),
+        (F.col("doc_id") % 5).cast("long").alias("score"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 101 == 0).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.concat(F.lit("NEW:"), F.col("doc_id").cast("string")).alias("body"),
+            F.lit("yy").alias("lang"),
+            F.lit(None).cast("long").alias("score"),
+        )
+    )
+    TBL.merge_upsert(spark, path, updates, key_col="doc_id")
+    return TBL.scan_pruned(spark, path).select(
+        "doc_id",
+        "lang",
+        F.md5(F.coalesce(F.col("body"), F.lit(""))).alias("payload_md5"),
+        "score",
+    )
+
+
+@_q(
+    "table_zorder_scan",
+    """
+SELECT doc_id, lang, length(coalesce(text, '')) AS wc
+FROM documents
+WHERE length(coalesce(text, '')) BETWEEN 150 AND 350""",
+)
+def q_table_zorder_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustering: the corpus is compacted with files clustered
+    on the interleaved bits of (doc_id, wc) and per-file [min, max]
+    recorded for BOTH columns, then scanned with a range predicate on
+    the SECOND dimension — the one single-column range clustering can
+    never skip files for.  The manifest prunes on the recorded wc stats
+    before Spark lists anything; the oracle is the same predicate on
+    the original table (clustering must be value-invisible)."""
+    import os
+    import shutil
+
+    from ocr_spark.plans import table as TBL
+
+    docs = D.load(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("wc"),
+    )
+    tag = sf.rstrip("/").split("/")[-1]
+    path = os.path.join(
+        "/tmp", f"ocr_spark_zo_{tag}_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    TBL.write_partitioned(docs, path, partition_cols=(), stats_col="doc_id")
+    TBL.compact(spark, path, n_range_files=8, cluster_by=("doc_id", "wc"))
+    return TBL.scan_pruned(spark, path, ranges={"wc": (150, 350)}).select(
+        "doc_id", "lang", "wc"
+    )
+
+
 # --- distributed Lloyd k-means (similarity.kmeans_lloyd) -------------------
 
 _KMEANS_K = 8
@@ -4530,6 +4632,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 #   E. the r3-green remainder.
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
+    "table_schema_evolution", "table_zorder_scan",
     "table_cow_maintenance", "table_time_travel",
     "bpe_train", "bpe_tokens", "kmeans_clusters", "table_scan_pruned",
     "table_stream_ingest", "search_bm25",

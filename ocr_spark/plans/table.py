@@ -31,6 +31,21 @@ that de-scope, plans/checkpoint.py holds the resumable-commit protocol):
 - **Compaction** (`compact`): rewrites the current snapshot into few
   range-clustered files in one new group — the small-file antidote for
   streaming-ingested tables — without disturbing older snapshots.
+- **Schema evolution** (`evolve_schema`): add / rename / drop columns as
+  a METADATA-ONLY commit — zero data files touched.  The manifest keeps
+  a name-mapping schema (logical name → the list of physical column
+  names it has ever had, newest first, plus an initial default for
+  added columns); the scan reconciles heterogeneous files through that
+  mapping, exactly Iceberg's name-mapping contract.  Rows written
+  before a column existed read as its initial default — and ONLY those
+  rows: each manifest file entry records the physical columns its file
+  group was written with, so the scan distinguishes "file predates the
+  column" from "row is genuinely null".
+- **Z-order clustering** (`compact(cluster_by=...)`): rewrites with the
+  files clustered on the interleaved bits of SEVERAL columns and
+  records per-column min/max in the manifest, so file skipping works on
+  any clustered column — the multi-dimensional complement of the
+  single-column range clustering.
 
 Scale shape: the stats pass is one aggregation keyed on
 ``input_file_name()`` (#groups = #files, not #rows); every manifest is
@@ -142,25 +157,32 @@ def _stat_files(
     base_path: str,
     partition_cols: tuple[str, ...],
     stats_col: str,
+    extra_stats_cols: tuple[str, ...] = (),
 ) -> list[dict]:
     """File-level min/max/rows under ``read_path`` — one aggregation keyed
     on input_file_name() (#groups = #files, not #rows); the collect is
     file-count-sized, the same driver-side footprint as Iceberg's
-    manifest list."""
+    manifest list.  ``extra_stats_cols`` records additional per-column
+    [min, max] (``col_stats``) so pruning can use more than one column
+    (the z-order case)."""
+    reader = spark.read.option("basePath", base_path).parquet(read_path)
+    group_columns = list(reader.columns)  # one group = one physical schema
+    aggs = [
+        F.min("s").alias("min"),
+        F.max("s").alias("max"),
+        F.count(F.lit(1)).alias("rows"),
+    ]
+    for c in extra_stats_cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
     stats = (
-        spark.read.option("basePath", base_path)
-        .parquet(read_path)
-        .select(
+        reader.select(
             F.input_file_name().alias("file"),
             F.col(stats_col).alias("s"),
             *[F.col(c).cast("string").alias(c) for c in partition_cols],
+            *[F.col(c) for c in extra_stats_cols],
         )
         .groupBy("file", *partition_cols)
-        .agg(
-            F.min("s").alias("min"),
-            F.max("s").alias("max"),
-            F.count(F.lit(1)).alias("rows"),
-        )
+        .agg(*aggs)
         .collect()
     )
     return [
@@ -170,6 +192,17 @@ def _stat_files(
             "min": r["min"],
             "max": r["max"],
             "rows": int(r["rows"]),
+            "columns": group_columns,
+            **(
+                {
+                    "col_stats": {
+                        c: [r[f"__min_{c}"], r[f"__max_{c}"]]
+                        for c in extra_stats_cols
+                    }
+                }
+                if extra_stats_cols
+                else {}
+            ),
         }
         for r in stats
     ]
@@ -182,24 +215,33 @@ def _write_group(
     partition_cols: tuple[str, ...],
     stats_col: str,
     n_range_files: int,
+    cluster_expr=None,
+    extra_stats_cols: tuple[str, ...] = (),
 ) -> list[dict]:
     """Write ``df`` as the data files of ONE commit, under its own
     ``file_group=<group>`` hive directory (overwrite WITHIN the group
     only — other groups, i.e. other snapshots' files, are immutable).
     Returns the manifest entries for the new files; empty input commits
-    no files."""
+    no files.  ``cluster_expr`` overrides the file-clustering key
+    (default: the stats column; z-order passes the interleaved value)."""
     if GROUP_COL in df.columns:
         df = df.drop(GROUP_COL)
     if df.isEmpty():
         return []
     gdir = os.path.join(path, f"{GROUP_COL}={group}")
+    key = F.col(stats_col) if cluster_expr is None else cluster_expr
     (
-        df.repartitionByRange(n_range_files, F.col(stats_col))
+        df.withColumn("__cluster", key)
+        .repartitionByRange(n_range_files, F.col("__cluster"))
+        .sortWithinPartitions("__cluster")
+        .drop("__cluster")
         .write.mode("overwrite")
         .partitionBy(*partition_cols)
         .parquet(gdir)
     )
-    return _stat_files(df.sparkSession, gdir, path, partition_cols, stats_col)
+    return _stat_files(
+        df.sparkSession, gdir, path, partition_cols, stats_col, extra_stats_cols
+    )
 
 
 def _commit_files(
@@ -208,18 +250,34 @@ def _commit_files(
     partition_cols: tuple[str, ...],
     stats_col: str,
     operation: str,
+    schema: list[dict] | None = None,
 ) -> dict:
-    return commit_manifest(
-        path,
+    m = {
+        "format_version": 2,
+        "root": path,
+        "stats_col": stats_col,
+        "partition_cols": list(partition_cols),
+        "operation": operation,
+        "files": sorted(files, key=lambda f: f["path"]),
+    }
+    if schema is not None:
+        m["schema"] = schema
+    return commit_manifest(path, m)
+
+
+def _schema_from_df(df: DataFrame) -> list[dict]:
+    """Initial name-mapping schema: every logical column maps to itself
+    as the (only) physical source; no initial defaults."""
+    return [
         {
-            "format_version": 2,
-            "root": path,
-            "stats_col": stats_col,
-            "partition_cols": list(partition_cols),
-            "operation": operation,
-            "files": sorted(files, key=lambda f: f["path"]),
-        },
-    )
+            "name": f.name,
+            "type": f.dataType.simpleString(),
+            "sources": [f.name],
+            "default": None,
+        }
+        for f in df.schema.fields
+        if f.name != GROUP_COL
+    ]
 
 
 def _next_group(path: str) -> str:
@@ -247,7 +305,80 @@ def write_partitioned(
     files = _write_group(
         df, path, _next_group(path), partition_cols, stats_col, n_range_files
     )
-    return _commit_files(path, files, partition_cols, stats_col, "overwrite")
+    return _commit_files(
+        path, files, partition_cols, stats_col, "overwrite", _schema_from_df(df)
+    )
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (metadata-only commits, Iceberg name-mapping style)
+# ---------------------------------------------------------------------------
+
+
+def evolve_schema(
+    path: str,
+    add: dict[str, tuple] | None = None,
+    rename: dict[str, str] | None = None,
+    drop: tuple[str, ...] = (),
+) -> dict:
+    """Evolve the table's logical schema WITHOUT touching any data file —
+    the commit carries the previous snapshot's file list by reference and
+    only the name-mapping schema changes.
+
+    ``add``    — {name: (spark_ddl_type, initial_default)}: rows written
+                 before the column existed read as ``initial_default``
+                 (Iceberg v3 initial-default semantics); rows written
+                 after carry their own value, including genuine nulls.
+    ``rename`` — {old_logical_name: new_name}: old files keep their
+                 physical column; the mapping records every historical
+                 physical name so the scan coalesces across file
+                 generations.  New writes materialize the new name.
+    ``drop``   — logical names to remove from the scan (files untouched;
+                 time travel to a pre-drop snapshot still sees them).
+
+    The stats / partition columns cannot be renamed or dropped — they
+    anchor file pruning and the directory layout."""
+    m = read_manifest(path)
+    schema = [dict(e) for e in m.get("schema") or []]
+    if not schema:
+        raise ValueError(
+            "table has no recorded schema (written before schema tracking); "
+            "rewrite it with write_partitioned or compact() first"
+        )
+    protected = {m["stats_col"], *m["partition_cols"]}
+    by_name = {e["name"]: e for e in schema}
+    for old, new in (rename or {}).items():
+        if old in protected:
+            raise ValueError(f"cannot rename {old!r}: stats/partition column")
+        if old not in by_name:
+            raise KeyError(f"no column {old!r}")
+        if new in by_name:
+            raise ValueError(f"column {new!r} already exists")
+        e = by_name.pop(old)
+        e["name"] = new
+        # newest physical name first; old files resolve through the tail
+        e["sources"] = [new] + [s for s in e["sources"] if s != new]
+        by_name[new] = e
+    for name in drop:
+        if name in protected:
+            raise ValueError(f"cannot drop {name!r}: stats/partition column")
+        if name not in by_name:
+            raise KeyError(f"no column {name!r}")
+        schema.remove(by_name.pop(name))
+    for name, (ddl_type, default) in (add or {}).items():
+        if name in by_name:
+            raise ValueError(f"column {name!r} already exists")
+        e = {"name": name, "type": ddl_type, "sources": [name], "default": default}
+        schema.append(e)
+        by_name[name] = e
+    return _commit_files(
+        path,
+        m["files"],
+        tuple(m["partition_cols"]),
+        m["stats_col"],
+        "evolve",
+        schema,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -260,10 +391,14 @@ def prune_files(
     lo=None,
     hi=None,
     partition_eq: dict[str, str] | None = None,
+    ranges: dict[str, tuple] | None = None,
 ) -> list[dict]:
     """Manifest-side planning: the file entries whose partition values
-    match ``partition_eq`` and whose [min, max] stats overlap [lo, hi].
-    Pure driver-side metadata work, like Iceberg's scan planning."""
+    match ``partition_eq``, whose stats-column [min, max] overlaps
+    [lo, hi], and whose recorded per-column ``col_stats`` overlap every
+    ``ranges`` bound (files without stats for a ranged column are kept —
+    stats only ever EXCLUDE).  Pure driver-side metadata work, like
+    Iceberg's scan planning."""
     out = []
     for f in manifest["files"]:
         if partition_eq and any(
@@ -273,6 +408,18 @@ def prune_files(
         if lo is not None and f["max"] is not None and f["max"] < lo:
             continue
         if hi is not None and f["min"] is not None and f["min"] > hi:
+            continue
+        skip = False
+        for c, (rlo, rhi) in (ranges or {}).items():
+            cs = f.get("col_stats", {}).get(c)
+            if cs is None:
+                continue
+            cmin, cmax = cs
+            if rlo is not None and cmax is not None and cmax < rlo:
+                skip = True
+            if rhi is not None and cmin is not None and cmin > rhi:
+                skip = True
+        if skip:
             continue
         out.append(f)
     return out
@@ -285,18 +432,30 @@ def scan_pruned(
     hi=None,
     partition_eq: dict[str, str] | None = None,
     snapshot_id: int | None = None,
+    ranges: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read the table through the manifest: partition + file-range
     pruning happens BEFORE Spark lists anything, then the residual
     predicate is re-applied (stats bound files, they don't filter rows).
     ``basePath`` keeps the hive partition columns in the schema.
     ``snapshot_id`` time-travels to any retained snapshot — data files
-    are immutable, so an old manifest's file list is still exact."""
+    are immutable, so an old manifest's file list is still exact (and
+    its recorded schema is the one the scan reconciles to, so pre-
+    evolution snapshots come back in their original shape).
+    ``ranges`` = {col: (lo, hi)} prunes on any column with recorded
+    per-file ``col_stats`` (written by z-order compaction)."""
     manifest = read_manifest(path, snapshot_id)
-    files = [f["path"] for f in prune_files(manifest, lo, hi, partition_eq)]
-    if not files:
-        return spark.read.option("basePath", path).parquet(path).filter(F.lit(False))
-    df = spark.read.option("basePath", path).parquet(*files)
+    entries = prune_files(manifest, lo, hi, partition_eq, ranges)
+    if not entries:
+        if manifest["files"]:
+            base = _reconciled(spark, path, manifest["files"], manifest.get("schema"))
+        elif manifest.get("schema"):
+            ddl = ", ".join(f"`{e['name']}` {e['type']}" for e in manifest["schema"])
+            base = spark.createDataFrame([], ddl)
+        else:
+            base = spark.read.option("basePath", path).parquet(path)
+        return base.filter(F.lit(False))
+    df = _reconciled(spark, path, entries, manifest.get("schema"))
     sc = manifest["stats_col"]
     if lo is not None:
         df = df.filter(F.col(sc) >= lo)
@@ -304,11 +463,63 @@ def scan_pruned(
         df = df.filter(F.col(sc) <= hi)
     for c, v in (partition_eq or {}).items():
         df = df.filter(F.col(c) == v)
+    for c, (rlo, rhi) in (ranges or {}).items():
+        if rlo is not None:
+            df = df.filter(F.col(c) >= rlo)
+        if rhi is not None:
+            df = df.filter(F.col(c) <= rhi)
     return df
 
 
 def _read_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
     return spark.read.option("basePath", path).parquet(*files)
+
+
+def _reconciled(
+    spark: SparkSession,
+    path: str,
+    entries: list[dict],
+    schema: list[dict] | None,
+    with_file: bool = False,
+) -> DataFrame:
+    """Read manifest file entries through the name-mapping schema.
+
+    Files are bucketed by the physical column set their group was
+    written with (recorded at commit time), each bucket read and
+    projected to the logical schema — a renamed column resolves through
+    its newest physical source present in the bucket; a column added
+    after the bucket was written reads as its initial default — then the
+    buckets are unioned.  #buckets = #distinct schema generations (tiny),
+    so this adds no shuffle and no per-row work beyond the projection.
+    ``with_file`` pins input_file_name() at scan time (the CoW paths
+    need it before any join destroys the scan context)."""
+    if schema is None:
+        df = _read_files(spark, path, [f["path"] for f in entries])
+        return df.withColumn("__file", F.input_file_name()) if with_file else df
+    buckets: dict[tuple, list[str]] = {}
+    for f in entries:
+        key = tuple(sorted(f.get("columns") or ()))
+        buckets.setdefault(key, []).append(f["path"])
+    parts = []
+    for cols, files in sorted(buckets.items()):
+        reader = spark.read.option("basePath", path)
+        if not cols:  # legacy entries without a recorded column set
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*files)
+        sel = []
+        for e in schema:
+            src = next((s for s in e["sources"] if s in df.columns), None)
+            if src is None:
+                sel.append(F.lit(e["default"]).cast(e["type"]).alias(e["name"]))
+            else:
+                sel.append(F.col(src).cast(e["type"]).alias(e["name"]))
+        if with_file:
+            sel.append(F.input_file_name().alias("__file"))
+        parts.append(df.select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -325,20 +536,21 @@ def delete_where(spark: SparkSession, path: str, cond) -> dict:
     99.99% of a 10^12-row table is pure metadata."""
     cond = F.expr(cond) if isinstance(cond, str) else cond
     m = read_manifest(path)
-    all_files = [f["path"] for f in m["files"]]
-    if not all_files:
+    if not m["files"]:
         return m
+    schema = m.get("schema")
     hit = {
-        r["f"]
-        for r in _read_files(spark, path, all_files)
+        r["__file"]
+        for r in _reconciled(spark, path, m["files"], schema, with_file=True)
         .filter(cond)
-        .select(F.input_file_name().alias("f"))
+        .select("__file")
         .distinct()
         .collect()
     }
     if not hit:
         return m  # nothing matched: no new snapshot, HEAD unchanged
-    survivors = _read_files(spark, path, sorted(hit)).filter(~cond)
+    hit_entries = [f for f in m["files"] if f["path"] in hit]
+    survivors = _reconciled(spark, path, hit_entries, schema).filter(~cond)
     new_files = _write_group(
         survivors,
         path,
@@ -349,7 +561,12 @@ def delete_where(spark: SparkSession, path: str, cond) -> dict:
     )
     kept = [f for f in m["files"] if f["path"] not in hit]
     return _commit_files(
-        path, kept + new_files, tuple(m["partition_cols"]), m["stats_col"], "delete"
+        path,
+        kept + new_files,
+        tuple(m["partition_cols"]),
+        m["stats_col"],
+        "delete",
+        schema,
     )
 
 
@@ -367,17 +584,17 @@ def merge_upsert(
     shuffle join for crawl-sized updates).  ``updates`` must carry the
     table's full logical schema (partition columns included)."""
     m = read_manifest(path)
+    schema = m.get("schema")
     key = key_col or m["stats_col"]
     pcols = tuple(m["partition_cols"])
-    all_files = [f["path"] for f in m["files"]]
     updates = updates.drop(GROUP_COL) if GROUP_COL in updates.columns else updates
     keys = updates.select(key).distinct()
-    if all_files:
+    if m["files"]:
         # pin input_file_name() at scan time, BEFORE the join — evaluated
         # after a join it can come back empty (the row's scan context is
         # gone once the probe side is exchanged/broadcast)
-        cur = _read_files(spark, path, all_files).select(
-            F.col(key), F.input_file_name().alias("f")
+        cur = _reconciled(spark, path, m["files"], schema, with_file=True).select(
+            F.col(key), F.col("__file").alias("f")
         )
         hit = {
             r["f"]
@@ -392,10 +609,9 @@ def merge_upsert(
     # row (matched = replacement, unmatched = insert) form the new group
     parts = [updates]
     if hit:
+        hit_entries = [f for f in m["files"] if f["path"] in hit]
         parts.append(
-            _read_files(spark, path, sorted(hit))
-            .drop(GROUP_COL)
-            .join(keys, key, "left_anti")
+            _reconciled(spark, path, hit_entries, schema).join(keys, key, "left_anti")
         )
     fresh = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     new_files = _write_group(
@@ -407,30 +623,77 @@ def merge_upsert(
         n_range_files=max(2, len(hit)),
     )
     kept = [f for f in m["files"] if f["path"] not in hit]
-    return _commit_files(path, kept + new_files, pcols, m["stats_col"], "merge")
+    return _commit_files(
+        path, kept + new_files, pcols, m["stats_col"], "merge", schema
+    )
+
+
+def zvalue(*cols) -> "F.Column":
+    """Morton/Z-order key: interleave the low 32 bits of each column,
+    round-robin, into one int64-comparable value (bit i of column j →
+    bit ``i*k + j``).  Numeric columns must be non-negative and < 2^32
+    (cast + floor them first); clustering ORDER follows value order, so
+    range pruning works per column.  For strings pass
+    ``F.xxhash64(c).bitwiseAND(F.lit(0xFFFFFFFF))`` — hashing keeps
+    equal values co-located (equality pruning) but not ranges.  All
+    whole-stage-codegen integer ops; k*32 terms, no Python."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zvalue needs >= 2 columns")
+    bits = 63 // k  # keep the interleaved value inside a signed int64
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        v = c.cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(v, i).bitwiseAND(F.lit(1)), i * k + j)
+            )
+    return z
 
 
 def compact(
     spark: SparkSession,
     path: str,
     n_range_files: int = 4,
+    cluster_by: tuple[str, ...] | None = None,
 ) -> dict:
-    """Rewrite the CURRENT snapshot into ``n_range_files`` range-clustered
-    files per partition in one new group — the small-file antidote after
-    many streaming microbatch commits.  Values are untouched (pytest
-    asserts byte-equality); older snapshots still reference the original
-    files, so time travel across the compaction keeps working."""
+    """Rewrite the CURRENT snapshot into ``n_range_files`` files per
+    partition in one new group — the small-file antidote after many
+    streaming microbatch commits.  Values are untouched (pytest asserts
+    byte-equality); older snapshots still reference the original files,
+    so time travel across the compaction keeps working.
+
+    Default clustering is a range partition on the stats column.
+    ``cluster_by=(c1, c2, ...)`` switches to Z-ORDER clustering: files
+    are clustered on the interleaved bits of all named columns and the
+    manifest records per-file [min, max] for EACH of them (plus the
+    stats column), so `scan_pruned(ranges={...})` can skip files on any
+    clustered dimension — one clustering that serves several query
+    axes, where range clustering serves exactly one."""
     m = read_manifest(path)
-    all_files = [f["path"] for f in m["files"]]
-    if not all_files:
+    if not m["files"]:
         return m
-    df = _read_files(spark, path, all_files)
+    df = _reconciled(spark, path, m["files"], m.get("schema"))
+    schema = m.get("schema") or _schema_from_df(df)
+    cluster_expr = zvalue(*cluster_by) if cluster_by else None
     new_files = _write_group(
-        df, path, _next_group(path), tuple(m["partition_cols"]),
-        m["stats_col"], n_range_files,
+        df,
+        path,
+        _next_group(path),
+        tuple(m["partition_cols"]),
+        m["stats_col"],
+        n_range_files,
+        cluster_expr=cluster_expr,
+        extra_stats_cols=tuple(cluster_by or ()),
     )
     return _commit_files(
-        path, new_files, tuple(m["partition_cols"]), m["stats_col"], "compact"
+        path,
+        new_files,
+        tuple(m["partition_cols"]),
+        m["stats_col"],
+        "compact",
+        schema,
     )
 
 
@@ -526,10 +789,15 @@ def append_batch(
     )
     marker = f"/{GROUP_COL}={group}/"
     try:
-        prev = [f for f in read_manifest(path)["files"] if marker not in f["path"]]
+        m = read_manifest(path)
+        prev = [f for f in m["files"] if marker not in f["path"]]
+        schema = m.get("schema") or _schema_from_df(df)
     except FileNotFoundError:
         prev = []
-    return _commit_files(path, prev + new_files, partition_cols, stats_col, "append")
+        schema = _schema_from_df(df)
+    return _commit_files(
+        path, prev + new_files, partition_cols, stats_col, "append", schema
+    )
 
 
 def stream_to_table(

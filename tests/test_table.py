@@ -309,3 +309,124 @@ def test_compact_and_expire_snapshots(spark, tmp_path):
         )
     live = {TBL._local(f["path"]) for f in TBL.read_manifest(path)["files"]}
     assert on_disk == live
+
+
+def test_schema_evolution_is_metadata_only(spark, tmp_path):
+    """Add / rename / drop as a zero-file commit: the evolve snapshot
+    carries the previous file list by reference; renamed columns resolve
+    through the name mapping; added columns read as the initial default
+    ONLY for rows written before the column existed; time travel to the
+    pre-evolution snapshot restores the original shape."""
+    docs = _mk_docs(spark, n=90)
+    path = str(tmp_path / "evo")
+    m0 = TBL.write_partitioned(docs, path, n_range_files=4)
+
+    m1 = TBL.evolve_schema(
+        path,
+        rename={"text": "body"},
+        add={"score": ("bigint", 7)},
+    )
+    assert m1["operation"] == "evolve"
+    # metadata-only: identical file list, no new data files
+    assert [f["path"] for f in m1["files"]] == [f["path"] for f in m0["files"]]
+
+    head = TBL.scan_pruned(spark, path)
+    assert head.columns == ["doc_id", "body", "lang", "score"]
+    rows = {r["doc_id"]: r for r in head.collect()}
+    assert rows[3]["body"].startswith("document body 3")
+    assert all(r["score"] == 7 for r in rows.values())  # initial default
+
+    # new writes carry the evolved schema; genuine nulls stay null
+    updates = spark.createDataFrame(
+        [(5, "five rewritten", "en", 99), (2000, "brand new", "xx", None)],
+        "doc_id long, body string, lang string, score long",
+    )
+    TBL.merge_upsert(spark, path, updates)
+    rows = {r["doc_id"]: r for r in TBL.scan_pruned(spark, path).collect()}
+    assert rows[5]["score"] == 99 and rows[5]["body"] == "five rewritten"
+    assert rows[2000]["score"] is None  # NOT the initial default
+    assert rows[4]["score"] == 7  # old-file rows keep the default
+
+    # delete through the renamed column name
+    TBL.delete_where(spark, path, "body LIKE 'document body 1 %'")
+    assert 1 not in {
+        r["doc_id"] for r in TBL.scan_pruned(spark, path).collect()
+    }
+
+    # time travel to the pre-evolution snapshot: original shape and values
+    old = TBL.scan_pruned(spark, path, snapshot_id=0)
+    assert old.columns == ["doc_id", "text", "lang"]
+    assert old.count() == 90
+
+    # drop is also metadata-only and survives a compaction
+    TBL.evolve_schema(path, drop=("score",))
+    assert TBL.scan_pruned(spark, path).columns == ["doc_id", "body", "lang"]
+    TBL.compact(spark, path, n_range_files=2)
+    back = TBL.scan_pruned(spark, path)
+    assert back.columns == ["doc_id", "body", "lang"]
+    assert back.count() == 91 - 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TBL.evolve_schema(path, rename={"doc_id": "id"})  # stats col
+    with _pytest.raises(ValueError):
+        TBL.evolve_schema(path, drop=("lang",))  # partition col
+
+
+def test_zorder_compaction_prunes_on_both_columns(spark, tmp_path):
+    """Z-order clustering: values are untouched; the manifest records
+    per-file [min, max] for every clustered column, so file skipping
+    works on BOTH dimensions — where range clustering on doc_id alone
+    cannot skip anything for a predicate on the second column."""
+    rows = [(i, (i * 37) % 1000, f"payload {i}") for i in range(4000)]
+    docs = spark.createDataFrame(rows, "doc_id long, views long, text string")
+    path = str(tmp_path / "zo")
+    TBL.write_partitioned(
+        docs, path, partition_cols=(), stats_col="doc_id", n_range_files=16
+    )
+    m_range = TBL.read_manifest(path)
+    # range clustering on doc_id: a views-predicate skips ~nothing
+    pruned_range = TBL.prune_files(m_range, ranges={"views": (0, 99)})
+    assert len(pruned_range) == len(m_range["files"])  # no stats → keep all
+
+    m_z = TBL.compact(spark, path, n_range_files=16, cluster_by=("doc_id", "views"))
+    assert all("col_stats" in f for f in m_z["files"])
+    pruned_z = TBL.prune_files(m_z, ranges={"views": (0, 99)})
+    assert 0 < len(pruned_z) < len(m_z["files"]), "z-order must skip files on views"
+    # and still skips on the first dimension too
+    assert 0 < len(TBL.prune_files(m_z, ranges={"doc_id": (0, 249)})) < len(
+        m_z["files"]
+    )
+
+    # correctness: pruned scan on the second column equals a plain filter
+    got = sorted(
+        (r["doc_id"], r["views"])
+        for r in TBL.scan_pruned(spark, path, ranges={"views": (0, 99)}).collect()
+    )
+    exp = sorted(
+        (r["doc_id"], r["views"])
+        for r in docs.filter(F.col("views").between(0, 99)).collect()
+    )
+    assert got == exp and got
+    # compaction did not change any value
+    assert sorted(
+        (r["doc_id"], r["views"], r["text"])
+        for r in TBL.scan_pruned(spark, path).collect()
+    ) == sorted(rows)
+
+
+def test_zvalue_interleaves_bits():
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], "a long, b long")
+    got = [r["z"] for r in df.select(TBL.zvalue("a", "b").alias("z")).collect()]
+
+    def morton(a, b):
+        z = 0
+        for i in range(31):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [morton(0, 0), morton(1, 0), morton(0, 1), morton(3, 5)]
