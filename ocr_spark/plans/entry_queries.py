@@ -2493,6 +2493,58 @@ def q_table_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "table_partition_evolution",
+    """
+SELECT doc_id, lang, source, md5(coalesce(text, '')) AS payload_md5
+FROM documents
+WHERE source = 'src3' AND doc_id % 11 <> 5""",
+)
+def q_table_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-spec evolution: half the corpus is written partitioned
+    by lang (snapshot 0), the spec evolves to `source` as a metadata-
+    only commit (snapshot 1), the other half lands in the NEW layout
+    (snapshot 2), and a CoW delete rewrites across both generations
+    (snapshot 3).  The final scan filters on the new partition column:
+    new-layout files prune by their recorded partition values, old-
+    layout files can't be excluded (value unknown) and fall through to
+    the residual row filter.  The oracle is the same predicate on the
+    original table — two directory layouts and four commits must be
+    value-invisible."""
+    import os
+    import shutil
+
+    from ocr_spark.plans import table as TBL
+
+    docs = D.load(spark, sf, "documents").select("doc_id", "text", "lang", "source")
+    tag = sf.rstrip("/").split("/")[-1]
+    path = os.path.join(
+        "/tmp", f"ocr_spark_pevo_{tag}_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    TBL.write_partitioned(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        path,
+        partition_cols=("lang",),
+        stats_col="doc_id",
+    )
+    TBL.evolve_partitioning(path, ("source",))
+    TBL.append_batch(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        path,
+        0,
+        partition_cols=("source",),
+        stats_col="doc_id",
+    )
+    TBL.delete_where(spark, path, "doc_id % 11 = 5")
+    return TBL.scan_pruned(spark, path, partition_eq={"source": "src3"}).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("payload_md5"),
+    )
+
+
+@_q(
     "table_zorder_scan",
     """
 SELECT doc_id, lang, length(coalesce(text, '')) AS wc
@@ -4632,7 +4684,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 #   E. the r3-green remainder.
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
-    "table_schema_evolution", "table_zorder_scan",
+    "table_schema_evolution", "table_zorder_scan", "table_partition_evolution",
     "table_cow_maintenance", "table_time_travel",
     "bpe_train", "bpe_tokens", "kmeans_clusters", "table_scan_pruned",
     "table_stream_ingest", "search_bm25",

@@ -46,6 +46,11 @@ that de-scope, plans/checkpoint.py holds the resumable-commit protocol):
   records per-column min/max in the manifest, so file skipping works on
   any clustered column — the multi-dimensional complement of the
   single-column range clustering.
+- **Partition-spec evolution** (`evolve_partitioning`): re-partition
+  the table on different columns as a metadata-only commit; old file
+  groups keep their directory layout, new writes use the new one, and
+  planning prunes each generation by the partition values its manifest
+  entries actually recorded.
 
 Scale shape: the stats pass is one aggregation keyed on
 ``input_file_name()`` (#groups = #files, not #rows); every manifest is
@@ -381,6 +386,41 @@ def evolve_schema(
     )
 
 
+def evolve_partitioning(path: str, new_partition_cols: tuple[str, ...]) -> dict:
+    """Change the table's partition spec WITHOUT rewriting anything — a
+    metadata-only commit, Iceberg partition-spec evolution.  Existing
+    file groups keep their old directory layout (their manifest entries
+    keep the old partition values); every subsequent write — appends,
+    CoW rewrites, compaction — lands in the new layout.  Planning stays
+    correct across generations: a predicate on a new partition column
+    prunes new-layout files by their recorded partition values and
+    keeps old-layout files (the value is UNKNOWN there, the residual
+    row filter finishes the job); the reconciling scan never mixes two
+    directory layouts in one Spark read.  A `compact()` afterwards
+    migrates the whole table to the new spec in one commit."""
+    m = read_manifest(path)
+    schema = m.get("schema")
+    if not schema:
+        raise ValueError(
+            "table has no recorded schema (written before schema tracking); "
+            "rewrite it with write_partitioned or compact() first"
+        )
+    names = {e["name"] for e in schema}
+    for c in new_partition_cols:
+        if c not in names:
+            raise KeyError(f"no column {c!r} in the table schema")
+        if c == m["stats_col"]:
+            raise ValueError(f"cannot partition on the stats column {c!r}")
+    return _commit_files(
+        path,
+        m["files"],
+        tuple(new_partition_cols),
+        m["stats_col"],
+        "evolve-partitioning",
+        schema,
+    )
+
+
 # ---------------------------------------------------------------------------
 # scan planning
 # ---------------------------------------------------------------------------
@@ -401,8 +441,12 @@ def prune_files(
     Iceberg's scan planning."""
     out = []
     for f in manifest["files"]:
+        # a partition value the entry never recorded (file predates a
+        # partition-spec evolution) is UNKNOWN — the file cannot be
+        # excluded; the scan's residual row filter handles it instead
         if partition_eq and any(
-            f["partition"].get(c) != v for c, v in partition_eq.items()
+            c in f["partition"] and f["partition"][c] != v
+            for c, v in partition_eq.items()
         ):
             continue
         if lo is not None and f["max"] is not None and f["max"] < lo:
@@ -498,7 +542,14 @@ def _reconciled(
         return df.withColumn("__file", F.input_file_name()) if with_file else df
     buckets: dict[tuple, list[str]] = {}
     for f in entries:
-        key = tuple(sorted(f.get("columns") or ()))
+        # bucket by BOTH the physical column set and the hive layout:
+        # after a partition-spec evolution two generations can share a
+        # column set while keeping different directory layouts, and
+        # Spark's partition discovery must never see them in one read
+        key = (
+            tuple(sorted(f.get("columns") or ())),
+            tuple(sorted(f.get("partition", {}))),
+        )
         buckets.setdefault(key, []).append(f["path"])
     parts = []
     for cols, files in sorted(buckets.items()):

@@ -430,3 +430,73 @@ def test_zvalue_interleaves_bits():
         return z
 
     assert got == [morton(0, 0), morton(1, 0), morton(0, 1), morton(3, 5)]
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Partition evolution is metadata-only: old file groups keep their
+    lang=... layout, post-evolution writes land under src=...; planning
+    prunes new-layout files by the new partition column and keeps
+    old-layout files (value unknown there — residual filter finishes);
+    the scan never mixes two hive layouts in one read; compact migrates
+    everything to the new spec."""
+    langs, srcs = ["en", "ru", "de"], ["web", "pdf"]
+    rows = [
+        (i, f"body {i}", langs[i % 3], srcs[i % 2]) for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, src string")
+    path = str(tmp_path / "pevo")
+    m0 = TBL.write_partitioned(
+        docs.filter("doc_id < 60"), path, partition_cols=("lang",),
+        stats_col="doc_id", n_range_files=4,
+    )
+
+    m1 = TBL.evolve_partitioning(path, ("src",))
+    assert m1["operation"] == "evolve-partitioning"
+    assert [f["path"] for f in m1["files"]] == [f["path"] for f in m0["files"]]
+    assert m1["partition_cols"] == ["src"]
+
+    # post-evolution append lands in the new layout
+    m2 = TBL.append_batch(
+        docs.filter("doc_id >= 60"), path, 0, partition_cols=("src",),
+        stats_col="doc_id", n_range_files=4,
+    )
+    new_entries = [f for f in m2["files"] if "src=" in f["path"]]
+    old_entries = [f for f in m2["files"] if "lang=" in f["path"]]
+    assert new_entries and old_entries
+
+    # pruning on the NEW column: new-layout files prune, old-layout kept
+    picked = TBL.prune_files(m2, partition_eq={"src": "web"})
+    assert all(f in picked for f in old_entries)  # unknown -> kept
+    assert 0 < len([f for f in picked if f in new_entries]) < len(new_entries)
+
+    # full scan and partition_eq scans are exact across both generations
+    got = sorted(r["doc_id"] for r in TBL.scan_pruned(spark, path).collect())
+    assert got == list(range(120))
+    got_web = sorted(
+        r["doc_id"]
+        for r in TBL.scan_pruned(spark, path, partition_eq={"src": "web"}).collect()
+    )
+    assert got_web == [i for i in range(120) if i % 2 == 0]
+    got_en = sorted(
+        r["doc_id"]
+        for r in TBL.scan_pruned(spark, path, partition_eq={"lang": "en"}).collect()
+    )
+    assert got_en == [i for i in range(120) if i % 3 == 0]
+
+    # CoW delete on the mixed-generation table rewrites into the new spec
+    TBL.delete_where(spark, path, "doc_id % 10 = 3")
+    assert sorted(
+        r["doc_id"] for r in TBL.scan_pruned(spark, path).collect()
+    ) == [i for i in range(120) if i % 10 != 3]
+
+    # compact migrates the whole table to the new layout
+    m_c = TBL.compact(spark, path, n_range_files=2)
+    assert all("src=" in f["path"] for f in m_c["files"])
+    assert all("src" in f["partition"] for f in m_c["files"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        TBL.evolve_partitioning(path, ("nope",))
+    with _pytest.raises(ValueError):
+        TBL.evolve_partitioning(path, ("doc_id",))
