@@ -626,6 +626,7 @@ def merge_upsert(
     path: str,
     updates: DataFrame,
     key_col: str | None = None,
+    op_col: str | None = None,
 ) -> dict:
     """MERGE INTO (copy-on-write): rows of ``updates`` whose key exists
     in the table REPLACE the stored row; unmatched keys are INSERTED.
@@ -633,13 +634,24 @@ def merge_upsert(
     joins against the table on the key (AQE picks broadcast when the
     update set is small — the common upsert shape — and falls back to a
     shuffle join for crawl-sized updates).  ``updates`` must carry the
-    table's full logical schema (partition columns included)."""
+    table's full logical schema (partition columns included).
+
+    ``op_col`` turns this into a CDC apply (Iceberg MERGE's
+    WHEN MATCHED DELETE clause): rows whose ``op_col`` value is
+    ``'delete'`` remove their key from the table instead of writing a
+    row; every other value upserts.  One change per key per call —
+    intra-batch ordering is the caller's concern (collapse a CDC batch
+    to last-wins first)."""
     m = read_manifest(path)
     schema = m.get("schema")
     key = key_col or m["stats_col"]
     pcols = tuple(m["partition_cols"])
     updates = updates.drop(GROUP_COL) if GROUP_COL in updates.columns else updates
     keys = updates.select(key).distinct()
+    if op_col is not None:
+        # delete keys participate in hit detection + anti-join (their
+        # stored rows must vanish) but contribute no replacement row
+        updates = updates.filter(F.col(op_col) != "delete").drop(op_col)
     if m["files"]:
         # pin input_file_name() at scan time, BEFORE the join — evaluated
         # after a join it can come back empty (the row's scan context is

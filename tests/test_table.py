@@ -500,3 +500,37 @@ def test_partition_spec_evolution(spark, tmp_path):
         TBL.evolve_partitioning(path, ("nope",))
     with _pytest.raises(ValueError):
         TBL.evolve_partitioning(path, ("doc_id",))
+
+
+def test_merge_cdc_applies_deletes_and_upserts(spark, tmp_path):
+    """op_col turns merge into a CDC apply: 'delete' rows remove their
+    key, everything else upserts — one commit, only hit files rewritten."""
+    docs = _mk_docs(spark, n=60)
+    path = str(tmp_path / "cdc")
+    TBL.write_partitioned(docs, path, n_range_files=4)
+
+    changes = spark.createDataFrame(
+        [
+            (3, "three rewritten", "en", "upsert"),
+            (9, None, None, "delete"),
+            (700, "fresh", "xx", "insert"),
+        ],
+        "doc_id long, text string, lang string, _op string",
+    )
+    m = TBL.merge_upsert(spark, path, changes, op_col="_op")
+    assert m["operation"] == "merge"
+    back = {r["doc_id"]: r for r in TBL.scan_pruned(spark, path).collect()}
+    assert 9 not in back
+    assert back[3]["text"] == "three rewritten"
+    assert back[700]["lang"] == "xx"
+    assert len(back) == 60 - 1 + 1
+    assert "_op" not in TBL.scan_pruned(spark, path).columns
+
+    # all-delete batch: no replacement rows, keys gone
+    only_del = spark.createDataFrame(
+        [(0, None, None, "delete"), (1, None, None, "delete")],
+        "doc_id long, text string, lang string, _op string",
+    )
+    TBL.merge_upsert(spark, path, only_del, op_col="_op")
+    ids = {r["doc_id"] for r in TBL.scan_pruned(spark, path).collect()}
+    assert not {0, 1} & ids and len(ids) == 58
