@@ -89,30 +89,70 @@ def _local(p: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def commit_manifest(path: str, manifest: dict) -> dict:
+class CommitConflict(Exception):
+    """Another commit landed after this one was planned (optimistic
+    concurrency, Iceberg-style): re-plan against the new HEAD and retry.
+    Data files written for the failed attempt are orphans; the next
+    expire_snapshots removes them."""
+
+
+_UNCHECKED = object()
+
+
+def commit_manifest(path: str, manifest: dict, expected_parent=_UNCHECKED) -> dict:
     """Atomic snapshot commit: assign the next snapshot id, write the
     numbered history manifest, then write-temp + rename the HEAD copy
     (os.replace is atomic on POSIX) — a concurrent reader sees the old
-    snapshot or the new one, never a torn file."""
+    snapshot or the new one, never a torn file.
+
+    ``expected_parent`` is the optimistic-concurrency guard: the commit
+    is accepted only if HEAD is still the snapshot the change was
+    planned against, else CommitConflict (Iceberg's compare-and-swap
+    catalog contract).  The check-and-swap runs under an O_EXCL lock
+    file, so two writers on one filesystem serialize; exactly one of
+    two conflicting commits wins.  Swap point for object stores: replace
+    the lock + rename with the catalog's atomic CAS."""
     d = os.path.join(path, MANIFEST_DIR)
     os.makedirs(d, exist_ok=True)
-    parent = _head_id(path)
-    sid = 0 if parent is None else parent + 1
-    manifest = dict(manifest)
-    manifest["snapshot_id"] = sid
-    manifest["parent_id"] = parent
-    body = json.dumps(manifest, indent=1, sort_keys=True)
-    with open(os.path.join(d, f"manifest-{sid}.json"), "w") as fh:
-        fh.write(body)
-    tmp = os.path.join(d, MANIFEST_NAME + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(body)
-    os.replace(tmp, os.path.join(d, MANIFEST_NAME))
-    htmp = os.path.join(d, HEAD_NAME + ".tmp")
-    with open(htmp, "w") as fh:
-        fh.write(str(sid))
-    os.replace(htmp, os.path.join(d, HEAD_NAME))
-    return manifest
+    lock = os.path.join(d, "COMMIT_LOCK")
+    fd = None
+    for _ in range(200):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            import time
+
+            time.sleep(0.05)
+    if fd is None:
+        raise CommitConflict(
+            f"commit lock {lock} held for >10s — crashed writer? remove it manually"
+        )
+    try:
+        parent = _head_id(path)
+        if expected_parent is not _UNCHECKED and parent != expected_parent:
+            raise CommitConflict(
+                f"planned against snapshot {expected_parent}, HEAD is now {parent}"
+            )
+        sid = 0 if parent is None else parent + 1
+        manifest = dict(manifest)
+        manifest["snapshot_id"] = sid
+        manifest["parent_id"] = parent
+        body = json.dumps(manifest, indent=1, sort_keys=True)
+        with open(os.path.join(d, f"manifest-{sid}.json"), "w") as fh:
+            fh.write(body)
+        tmp = os.path.join(d, MANIFEST_NAME + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write(body)
+        os.replace(tmp, os.path.join(d, MANIFEST_NAME))
+        htmp = os.path.join(d, HEAD_NAME + ".tmp")
+        with open(htmp, "w") as fh:
+            fh.write(str(sid))
+        os.replace(htmp, os.path.join(d, HEAD_NAME))
+        return manifest
+    finally:
+        os.close(fd)
+        os.unlink(lock)
 
 
 def _head_id(path: str) -> int | None:
@@ -256,6 +296,7 @@ def _commit_files(
     stats_col: str,
     operation: str,
     schema: list[dict] | None = None,
+    expected_parent=_UNCHECKED,
 ) -> dict:
     m = {
         "format_version": 2,
@@ -267,7 +308,7 @@ def _commit_files(
     }
     if schema is not None:
         m["schema"] = schema
-    return commit_manifest(path, m)
+    return commit_manifest(path, m, expected_parent)
 
 
 def _schema_from_df(df: DataFrame) -> list[dict]:
@@ -283,6 +324,13 @@ def _schema_from_df(df: DataFrame) -> list[dict]:
         for f in df.schema.fields
         if f.name != GROUP_COL
     ]
+
+
+
+
+def _planned_parent(m: dict):
+    sid = m.get("snapshot_id")
+    return sid if sid is not None else _UNCHECKED
 
 
 def _next_group(path: str) -> str:
@@ -383,6 +431,7 @@ def evolve_schema(
         m["stats_col"],
         "evolve",
         schema,
+        expected_parent=_planned_parent(m),
     )
 
 
@@ -418,6 +467,7 @@ def evolve_partitioning(path: str, new_partition_cols: tuple[str, ...]) -> dict:
         m["stats_col"],
         "evolve-partitioning",
         schema,
+        expected_parent=_planned_parent(m),
     )
 
 
@@ -618,6 +668,7 @@ def delete_where(spark: SparkSession, path: str, cond) -> dict:
         m["stats_col"],
         "delete",
         schema,
+        expected_parent=_planned_parent(m),
     )
 
 
@@ -687,7 +738,13 @@ def merge_upsert(
     )
     kept = [f for f in m["files"] if f["path"] not in hit]
     return _commit_files(
-        path, kept + new_files, pcols, m["stats_col"], "merge", schema
+        path,
+        kept + new_files,
+        pcols,
+        m["stats_col"],
+        "merge",
+        schema,
+        expected_parent=_planned_parent(m),
     )
 
 
@@ -757,6 +814,7 @@ def compact(
         m["stats_col"],
         "compact",
         schema,
+        expected_parent=_planned_parent(m),
     )
 
 
@@ -855,11 +913,14 @@ def append_batch(
         m = read_manifest(path)
         prev = [f for f in m["files"] if marker not in f["path"]]
         schema = m.get("schema") or _schema_from_df(df)
+        parent = _planned_parent(m)
     except FileNotFoundError:
         prev = []
         schema = _schema_from_df(df)
+        parent = None
     return _commit_files(
-        path, prev + new_files, partition_cols, stats_col, "append", schema
+        path, prev + new_files, partition_cols, stats_col, "append", schema,
+        expected_parent=parent,
     )
 
 

@@ -534,3 +534,37 @@ def test_merge_cdc_applies_deletes_and_upserts(spark, tmp_path):
     TBL.merge_upsert(spark, path, only_del, op_col="_op")
     ids = {r["doc_id"] for r in TBL.scan_pruned(spark, path).collect()}
     assert not {0, 1} & ids and len(ids) == 58
+
+
+def test_commit_conflict_detection(spark, tmp_path):
+    """Optimistic concurrency: a commit planned against a snapshot that
+    is no longer HEAD is rejected with CommitConflict (the other
+    writer's commit wins; this one re-plans and retries)."""
+    import pytest as _pytest
+
+    docs = _mk_docs(spark, n=60)
+    path = str(tmp_path / "occ")
+    TBL.write_partitioned(docs, path, n_range_files=4)
+
+    # plan a commit against snapshot 0, then let another writer land
+    m0 = TBL.read_manifest(path)
+    TBL.delete_where(spark, path, "doc_id = 1")  # snapshot 1 lands first
+    with _pytest.raises(TBL.CommitConflict):
+        TBL._commit_files(
+            path,
+            m0["files"],
+            tuple(m0["partition_cols"]),
+            m0["stats_col"],
+            "compact",
+            m0.get("schema"),
+            expected_parent=m0["snapshot_id"],
+        )
+    # the losing commit left no snapshot behind
+    assert [s["snapshot_id"] for s in TBL.snapshots(path)] == [0, 1]
+    # and the lock is not left dangling
+    import os as _os
+
+    assert not _os.path.exists(_os.path.join(path, TBL.MANIFEST_DIR, "COMMIT_LOCK"))
+    # a retry planned against the new HEAD succeeds
+    m2 = TBL.compact(spark, path, n_range_files=2)
+    assert m2["snapshot_id"] == 2
