@@ -505,7 +505,10 @@ def prune_files(
             continue
         skip = False
         for c, (rlo, rhi) in (ranges or {}).items():
-            cs = f.get("col_stats", {}).get(c)
+            if c == manifest.get("stats_col"):
+                cs = [f["min"], f["max"]]  # the stats column is always statted
+            else:
+                cs = f.get("col_stats", {}).get(c)
             if cs is None:
                 continue
             cmin, cmax = cs
@@ -628,21 +631,38 @@ def _reconciled(
 # ---------------------------------------------------------------------------
 
 
-def delete_where(spark: SparkSession, path: str, cond) -> dict:
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    cond,
+    candidate_ranges: dict[str, tuple] | None = None,
+) -> dict:
     """Copy-on-write row delete: find the files that actually contain
     matching rows (one file-count-sized aggregation), rewrite ONLY those
     files' survivors into a new file group, carry every untouched file
     by reference.  ``cond`` is a Column or a SQL string.  A predicate
     touching 0.01% of files rewrites 0.01% of the table — the other
-    99.99% of a 10^12-row table is pure metadata."""
+    99.99% of a 10^12-row table is pure metadata.
+
+    ``candidate_ranges`` = {col: (lo, hi)} bounds the hit-detection
+    SCAN, not just the rewrite: files whose recorded stats fall outside
+    every range are carried by reference without being read — for a
+    key-range delete the detection pass touches the same 0.01% the
+    rewrite does.  It is a planning assertion: rows matching ``cond``
+    OUTSIDE the declared ranges will not be deleted."""
     cond = F.expr(cond) if isinstance(cond, str) else cond
     m = read_manifest(path)
     if not m["files"]:
         return m
     schema = m.get("schema")
+    candidates = (
+        prune_files(m, ranges=candidate_ranges) if candidate_ranges else m["files"]
+    )
+    if not candidates:
+        return m
     hit = {
         r["__file"]
-        for r in _reconciled(spark, path, m["files"], schema, with_file=True)
+        for r in _reconciled(spark, path, candidates, schema, with_file=True)
         .filter(cond)
         .select("__file")
         .distinct()
@@ -772,6 +792,52 @@ def zvalue(*cols) -> "F.Column":
     return z
 
 
+def _zorder_expr(df: DataFrame, cluster_by: tuple[str, ...], bits: int = 20):
+    """Z-order key with per-dimension NORMALIZATION: each column is
+    scaled to the same ``bits``-wide integer domain before interleaving
+    (numerics linearly by their global [min, max] — one tiny agg;
+    strings by hash, which co-locates equal values but not ranges).
+    Without this a wide column's high bits own every top interleaved
+    bit and the clustering degenerates to single-column order: 19-bit
+    doc_id × 10-bit views would slice purely by doc_id.  The scaled
+    value only decides FILE PLACEMENT — row values and the recorded
+    per-file min/max stats stay raw, so pruning remains exact."""
+    from pyspark.sql import types as T
+
+    top = (1 << bits) - 1
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.NumericType) and f.name in cluster_by
+    }
+    if numeric:
+        row = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in numeric],
+            *[F.max(c).alias(f"mx_{c}") for c in numeric],
+        ).collect()[0]
+    scaled = []
+    for c in cluster_by:
+        if c in numeric:
+            mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+            if mn is None or mx is None or mx == mn:
+                scaled.append(F.lit(0).cast("long"))
+            else:
+                span = float(mx) - float(mn)
+                scaled.append(
+                    F.least(
+                        F.lit(top).cast("long"),
+                        (
+                            (F.coalesce(F.col(c), F.lit(mn)).cast("double") - float(mn))
+                            / span
+                            * top
+                        ).cast("long"),
+                    )
+                )
+        else:
+            scaled.append(F.xxhash64(F.col(c)).bitwiseAND(F.lit(top)))
+    return zvalue(*scaled)
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -796,7 +862,7 @@ def compact(
         return m
     df = _reconciled(spark, path, m["files"], m.get("schema"))
     schema = m.get("schema") or _schema_from_df(df)
-    cluster_expr = zvalue(*cluster_by) if cluster_by else None
+    cluster_expr = _zorder_expr(df, tuple(cluster_by)) if cluster_by else None
     new_files = _write_group(
         df,
         path,
