@@ -82,7 +82,7 @@ HEADLINE = [
     "splits_by_cluster",
     "dedup_keep_best",
     "domain_report",
-    "dedup_keep_best",
+    "table_cow_maintenance",
     "decontaminate",
     "pack_sequences",
     "pack_interleaved",
