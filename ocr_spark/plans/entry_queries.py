@@ -2493,6 +2493,63 @@ def q_table_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "table_incremental_view",
+    """
+WITH upd AS (
+  SELECT doc_id, 'U' AS text, 'xx' AS lang, CAST(11 AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 50 = 0
+),
+cur AS (
+  SELECT d.doc_id, d.lang, d.n_chars
+  FROM documents d
+  WHERE d.doc_id % 9 <> 2 AND d.doc_id NOT IN (SELECT doc_id FROM upd)
+  UNION ALL
+  SELECT doc_id, lang, n_chars FROM upd
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM cur GROUP BY lang""",
+)
+def q_table_incremental_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized view: a per-lang COUNT + integer SUM
+    view is built once, then the table churns (CoW delete + merge) and
+    the view refreshes from the SNAPSHOT DIFF — positive deltas from
+    added files, negative deltas from removed-but-immutable files —
+    never rescanning the unchanged bulk.  The oracle recomputes the
+    aggregate directly from the table's final logical state: the
+    incremental path must be exactly the direct aggregate (integer
+    sums form an abelian group, so the maintenance is exact, not
+    approximate)."""
+    import os
+    import shutil
+
+    from ocr_spark.plans import table as TBL
+
+    docs = D.load(spark, sf, "documents").select("doc_id", "text", "lang", "n_chars")
+    tag = sf.rstrip("/").split("/")[-1]
+    base = os.path.join(
+        "/tmp", f"ocr_spark_ivw_{tag}_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    path, vp = os.path.join(base, "t"), os.path.join(base, "view")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    TBL.refresh_view(spark, path, vp, ("lang",), ("n_chars",))  # initial build
+    TBL.delete_where(spark, path, "doc_id % 9 = 2")
+    updates = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.lit("U").alias("text"),
+        F.lit("xx").alias("lang"),
+        F.lit(11).cast("long").alias("n_chars"),
+    )
+    TBL.merge_upsert(spark, path, updates, key_col="doc_id")
+    return TBL.refresh_view(spark, path, vp, ("lang",), ("n_chars",)).select(
+        "lang",
+        F.col("n_rows"),
+        F.col("sum_n_chars"),
+    )
+
+
+@_q(
     "table_partition_evolution",
     """
 SELECT doc_id, lang, source, md5(coalesce(text, '')) AS payload_md5
@@ -4685,6 +4742,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "table_schema_evolution", "table_zorder_scan", "table_partition_evolution",
+    "table_incremental_view",
     "table_cow_maintenance", "table_time_travel",
     "bpe_train", "bpe_tokens", "kmeans_clusters", "table_scan_pruned",
     "table_stream_ingest", "search_bm25",

@@ -568,3 +568,75 @@ def test_commit_conflict_detection(spark, tmp_path):
     # a retry planned against the new HEAD succeeds
     m2 = TBL.compact(spark, path, n_range_files=2)
     assert m2["snapshot_id"] == 2
+
+
+def test_incremental_view_maintenance(spark, tmp_path):
+    """The materialized view refreshes from the snapshot diff: after CoW
+    churn it equals a direct aggregate of the current table while
+    reading only changed files; expire_snapshots forces the documented
+    full-recompute fallback; a different aggregate refuses to merge."""
+    import pytest as _pytest
+
+    docs = _mk_docs(spark, n=180)
+    path, vp = str(tmp_path / "t"), str(tmp_path / "view")
+    TBL.write_partitioned(docs, path, n_range_files=6)
+
+    def direct():
+        return sorted(
+            (
+                (r["lang"], r["n_rows"], r["sum_doc_id"])
+                for r in TBL.scan_pruned(spark, path)
+                .groupBy("lang")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("doc_id").alias("sum_doc_id"),
+                )
+                .collect()
+            ),
+            key=repr,
+        )
+
+    def view():
+        v = TBL.refresh_view(spark, path, vp, ("lang",), ("doc_id",))
+        return sorted(
+            ((r["lang"], r["n_rows"], r["sum_doc_id"]) for r in v.collect()),
+            key=repr,
+        )
+
+    assert view() == direct()
+    import json as _json
+    import os as _os
+
+    state0 = _json.load(open(_os.path.join(vp, TBL.VIEW_STATE)))
+    assert state0["last_refresh_mode"] == "full"
+
+    # CoW churn: a NARROW delete + merge (partition move), then refresh
+    TBL.delete_where(
+        spark, path, "doc_id BETWEEN 20 AND 29",
+        candidate_ranges={"doc_id": (20, 29)},
+    )
+    TBL.merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(4, "x", "ru"), (9000, "y", "xx")],
+            "doc_id long, text string, lang string",
+        ),
+    )
+    assert view() == direct()
+    state1 = _json.load(open(_os.path.join(vp, TBL.VIEW_STATE)))
+    assert state1["last_refresh_mode"] == "incremental"
+    assert state1["files_read"] < len(TBL.read_manifest(path)["files"])
+
+    # no-change refresh stays equal
+    assert view() == direct()
+
+    # after expire_snapshots the removed files are gone: fallback to full
+    TBL.delete_where(spark, path, "doc_id % 11 = 5")  # scattered: fine here
+    TBL.expire_snapshots(path, keep_last=1)
+    assert view() == direct()
+    state2 = _json.load(open(_os.path.join(vp, TBL.VIEW_STATE)))
+    assert state2["last_refresh_mode"] == "full"
+
+    with _pytest.raises(ValueError):
+        TBL.refresh_view(spark, path, vp, ("lang",), ())  # different agg
