@@ -2493,6 +2493,62 @@ def q_table_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "table_changelog",
+    """
+WITH upd AS (
+  SELECT doc_id, 'UPDATED:' || CAST(doc_id AS VARCHAR) AS text, 'xx' AS lang
+  FROM documents WHERE doc_id % 50 = 0
+),
+dels AS (
+  SELECT doc_id, text, lang FROM documents WHERE doc_id % 9 = 2
+  UNION ALL
+  SELECT d.doc_id, d.text, d.lang FROM documents d
+  JOIN upd u ON d.doc_id = u.doc_id
+  WHERE d.doc_id % 9 <> 2
+)
+SELECT 'I' AS op, doc_id, lang, md5(coalesce(text, '')) AS payload_md5 FROM upd
+UNION ALL
+SELECT 'D' AS op, doc_id, lang, md5(coalesce(text, '')) AS payload_md5 FROM dels""",
+)
+def q_table_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    """Changelog (CDC) scan between snapshots: after a CoW delete and a
+    merge (updates + a partition move), the diff between snapshot 0 and
+    HEAD reads only the files the two manifests disagree on; rows that
+    rewrites carried unchanged cancel in a multiset difference bounded
+    by the changed files.  An update shows as old-row DELETE + new-row
+    INSERT; a row deleted then re-merged shows both faces too.  The
+    oracle derives the same change set relationally from the original
+    table."""
+    import os
+    import shutil
+
+    from ocr_spark.plans import table as TBL
+
+    docs = D.load(spark, sf, "documents").select("doc_id", "text", "lang")
+    tag = sf.rstrip("/").split("/")[-1]
+    path = os.path.join(
+        "/tmp", f"ocr_spark_cdc_{tag}_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    m0 = TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    TBL.delete_where(spark, path, "doc_id % 9 = 2")
+    updates = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.concat(F.lit("UPDATED:"), F.col("doc_id").cast("string")).alias("text"),
+        F.lit("xx").alias("lang"),
+    )
+    TBL.merge_upsert(spark, path, updates, key_col="doc_id")
+    ch = TBL.changes_between(spark, path, m0["snapshot_id"])
+    proj = lambda df, op: df.select(  # noqa: E731
+        F.lit(op).alias("op"),
+        "doc_id",
+        "lang",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("payload_md5"),
+    )
+    return proj(ch["inserted"], "I").unionByName(proj(ch["deleted"], "D"))
+
+
+@_q(
     "table_incremental_view",
     """
 WITH upd AS (
@@ -4742,7 +4798,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "table_schema_evolution", "table_zorder_scan", "table_partition_evolution",
-    "table_incremental_view",
+    "table_incremental_view", "table_changelog",
     "table_cow_maintenance", "table_time_travel",
     "bpe_train", "bpe_tokens", "kmeans_clusters", "table_scan_pruned",
     "table_stream_ingest", "search_bm25",

@@ -933,6 +933,59 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# changelog reads (CDC between snapshots)
+# ---------------------------------------------------------------------------
+
+
+def changes_between(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> dict[str, DataFrame]:
+    """Row-level changes between two retained snapshots — Iceberg's
+    changelog scan for copy-on-write tables.  Only files that DIFFER
+    between the two manifests are read (carried-by-reference files
+    cancel at the metadata level, for free); rows a rewrite carried
+    unchanged cancel via a multiset difference (`exceptAll`) whose
+    shuffle is bounded by the CHANGED files' rows, never the table.
+    Returns {"inserted": df, "deleted": df} — an update appears as its
+    old row deleted + its new row inserted — both reconciled to the TO
+    snapshot's logical schema, so downstream consumers (incremental
+    syncs, index maintenance, audit) see the current column names."""
+    m_from = read_manifest(path, from_snapshot)
+    m_to = read_manifest(path, to_snapshot)
+    schema = m_to.get("schema")
+    from_paths = {f["path"] for f in m_from["files"]}
+    to_paths = {f["path"] for f in m_to["files"]}
+    added = [f for f in m_to["files"] if f["path"] not in from_paths]
+    removed = [f for f in m_from["files"] if f["path"] not in to_paths]
+
+    cols = (
+        [e["name"] for e in schema]
+        if schema
+        else _reconciled(spark, path, m_to["files"], schema).columns
+    )
+
+    def _rows(entries):
+        if not entries:
+            ddl_src = schema or []
+            if ddl_src:
+                ddl = ", ".join(f"`{e['name']}` {e['type']}" for e in ddl_src)
+                return spark.createDataFrame([], ddl)
+            return _reconciled(spark, path, m_to["files"], schema).filter(
+                F.lit(False)
+            )
+        return _reconciled(spark, path, entries, schema).select(*cols)
+
+    new_rows, old_rows = _rows(added), _rows(removed)
+    return {
+        "inserted": new_rows.exceptAll(old_rows),
+        "deleted": old_rows.exceptAll(new_rows),
+    }
+
+
+# ---------------------------------------------------------------------------
 # incremental materialized views (snapshot-diff maintenance)
 # ---------------------------------------------------------------------------
 

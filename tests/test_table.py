@@ -640,3 +640,42 @@ def test_incremental_view_maintenance(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         TBL.refresh_view(spark, path, vp, ("lang",), ())  # different agg
+
+
+def test_changelog_between_snapshots(spark, tmp_path):
+    """CDC: changes between two snapshots read only differing files;
+    rows carried unchanged through a rewrite cancel; an update appears
+    as old-row deleted + new-row inserted."""
+    docs = _mk_docs(spark, n=90)
+    path = str(tmp_path / "cdc2")
+    m0 = TBL.write_partitioned(docs, path, n_range_files=4)
+    TBL.delete_where(spark, path, "doc_id BETWEEN 10 AND 14",
+                     candidate_ranges={"doc_id": (10, 14)})
+    TBL.merge_upsert(
+        spark, path,
+        spark.createDataFrame(
+            [(7, "seven v2", "ru"), (500, "new doc", "xx")],
+            "doc_id long, text string, lang string",
+        ),
+    )
+    ch = TBL.changes_between(spark, path, m0["snapshot_id"])
+    ins = sorted((r["doc_id"], r["text"]) for r in ch["inserted"].collect())
+    dels = sorted(r["doc_id"] for r in ch["deleted"].collect())
+    assert ins == [(7, "seven v2"), (500, "new doc")]
+    assert dels == [7, 10, 11, 12, 13, 14]  # old version of 7 + the delete
+
+    # self-diff is empty; unchanged rows never appear
+    ch0 = TBL.changes_between(spark, path, m0["snapshot_id"], m0["snapshot_id"])
+    assert ch0["inserted"].count() == 0 and ch0["deleted"].count() == 0
+
+    # changes expressed in the TO snapshot's evolved schema
+    TBL.evolve_schema(path, rename={"text": "body"})
+    TBL.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(3, "three v2", "en")],
+                              "doc_id long, body string, lang string"),
+    )
+    ch2 = TBL.changes_between(spark, path, m0["snapshot_id"])
+    assert "body" in ch2["inserted"].columns
+    ins2 = {r["doc_id"]: r["body"] for r in ch2["inserted"].collect()}
+    assert ins2[3] == "three v2" and ins2[7] == "seven v2"
