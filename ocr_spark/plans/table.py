@@ -985,6 +985,49 @@ def changes_between(
     }
 
 
+def consume_changes(
+    spark: SparkSession,
+    path: str,
+    cursor_file: str,
+) -> dict:
+    """Incremental consumption cursor over the snapshot log: each call
+    returns the changes since the last call (via `changes_between`) and
+    advances a durable cursor — the polling consumer pattern downstream
+    index/sync jobs need when they can't run inside the writer.  The
+    cursor only advances when the caller COMMITS (call the returned
+    ``commit()`` after durably applying the batch), so a consumer that
+    crashes mid-apply re-reads the same batch: at-least-once, same as a
+    Structured Streaming source checkpoint.  First call returns the
+    whole current table as inserts (cursor bootstrap)."""
+    m = read_manifest(path)
+    head = m.get("snapshot_id")
+    try:
+        with open(cursor_file) as fh:
+            last = json.load(fh)["snapshot_id"]
+    except FileNotFoundError:
+        last = None
+    if last is None:
+        ch = {
+            "inserted": _reconciled(spark, path, m["files"], m.get("schema"))
+            if m["files"]
+            else changes_between(spark, path, head, head)["inserted"],
+            "deleted": changes_between(spark, path, head, head)["deleted"],
+        }
+    elif last == head:
+        ch = changes_between(spark, path, head, head)  # both empty
+    else:
+        ch = changes_between(spark, path, last, head)
+
+    def commit() -> None:
+        os.makedirs(os.path.dirname(cursor_file) or ".", exist_ok=True)
+        tmp = cursor_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"snapshot_id": head, "table": path}, fh)
+        os.replace(tmp, cursor_file)
+
+    return {**ch, "from_snapshot": last, "to_snapshot": head, "commit": commit}
+
+
 # ---------------------------------------------------------------------------
 # incremental materialized views (snapshot-diff maintenance)
 # ---------------------------------------------------------------------------

@@ -679,3 +679,39 @@ def test_changelog_between_snapshots(spark, tmp_path):
     assert "body" in ch2["inserted"].columns
     ins2 = {r["doc_id"]: r["body"] for r in ch2["inserted"].collect()}
     assert ins2[3] == "three v2" and ins2[7] == "seven v2"
+
+
+def test_consume_changes_cursor(spark, tmp_path):
+    """Polling consumer: bootstrap returns the full table as inserts;
+    an uncommitted batch is re-delivered (at-least-once); a committed
+    cursor yields only subsequent changes; idle polls are empty."""
+    docs = _mk_docs(spark, n=60)
+    path = str(tmp_path / "t")
+    cur = str(tmp_path / "cursor.json")
+    TBL.write_partitioned(docs, path, n_range_files=4)
+
+    b0 = TBL.consume_changes(spark, path, cur)
+    assert b0["from_snapshot"] is None and b0["inserted"].count() == 60
+    # crash before commit: the same bootstrap batch is re-delivered
+    b0r = TBL.consume_changes(spark, path, cur)
+    assert b0r["inserted"].count() == 60
+    b0r["commit"]()
+
+    # idle poll after commit: empty
+    b1 = TBL.consume_changes(spark, path, cur)
+    assert b1["inserted"].count() == 0 and b1["deleted"].count() == 0
+    b1["commit"]()
+
+    TBL.delete_where(spark, path, "doc_id BETWEEN 0 AND 4",
+                     candidate_ranges={"doc_id": (0, 4)})
+    TBL.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(30, "v2", "en")],
+                              "doc_id long, text string, lang string"),
+    )
+    b2 = TBL.consume_changes(spark, path, cur)
+    assert sorted(r["doc_id"] for r in b2["deleted"].collect()) == [0, 1, 2, 3, 4, 30]
+    assert [r["doc_id"] for r in b2["inserted"].collect()] == [30]
+    b2["commit"]()
+    b3 = TBL.consume_changes(spark, path, cur)
+    assert b3["inserted"].count() == 0 and b3["deleted"].count() == 0
