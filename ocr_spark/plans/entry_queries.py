@@ -4096,6 +4096,34 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_stream_join",
+    """
+SELECT l.event_id AS left_id, r.event_id AS right_id, l.user_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+WHERE l.event_type = 'view' AND r.event_type = 'click'""",
+)
+def q_events_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 stream-stream interval join, driven end-to-end as a REAL
+    two-source Structured Streaming job (availableNow, two time-split
+    microbatches per side, watermarks bounding join state, parquet
+    sink) and checked against the relational interval join the oracle
+    computes at rest: view→click attribution within 30 minutes must be
+    identical streamed or batch — with in-order arrival the watermark
+    only evicts state that can no longer match."""
+    import tempfile
+
+    from ocr_spark.streaming.events import run_stream_interval_join
+
+    ev = D.load(spark, sf, "events")
+    out = run_stream_interval_join(
+        ev, tempfile.mkdtemp(prefix="stream_join_"), n_batches=2
+    )
+    return out.select("left_id", "right_id", "user_id")
+
+
 # --- PDF routing gate (F6) ----------------------------------------------------
 
 
@@ -4798,7 +4826,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "table_schema_evolution", "table_zorder_scan", "table_partition_evolution",
-    "table_incremental_view", "table_changelog",
+    "table_incremental_view", "table_changelog", "events_stream_join",
     "table_cow_maintenance", "table_time_travel",
     "bpe_train", "bpe_tokens", "kmeans_clusters", "table_scan_pruned",
     "table_stream_ingest", "search_bm25",

@@ -220,3 +220,114 @@ def rollup_cascade(events: DataFrame, value_col: str = "value"):
     hour = up(minute, 60)
     day = up(hour, 24)
     return minute, hour, day
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_delay_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER interval join: right-side events that follow a
+    left-side event by the same key within ``max_delay_minutes`` (the
+    view→click attribution shape).  On streaming inputs both sides get
+    watermarks and the time-range predicate is what lets Spark EXPIRE
+    join state — a left row leaves state once the right watermark passes
+    ``l.ts + max_delay``; without the bound, stream-stream join state
+    grows forever.  On batch frames the same condition is an ordinary
+    join: one expression, both execution modes."""
+    l = (left.withWatermark("ts", watermark) if left.isStreaming else left).alias("l")
+    r = (right.withWatermark("ts", watermark) if right.isStreaming else right).alias(
+        "r"
+    )
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (
+            F.col("r.ts")
+            <= F.col("l.ts") + F.expr(f"INTERVAL {int(max_delay_minutes)} MINUTES")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
+def run_stream_interval_join(
+    events: DataFrame,
+    work_dir: str,
+    left_type: str = "view",
+    right_type: str = "click",
+    max_delay_minutes: int = 30,
+    n_batches: int = 2,
+) -> DataFrame:
+    """Drive ``interval_join`` end-to-end as a real stream-stream join
+    over two file sources and return the joined rows as a batch frame.
+
+    Each side is split into ``n_batches`` files by TIME (in-order-ish
+    arrival, the realistic shape), so cross-boundary pairs exercise
+    retained join state while no row ever arrives behind the watermark —
+    which is exactly why the streamed result must equal the batch join
+    (the driver oracle): with in-order arrival the watermark only ever
+    evicts state that can no longer match."""
+    import os
+    import time
+
+    spark = events.sparkSession
+    lo, hi = events.agg(
+        F.min(wall_epoch_seconds(F.col("ts"))), F.max(wall_epoch_seconds(F.col("ts")))
+    ).collect()[0]
+    schema = events.schema
+    srcs = {}
+    base_t = time.time()
+    for name, etype in (("left", left_type), ("right", right_type)):
+        side = events.filter(F.col("event_type") == etype)
+        src = os.path.join(work_dir, f"{name}_src")
+        os.makedirs(src, exist_ok=True)
+        for i in range(n_batches):
+            b_lo = lo + (hi - lo + 1) * i // n_batches
+            b_hi = lo + (hi - lo + 1) * (i + 1) // n_batches
+            part = side.filter(
+                wall_epoch_seconds(F.col("ts")).between(b_lo, b_hi - 1)
+            )
+            tmp = os.path.join(work_dir, f"{name}_tmp_{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            (pq,) = [n for n in os.listdir(tmp) if n.endswith(".parquet")]
+            dst = os.path.join(src, f"batch-{i}.parquet")
+            os.replace(os.path.join(tmp, pq), dst)
+            # the file source replays files in modification-time order:
+            # pin mtimes so batch i streams strictly before batch i+1
+            os.utime(dst, (base_t + i, base_t + i))
+        srcs[name] = src
+    # watermarks require the LTZ TIMESTAMP type; an NTZ corpus (the
+    # session hardening default) is cast at the source — the join
+    # condition only ever compares ts DIFFERENCES, which the fixed-offset
+    # reinterpretation preserves (the engine pins the session to UTC)
+    lstream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcs["left"])
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    rstream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcs["right"])
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    joined = interval_join(
+        lstream, rstream, max_delay_minutes=max_delay_minutes
+    ).select(
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )
+    out = os.path.join(work_dir, "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out)

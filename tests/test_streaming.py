@@ -363,3 +363,25 @@ def test_rollup_cascade_equals_direct(spark):
         got = sorted(map(tuple, lvl.collect()))
         want = sorted(map(tuple, direct(factor).collect()))
         assert got == want, factor
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """A real two-source stream-stream interval join (availableNow, 2
+    time-split microbatches per side, cross-boundary pairs held in join
+    state) returns exactly the batch join."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.streaming.events import interval_join, run_stream_interval_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    streamed = run_stream_interval_join(ev, str(tmp_path), n_batches=2)
+    batch = interval_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    ).select(
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+    )
+    got = sorted((r["left_id"], r["right_id"]) for r in streamed.collect())
+    exp = sorted((r["left_id"], r["right_id"]) for r in batch.collect())
+    assert got == exp and got
