@@ -557,3 +557,143 @@ def synth_image_array(seed: int, width: int = 48, height: int = 32) -> np.ndarra
         y0 = (3 + band * (height // 4)) % max(height - 3, 1)
         img[y0 : y0 + 2, 2 : width - 2] = 30 + (seed % 50)
     return np.clip(img, 0, 255).astype(np.uint8)
+
+
+# --- perceptual hash (pHash) near-duplicate detection ------------------------
+
+PHASH_SIDE = 32  # DCT input side; the classic pHash shape
+PHASH_LOW = 8    # low-frequency block whose signs form the hash
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (float64).  Same numpy evaluates on the
+    driver (golden generation) and on every executor, so the hash is
+    bit-reproducible across partitionings."""
+    k = np.arange(n, dtype=np.float64)
+    m = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    return m * np.sqrt(2.0 / n)
+
+
+def phash_array(img: np.ndarray) -> int:
+    """64-bit-class perceptual hash, masked to 63 bits so it rides int64
+    columns (same discipline as the 60-bit simhash): area-mean resize to
+    32×32 → 2-D DCT-II → 8×8 low-frequency block → sign vs the median
+    (DC term excluded from the median, classic pHash).  Robust to small
+    pixel perturbations, brightness-preserving edits, and re-encoding —
+    the near-dup signal exact byte hashes cannot give."""
+    h, w = img.shape
+    side = PHASH_SIDE
+    ys = (np.arange(side + 1) * h) // side
+    xs = (np.arange(side + 1) * w) // side
+    small = np.empty((side, side), dtype=np.float64)
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.float64), axis=0), axis=1)
+    for y in range(side):
+        y0, y1 = ys[y], max(ys[y + 1], ys[y] + 1)
+        for x in range(side):
+            x0, x1 = xs[x], max(xs[x + 1], xs[x] + 1)
+            area = (y1 - y0) * (x1 - x0)
+            small[y, x] = (
+                ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+            ) / area
+    m = _dct_matrix(side)
+    freq = m @ small @ m.T
+    low = freq[:PHASH_LOW, :PHASH_LOW].ravel()
+    med = np.median(low[1:])  # exclude the DC coefficient
+    bits = low > med
+    out = 0
+    for i, b in enumerate(bits[:63]):  # 63 bits: stay positive in int64
+        if b:
+            out |= 1 << i
+    return out
+
+
+def phash(images: DataFrame) -> DataFrame:
+    """(image_id, phash) via one Arrow-batched pass (no shuffle)."""
+    def one(image_id: int, img: np.ndarray) -> dict:
+        return {"image_id": image_id, "phash": phash_array(img)}
+
+    return images.mapInPandas(_map_images(one), "image_id long, phash long")
+
+
+def dedup_phash_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by pHash hamming distance ≤
+    ``max_hamming`` — banded exactly like the simhash text tier: the 63
+    hash bits split into ``max_hamming + 1`` bands, so any qualifying
+    pair shares at least one identical band (pigeonhole — EXACT recall,
+    not probabilistic), candidates meet in a band-keyed equi-join (never
+    all-pairs), and an exact bit_count(xor) post-filter removes false
+    candidates.  At crawl scale the shuffle carries (bands × corpus)
+    rows, not corpus²."""
+    n_bands = max_hamming + 1
+    width = 63 // n_bands
+    ph = phash(images).persist()
+    bands = ph.select(
+        "image_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("phash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("image_id", "phash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("id_a"),
+            F.col("b.image_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+def synth_near_dup_images(
+    spark: SparkSession, n: int = 60, n_base: int = 20,
+    width: int = 48, height: int = 32,
+) -> DataFrame:
+    """Deterministic near-dup corpus: images ``i < n_base`` are distinct
+    bases; every later image re-renders base ``i % n_base`` with a small
+    deterministic perturbation (a few brightened pixels) — visually the
+    same scan, byte-distinct, so exact hashing misses it and pHash must
+    catch it."""
+    rows = [
+        (i, bytearray(synth_near_dup_array(i, n_base, width, height).tobytes()),
+         width, height)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "image_id long, data binary, width int, height int"
+    )
+
+
+def synth_near_dup_array(
+    i: int, n_base: int = 20, width: int = 48, height: int = 32
+) -> np.ndarray:
+    """Pure-array twin of synth_near_dup_images — the golden generator
+    derives oracle phashes from the exact same pixels."""
+    img = synth_image_array(i % n_base, width, height).astype(np.int64)
+    gen = i // n_base
+    if gen:
+        for p in range(3):
+            y = (7 * gen + 11 * p) % height
+            x = (13 * gen + 5 * p) % width
+            img[y, x] = min(255, img[y, x] + 9)
+    return img.astype(np.uint8)

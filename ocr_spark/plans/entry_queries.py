@@ -4715,6 +4715,33 @@ def q_image_resize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sql_phash_pairs() -> str:
+    golden = _golden_sql("image_phash")
+    return f"""
+WITH ph AS ({golden})
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+FROM ph a JOIN ph b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
+
+
+@_q("image_dedup_phash", _sql_phash_pairs())
+def q_image_dedup_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash image near-dup: byte-distinct re-renders of the
+    same scan (small pixel perturbations exact hashing misses) pair up
+    by DCT pHash hamming ≤ 3, found through an exact-recall banded
+    equi-join (hamming+1 bands, pigeonhole — never an all-pairs
+    shuffle) with a bit_count(xor) post-filter.  The oracle recomputes
+    the ground-truth all-pairs set from golden phashes generated
+    driver-side in pure numpy over the same pixels — the hash-green row
+    proves the distributed hash is bit-identical AND the banding loses
+    no qualifying pair."""
+    imgs = IMG.synth_near_dup_images(spark, n=60, n_base=20)
+    return IMG.dedup_phash_pairs(imgs, max_hamming=3).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
 @_q(
     "media_frame_sample",
     f"""
@@ -4827,6 +4854,7 @@ _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "table_schema_evolution", "table_zorder_scan", "table_partition_evolution",
     "table_incremental_view", "table_changelog", "events_stream_join",
+    "image_dedup_phash",
     "table_cow_maintenance", "table_time_travel",
     "bpe_train", "bpe_tokens", "kmeans_clusters", "table_scan_pruned",
     "table_stream_ingest", "search_bm25",

@@ -256,3 +256,49 @@ def test_image_golden_parquets_fresh():
         assert os.path.exists(path), f"missing golden {path}; run tools/make_image_goldens.py"
         committed = pq.read_table(path)
         assert committed.equals(fresh), f"stale golden {name}; run tools/make_image_goldens.py"
+
+
+def test_phash_banded_pairs_equal_brute_force(spark):
+    """The banded equi-join finds EXACTLY the all-pairs hamming set
+    (pigeonhole recall guarantee is exact, not probabilistic), at
+    several thresholds; pHash is invariant to the small perturbations
+    the near-dup corpus applies and separates distinct bases."""
+    import numpy as np
+
+    from ocr_spark.operators.image import (
+        dedup_phash_pairs,
+        phash_array,
+        synth_near_dup_array,
+        synth_near_dup_images,
+    )
+
+    n, n_base = 60, 20
+    imgs = synth_near_dup_images(spark, n=n, n_base=n_base)
+    hs = [phash_array(synth_near_dup_array(i, n_base)) for i in range(n)]
+
+    for thr in (1, 3, 6):
+        exp = sorted(
+            (i, j, bin(hs[i] ^ hs[j]).count("1"))
+            for i in range(n)
+            for j in range(i + 1, n)
+            if bin(hs[i] ^ hs[j]).count("1") <= thr
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup_phash_pairs(imgs, max_hamming=thr).collect()
+        )
+        assert got == exp
+
+    # same-base generations collapse, distinct bases stay apart (thr=3)
+    pairs = {(a, b) for a, b, _ in got if True}
+    same = {(i, j) for i in range(n) for j in range(i + 1, n) if i % n_base == j % n_base}
+    got3 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_phash_pairs(imgs, max_hamming=3).collect()
+    }
+    assert got3 == same
+
+    # brightness-shift invariance: pHash ignores a uniform +20 offset
+    base = synth_near_dup_array(0, n_base)
+    shifted = np.clip(base.astype(np.int64) + 20, 0, 255).astype(np.uint8)
+    assert bin(phash_array(base) ^ phash_array(shifted)).count("1") <= 2

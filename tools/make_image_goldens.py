@@ -34,13 +34,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ocr_spark.operators.image import (  # noqa: E402
     denoise_array,
     enhance_text_quality_array,
+    phash_array,
     preprocess_array,
     resize_nearest_array,
     synth_image_array,
+    synth_near_dup_array,
 )
 
 # must mirror plans/entry_queries._IMG_N/_IMG_W/_IMG_H and the query params
 N, W, H = 64, 48, 32
+NDUP_N, NDUP_BASE = 60, 20  # mirror q_image_dedup_phash
 PREPROCESS_FLOOR = 256
 RESIZE_W, RESIZE_H = 24, 16
 
@@ -71,7 +74,14 @@ def golden_tables() -> dict[str, pa.Table]:
             }
         )
 
+    ndup = [synth_near_dup_array(i, NDUP_BASE, W, H) for i in range(NDUP_N)]
     return {
+        "image_phash": pa.table(
+            {
+                "image_id": pa.array(list(range(NDUP_N)), pa.int64()),
+                "phash": pa.array([phash_array(im) for im in ndup], pa.int64()),
+            }
+        ),
         "image_preprocess": checksum_table(pre),
         "image_denoise": checksum_table(den),
         "image_enhance_text": checksum_table(enh),
