@@ -1606,3 +1606,55 @@ def dedup_containment(
     return attached.select(
         "a_id", "b_id", F.round(cont, 6).alias("containment")
     ).filter(F.col("containment") >= threshold)
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy eval-set decontamination: flag corpus documents whose
+    shingle-set Jaccard against ANY eval document reaches the threshold
+    — the near-dup complement of the exact n-gram ``decontaminate``
+    (textstats.py), catching paraphrased or partially-edited benchmark
+    leakage that exact n-gram probes miss (The Pile / GPT-3 appendix C
+    both ship a fuzzy tier for this reason).
+
+    Plan shape at 100 TB: both sides index once (`minhash_index`, one
+    Arrow pass each); the EVAL side is benchmark-sized and broadcast,
+    so the corpus is never shuffled and never self-joined — candidates
+    come from a band equi-join (corpus bands × broadcast eval bands),
+    and the decision is the exact Jaccard verifier used by every dedup
+    tier (minhash only GENERATES candidates).  Docs shorter than one
+    shingle cannot match and stay clean; identical text is Jaccard 1.0,
+    so the exact tier is subsumed.  Returns the corpus with a `leaked`
+    boolean."""
+    cidx = minhash_index(corpus, id_col, text_col)
+    eidx = minhash_index(eval_docs, id_col, text_col).persist()
+    band = F.explode(F.array(*_band_key_cols())).alias("band")
+    cb = cidx.filter(F.size("hv") > 0).select(F.col("id"), band)
+    eb = eidx.filter(F.size("hv") > 0).select(F.col("id").alias("eval_id"), band)
+    cand = (
+        cb.join(F.broadcast(eb), "band")
+        .select("id", "eval_id")
+        .dropDuplicates(["id", "eval_id"])
+    )
+    leaked = (
+        cand.join(cidx.select("id", F.col("hv").alias("hv_a")), "id")
+        .join(
+            F.broadcast(
+                eidx.select(F.col("id").alias("eval_id"), F.col("hv").alias("hv_b"))
+            ),
+            "eval_id",
+        )
+        .select("id", _jaccard_sorted_unique(F.col("hv_a"), F.col("hv_b")).alias("j"))
+        .filter(F.col("j") >= jaccard_threshold)
+        .select(F.col("id").alias(id_col))
+        .distinct()
+        .withColumn("leaked", F.lit(True))
+    )
+    return corpus.join(leaked, id_col, "left").withColumn(
+        "leaked", F.coalesce(F.col("leaked"), F.lit(False))
+    )

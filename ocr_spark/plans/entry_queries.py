@@ -3012,6 +3012,45 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "decontaminate_fuzzy",
+    f"""
+WITH {_SQL_SHINGLE_BASE},
+{_sql_minhash_bands()},
+cband AS (SELECT * FROM dband WHERE doc_id % 17 <> 0),
+eband AS (SELECT * FROM dband WHERE doc_id % 17 = 0),
+fcand AS (
+  SELECT DISTINCT c.doc_id AS cid, e.doc_id AS eid
+  FROM cband c JOIN eband e ON c.band = e.band
+),
+fver AS (
+  SELECT DISTINCT f.cid
+  FROM fcand f
+  JOIN dsh a ON a.doc_id = f.cid JOIN dsh b ON b.doc_id = f.eid
+  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+             THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh)))
+             ELSE 0.0 END >= 0.5
+)
+SELECT d.doc_id, (v.cid IS NOT NULL) AS leaked
+FROM (SELECT doc_id FROM dedup_docs WHERE doc_id % 17 <> 0) d
+LEFT JOIN fver v ON d.doc_id = v.cid""",
+)
+def q_decontaminate_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy (MinHash) eval-set decontamination: the corpus side is
+    every dedup_docs row off the eval stripe, the eval set the stripe
+    itself; a corpus doc is leaked when its banded candidates verify at
+    exact Jaccard ≥ 0.5 against any eval doc.  The oracle is the same
+    banded LSH formulation in SQL (the band join IS the operator's
+    recall contract, so the twin must reproduce it, not an all-pairs
+    idealization)."""
+    dd = D.dedup_docs(D.load(spark, sf, "documents"))
+    corpus = dd.filter(F.col("doc_id") % 17 != 0)
+    eval_docs = dd.filter(F.col("doc_id") % 17 == 0)
+    out = DD.decontaminate_fuzzy(corpus, eval_docs, jaccard_threshold=0.5)
+    return out.select("doc_id", "leaked")
+
+
+@_q(
     "dedup_clusters",
     f"""
 WITH RECURSIVE {_SQL_SHINGLE_BASE},
@@ -4854,7 +4893,7 @@ _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "table_schema_evolution", "table_zorder_scan", "table_partition_evolution",
     "table_incremental_view", "table_changelog", "events_stream_join",
-    "image_dedup_phash",
+    "image_dedup_phash", "decontaminate_fuzzy",
     "table_cow_maintenance", "table_time_travel",
     "bpe_train", "bpe_tokens", "kmeans_clusters", "table_scan_pruned",
     "table_stream_ingest", "search_bm25",

