@@ -159,6 +159,7 @@ def run_curate(
     decon_eval: str | None = None,
     decon_format: str | None = None,
     decon_n: int = 5,
+    decon_fuzzy: float | None = None,
     pack_seq_len: int | None = None,
     pack_shards: int = 8,
     lm_max_bits: float | None = None,
@@ -302,13 +303,32 @@ def run_curate(
                 f"valid rows (format {decon_format or input_format!r}) — wrong "
                 "--decon-format? refusing to run a no-op decontamination"
             )
-        contaminated = materialize_once(
-            spark,
+        dec = (
             decontaminate(docs.join(losers, "doc_id", "left_anti"), ev, n=decon_n)
             .filter(F.col("contaminated"))
-            .select("doc_id"),
+            .select("doc_id")
+        )
+        if decon_fuzzy is not None:
+            # fuzzy tier: ALSO drop near-dups of eval docs (paraphrased
+            # leakage the exact n-gram probe misses); same eval corpus,
+            # broadcast index, corpus never self-joins
+            from ocr_spark.operators.dedup import decontaminate_fuzzy
+
+            dec = dec.unionByName(
+                decontaminate_fuzzy(
+                    docs.join(losers, "doc_id", "left_anti"),
+                    ev,
+                    jaccard_threshold=decon_fuzzy,
+                )
+                .filter(F.col("leaked"))
+                .select("doc_id")
+            ).distinct()
+        contaminated = materialize_once(
+            spark,
+            dec,
             os.path.join(output_dir, "_contaminated"),
             meta={"stage": "decontaminate", "eval": decon_eval, "n": decon_n,
+                  "fuzzy": decon_fuzzy,
                   "mode": dedup_mode, "threshold": threshold, "input": input_path,
                   "fix_text": do_fix_text},
         )
@@ -409,6 +429,7 @@ def run_curate(
             "blocked_domains": list(blocked_domains),
             "decon_eval": decon_eval,
             "decon_n": decon_n,
+            "decon_fuzzy": decon_fuzzy,
             "lm_max_bits": lm_max_bits,
             "dsir_target": dsir_target,
             "dsir_min_avg_bits": dsir_min_avg_bits,
@@ -577,6 +598,9 @@ def main() -> None:
                          "any --decon-n-gram with it")
     ap.add_argument("--decon-format", choices=("parquet", "orc", "jsonl", "csv"), default=None,
                     help="format of --decon-eval (default: same as --format)")
+    ap.add_argument("--decon-fuzzy", type=float, default=None, metavar="JACCARD",
+                    help="also drop near-dups of eval docs at this MinHash "
+                         "Jaccard threshold (fuzzy decontamination tier)")
     ap.add_argument("--decon-n", type=int, default=5)
     ap.add_argument("--pack-seq-len", type=int, default=None,
                     help="also write the concat-and-chunk packing layout to _packed")
@@ -647,6 +671,7 @@ def main() -> None:
         decon_eval=args.decon_eval,
         decon_format=args.decon_format,
         decon_n=args.decon_n,
+        decon_fuzzy=args.decon_fuzzy,
         pack_seq_len=args.pack_seq_len,
         pack_shards=args.pack_shards,
         lm_max_bits=args.lm_max_bits,

@@ -915,3 +915,50 @@ def test_curate_job_incremental_against_prior_index(spark, tmp_path):
     kept2 = sorted(r["doc_id"] for r in spark.read.parquet(str(out2 / "bucket=*")).collect())
     assert kept2 == [901]
     assert spark.read.parquet(str(out2 / "_index")).count() == n_idx1 + 1
+
+
+def test_curate_job_fuzzy_decontamination_tier(spark, tmp_path):
+    """--decon-fuzzy extends the exact tier: a doc whose text is a light
+    EDIT of an eval doc (every shared n-gram run shorter than the exact
+    probe needs) survives exact decontamination but is dropped by the
+    fuzzy tier; clean docs survive both."""
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    # doc 6 edited: change every 13th word — no 13 consecutive original
+    # words remain (kills every exact 13-gram, GPT-3 appendix C's n),
+    # while ~10/13 of word-3-gram shingles survive → Jaccard ≈ 0.6
+    words = docs.filter(F.col("doc_id") == 6).first()["text"].split()
+    edited = " ".join(
+        w if i % 13 else f"ed{i}" for i, w in enumerate(words)
+    )
+    ev = spark.createDataFrame(
+        [(9000, edited), (9001, "nothing in common here at all")],
+        "doc_id long, text string",
+    )
+    evp = str(tmp_path / "eval_f.parquet")
+    ev.write.parquet(evp)
+    inp = str(tmp_path / "in_f.parquet")
+    docs.write.parquet(inp)
+
+    # exact tier only: doc 6 survives (no 13-gram of the eval doc
+    # appears verbatim anywhere in the corpus)
+    out1 = tmp_path / "cur_exact"
+    run_curate(spark, inp, str(out1), dedup_mode="exact", langs=("en",),
+               num_buckets=2, decon_eval=evp, decon_n=13)
+    ids1 = {r["doc_id"] for r in
+            spark.read.parquet(str(out1 / "bucket=*")).select("doc_id").collect()}
+    assert 6 in ids1
+
+    # + fuzzy tier: doc 6 drops, its neighbors survive
+    out2 = tmp_path / "cur_fuzzy"
+    summary = run_curate(spark, inp, str(out2), dedup_mode="exact", langs=("en",),
+                         num_buckets=2, decon_eval=evp, decon_n=13,
+                         decon_fuzzy=0.5)
+    ids2 = {r["doc_id"] for r in
+            spark.read.parquet(str(out2 / "bucket=*")).select("doc_id").collect()}
+    assert 6 not in ids2 and 5 in ids2 and 7 in ids2
+    assert ids1 - ids2 == {6}
+    assert summary["buckets_run"] == 2
+    with open(str(out2 / "_contaminated") + ".meta.json") as f:
+        assert json.load(f)["fuzzy"] == 0.5
