@@ -213,3 +213,269 @@ def extract_html_documents(docs: DataFrame, html_col: str = "html", id_col: str 
         cols["max_depth"].cast("int").alias("max_depth"),
         cols["boiler_chars"].cast("long").alias("boiler_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability (Arc90) candidate scoring — the other member of the
+# north-star's "Boilerpipe/Readability" family.  Where NumWordsRules
+# classifies each block locally, Readability scores CONTAINERS: every
+# paragraph adds (1 + commas + min(chars/100, 3)) to its parent container
+# and half of that to its grandparent, containers gain ±25 for
+# content-ish / boilerplate-ish class/id attributes, each candidate's
+# total is scaled by (1 - link_density of its subtree), and the winning
+# container (plus siblings scoring ≥ max(10, 20% of the winner)) becomes
+# the article.  Public algorithm (Arc90 readability.js); the reference
+# repo has no HTML path.
+#
+# Spark plan shape: everything is per-row Column expressions — the only
+# non-local structure, the open-container stack, is ONE linear
+# F.aggregate fold per document (push on open, pop on close) producing
+# the stack-before-each-block; candidate scoring folds reference the
+# materialized `bs`/`tags` COLUMNS (cheap row-value reads), never an
+# expression subtree, so nothing re-evaluates per candidate.  The DuckDB
+# oracle derives the same stacks in closed form (an open tag j is still
+# open before block i iff the running depth never dips below its level:
+# min(D[j..i-1]) >= D[j]) — an independent formulation that must agree
+# bit-for-bit, including on malformed HTML with unmatched close tags.
+
+READABILITY_POSITIVE_RE = (
+    r"(?i)article|body|content|entry|hentry|main|page|pagination|post|text|blog|story"
+)
+READABILITY_NEGATIVE_RE = (
+    r"(?i)combx|comment|com-|contact|foot|footer|footnote|masthead|media|meta|"
+    r"outbrain|promo|related|scroll|shoutbox|sidebar|sponsor|shopping|tags|tool|widget"
+)
+# script/style/comment strip happens BEFORE block split (readability.js
+# removeScripts/prepDocument); no backreferences — the oracle's RE2 has none
+SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script>"
+STYLE_RE = r"(?is)<style\b[^>]*>.*?</style>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+_CLASS_ATTR_RE = r'(?i)\bclass\s*=\s*"([^"]*)"'
+_ID_ATTR_RE = r'(?i)\bid\s*=\s*"([^"]*)"'
+MIN_PARA_CHARS = 25  # readability.js: paragraphs under 25 chars don't score
+
+
+def _readability_block(part: Column, stack: Column) -> Column:
+    """Per-block struct: text, chars, anchor chars, paragraph score, and
+    the enclosing-container stack (innermost last, as open-tag indices)."""
+    text = py_strip(F.regexp_replace(part, _TAG_RE, ""))
+    anchor_text = F.array_join(
+        F.transform(
+            F.regexp_extract_all(part, F.lit(_ANCHOR_RE), 1),
+            lambda a: F.regexp_replace(a, _TAG_RE, ""),
+        ),
+        "",
+    )
+    chars = F.length(text)
+    commas = F.size(F.split(text, ",")) - 1
+    pscore = F.when(chars < MIN_PARA_CHARS, F.lit(0)).otherwise(
+        F.lit(1) + commas + F.least(F.floor(chars / F.lit(100.0)).cast("int"), F.lit(3))
+    )
+    return F.struct(
+        text.alias("text"),
+        chars.alias("chars"),
+        F.length(anchor_text).alias("anchor"),
+        pscore.alias("pscore"),
+        F.when(F.size(stack) > 0, F.element_at(stack, -1)).alias("owner"),
+        F.when(F.size(stack) > 1, F.element_at(stack, -2)).alias("parent"),
+        stack.alias("stack"),
+    )
+
+
+def _class_weight(tag: Column) -> Column:
+    """±25 per content-ish / boilerplate-ish class and id attribute of the
+    container's open tag (readability.js getClassWeight)."""
+    cls = F.regexp_extract(tag, _CLASS_ATTR_RE, 1)
+    idv = F.regexp_extract(tag, _ID_ATTR_RE, 1)
+    w = F.lit(0)
+    for attr in (cls, idv):
+        w = (
+            w
+            + F.when(attr.rlike(READABILITY_POSITIVE_RE), 25).otherwise(0)
+            - F.when(attr.rlike(READABILITY_NEGATIVE_RE), 25).otherwise(0)
+        )
+    return w
+
+
+def readability_extract(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Readability main-content extraction → (doc_id, main_text,
+    top_candidate, top_score, n_candidates, n_selected).
+
+    ``top_candidate`` is the winning container's open-tag index (1-based
+    in the document's boundary-tag stream; -1 when no container scored),
+    ``n_selected`` counts the winner plus included siblings."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(h, SCRIPT_RE, ""), STYLE_RE, ""),
+        HTML_COMMENT_RE,
+        "",
+    )
+    df = docs.select(
+        F.col(id_col),
+        F.split(clean, BLOCK_TAG_RE).alias("parts"),
+        F.regexp_extract_all(clean, F.lit(BLOCK_TAG_RE), 0).alias("tags"),
+    )
+
+    # one linear fold per document: stack of open container tag-indices
+    # before each block (stacks[i] aligns with parts[i])
+    deltas = F.transform(
+        F.col("tags"),
+        lambda t: F.when(t.rlike(_DEPTH_OPEN_RE), F.lit(1))
+        .when(t.rlike(_DEPTH_CLOSE_RE), F.lit(-1))
+        .otherwise(F.lit(0)),
+    )
+    idx = F.when(F.size("tags") > 0, F.sequence(F.lit(1), F.size("tags"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    steps = F.zip_with(deltas, idx, lambda d, j: F.struct(d.alias("d"), j.alias("j")))
+    stacks = F.aggregate(
+        steps,
+        F.array(F.array().cast("array<int>")),
+        lambda acc, s: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    s["d"] == 1, F.concat(F.element_at(acc, -1), F.array(s["j"]))
+                )
+                .when(
+                    (s["d"] == -1) & (F.size(F.element_at(acc, -1)) > 0),
+                    F.slice(
+                        F.element_at(acc, -1), 1, F.size(F.element_at(acc, -1)) - 1
+                    ),
+                )
+                .otherwise(F.element_at(acc, -1))
+            ),
+        ),
+    )
+    df = df.withColumn("stacks", stacks)
+    df = df.withColumn(
+        "bs",
+        F.filter(
+            F.zip_with(F.col("parts"), F.col("stacks"), _readability_block),
+            lambda b: b["text"] != "",
+        ),
+    )
+    # candidates: each scoring paragraph registers its parent (owner) AND
+    # grandparent container (readability.js scores both)
+    df = df.withColumn(
+        "cand_ids",
+        F.array_distinct(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("bs"),
+                        lambda b: F.when(
+                            b["pscore"] > 0, F.array(b["owner"], b["parent"])
+                        ).otherwise(F.array().cast("array<int>")),
+                    )
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+    )
+
+    def _cand(c: Column) -> Column:
+        bs = F.col("bs")
+        own = F.aggregate(
+            bs,
+            F.lit(0).cast("long"),
+            lambda a, b: a + F.when(b["owner"] == c, b["pscore"]).otherwise(0),
+        )
+        half = F.aggregate(
+            bs,
+            F.lit(0).cast("long"),
+            lambda a, b: a + F.when(b["parent"] == c, b["pscore"]).otherwise(0),
+        )
+        sub_chars = F.aggregate(
+            bs,
+            F.lit(0).cast("long"),
+            lambda a, b: a + F.when(F.array_contains(b["stack"], c), b["chars"]).otherwise(0),
+        )
+        sub_anchor = F.aggregate(
+            bs,
+            F.lit(0).cast("long"),
+            lambda a, b: a + F.when(F.array_contains(b["stack"], c), b["anchor"]).otherwise(0),
+        )
+        ld = F.when(
+            sub_chars > 0,
+            F.least(sub_anchor.cast("double") / sub_chars.cast("double"), F.lit(1.0)),
+        ).otherwise(F.lit(0.0))
+        cw = _class_weight(F.element_at(F.col("tags"), c))
+        score = (
+            cw.cast("double") + own.cast("double") + half.cast("double") * F.lit(0.5)
+        ) * (F.lit(1.0) - ld)
+        # the container enclosing c = the element just below c in any stack
+        # that contains c (fixed at push time, so any such block works);
+        # candidates that own no blocks directly (grandparents) still have
+        # at least one block whose stack passes through them
+        fb = F.element_at(
+            F.filter(bs, lambda b: F.array_contains(b["stack"], c)), 1
+        )["stack"]
+        pos = F.array_position(fb, c)
+        parent = F.when(pos > 1, F.element_at(fb, (pos - 1).cast("int")))
+        return F.struct(c.alias("c"), score.alias("score"), parent.alias("parent"))
+
+    df = df.withColumn("cands", F.transform(F.col("cand_ids"), _cand))
+    df = df.withColumn(
+        "top_score", F.array_max(F.transform(F.col("cands"), lambda x: x["score"]))
+    )
+    df = df.withColumn(
+        "top_c",
+        F.array_min(
+            F.transform(
+                F.filter(F.col("cands"), lambda x: x["score"] == F.col("top_score")),
+                lambda x: x["c"],
+            )
+        ),
+    )
+    df = df.withColumn(
+        "top_parent",
+        F.element_at(
+            F.transform(
+                F.filter(F.col("cands"), lambda x: x["c"] == F.col("top_c")),
+                lambda x: x["parent"],
+            ),
+            1,
+        ),
+    )
+    sibs = F.transform(
+        F.filter(
+            F.col("cands"),
+            lambda d: (d["c"] != F.col("top_c"))
+            & d["parent"].eqNullSafe(F.col("top_parent"))
+            & (d["score"] >= F.greatest(F.lit(10.0), F.col("top_score") * F.lit(0.2))),
+        ),
+        lambda d: d["c"],
+    )
+    df = df.withColumn(
+        "sel",
+        F.when(
+            F.col("top_c").isNotNull(), F.concat(F.array(F.col("top_c")), sibs)
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    main = F.when(
+        F.size(F.col("sel")) > 0,
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.col("bs"),
+                    lambda b: F.arrays_overlap(b["stack"], F.col("sel")),
+                ),
+                lambda b: b["text"],
+            ),
+            "\n",
+        ),
+    ).otherwise(
+        # no scoring container anywhere: readability's body fallback
+        F.array_join(F.transform(F.col("bs"), lambda b: b["text"]), "\n")
+    )
+    return df.select(
+        F.col(id_col),
+        main.alias("main_text"),
+        F.coalesce(F.col("top_c"), F.lit(-1)).cast("int").alias("top_candidate"),
+        F.coalesce(F.col("top_score"), F.lit(0.0)).alias("top_score"),
+        F.size(F.col("cands")).cast("int").alias("n_candidates"),
+        F.size(F.col("sel")).cast("int").alias("n_selected"),
+    )

@@ -4529,6 +4529,216 @@ def q_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     return extract_html_documents(docs.select("doc_id", html.alias("html")))
 
 
+
+
+_HTML_WRAP_RB_SQL = (
+    "'<div class=\"sidebar\"><ul><li><a href=\"/a\">Related one</a></li>"
+    "<li><a href=\"/b\">Related two</a></li></ul></div>"
+    "<div class=\"article content\" id=\"main\"><div class=\"entry\"><p>' || "
+    "replace(coalesce(text, ''), chr(10), '</p><p>') || "
+    "'</p></div></div><div class=\"comment\"><p>Nice post, thanks for sharing, "
+    "very cool indeed</p></div>"
+    "<div class=\"footer\"><p><a href=\"/c\">(c) 2026 Synth Corp, contact, "
+    "sitemap</a></p></div>'"
+)
+
+# Arc90 readability.js constants (public algorithm; mirrored from
+# ocr_spark/operators/boilerplate.py)
+_RB_POS = (
+    "(?i)article|body|content|entry|hentry|main|page|pagination|post|text|blog|story"
+)
+_RB_NEG = (
+    "(?i)combx|comment|com-|contact|foot|footer|footnote|masthead|media|meta|"
+    "outbrain|promo|related|scroll|shoutbox|sidebar|sponsor|shopping|tags|tool|widget"
+)
+
+
+def _sql_readability(
+    src: str = f"SELECT doc_id, {_HTML_WRAP_RB_SQL} AS html FROM documents",
+) -> str:
+    """Readability-extraction oracle over any (doc_id, html) source SQL.
+
+    Independent formulation: where the Spark side folds an open-container
+    STACK per document, this derives the same structure in closed form —
+    an open tag j is still open before block i iff the running depth never
+    dips below its own level (min(D[j..i-1]) >= D[j]) — so agreement is
+    evidence of the stack semantics, not a formulation twin."""
+    strip_tags = "regexp_replace(p, '(?s)<[^>]*>', '', 'g')"
+    text_of = _strip(strip_tags)
+    anchor = (
+        "coalesce(array_to_string(list_transform("
+        "regexp_extract_all(p, '(?is)<a\\b[^>]*>(.*?)</a>', 1), "
+        "a -> regexp_replace(a, '(?s)<[^>]*>', '', 'g')), ''), '')"
+    )
+    opens = (
+        "list_filter(range(1, i), j -> deltas[j] = 1 "
+        "AND list_min(list_slice(darr, j + 1, i)) >= list_extract(darr, j + 1))"
+    )
+    pscore = (
+        f"CASE WHEN length({text_of}) < 25 THEN 0 ELSE "
+        f"1 + (len(string_split({text_of}, ',')) - 1) "
+        f"+ least((length({text_of}) // 100)::INT, 3) END"
+    )
+    block = (
+        f"{{'text': {text_of}, 'chars': length({text_of}), "
+        f"'anchor': length({anchor}), 'pscore': {pscore}, "
+        f"'owner': ({opens})[-1], 'parent': ({opens})[-2], 'stack': {opens}}}"
+    )
+
+    def cw_attr(attr_re: str) -> str:
+        a = f"regexp_extract(tags[c::INT], '{attr_re}', 1)"
+        return (
+            f"(CASE WHEN regexp_matches({a}, '{_RB_POS}') THEN 25 ELSE 0 END "
+            f"- CASE WHEN regexp_matches({a}, '{_RB_NEG}') THEN 25 ELSE 0 END)"
+        )
+
+    cw = (
+        cw_attr('(?i)\\bclass\\s*=\\s*"([^"]*)"')
+        + " + "
+        + cw_attr('(?i)\\bid\\s*=\\s*"([^"]*)"')
+    )
+    own = (
+        "coalesce(list_sum(list_transform(bs, b -> "
+        "CASE WHEN b.owner = c THEN b.pscore ELSE 0 END)), 0)"
+    )
+    half = (
+        "coalesce(list_sum(list_transform(bs, b -> "
+        "CASE WHEN b.parent = c THEN b.pscore ELSE 0 END)), 0)"
+    )
+    subc = (
+        "coalesce(list_sum(list_transform(bs, b -> "
+        "CASE WHEN list_contains(b.stack, c) THEN b.chars ELSE 0 END)), 0)"
+    )
+    suba = (
+        "coalesce(list_sum(list_transform(bs, b -> "
+        "CASE WHEN list_contains(b.stack, c) THEN b.anchor ELSE 0 END)), 0)"
+    )
+    ld = (
+        f"CASE WHEN {subc} > 0 THEN "
+        f"least(({suba})::DOUBLE / ({subc})::DOUBLE, 1.0::DOUBLE) "
+        f"ELSE 0.0::DOUBLE END"
+    )
+    fb = (
+        "(list_transform(list_filter(bs, b -> list_contains(b.stack, c)), "
+        "b -> b.stack))[1]"
+    )
+    parent = (
+        f"CASE WHEN list_position({fb}, c) > 1 "
+        f"THEN list_extract({fb}, (list_position({fb}, c) - 1)::INT) END"
+    )
+    cand = (
+        f"{{'c': c, 'score': (({cw})::DOUBLE + ({own})::DOUBLE "
+        f"+ ({half})::DOUBLE * 0.5::DOUBLE) * (1.0::DOUBLE - {ld}), "
+        f"'parent': {parent}}}"
+    )
+    return f"""
+WITH hsrc AS (
+  {src}
+),
+hclean AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(coalesce(html, ''),
+           '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
+           '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
+           '(?s)<!--.*?-->', '', 'g') AS html
+  FROM hsrc
+),
+hsplit AS (
+  SELECT doc_id,
+         regexp_split_to_array(html, '{_BP_BLOCK_RE}') AS parts,
+         regexp_extract_all(html, '{_BP_BLOCK_RE}', 0) AS tags
+  FROM hclean
+),
+hdelta AS (
+  SELECT *, list_transform(tags, t ->
+    CASE WHEN regexp_matches(t, '{_BP_OPEN_RE}') THEN 1
+         WHEN regexp_matches(t, '{_BP_CLOSE_RE}') THEN -1 ELSE 0 END) AS deltas
+  FROM hsplit
+),
+hdepth AS (
+  SELECT *, list_transform(range(0, len(tags) + 1), k ->
+    coalesce(list_sum(list_slice(deltas, 1, k::INT)), 0)) AS darr
+  FROM hdelta
+),
+hblocks AS (
+  SELECT doc_id, tags,
+         list_filter(list_transform(parts, (p, i) -> {block}),
+                     b -> b.text != '') AS bs
+  FROM hdepth
+),
+hcand AS (
+  SELECT *, list_distinct(list_filter(flatten(list_transform(bs, b ->
+    CASE WHEN b.pscore > 0 THEN [b.owner, b.parent]
+         ELSE CAST([] AS BIGINT[]) END)), x -> x IS NOT NULL)) AS cand_ids
+  FROM hblocks
+),
+hcands AS (
+  SELECT *, list_transform(cand_ids, c -> {cand}) AS cands FROM hcand
+),
+htop AS (
+  SELECT *, list_max(list_transform(cands, x -> x.score)) AS top_score
+  FROM hcands
+),
+htopc AS (
+  SELECT *, list_min(list_transform(
+    list_filter(cands, x -> x.score = top_score), x -> x.c)) AS top_c
+  FROM htop
+),
+hpar AS (
+  SELECT *, (list_transform(list_filter(cands, x -> x.c = top_c),
+                            x -> x.parent))[1] AS top_parent
+  FROM htopc
+),
+hsel AS (
+  SELECT *, CASE WHEN top_c IS NOT NULL THEN list_concat([top_c],
+    list_transform(list_filter(cands, d -> d.c != top_c
+      AND d.parent IS NOT DISTINCT FROM top_parent
+      AND d.score >= greatest(10.0::DOUBLE, top_score * 0.2::DOUBLE)),
+      d -> d.c))
+    ELSE CAST([] AS BIGINT[]) END AS sel
+  FROM hpar
+)
+SELECT doc_id,
+  coalesce(CASE WHEN len(sel) > 0
+    THEN array_to_string(list_transform(
+      list_filter(bs, b -> list_has_any(b.stack, sel)), b -> b.text), chr(10))
+    ELSE array_to_string(list_transform(bs, b -> b.text), chr(10)) END,
+    '') AS main_text,
+  coalesce(top_c, -1)::INT AS top_candidate,
+  coalesce(top_score, 0.0)::DOUBLE AS top_score,
+  len(cands)::INT AS n_candidates,
+  len(sel)::INT AS n_selected
+FROM hsel"""
+
+
+@_q("html_readability", _sql_readability())
+def q_html_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """North-star Readability (Arc90) main-content extraction: container
+    candidates from an open-tag stack, comma/length paragraph scores with
+    parent + half-grandparent propagation, +-25 class/id weighting,
+    link-density scaling, top-candidate + qualifying-sibling fusion — over
+    a deterministic HTML wrap (negative-class sidebar/comment/footer,
+    positive-class nested article) of the documents corpus."""
+    from ocr_spark.operators.boilerplate import readability_extract
+
+    docs = D.load(spark, sf, "documents")
+    html = F.concat(
+        F.lit(
+            '<div class="sidebar"><ul><li><a href="/a">Related one</a></li>'
+            '<li><a href="/b">Related two</a></li></ul></div>'
+            '<div class="article content" id="main"><div class="entry"><p>'
+        ),
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "\n", "</p><p>"),
+        F.lit(
+            '</p></div></div><div class="comment"><p>Nice post, thanks for '
+            "sharing, very cool indeed</p></div>"
+            '<div class="footer"><p><a href="/c">(c) 2026 Synth Corp, contact, '
+            "sitemap</a></p></div>"
+        ),
+    )
+    return readability_extract(docs.select("doc_id", html.alias("html")))
+
+
 # --- WARC web-archive source ---------------------------------------------------
 
 _N_WARC_DOCS, _N_WARC_FILES = 120, 6
@@ -4891,6 +5101,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 #   E. the r3-green remainder.
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
+    "html_readability",
     "table_schema_evolution", "table_zorder_scan", "table_partition_evolution",
     "table_incremental_view", "table_changelog", "events_stream_join",
     "image_dedup_phash", "decontaminate_fuzzy",

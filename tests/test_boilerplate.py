@@ -85,3 +85,112 @@ def test_null_and_empty_html(spark):
         assert rows[i]["n_blocks"] == 0
         assert rows[i]["main_text"] == ""
         assert rows[i]["boiler_chars"] == 0
+
+
+# --- Readability (Arc90) candidate scoring ---------------------------------
+
+
+def _readability(spark, html):
+    from ocr_spark.operators.boilerplate import readability_extract
+
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return readability_extract(df).first()
+
+
+_LONG_P = (
+    "<p>This is a long paragraph of article prose, with commas, clauses, "
+    "and plenty of words so the paragraph scores well above the minimum.</p>"
+)
+
+
+def test_readability_article_beats_sidebar_and_footer(spark):
+    r = _readability(
+        spark,
+        '<div class="sidebar"><ul><li><a href="/a">One link</a></li>'
+        '<li><a href="/b">Two links</a></li></ul></div>'
+        f'<div class="article">{_LONG_P}{_LONG_P}</div>'
+        '<div class="footer"><p><a href="/c">(c) 2026, all rights reserved, '
+        "contact us please</a></p></div>",
+    )
+    assert "long paragraph of article prose" in r["main_text"]
+    assert "One link" not in r["main_text"]
+    assert "(c) 2026" not in r["main_text"]
+    assert r["n_selected"] == 1 and r["top_score"] > 25
+
+
+def test_readability_class_weight_breaks_tie(spark):
+    # identical content; only the class differs — the positive class must win
+    r = _readability(
+        spark,
+        f'<div class="sidebar">{_LONG_P}</div><div class="content">{_LONG_P}</div>',
+    )
+    # boundary-tag indices count <p>/</p> too: sidebar div=1, p=2, /p=3,
+    # /div=4, content div=5
+    assert r["top_candidate"] == 5
+    r2 = _readability(
+        spark,
+        f'<div class="content">{_LONG_P}</div><div class="sidebar">{_LONG_P}</div>',
+    )
+    assert r2["top_candidate"] == 1
+
+
+def test_readability_link_density_scales_score_down(spark):
+    # the link-heavy container has MORE text but is mostly anchors
+    linky = (
+        "<p>Read <a href='/1'>this long anchor full of words and words</a> and "
+        "<a href='/2'>this other long anchor, also full of words, commas</a> "
+        "now</p>"
+    )
+    r = _readability(spark, f"<div>{linky}{linky}</div><div>{_LONG_P}</div>")
+    assert r["top_candidate"] == 7  # div=1, 2×(p,/p)=2..5, /div=6, div=7
+    assert "long paragraph of article prose" in r["main_text"]
+
+
+def test_readability_sibling_inclusion_threshold(spark):
+    # two root-level content divs: the second scores >= max(10, 0.2*top) and
+    # joins the article; a weak third does not
+    strong = _LONG_P * 4
+    r = _readability(
+        spark,
+        f"<div>{strong}</div><div>{strong}</div><div><p>tiny note, small</p></div>",
+    )
+    assert r["n_selected"] == 2
+    assert r["main_text"].count("long paragraph of article prose") == 8
+    assert "tiny note" not in r["main_text"]
+
+
+def test_readability_grandparent_half_credit_fuses_children(spark):
+    # three child divs inside one article: each child earns its own score,
+    # the parent earns half of ALL of them and wins — the fused article is
+    # all three children, not the best single child
+    child = f"<div>{_LONG_P}{_LONG_P}</div>"
+    r = _readability(spark, f'<div id="main">{child}{child}{child}</div>')
+    assert r["top_candidate"] == 1
+    assert r["main_text"].count("long paragraph of article prose") == 6
+
+
+def test_readability_script_style_comments_stripped(spark):
+    r = _readability(
+        spark,
+        "<script>var x = '<div><p>decoy, decoy, decoy, decoy, decoy</p></div>';"
+        "</script><style>.a { color: red; }</style>"
+        f"<!-- <div>{_LONG_P}</div> --><div>{_LONG_P}</div>",
+    )
+    assert "decoy" not in r["main_text"]
+    assert "color: red" not in r["main_text"]
+    assert r["main_text"].count("long paragraph of article prose") == 1
+
+
+def test_readability_no_candidates_falls_back_to_all_text(spark):
+    r = _readability(spark, "<p>short one</p><p>short two</p>")
+    assert r["top_candidate"] == -1 and r["n_candidates"] == 0
+    assert r["main_text"] == "short one\nshort two"
+    for html in ("", None):
+        r = _readability(spark, html)
+        assert r["main_text"] == "" and r["top_candidate"] == -1
+
+
+def test_readability_unmatched_close_tags(spark):
+    r = _readability(spark, f"</div></div><div>{_LONG_P}</div></div>")
+    assert r["top_candidate"] == 3  # the real open tag is the third boundary
+    assert "long paragraph of article prose" in r["main_text"]

@@ -166,3 +166,96 @@ def test_fuzz_html_extract_matches_duckdb_oracle(spark, seed):
     assert set(got) == set(want)
     mismatches = [(k, got[k], want[k]) for k in got if got[k] != want[k]]
     assert not mismatches, mismatches[:3]
+
+
+# --- Readability fuzz parity -------------------------------------------------
+
+_RB_CLASSES = [
+    "article", "content", "entry", "main", "post", "story",          # positive
+    "sidebar", "comment", "footer", "widget", "promo", "related",    # negative
+    "xyz", "wrapper", "",                                            # neutral
+]
+
+
+def _gen_html_readability(rng: random.Random) -> str:
+    """Adversarial HTML for the Readability scorer: classed/id'd containers
+    (double-quoted, as the extractor matches), nested structures, stray
+    closes, script/style/comment decoys, and paragraphs straddling the
+    25-char scoring minimum and the /100 length-bonus steps."""
+    out = []
+    for _ in range(rng.randint(0, 16)):
+        roll = rng.random()
+        if roll < 0.2:
+            cls = rng.choice(_RB_CLASSES)
+            idv = rng.choice(_RB_CLASSES)
+            attrs = ""
+            if cls:
+                attrs += f' class="{cls}"'
+            if rng.random() < 0.4 and idv:
+                attrs += f' id="{idv}"'
+            out.append(f"<{rng.choice(['div', 'section', 'table'])}{attrs}>")
+        elif roll < 0.34:
+            out.append(rng.choice(_TAGS_CLOSE))
+        elif roll < 0.42:
+            out.append(rng.choice(_SEP))
+        elif roll < 0.5:
+            out.append(
+                rng.choice(
+                    [
+                        "<script>var d = '<div><p>decoy, decoy</p></div>';</script>",
+                        "<style>.x { color: red; }</style>",
+                        "<!-- <div><p>ghost, ghost</p></div> -->",
+                    ]
+                )
+            )
+        elif roll < 0.75:
+            # text with comma density and char counts around 25 and 100
+            n = rng.choice([2, 4, 5, 6, 18, 20, 22, 40])
+            words = _words(rng, n)
+            if rng.random() < 0.5:
+                words = words.replace(" ", ", ", rng.randint(1, 3))
+            out.append(words)
+        else:
+            total = rng.choice([4, 10, 24])
+            in_anchor = rng.randint(0, total)
+            out.append(
+                _words(rng, total - in_anchor)
+                + f' <a href="/{rng.randint(0, 9)}">'
+                + _words(rng, in_anchor)
+                + "</a>"
+            )
+        if rng.random() < 0.25:
+            out.append(rng.choice(_WS))
+    return "".join(out)
+
+
+@pytest.mark.parametrize("seed", [20260818])
+def test_fuzz_readability_matches_duckdb_oracle(spark, seed):
+    from ocr_spark.operators.boilerplate import readability_extract
+    from ocr_spark.plans.entry_queries import _sql_readability
+
+    rng = random.Random(seed)
+    rows = [(i, _gen_html_readability(rng)) for i in range(150)]
+    rows += [
+        (150, ""),
+        (151, None),
+        (152, '<div class="content"><a href="/x">only a link</a></div>'),
+        (153, "no tags at all but long enough, with a comma, to score points"),
+        (154, "</div></div><div><p>stray closes before, commas, a real container "
+              "with enough length</p></div>"),
+    ]
+
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    cols = ("main_text", "top_candidate", "top_score", "n_candidates", "n_selected")
+    got = {r["doc_id"]: tuple(r[c] for c in cols)
+           for r in readability_extract(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fuzz_html(doc_id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO fuzz_html VALUES (?, ?)", rows)
+    sql = _sql_readability("SELECT doc_id, coalesce(html, '') AS html FROM fuzz_html")
+    want = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
+
+    assert set(got) == set(want)
+    mismatches = [(k, got[k], want[k]) for k in got if got[k] != want[k]]
+    assert not mismatches, mismatches[:3]
