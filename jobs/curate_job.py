@@ -156,6 +156,7 @@ def run_curate(
     blocklist: tuple[str, ...] = (),
     blocked_domains: tuple[str, ...] = (),
     input_format: str = "parquet",
+    html_extractor: str = "boilerpipe",
     decon_eval: str | None = None,
     decon_format: str | None = None,
     decon_n: int = 5,
@@ -193,7 +194,9 @@ def run_curate(
     from ocr_spark.plans.checkpoint import materialize_once, run_checkpointed
     from ocr_spark.sources import jsonl as J
 
-    docs = J.load_documents(spark, input_path, input_format).select("doc_id", "text")
+    docs = J.load_documents(
+        spark, input_path, input_format, html_extractor=html_extractor
+    ).select("doc_id", "text")
     if do_fix_text:
         # repair FIRST: dedup/LM/line hashing must see the normalized
         # bytes or two spellings of one page ("…" vs "...") never collide.
@@ -427,6 +430,7 @@ def run_curate(
             "line_dedup": line_dedup,
             "blocklist": list(blocklist),
             "blocked_domains": list(blocked_domains),
+            "html_extractor": html_extractor,
             "decon_eval": decon_eval,
             "decon_n": decon_n,
             "decon_fuzzy": decon_fuzzy,
@@ -598,6 +602,9 @@ def main() -> None:
                          "any --decon-n-gram with it")
     ap.add_argument("--decon-format", choices=("parquet", "orc", "jsonl", "csv"), default=None,
                     help="format of --decon-eval (default: same as --format)")
+    ap.add_argument("--html-extractor", choices=("boilerpipe", "readability"),
+                    default="boilerpipe",
+                    help="main-content extractor for --format warc ingest")
     ap.add_argument("--decon-fuzzy", type=float, default=None, metavar="JACCARD",
                     help="also drop near-dups of eval docs at this MinHash "
                          "Jaccard threshold (fuzzy decontamination tier)")
@@ -668,6 +675,7 @@ def main() -> None:
         blocklist=tuple(x for x in args.blocklist.split(",") if x),
         blocked_domains=tuple(x for x in args.blocked_domains.split(",") if x),
         input_format=args.format,
+        html_extractor=args.html_extractor,
         decon_eval=args.decon_eval,
         decon_format=args.decon_format,
         decon_n=args.decon_n,

@@ -61,7 +61,11 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def load_documents(
-    spark: SparkSession, path: str, fmt: str = "parquet", log_quarantine: bool = False
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    log_quarantine: bool = False,
+    html_extractor: str = "boilerpipe",
 ) -> DataFrame:
     """Job-facing loader: ``parquet`` reads as-is; ``jsonl``/``csv`` read
     with the quarantine schema and return only valid rows, LAZILY — no
@@ -97,10 +101,10 @@ def load_documents(
         from ocr_spark.sources.warc import read_warc, warc_documents
 
         # web-archive ingest: 200-OK text/html responses, boilerplate
-        # stripped, doc_id = xxhash64(target_uri); malformed records are
-        # quarantined inside the parser (error rows are simply not
-        # responses), matching the lazy no-count contract above
-        return warc_documents(read_warc(spark, path))
+        # stripped (``html_extractor``: boilerpipe | readability);
+        # malformed records are quarantined inside the parser (error rows
+        # are simply not responses), matching the lazy no-count contract
+        return warc_documents(read_warc(spark, path), extractor=html_extractor)
     raise ValueError(f"unknown input format {fmt!r}")
 
 

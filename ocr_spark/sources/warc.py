@@ -429,20 +429,34 @@ def responses(parsed: DataFrame) -> DataFrame:
     )
 
 
-def warc_documents(parsed: DataFrame) -> DataFrame:
+def warc_documents(parsed: DataFrame, extractor: str = "boilerpipe") -> DataFrame:
     """(doc_id, text) corpus view for the curation/dedup jobs: 200-OK
     text/html responses, main content stripped of boilerplate, doc_id =
     xxhash64 of the target URI (stable across runs and cluster sizes,
-    like textstats.split_assign's hashing)."""
-    from ocr_spark.operators.boilerplate import extract_main_content
+    like textstats.split_assign's hashing).
 
+    ``extractor`` picks the north-star family member: ``boilerpipe``
+    (per-block NumWordsRules, linear, the high-recall default for crawl
+    corpora) or ``readability`` (Arc90 container scoring — higher
+    precision on template-heavy pages, quadratic in containers×blocks
+    per document). Both are pure Column expressions."""
     ct = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
     r = responses(parsed).filter(
         (F.col("http_status") == 200)
         & (ct.startswith("text/html") | ct.startswith("application/xhtml+xml"))
     )
-    main = extract_main_content(F.col("html"))
-    return r.select(
-        F.xxhash64("target_uri").alias("doc_id"),
-        main["main_text"].alias("text"),
+    keyed = r.select(
+        F.xxhash64("target_uri").alias("doc_id"), F.col("html")
     )
+    if extractor == "readability":
+        from ocr_spark.operators.boilerplate import readability_extract
+
+        return readability_extract(keyed).select(
+            "doc_id", F.col("main_text").alias("text")
+        )
+    if extractor != "boilerpipe":
+        raise ValueError(f"unknown HTML extractor {extractor!r}")
+    from ocr_spark.operators.boilerplate import extract_main_content
+
+    main = extract_main_content(F.col("html"))
+    return keyed.select("doc_id", main["main_text"].alias("text"))

@@ -239,3 +239,31 @@ def test_xhtml_and_case_insensitive_content_type(spark):
                                   "file_name string, content binary")
     docs = W.warc_documents(W.parse_warc_records(files))
     assert docs.count() == 2
+
+
+def test_warc_documents_readability_extractor(spark, tmp_path):
+    """extractor="readability" runs the Arc90 scorer over the same corpus
+    view: content paragraphs kept, nav/footer boiler dropped, same stable
+    doc ids as the boilerpipe path; an unknown extractor refuses."""
+    import pytest as _pytest
+
+    (tmp_path / "c.warc").write_bytes(W.synth_warc_file(0, range(6), False))
+    parsed = W.read_warc(spark, str(tmp_path))
+    rb = {r["doc_id"]: r["text"]
+          for r in W.warc_documents(parsed, extractor="readability").collect()}
+    bp = {r["doc_id"]: r["text"] for r in W.warc_documents(parsed).collect()}
+    assert set(rb) == set(bp)  # same docs, same xxhash64(uri) keys
+    assert all("paragraph" in t for t in rb.values())
+    assert all("Home" not in t and "(c) 2026" not in t for t in rb.values())
+    with _pytest.raises(ValueError, match="unknown HTML extractor"):
+        W.warc_documents(parsed, extractor="nope")
+
+
+def test_load_documents_warc_readability(spark, tmp_path):
+    from ocr_spark.sources.jsonl import load_documents
+
+    (tmp_path / "c.warc").write_bytes(W.synth_warc_file(0, range(6), False))
+    df = load_documents(spark, str(tmp_path), fmt="warc",
+                        html_extractor="readability")
+    assert set(df.columns) == {"doc_id", "text"}
+    assert df.count() == 5  # doc 3 is the 404
