@@ -2238,6 +2238,38 @@ def q_search_bm25(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "table_stats_agg",
+    """
+SELECT count(*)::BIGINT AS n_rows, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents WHERE doc_id BETWEEN 31 AND 389""",
+)
+def q_table_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only aggregate over the table layout: COUNT/MIN/MAX under
+    a range predicate answered from the snapshot manifest's per-file
+    rows/min/max (Iceberg metadata-query analog) — fully-covered files
+    fold in without reading a byte, boundary files (the predicate cuts
+    through them) are scanned, and ONLY they. The oracle recomputes the
+    aggregate relationally: metadata answering must be exact, including
+    NULL-stats rows a range predicate excludes."""
+    import os
+
+    from ocr_spark.plans import table as TBL
+
+    docs = D.load(spark, sf, "documents")
+    tag = sf.rstrip("/").split("/")[-1]
+    path = os.path.join(
+        "/tmp",
+        f"ocr_spark_table_stats_{tag}_{spark.sparkContext.applicationId}",
+    )
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    st = TBL.table_stats(spark, path, lo=31, hi=389)
+    return spark.createDataFrame(
+        [(st["rows"], st["min"], st["max"])],
+        "n_rows long, min_id long, max_id long",
+    )
+
+
+@_q(
     "table_scan_pruned",
     """
 SELECT doc_id, lang, md5(coalesce(text, '')) AS payload_md5
@@ -5101,7 +5133,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 #   E. the r3-green remainder.
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
-    "html_readability",
+    "html_readability", "table_stats_agg",
     "table_schema_evolution", "table_zorder_scan", "table_partition_evolution",
     "table_incremental_view", "table_changelog", "events_stream_join",
     "image_dedup_phash", "decontaminate_fuzzy",

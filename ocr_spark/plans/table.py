@@ -216,6 +216,10 @@ def _stat_files(
         F.min("s").alias("min"),
         F.max("s").alias("max"),
         F.count(F.lit(1)).alias("rows"),
+        # non-null stats-column rows (Iceberg's null_value_counts analog):
+        # lets metadata-only aggregates stay exact under range predicates,
+        # which NULL stats values never satisfy
+        F.count("s").alias("rows_nonnull"),
     ]
     for c in extra_stats_cols:
         aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
@@ -237,6 +241,7 @@ def _stat_files(
             "min": r["min"],
             "max": r["max"],
             "rows": int(r["rows"]),
+            "rows_nonnull": int(r["rows_nonnull"]),
             "columns": group_columns,
             **(
                 {
@@ -566,6 +571,89 @@ def scan_pruned(
         if rhi is not None:
             df = df.filter(F.col(c) <= rhi)
     return df
+
+
+def table_stats(
+    spark: SparkSession,
+    path: str,
+    lo=None,
+    hi=None,
+    partition_eq: dict[str, str] | None = None,
+    snapshot_id: int | None = None,
+) -> dict:
+    """Metadata-answered COUNT(*) / MIN / MAX of the stats column under an
+    optional partition + stats-range predicate (Iceberg's metadata-only
+    aggregate pushdown, over this layout's snapshot manifest).
+
+    Scan planning splits the pruned file entries into FULLY-COVERED files
+    — partition recorded and matching, [min, max] entirely inside
+    [lo, hi] — whose ``rows``/``min``/``max`` fold in straight from the
+    manifest (zero data bytes read), and BOUNDARY files (straddle a range
+    bound, all-null stats, or predate a partition-spec evolution so their
+    partition value is unknown) which are actually scanned — only those.
+    On a freshly written or compacted table with predicates aligned to
+    the range clustering, the whole answer is metadata:
+    ``files_scanned == 0``.  At a 10^12-row table this turns the daily
+    "how many docs per language / id watermark" queries from a full scan
+    into a driver-side manifest fold plus at most two boundary files.
+
+    Returns ``{"rows", "min", "max", "files_total", "files_metadata",
+    "files_scanned"}`` — exact, never approximate: boundary rows are
+    counted by reading them, not estimated."""
+    manifest = read_manifest(path, snapshot_id)
+    entries = prune_files(manifest, lo, hi, partition_eq)
+    sc = manifest["stats_col"]
+
+    def covered(f: dict) -> bool:
+        if partition_eq and any(
+            c not in f["partition"] for c in partition_eq
+        ):
+            return False  # pre-evolution file: partition unknown -> scan
+        if (lo is not None or hi is not None) and (
+            f["min"] is None or f["max"] is None or "rows_nonnull" not in f
+        ):
+            # all-null stats (or a pre-rows_nonnull manifest, whose NULL
+            # count is unknown) under a range predicate -> scan
+            return False
+        if lo is not None and f["min"] < lo:
+            return False
+        if hi is not None and f["max"] > hi:
+            return False
+        return True
+
+    meta = [f for f in entries if covered(f)]
+    boundary = [f for f in entries if not covered(f)]
+    ranged = lo is not None or hi is not None
+    # NULL stats rows never satisfy a range predicate
+    rows = sum(f["rows_nonnull"] if ranged else f["rows"] for f in meta)
+    mins = [f["min"] for f in meta if f["min"] is not None]
+    maxs = [f["max"] for f in meta if f["max"] is not None]
+    if boundary:
+        df = _reconciled(spark, path, boundary, manifest.get("schema"))
+        if lo is not None:
+            df = df.filter(F.col(sc) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(sc) <= hi)
+        for c, v in (partition_eq or {}).items():
+            df = df.filter(F.col(c) == v)
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(sc).alias("mn"),
+            F.max(sc).alias("mx"),
+        ).first()
+        rows += int(r["n"])
+        if r["mn"] is not None:
+            mins.append(r["mn"])
+        if r["mx"] is not None:
+            maxs.append(r["mx"])
+    return {
+        "rows": rows,
+        "min": min(mins) if mins else None,
+        "max": max(maxs) if maxs else None,
+        "files_total": len(entries),
+        "files_metadata": len(meta),
+        "files_scanned": len(boundary),
+    }
 
 
 def _read_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:

@@ -715,3 +715,107 @@ def test_consume_changes_cursor(spark, tmp_path):
     b2["commit"]()
     b3 = TBL.consume_changes(spark, path, cur)
     assert b3["inserted"].count() == 0 and b3["deleted"].count() == 0
+
+
+# --- metadata-only aggregates (table_stats) ---------------------------------
+
+
+def test_table_stats_unpredicated_is_pure_metadata(spark):
+    docs = _mk_docs(spark)
+    path = _tmp(spark, "st0")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    st = TBL.table_stats(spark, path)
+    assert st["rows"] == 240 and st["min"] == 0 and st["max"] == 239
+    assert st["files_scanned"] == 0
+    assert st["files_metadata"] == st["files_total"] > 0
+
+
+def test_table_stats_range_predicate_scans_only_boundary_files(spark):
+    docs = _mk_docs(spark)
+    path = _tmp(spark, "st1")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    # a bound no file edge aligns with: boundary files scanned, the rest
+    # folded from metadata — result exact either way
+    st = TBL.table_stats(spark, path, lo=31, hi=187)
+    assert st["rows"] == 187 - 31 + 1
+    assert (st["min"], st["max"]) == (31, 187)
+    assert 0 < st["files_scanned"] < st["files_total"]
+
+    # pruning first: files entirely outside [lo, hi] are not even boundary
+    wide = TBL.table_stats(spark, path, lo=0, hi=239)
+    assert wide["files_scanned"] == 0 and wide["rows"] == 240
+
+
+def test_table_stats_partition_predicate(spark):
+    docs = _mk_docs(spark)
+    path = _tmp(spark, "st2")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    st = TBL.table_stats(spark, path, partition_eq={"lang": "en"})
+    assert st["rows"] == n_en and st["files_scanned"] == 0
+
+    combo = TBL.table_stats(spark, path, lo=100, hi=200, partition_eq={"lang": "en"})
+    exp = docs.filter(
+        (F.col("lang") == "en") & F.col("doc_id").between(100, 200)
+    ).agg(F.count("*"), F.min("doc_id"), F.max("doc_id")).first()
+    assert (combo["rows"], combo["min"], combo["max"]) == tuple(exp)
+
+
+def test_table_stats_null_stats_rows_stay_exact(spark):
+    # stats-column NULLs: counted without a range predicate, excluded by
+    # one — rows_nonnull in the manifest keeps both exact
+    rows = [(i if i % 5 else None, f"t{i}", "en") for i in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    path = _tmp(spark, "st3")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    st_all = TBL.table_stats(spark, path)
+    assert st_all["rows"] == 50
+    st_rng = TBL.table_stats(spark, path, lo=0, hi=1000)
+    assert st_rng["rows"] == 40  # the 10 NULLs never satisfy a range
+
+
+def test_table_stats_exact_after_cow_churn_and_time_travel(spark):
+    docs = _mk_docs(spark)
+    path = _tmp(spark, "st4")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    head = TBL.read_manifest(path)["snapshot_id"]
+    TBL.delete_where(spark, path, F.col("doc_id").between(60, 79))
+    st = TBL.table_stats(spark, path)
+    assert st["rows"] == 220 and st["files_scanned"] == 0
+    # the pre-delete snapshot still answers from its own manifest
+    old = TBL.table_stats(spark, path, snapshot_id=head)
+    assert old["rows"] == 240
+
+
+def test_table_stats_partition_evolution_scans_unknown_files(spark):
+    rows = [(i, f"body {i}", ["en", "ru"][i % 2], ["web", "pdf"][i % 3 == 0])
+            for i in range(120)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, src string"
+    )
+    path = _tmp(spark, "st5")
+    TBL.write_partitioned(
+        docs.filter("doc_id < 60"), path, partition_cols=("lang",),
+        stats_col="doc_id",
+    )
+    TBL.evolve_partitioning(path, ("src",))
+    TBL.append_batch(
+        docs.filter("doc_id >= 60"), path, 0, partition_cols=("src",)
+    )
+    # old-layout files never recorded a src value -> they must be
+    # scanned (with the residual filter), not guessed
+    st = TBL.table_stats(spark, path, partition_eq={"src": "pdf"})
+    direct = TBL.scan_pruned(spark, path, partition_eq={"src": "pdf"}).count()
+    assert st["rows"] == direct > 0
+    assert st["files_scanned"] > 0
+
+
+def test_table_stats_empty_selection(spark):
+    docs = _mk_docs(spark)
+    path = _tmp(spark, "st6")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    st = TBL.table_stats(spark, path, lo=10_000, hi=20_000)
+    assert st == {
+        "rows": 0, "min": None, "max": None,
+        "files_total": 0, "files_metadata": 0, "files_scanned": 0,
+    }
