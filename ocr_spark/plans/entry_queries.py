@@ -4195,6 +4195,36 @@ def q_events_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("left_id", "right_id", "user_id")
 
 
+@_q(
+    "events_stream_join_outer",
+    """
+SELECT l.event_id AS left_id, r.event_id AS right_id, l.user_id
+FROM (SELECT * FROM events WHERE event_type = 'view') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE""",
+)
+def q_events_stream_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 stream-stream LEFT OUTER interval join, driven as a real
+    two-source streaming job: unmatched views emit a NULL click only
+    once the watermark proves no match can still arrive — the case where
+    watermark-bounded state is a correctness gate, not just a memory
+    bound. A sentinel event past the real time range drives the final
+    watermark (finite replay stand-in for next-day traffic) and is
+    stripped from the result; the oracle is the relational LEFT JOIN at
+    rest."""
+    import tempfile
+
+    from ocr_spark.streaming.events import run_stream_interval_join
+
+    ev = D.load(spark, sf, "events")
+    out = run_stream_interval_join(
+        ev, tempfile.mkdtemp(prefix="stream_join_outer_"), n_batches=2,
+        how="left_outer",
+    )
+    return out.select("left_id", "right_id", "user_id")
+
+
 # --- PDF routing gate (F6) ----------------------------------------------------
 
 
@@ -5133,7 +5163,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 #   E. the r3-green remainder.
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
-    "html_readability", "table_stats_agg",
+    "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_schema_evolution", "table_zorder_scan", "table_partition_evolution",
     "table_incremental_view", "table_changelog", "events_stream_join",
     "image_dedup_phash", "decontaminate_fuzzy",

@@ -228,6 +228,7 @@ def interval_join(
     key: str = "user_id",
     max_delay_minutes: int = 30,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INNER interval join: right-side events that follow a
     left-side event by the same key within ``max_delay_minutes`` (the
@@ -236,7 +237,17 @@ def interval_join(
     join state — a left row leaves state once the right watermark passes
     ``l.ts + max_delay``; without the bound, stream-stream join state
     grows forever.  On batch frames the same condition is an ordinary
-    join: one expression, both execution modes."""
+    join: one expression, both execution modes.
+
+    ``how="left_outer"`` emits unmatched left rows with NULL right
+    columns — on streams, only once the watermark proves no match can
+    still arrive (Spark holds the row in state until the global
+    watermark passes ``l.ts + max_delay``), which is the case where
+    watermark-bounded state is not just a memory bound but a
+    CORRECTNESS gate: emit earlier and a late match would contradict
+    the NULL row."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type {how!r}")
     l = (left.withWatermark("ts", watermark) if left.isStreaming else left).alias("l")
     r = (right.withWatermark("ts", watermark) if right.isStreaming else right).alias(
         "r"
@@ -249,7 +260,7 @@ def interval_join(
             <= F.col("l.ts") + F.expr(f"INTERVAL {int(max_delay_minutes)} MINUTES")
         )
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def run_stream_interval_join(
@@ -259,6 +270,7 @@ def run_stream_interval_join(
     right_type: str = "click",
     max_delay_minutes: int = 30,
     n_batches: int = 2,
+    how: str = "inner",
 ) -> DataFrame:
     """Drive ``interval_join`` end-to-end as a real stream-stream join
     over two file sources and return the joined rows as a batch frame.
@@ -268,7 +280,17 @@ def run_stream_interval_join(
     retained join state while no row ever arrives behind the watermark —
     which is exactly why the streamed result must equal the batch join
     (the driver oracle): with in-order arrival the watermark only ever
-    evicts state that can no longer match."""
+    evicts state that can no longer match.
+
+    For ``how="left_outer"`` a finite stream needs one more ingredient:
+    unmatched rows emit only when the watermark PASSES their join window,
+    and Spark's watermark advances from observed data — the last real
+    rows would stay in state forever. A sentinel event far past the real
+    time range is appended to BOTH sources (the global watermark is the
+    min across inputs) purely to drive the watermark, then filtered out
+    of the result. Production streams don't need it (data keeps
+    arriving); it is the finite-replay equivalent of "the next day's
+    traffic"."""
     import os
     import time
 
@@ -279,8 +301,31 @@ def run_stream_interval_join(
     schema = events.schema
     srcs = {}
     base_t = time.time()
+    wm_margin_s = max_delay_minutes * 60 + 2 * 3600 + 86400
     for name, etype in (("left", left_type), ("right", right_type)):
         side = events.filter(F.col("event_type") == etype)
+        if how == "left_outer":
+            # watermark-driver sentinel: one event per side, one margin
+            # past every real join window; user_id -999999 so it can
+            # never pair with a real row, stripped after the read-back
+            dtypes = dict(events.dtypes)
+            sentinel = events.limit(1).select(
+                *[
+                    F.lit(-1).cast("long").alias(c)
+                    if c == "event_id"
+                    else F.lit(-999999).cast("long").alias(c)
+                    if c == "user_id"
+                    else F.lit(etype).alias(c)
+                    if c == "event_type"
+                    else F.timestamp_seconds(F.lit(hi + wm_margin_s))
+                    .cast(dtypes[c])
+                    .alias(c)
+                    if c == "ts"
+                    else F.lit(None).cast(dtypes[c]).alias(c)
+                    for c in events.columns
+                ]
+            )
+            side = side.unionByName(sentinel)
         src = os.path.join(work_dir, f"{name}_src")
         os.makedirs(src, exist_ok=True)
         for i in range(n_batches):
@@ -297,6 +342,14 @@ def run_stream_interval_join(
             # the file source replays files in modification-time order:
             # pin mtimes so batch i streams strictly before batch i+1
             os.utime(dst, (base_t + i, base_t + i))
+        if how == "left_outer":
+            part = side.filter(wall_epoch_seconds(F.col("ts")) > hi)
+            tmp = os.path.join(work_dir, f"{name}_tmp_sentinel")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            (pq,) = [n for n in os.listdir(tmp) if n.endswith(".parquet")]
+            dst = os.path.join(src, f"batch-{n_batches}.parquet")
+            os.replace(os.path.join(tmp, pq), dst)
+            os.utime(dst, (base_t + n_batches, base_t + n_batches))
         srcs[name] = src
     # watermarks require the LTZ TIMESTAMP type; an NTZ corpus (the
     # session hardening default) is cast at the source — the join
@@ -313,7 +366,7 @@ def run_stream_interval_join(
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     joined = interval_join(
-        lstream, rstream, max_delay_minutes=max_delay_minutes
+        lstream, rstream, max_delay_minutes=max_delay_minutes, how=how
     ).select(
         F.col("l.event_id").alias("left_id"),
         F.col("r.event_id").alias("right_id"),
@@ -330,4 +383,7 @@ def run_stream_interval_join(
         .start()
     )
     q.awaitTermination(300)
-    return spark.read.parquet(out)
+    res = spark.read.parquet(out)
+    if how == "left_outer":
+        res = res.filter(F.col("user_id") != -999999)
+    return res

@@ -385,3 +385,48 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     got = sorted((r["left_id"], r["right_id"]) for r in streamed.collect())
     exp = sorted((r["left_id"], r["right_id"]) for r in batch.collect())
     assert got == exp and got
+
+
+def test_stream_interval_join_left_outer_equals_batch(spark, tmp_path):
+    """Left-outer streamed == batch: unmatched views appear exactly once
+    with a NULL click, matched pairs identical to the inner join, and the
+    watermark sentinel never leaks into the result."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.streaming.events import interval_join, run_stream_interval_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    streamed = run_stream_interval_join(
+        ev, str(tmp_path / "sj"), n_batches=3, how="left_outer"
+    )
+    got = {(r["left_id"], r["right_id"]) for r in streamed.collect()}
+
+    l = ev.filter(F.col("event_type") == "view")
+    r = ev.filter(F.col("event_type") == "click")
+    batch = interval_join(l, r, how="left_outer").select(
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+    )
+    want = {(x["left_id"], x["right_id"]) for x in batch.collect()}
+    assert got == want
+    assert any(b is None for _, b in want), "fixture must exercise unmatched rows"
+    assert any(b is not None for _, b in want), "fixture must exercise matches"
+    assert all(a != -1 and b != -1 for a, b in got), "sentinel leaked"
+
+    inner = {(a, b) for a, b in want if b is not None}
+    inner_got = {
+        (x["left_id"], x["right_id"])
+        for x in interval_join(l, r).select(
+            F.col("l.event_id").alias("left_id"),
+            F.col("r.event_id").alias("right_id"),
+        ).collect()
+    }
+    assert inner == inner_got  # outer extends inner, never changes it
+
+
+def test_interval_join_rejects_unknown_how(spark):
+    from ocr_spark.streaming.events import interval_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with pytest.raises(ValueError, match="unsupported join type"):
+        interval_join(ev, ev, how="full_outer")
