@@ -2270,6 +2270,42 @@ def q_table_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "table_bloom_lookup",
+    """
+SELECT d.doc_id, d.lang, md5(coalesce(d.text, '')) AS payload_md5
+FROM documents d
+JOIN (SELECT text FROM documents WHERE doc_id = 137) n ON d.text = n.text""",
+)
+def q_table_bloom_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Secondary Bloom index (Iceberg puffin-stats analog): a point
+    lookup on the UNSORTED text column goes through per-file Bloom
+    filters recorded in the manifest — files whose filter proves the
+    value absent are skipped before Spark lists anything; surviving
+    files still apply the exact row filter, so a false positive costs
+    one extra file read, never a wrong row. The oracle recomputes the
+    equality relationally: skipping must be value-invisible."""
+    import os
+
+    from ocr_spark.plans import table as TBL
+
+    docs = D.load(spark, sf, "documents")
+    tag = sf.rstrip("/").split("/")[-1]
+    path = os.path.join(
+        "/tmp",
+        f"ocr_spark_table_bloom_{tag}_{spark.sparkContext.applicationId}",
+    )
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    TBL.add_bloom_index(spark, path, "text")
+    needle = docs.filter(F.col("doc_id") == 137).first()["text"]
+    pruned = TBL.scan_pruned(spark, path, point_eq={"text": needle})
+    return pruned.select(
+        "doc_id",
+        "lang",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("payload_md5"),
+    )
+
+
+@_q(
     "table_scan_pruned",
     """
 SELECT doc_id, lang, md5(coalesce(text, '')) AS payload_md5
@@ -5164,6 +5200,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "html_readability", "table_stats_agg", "events_stream_join_outer",
+    "table_bloom_lookup",
     "table_schema_evolution", "table_zorder_scan", "table_partition_evolution",
     "table_incremental_view", "table_changelog", "events_stream_join",
     "image_dedup_phash", "decontaminate_fuzzy",

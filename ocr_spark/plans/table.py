@@ -65,6 +65,7 @@ dead file groups that only older snapshots reference.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -481,19 +482,119 @@ def evolve_partitioning(path: str, new_partition_cols: tuple[str, ...]) -> dict:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# secondary Bloom index (Iceberg puffin-stats analog): point-lookup file
+# skipping on columns the range clustering cannot help with
+# ---------------------------------------------------------------------------
+
+
+def _bloom_point_positions(
+    value, m_words: int, n_hashes: int, seed: str
+) -> list[tuple[int, int]]:
+    """Driver-side twin of operators/dedup._bloom_positions for ONE value:
+    the (word_idx, mask) pairs a key sets — byte-identical to the Spark
+    expression (seeded 48-bit md5, 63 usable bits per int64 word)."""
+    m_bits = m_words * 63
+    out = []
+    for i in range(n_hashes):
+        h = (
+            int(
+                hashlib.md5(f"{seed}:{i}:{value}".encode()).hexdigest()[:12], 16
+            )
+            % m_bits
+        )
+        out.append((h // 63, 1 << (h % 63)))
+    return out
+
+
+def add_bloom_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    m_words: int = 256,
+    n_hashes: int = 4,
+) -> dict:
+    """Record a per-file Bloom filter over ``col`` in the manifest — a
+    METADATA commit (data files untouched), after which
+    ``scan_pruned(point_eq={col: v})`` skips every file whose filter
+    proves ``v`` absent.  The complement of range clustering: z-order
+    helps columns you sorted by; a point lookup on a high-cardinality
+    UNSORTED column (URL, content hash) otherwise reads every file.
+    Zero false skips by construction (Bloom has no false negatives);
+    a false positive just reads one extra file.
+
+    Footprint: ≤ ``m_words`` int64 words per file per column (default 2
+    KiB), riding the manifest the planner already loads — the same
+    budget Iceberg spends on puffin stats.  Files whose physical schema
+    lacks ``col`` (pre-evolution generations) get no filter and are
+    never skipped.  Works for string/integer columns (the hash input is
+    the value's canonical string form on both sides)."""
+    from ocr_spark.operators.dedup import _bloom_positions
+
+    m = read_manifest(path)
+    seed = f"table-bloom:{col}"
+    with_col = [f for f in m["files"] if col in f.get("columns", [])]
+    words_by_file: dict[str, dict[str, int]] = {f["path"]: {} for f in with_col}
+    if with_col:
+        df = (
+            _read_files(spark, path, [f["path"] for f in with_col])
+            .select(
+                F.input_file_name().alias("__f"),
+                F.col(col).cast("string").alias("__k"),
+            )
+            .filter(F.col("__k").isNotNull())
+        )
+        pos = _bloom_positions(
+            df.select(F.col("__f"), F.col("__k")), m_words, n_hashes, seed,
+            carry=["__f"],
+        )
+        rows = (
+            pos.groupBy("__f", "word_idx")
+            .agg(F.bit_or("mask").alias("bits"))
+            .collect()
+        )
+        for r in rows:
+            words_by_file[r["__f"]][str(int(r["word_idx"]))] = int(r["bits"])
+    files = []
+    for f in m["files"]:
+        f = dict(f)
+        if f["path"] in words_by_file:
+            bloom = dict(f.get("bloom") or {})
+            bloom[col] = {
+                "m_words": m_words,
+                "n_hashes": n_hashes,
+                "seed": seed,
+                "words": words_by_file[f["path"]],
+            }
+            f["bloom"] = bloom
+        files.append(f)
+    return _commit_files(
+        path,
+        files,
+        tuple(m["partition_cols"]),
+        m["stats_col"],
+        "add-bloom-index",
+        m.get("schema"),
+        expected_parent=_planned_parent(m),
+    )
+
+
 def prune_files(
     manifest: dict,
     lo=None,
     hi=None,
     partition_eq: dict[str, str] | None = None,
     ranges: dict[str, tuple] | None = None,
+    point_eq: dict | None = None,
 ) -> list[dict]:
     """Manifest-side planning: the file entries whose partition values
     match ``partition_eq``, whose stats-column [min, max] overlaps
     [lo, hi], and whose recorded per-column ``col_stats`` overlap every
     ``ranges`` bound (files without stats for a ranged column are kept —
-    stats only ever EXCLUDE).  Pure driver-side metadata work, like
-    Iceberg's scan planning."""
+    stats only ever EXCLUDE).  ``point_eq`` = {col: value} additionally
+    skips files whose recorded Bloom filter (add_bloom_index) proves the
+    value absent — files without a filter are kept.  Pure driver-side
+    metadata work, like Iceberg's scan planning."""
     out = []
     for f in manifest["files"]:
         # a partition value the entry never recorded (file predates a
@@ -523,6 +624,21 @@ def prune_files(
                 skip = True
         if skip:
             continue
+        for c, v in (point_eq or {}).items():
+            b = f.get("bloom", {}).get(c)
+            if b is None:
+                continue
+            words = b["words"]
+            if any(
+                words.get(str(w), 0) & mask != mask
+                for w, mask in _bloom_point_positions(
+                    v, b["m_words"], b["n_hashes"], b["seed"]
+                )
+            ):
+                skip = True
+                break
+        if skip:
+            continue
         out.append(f)
     return out
 
@@ -535,6 +651,7 @@ def scan_pruned(
     partition_eq: dict[str, str] | None = None,
     snapshot_id: int | None = None,
     ranges: dict[str, tuple] | None = None,
+    point_eq: dict | None = None,
 ) -> DataFrame:
     """Read the table through the manifest: partition + file-range
     pruning happens BEFORE Spark lists anything, then the residual
@@ -547,7 +664,7 @@ def scan_pruned(
     ``ranges`` = {col: (lo, hi)} prunes on any column with recorded
     per-file ``col_stats`` (written by z-order compaction)."""
     manifest = read_manifest(path, snapshot_id)
-    entries = prune_files(manifest, lo, hi, partition_eq, ranges)
+    entries = prune_files(manifest, lo, hi, partition_eq, ranges, point_eq)
     if not entries:
         if manifest["files"]:
             base = _reconciled(spark, path, manifest["files"], manifest.get("schema"))
@@ -570,6 +687,9 @@ def scan_pruned(
             df = df.filter(F.col(c) >= rlo)
         if rhi is not None:
             df = df.filter(F.col(c) <= rhi)
+    for c, v in (point_eq or {}).items():
+        # the Bloom filter only bounds FILES; the row filter decides
+        df = df.filter(F.col(c).cast("string") == str(v))
     return df
 
 

@@ -819,3 +819,86 @@ def test_table_stats_empty_selection(spark):
         "rows": 0, "min": None, "max": None,
         "files_total": 0, "files_metadata": 0, "files_scanned": 0,
     }
+
+
+# --- secondary Bloom index (point-lookup file skipping) ----------------------
+
+
+def test_bloom_index_skips_files_and_stays_exact(spark):
+    docs = _mk_docs(spark)  # text = "document body {i} " * 3
+    path = _tmp(spark, "bl0")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    before = TBL.read_manifest(path)
+    m = TBL.add_bloom_index(spark, path, "text")
+    assert m["operation"] == "add-bloom-index"
+    # metadata commit: identical file list, filters attached
+    assert [f["path"] for f in m["files"]] == [f["path"] for f in before["files"]]
+    assert all("text" in f["bloom"] for f in m["files"])
+
+    needle = "document body 137 " * 3
+    hit = TBL.prune_files(m, point_eq={"text": needle})
+    assert 0 < len(hit) < len(m["files"]), "bloom must skip most files"
+    got = TBL.scan_pruned(spark, path, point_eq={"text": needle}).collect()
+    assert [r["doc_id"] for r in got] == [137]
+
+    # absent value: every file proves non-membership
+    assert TBL.prune_files(m, point_eq={"text": "no such document"}) == []
+    assert TBL.scan_pruned(spark, path, point_eq={"text": "no such document"}).count() == 0
+
+
+def test_bloom_index_integer_column_and_combined_predicates(spark):
+    docs = _mk_docs(spark)
+    path = _tmp(spark, "bl1")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    m = TBL.add_bloom_index(spark, path, "doc_id", m_words=64)
+    hit = TBL.prune_files(m, point_eq={"doc_id": 42})
+    assert 0 < len(hit) < len(m["files"])
+    got = TBL.scan_pruned(
+        spark, path, partition_eq={"lang": "en"}, point_eq={"doc_id": 42}
+    ).collect()
+    exp = docs.filter((F.col("doc_id") == 42) & (F.col("lang") == "en")).count()
+    assert len(got) == exp
+
+
+def test_bloom_index_never_skips_unindexed_generations(spark):
+    # pre-evolution files lack the column -> no filter -> never skipped
+    rows = [(i, f"body {i}", "en") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = _tmp(spark, "bl2")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    TBL.evolve_schema(path, add={"url": ("string", None)})
+    extra = spark.createDataFrame(
+        [(100 + i, f"x{i}", "en", f"https://s/{i}") for i in range(10)],
+        "doc_id long, text string, lang string, url string",
+    )
+    TBL.append_batch(extra, path, 0, partition_cols=("lang",))
+    m = TBL.add_bloom_index(spark, path, "url")
+    old_gen = [f for f in m["files"] if "url" not in f.get("columns", [])]
+    assert old_gen and all("url" not in (f.get("bloom") or {}) for f in old_gen)
+    # old-generation files are all kept (they can't prove absence)
+    kept = TBL.prune_files(m, point_eq={"url": "https://s/7"})
+    assert {f["path"] for f in old_gen} <= {f["path"] for f in kept}
+    got = TBL.scan_pruned(spark, path, point_eq={"url": "https://s/7"}).collect()
+    assert [r["doc_id"] for r in got] == [107]
+
+
+def test_bloom_index_survives_time_travel_not_compaction(spark):
+    docs = _mk_docs(spark)
+    path = _tmp(spark, "bl3")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    pre = TBL.read_manifest(path)["snapshot_id"]
+    TBL.add_bloom_index(spark, path, "text")
+    # pre-index snapshot has no filters; the scan still answers exactly
+    assert TBL.prune_files(
+        TBL.read_manifest(path, snapshot_id=pre),
+        point_eq={"text": "document body 3 " * 3},
+    ) == TBL.read_manifest(path, snapshot_id=pre)["files"]
+    # compaction rewrites files: new entries carry no stale filters and
+    # are conservatively kept until re-indexed
+    TBL.compact(spark, path)
+    m2 = TBL.read_manifest(path)
+    assert all(not f.get("bloom") for f in m2["files"])
+    got = TBL.scan_pruned(
+        spark, path, point_eq={"text": "document body 3 " * 3}
+    ).collect()
+    assert [r["doc_id"] for r in got] == [3]
