@@ -456,6 +456,40 @@ def split_assign(
     return (expr.otherwise(F.lit(last)) if expr is not None else F.lit(last))
 
 
+def shuffle_shards(
+    docs,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    seed: str = "shuffle-v1",
+):
+    """Deterministic global training shuffle + shard layout: the trainer
+    handoff after curate → mix → pack.  Every document gets a seeded
+    48-bit hash rank; its shard is ``rank % n_shards`` and its position
+    inside the shard is the rank order — so the (shard, position)
+    assignment is a pure function of (id, seed), identical across runs,
+    engines, and cluster sizes, and re-shuffling for a new epoch is just
+    a new seed string (no RNG state, no randomSplit partition-index
+    dependence).
+
+    Plan shape at 10^12 docs: ONE hash-partitioned shuffle on shard
+    (uniform by construction — the hash is uniform, so shards are
+    balanced with no hot key), and the intra-shard sort is per-partition
+    via repartition + sortWithinPartitions when writing; here the
+    position is emitted as an explicit window rank per shard so the
+    layout is data, not partition order (the same discipline as span
+    assembly).  Ties are impossible below ~2^24 docs per shard and
+    broken by id above (rank, id) — still deterministic."""
+    from pyspark.sql import Window
+
+    h = seeded_hash48(F.col(id_col), seed)
+    w = Window.partitionBy("shard").orderBy("rank", id_col)
+    return (
+        docs.withColumn("rank", h)
+        .withColumn("shard", (F.col("rank") % n_shards).cast("int"))
+        .withColumn("position", F.row_number().over(w).cast("long") - 1)
+    )
+
+
 def split_by_cluster(
     docs,
     clusters,

@@ -2270,6 +2270,33 @@ def q_table_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "shuffle_shards",
+    """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuffle-v1:' || doc_id), 1, 12))::BIGINT AS rank
+  FROM documents
+)
+SELECT doc_id, rank, (rank % 16)::INT AS shard,
+       (row_number() OVER (PARTITION BY rank % 16 ORDER BY rank, doc_id)
+        - 1)::BIGINT AS position
+FROM h""",
+)
+def q_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training shuffle + shard layout (the trainer
+    handoff after curate → mix → pack): seeded 48-bit hash rank, shard =
+    rank % N (uniform, no hot key — one balanced shuffle), position =
+    rank order inside the shard as explicit DATA. Identical across runs,
+    engines, and cluster sizes; a new epoch is a new seed string."""
+    from ocr_spark.operators.textstats import shuffle_shards
+
+    docs = D.load(spark, sf, "documents").select("doc_id")
+    return shuffle_shards(docs, n_shards=16).select(
+        "doc_id", "rank", "shard", "position"
+    )
+
+
+@_q(
     "table_bloom_lookup",
     """
 SELECT d.doc_id, d.lang, md5(coalesce(d.text, '')) AS payload_md5
@@ -5200,7 +5227,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "html_readability", "table_stats_agg", "events_stream_join_outer",
-    "table_bloom_lookup",
+    "table_bloom_lookup", "shuffle_shards",
     "table_schema_evolution", "table_zorder_scan", "table_partition_evolution",
     "table_incremental_view", "table_changelog", "events_stream_join",
     "image_dedup_phash", "decontaminate_fuzzy",

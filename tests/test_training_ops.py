@@ -1926,3 +1926,31 @@ def test_decontaminate_fuzzy_flags_near_dup_leakage(spark):
         for r in decontaminate_fuzzy(corpus, eval_docs, 1.0).collect()
     }
     assert strict[1] is True and strict[2] is False
+
+
+def test_shuffle_shards_deterministic_balanced_and_epoch_seeded(spark):
+    from ocr_spark.operators.textstats import shuffle_shards
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = shuffle_shards(docs, n_shards=16).collect()
+    b = shuffle_shards(docs.repartition(7), n_shards=16).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["position"]) for r in rows)
+    assert key(a) == key(b)  # partitioning-invariant
+
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r)
+    # balanced: uniform hash, no hot shard
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(by_shard) == 16 and max(sizes) <= 2 * min(sizes)
+    # positions are a clean 0..n-1 sequence in rank order per shard
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["position"])
+        assert [r["position"] for r in rows] == list(range(len(rows)))
+        ranks = [(r["rank"], r["doc_id"]) for r in rows]
+        assert ranks == sorted(ranks)
+
+    # a new epoch = a new seed: same docs, different order
+    c = shuffle_shards(docs, n_shards=16, seed="shuffle-v1:epoch2").collect()
+    assert {r["doc_id"] for r in c} == {r["doc_id"] for r in a}
+    assert key(c) != key(a)
