@@ -83,6 +83,10 @@ AUDIT = [
     "events_rollup",
     "dedup_containment",
     "pack_interleaved",
+    "html_readability",
+    "shuffle_shards",
+    "table_stats_agg",
+    "table_bloom_lookup",
     # dedup_clusters is excluded: connected components EXECUTES its
     # distributed loop at plan-construction time, so "explaining" it runs
     # the job; its per-round plan is the audited join+agg shape.
