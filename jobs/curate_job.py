@@ -54,6 +54,10 @@ one global decision, so rejected docs never pay the later stages twice):
                           survivors: concat-and-chunk layout (doc →
                           training-sequence spans) written to _packed,
                           materialize-once so a resumed job reuses it
+  6b. trainer shuffle   — (--shuffle-shards N) deterministic global
+                          shuffle layout over the final survivors:
+                          (doc_id, shard, position) written to _shards;
+                          a new epoch is a new --shuffle-seed
   7. corpus report      — (--report) one-row statistics artifact over the
                           committed survivors (doc/token totals, exact
                           length quantiles, small-range-corrected HLL
@@ -163,6 +167,8 @@ def run_curate(
     decon_fuzzy: float | None = None,
     pack_seq_len: int | None = None,
     pack_shards: int = 8,
+    shuffle_shards_n: int | None = None,
+    shuffle_seed: str = "shuffle-v1",
     lm_max_bits: float | None = None,
     dsir_target: str | None = None,
     dsir_target_format: str | None = None,
@@ -530,6 +536,30 @@ def run_curate(
             .first()[0]
             or 0
         )
+    if shuffle_shards_n:
+        # trainer-shuffle layout over the final (mixed-in) survivors:
+        # deterministic (shard, position) per doc_id — the global shuffle
+        # a trainer would otherwise do with an RNG; a resumed job or a
+        # re-run at any cluster size commits the identical layout, and a
+        # new epoch is a new --shuffle-seed
+        from ocr_spark.operators.textstats import shuffle_shards
+
+        kept = spark.read.parquet(os.path.join(output_dir, "bucket=*"))
+        if mixed_kept is not None:
+            kept = kept.join(mixed_kept, "doc_id")
+        shards = materialize_once(
+            spark,
+            shuffle_shards(
+                kept.select("doc_id"), n_shards=shuffle_shards_n,
+                seed=shuffle_seed,
+            ),
+            os.path.join(output_dir, "_shards"),
+            meta={"stage": "shuffle", "n_shards": shuffle_shards_n,
+                  "seed": shuffle_seed, "input": input_path,
+                  "mix_cap": mix_cap, "fix_text": do_fix_text},
+        )
+        summary = dict(summary)
+        summary["shuffled_docs"] = shards.count()
     if publish_table:
         # publish the final survivors as the consumable table layout
         # (plans/table.py): hive-partitioned by lang, range-clustered by
@@ -611,6 +641,11 @@ def main() -> None:
     ap.add_argument("--decon-n", type=int, default=5)
     ap.add_argument("--pack-seq-len", type=int, default=None,
                     help="also write the concat-and-chunk packing layout to _packed")
+    ap.add_argument("--shuffle-shards", type=int, default=None, metavar="N",
+                    help="also write the deterministic trainer-shuffle "
+                         "(shard, position) layout to _shards")
+    ap.add_argument("--shuffle-seed", default="shuffle-v1",
+                    help="epoch seed for --shuffle-shards")
     ap.add_argument("--pack-shards", type=int, default=8)
     ap.add_argument("--dsir-target", default=None,
                     help="curated target corpus for DSIR importance "
@@ -682,6 +717,8 @@ def main() -> None:
         decon_fuzzy=args.decon_fuzzy,
         pack_seq_len=args.pack_seq_len,
         pack_shards=args.pack_shards,
+        shuffle_shards_n=args.shuffle_shards,
+        shuffle_seed=args.shuffle_seed,
         lm_max_bits=args.lm_max_bits,
         dsir_target=args.dsir_target,
         dsir_target_format=args.dsir_target_format,

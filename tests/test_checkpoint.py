@@ -962,3 +962,43 @@ def test_curate_job_fuzzy_decontamination_tier(spark, tmp_path):
     assert summary["buckets_run"] == 2
     with open(str(out2 / "_contaminated") + ".meta.json") as f:
         assert json.load(f)["fuzzy"] == 0.5
+
+
+def test_curate_job_shuffle_shards_layout(spark, tmp_path):
+    """--shuffle-shards writes the deterministic trainer layout over the
+    final survivors: every kept doc appears exactly once with a (shard,
+    position) that is stable across re-runs; a new seed reorders."""
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    inp = str(tmp_path / "in_s.parquet")
+    docs.write.parquet(inp)
+
+    out = tmp_path / "cur_sh"
+    summary = run_curate(spark, inp, str(out), dedup_mode="exact",
+                         langs=("en",), num_buckets=2, shuffle_shards_n=4)
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(out / "bucket=*")).select("doc_id").collect()}
+    sh = spark.read.parquet(str(out / "_shards")).collect()
+    assert {r["doc_id"] for r in sh} == kept
+    assert summary["shuffled_docs"] == len(kept)
+    assert {r["shard"] for r in sh} <= set(range(4))
+    for shard in {r["shard"] for r in sh}:
+        pos = sorted(r["position"] for r in sh if r["shard"] == shard)
+        assert pos == list(range(len(pos)))
+
+    # identical re-run (fresh dir) commits the identical layout
+    out2 = tmp_path / "cur_sh2"
+    run_curate(spark, inp, str(out2), dedup_mode="exact",
+               langs=("en",), num_buckets=2, shuffle_shards_n=4)
+    sh2 = spark.read.parquet(str(out2 / "_shards")).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["position"]) for r in rows)
+    assert key(sh2) == key(sh)
+
+    # new epoch seed: same docs, different layout
+    out3 = tmp_path / "cur_sh3"
+    run_curate(spark, inp, str(out3), dedup_mode="exact",
+               langs=("en",), num_buckets=2, shuffle_shards_n=4,
+               shuffle_seed="shuffle-v1:epoch2")
+    sh3 = spark.read.parquet(str(out3 / "_shards")).collect()
+    assert {r["doc_id"] for r in sh3} == kept and key(sh3) != key(sh)
