@@ -88,6 +88,11 @@ HEADLINE = [
     "pack_interleaved",
     "jsonl_roundtrip",
     "orc_roundtrip",
+    "html_readability",
+    "shuffle_shards",
+    "table_stats_agg",
+    "table_bloom_lookup",
+    "decontaminate_fuzzy",
     "warc_html_extract",
     "events_windowed",
     "sessionize",
