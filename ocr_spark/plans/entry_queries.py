@@ -2238,6 +2238,33 @@ def q_search_bm25(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "table_partition_counts",
+    """
+SELECT lang, count(*)::BIGINT AS n_rows FROM documents GROUP BY lang""",
+)
+def q_table_partition_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-answered GROUP BY over the partition column: per-lang row
+    counts folded from the snapshot manifest's per-file rows — zero data
+    bytes read on a current-spec table. The oracle recomputes the rollup
+    relationally."""
+    import os
+
+    from ocr_spark.plans import table as TBL
+
+    docs = D.load(spark, sf, "documents")
+    tag = sf.rstrip("/").split("/")[-1]
+    path = os.path.join(
+        "/tmp",
+        f"ocr_spark_table_pcounts_{tag}_{spark.sparkContext.applicationId}",
+    )
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    rows = TBL.table_partition_counts(spark, path)
+    return spark.createDataFrame(
+        [(r["lang"], r["rows"]) for r in rows], "lang string, n_rows long"
+    )
+
+
+@_q(
     "table_stats_agg",
     """
 SELECT count(*)::BIGINT AS n_rows, min(doc_id) AS min_id, max(doc_id) AS max_id
@@ -5227,7 +5254,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "html_readability", "table_stats_agg", "events_stream_join_outer",
-    "table_bloom_lookup", "shuffle_shards",
+    "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
     "table_schema_evolution", "table_zorder_scan", "table_partition_evolution",
     "table_incremental_view", "table_changelog", "events_stream_join",
     "image_dedup_phash", "decontaminate_fuzzy",

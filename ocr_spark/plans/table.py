@@ -776,6 +776,41 @@ def table_stats(
     }
 
 
+def table_partition_counts(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> list[dict]:
+    """Metadata-answered GROUP BY over the partition columns: row counts
+    per partition value folded from the manifest's per-file ``rows`` —
+    the "documents per language" daily query as a driver-side manifest
+    fold instead of a 10^12-row shuffle.  Files predating a
+    partition-spec evolution (their value under the CURRENT spec is
+    unknown) are scanned and grouped — only those.  Exact, including the
+    hive default (NULL) partition."""
+    m = read_manifest(path, snapshot_id)
+    pcols = list(m["partition_cols"])
+    counts: dict[tuple, int] = {}
+    boundary = []
+    for f in m["files"]:
+        if all(c in f["partition"] for c in pcols):
+            key = tuple(f["partition"][c] for c in pcols)
+            counts[key] = counts.get(key, 0) + f["rows"]
+        else:
+            boundary.append(f)
+    if boundary:
+        df = _reconciled(spark, path, boundary, m.get("schema"))
+        rows = (
+            df.groupBy(*[F.col(c).cast("string").alias(c) for c in pcols])
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for r in rows:
+            key = tuple(r[c] for c in pcols)
+            counts[key] = counts.get(key, 0) + int(r["n"])
+    out = [dict(zip(pcols, k)) | {"rows": v} for k, v in counts.items()]
+    out.sort(key=lambda d: tuple((v is None, v) for v in d.values()))
+    return out
+
+
 def _read_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
     return spark.read.option("basePath", path).parquet(*files)
 

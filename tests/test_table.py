@@ -902,3 +902,39 @@ def test_bloom_index_survives_time_travel_not_compaction(spark):
         spark, path, point_eq={"text": "document body 3 " * 3}
     ).collect()
     assert [r["doc_id"] for r in got] == [3]
+
+
+def test_table_partition_counts_metadata_and_evolution(spark):
+    rows = [(i, f"body {i}", ["en", "ru"][i % 2], ["web", "pdf"][i % 3 == 0])
+            for i in range(120)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, src string"
+    )
+    path = _tmp(spark, "pc0")
+    TBL.write_partitioned(
+        docs.filter("doc_id < 60"), path, partition_cols=("lang",),
+        stats_col="doc_id",
+    )
+    got = TBL.table_partition_counts(spark, path)
+    assert got == [{"lang": "en", "rows": 30}, {"lang": "ru", "rows": 30}]
+
+    # after partition evolution, old-generation files are scanned and
+    # grouped under the NEW spec; the rollup stays exact
+    TBL.evolve_partitioning(path, ("src",))
+    TBL.append_batch(
+        docs.filter("doc_id >= 60"), path, 0, partition_cols=("src",)
+    )
+    got2 = {(r["src"], r["rows"]) for r in TBL.table_partition_counts(spark, path)}
+    exp = {(r["src"], r["n"]) for r in
+           docs.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert got2 == exp
+
+
+def test_table_partition_counts_null_partition(spark):
+    docs = _mk_docs(spark)  # every 40th doc has NULL lang
+    path = _tmp(spark, "pc1")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    got = {(r["lang"], r["rows"]) for r in TBL.table_partition_counts(spark, path)}
+    exp = {(r["lang"], r["n"]) for r in
+           docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == exp and (None, 6) in got
