@@ -164,11 +164,79 @@ def _head_id(path: str) -> int | None:
         return None
 
 
-def read_manifest(path: str, snapshot_id: int | None = None) -> dict:
-    """The HEAD snapshot, or — time travel — any retained snapshot id."""
+def read_manifest(
+    path: str, snapshot_id: int | None = None, ref: str | None = None
+) -> dict:
+    """The HEAD snapshot, or — time travel — any retained snapshot id,
+    or a tagged name (``ref``)."""
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        snapshot_id = resolve_ref(path, ref)
     name = MANIFEST_NAME if snapshot_id is None else f"manifest-{snapshot_id}.json"
     with open(os.path.join(path, MANIFEST_DIR, name)) as fh:
         return json.load(fh)
+
+
+REFS_NAME = "refs.json"
+
+
+def _refs_path(path: str) -> str:
+    return os.path.join(path, MANIFEST_DIR, REFS_NAME)
+
+
+def refs(path: str) -> dict[str, int]:
+    """Named snapshot refs (tags): {name: snapshot_id}."""
+    try:
+        with open(_refs_path(path)) as fh:
+            return {k: int(v) for k, v in json.load(fh).items()}
+    except FileNotFoundError:
+        return {}
+
+
+def _write_refs(path: str, r: dict[str, int]) -> None:
+    tmp = _refs_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(r, fh, sort_keys=True)
+    os.replace(tmp, _refs_path(path))
+
+
+def tag(path: str, name: str, snapshot_id: int | None = None) -> int:
+    """Tag a snapshot with an immutable name (Iceberg tag analog):
+    ``read_manifest(path, ref=name)`` / ``scan_pruned(..., ref=name)``
+    resolve it, and ``expire_snapshots`` NEVER garbage-collects a tagged
+    snapshot or its data files — the audit/repro retention contract
+    ("the corpus exactly as train-run X read it") that a keep-last-N
+    policy alone cannot express.  Re-tagging an existing name refuses;
+    delete_tag first (tags are immutable pointers, not branches)."""
+    sid = _head_id(path) if snapshot_id is None else int(snapshot_id)
+    if sid is None:
+        raise ValueError("table has no committed snapshot to tag")
+    read_manifest(path, sid)  # must exist (raises otherwise)
+    r = refs(path)
+    if name in r:
+        raise ValueError(
+            f"tag {name!r} already points at snapshot {r[name]} — tags are "
+            "immutable; delete_tag first"
+        )
+    r[name] = sid
+    _write_refs(path, r)
+    return sid
+
+
+def delete_tag(path: str, name: str) -> None:
+    r = refs(path)
+    if name not in r:
+        raise KeyError(f"no tag {name!r}")
+    del r[name]
+    _write_refs(path, r)
+
+
+def resolve_ref(path: str, ref: str) -> int:
+    r = refs(path)
+    if ref not in r:
+        raise KeyError(f"no tag {ref!r} (have: {sorted(r)})")
+    return r[ref]
 
 
 def snapshots(path: str) -> list[dict]:
@@ -652,6 +720,7 @@ def scan_pruned(
     snapshot_id: int | None = None,
     ranges: dict[str, tuple] | None = None,
     point_eq: dict | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read the table through the manifest: partition + file-range
     pruning happens BEFORE Spark lists anything, then the residual
@@ -663,7 +732,7 @@ def scan_pruned(
     evolution snapshots come back in their original shape).
     ``ranges`` = {col: (lo, hi)} prunes on any column with recorded
     per-file ``col_stats`` (written by z-order compaction)."""
-    manifest = read_manifest(path, snapshot_id)
+    manifest = read_manifest(path, snapshot_id, ref=ref)
     entries = prune_files(manifest, lo, hi, partition_eq, ranges, point_eq)
     if not entries:
         if manifest["files"]:
@@ -1140,6 +1209,9 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
         if n.startswith("manifest-") and n.endswith(".json")
     )
     keep = set(sids[-max(1, keep_last):])
+    # tagged snapshots are pinned: a tag is the audit/repro retention
+    # contract, so GC must keep the manifest AND its data files
+    keep.update(sid for sid in refs(path).values() if sid in sids)
     live: set[str] = set()
     for sid in keep:
         live.update(_local(f["path"]) for f in read_manifest(path, sid)["files"])

@@ -5,6 +5,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ocr_spark.plans import table as TBL
@@ -938,3 +940,47 @@ def test_table_partition_counts_null_partition(spark):
     exp = {(r["lang"], r["n"]) for r in
            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert got == exp and (None, 6) in got
+
+
+# --- snapshot tags (named refs + GC pinning) ---------------------------------
+
+
+def test_tag_resolves_and_pins_against_gc(spark):
+    docs = _mk_docs(spark)
+    path = _tmp(spark, "tag0")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    sid = TBL.tag(path, "train-run-1")
+    assert TBL.refs(path) == {"train-run-1": sid}
+
+    # churn: delete + compact move HEAD twice
+    TBL.delete_where(spark, path, F.col("doc_id").between(0, 59))
+    TBL.compact(spark, path)
+    assert TBL.read_manifest(path, ref="train-run-1")["snapshot_id"] == sid
+
+    # GC with keep_last=1 would normally drop the tagged snapshot — the
+    # tag pins it AND its data files
+    TBL.expire_snapshots(path, keep_last=1)
+    via_tag = TBL.scan_pruned(spark, path, ref="train-run-1")
+    assert via_tag.count() == 240  # the corpus exactly as run-1 read it
+    assert TBL.scan_pruned(spark, path).count() == 180
+
+    # delete the tag -> next GC reclaims it
+    TBL.delete_tag(path, "train-run-1")
+    TBL.expire_snapshots(path, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        TBL.read_manifest(path, snapshot_id=sid)
+
+
+def test_tag_immutability_and_errors(spark):
+    docs = _mk_docs(spark)
+    path = _tmp(spark, "tag1")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    TBL.tag(path, "v1")
+    with pytest.raises(ValueError, match="immutable"):
+        TBL.tag(path, "v1")
+    with pytest.raises(KeyError, match="no tag"):
+        TBL.resolve_ref(path, "nope")
+    with pytest.raises(KeyError, match="no tag"):
+        TBL.delete_tag(path, "nope")
+    with pytest.raises(FileNotFoundError):
+        TBL.tag(path, "v2", snapshot_id=99999)
