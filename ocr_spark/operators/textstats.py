@@ -1524,6 +1524,54 @@ def domain_flag(
     }
 
 
+def rrf_fuse(
+    ranked_a,
+    ranked_b,
+    k_rrf: int = 60,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+):
+    """Reciprocal Rank Fusion (Cormack & Clarke 2009) of two ranked
+    retrieval lists: score(id) = Σ 1/(k + rank_list(id)) over the lists
+    the id appears in — the standard hybrid-retrieval combiner (BM25 ⊕
+    ANN in production; any two rankers with a ``rank`` column here).
+    Rank-based, so the two scorers' incomparable score scales never
+    touch; ids missing from one list simply take the other's term.
+
+    Engine-neutral floats: each term is one division of identical
+    integers and the sum is two such doubles added in a fixed order, so
+    DuckDB reproduces the fusion bit-for-bit.  Plan shape: the inputs
+    are already top-k-sized (their own TakeOrdered), so the outer join
+    and the final ordered limit are driver-trivial — the heavy lifting
+    stays inside the upstream rankers."""
+    a = ranked_a.select(
+        F.col(id_col),
+        (F.lit(1.0) / (k_rrf + F.col("rank")).cast("double")).alias("__ra"),
+    )
+    b = ranked_b.select(
+        F.col(id_col),
+        (F.lit(1.0) / (k_rrf + F.col("rank")).cast("double")).alias("__rb"),
+    )
+    fused = (
+        a.join(b, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            (
+                F.coalesce(F.col("__ra"), F.lit(0.0))
+                + F.coalesce(F.col("__rb"), F.lit(0.0))
+            ).alias("rrf_score"),
+            F.col("__ra").isNotNull().alias("in_a"),
+            F.col("__rb").isNotNull().alias("in_b"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return fused.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", id_col, "rrf_score", "in_a", "in_b"
+    )
+
+
 def sample_per_group(
     docs,
     group_col: str,

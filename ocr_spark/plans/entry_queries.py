@@ -2234,6 +2234,58 @@ def q_search_bm25(spark: SparkSession, sf: str) -> DataFrame:
     return TS.search_bm25(docs, ("spark", "shuffle", "vector"), k=20)
 
 
+def _sql_search_hybrid() -> str:
+    """RRF fusion oracle: each ranker's full oracle SQL runs as a
+    parenthesized subquery (its own WITH), then the fusion is one full
+    outer join + rank-reciprocal sum — the floats are single divisions
+    of identical integers summed in a fixed order, bit-equal to Spark."""
+    topk_sql = f"""
+WITH tw AS (SELECT doc_id, unnest({_words_lower('text')}) AS w FROM documents),
+mt AS (SELECT doc_id, w FROM tw WHERE w IN ('spark', 'shuffle', 'vector')),
+sc AS (SELECT doc_id, count(DISTINCT w) AS n_matched, count(*) AS tf_sum
+       FROM mt GROUP BY doc_id),
+tk AS (SELECT doc_id, n_matched, tf_sum,
+              row_number() OVER (ORDER BY n_matched DESC, tf_sum DESC, doc_id ASC) AS rank
+       FROM sc)
+SELECT rank::BIGINT AS rank, doc_id FROM tk WHERE rank <= 20"""
+    return f"""
+WITH fa AS (
+  SELECT doc_id, 1.0::DOUBLE / (60 + rank)::DOUBLE AS ra
+  FROM ({_sql_bm25(("spark", "shuffle", "vector"), 20)}) bm
+),
+fb AS (
+  SELECT doc_id, 1.0::DOUBLE / (60 + rank)::DOUBLE AS rb
+  FROM ({topk_sql}) kw
+),
+fu AS (
+  SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+         coalesce(ra, 0.0::DOUBLE) + coalesce(rb, 0.0::DOUBLE) AS rrf_score,
+         fa.doc_id IS NOT NULL AS in_a,
+         fb.doc_id IS NOT NULL AS in_b
+  FROM fa FULL JOIN fb ON fa.doc_id = fb.doc_id
+),
+tk2 AS (
+  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fu
+)
+SELECT rank::BIGINT AS rank, doc_id, rrf_score, in_a, in_b
+FROM tk2 WHERE rank <= 20"""
+
+
+@_q("search_hybrid_rrf", _sql_search_hybrid())
+def q_search_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack & Clarke
+    2009): the BM25 and boolean-keyword top-20 lists for {spark,
+    shuffle, vector} fused by rank reciprocals — the standard combiner
+    for incomparable scorer scales (BM25 ⊕ ANN in production; two
+    lexical rankers here, same operator)."""
+    docs = D.load(spark, sf, "documents")
+    a = TS.search_bm25(docs, ("spark", "shuffle", "vector"), k=20)
+    b = TS.search_topk(docs, ("spark", "shuffle", "vector"), k=20)
+    return TS.rrf_fuse(a, b, k_rrf=60, top_k=20)
+
+
+
 # --- partitioned table layout + manifest pruning (plans/table.py) ----------
 
 
@@ -5255,6 +5307,7 @@ _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
+    "search_hybrid_rrf",
     "table_schema_evolution", "table_zorder_scan", "table_partition_evolution",
     "table_incremental_view", "table_changelog", "events_stream_join",
     "image_dedup_phash", "decontaminate_fuzzy",

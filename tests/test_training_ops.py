@@ -1954,3 +1954,41 @@ def test_shuffle_shards_deterministic_balanced_and_epoch_seeded(spark):
     c = shuffle_shards(docs, n_shards=16, seed="shuffle-v1:epoch2").collect()
     assert {r["doc_id"] for r in c} == {r["doc_id"] for r in a}
     assert key(c) != key(a)
+
+
+def test_rrf_fuse_union_ranks_and_missing_sides(spark):
+    from ocr_spark.operators.textstats import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "rank long, doc_id long"
+    ).select("doc_id", "rank")
+    b = spark.createDataFrame(
+        [(1, 20), (2, 40), (3, 50)], "rank long, doc_id long"
+    ).select("doc_id", "rank")
+    got = {r["doc_id"]: (r["rank"], r["rrf_score"], r["in_a"], r["in_b"])
+           for r in rrf_fuse(a, b, k_rrf=60, top_k=10).collect()}
+    # doc 20 appears in both lists (ranks 2 and 1) and must win
+    assert set(got) == {10, 20, 30, 40, 50}
+    assert got[20][0] == 1 and got[20][2] and got[20][3]
+    assert abs(got[20][1] - (1 / 62 + 1 / 61)) < 1e-15
+    # single-list docs carry only their own term
+    assert got[10] == (2, 1 / 61.0, True, False)
+    assert got[50][3] and not got[50][2]
+    # ties impossible here; ordering is (score desc, id asc)
+    ranks = [got[d][0] for d in sorted(got, key=lambda d: got[d][0])]
+    assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_rrf_fuse_top_k_truncates(spark):
+    from ocr_spark.operators.textstats import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, 100 + i) for i in range(1, 11)], "rank long, doc_id long"
+    ).select("doc_id", "rank")
+    b = spark.createDataFrame(
+        [(i, 200 + i) for i in range(1, 11)], "rank long, doc_id long"
+    ).select("doc_id", "rank")
+    out = rrf_fuse(a, b, top_k=5).collect()
+    assert len(out) == 5
+    # equal scores tie-break by id: 101 vs 201 at rank 1 each -> 101 first
+    assert [r["doc_id"] for r in out[:2]] == [101, 201]
