@@ -620,6 +620,36 @@ def pack_sequences(
     return _pack_layout(base, seq_len)
 
 
+def pack_sequences_tokenized(
+    docs,
+    num_merges: int = 64,
+    seq_len: int = 2048,
+    num_shards: int = 8,
+    seed: str = "pack-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sequence packing with TRAINED-tokenizer counts: identical layout
+    math to :func:`pack_sequences`, but ``n_tokens`` comes from the
+    corpus-trained BPE vocabulary (``operators/bpe.bpe_token_stats`` —
+    the count the trainer actually sees at its context window) instead
+    of the regex approximation.  The gap matters: packing to 2048
+    regex-tokens can overflow or underfill the real context by the
+    subword inflation factor, which is corpus- and language-dependent.
+    Plan shape adds one corpus-vs-vocab equi-join; the packing window
+    stays per-shard."""
+    from ocr_spark.operators.bpe import bpe_token_stats
+
+    counts = bpe_token_stats(docs, num_merges, id_col=id_col, text_col=text_col)
+    h = seeded_hash48(F.col("doc_id"), seed)
+    base = counts.select(
+        "doc_id",
+        (h % num_shards).cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return _pack_layout(base, seq_len)
+
+
 def _pack_layout(base, seq_len: int):
     """Shared packing layout math over (doc_id, shard, n_tokens)."""
     win = (

@@ -2965,6 +2965,44 @@ def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "pack_tokenized",
+    f"""
+WITH pt AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('pack-v1:' || doc_id), 1, 12))::BIGINT % 8 AS shard,
+         n_tokens
+  FROM ({_sql_bpe_tokens(_BPE_MERGES)}) bt
+),
+ptc AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+  FROM pt
+)
+SELECT doc_id, shard::BIGINT AS shard, n_tokens,
+       (tok_end - n_tokens)::BIGINT AS tok_start,
+       ((tok_end - n_tokens) // 2048)::BIGINT AS seq_start,
+       (CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 2048
+             ELSE (tok_end - n_tokens) // 2048 END)::BIGINT AS seq_end,
+       (CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 2048
+             ELSE (tok_end - n_tokens) // 2048 END)
+         > ((tok_end - n_tokens) // 2048) AS crosses_boundary
+FROM ptc""",
+)
+def q_pack_tokenized(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing with TRAINED-tokenizer counts: identical layout
+    math to pack_sequences, but n_tokens comes from the corpus-trained
+    BPE vocabulary — the count the trainer actually sees at its context
+    window, not the regex approximation. The oracle composes the BPE
+    tokenization oracle with the packing layout."""
+    from ocr_spark.operators.textstats import pack_sequences_tokenized
+
+    return pack_sequences_tokenized(
+        D.load(spark, sf, "documents"), num_merges=_BPE_MERGES
+    )
+
+
+@_q(
     "fix_text",
     f"""
 WITH fx0 AS (
@@ -5307,7 +5345,7 @@ _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
-    "search_hybrid_rrf",
+    "search_hybrid_rrf", "pack_tokenized",
     "table_schema_evolution", "table_zorder_scan", "table_partition_evolution",
     "table_incremental_view", "table_changelog", "events_stream_join",
     "image_dedup_phash", "decontaminate_fuzzy",
