@@ -559,6 +559,42 @@ def _nearest(q: Column, cents: list[list[int]]) -> Column:
     )
 
 
+def _kmeans_centroids(
+    base: DataFrame, k: int, n_iters: int, dim: int
+) -> list[list[int]]:
+    """The Lloyd training loop over (vec_id, q int64-array) — shared by
+    kmeans_lloyd and the PQ codebook trainer.  Seeds = the k lowest-id
+    vectors; each round is one map-side assignment against plan-literal
+    centroids plus a k-row groupBy; the driver holds only the k×dim
+    model.  Empty clusters keep their previous centroid."""
+    seed_rows = base.orderBy("vec_id").limit(k).collect()
+    cents = [[int(x) for x in r["q"]] for r in seed_rows]
+    for _ in range(n_iters):
+        assigned = base.withColumn("cl", _nearest(F.col("q"), cents)["c"])
+        stats = (
+            assigned.groupBy("cl")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("q", j + 1)).alias(f"s{j}")
+                    for j in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cl = {r["cl"]: r for r in stats}
+        cents = [
+            [
+                _trunc_div(int(by_cl[j][f"s{d}"]), int(by_cl[j]["n"]))
+                for d in range(dim)
+            ]
+            if j in by_cl
+            else cents[j]
+            for j in range(k)
+        ]
+    return cents
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     k: int = 8,
@@ -601,31 +637,7 @@ def kmeans_lloyd(
     # width are excluded BEFORE seeding so seeds and members agree
     dim = len(first[0]["q"])
     base = pre.filter(F.size("q") == dim).persist()
-    seed_rows = base.orderBy("vec_id").limit(k).collect()
-    cents = [[int(x) for x in r["q"]] for r in seed_rows]
-    for _ in range(n_iters):
-        assigned = base.withColumn("cl", _nearest(F.col("q"), cents)["c"])
-        stats = (
-            assigned.groupBy("cl")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at("q", j + 1)).alias(f"s{j}")
-                    for j in range(dim)
-                ],
-            )
-            .collect()
-        )
-        by_cl = {r["cl"]: r for r in stats}
-        cents = [
-            [
-                _trunc_div(int(by_cl[j][f"s{d}"]), int(by_cl[j]["n"]))
-                for d in range(dim)
-            ]
-            if j in by_cl
-            else cents[j]
-            for j in range(k)
-        ]
+    cents = _kmeans_centroids(base, k, n_iters, dim)
     near = _nearest(F.col("q"), cents)
     out = base.select(
         "vec_id",
@@ -633,3 +645,152 @@ def kmeans_lloyd(
         near["d"].cast("long").alias("dist_sq"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization (Jégou et al., TPAMI 2011): the MEMORY-scale ANN tier
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_KSUB = 16  # centroids per subspace (4-bit codes)
+PQ_ITERS = 2
+
+
+def pq_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = PQ_M,
+    k_sub: int = PQ_KSUB,
+    n_iters: int = PQ_ITERS,
+    n_queries: int = 20,
+    rerank: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Approximate top-k by Product Quantization with asymmetric distance
+    (ADC) — the memory tier of the ANN stack.  Brute force keeps every
+    float; IVF prunes WHICH vectors are scored; PQ compresses WHAT is
+    stored: each vector becomes ``m`` sub-codes (4 bits each at k_sub=16
+    — 64-dim float32 → 4 bytes, 64× smaller), and query↔vector distance
+    is approximated as the sum of ``m`` table lookups against the REAL
+    query (asymmetric: only the database side is quantized).  At 10^12
+    vectors this is the difference between an index that fits executor
+    memory and one that cannot exist.
+
+    Integer-exact end to end: vectors quantize to ×1000 int64 units,
+    per-subspace codebooks train with the shared Lloyd loop
+    (_kmeans_centroids — deterministic lowest-id seeding), codes are
+    argmin of integer squared L2 with smallest-code tie-break, and the
+    ADC lookup tables are integer distances computed driver-side from
+    the k_sub×m codebook model — so the DuckDB oracle replays training,
+    encoding, and the ADC scan bit-for-bit.
+
+    Plan shape: training = m × n_iters bounded rounds over the SLICED
+    corpus (map + k_sub-row groupBy; the corpus never shuffles on data);
+    encoding = one map pass (argmin against plan-literal codebooks, in
+    codegen); the scan = one map pass emitting Q adist structs per
+    vector (each a sum of m array lookups — O(m) per query instead of
+    O(dim)), then a per-query top-(k·rerank) ADC shortlist re-ranked by
+    EXACT integer distance (the standard PQ deployment: quantization
+    error only costs recall when the true neighbor misses the shortlist,
+    never ordering within it — the re-rank touches Q·k·rerank full
+    vectors, not the corpus).  Queries = the vectors with id <
+    ``n_queries`` (the ANN-suite convention).  Returns (query_id,
+    neighbor_id, dist_sq, rank) under exact distances."""
+    pre = corpus.select(
+        F.col(id_col).alias("vec_id"), _qvec(F.col(vec_col), scale).alias("q")
+    ).filter(F.col("q").isNotNull())
+    first = pre.orderBy("vec_id").limit(1).collect()
+    if not first:
+        return pre.select(
+            F.col("vec_id").alias("query_id"),
+            F.lit(0).cast("long").alias("neighbor_id"),
+            F.lit(0).cast("long").alias("adist_sq"),
+            F.lit(0).cast("long").alias("rank"),
+        ).limit(0)
+    dim = len(first[0]["q"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    base = pre.filter(F.size("q") == dim).persist()
+
+    codebooks = [
+        _kmeans_centroids(
+            base.select("vec_id", F.slice("q", s * sub + 1, sub).alias("q")),
+            k_sub,
+            n_iters,
+            sub,
+        )
+        for s in range(m)
+    ]
+    codes = base.select(
+        "vec_id",
+        "q",
+        F.array(
+            *[
+                _nearest(F.slice("q", s * sub + 1, sub), codebooks[s])["c"].cast("int")
+                for s in range(m)
+            ]
+        ).alias("codes"),
+    )
+
+    # ADC lookup tables: integer distances query-slice ↔ codebook entry,
+    # computed from the (m × k_sub × sub)-int model — driver-side model
+    # math, not data work
+    qrows = sorted(
+        base.filter(F.col("vec_id") < n_queries).select("vec_id", "q").collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+    def lut_for(qv: list[int], s: int) -> list[int]:
+        qs = qv[s * sub : (s + 1) * sub]
+        return [
+            sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in codebooks[s]
+        ]
+
+    per_query = []
+    for r in qrows:
+        qid, qv = int(r["vec_id"]), [int(x) for x in r["q"]]
+        luts = [
+            F.array(*[F.lit(d).cast("long") for d in lut_for(qv, s)])
+            for s in range(m)
+        ]
+        adist = None
+        for s in range(m):
+            term = F.element_at(luts[s], F.element_at("codes", s + 1) + 1)
+            adist = term if adist is None else adist + term
+        per_query.append(
+            F.struct(F.lit(qid).cast("long").alias("query_id"), adist.alias("adist_sq"))
+        )
+    scored = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(F.array(*per_query)).alias("p"),
+    ).select("neighbor_id", F.col("p.query_id"), F.col("p.adist_sq"))
+    w = Window.partitionBy("query_id").orderBy("adist_sq", "neighbor_id")
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= k * rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the Q·k·rerank shortlist: fetch the full vectors
+    # for the candidates only, distance against the plan-literal queries
+    cand = shortlist.join(
+        base.select(F.col("vec_id").alias("neighbor_id"), "q"), "neighbor_id"
+    )
+    exact = None
+    for r in qrows:
+        qid, qv = int(r["vec_id"]), [int(x) for x in r["q"]]
+        d = _dist_sq(F.col("q"), qv)
+        exact = (
+            F.when(F.col("query_id") == qid, d)
+            if exact is None
+            else exact.when(F.col("query_id") == qid, d)
+        )
+    w2 = Window.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
+    return (
+        cand.select("query_id", "neighbor_id", exact.alias("dist_sq"))
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist_sq", "rank")
+    )
