@@ -92,7 +92,12 @@ HEADLINE = [
     "shuffle_shards",
     "table_stats_agg",
     "table_bloom_lookup",
+    "table_partition_counts",
     "decontaminate_fuzzy",
+    "search_hybrid_rrf",
+    "pack_tokenized",
+    "ann_topk_pq",
+    "events_stream_join_outer",
     "warc_html_extract",
     "events_windowed",
     "sessionize",

@@ -87,6 +87,11 @@ AUDIT = [
     "shuffle_shards",
     "table_stats_agg",
     "table_bloom_lookup",
+    "search_hybrid_rrf",
+    "pack_tokenized",
+    # ann_topk_pq excluded like dedup_clusters: codebook training executes
+    # its bounded rounds at plan-construction time
+
     # dedup_clusters is excluded: connected components EXECUTES its
     # distributed loop at plan-construction time, so "explaining" it runs
     # the job; its per-round plan is the audited join+agg shape.
