@@ -1010,6 +1010,7 @@ def merge_upsert(
     updates: DataFrame,
     key_col: str | None = None,
     op_col: str | None = None,
+    merge_schema: bool = False,
 ) -> dict:
     """MERGE INTO (copy-on-write): rows of ``updates`` whose key exists
     in the table REPLACE the stored row; unmatched keys are INSERTED.
@@ -1018,6 +1019,14 @@ def merge_upsert(
     update set is small — the common upsert shape — and falls back to a
     shuffle join for crawl-sized updates).  ``updates`` must carry the
     table's full logical schema (partition columns included).
+
+    ``merge_schema=True`` (Delta's mergeSchema analog): columns in
+    ``updates`` the table has never seen are first ADDED as a
+    metadata-only schema-evolution commit (initial default NULL — old
+    rows read NULL, untouched files stay untouched), then the merge
+    proceeds; without it, unknown update columns refuse loudly.  Columns
+    the TABLE has that ``updates`` lacks always refuse — silently
+    nulling stored data is never the right default.
 
     ``op_col`` turns this into a CDC apply (Iceberg MERGE's
     WHEN MATCHED DELETE clause): rows whose ``op_col`` value is
@@ -1030,6 +1039,32 @@ def merge_upsert(
     key = key_col or m["stats_col"]
     pcols = tuple(m["partition_cols"])
     updates = updates.drop(GROUP_COL) if GROUP_COL in updates.columns else updates
+    if schema:
+        known = {e["name"] for e in schema}
+        extra = [
+            c for c in updates.columns if c not in known and c != (op_col or "")
+        ]
+        if extra and not merge_schema:
+            raise ValueError(
+                f"updates carry unknown columns {sorted(extra)}; pass "
+                "merge_schema=True to evolve the table schema as part of "
+                "the merge"
+            )
+        if extra:
+            dtypes = dict(updates.dtypes)
+            evolve_schema(
+                path, add={c: (dtypes[c], None) for c in sorted(extra)}
+            )
+            m = read_manifest(path)
+            schema = m.get("schema")
+        missing = [
+            e["name"] for e in schema if e["name"] not in updates.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"updates lack table columns {sorted(missing)} — a merge "
+                "never silently nulls stored data"
+            )
     keys = updates.select(key).distinct()
     if op_col is not None:
         # delete keys participate in hit detection + anti-join (their

@@ -984,3 +984,32 @@ def test_tag_immutability_and_errors(spark):
         TBL.delete_tag(path, "nope")
     with pytest.raises(FileNotFoundError):
         TBL.tag(path, "v2", snapshot_id=99999)
+
+
+def test_merge_upsert_schema_evolution(spark):
+    docs = _mk_docs(spark, n=60)
+    path = _tmp(spark, "ms0")
+    TBL.write_partitioned(docs, path, partition_cols=("lang",), stats_col="doc_id")
+    upd = spark.createDataFrame(
+        [(5, "updated body", "en", 9), (1000, "new row", "ru", 7)],
+        "doc_id long, text string, lang string, stars long",
+    )
+    # unknown column refuses without opt-in
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        TBL.merge_upsert(spark, path, upd)
+    m = TBL.merge_upsert(spark, path, upd, merge_schema=True)
+    assert m["operation"] == "merge"
+    back = TBL.scan_pruned(spark, path)
+    assert back.count() == 61
+    got = {r["doc_id"]: (r["text"], r["stars"]) for r in back.collect()}
+    assert got[5] == ("updated body", 9)
+    assert got[1000] == ("new row", 7)
+    # pre-merge rows read NULL for the evolved column, not a default value
+    assert got[6][1] is None
+    # updates lacking an existing table column refuse
+    with pytest.raises(ValueError, match="lack table columns"):
+        TBL.merge_upsert(
+            spark, path,
+            spark.createDataFrame([(7, "x", "en")],
+                                  "doc_id long, text string, lang string"),
+        )
