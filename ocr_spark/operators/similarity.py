@@ -656,6 +656,87 @@ PQ_KSUB = 16  # centroids per subspace (4-bit codes)
 PQ_ITERS = 2
 
 
+def pq_train(
+    base: DataFrame, m: int, k_sub: int, n_iters: int, dim: int
+) -> list[list[list[int]]]:
+    """Train the m per-subspace codebooks over (vec_id, q) — one bounded
+    Lloyd chain per subspace on the SLICED vectors (the shared trainer).
+    The model is m × k_sub × (dim/m) ints: driver-sized, persistable."""
+    sub = dim // m
+    return [
+        _kmeans_centroids(
+            base.select("vec_id", F.slice("q", s * sub + 1, sub).alias("q")),
+            k_sub,
+            n_iters,
+            sub,
+        )
+        for s in range(m)
+    ]
+
+
+def _pq_encode_q(base: DataFrame, codebooks: list, sub: int) -> DataFrame:
+    """(vec_id, q, codes) — argmin per subspace against plan-literal
+    codebooks, all in codegen; one map pass."""
+    return base.select(
+        "vec_id",
+        "q",
+        F.array(
+            *[
+                _nearest(F.slice("q", s * sub + 1, sub), cb)["c"].cast("int")
+                for s, cb in enumerate(codebooks)
+            ]
+        ).alias("codes"),
+    )
+
+
+def pq_codebooks_df(spark, codebooks: list) -> DataFrame:
+    """The PQ model as a (sub, cid, c) DataFrame — the exportable index
+    artifact: a crawl drop encodes its NEW vectors against the frozen
+    codebooks (pq_encode) instead of retraining, so codes stay mutually
+    comparable across drops — the ANN counterpart of the minhash
+    ``_index`` incremental-dedup contract."""
+    rows = [
+        (s, cid, [int(x) for x in c])
+        for s, cb in enumerate(codebooks)
+        for cid, c in enumerate(cb)
+    ]
+    return spark.createDataFrame(rows, "sub int, cid int, c array<bigint>")
+
+
+def pq_load_codebooks(df: DataFrame) -> list[list[list[int]]]:
+    """Inverse of :func:`pq_codebooks_df` (model fetch: m×k_sub rows)."""
+    rows = df.collect()
+    m = max(r["sub"] for r in rows) + 1
+    out: list[list[list[int]]] = [[] for _ in range(m)]
+    for r in sorted(rows, key=lambda r: (r["sub"], r["cid"])):
+        out[r["sub"]].append([int(x) for x in r["c"]])
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Encode vectors against FROZEN codebooks → (vec_id, codes).  The
+    incremental path: old drops' codes never recompute, new drops encode
+    in one map pass, and all codes share the model so ADC distances are
+    comparable across drops."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    dim = m * sub
+    base = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), _qvec(F.col(vec_col), scale).alias("q")
+        )
+        .filter(F.col("q").isNotNull())
+        .filter(F.size("q") == dim)
+    )
+    return _pq_encode_q(base, codebooks, sub).select("vec_id", "codes")
+
+
 def pq_topk(
     corpus: DataFrame,
     k: int = 5,
@@ -712,28 +793,10 @@ def pq_topk(
     dim = len(first[0]["q"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    sub = dim // m
     base = pre.filter(F.size("q") == dim).persist()
-
-    codebooks = [
-        _kmeans_centroids(
-            base.select("vec_id", F.slice("q", s * sub + 1, sub).alias("q")),
-            k_sub,
-            n_iters,
-            sub,
-        )
-        for s in range(m)
-    ]
-    codes = base.select(
-        "vec_id",
-        "q",
-        F.array(
-            *[
-                _nearest(F.slice("q", s * sub + 1, sub), codebooks[s])["c"].cast("int")
-                for s in range(m)
-            ]
-        ).alias("codes"),
-    )
+    codebooks = pq_train(base, m, k_sub, n_iters, dim)
+    sub = dim // m
+    codes = _pq_encode_q(base, codebooks, sub)
 
     # ADC lookup tables: integer distances query-slice ↔ codebook entry,
     # computed from the (m × k_sub × sub)-int model — driver-side model

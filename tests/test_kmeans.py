@@ -150,3 +150,36 @@ def test_pq_topk_rejects_indivisible_dim(spark):
 
     with _pytest.raises(ValueError, match="not divisible"):
         pq_topk(bad, m=8)
+
+
+def test_pq_codebook_export_roundtrip_and_incremental_encode(spark, tmp_path):
+    """The PQ model round-trips through its parquet artifact, and a new
+    'crawl drop' encoded against the FROZEN codebooks gets codes
+    identical to encoding it alongside the training corpus — codes are
+    comparable across drops without retraining."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.similarity import (
+        PQ_ITERS, PQ_KSUB, PQ_M, _qvec, pq_codebooks_df, pq_encode,
+        pq_load_codebooks, pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select(
+        "vec_id", _qvec(F.col("embedding"), 1000).alias("q")
+    ).filter(F.col("q").isNotNull())
+    dim = len(base.orderBy("vec_id").first()["q"])
+    cbs = pq_train(base, PQ_M, PQ_KSUB, PQ_ITERS, dim)
+
+    path = str(tmp_path / "pq_model.parquet")
+    pq_codebooks_df(spark, cbs).write.parquet(path)
+    loaded = pq_load_codebooks(spark.read.parquet(path))
+    assert loaded == cbs
+
+    drop = emb.filter(F.col("vec_id") % 5 == 0)  # the "new drop"
+    inc = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(drop, loaded).collect()}
+    full = {r["vec_id"]: list(r["codes"])
+            for r in pq_encode(emb, cbs).collect()}
+    assert inc and all(full[v] == c for v, c in inc.items())
+    assert all(0 <= x < PQ_KSUB for c in inc.values() for x in c)
