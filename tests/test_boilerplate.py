@@ -194,3 +194,43 @@ def test_readability_unmatched_close_tags(spark):
     r = _readability(spark, f"</div></div><div>{_LONG_P}</div></div>")
     assert r["top_candidate"] == 3  # the real open tag is the third boundary
     assert "long paragraph of article prose" in r["main_text"]
+
+
+def test_extractor_family_recovers_known_main_text(spark):
+    """Comparative harness over pages with KNOWN main text: both family
+    members must recover every content paragraph and drop the chrome;
+    per-document char precision/recall against the ground truth is 1.0
+    on this synthetic corpus for both (they may differ on real pages —
+    that's the point of shipping both)."""
+    from ocr_spark.operators.boilerplate import (
+        extract_html_documents,
+        readability_extract,
+    )
+
+    paras = [
+        f"Paragraph {i} of the story has plenty of words, commas, and a "
+        f"length well above every scoring minimum in either extractor."
+        for i in range(4)
+    ]
+    truth = "\n".join(paras)
+    html = (
+        '<div class="sidebar"><ul>'
+        + "".join(f'<li><a href="/{i}">Related {i}</a></li>' for i in range(5))
+        + '</ul></div><div class="article"><p>'
+        + "</p><p>".join(paras)
+        + '</p></div><div class="footer"><p><a href="/c">(c) 2026 Synth, '
+        "contact, sitemap</a></p></div>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+
+    for name, got in (
+        ("boilerpipe", extract_html_documents(df).first()["main_text"]),
+        ("readability", readability_extract(df).first()["main_text"]),
+    ):
+        truth_chars = set(truth.replace("\n", " ").split())
+        got_words = set(got.replace("\n", " ").split())
+        recall = len(truth_chars & got_words) / len(truth_chars)
+        precision = len(truth_chars & got_words) / max(len(got_words), 1)
+        assert recall == 1.0, f"{name} dropped content: {recall}"
+        assert precision == 1.0, f"{name} kept chrome: {precision}"
+        assert "Related" not in got and "(c) 2026" not in got, name
