@@ -183,3 +183,38 @@ def test_pq_codebook_export_roundtrip_and_incremental_encode(spark, tmp_path):
             for r in pq_encode(emb, cbs).collect()}
     assert inc and all(full[v] == c for v, c in inc.items())
     assert all(0 <= x < PQ_KSUB for c in inc.values() for x in c)
+
+
+def test_ann_job_end_to_end_resume_and_model_chain(spark, tmp_path):
+    """The ANN job commits model/codes/results once (resume reuses the
+    bytes), a second 'drop' run with --model encodes against the frozen
+    codebooks, and a changed model parameter refuses the stale commit."""
+    import os
+
+    import pytest as _pytest
+
+    from jobs.ann_job import run_ann
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "ann")
+    s1 = run_ann(spark, src, out, k=5, n_queries=10)
+    assert s1["coded_vectors"] == 500 and s1["result_rows"] == 50
+
+    mtime = os.path.getmtime(os.path.join(out, "_codes", "_SUCCESS"))
+    s2 = run_ann(spark, src, out, k=5, n_queries=10)  # resume: no recompute
+    assert s2 == s1
+    assert os.path.getmtime(os.path.join(out, "_codes", "_SUCCESS")) == mtime
+
+    # a new drop encodes against the frozen model: identical codes for
+    # the shared vectors
+    out2 = str(tmp_path / "drop2")
+    run_ann(spark, src, out2, n_queries=0, model_path=os.path.join(out, "_model"))
+    c1 = {r["vec_id"]: list(r["codes"])
+          for r in spark.read.parquet(os.path.join(out, "_codes")).collect()}
+    c2 = {r["vec_id"]: list(r["codes"])
+          for r in spark.read.parquet(os.path.join(out2, "_codes")).collect()}
+    assert c1 == c2
+
+    # changed model geometry refuses the committed artifact
+    with _pytest.raises(RuntimeError, match="different parameters"):
+        run_ann(spark, src, out, k=5, n_queries=10, k_sub=8)
