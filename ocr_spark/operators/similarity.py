@@ -9,6 +9,15 @@ Two strategies:
   hyperplanes → H-bit signature → equi-join on bucket → exact re-rank
   inside buckets. The scale path: candidates per query ≈ corpus / 2^H.
 
+Four strategies ship in total — brute force (exact baseline), sign-LSH,
+IVF-flat, and PQ/IVF-PQ (compression tier: 4-bit codes + ADC + exact
+shortlist re-rank) — the distributed ANN ladder.  HNSW is deliberately
+absent: graph ANN is pointer-chasing over mutable global state, which a
+shared-nothing batch engine cannot traverse without per-hop shuffles;
+IVF×PQ is the composition production batch indexes (FAISS on Spark
+clusters) actually run, and it covers the same recall/latency envelope
+for batched offline queries.
+
 All math is integer-quantized (see dedup.quantized_cosine) so the DuckDB
 oracle agrees bit-for-bit; the hyperplanes are integer-hash ±1 matrices —
 no RNG state, reproducible everywhere.
