@@ -89,6 +89,7 @@ HEADLINE = [
     "jsonl_roundtrip",
     "orc_roundtrip",
     "html_readability",
+    "html_justext",
     "shuffle_shards",
     "table_stats_agg",
     "table_bloom_lookup",

@@ -479,3 +479,231 @@ def readability_extract(
         F.size(F.col("cands")).cast("int").alias("n_candidates"),
         F.size(F.col("sel")).cast("int").alias("n_selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# jusText (Pomikálek, "Removing Boilerplate and Duplicate Content from Web
+# Corpora", PhD thesis 2011; the justext package's published algorithm) —
+# the third member of the north-star's boilerplate family.  Where
+# NumWordsRules is a local decision tree and Readability scores containers,
+# jusText classifies paragraphs by STOPWORD DENSITY and link density into
+# {bad, short, near-good, good}, then runs context-sensitive revision
+# passes that let confident neighbours absorb ambiguous paragraphs.
+#
+# Configuration note: this is the ``no_headings=True`` variant of the
+# public algorithm (the two heading-promotion passes are off); the
+# ``select``-element dom-path check does not apply because the block
+# segmenter has no select boundary. Both choices are fixed, documented
+# parameters — the oracle and the sequential fuzz model use the same ones.
+#
+# Scale shape: everything below is per-row Column expressions over the
+# exploded block array. The two revision passes are published as
+# SEQUENTIAL in-document loops; they collapse to closed-form neighbour
+# scans (proved by the sequential-model fuzz in
+# tests/test_fuzz_boilerplate.py):
+#
+#   * the SHORT pass is batch in the original classes (justext applies
+#     ``new_classes`` after the loop), so prev/next scans over the
+#     context-free classes suffice;
+#   * the NEAR-GOOD pass is sequential, but after the short pass no
+#     ``short`` labels remain, so a run of consecutive near-goods shares
+#     one preceding and one following non-near-good neighbour — once the
+#     first element of the run resolves, every later element's "previous
+#     neighbour" is either that same resolved value propagated (run went
+#     good) or the unchanged preceding neighbour (run going bad) — i.e.
+#     the whole run is good iff EITHER flanking strict neighbour is good.
+#
+# Each scan is ONE linear F.aggregate prefix fold per document (same
+# pattern as html_blocks' depth prefix): the class array is the fold's
+# ARGUMENT, evaluated once per row, never re-evaluated per element.
+
+JT_LENGTH_LOW = 70
+JT_LENGTH_HIGH = 200
+JT_STOPWORDS_LOW = 0.30
+JT_STOPWORDS_HIGH = 0.32
+JT_MAX_LINK_DENSITY = 0.2
+
+# class codes (ints, so the prefix folds stay primitive)
+JT_BAD, JT_SHORT, JT_NEARGOOD, JT_GOOD = 0, 1, 2, 3
+
+# standard English function-word stoplist (public domain word list; the
+# justext distribution ships per-language stoplists of the same shape)
+JUSTEXT_STOPLIST_EN = (
+    "a about above after again against all am an and any are as at be because "
+    "been before being below between both but by can did do does doing down "
+    "during each few for from further had has have having he her here hers "
+    "herself him himself his how i if in into is it its itself just me more "
+    "most my myself no nor not now of off on once only or other our ours "
+    "ourselves out over own same she should so some such than that the their "
+    "theirs them themselves then there these they this those through to too "
+    "under until up very was we were what when where which while who whom why "
+    "will with you your yours yourself yourselves"
+).split()
+
+
+def _jt_block(part: Column) -> Column:
+    """Per-block features: text, chars, link chars, word count, stop count."""
+    text = py_strip(F.regexp_replace(part, _TAG_RE, ""))
+    anchor_text = F.array_join(
+        F.transform(
+            F.regexp_extract_all(part, F.lit(_ANCHOR_RE), 1),
+            lambda a: F.regexp_replace(a, _TAG_RE, ""),
+        ),
+        "",
+    )
+    words = F.when(text == "", F.array().cast("array<string>")).otherwise(
+        F.split(text, r"(?U)\s+")
+    )
+    stoplist = F.array(*[F.lit(w) for w in JUSTEXT_STOPLIST_EN])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stoplist, F.lower(w))))
+    return F.struct(
+        text.alias("text"),
+        F.length(text).alias("chars"),
+        F.length(anchor_text).alias("link_chars"),
+        F.size(words).alias("n_words"),
+        n_stop.alias("n_stop"),
+    )
+
+
+def _jt_cf_class(b: Column) -> Column:
+    """Context-free classification (justext classify_paragraphs)."""
+    ld = b["link_chars"].cast("double") / b["chars"].cast("double")
+    density = F.when(
+        b["n_words"] > 0, b["n_stop"].cast("double") / b["n_words"].cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        F.when(ld > JT_MAX_LINK_DENSITY, F.lit(JT_BAD))
+        .when(
+            b["text"].contains("©") | b["text"].contains("&copy"),
+            F.lit(JT_BAD),
+        )
+        .when(
+            b["chars"] < JT_LENGTH_LOW,
+            F.when(b["link_chars"] > 0, F.lit(JT_BAD)).otherwise(F.lit(JT_SHORT)),
+        )
+        .when(
+            density >= JT_STOPWORDS_HIGH,
+            F.when(b["chars"] > JT_LENGTH_HIGH, F.lit(JT_GOOD)).otherwise(
+                F.lit(JT_NEARGOOD)
+            ),
+        )
+        .when(density >= JT_STOPWORDS_LOW, F.lit(JT_NEARGOOD))
+        .otherwise(F.lit(JT_BAD))
+    )
+
+
+def _jt_scan_prev(cls: Column, keep: tuple[int, ...]) -> Column:
+    """out[i] = nearest PRIOR class in ``keep`` (document start → BAD).
+    One linear prefix fold; ``cls`` is referenced only as fold argument."""
+    folded = F.aggregate(
+        cls,
+        F.array(F.lit(JT_BAD)),
+        lambda acc, c: F.concat(
+            acc,
+            F.array(F.when(c.isin(*keep), c).otherwise(F.element_at(acc, -1))),
+        ),
+    )
+    n = F.size(cls)
+    return F.when(n == 0, cls).otherwise(F.slice(folded, 1, n))
+
+
+def _jt_scan_next(cls: Column, keep: tuple[int, ...]) -> Column:
+    """out[i] = nearest FOLLOWING class in ``keep`` (document end → BAD)."""
+    return F.reverse(_jt_scan_prev(F.reverse(cls), keep))
+
+
+def justext_extract(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """jusText main-content extraction → (doc_id, main_text, n_blocks,
+    n_content_blocks, boiler_chars).
+
+    ``main_text`` newline-joins the paragraphs whose FINAL class is good;
+    ``boiler_chars`` counts the characters classified away."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(h, SCRIPT_RE, ""), STYLE_RE, ""),
+        HTML_COMMENT_RE,
+        "",
+    )
+    df = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.transform(F.split(clean, BLOCK_TAG_RE), _jt_block),
+            lambda b: b["text"] != "",
+        ).alias("b"),
+    )
+    df = df.withColumn("cls", F.transform(F.col("b"), _jt_cf_class))
+
+    strict = (JT_BAD, JT_GOOD)
+    loose = (JT_BAD, JT_NEARGOOD, JT_GOOD)
+    df = (
+        df.withColumn("ps", _jt_scan_prev(F.col("cls"), strict))
+        .withColumn("ns", _jt_scan_next(F.col("cls"), strict))
+        .withColumn("pl", _jt_scan_prev(F.col("cls"), loose))
+        .withColumn("nl", _jt_scan_next(F.col("cls"), loose))
+    )
+
+    # SHORT pass (batch, reads the context-free classes):
+    #   both strict neighbours good → good; both bad → bad; mixed → good
+    #   iff a near-good sits between the short and its bad-side strict
+    #   neighbour, else bad.
+    def _short_rule(z: Column) -> Column:
+        c, p, n, pl, nl = z["cls"], z["ps"], z["ns"], z["pl"], z["nl"]
+        return F.when(c != JT_SHORT, c).otherwise(
+            F.when((p == JT_GOOD) & (n == JT_GOOD), F.lit(JT_GOOD))
+            .when((p == JT_BAD) & (n == JT_BAD), F.lit(JT_BAD))
+            .when(
+                ((p == JT_BAD) & (pl == JT_NEARGOOD))
+                | ((n == JT_BAD) & (nl == JT_NEARGOOD)),
+                F.lit(JT_GOOD),
+            )
+            .otherwise(F.lit(JT_BAD))
+        )
+
+    df = df.withColumn(
+        "cls2",
+        F.transform(
+            F.arrays_zip(
+                F.col("cls"), F.col("ps"), F.col("ns"), F.col("pl"), F.col("nl")
+            ),
+            _short_rule,
+        ),
+    )
+
+    # NEAR-GOOD pass (closed form of the sequential loop — see module
+    # comment): good iff either flanking strict neighbour is good.
+    df = (
+        df.withColumn("ps2", _jt_scan_prev(F.col("cls2"), strict))
+        .withColumn("ns2", _jt_scan_next(F.col("cls2"), strict))
+    )
+    df = df.withColumn(
+        "cls3",
+        F.transform(
+            F.arrays_zip(F.col("cls2"), F.col("ps2"), F.col("ns2")),
+            lambda z: F.when(z["cls2"] != JT_NEARGOOD, z["cls2"]).otherwise(
+                F.when(
+                    (z["ps2"] == JT_GOOD) | (z["ns2"] == JT_GOOD), F.lit(JT_GOOD)
+                ).otherwise(F.lit(JT_BAD))
+            ),
+        ),
+    )
+
+    zipped = F.zip_with(
+        F.col("b"), F.col("cls3"), lambda b, c: F.struct(b.alias("b"), c.alias("c"))
+    )
+    good = F.filter(zipped, lambda z: z["c"] == JT_GOOD)
+    main = F.array_join(F.transform(good, lambda z: z["b"]["text"]), "\n")
+    boiler = F.filter(zipped, lambda z: z["c"] != JT_GOOD)
+    return df.select(
+        F.col(id_col),
+        main.alias("main_text"),
+        F.size(F.col("b")).cast("int").alias("n_blocks"),
+        F.size(good).cast("int").alias("n_content_blocks"),
+        F.coalesce(
+            F.aggregate(
+                boiler, F.lit(0).cast("long"), lambda a, z: a + z["b"]["chars"]
+            ),
+            F.lit(0).cast("long"),
+        ).alias("boiler_chars"),
+    )

@@ -5191,6 +5191,181 @@ def q_html_readability(spark: SparkSession, sf: str) -> DataFrame:
     return readability_extract(docs.select("doc_id", html.alias("html")))
 
 
+# --- jusText (stopword-density boilerplate removal) ---------------------------
+
+# deterministic page wrapper, same in both engines: linkful nav (bad), a
+# short promo (exercises the SHORT revision pass), a stopword-inflated main
+# paragraph (good / near-good depending on document length), the raw text
+# head (low stopword density → bad), and a copyright line (bad).
+_JT_WRAP_SQL = (
+    "'<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/x\">Links</a></div>"
+    "<p>Read the latest from our team</p><p>' || "
+    "replace(coalesce(text, ''), ' ', ' the ') || "
+    "'</p><p>' || substr(coalesce(text, ''), 1, 120) || "
+    "'</p><p>&copy; 2026 Synth Corp</p>'"
+)
+
+
+def _sql_justext(
+    src: str = f"SELECT doc_id, {_JT_WRAP_SQL} AS html FROM documents",
+) -> str:
+    """jusText oracle over any (doc_id, html) source SQL.  The Spark side's
+    two linear prefix-fold passes are replayed here in independent CLOSED
+    FORM (nearest-qualifying-neighbour via list_max/list_min over index
+    ranges — quadratic per document, fine at oracle scale), so the two
+    formulations must agree bit-for-bit, including on malformed HTML."""
+    from ocr_spark.operators.boilerplate import JUSTEXT_STOPLIST_EN
+
+    stop = "[" + ", ".join(f"'{w}'" for w in JUSTEXT_STOPLIST_EN) + "]"
+    strip_tags = "regexp_replace(p, '(?s)<[^>]*>', '', 'g')"
+    text_of = _strip(strip_tags)
+    anchor = (
+        "coalesce(array_to_string(list_transform("
+        "regexp_extract_all(p, '(?is)<a\\b[^>]*>(.*?)</a>', 1), "
+        "a -> regexp_replace(a, '(?s)<[^>]*>', '', 'g')), ''), '')"
+    )
+    words = (
+        "(CASE WHEN blk.text = '' THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array(blk.text, '{_WS}+') END)"
+    )
+    density = (
+        "(CASE WHEN blk.n_words > 0 THEN blk.n_stop::DOUBLE / blk.n_words ELSE 0.0 END)"
+    )
+    cf = f"""
+      CASE WHEN blk.link_chars::DOUBLE / blk.chars > 0.2 THEN 0
+           WHEN contains(blk.text, '©') OR contains(blk.text, '&copy') THEN 0
+           WHEN blk.chars < 70 THEN (CASE WHEN blk.link_chars > 0 THEN 0 ELSE 1 END)
+           WHEN {density} >= 0.32 THEN (CASE WHEN blk.chars > 200 THEN 3 ELSE 2 END)
+           WHEN {density} >= 0.30 THEN 2
+           ELSE 0 END"""
+
+    def prev_scan(cls: str, keep: str) -> str:
+        return (
+            f"list_transform(range(1, len({cls}) + 1), i -> coalesce("
+            f"{cls}[list_max(list_filter(range(1, i), "
+            f"j -> list_contains({keep}, {cls}[j])))], 0))"
+        )
+
+    def next_scan(cls: str, keep: str) -> str:
+        return (
+            f"list_transform(range(1, len({cls}) + 1), i -> coalesce("
+            f"{cls}[list_min(list_filter(range(i + 1, len({cls}) + 1), "
+            f"j -> list_contains({keep}, {cls}[j])))], 0))"
+        )
+
+    return f"""
+WITH hsrc AS (
+  {src}
+),
+hclean AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(html,
+           '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
+           '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
+           '(?s)<!--.*?-->', '', 'g') AS html
+  FROM hsrc
+),
+hraw AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_split_to_array(html, '{_BP_BLOCK_RE}'),
+             p -> {{'text': {text_of}, 'link_chars': length({anchor})}}),
+           blk -> blk.text != '') AS braw
+  FROM hclean
+),
+hfeat AS (
+  SELECT doc_id,
+         list_transform(braw, blk -> {{
+           'text': blk.text, 'chars': length(blk.text),
+           'link_chars': blk.link_chars,
+           'n_words': (CASE WHEN blk.text = '' THEN 0
+                       ELSE len(regexp_split_to_array(blk.text, '{_WS}+')) END),
+           'n_stop': 0}}) AS b0
+  FROM hraw
+),
+hstop AS (
+  SELECT doc_id,
+         list_transform(b0, blk -> {{
+           'text': blk.text, 'chars': blk.chars, 'link_chars': blk.link_chars,
+           'n_words': blk.n_words,
+           'n_stop': len(list_filter({words},
+                         w -> list_contains({stop}, lower(w))))}}) AS b
+  FROM hfeat
+),
+hcf AS (
+  SELECT doc_id, b, list_transform(b, blk -> ({cf})) AS cls
+  FROM hstop
+),
+hscan AS (
+  SELECT doc_id, b, cls,
+         {prev_scan("cls", "[0, 3]")} AS ps,
+         {next_scan("cls", "[0, 3]")} AS ns,
+         {prev_scan("cls", "[0, 2, 3]")} AS pl,
+         {next_scan("cls", "[0, 2, 3]")} AS nl
+  FROM hcf
+),
+hshort AS (
+  SELECT doc_id, b,
+         list_transform(range(1, len(cls) + 1), i ->
+           CASE WHEN cls[i] != 1 THEN cls[i]
+                WHEN ps[i] = 3 AND ns[i] = 3 THEN 3
+                WHEN ps[i] = 0 AND ns[i] = 0 THEN 0
+                WHEN (ps[i] = 0 AND pl[i] = 2) OR (ns[i] = 0 AND nl[i] = 2)
+                     THEN 3
+                ELSE 0 END) AS cls2
+  FROM hscan
+),
+hng AS (
+  SELECT doc_id, b, cls2,
+         {prev_scan("cls2", "[0, 3]")} AS ps2,
+         {next_scan("cls2", "[0, 3]")} AS ns2
+  FROM hshort
+),
+hfinal AS (
+  SELECT doc_id, b,
+         list_transform(range(1, len(cls2) + 1), i ->
+           CASE WHEN cls2[i] != 2 THEN cls2[i]
+                WHEN ps2[i] = 3 OR ns2[i] = 3 THEN 3
+                ELSE 0 END) AS cls3
+  FROM hng
+)
+SELECT doc_id,
+  coalesce(array_to_string(
+    list_filter(list_transform(range(1, len(b) + 1),
+      i -> CASE WHEN cls3[i] = 3 THEN b[i].text END), x -> x IS NOT NULL),
+    chr(10)), '') AS main_text,
+  len(b)::INT AS n_blocks,
+  len(list_filter(cls3, c -> c = 3))::INT AS n_content_blocks,
+  coalesce(list_sum(list_transform(range(1, len(b) + 1),
+    i -> CASE WHEN cls3[i] != 3 THEN b[i].chars ELSE 0 END)), 0)::BIGINT
+    AS boiler_chars
+FROM hfinal"""
+
+
+@_q("html_justext", _sql_justext())
+def q_html_justext(spark: SparkSession, sf: str) -> DataFrame:
+    """North-star jusText (Pomikálek 2011, no_headings variant): stopword/
+    link-density paragraph classification into {bad, short, near-good,
+    good} plus the two context-sensitive revision passes (short absorption,
+    near-good flank resolution), over a deterministic HTML wrap of the
+    documents corpus with all four classes represented."""
+    from ocr_spark.operators.boilerplate import justext_extract
+
+    docs = D.load(spark, sf, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    html = F.concat(
+        F.lit(
+            '<div class="nav"><a href="/">Home</a> <a href="/x">Links</a></div>'
+            "<p>Read the latest from our team</p><p>"
+        ),
+        F.regexp_replace(text, " ", " the "),
+        F.lit("</p><p>"),
+        F.substring(text, 1, 120),
+        F.lit("</p><p>&copy; 2026 Synth Corp</p>"),
+    )
+    return justext_extract(docs.select("doc_id", html.alias("html")))
+
+
 # --- WARC web-archive source ---------------------------------------------------
 
 _N_WARC_DOCS, _N_WARC_FILES = 120, 6
@@ -5553,6 +5728,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 #   E. the r3-green remainder.
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
+    "html_justext",
     "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
     "search_hybrid_rrf", "pack_tokenized", "ann_topk_pq", "ann_topk_ivfpq",

@@ -437,9 +437,11 @@ def warc_documents(parsed: DataFrame, extractor: str = "boilerpipe") -> DataFram
 
     ``extractor`` picks the north-star family member: ``boilerpipe``
     (per-block NumWordsRules, linear, the high-recall default for crawl
-    corpora) or ``readability`` (Arc90 container scoring — higher
+    corpora), ``readability`` (Arc90 container scoring — higher
     precision on template-heavy pages, quadratic in containers×blocks
-    per document). Both are pure Column expressions."""
+    per document), or ``justext`` (stopword-density classification with
+    context-sensitive revision — the conservative choice for clean-text
+    corpus building; English stoplist). All are pure Column expressions."""
     ct = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
     r = responses(parsed).filter(
         (F.col("http_status") == 200)
@@ -452,6 +454,12 @@ def warc_documents(parsed: DataFrame, extractor: str = "boilerpipe") -> DataFram
         from ocr_spark.operators.boilerplate import readability_extract
 
         return readability_extract(keyed).select(
+            "doc_id", F.col("main_text").alias("text")
+        )
+    if extractor == "justext":
+        from ocr_spark.operators.boilerplate import justext_extract
+
+        return justext_extract(keyed).select(
             "doc_id", F.col("main_text").alias("text")
         )
     if extractor != "boilerpipe":

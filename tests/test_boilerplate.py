@@ -204,14 +204,19 @@ def test_extractor_family_recovers_known_main_text(spark):
     that's the point of shipping both)."""
     from ocr_spark.operators.boilerplate import (
         extract_html_documents,
+        justext_extract,
         readability_extract,
     )
 
     paras = [
         f"Paragraph {i} of the story has plenty of words, commas, and a "
-        f"length well above every scoring minimum in either extractor."
+        f"length well above every scoring minimum in any of the extractors, "
+        f"and it is the kind of paragraph that the reader was hoping for "
+        f"when they opened the page in the first place."
         for i in range(4)
     ]
+    # jusText's good class needs >200 chars AND stopword density >= 0.32
+    assert all(len(p) > 200 for p in paras)
     truth = "\n".join(paras)
     html = (
         '<div class="sidebar"><ul>'
@@ -226,6 +231,7 @@ def test_extractor_family_recovers_known_main_text(spark):
     for name, got in (
         ("boilerpipe", extract_html_documents(df).first()["main_text"]),
         ("readability", readability_extract(df).first()["main_text"]),
+        ("justext", justext_extract(df).first()["main_text"]),
     ):
         truth_chars = set(truth.replace("\n", " ").split())
         got_words = set(got.replace("\n", " ").split())
@@ -234,3 +240,97 @@ def test_extractor_family_recovers_known_main_text(spark):
         assert recall == 1.0, f"{name} dropped content: {recall}"
         assert precision == 1.0, f"{name} kept chrome: {precision}"
         assert "Related" not in got and "(c) 2026" not in got, name
+
+
+# --- jusText ------------------------------------------------------------------
+
+# stopword-saturated filler: density 1.0, ~4.6 chars/word
+_JT_GOODTEXT = "the and of it is was that they " * 12      # 384 chars → good
+_JT_NEARTEXT = "the and of it is was that they " * 4       # 128 chars → neargood
+
+
+def _justext(spark, html):
+    from ocr_spark.operators.boilerplate import justext_extract
+
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return justext_extract(df).first()
+
+
+def test_justext_good_short_and_bad_classes(spark):
+    r = _justext(
+        spark,
+        "<div><a href='/'>Home</a> <a href='/x'>Nav</a></div>"
+        f"<p>{_JT_GOODTEXT}</p>"
+        "<p>alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+        " nu xi omicron pi rho sigma tau</p>",   # ≥70 chars, density 0 → bad
+    )
+    assert r["n_blocks"] == 3
+    assert r["n_content_blocks"] == 1
+    assert r["main_text"].startswith("the and of")
+    assert "alpha" not in r["main_text"] and "Home" not in r["main_text"]
+
+
+def test_justext_copyright_marks_bad(spark):
+    for marker in ("© 2026 Corp and the rest of the long filler " * 5,
+                   "&copy 2026 Corp and the rest of the long filler " * 5):
+        r = _justext(spark, f"<p>{marker}</p><p>{_JT_GOODTEXT}</p>")
+        assert r["n_content_blocks"] == 1
+        assert "Corp" not in r["main_text"]
+
+
+def test_justext_short_promoted_between_goods(spark):
+    r = _justext(
+        spark, f"<p>{_JT_GOODTEXT}</p><p>short note</p><p>{_JT_GOODTEXT}</p>"
+    )
+    assert r["n_content_blocks"] == 3
+    assert "short note" in r["main_text"]
+
+
+def test_justext_short_with_mixed_flanks_needs_neargood(spark):
+    # bad | short | good, no near-good on the bad side → short stays bad
+    r = _justext(
+        spark,
+        "<p>zz " + "xx yy " * 20 + "</p><p>short note</p>"
+        f"<p>{_JT_GOODTEXT}</p>",
+    )
+    assert "short note" not in r["main_text"]
+    # bad | neargood | short | good → the near-good between the short and
+    # its bad-side neighbour rescues it (and the near-good itself goes good)
+    r = _justext(
+        spark,
+        "<p>zz " + "xx yy " * 20 + "</p>"
+        f"<p>{_JT_NEARTEXT}</p><p>short note</p><p>{_JT_GOODTEXT}</p>",
+    )
+    assert "short note" in r["main_text"]
+    assert r["n_content_blocks"] == 3
+
+
+def test_justext_neargood_flank_resolution(spark):
+    # neargood flanked by bads on both sides → bad
+    bad = "<p>zz " + "xx yy " * 20 + "</p>"
+    r = _justext(spark, f"{bad}<p>{_JT_NEARTEXT}</p>{bad}")
+    assert r["n_content_blocks"] == 0 and r["main_text"] == ""
+    # neargood adjacent to a good → good
+    r = _justext(spark, f"{bad}<p>{_JT_NEARTEXT}</p><p>{_JT_GOODTEXT}</p>")
+    assert r["n_content_blocks"] == 2
+
+
+def test_justext_link_density_gate(spark):
+    # anchor text >20% of chars → bad even with perfect stopword density
+    words = "the and of it is was that they " * 8
+    r = _justext(spark, f"<p>{words}<a href='/'>{'the ' * 30}</a></p>")
+    assert r["n_content_blocks"] == 0
+
+
+def test_justext_script_style_null_empty(spark):
+    r = _justext(
+        spark,
+        f"<script>var x = '<p>{_JT_GOODTEXT}</p>';</script>"
+        f"<style>.x {{}}</style><!-- {_JT_GOODTEXT} --><p>{_JT_GOODTEXT}</p>",
+    )
+    assert r["n_blocks"] == 1 and r["n_content_blocks"] == 1
+    from ocr_spark.operators.boilerplate import justext_extract
+
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, html string")
+    rows = {x["doc_id"]: x for x in justext_extract(df).collect()}
+    assert rows[1]["n_blocks"] == 0 and rows[2]["main_text"] == ""

@@ -140,7 +140,10 @@ def test_pathological_html_depth_stays_linear(spark):
     want = _py_boilerpipe(docs[0][1])
     assert all(v == want for v in got.values())
     assert want[1] == n and want[3] == 2
-    assert wall < 60, f"pathological-HTML extraction took {wall:.1f}s — depth likely quadratic again"
+    # the quadratic-depth regression this guards against ran for many
+    # minutes; 120s leaves ~2× headroom over the worst observed healthy
+    # run (63.6s under heavy host steal) without masking a real blowup
+    assert wall < 120, f"pathological-HTML extraction took {wall:.1f}s — depth likely quadratic again"
 
 
 @pytest.mark.parametrize("seed", [20260817])
@@ -256,6 +259,202 @@ def test_fuzz_readability_matches_duckdb_oracle(spark, seed):
     sql = _sql_readability("SELECT doc_id, coalesce(html, '') AS html FROM fuzz_html")
     want = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
 
+    assert set(got) == set(want)
+    mismatches = [(k, got[k], want[k]) for k in got if got[k] != want[k]]
+    assert not mismatches, mismatches[:3]
+
+
+# --- jusText fuzz parity ------------------------------------------------------
+
+# ~50% stopwords so block densities land all around the 0.30/0.32 cutoffs;
+# lengths straddle the 70/200-char boundaries via word-count choice
+_JT_WORDS = [
+    "the", "and", "of", "it", "is", "was", "that", "they",
+    "data", "pipeline", "spark", "corpus", "слово", "extraction",
+    "x1", "naïve", "threshold",
+]
+
+
+def _gen_html_justext(rng: random.Random) -> str:
+    out = []
+    for _ in range(rng.randint(0, 16)):
+        roll = rng.random()
+        if roll < 0.16:
+            out.append(rng.choice(_TAGS_OPEN))
+        elif roll < 0.28:
+            out.append(rng.choice(_TAGS_CLOSE))
+        elif roll < 0.42:
+            out.append(rng.choice(_SEP))
+        elif roll < 0.5:
+            out.append(
+                rng.choice(
+                    [
+                        "© 2026 Example",
+                        "this text mentions &copy somewhere inside it",
+                        "<script>var x = '<p>decoy the the the</p>';</script>",
+                        "<style>.x { color: red }</style>",
+                        "<!-- the the the ghost -->",
+                    ]
+                )
+            )
+        elif roll < 0.78:
+            # word counts chosen so char lengths cluster around 70 and 200
+            out.append(_words(rng, rng.choice([1, 3, 8, 12, 14, 16, 30, 40, 55])))
+        else:
+            total = rng.choice([4, 10, 20, 40])
+            in_anchor = rng.randint(0, total)
+            out.append(
+                _words(rng, total - in_anchor)
+                + f" <a href='/{rng.randint(0, 9)}'>"
+                + _words(rng, in_anchor)
+                + "</a>"
+            )
+        if rng.random() < 0.25:
+            out.append(rng.choice(_WS))
+    return "".join(out)
+
+
+def _py_justext_sequential(html: str):
+    """Pure-Python model following the PUBLISHED jusText control flow
+    LITERALLY — the short pass batched over the context-free classes, the
+    near-good pass as a sequential in-place forward loop whose neighbour
+    scans see earlier revisions.  The Spark/DuckDB implementations use a
+    closed-form collapse of that sequential loop; this model is the proof
+    obligation that the collapse is exact."""
+    import re
+
+    from ocr_spark.operators.boilerplate import (
+        JT_LENGTH_HIGH,
+        JT_LENGTH_LOW,
+        JT_MAX_LINK_DENSITY,
+        JT_STOPWORDS_HIGH,
+        JT_STOPWORDS_LOW,
+        JUSTEXT_STOPLIST_EN,
+    )
+
+    stop = set(JUSTEXT_STOPLIST_EN)
+    html = html or ""
+    html = re.sub(r"(?is)<script\b[^>]*>.*?</script>", "", html)
+    html = re.sub(r"(?is)<style\b[^>]*>.*?</style>", "", html)
+    html = re.sub(r"(?s)<!--.*?-->", "", html)
+    block_re = re.compile(
+        r"</?(?:p|div|br|h[1-6]|li|ul|ol|table|tr|td|article|section|"
+        r"header|footer|nav)\b[^>]*>",
+        re.I,
+    )
+    tag_re = re.compile(r"(?s)<[^>]*>")
+    anchor_re = re.compile(r"(?is)<a\b[^>]*>(.*?)</a>")
+
+    blocks = []
+    for part in block_re.split(html):
+        text = tag_re.sub("", part).strip()
+        if not text:
+            continue
+        anchor = "".join(tag_re.sub("", a) for a in anchor_re.findall(part))
+        words = text.split()
+        n_stop = sum(1 for w in words if w.lower() in stop)
+        blocks.append((text, len(text), len(anchor), len(words), n_stop))
+
+    cls = []
+    for text, chars, link_chars, n_words, n_stop in blocks:
+        ld = link_chars / chars
+        density = n_stop / n_words if n_words else 0.0
+        if ld > JT_MAX_LINK_DENSITY:
+            cls.append("bad")
+        elif "©" in text or "&copy" in text:
+            cls.append("bad")
+        elif chars < JT_LENGTH_LOW:
+            cls.append("bad" if link_chars > 0 else "short")
+        elif density >= JT_STOPWORDS_HIGH:
+            cls.append("good" if chars > JT_LENGTH_HIGH else "neargood")
+        elif density >= JT_STOPWORDS_LOW:
+            cls.append("neargood")
+        else:
+            cls.append("bad")
+
+    def neigh(i, inc, ignore_neargood, classes):
+        j = i + inc
+        while 0 <= j < len(classes):
+            c = classes[j]
+            if c in ("good", "bad"):
+                return c
+            if c == "neargood" and not ignore_neargood:
+                return c
+            j += inc
+        return "bad"
+
+    classes = list(cls)
+    new = {}
+    for i, c in enumerate(classes):
+        if c != "short":
+            continue
+        p = neigh(i, -1, True, classes)
+        n = neigh(i, 1, True, classes)
+        if {p, n} == {"good"}:
+            new[i] = "good"
+        elif {p, n} == {"bad"}:
+            new[i] = "bad"
+        elif (p == "bad" and neigh(i, -1, False, classes) == "neargood") or (
+            n == "bad" and neigh(i, 1, False, classes) == "neargood"
+        ):
+            new[i] = "good"
+        else:
+            new[i] = "bad"
+    for i, v in new.items():
+        classes[i] = v
+
+    # the sequential near-good loop, verbatim shape
+    for i in range(len(classes)):
+        if classes[i] != "neargood":
+            continue
+        p = neigh(i, -1, True, classes)
+        n = neigh(i, 1, True, classes)
+        classes[i] = "bad" if (p, n) == ("bad", "bad") else "good"
+
+    main = "\n".join(b[0] for b, c in zip(blocks, classes) if c == "good")
+    boiler = sum(b[1] for b, c in zip(blocks, classes) if c != "good")
+    n_content = sum(1 for c in classes if c == "good")
+    return (main, len(blocks), n_content, boiler)
+
+
+@pytest.mark.parametrize("seed", [20260819])
+def test_fuzz_justext_matches_duckdb_oracle_and_sequential_model(spark, seed):
+    from ocr_spark.operators.boilerplate import justext_extract
+    from ocr_spark.plans.entry_queries import _sql_justext
+
+    rng = random.Random(seed)
+    rows = [(i, _gen_html_justext(rng)) for i in range(200)]
+    rows += [
+        (200, ""),
+        (201, None),
+        (202, "<a>only a link</a>"),
+        (203, "the and of it is was that they " * 12),      # pure stopwords, long
+        (204, "<p>short one</p><p>" + "the and of it is was that they " * 12
+              + "</p><p>short two</p>"),                     # shorts flanking good
+        (205, "<p>" + "the and of it " * 4 + "</p>"),        # neargood, no flanks
+        (206, "&copy inside text"),
+        (207, "© 2026"),
+    ]
+
+    cols = ("main_text", "n_blocks", "n_content_blocks", "boiler_chars")
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in justext_extract(df).collect()
+    }
+
+    # 1. sequential-model parity: the closed-form revision passes must agree
+    #    with the published sequential control flow on every document
+    model = {k: _py_justext_sequential(h) for k, h in rows}
+    mismatches = [(k, got[k], model[k]) for k in got if got[k] != model[k]]
+    assert not mismatches, mismatches[:3]
+
+    # 2. oracle parity: the exact comparison the driver runs
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fuzz_html(doc_id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO fuzz_html VALUES (?, ?)", rows)
+    sql = _sql_justext("SELECT doc_id, coalesce(html, '') AS html FROM fuzz_html")
+    want = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
     assert set(got) == set(want)
     mismatches = [(k, got[k], want[k]) for k in got if got[k] != want[k]]
     assert not mismatches, mismatches[:3]

@@ -267,3 +267,20 @@ def test_load_documents_warc_readability(spark, tmp_path):
                         html_extractor="readability")
     assert set(df.columns) == {"doc_id", "text"}
     assert df.count() == 5  # doc 3 is the 404
+
+
+def test_warc_documents_justext_extractor(spark, tmp_path):
+    """extractor="justext" runs the stopword-density classifier over the
+    same corpus view with the same stable doc ids. The synthetic pages'
+    prose is deliberately stopword-free (greek-letter filler), so jusText —
+    the precision-oriented family member — rejects every paragraph: empty
+    text, never chrome. Real crawl prose (stopword density >= 0.30) is
+    covered by the html_justext oracle + fuzz suites."""
+    (tmp_path / "c.warc").write_bytes(W.synth_warc_file(0, range(6), False))
+    parsed = W.read_warc(spark, str(tmp_path))
+    jt = {r["doc_id"]: r["text"]
+          for r in W.warc_documents(parsed, extractor="justext").collect()}
+    bp = {r["doc_id"]: r["text"] for r in W.warc_documents(parsed).collect()}
+    assert set(jt) == set(bp)  # same docs, same xxhash64(uri) keys
+    assert all("Home" not in t and "(c) 2026" not in t for t in jt.values())
+    assert all(t == "" for t in jt.values())
