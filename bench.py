@@ -104,6 +104,8 @@ HEADLINE = [
     "sessionize",
     "media_decode",
     "media_frame_sample",
+    "media_integrity",
+    "media_orphans",
     "audio_chunks",
     "image_noise_stats",
     "image_features",

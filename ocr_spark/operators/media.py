@@ -189,3 +189,70 @@ def audio_chunk(decoded: DataFrame, chunk_seconds: int = 30) -> DataFrame:
             "chunk_samples"
         ),
     )
+
+
+# --- referential integrity -----------------------------------------------------
+
+
+def media_ref_integrity(docs: DataFrame, media: DataFrame) -> DataFrame:
+    """Referential-integrity audit of the interleaved corpus against the
+    media table: per document, how many media spans there are, how many
+    resolve to a media row, how many DANGLE (point at nothing), and the
+    lexicographically first dangling ref as a repair pointer.
+
+    Input: docs (doc_id, spans) in the canonical interleaved shape; media
+    any table with a ``media_ref`` column.
+    Output: (doc_id, n_media_spans, n_resolved, n_dangling,
+    first_dangling_ref) — one row per document, zeros for text-only docs.
+
+    100-TB plan shape: both sides of the resolution join are corpus-sized,
+    so it is a keyed shuffle join on media_ref — broadcast is impossible
+    by definition. (doc_id, media_ref) pairs are pre-aggregated BEFORE the
+    join (map-side combine), so a document that repeats one ref a million
+    times contributes ONE join row, and a hot shared asset (site logo
+    referenced from every page of a domain) is bounded by the number of
+    distinct docs, with AQE skew-join splitting what remains. The media
+    side joins on its distinct refs only."""
+    ids = docs.select("doc_id")
+    refs = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .groupBy("doc_id", F.col("s.media_ref").alias("media_ref"))
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+    m = media.select("media_ref").distinct().withColumn("resolved", F.lit(1))
+    j = refs.join(m, "media_ref", "left")
+    per = j.groupBy("doc_id").agg(
+        F.sum("n_spans").alias("n_media_spans"),
+        F.sum(F.when(F.col("resolved").isNotNull(), F.col("n_spans")).otherwise(F.lit(0))).alias(
+            "n_resolved"
+        ),
+        F.sum(F.when(F.col("resolved").isNull(), F.col("n_spans")).otherwise(F.lit(0))).alias(
+            "n_dangling"
+        ),
+        F.min(F.when(F.col("resolved").isNull(), F.col("media_ref"))).alias(
+            "first_dangling_ref"
+        ),
+    )
+    return ids.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_media_spans"), F.lit(0)).cast("long").alias("n_media_spans"),
+        F.coalesce(F.col("n_resolved"), F.lit(0)).cast("long").alias("n_resolved"),
+        F.coalesce(F.col("n_dangling"), F.lit(0)).cast("long").alias("n_dangling"),
+        F.col("first_dangling_ref"),
+    )
+
+
+def orphan_media(media: DataFrame, docs: DataFrame) -> DataFrame:
+    """The other direction of the audit: media rows NEVER referenced by
+    any span — storage holding assets no document uses (GC candidates
+    after a dedup sweep drops documents). LEFT ANTI join on the distinct
+    referenced refs; same media_ref shuffle key as media_ref_integrity,
+    so a combined audit job reuses one exchange."""
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    return media.join(refs, "media_ref", "left_anti")

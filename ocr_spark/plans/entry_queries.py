@@ -5679,6 +5679,95 @@ def q_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+# --- media referential integrity ------------------------------------------------
+
+# synthetic media table with INJECTED defects, same in both engines: media
+# rows for (doc_id + i) % 10 == 7 are dropped (those spans dangle), and an
+# unreferenced 'orphan-<id>' asset is added for every doc_id % 4 == 0
+_SQL_MEDIA_TABLE = """media AS (
+  SELECT doc_id, media_ref, "offset" FROM span_rows
+  WHERE kind = 'media' AND (doc_id + i) % 10 != 7
+  UNION ALL
+  SELECT doc_id, 'orphan-' || doc_id::VARCHAR AS media_ref, -1 AS "offset"
+  FROM documents WHERE doc_id % 4 = 0
+)"""
+
+
+def _synth_media_table(spark: SparkSession, sf: str):
+    """(span corpus, defective media table) — the Spark twin of
+    _SQL_MEDIA_TABLE."""
+    docs = D.load(spark, sf, "documents")
+    corpus = D.span_corpus(docs)
+    all_media = MD.media_spans_to_table(corpus)
+    kept = all_media.filter(
+        (
+            (F.col("doc_id") + (F.col("offset") / D.SPAN_OFFSET_STRIDE).cast("long"))
+            % 10
+        )
+        != 7
+    )
+    orphans = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        F.concat(F.lit("orphan-"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit(-1).cast("int").alias("offset"),
+    )
+    return corpus, kept.unionByName(orphans)
+
+
+@_q(
+    "media_integrity",
+    f"""
+WITH {D.SQL_SPAN_CORPUS},
+{_SQL_MEDIA_TABLE},
+refs AS (
+  SELECT doc_id, media_ref, count(*)::BIGINT AS n_spans
+  FROM span_rows WHERE kind = 'media' GROUP BY doc_id, media_ref
+),
+m AS (SELECT DISTINCT media_ref FROM media),
+j AS (
+  SELECT r.doc_id, r.media_ref, r.n_spans, (m.media_ref IS NOT NULL) AS ok
+  FROM refs r LEFT JOIN m ON r.media_ref = m.media_ref
+),
+per AS (
+  SELECT doc_id,
+         sum(n_spans)::BIGINT AS n_media_spans,
+         sum(CASE WHEN ok THEN n_spans ELSE 0 END)::BIGINT AS n_resolved,
+         sum(CASE WHEN NOT ok THEN n_spans ELSE 0 END)::BIGINT AS n_dangling,
+         min(CASE WHEN NOT ok THEN media_ref END) AS first_dangling_ref
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(per.n_media_spans, 0)::BIGINT AS n_media_spans,
+  coalesce(per.n_resolved, 0)::BIGINT AS n_resolved,
+  coalesce(per.n_dangling, 0)::BIGINT AS n_dangling,
+  per.first_dangling_ref
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
+)
+def q_media_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """Spans→media referential-integrity audit over the interleaved corpus
+    against a media table with injected holes: per-document media-span /
+    resolved / dangling counts plus the first dangling ref."""
+    corpus, media = _synth_media_table(spark, sf)
+    return MD.media_ref_integrity(corpus, media)
+
+
+@_q(
+    "media_orphans",
+    f"""
+WITH {D.SQL_SPAN_CORPUS},
+{_SQL_MEDIA_TABLE},
+refs AS (SELECT DISTINCT media_ref FROM span_rows WHERE kind = 'media')
+SELECT m.doc_id, m.media_ref, m."offset"::INT AS "offset"
+FROM media m LEFT JOIN refs r ON m.media_ref = r.media_ref
+WHERE r.media_ref IS NULL""",
+)
+def q_media_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    """Media→spans direction of the audit: assets no document references
+    (GC candidates) via LEFT ANTI join on the distinct referenced refs."""
+    corpus, media = _synth_media_table(spark, sf)
+    return MD.orphan_media(media, corpus)
+
+
 @_q(
     "media_decode",
     f"""
@@ -5728,7 +5817,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 #   E. the r3-green remainder.
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
-    "html_justext",
+    "html_justext", "media_integrity", "media_orphans",
     "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
     "search_hybrid_rrf", "pack_tokenized", "ann_topk_pq", "ann_topk_ivfpq",

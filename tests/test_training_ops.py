@@ -1992,3 +1992,36 @@ def test_rrf_fuse_top_k_truncates(spark):
     assert len(out) == 5
     # equal scores tie-break by id: 101 vs 201 at rank 1 each -> 101 first
     assert [r["doc_id"] for r in out[:2]] == [101, 201]
+
+
+def test_media_ref_integrity_and_orphans(spark):
+    """Hand-built corpus with every defect class: resolved refs, a dangling
+    ref, a REPEATED dangling ref (must count per span but join once), a
+    text-only doc (all-zero row), and an orphan asset."""
+    docs = [
+        ("d1", [("media", "", "m1", 0), ("text", "hello", "", 16),
+                ("media", "", "m2", 32)]),
+        ("d2", [("media", "", "mX", 0), ("media", "", "mX", 16),
+                ("media", "", "m1", 32)]),
+        ("d3", [("text", "only text", "", 0)]),
+    ]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    media = spark.createDataFrame(
+        [("d1", "m1", 0), ("d1", "m2", 32), ("zz", "unused", -1)],
+        "doc_id string, media_ref string, offset int",
+    )
+
+    rows = {r["doc_id"]: r for r in MM.media_ref_integrity(df, media).collect()}
+    assert rows["d1"]["n_media_spans"] == 2 and rows["d1"]["n_dangling"] == 0
+    assert rows["d1"]["first_dangling_ref"] is None
+    # mX appears twice: both spans dangle, counted per span
+    assert rows["d2"]["n_media_spans"] == 3
+    assert rows["d2"]["n_resolved"] == 1 and rows["d2"]["n_dangling"] == 2
+    assert rows["d2"]["first_dangling_ref"] == "mX"
+    assert rows["d3"]["n_media_spans"] == 0 and rows["d3"]["n_dangling"] == 0
+
+    orphans = MM.orphan_media(media, df).collect()
+    assert [(r["media_ref"], r["doc_id"]) for r in orphans] == [("unused", "zz")]

@@ -62,6 +62,8 @@ AUDIT = [
     "gopher_quality",
     "pii_scrub",
     "audio_chunks",
+    "media_integrity",
+    "media_orphans",
     "upload_validate",
     "warc_html_extract",
     "lm_surprisal",
@@ -84,6 +86,7 @@ AUDIT = [
     "dedup_containment",
     "pack_interleaved",
     "html_readability",
+    "html_justext",
     "shuffle_shards",
     "table_stats_agg",
     "table_bloom_lookup",
