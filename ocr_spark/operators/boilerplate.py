@@ -541,7 +541,7 @@ JUSTEXT_STOPLIST_EN = (
 ).split()
 
 
-def _jt_block(part: Column) -> Column:
+def _jt_block(part: Column, stopwords: list[str]) -> Column:
     """Per-block features: text, chars, link chars, word count, stop count."""
     text = py_strip(F.regexp_replace(part, _TAG_RE, ""))
     anchor_text = F.array_join(
@@ -554,7 +554,7 @@ def _jt_block(part: Column) -> Column:
     words = F.when(text == "", F.array().cast("array<string>")).otherwise(
         F.split(text, r"(?U)\s+")
     )
-    stoplist = F.array(*[F.lit(w) for w in JUSTEXT_STOPLIST_EN])
+    stoplist = F.array(*[F.lit(w) for w in stopwords])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stoplist, F.lower(w))))
     return F.struct(
         text.alias("text"),
@@ -613,13 +613,21 @@ def _jt_scan_next(cls: Column, keep: tuple[int, ...]) -> Column:
 
 
 def justext_extract(
-    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
 ) -> DataFrame:
     """jusText main-content extraction → (doc_id, main_text, n_blocks,
     n_content_blocks, boiler_chars).
 
     ``main_text`` newline-joins the paragraphs whose FINAL class is good;
-    ``boiler_chars`` counts the characters classified away."""
+    ``boiler_chars`` counts the characters classified away. ``stopwords``
+    selects the language (the public jusText is multilingual purely via
+    per-language stoplists — lowercase word lists of the same shape as
+    the English default)."""
+    if stopwords is None:
+        stopwords = JUSTEXT_STOPLIST_EN
     h = F.coalesce(F.col(html_col), F.lit(""))
     clean = F.regexp_replace(
         F.regexp_replace(F.regexp_replace(h, SCRIPT_RE, ""), STYLE_RE, ""),
@@ -629,7 +637,9 @@ def justext_extract(
     df = docs.select(
         F.col(id_col),
         F.filter(
-            F.transform(F.split(clean, BLOCK_TAG_RE), _jt_block),
+            F.transform(
+                F.split(clean, BLOCK_TAG_RE), lambda p: _jt_block(p, stopwords)
+            ),
             lambda b: b["text"] != "",
         ).alias("b"),
     )

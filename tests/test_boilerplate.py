@@ -334,3 +334,19 @@ def test_justext_script_style_null_empty(spark):
     df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, html string")
     rows = {x["doc_id"]: x for x in justext_extract(df).collect()}
     assert rows[1]["n_blocks"] == 0 and rows[2]["main_text"] == ""
+
+
+def test_justext_stoplist_selects_language(spark):
+    """The stoplist IS the language model: German text passes with a German
+    stoplist and fails with the English default (public jusText is
+    multilingual purely via stoplists)."""
+    from ocr_spark.operators.boilerplate import justext_extract
+
+    de_stop = ("der die das und ist es war dass sie er wir ich nicht ein "
+               "eine im in den dem von zu mit für auf als auch").split()
+    de_text = "der hund und die katze das ist es war dass sie kamen " * 8
+    df = spark.createDataFrame([(1, f"<p>{de_text}</p>")],
+                               "doc_id long, html string")
+    assert justext_extract(df).first()["n_content_blocks"] == 0
+    got = justext_extract(df, stopwords=de_stop).first()
+    assert got["n_content_blocks"] == 1 and got["main_text"].startswith("der hund")
