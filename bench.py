@@ -106,6 +106,7 @@ HEADLINE = [
     "media_frame_sample",
     "media_integrity",
     "media_orphans",
+    "media_captions",
     "audio_chunks",
     "image_noise_stats",
     "image_features",

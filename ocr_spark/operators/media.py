@@ -256,3 +256,69 @@ def orphan_media(media: DataFrame, docs: DataFrame) -> DataFrame:
         .distinct()
     )
     return media.join(refs, "media_ref", "left_anti")
+
+
+# --- media-caption pairing -------------------------------------------------------
+
+
+def media_captions(docs: DataFrame) -> DataFrame:
+    """Media–text pairing over the interleaved corpus (the OBELICS/MMC4
+    image-text-pair mining shape, with a deterministic adjacency heuristic
+    in place of a CLIP scorer): for every media span, the nearest
+    non-boilerplate, non-empty TEXT span before and after it in document
+    order. ``caption`` prefers the following span (HTML figcaption/alt
+    text typically trails the figure), falling back to the preceding one;
+    either side is NULL when no qualifying text exists on that side.
+
+    Plan shape at 10^12 docs: per-document array expressions only — spans
+    sort by offset, two linear prefix folds carry the nearest qualifying
+    text forward/backward (same scan discipline as the jusText revision
+    passes), and the media rows explode at the end. The corpus is never
+    shuffled; one narrow pass.
+
+    Output: (doc_id, media_ref, offset, caption_before, caption_after,
+    caption) — one row per media span."""
+    from ocr_spark.functions.text import py_strip
+    from ocr_spark.operators.spans import is_boilerplate
+
+    def ok(s: Column) -> Column:
+        return (
+            (s["kind"] == "text")
+            & (py_strip(s["text"]) != "")
+            & ~is_boilerplate(s["text"])
+        )
+
+    def scan_prev(sp: Column) -> Column:
+        folded = F.aggregate(
+            sp,
+            F.array(F.lit(None).cast("string")),
+            lambda acc, s: F.concat(
+                acc,
+                F.array(F.when(ok(s), s["text"]).otherwise(F.element_at(acc, -1))),
+            ),
+        )
+        n = F.size(sp)
+        return F.when(
+            n == 0, F.array().cast("array<string>")
+        ).otherwise(F.slice(folded, 1, n))
+
+    df = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.col("spans"), lambda a, b: a["offset"] - b["offset"]
+        ).alias("sp"),
+    )
+    df = df.withColumn("pv", scan_prev(F.col("sp")))
+    df = df.withColumn("nx", F.reverse(scan_prev(F.reverse(F.col("sp")))))
+    z = F.filter(
+        F.arrays_zip(F.col("sp"), F.col("pv"), F.col("nx")),
+        lambda x: x["sp"]["kind"] == "media",
+    )
+    return df.select("doc_id", F.explode(z).alias("z")).select(
+        "doc_id",
+        F.col("z.sp.media_ref").alias("media_ref"),
+        F.col("z.sp.offset").alias("offset"),
+        F.col("z.pv").alias("caption_before"),
+        F.col("z.nx").alias("caption_after"),
+        F.coalesce(F.col("z.nx"), F.col("z.pv")).alias("caption"),
+    )

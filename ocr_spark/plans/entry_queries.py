@@ -5769,6 +5769,39 @@ def q_media_orphans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "media_captions",
+    f"""
+WITH {D.SQL_SPAN_CORPUS},
+sc AS (
+  SELECT doc_id, i, kind, text, media_ref, "offset",
+         (kind = 'text' AND {_strip("text")} != ''
+          AND NOT ({_sql_boilerplate("text")})) AS ok
+  FROM span_rows
+),
+cw AS (
+  SELECT doc_id, i, kind, media_ref, "offset",
+    last_value(CASE WHEN ok THEN text END IGNORE NULLS) OVER
+      (PARTITION BY doc_id ORDER BY i
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS caption_before,
+    first_value(CASE WHEN ok THEN text END IGNORE NULLS) OVER
+      (PARTITION BY doc_id ORDER BY i
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS caption_after
+  FROM sc
+)
+SELECT doc_id, media_ref, "offset",
+       caption_before, caption_after,
+       coalesce(caption_after, caption_before) AS caption
+FROM cw WHERE kind = 'media'""",
+)
+def q_media_captions(spark: SparkSession, sf: str) -> DataFrame:
+    """Media–text pairing (OBELICS/MMC4 shape): per media span, the nearest
+    qualifying text span on each side via per-document prefix folds; the
+    oracle recomputes both sides independently with IGNORE-NULLS window
+    frames over the exploded rows."""
+    return MD.media_captions(D.span_corpus(D.load(spark, sf, "documents")))
+
+
+@_q(
     "media_decode",
     f"""
 WITH {D.SQL_SPAN_CORPUS},
@@ -5817,7 +5850,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 #   E. the r3-green remainder.
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
-    "html_justext", "media_integrity", "media_orphans",
+    "html_justext", "media_integrity", "media_orphans", "media_captions",
     "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
     "search_hybrid_rrf", "pack_tokenized", "ann_topk_pq", "ann_topk_ivfpq",

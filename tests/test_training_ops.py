@@ -2025,3 +2025,32 @@ def test_media_ref_integrity_and_orphans(spark):
 
     orphans = MM.orphan_media(media, df).collect()
     assert [(r["media_ref"], r["doc_id"]) for r in orphans] == [("unused", "zz")]
+
+
+def test_media_captions_adjacency_and_boilerplate_skip(spark):
+    """Caption heuristic: nearest qualifying text each side, 'after'
+    preferred; boilerplate and empty text spans are skipped; media at the
+    document edge gets NULL on the open side."""
+    spans = [
+        ("media", "", "m-first", 0),                      # no text before
+        ("text", "a good caption with enough words here", "", 16),
+        ("media", "", "m-mid", 32),
+        ("text", "copyright 2026 all rights reserved", "", 48),  # boiler marker
+        ("text", "", "", 64),                             # empty — skipped
+        ("media", "", "m-last", 80),                      # boiler+empty after
+    ]
+    df = spark.createDataFrame(
+        [("d1", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    rows = {r["media_ref"]: r for r in MM.media_captions(df).collect()}
+    good = "a good caption with enough words here"
+    assert rows["m-first"]["caption_before"] is None
+    assert rows["m-first"]["caption_after"] == good
+    assert rows["m-first"]["caption"] == good
+    assert rows["m-mid"]["caption_before"] == good
+    # the copyright span and the empty span never qualify
+    assert rows["m-mid"]["caption_after"] is None
+    assert rows["m-mid"]["caption"] == good     # falls back to 'before'
+    assert rows["m-last"]["caption_before"] == good
+    assert rows["m-last"]["caption_after"] is None

@@ -64,6 +64,7 @@ AUDIT = [
     "audio_chunks",
     "media_integrity",
     "media_orphans",
+    "media_captions",
     "upload_validate",
     "warc_html_extract",
     "lm_surprisal",
