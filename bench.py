@@ -107,6 +107,8 @@ HEADLINE = [
     "media_integrity",
     "media_orphans",
     "media_captions",
+    "html_links",
+    "host_graph",
     "audio_chunks",
     "image_noise_stats",
     "image_features",

@@ -25,6 +25,7 @@ from ocr_spark.functions import metrics as M
 from ocr_spark.functions import text as T
 from ocr_spark.operators import dedup as DD
 from ocr_spark.operators import layout as L
+from ocr_spark.operators import links as LK
 from ocr_spark.operators import media as MD
 from ocr_spark.operators import similarity as SIM
 from ocr_spark.operators import spans as SP
@@ -5801,6 +5802,139 @@ def q_media_captions(spark: SparkSession, sf: str) -> DataFrame:
     return MD.media_captions(D.span_corpus(D.load(spark, sf, "documents")))
 
 
+# --- hyperlink extraction + host link graph -----------------------------------
+
+# deterministic link-rich page per document, same in both engines: an
+# absolute external link, a protocol-relative CDN link, a root-relative nav
+# link, a single-quoted relative link, plus fragment/mailto/javascript/no-href
+# anchors that must all be dropped
+_SQL_LINKS_FIXTURE = """lsrc AS (
+  SELECT doc_id,
+    'https://site' || (doc_id % 7)::VARCHAR || '.example/page/' ||
+      doc_id::VARCHAR || '/index.html' AS base_uri,
+    '<div><a href="https://ext' || (doc_id % 5)::VARCHAR || '.example/p/' ||
+      (doc_id % 13)::VARCHAR ||
+      '">External partner link</a> <a href="//cdn' ||
+      (doc_id % 3)::VARCHAR ||
+      '.example/lib.js">CDN <b>asset</b></a> <a href="/x">Root nav</a> ' ||
+      '<a href=''about.html''>Single quoted relative</a> ' ||
+      '<a href="#top">Skip fragment</a> <a href="mailto:a@b.c">Mail</a> ' ||
+      '<a href="JavaScript:void(0)">JS</a> <a>No href</a></div>' AS html
+  FROM documents
+)"""
+
+
+def _links_fixture(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/page/"),
+        did,
+        F.lit("/index.html"),
+    )
+    html = F.concat(
+        F.lit('<div><a href="https://ext'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example/p/"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit('">External partner link</a> <a href="//cdn'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(
+            '.example/lib.js">CDN <b>asset</b></a> <a href="/x">Root nav</a> '
+            "<a href='about.html'>Single quoted relative</a> "
+            '<a href="#top">Skip fragment</a> <a href="mailto:a@b.c">Mail</a> '
+            '<a href="JavaScript:void(0)">JS</a> <a>No href</a></div>'
+        ),
+    )
+    return docs.select("doc_id", base.alias("base_uri"), html.alias("html"))
+
+
+def _sql_links_rows() -> str:
+    """The extract_links twin over the fixture: one row per kept anchor."""
+    href = (
+        "(CASE WHEN regexp_extract(a, '(?i)\\bhref\\s*=\\s*\"([^\"]*)\"', 1) != '' "
+        "THEN regexp_extract(a, '(?i)\\bhref\\s*=\\s*\"([^\"]*)\"', 1) "
+        "ELSE regexp_extract(a, '(?i)\\bhref\\s*=\\s*''([^'']*)''', 1) END)"
+    )
+    anchor = _strip(
+        "regexp_replace(regexp_replace(a, '(?is)^<a\\b[^>]*>|</a>$', '', 'g'), "
+        "'(?s)<[^>]*>', '', 'g')"
+    )
+    return f"""
+{_SQL_LINKS_FIXTURE},
+la AS (
+  SELECT doc_id, base_uri,
+         unnest(regexp_extract_all(html, '(?is)<a\\b[^>]*>.*?</a>', 0)) AS a
+  FROM lsrc
+),
+lh AS (
+  SELECT doc_id, base_uri, {_strip(href)} AS href, {anchor} AS anchor
+  FROM la
+),
+lk AS (
+  SELECT doc_id, href, anchor,
+         lower(regexp_extract(base_uri, '^(?i)(https?)://', 1)) AS scheme,
+         lower(regexp_extract(base_uri, '^(?i)https?://([^/?#]*)', 1)) AS src_host,
+         (CASE WHEN regexp_replace(
+              regexp_extract(base_uri, '^(?i)https?://[^/?#]*([^?#]*)', 1),
+              '[^/]*$', '') = '' THEN '/'
+           ELSE regexp_replace(
+              regexp_extract(base_uri, '^(?i)https?://[^/?#]*([^?#]*)', 1),
+              '[^/]*$', '') END) AS dirp
+  FROM lh
+  WHERE href != '' AND NOT regexp_matches(href, '(?i)^(?:#|javascript:|mailto:|data:|tel:)')
+),
+lr AS (
+  SELECT doc_id, anchor, src_host,
+         regexp_replace(
+           CASE WHEN regexp_matches(href, '^(?i)https?://') THEN href
+                WHEN regexp_matches(href, '^//') THEN scheme || ':' || href
+                WHEN regexp_matches(href, '^/') THEN scheme || '://' || src_host || href
+                ELSE scheme || '://' || src_host || dirp || href END,
+           '(?s)#.*$', '') AS url
+  FROM lk
+),
+links AS (
+  SELECT doc_id, url, anchor, src_host,
+         lower(regexp_extract(url, '^(?i)https?://(?:[^/?#]*@)?([^/?#]*)', 1))
+           AS dst_host
+  FROM lr
+)"""
+
+
+@_q(
+    "html_links",
+    f"""
+WITH {_sql_links_rows()}
+SELECT doc_id, url, anchor, src_host, dst_host,
+       (dst_host = src_host) AS internal
+FROM links""",
+)
+def q_html_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperlink extraction with RFC-subset base resolution over a
+    link-rich deterministic page per document: absolute, protocol-relative,
+    root-relative and quoted-relative hrefs resolve; fragment / mailto /
+    javascript / href-less anchors drop."""
+    return LK.extract_links(_links_fixture(D.load(spark, sf, "documents")))
+
+
+@_q(
+    "host_graph",
+    f"""
+WITH {_sql_links_rows()}
+SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+FROM links GROUP BY src_host, dst_host""",
+)
+def q_host_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level link graph (src_host, dst_host, n_links) aggregated from
+    the extracted links — the edge table PageRank-style host ranking
+    consumes."""
+    return LK.host_edges(
+        LK.extract_links(_links_fixture(D.load(spark, sf, "documents")))
+    )
+
+
 @_q(
     "media_decode",
     f"""
@@ -5851,6 +5985,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "html_justext", "media_integrity", "media_orphans", "media_captions",
+    "html_links", "host_graph",
     "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
     "search_hybrid_rrf", "pack_tokenized", "ann_topk_pq", "ann_topk_ivfpq",

@@ -1,0 +1,89 @@
+"""Hyperlink extraction + host graph — operators/links."""
+
+from __future__ import annotations
+
+from ocr_spark.operators import links as LK
+
+
+def _rows(spark, base, html):
+    df = spark.createDataFrame(
+        [(1, base, html)], "doc_id long, base_uri string, html string"
+    )
+    return LK.extract_links(df).collect()
+
+
+def test_resolution_subset(spark):
+    base = "https://www.site.example/a/b/page.html"
+    rows = _rows(
+        spark,
+        base,
+        '<a href="https://other.example/x">abs</a>'
+        '<a href="//cdn.example/y.js">proto</a>'
+        '<a href="/root.html">root</a>'
+        '<a href="rel.html">rel</a>'
+        '<a href="rel.html#frag">relfrag</a>',
+    )
+    by_anchor = {r["anchor"]: r for r in rows}
+    assert by_anchor["abs"]["url"] == "https://other.example/x"
+    assert by_anchor["proto"]["url"] == "https://cdn.example/y.js"
+    assert by_anchor["root"]["url"] == "https://www.site.example/root.html"
+    assert by_anchor["rel"]["url"] == "https://www.site.example/a/b/rel.html"
+    # fragment stripped after resolution
+    assert by_anchor["relfrag"]["url"] == "https://www.site.example/a/b/rel.html"
+    assert by_anchor["abs"]["internal"] is False
+    assert by_anchor["rel"]["internal"] is True
+    assert all(r["src_host"] == "www.site.example" for r in rows)
+
+
+def test_skips_and_quoting(spark):
+    rows = _rows(
+        spark,
+        "http://h.example/",
+        '<a href="#top">frag</a><a href="mailto:a@b">mail</a>'
+        '<a href="JavaScript:void(0)">js</a><a href="tel:+1">tel</a>'
+        '<a href="data:text/plain,x">data</a><a>none</a><a href="">empty</a>'
+        "<a href='single.html'>sq</a>"
+        '<a href=" spaced.html ">sp</a>'
+        '<a href="/ok">Keep <b>bold</b> text</a>',
+    )
+    by_anchor = {r["anchor"]: r for r in rows}
+    assert set(by_anchor) == {"sq", "sp", "Keep bold text"}
+    # http base keeps its scheme on relative resolution
+    assert by_anchor["sq"]["url"] == "http://h.example/single.html"
+    # href whitespace trimmed before resolution
+    assert by_anchor["sp"]["url"] == "http://h.example/spaced.html"
+
+
+def test_base_without_path_and_null_html(spark):
+    rows = _rows(spark, "https://h.example", '<a href="x.html">r</a>')
+    assert rows[0]["url"] == "https://h.example/x.html"
+    df = spark.createDataFrame(
+        [(1, None, None)], "doc_id long, base_uri string, html string"
+    )
+    assert LK.extract_links(df).count() == 0
+
+
+def test_host_edges_feed_pagerank(spark):
+    """The host graph is a valid pagerank edge table end-to-end: hosts
+    linked by many pages outrank hosts linked by few."""
+    pages = []
+    for i in range(12):
+        pages.append(
+            (
+                i,
+                f"https://src{i % 4}.example/p/{i}",
+                '<a href="https://hub.example/x">hub</a>'
+                + ('<a href="https://rare.example/y">rare</a>' if i == 0 else ""),
+            )
+        )
+    df = spark.createDataFrame(pages, "doc_id long, base_uri string, html string")
+    edges = LK.host_edges(LK.extract_links(df))
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"] for r in edges.collect()
+    }
+    assert got[("src0.example", "hub.example")] == 3
+    assert got[("src0.example", "rare.example")] == 1
+    ranks = {
+        r["host"]: r["rank_units"] for r in LK.ranked_hosts(edges).collect()
+    }
+    assert ranks["hub.example"] > ranks["rare.example"]

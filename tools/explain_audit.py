@@ -65,6 +65,8 @@ AUDIT = [
     "media_integrity",
     "media_orphans",
     "media_captions",
+    "html_links",
+    "host_graph",
     "upload_validate",
     "warc_html_extract",
     "lm_surprisal",
