@@ -109,6 +109,7 @@ HEADLINE = [
     "media_captions",
     "html_links",
     "host_graph",
+    "anchor_texts",
     "audio_chunks",
     "image_noise_stats",
     "image_features",

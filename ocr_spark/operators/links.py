@@ -143,3 +143,29 @@ def ranked_hosts(edges: DataFrame, n_iters: int = 3) -> DataFrame:
     return pagerank(e, n_iters=n_iters).join(names, "node").select(
         "host", "rank_units"
     )
+
+
+def anchor_texts(links: DataFrame, k: int = 3) -> DataFrame:
+    """Anchor-text corpus (the classic link-based relevance signal — anchor
+    strings describe the TARGET page better than its own boilerplate): the
+    top-``k`` distinct anchor strings per destination host, ranked by link
+    count with a deterministic (count desc, anchor asc) tie-break.
+
+    Plan: (dst_host, anchor) counts pre-aggregate map-side (the Zipf head
+    of repeated nav anchors collapses before the shuffle), then one
+    window rank per host — two shuffles total, both on dst_host-rooted
+    keys. Output: (dst_host, anchor, n_links, rank)."""
+    counts = (
+        links.filter(py_strip(F.col("anchor")) != "")
+        .groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_links").desc(), F.col("anchor").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

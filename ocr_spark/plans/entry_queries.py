@@ -5936,6 +5936,29 @@ def q_host_graph(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "anchor_texts",
+    f"""
+WITH {_sql_links_rows()},
+ac AS (
+  SELECT dst_host, anchor, count(*)::BIGINT AS n_links
+  FROM links
+  WHERE {_strip("anchor")} != ''
+  GROUP BY dst_host, anchor
+)
+SELECT dst_host, anchor, n_links,
+       row_number() OVER (PARTITION BY dst_host
+                          ORDER BY n_links DESC, anchor ASC)::BIGINT AS rank
+FROM ac QUALIFY rank <= 3""",
+)
+def q_anchor_texts(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text corpus: top-3 anchors per destination host with the
+    deterministic (count desc, anchor asc) tie-break."""
+    return LK.anchor_texts(
+        LK.extract_links(_links_fixture(D.load(spark, sf, "documents"))), k=3
+    )
+
+
+@_q(
     "media_decode",
     f"""
 WITH {D.SQL_SPAN_CORPUS},
@@ -5985,7 +6008,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "html_justext", "media_integrity", "media_orphans", "media_captions",
-    "html_links", "host_graph",
+    "html_links", "host_graph", "anchor_texts",
     "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
     "search_hybrid_rrf", "pack_tokenized", "ann_topk_pq", "ann_topk_ivfpq",

@@ -87,3 +87,19 @@ def test_host_edges_feed_pagerank(spark):
         r["host"]: r["rank_units"] for r in LK.ranked_hosts(edges).collect()
     }
     assert ranks["hub.example"] > ranks["rare.example"]
+
+
+def test_anchor_texts_ranking(spark):
+    pages = [
+        (1, "https://a.example/", '<a href="https://t.example/x">Best page</a>'
+            '<a href="https://t.example/x">Best page</a>'
+            '<a href="https://t.example/y">Also good</a>'
+            '<a href="https://t.example/z">Zlast</a>'
+            '<a href="https://t.example/w">Another one</a>'
+            '<a href="https://t.example/v">   </a>'),   # blank anchor excluded
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, base_uri string, html string")
+    rows = LK.anchor_texts(LK.extract_links(df), k=3).collect()
+    got = [(r["rank"], r["anchor"], r["n_links"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    # count desc first, then anchor asc among the 1-count ties; only k=3 kept
+    assert got == [(1, "Best page", 2), (2, "Also good", 1), (3, "Another one", 1)]

@@ -67,6 +67,7 @@ AUDIT = [
     "media_captions",
     "html_links",
     "host_graph",
+    "anchor_texts",
     "upload_validate",
     "warc_html_extract",
     "lm_surprisal",
