@@ -1,0 +1,105 @@
+"""spark-submit entry point for the link-graph pipeline: crawl pages →
+per-link rows → host link graph → pagerank host ranking + anchor-text
+corpus.
+
+Usage:
+
+    spark-submit --master local[32] --py-files dist/ocr_spark.zip \\
+        jobs/links_job.py --input /data/crawl --format warc \\
+        --output /tmp/links_out
+
+Outputs under --output:
+    links/        (doc_id, url, anchor, src_host, dst_host, internal) —
+                  resumable hash-buckets (re-run the same command after a
+                  crash; committed buckets are never recomputed)
+    host_graph/   (src_host, dst_host, n_links)
+    host_rank/    (host, rank_units)
+    anchors/      (dst_host, anchor, n_links, rank)
+
+The three derived tables are aggregations over the committed links output
+— orders of magnitude smaller than extraction — so they recompute from
+the bucket parquet on every run rather than carrying their own
+checkpoints; extraction (the crawl-scale pass) is the resumable stage.
+
+Parquet input must carry (doc_id, base_uri, html); WARC input derives
+(xxhash64(target_uri), target_uri, payload) from 200-OK text/html
+responses, the same corpus-view keying as sources/warc.warc_documents.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--format", choices=("warc", "parquet"), default="warc")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--top-anchors", type=int, default=3)
+    ap.add_argument("--rank-iters", type=int, default=3)
+    ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.links import (
+        anchor_texts,
+        extract_links,
+        host_edges,
+        ranked_hosts,
+    )
+    from ocr_spark.plans.checkpoint import run_checkpointed
+
+    spark = SparkSession.builder.appName("ocr-spark-links").getOrCreate()
+
+    if args.format == "warc":
+        from ocr_spark.sources.warc import read_warc, responses
+
+        ct = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
+        pages = (
+            responses(read_warc(spark, args.input))
+            .filter(
+                (F.col("http_status") == 200)
+                & (ct.startswith("text/html") | ct.startswith("application/xhtml+xml"))
+            )
+            .select(
+                F.xxhash64("target_uri").alias("doc_id"),
+                F.col("target_uri").alias("base_uri"),
+                F.col("html"),
+            )
+        )
+    else:
+        pages = spark.read.parquet(args.input)
+
+    summary = run_checkpointed(
+        spark,
+        pages,
+        args.output + "/links",
+        extract_links,
+        num_buckets=args.buckets,
+        input_lineage=args.input,
+        fail_after=args.fail_after,
+        job_params={"stage": "links-v1"},
+    )
+
+    links = spark.read.parquet(args.output + "/links/bucket=*")
+    edges = host_edges(links)
+    edges.write.mode("overwrite").parquet(args.output + "/host_graph")
+    ranked_hosts(edges, n_iters=args.rank_iters).write.mode("overwrite").parquet(
+        args.output + "/host_rank"
+    )
+    anchor_texts(links, k=args.top_anchors).write.mode("overwrite").parquet(
+        args.output + "/anchors"
+    )
+
+    summary["n_links"] = links.count()
+    summary["n_host_edges"] = edges.count()
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -103,3 +103,45 @@ def test_anchor_texts_ranking(spark):
     got = [(r["rank"], r["anchor"], r["n_links"]) for r in sorted(rows, key=lambda r: r["rank"])]
     # count desc first, then anchor asc among the 1-count ties; only k=3 kept
     assert got == [(1, "Best page", 2), (2, "Also good", 1), (3, "Another one", 1)]
+
+
+def test_links_job_end_to_end_and_resume(spark, tmp_path, monkeypatch):
+    """links_job over a synthetic WARC drop: resumable extraction buckets,
+    then host graph / host rank / anchor corpus derived tables."""
+    import sys as _sys
+
+    from ocr_spark.sources import warc as W
+    from jobs import links_job
+
+    wdir = tmp_path / "crawl"
+    wdir.mkdir()
+    (wdir / "a.warc").write_bytes(W.synth_warc_file(0, range(8), False))
+    out = tmp_path / "out"
+
+    argv = ["links_job.py", "--input", str(wdir), "--output", str(out),
+            "--buckets", "4"]
+    monkeypatch.setattr(_sys, "argv", argv)
+    links_job.main()
+
+    links = spark.read.parquet(str(out / "links" / "bucket=*"))
+    # every 200-OK page contributes its two nav links (Home, Links)
+    n_pages = links.select("doc_id").distinct().count()
+    assert n_pages > 0 and links.count() == 2 * n_pages
+    assert spark.read.parquet(str(out / "host_graph")).count() > 0
+    ranks = spark.read.parquet(str(out / "host_rank"))
+    assert ranks.count() == ranks.select("host").distinct().count() > 0
+    anchors = {r["anchor"] for r in
+               spark.read.parquet(str(out / "anchors")).collect()}
+    assert anchors == {"Home", "Links"}
+
+    # resume: a second run recomputes nothing in the extraction stage
+    monkeypatch.setattr(_sys, "argv", argv)
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+    buf = _io.StringIO()
+    with _rs(buf):
+        links_job.main()
+    import json as _json
+    summary = _json.loads([l for l in buf.getvalue().splitlines()
+                           if l.startswith("{")][-1])
+    assert summary["buckets_run"] == 0 and summary["buckets_skipped"] == 4
