@@ -145,3 +145,46 @@ def test_links_job_end_to_end_and_resume(spark, tmp_path, monkeypatch):
     summary = _json.loads([l for l in buf.getvalue().splitlines()
                            if l.startswith("{")][-1])
     assert summary["buckets_run"] == 0 and summary["buckets_skipped"] == 4
+
+
+def test_links_stream_equals_batch(spark, tmp_path):
+    """extract_links is stateless per page, so it composes unchanged onto
+    the streaming WARC source: continuous crawl drops yield the same link
+    rows as a batch read of the same archives."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.sources import warc as W
+
+    def pages(parsed):
+        ct = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
+        return (
+            W.responses(parsed)
+            .filter((F.col("http_status") == 200) & ct.startswith("text/html"))
+            .select(
+                F.xxhash64("target_uri").alias("doc_id"),
+                F.col("target_uri").alias("base_uri"),
+                F.col("html"),
+            )
+        )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "c0.warc").write_bytes(W.synth_warc_file(0, range(0, 10, 2), False))
+    stream = LK.extract_links(pages(W.read_warc_stream(spark, str(drop))))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("links_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (drop / "c1.warc.gz").write_bytes(W.synth_warc_file(1, range(1, 10, 2), True))
+        q.processAllAvailable()
+        got = spark.table("links_stream").collect()
+    finally:
+        q.stop()
+    batch = LK.extract_links(pages(W.read_warc(spark, str(drop)))).collect()
+    key = lambda r: (r["doc_id"], r["url"], r["anchor"])
+    assert sorted(map(key, got)) == sorted(map(key, batch)) != []
