@@ -110,6 +110,7 @@ HEADLINE = [
     "html_links",
     "host_graph",
     "anchor_texts",
+    "compress_ratio",
     "audio_chunks",
     "image_noise_stats",
     "image_features",

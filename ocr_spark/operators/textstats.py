@@ -1814,3 +1814,97 @@ def search_bm25(
         top.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .select("rank", "doc_id", "score_units", "n_matched")
     )
+
+
+# --- compression-ratio quality signal --------------------------------------------
+# The "too compressible = template spam" filter of the RefinedWeb/DataTrove
+# family: natural prose zlib-compresses to ~0.35-0.6 of its size, while
+# templated/repeated content (nav spam, keyword stuffing, generation loops)
+# collapses far below that. n-gram repetition gates (gopher_quality) catch
+# EXACT repeats; the compressor additionally prices approximate and
+# long-range structure with one pass and no vocabulary state.
+
+COMPRESS_LEVEL = 6  # zlib default; fixed so outputs are reproducible
+COMPRESS_MIN_RATIO_MICRO = 300_000  # flag below 0.30 (integer micro-units)
+
+
+def compression_ratio(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_bytes, n_zlib_bytes, zlib_ratio_micro, too_repetitive) —
+    UTF-8 byte length, zlib(level=6) compressed length, their ratio in
+    integer micro-units ((zlib*10^6) div raw; empty text reports 10^6),
+    and the repetition flag.
+
+    Plan shape: one narrow Arrow-batched mapInPandas pass (zlib is not a
+    Catalyst expression — this is the legitimate vectorized-UDF tier, like
+    the image kernels); no shuffle, no driver involvement. Determinism:
+    zlib output for a fixed (level, strategy) is stable in CPython's
+    bundled zlib, and the committed golden (tools/make_compress_golden.py)
+    is staleness-guarded by pytest so an environment change surfaces as a
+    test failure, not a silent drift."""
+    from collections.abc import Iterator as _It
+
+    def proc(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            raw = [t.encode("utf-8") for t in texts]
+            nb = [len(b) for b in raw]
+            nz = [len(zlib.compress(b, COMPRESS_LEVEL)) for b in raw]
+            ratio = [
+                (z * 1_000_000) // n if n else 1_000_000 for z, n in zip(nz, nb)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": nb,
+                    "n_zlib_bytes": nz,
+                    "zlib_ratio_micro": ratio,
+                    "too_repetitive": [
+                        r < COMPRESS_MIN_RATIO_MICRO for r in ratio
+                    ],
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        proc,
+        "doc_id long, n_bytes long, n_zlib_bytes long, "
+        "zlib_ratio_micro long, too_repetitive boolean",
+    )
+
+
+def synth_compress_text(i: int) -> str:
+    """Deterministic per-id text spanning the compressibility spectrum:
+    class i%5 == 0 is high-entropy (distinct md5 hexes), classes 1-4 repeat
+    a small base with growing multiplicity. Pure stdlib — the same function
+    generates the corpus executor-side in the query and driver-side in the
+    golden tool."""
+    import hashlib
+
+    rep = i % 5
+    if rep == 0:
+        return " ".join(
+            hashlib.md5(f"cmp-{i}-{k}".encode()).hexdigest() for k in range(30)
+        )
+    base = " ".join(
+        hashlib.md5(f"cmp-{i}".encode()).hexdigest()[j : j + 4] for j in range(0, 24, 4)
+    )
+    return (base + " ") * (3 + rep * 12)
+
+
+def synth_compress_docs(spark, n: int = 400):
+    """Distributed (doc_id, text) synthesis via :func:`synth_compress_text`."""
+    from collections.abc import Iterator as _It
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {"doc_id": ids, "text": [synth_compress_text(i) for i in ids]}
+            )
+
+    return (
+        spark.range(n)
+        .repartition(8)
+        .mapInPandas(gen, "doc_id long, text string")
+    )

@@ -5935,6 +5935,16 @@ def q_host_graph(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("compress_ratio", _golden_sql("compress_ratio"))
+def q_compress_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """zlib compression-ratio quality signal (the 'too compressible =
+    template spam' filter) over the deterministic synthetic corpus spanning
+    the compressibility spectrum; the oracle reads the committed golden
+    parquet (tools/make_compress_golden.py — zlib is not SQL-expressible),
+    staleness-guarded by pytest."""
+    return TS.compression_ratio(TS.synth_compress_docs(spark))
+
+
 @_q(
     "anchor_texts",
     f"""
@@ -6008,7 +6018,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "html_justext", "media_integrity", "media_orphans", "media_captions",
-    "html_links", "host_graph", "anchor_texts",
+    "html_links", "host_graph", "anchor_texts", "compress_ratio",
     "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
     "search_hybrid_rrf", "pack_tokenized", "ann_topk_pq", "ann_topk_ivfpq",

@@ -2054,3 +2054,47 @@ def test_media_captions_adjacency_and_boilerplate_skip(spark):
     assert rows["m-mid"]["caption"] == good     # falls back to 'before'
     assert rows["m-last"]["caption_before"] == good
     assert rows["m-last"]["caption_after"] is None
+
+
+def test_compression_ratio_separates_prose_from_spam(spark):
+    """Repetitive text compresses far below prose; empty text reports the
+    neutral 10^6 ratio; the flag thresholds at 0.30."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and keeps going "
+            "with fresh unrepeated words every clause of the way onward"),
+        (2, "spam spam spam " * 200),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in TS.compression_ratio(df).collect()}
+    assert got[2]["zlib_ratio_micro"] < 100_000 and got[2]["too_repetitive"]
+    assert got[1]["zlib_ratio_micro"] > 400_000 and not got[1]["too_repetitive"]
+    for i in (3, 4):
+        assert got[i]["n_bytes"] == 0
+        assert got[i]["zlib_ratio_micro"] == 1_000_000
+        assert not got[i]["too_repetitive"]
+    # exactness against stdlib zlib, byte for byte
+    import zlib
+    raw = rows[0][1].encode()
+    assert got[1]["n_zlib_bytes"] == len(zlib.compress(raw, TS.COMPRESS_LEVEL))
+
+
+def test_compress_golden_fresh(spark):
+    """The committed golden parquet regenerates bit-identically in this
+    environment (zlib drift or synth-corpus edits must fail here, not
+    silently break the driver oracle)."""
+    import duckdb
+
+    from tools.make_compress_golden import golden_rows
+
+    path = "tests/golden/compress_ratio.parquet"
+    want = {r["doc_id"]: r for r in golden_rows()}
+    got = duckdb.sql(f"SELECT * FROM read_parquet('{path}')").fetchall()
+    assert len(got) == len(want)
+    for doc_id, nb, nz, ratio, flag in got:
+        w = want[doc_id]
+        assert (nb, nz, ratio, flag) == (
+            w["n_bytes"], w["n_zlib_bytes"], w["zlib_ratio_micro"],
+            w["too_repetitive"],
+        )

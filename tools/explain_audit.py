@@ -68,6 +68,7 @@ AUDIT = [
     "html_links",
     "host_graph",
     "anchor_texts",
+    "compress_ratio",
     "upload_validate",
     "warc_html_extract",
     "lm_surprisal",
