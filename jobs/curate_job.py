@@ -42,6 +42,10 @@ one global decision, so rejected docs never pay the later stages twice):
                           FineWeb-Edu/DCLM model-filter shape); doc-local
                           once the broadcast weights load, so it runs
                           inside the bucketed transform
+  1g. compression gate  — (--compress-min-ratio X) drop docs whose zlib
+                          ratio falls below X (too compressible =
+                          template spam); doc-local, inside the bucketed
+                          transform
   4b. domain gate       — (--blocked-domains a.com,b.net) drop docs whose
                           in-text URLs hit a blocked domain or subdomain
   5. PII redaction      — URL/email/IP/phone → typed tokens
@@ -86,7 +90,8 @@ import json
 
 def curate_transform(part, langs, line_index=None, blocklist=(), blocked_domains=(),
                      cls_weights=None, cls_min_score=None, gopher_overrides=None,
-                     substr_marks_df=None, substr_k=50):
+                     substr_marks_df=None, substr_k=50,
+                     compress_min_ratio=None):
     """Bucket-local stages 1b-5: line dedup -> language ID -> quality
     gate (language-aware: English-only Gopher rules gate only en docs) ->
     language filter -> blocklist + domain gates (raw text) -> PII
@@ -117,6 +122,15 @@ def curate_transform(part, langs, line_index=None, blocklist=(), blocked_domains
             F.col("score") >= cls_min_score
         ).select("doc_id")
         part = part.join(good, "doc_id")
+    if compress_min_ratio is not None:
+        # doc-local like the classifier gate (one mapInPandas pass, no
+        # global state) so it rides the bucketed transform and resumes free
+        from ocr_spark.operators.textstats import compression_ratio
+
+        incompressible = compression_ratio(part).filter(
+            F.col("zlib_ratio_micro") >= int(compress_min_ratio * 1_000_000)
+        ).select("doc_id")
+        part = part.join(incompressible, "doc_id")
     # language first: the Gopher stop-word / alpha-word rules are
     # English-specific, so the gate must know each doc's language or a
     # --langs ru / de / fr corpus is silently wiped out at stage 2.
@@ -177,6 +191,7 @@ def run_curate(
     do_fix_text: bool = False,
     cls_weights_path: str | None = None,
     cls_min_score: float | None = None,
+    compress_min_ratio: float | None = None,
     gopher_overrides: dict | None = None,
     substr_k: int | None = None,
     report: bool = False,
@@ -419,7 +434,8 @@ def run_curate(
             part = part.join(dsir_losers, "doc_id", "left_anti")
         return curate_transform(part, langs, line_index, blocklist, blocked_domains,
                                 cls_weights, cls_min_score, gopher_overrides,
-                                substr_marks_df, substr_k or 50)
+                                substr_marks_df, substr_k or 50,
+                                compress_min_ratio)
 
     summary = run_checkpointed(
         spark,
@@ -446,6 +462,7 @@ def run_curate(
             "fix_text": do_fix_text,
             "cls_weights": cls_weights_path,
             "cls_min_score": cls_min_score,
+            "compress_min_ratio": compress_min_ratio,
             "gopher_overrides": gopher_overrides,
             "substr_k": substr_k,
             "against": against,
@@ -632,7 +649,8 @@ def main() -> None:
                          "any --decon-n-gram with it")
     ap.add_argument("--decon-format", choices=("parquet", "orc", "jsonl", "csv"), default=None,
                     help="format of --decon-eval (default: same as --format)")
-    ap.add_argument("--html-extractor", choices=("boilerpipe", "readability"),
+    ap.add_argument("--html-extractor",
+                    choices=("boilerpipe", "readability", "justext"),
                     default="boilerpipe",
                     help="main-content extractor for --format warc ingest")
     ap.add_argument("--decon-fuzzy", type=float, default=None, metavar="JACCARD",
@@ -669,6 +687,11 @@ def main() -> None:
     ap.add_argument("--cls-min-score", type=float, default=None,
                     help="drop docs scoring below this under the hashed "
                          "linear classifier")
+    ap.add_argument("--compress-min-ratio", type=float, default=None,
+                    metavar="RATIO",
+                    help="drop docs whose zlib compression ratio falls "
+                         "below RATIO (too compressible = template spam); "
+                         "e.g. 0.30")
     ap.add_argument("--substr-k", type=int, default=None,
                     help="exact repeated-substring removal: delete every "
                          "N-token window repeated anywhere in the corpus "
@@ -727,6 +750,7 @@ def main() -> None:
         do_fix_text=args.fix_text,
         cls_weights_path=args.cls_weights,
         cls_min_score=args.cls_min_score,
+        compress_min_ratio=args.compress_min_ratio,
         gopher_overrides=json.loads(args.gopher) if args.gopher else None,
         substr_k=args.substr_k,
         report=args.report,

@@ -1002,3 +1002,32 @@ def test_curate_job_shuffle_shards_layout(spark, tmp_path):
                shuffle_seed="shuffle-v1:epoch2")
     sh3 = spark.read.parquet(str(out3 / "_shards")).collect()
     assert {r["doc_id"] for r in sh3} == kept and key(sh3) != key(sh)
+
+
+def test_curate_job_compress_gate(spark, tmp_path):
+    """--compress-min-ratio drops template spam inside the bucketed
+    transform: a doc that zlib-compresses below the bar disappears, prose
+    survives, and the gate participates in the resume fingerprint."""
+    from jobs.curate_job import run_curate
+
+    prose = ("the quick brown fox jumps over the lazy dog and keeps moving "
+             "through fresh words in every clause without repeating itself "
+             "so that the compressor finds no structure to exploit at all ")
+    rows = [(i, prose + f"unique tail {i} " + prose) for i in range(20)]
+    rows += [(100 + i, "spam spam spam " * 120) for i in range(5)]
+    inp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+
+    out = tmp_path / "cur_z"
+    run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+               num_buckets=2, compress_min_ratio=0.30)
+    ids = {r["doc_id"] for r in
+           spark.read.parquet(str(out / "bucket=*")).select("doc_id").collect()}
+    assert ids and all(i < 100 for i in ids)
+
+    # changed gate => changed fingerprint: a resume with a different ratio
+    # must refuse rather than mix gate semantics across buckets
+    import pytest as _pt
+    with _pt.raises(Exception, match="fingerprint|params|refus"):
+        run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+                   num_buckets=2, compress_min_ratio=0.50)
