@@ -111,6 +111,7 @@ HEADLINE = [
     "host_graph",
     "anchor_texts",
     "compress_ratio",
+    "langid_model",
     "audio_chunks",
     "image_noise_stats",
     "image_features",

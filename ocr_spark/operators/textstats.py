@@ -1908,3 +1908,79 @@ def synth_compress_docs(spark, n: int = 400):
         .repartition(8)
         .mapInPandas(gen, "doc_id long, text string")
     )
+
+
+# --- model-shaped language ID ------------------------------------------------------
+# The fastText-langid SHAPE (hashed char-n-gram features → per-language
+# linear scores → argmax), as pure expressions: where `language_id` is a
+# fixed stopword heuristic, this one is a MODEL evaluation — swap the demo
+# weight formula for a trained (bucket, lang, weight) table and the plan
+# is identical. Char n-grams beat word features on short/noisy crawl text
+# (no tokenization assumptions), which is why the fastText family uses them.
+
+LANGID_MODEL_LANGS = ("de", "en", "es", "fr", "ru")  # alphabetical = tie order
+LANGID_GRAM = 3
+_LANGID_PRIME = 1_000_003
+
+
+def _langid_demo_weight(bucket: Column, lang_rank: int) -> Column:
+    # deterministic integer weight in [-M/2, M/2), mixing the language rank
+    # into the bucket before the multiplicative hash — same discipline as
+    # classifier_score's demo weights; production replaces this formula
+    # with a trained weight table lookup
+    return ((bucket + lang_rank * _LANGID_PRIME) * CLS_WEIGHT_A) % CLS_WEIGHT_M - (
+        CLS_WEIGHT_M // 2
+    )
+
+
+def langid_model(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, lang, score_units, n_grams) — argmax over
+    ``LANGID_MODEL_LANGS`` of summed hashed char-trigram weights, ties
+    broken alphabetically; 'und' with score 0 when the text yields no
+    trigram.
+
+    Plan shape: the trigram → bucket array materializes ONCE per row (one
+    seeded_hash48 per gram); each language's score is then one integer
+    fold over that bucket array (the array is the fold's ARGUMENT, never
+    re-evaluated per element). No shuffle, no Python, no vocabulary state
+    — the same scale profile as classifier_score."""
+    norm = F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"(?U)\s+", " "
+    )
+    n = F.length(norm)
+    idx = F.when(n >= LANGID_GRAM, F.sequence(F.lit(1), n - (LANGID_GRAM - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(LANGID_GRAM)))
+    buckets = F.transform(
+        grams, lambda g: seeded_hash48(g, "langid-v1") % CLS_BUCKETS
+    )
+    df = docs.select(F.col(id_col).alias("doc_id"), buckets.alias("__bs"))
+
+    def _fold(rank: int):
+        # closure factory, NOT a default param: PySpark counts a lambda's
+        # parameters (defaults included) to bind higher-order-function
+        # variables, so `lambda acc, b, r=rank` would bind as 3-arg
+        return lambda acc, b: acc + _langid_demo_weight(b, rank)
+
+    scored = []
+    for rank, lang in enumerate(LANGID_MODEL_LANGS):
+        s = F.aggregate(F.col("__bs"), F.lit(0).cast("long"), _fold(rank))
+        scored.append(
+            F.struct(
+                s.alias("score"),
+                # larger rank = alphabetically earlier → array_max's
+                # lexicographic tie-break picks the FIRST language
+                F.lit(len(LANGID_MODEL_LANGS) - rank).alias("rank"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scored))
+    return df.select(
+        "doc_id",
+        F.when(F.size("__bs") == 0, F.lit("und")).otherwise(best["lang"]).alias("lang"),
+        F.when(F.size("__bs") == 0, F.lit(0).cast("long"))
+        .otherwise(best["score"])
+        .alias("score_units"),
+        F.size("__bs").cast("long").alias("n_grams"),
+    )

@@ -5935,6 +5935,60 @@ def q_host_graph(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sql_langid_model() -> str:
+    from ocr_spark.operators.textstats import (
+        CLS_BUCKETS,
+        CLS_WEIGHT_A,
+        CLS_WEIGHT_M,
+        LANGID_MODEL_LANGS,
+        _LANGID_PRIME,
+    )
+
+    score_cols = []
+    for rank, lang in enumerate(LANGID_MODEL_LANGS):
+        w = (
+            f"((b + {rank} * {_LANGID_PRIME}) * {CLS_WEIGHT_A}) % {CLS_WEIGHT_M} "
+            f"- {CLS_WEIGHT_M // 2}"
+        )
+        score_cols.append(
+            f"coalesce(list_sum(list_transform(bs, b -> {w})), 0)::BIGINT AS s_{lang}"
+        )
+    g = "greatest(" + ", ".join(f"s_{l}" for l in LANGID_MODEL_LANGS) + ")"
+    pick = " ".join(
+        f"WHEN s_{l} = {g} THEN '{l}'" for l in LANGID_MODEL_LANGS
+    )
+    return f"""
+WITH ln AS (
+  SELECT doc_id,
+         regexp_replace(lower(coalesce(text, '')), '{_WS}+', ' ', 'g') AS norm
+  FROM documents
+),
+lg AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(norm) - 1, 1)),
+           i -> ('0x' || substr(md5('langid-v1:' || substr(norm, i::INT, 3)), 1, 12))::BIGINT
+                % {CLS_BUCKETS}) AS bs
+  FROM ln
+),
+ls AS (
+  SELECT doc_id, len(bs)::BIGINT AS n_grams, {", ".join(score_cols)}
+  FROM lg
+)
+SELECT doc_id,
+       CASE WHEN n_grams = 0 THEN 'und' {pick} END AS lang,
+       CASE WHEN n_grams = 0 THEN 0::BIGINT ELSE {g} END AS score_units,
+       n_grams
+FROM ls"""
+
+
+@_q("langid_model", _sql_langid_model())
+def q_langid_model(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-shaped language ID (fastText shape: hashed char-trigram
+    features → per-language linear scores → argmax, alphabetical
+    tie-break) over the documents corpus."""
+    return TS.langid_model(D.load(spark, sf, "documents"))
+
+
 @_q("compress_ratio", _golden_sql("compress_ratio"))
 def q_compress_ratio(spark: SparkSession, sf: str) -> DataFrame:
     """zlib compression-ratio quality signal (the 'too compressible =
@@ -6018,7 +6072,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "html_justext", "media_integrity", "media_orphans", "media_captions",
-    "html_links", "host_graph", "anchor_texts", "compress_ratio",
+    "html_links", "host_graph", "anchor_texts", "compress_ratio", "langid_model",
     "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
     "search_hybrid_rrf", "pack_tokenized", "ann_topk_pq", "ann_topk_ivfpq",

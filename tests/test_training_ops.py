@@ -2098,3 +2098,39 @@ def test_compress_golden_fresh(spark):
             w["n_bytes"], w["n_zlib_bytes"], w["zlib_ratio_micro"],
             w["too_repetitive"],
         )
+
+
+def test_langid_model_shape_and_determinism(spark):
+    """Model-shaped langid: argmax over per-language hashed-trigram scores,
+    alphabetical tie-break via the rank field, 'und' below one trigram,
+    and bit-stable across partition layouts."""
+    rows = [(1, "the quick brown fox and the lazy dog"),
+            (2, "ab"),            # < 3 chars → no trigram
+            (3, None),
+            (4, "x" * 5000)]      # long uniform text still one scan
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in TS.langid_model(df).collect()}
+    assert got[2]["lang"] == "und" and got[2]["score_units"] == 0
+    assert got[3]["lang"] == "und" and got[3]["n_grams"] == 0
+    assert got[1]["lang"] in TS.LANGID_MODEL_LANGS
+    assert got[1]["n_grams"] == len("the quick brown fox and the lazy dog") - 2
+    # repartitioning must not change a single output value
+    got2 = {r["doc_id"]: r for r in TS.langid_model(df.repartition(7)).collect()}
+    for k in got:
+        assert tuple(got[k]) == tuple(got2[k])
+    # the demo weights are a stand-in for a trained table: the score is the
+    # exact integer sum of the per-gram weights
+    import hashlib
+    text = rows[0][1].lower()
+    grams = [text[i:i + 3] for i in range(len(text) - 2)]
+    langs = TS.LANGID_MODEL_LANGS
+    def score(rank):
+        s = 0
+        for g in grams:
+            b = int(hashlib.md5(f"langid-v1:{g}".encode()).hexdigest()[:12], 16) % TS.CLS_BUCKETS
+            s += ((b + rank * TS._LANGID_PRIME) * TS.CLS_WEIGHT_A) % TS.CLS_WEIGHT_M - TS.CLS_WEIGHT_M // 2
+        return s
+    scores = [score(r) for r in range(len(langs))]
+    best = max(scores)
+    assert got[1]["score_units"] == best
+    assert got[1]["lang"] == langs[scores.index(best)]

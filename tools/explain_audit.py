@@ -69,6 +69,7 @@ AUDIT = [
     "host_graph",
     "anchor_texts",
     "compress_ratio",
+    "langid_model",
     "upload_validate",
     "warc_html_extract",
     "lm_surprisal",
