@@ -112,6 +112,7 @@ HEADLINE = [
     "anchor_texts",
     "compress_ratio",
     "langid_model",
+    "host_stats",
     "audio_chunks",
     "image_noise_stats",
     "image_features",

@@ -169,3 +169,34 @@ def anchor_texts(links: DataFrame, k: int = 3) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def host_stats(edges: DataFrame) -> DataFrame:
+    """Per-host degree audit over the host graph — the spam-shape signals
+    link-based curation keys on (link farms: huge out-degree, tiny
+    in-degree; parked clusters: reciprocal self-links): out_hosts /
+    in_hosts (distinct neighbours), out_links / in_links (edge weights),
+    and self_links.
+
+    Plan: two aggregations over the (already host-level, so tiny relative
+    to the corpus) edge table, full-outer-joined on host — no corpus
+    access at all."""
+    out = edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_hosts"),
+        F.sum("n_links").cast("long").alias("out_links"),
+        F.sum(F.when(F.col("src_host") == F.col("dst_host"), F.col("n_links")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("self_links"),
+    )
+    inn = edges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_hosts"),
+        F.sum("n_links").cast("long").alias("in_links"),
+    )
+    return out.join(inn, "host", "full_outer").select(
+        "host",
+        F.coalesce(F.col("out_hosts"), F.lit(0)).cast("long").alias("out_hosts"),
+        F.coalesce(F.col("out_links"), F.lit(0)).cast("long").alias("out_links"),
+        F.coalesce(F.col("in_hosts"), F.lit(0)).cast("long").alias("in_hosts"),
+        F.coalesce(F.col("in_links"), F.lit(0)).cast("long").alias("in_links"),
+        F.coalesce(F.col("self_links"), F.lit(0)).cast("long").alias("self_links"),
+    )

@@ -5935,6 +5935,44 @@ def q_host_graph(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "host_stats",
+    f"""
+WITH {_sql_links_rows()},
+hg AS (
+  SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+  FROM links GROUP BY src_host, dst_host
+),
+ho AS (
+  SELECT src_host AS host, count(*)::BIGINT AS out_hosts,
+         sum(n_links)::BIGINT AS out_links,
+         sum(CASE WHEN src_host = dst_host THEN n_links ELSE 0 END)::BIGINT
+           AS self_links
+  FROM hg GROUP BY src_host
+),
+hi AS (
+  SELECT dst_host AS host, count(*)::BIGINT AS in_hosts,
+         sum(n_links)::BIGINT AS in_links
+  FROM hg GROUP BY dst_host
+)
+SELECT coalesce(ho.host, hi.host) AS host,
+       coalesce(out_hosts, 0)::BIGINT AS out_hosts,
+       coalesce(out_links, 0)::BIGINT AS out_links,
+       coalesce(in_hosts, 0)::BIGINT AS in_hosts,
+       coalesce(in_links, 0)::BIGINT AS in_links,
+       coalesce(self_links, 0)::BIGINT AS self_links
+FROM ho FULL OUTER JOIN hi ON ho.host = hi.host""",
+)
+def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host in/out-degree audit (link-farm / parked-cluster shape
+    signals) over the host graph derived from the link fixture."""
+    return LK.host_stats(
+        LK.host_edges(
+            LK.extract_links(_links_fixture(D.load(spark, sf, "documents")))
+        )
+    )
+
+
 def _sql_langid_model() -> str:
     from ocr_spark.operators.textstats import (
         CLS_BUCKETS,
@@ -6072,7 +6110,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "html_justext", "media_integrity", "media_orphans", "media_captions",
-    "html_links", "host_graph", "anchor_texts", "compress_ratio", "langid_model",
+    "html_links", "host_graph", "anchor_texts", "compress_ratio", "langid_model", "host_stats",
     "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
     "search_hybrid_rrf", "pack_tokenized", "ann_topk_pq", "ann_topk_ivfpq",

@@ -188,3 +188,25 @@ def test_links_stream_equals_batch(spark, tmp_path):
     batch = LK.extract_links(pages(W.read_warc(spark, str(drop)))).collect()
     key = lambda r: (r["doc_id"], r["url"], r["anchor"])
     assert sorted(map(key, got)) == sorted(map(key, batch)) != []
+
+
+def test_host_stats_degree_audit(spark):
+    """Link-farm shape: big out-degree / no in-links; sink host: the
+    reverse; self-links counted separately; link-count weights summed."""
+    pages = [
+        (1, "https://farm.example/a",
+         "".join(f'<a href="https://t{i}.example/x">t</a>' for i in range(6))
+         + '<a href="https://farm.example/b">self</a>'
+         + '<a href="https://farm.example/c">self2</a>'),
+        (2, "https://t0.example/p", '<a href="https://t1.example/y">one</a>'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, base_uri string, html string")
+    stats = {r["host"]: r for r in
+             LK.host_stats(LK.host_edges(LK.extract_links(df))).collect()}
+    farm = stats["farm.example"]
+    assert farm["out_hosts"] == 7          # 6 targets + itself
+    assert farm["out_links"] == 8          # 6 + 2 self links
+    assert farm["self_links"] == 2
+    assert farm["in_hosts"] == 1 and farm["in_links"] == 2  # only itself
+    sink = stats["t1.example"]
+    assert sink["out_hosts"] == 0 and sink["in_hosts"] == 2

@@ -43,6 +43,12 @@ ACCEPTED = {
         "the single broadcast totals row — attaches two scalars to a "
         "16384-row table"
     ),
+    ("search_hybrid_rrf", "SortMergeJoin"): (
+        "rrf_fuse's FULL OUTER join of the two top-k ranker outputs: Spark "
+        "cannot broadcast a full-outer join at all, and both inputs are "
+        "already k-row lists from their own TakeOrdered — the SMJ sorts "
+        "2k rows, not the corpus"
+    ),
 }
 
 AUDIT = [
@@ -70,6 +76,7 @@ AUDIT = [
     "anchor_texts",
     "compress_ratio",
     "langid_model",
+    "host_stats",
     "upload_validate",
     "warc_html_extract",
     "lm_surprisal",
@@ -107,19 +114,34 @@ AUDIT = [
 ]
 
 
+def plan_of(spark, name: str, sf_dir: str = "/root/testdata/sf0.001") -> str:
+    from ocr_spark.plans import entry_queries as EQ
+
+    df = EQ.QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def unaccepted_smells(name: str, plan: str) -> list[str]:
+    """The smell hits for ``name`` that are NOT in the reviewed ACCEPTED
+    registry — the regression contract tests/test_plan_smells.py enforces."""
+    out = []
+    for needle, msg in SMELLS:
+        if needle in plan and (name, needle) not in ACCEPTED:
+            out.append(f"{needle}: {msg}")
+    return out
+
+
 def main() -> None:
     only = sys.argv[1:]
-    from ocr_spark.plans import entry_queries as EQ
     from ocr_spark.session import get_spark
 
     spark = get_spark("explain-audit", master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
     for name in only or AUDIT:
-        df = EQ.QUERIES[name](spark, "/root/testdata/sf0.001")
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
+        plan = plan_of(spark, name)
         print(f"{'=' * 70}\n## {name}\n{plan}")
         for needle, msg in SMELLS:
             if needle in plan:
