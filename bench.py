@@ -113,6 +113,7 @@ HEADLINE = [
     "compress_ratio",
     "langid_model",
     "host_stats",
+    "ccnet_tiers",
     "audio_chunks",
     "image_noise_stats",
     "image_features",

@@ -1984,3 +1984,63 @@ def langid_model(docs, id_col: str = "doc_id", text_col: str = "text"):
         .alias("score_units"),
         F.size("__bs").cast("long").alias("n_grams"),
     )
+
+
+def ccnet_tiers(docs, model_docs=None, id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3): per language, the third of documents with the lowest LM
+    surprisal is 'head', the next 'middle', the rest 'tail' — the
+    standard quality-stratified sampling key for crawl corpora.
+
+    Cutoffs are EXACT rank statistics over the (lang, milli_bits)
+    histogram, the same discipline as length_quantiles: the shuffle
+    carries one row per DISTINCT (lang, milli-bit) value — bounded by the
+    score domain, not the corpus — so a mega-language never sorts on one
+    reducer (the published pipeline likewise assigns by fixed per-language
+    cutoffs, not by per-document ranking). milli_bits = (total_bits *
+    1000) div n_bigrams, all integer; ties share a tier by construction.
+    Docs with <2 words score 0 milli-bits and land in 'head' — CCNet
+    drops those upstream (gopher length gates), documented here.
+
+    Returns (doc_id, lang, milli_bits, tier)."""
+    scored = lm_surprisal(docs, model_docs, id_col, text_col).select(
+        "doc_id",
+        F.expr("(total_bits * 1000) div greatest(n_bigrams, 1)")
+        .cast("long")
+        .alias("milli_bits"),
+    )
+    langs = docs.select(
+        F.col(id_col).alias("doc_id"), language_id(F.col(text_col)).alias("lang")
+    )
+    j = scored.join(langs, "doc_id")
+
+    hist = j.groupBy("lang", "milli_bits").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("milli_bits")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("lang"))
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(total + 2) div 3"), F.col("milli_bits")
+            )
+        ).alias("c1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(2 * total + 2) div 3"), F.col("milli_bits")
+            )
+        ).alias("c2"),
+    )
+    return j.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "milli_bits",
+        F.when(F.col("milli_bits") <= F.col("c1"), F.lit("head"))
+        .when(F.col("milli_bits") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("tier"),
+    )

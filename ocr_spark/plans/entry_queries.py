@@ -1302,6 +1302,62 @@ def q_lm_surprisal(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "ccnet_tiers",
+    f"""
+WITH lw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),
+lg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))) AS gram
+  FROM lw WHERE len(w) >= 2
+),
+lm AS (SELECT gram, count(*) AS b_cnt FROM lg GROUP BY gram),
+lc AS (
+  SELECT string_split(gram, ' ')[1] AS ctx, sum(b_cnt)::BIGINT AS c_cnt
+  FROM lm GROUP BY 1
+),
+ls AS (
+  SELECT lg.doc_id,
+         (length(to_base(lc.c_cnt, 2)) - length(to_base(lm.b_cnt::BIGINT, 2)))::BIGINT AS bits
+  FROM lg JOIN lm USING (gram)
+  JOIN lc ON lc.ctx = string_split(lg.gram, ' ')[1]
+),
+lp AS (SELECT doc_id, count(*) AS n_bigrams, sum(bits)::BIGINT AS total_bits
+       FROM ls GROUP BY doc_id),
+cj AS (
+  SELECT d.doc_id,
+         ({_sql_langid('d.text')}) AS lang,
+         ((coalesce(lp.total_bits, 0) * 1000)
+            // greatest(coalesce(lp.n_bigrams, 0), 1))::BIGINT AS milli_bits
+  FROM documents d LEFT JOIN lp ON lp.doc_id = d.doc_id
+),
+ch AS (SELECT lang, milli_bits, count(*)::BIGINT AS cnt FROM cj GROUP BY 1, 2),
+cc AS (
+  SELECT lang, milli_bits,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY milli_bits
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS total
+  FROM ch
+),
+ct AS (
+  SELECT lang,
+         min(CASE WHEN cum >= (total + 2) // 3 THEN milli_bits END) AS c1,
+         min(CASE WHEN cum >= (2 * total + 2) // 3 THEN milli_bits END) AS c2
+  FROM cc GROUP BY lang
+)
+SELECT cj.doc_id, cj.lang, cj.milli_bits,
+       CASE WHEN cj.milli_bits <= ct.c1 THEN 'head'
+            WHEN cj.milli_bits <= ct.c2 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM cj JOIN ct USING (lang)""",
+)
+def q_ccnet_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity tiers per language, with exact
+    rank-statistic cutoffs over the (lang, milli-bit) histogram (see
+    textstats.ccnet_tiers)."""
+    return TS.ccnet_tiers(D.load(spark, sf, "documents"))
+
+
+@_q(
     "lm_surprisal_xmodel",
     f"""
 WITH xw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),
@@ -6110,7 +6166,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "html_justext", "media_integrity", "media_orphans", "media_captions",
-    "html_links", "host_graph", "anchor_texts", "compress_ratio", "langid_model", "host_stats",
+    "html_links", "host_graph", "anchor_texts", "compress_ratio", "langid_model", "host_stats", "ccnet_tiers",
     "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
     "search_hybrid_rrf", "pack_tokenized", "ann_topk_pq", "ann_topk_ivfpq",

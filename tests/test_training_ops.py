@@ -2134,3 +2134,37 @@ def test_langid_model_shape_and_determinism(spark):
     best = max(scores)
     assert got[1]["score_units"] == best
     assert got[1]["lang"] == langs[scores.index(best)]
+
+
+def test_ccnet_tiers_thirds_and_determinism(spark):
+    """Per-language thirds by LM surprisal: tier populations differ by at
+    most the tie mass, every doc is assigned, cutoffs are value-based (ties
+    share a tier), and output is partition-invariant."""
+    import random
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i in range(90):
+        # mixed structure: some repetitive (low surprisal), some shuffled
+        if i % 3 == 0:
+            words = ["alpha", "beta"] * 12
+        else:
+            words = [rng.choice(vocab) for _ in range(24)]
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TS.ccnet_tiers(df).collect()
+    assert len(out) == 90
+    by_tier = {}
+    for r in out:
+        by_tier.setdefault(r["tier"], []).append(r["milli_bits"])
+    assert set(by_tier) <= {"head", "middle", "tail"} and "head" in by_tier
+    # value-based cutoffs: every head milli_bits <= every middle <= every tail
+    if "middle" in by_tier:
+        assert max(by_tier["head"]) <= min(by_tier["middle"])
+    if "tail" in by_tier:
+        assert max(by_tier.get("middle", by_tier["head"])) <= min(by_tier["tail"])
+    # head holds at least a third (ties can only grow it), never the whole set
+    assert len(by_tier["head"]) >= 30
+    assert len(by_tier["head"]) < 90
+    out2 = TS.ccnet_tiers(df.repartition(13)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

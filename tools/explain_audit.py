@@ -43,6 +43,12 @@ ACCEPTED = {
         "the single broadcast totals row — attaches two scalars to a "
         "16384-row table"
     ),
+    ("host_stats", "SortMergeJoin"): (
+        "the out-degree ⟕⟖ in-degree FULL OUTER join on host: Spark cannot "
+        "broadcast a full-outer join, and both sides are host-level "
+        "aggregates (one row per host — already orders of magnitude below "
+        "the corpus), so the SMJ sorts the host table, not the crawl"
+    ),
     ("search_hybrid_rrf", "SortMergeJoin"): (
         "rrf_fuse's FULL OUTER join of the two top-k ranker outputs: Spark "
         "cannot broadcast a full-outer join at all, and both inputs are "
@@ -77,6 +83,7 @@ AUDIT = [
     "compress_ratio",
     "langid_model",
     "host_stats",
+    "ccnet_tiers",
     "upload_validate",
     "warc_html_extract",
     "lm_surprisal",
