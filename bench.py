@@ -114,6 +114,7 @@ HEADLINE = [
     "langid_model",
     "host_stats",
     "ccnet_tiers",
+    "sentences",
     "audio_chunks",
     "image_noise_stats",
     "image_features",

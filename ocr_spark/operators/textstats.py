@@ -2044,3 +2044,55 @@ def ccnet_tiers(docs, model_docs=None, id_col: str = "doc_id", text_col: str = "
         .otherwise(F.lit("tail"))
         .alias("tier"),
     )
+
+
+# --- sentence segmentation -----------------------------------------------------
+# Regex-level sentence splitting (the chunking primitive under embedding
+# windows, caption cleanup, and sentence-level decontamination). The rule
+# set is deliberately lookaround-free so the DuckDB twin (RE2: no
+# lookbehind/lookahead) replays it exactly: protect known abbreviation
+# dots with a sentinel, break after terminator runs followed by
+# whitespace, restore, strip. A model-based splitter can replace the rule
+# set without changing the plan (one narrow pass, explode at the end).
+
+_SENT_ABBREV = "mr|mrs|ms|dr|prof|sr|jr|st|no|vs|etc|fig|vol|inc|ltd"
+_SENT_BREAK = "\x00"
+_SENT_DOT = "\x01"
+
+
+def split_sentences_col(text: Column) -> Column:
+    """Array of trimmed, non-empty sentences (document order)."""
+    t = F.coalesce(text, F.lit(""))
+    # two-letter dotted abbreviations first (e.g., i.e., u.s.)
+    t = F.regexp_replace(
+        t, r"(?i)\b([a-z])\.([a-z])\.", f"$1{_SENT_DOT}$2{_SENT_DOT}"
+    )
+    t = F.regexp_replace(t, rf"(?i)\b({_SENT_ABBREV})\.", f"$1{_SENT_DOT}")
+    t = F.regexp_replace(t, r"([.!?]+)\s+", f"$1{_SENT_BREAK}")
+    parts = F.split(t, _SENT_BREAK)
+    return F.filter(
+        F.transform(
+            parts, lambda p: py_strip(F.regexp_replace(p, _SENT_DOT, "."))
+        ),
+        lambda s: s != "",
+    )
+
+
+def split_sentences(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Exploded sentence table: (doc_id, sent_idx, sentence, n_chars) with
+    sent_idx 0-based in document order. One narrow pass, no shuffle."""
+    sents = split_sentences_col(F.col(text_col))
+    z = F.when(
+        F.size(sents) > 0,
+        F.zip_with(
+            sents,
+            F.sequence(F.lit(0), F.size(sents) - 1),
+            lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+        ),
+    ).otherwise(F.array().cast("array<struct<s:string,i:int>>"))
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(z).alias("z")).select(
+        "doc_id",
+        F.col("z.i").cast("long").alias("sent_idx"),
+        F.col("z.s").alias("sentence"),
+        F.length("z.s").cast("long").alias("n_chars"),
+    )

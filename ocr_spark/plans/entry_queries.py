@@ -1302,6 +1302,69 @@ def q_lm_surprisal(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "sentences",
+    f"""
+WITH sw AS (
+  SELECT doc_id, regexp_split_to_array({_strip('text')}, '{_WS}+') AS w
+  FROM documents
+),
+st AS (
+  SELECT doc_id,
+         'Dr. Smith said e.g. this was written by Mr. Jones. ' ||
+         array_to_string(list_transform(range(0, (len(w) + 7) // 8),
+           i -> array_to_string(w[i*8+1 : i*8+8], ' ')), '. ') || '.' AS text
+  FROM sw
+),
+sp AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '(?i)\\b([a-z])\\.([a-z])\\.', '\\1' || chr(1) || '\\2' || chr(1), 'g'),
+           '(?i)\\b(mr|mrs|ms|dr|prof|sr|jr|st|no|vs|etc|fig|vol|inc|ltd)\\.',
+           '\\1' || chr(1), 'g'),
+           '([.!?]+){_WS}+', '\\1' || chr(0), 'g') AS t
+  FROM st
+),
+sl AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(t, chr(0)),
+             p -> {_strip("replace(p, chr(1), '.')")}),
+           s -> s != '') AS l
+  FROM sp
+)
+SELECT doc_id, (i - 1)::BIGINT AS sent_idx, l[i] AS sentence,
+       length(l[i])::BIGINT AS n_chars
+FROM sl, UNNEST(range(1, len(l) + 1)) u(i)""",
+)
+def q_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence segmentation (lookaround-free, abbreviation-protected) over
+    a deterministically sentenced wrap of the documents corpus (terminator
+    every 8 words plus abbreviation decoys in the preamble)."""
+    w = F.split(T.py_strip(F.col("text")), r"(?U)\s+")
+    n_chunks = F.expr("(size(w) + 7) div 8")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(F.col("w"), i * 8 + 1, 8), " "),
+        ),
+        ". ",
+    )
+    docs = (
+        D.load(spark, sf, "documents")
+        .select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("Dr. Smith said e.g. this was written by Mr. Jones. "),
+                body,
+                F.lit("."),
+            ).alias("text"),
+        )
+    )
+    return TS.split_sentences(docs)
+
+
+@_q(
     "ccnet_tiers",
     f"""
 WITH lw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),
@@ -6166,7 +6229,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "html_justext", "media_integrity", "media_orphans", "media_captions",
-    "html_links", "host_graph", "anchor_texts", "compress_ratio", "langid_model", "host_stats", "ccnet_tiers",
+    "html_links", "host_graph", "anchor_texts", "compress_ratio", "langid_model", "host_stats", "ccnet_tiers", "sentences",
     "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
     "search_hybrid_rrf", "pack_tokenized", "ann_topk_pq", "ann_topk_ivfpq",

@@ -2168,3 +2168,30 @@ def test_ccnet_tiers_thirds_and_determinism(spark):
     assert len(by_tier["head"]) < 90
     out2 = TS.ccnet_tiers(df.repartition(13)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_split_sentences_rules(spark):
+    """Terminator runs break sentences; known abbreviations and dotted
+    two-letter forms don't; trailing terminator without whitespace ends the
+    last sentence; empties drop."""
+    rows = [
+        (1, "First sentence. Second one! Third?? Fourth"),
+        (2, "Dr. Smith met Mr. Jones e.g. at 5 p.m. sharp. Next sentence."),
+        (3, ""),
+        (4, None),
+        (5, "No terminator at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in TS.split_sentences(df).collect():
+        out.setdefault(r["doc_id"], []).append((r["sent_idx"], r["sentence"]))
+    for v in out.values():
+        v.sort()
+    assert [s for _, s in out[1]] == [
+        "First sentence.", "Second one!", "Third??", "Fourth"]
+    # the abbreviation dots survive inside ONE sentence
+    assert [s for _, s in out[2]] == [
+        "Dr. Smith met Mr. Jones e.g. at 5 p.m. sharp.", "Next sentence."]
+    assert 3 not in out and 4 not in out
+    assert [s for _, s in out[5]] == ["No terminator at all"]
+    assert [i for i, _ in out[1]] == [0, 1, 2, 3]

@@ -84,6 +84,7 @@ AUDIT = [
     "langid_model",
     "host_stats",
     "ccnet_tiers",
+    "sentences",
     "upload_validate",
     "warc_html_extract",
     "lm_surprisal",
