@@ -115,6 +115,7 @@ HEADLINE = [
     "host_stats",
     "ccnet_tiers",
     "sentences",
+    "corpus_digest",
     "audio_chunks",
     "image_noise_stats",
     "image_features",

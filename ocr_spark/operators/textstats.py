@@ -2096,3 +2096,36 @@ def split_sentences(docs, id_col: str = "doc_id", text_col: str = "text"):
         F.col("z.s").alias("sentence"),
         F.length("z.s").cast("long").alias("n_chars"),
     )
+
+
+def corpus_digest(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Order-independent corpus content digest — the dataset-versioning
+    primitive: two runs (any partitioning, any row order, any cluster
+    size) produced byte-identical corpora iff their digests match, with
+    no global sort and no driver-side content.
+
+    digest = bit_xor over rows of a 60-bit md5 of 'digest-v1:<id>:<text>'
+    (60 bits keeps the value positive int64 in every engine; XOR is
+    commutative/associative, so map-side partials combine freely and the
+    aggregation is one tiny shuffle). Collision posture: detecting an
+    ACCIDENTAL difference (the versioning use case) at 2^-60 per pair;
+    not an adversarial MAC. Returns one row (n_docs, n_chars, digest)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("digest-v1:"), F.col(id_col).cast("string"), F.lit(":"), t
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return docs.select(h.alias("h"), F.length(t).alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("c").cast("long").alias("n_chars"),
+        F.expr("bit_xor(h)").cast("long").alias("digest"),
+    )

@@ -1302,6 +1302,21 @@ def q_lm_surprisal(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "corpus_digest",
+    """
+SELECT count(*)::BIGINT AS n_docs,
+       sum(length(coalesce(text, '')))::BIGINT AS n_chars,
+       bit_xor(('0x' || substr(md5('digest-v1:' || doc_id::VARCHAR || ':' ||
+                coalesce(text, '')), 1, 15))::BIGINT)::BIGINT AS digest
+FROM documents""",
+)
+def q_corpus_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-independent corpus content digest (dataset-versioning
+    primitive — see textstats.corpus_digest)."""
+    return TS.corpus_digest(D.load(spark, sf, "documents"))
+
+
+@_q(
     "sentences",
     f"""
 WITH sw AS (
@@ -6229,7 +6244,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "html_justext", "media_integrity", "media_orphans", "media_captions",
-    "html_links", "host_graph", "anchor_texts", "compress_ratio", "langid_model", "host_stats", "ccnet_tiers", "sentences",
+    "html_links", "host_graph", "anchor_texts", "compress_ratio", "langid_model", "host_stats", "ccnet_tiers", "sentences", "corpus_digest",
     "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
     "search_hybrid_rrf", "pack_tokenized", "ann_topk_pq", "ann_topk_ivfpq",

@@ -2195,3 +2195,25 @@ def test_split_sentences_rules(spark):
     assert 3 not in out and 4 not in out
     assert [s for _, s in out[5]] == ["No terminator at all"]
     assert [i for i, _ in out[1]] == [0, 1, 2, 3]
+
+
+def test_corpus_digest_order_independence_and_sensitivity(spark):
+    """Same content in any row order/partitioning → same digest; one
+    changed character, one dropped row, or a swapped id → different."""
+    rows = [(i, f"document body {i} with words") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = TS.corpus_digest(df).first()
+    assert base["n_docs"] == 50
+    shuffled = spark.createDataFrame(list(reversed(rows)), "doc_id long, text string")
+    assert TS.corpus_digest(shuffled.repartition(11)).first()["digest"] == base["digest"]
+    mutated = rows[:20] + [(20, "document body 20 with wordz")] + rows[21:]
+    assert TS.corpus_digest(
+        spark.createDataFrame(mutated, "doc_id long, text string")
+    ).first()["digest"] != base["digest"]
+    assert TS.corpus_digest(
+        spark.createDataFrame(rows[:-1], "doc_id long, text string")
+    ).first()["digest"] != base["digest"]
+    swapped = [(1 - i if i < 2 else i, t) for i, (j, t) in enumerate(rows)]
+    assert TS.corpus_digest(
+        spark.createDataFrame(swapped, "doc_id long, text string")
+    ).first()["digest"] != base["digest"]

@@ -85,6 +85,7 @@ AUDIT = [
     "host_stats",
     "ccnet_tiers",
     "sentences",
+    "corpus_digest",
     "upload_validate",
     "warc_html_extract",
     "lm_surprisal",
