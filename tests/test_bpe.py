@@ -167,3 +167,27 @@ def test_tokens_never_exceed_chars_on_fixture(spark, sf_dir=None):
         (F.col("n_tokens") > F.col("n_chars")) | (F.col("n_tokens") < F.col("n_words"))
     )
     assert bad.count() == 0
+
+
+def test_segmentation_roundtrip_lossless(spark):
+    """Detokenization is exact by construction: stripping the separator
+    from every vocab entry's merged segmentation reconstructs the original
+    word, for every word, at any merge count — the decode half of the
+    tokenizer contract."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.bpe import SEP, bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, f"low lower lowest newer newest wide widest word{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    for n_merges in (0, 3, 12):
+        _, vocab = bpe_train(docs, n_merges)
+        bad = (
+            vocab.select("word", F.replace(F.col("sym"), F.lit(SEP), F.lit("")).alias("joined"))
+            .filter(F.col("joined") != F.col("word"))
+            .count()
+        )
+        vocab.unpersist(False)
+        assert bad == 0, f"lossy segmentation at {n_merges} merges"
