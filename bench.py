@@ -115,6 +115,7 @@ HEADLINE = [
     "host_stats",
     "ccnet_tiers",
     "sentences",
+    "sentence_windows",
     "corpus_digest",
     "audio_chunks",
     "image_noise_stats",

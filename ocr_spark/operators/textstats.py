@@ -2129,3 +2129,47 @@ def corpus_digest(docs, id_col: str = "doc_id", text_col: str = "text"):
         F.sum("c").cast("long").alias("n_chars"),
         F.expr("bit_xor(h)").cast("long").alias("digest"),
     )
+
+
+def sentence_windows(
+    docs,
+    window: int = 3,
+    stride: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sliding sentence windows (the retrieval/embedding chunker: fixed
+    ``window`` sentences per chunk, ``stride`` sentences between chunk
+    starts, so consecutive chunks overlap by window-stride sentences and
+    no sentence is ever split mid-chunk). A document shorter than one
+    window emits a single chunk with what it has; the final partial
+    window is kept iff it starts before the text runs out.
+
+    One narrow pass over the per-doc sentence array (no shuffle):
+    chunk starts are a sequence, each chunk a slice+join. Returns
+    (doc_id, win_idx, n_sents, n_chars, chunk)."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    sents = split_sentences_col(F.col(text_col))
+    df = docs.select(F.col(id_col).alias("doc_id"), sents.alias("__sents"))
+    n_wins = F.when(F.size("__sents") <= 0, F.lit(0)).otherwise(
+        F.expr(f"1 + (greatest(size(__sents) - {window}, 0) + {stride} - 1) div {stride}")
+    )
+    df = df.withColumn("__nw", n_wins)
+    wins = F.when(
+        F.col("__nw") > 0, F.sequence(F.lit(0), F.col("__nw") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    z = F.transform(
+        wins,
+        lambda i: F.struct(
+            i.alias("i"),
+            F.slice(F.col("__sents"), i * stride + 1, window).alias("w"),
+        ),
+    )
+    return df.select("doc_id", F.explode(z).alias("z")).select(
+        "doc_id",
+        F.col("z.i").cast("long").alias("win_idx"),
+        F.size("z.w").cast("long").alias("n_sents"),
+        F.length(F.array_join(F.col("z.w"), " ")).cast("long").alias("n_chars"),
+        F.array_join(F.col("z.w"), " ").alias("chunk"),
+    )

@@ -1316,10 +1316,9 @@ def q_corpus_digest(spark: SparkSession, sf: str) -> DataFrame:
     return TS.corpus_digest(D.load(spark, sf, "documents"))
 
 
-@_q(
-    "sentences",
-    f"""
-WITH sw AS (
+# shared sentence-list CTE chain over the deterministically sentenced wrap:
+# sl(doc_id, l) where l is the ordered array of sentences
+_SQL_SENT_LIST = f"""sw AS (
   SELECT doc_id, regexp_split_to_array({_strip('text')}, '{_WS}+') AS w
   FROM documents
 ),
@@ -1346,15 +1345,12 @@ sl AS (
              p -> {_strip("replace(p, chr(1), '.')")}),
            s -> s != '') AS l
   FROM sp
-)
-SELECT doc_id, (i - 1)::BIGINT AS sent_idx, l[i] AS sentence,
-       length(l[i])::BIGINT AS n_chars
-FROM sl, UNNEST(range(1, len(l) + 1)) u(i)""",
-)
-def q_sentences(spark: SparkSession, sf: str) -> DataFrame:
-    """Sentence segmentation (lookaround-free, abbreviation-protected) over
-    a deterministically sentenced wrap of the documents corpus (terminator
-    every 8 words plus abbreviation decoys in the preamble)."""
+)"""
+
+
+def _sentenced_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The Spark twin of _SQL_SENT_LIST's wrap: terminator every 8 words
+    plus abbreviation decoys in the preamble."""
     w = F.split(T.py_strip(F.col("text")), r"(?U)\s+")
     n_chunks = F.expr("(size(w) + 7) div 8")
     body = F.array_join(
@@ -1364,7 +1360,7 @@ def q_sentences(spark: SparkSession, sf: str) -> DataFrame:
         ),
         ". ",
     )
-    docs = (
+    return (
         D.load(spark, sf, "documents")
         .select("doc_id", w.alias("w"))
         .select(
@@ -1376,7 +1372,42 @@ def q_sentences(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    return TS.split_sentences(docs)
+
+
+@_q(
+    "sentences",
+    f"""
+WITH {_SQL_SENT_LIST}
+SELECT doc_id, (i - 1)::BIGINT AS sent_idx, l[i] AS sentence,
+       length(l[i])::BIGINT AS n_chars
+FROM sl, UNNEST(range(1, len(l) + 1)) u(i)""",
+)
+def q_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence segmentation (lookaround-free, abbreviation-protected) over
+    a deterministically sentenced wrap of the documents corpus."""
+    return TS.split_sentences(_sentenced_docs(spark, sf))
+
+
+@_q(
+    "sentence_windows",
+    f"""
+WITH {{sent_list}},
+sn AS (
+  SELECT doc_id, l,
+         CASE WHEN len(l) = 0 THEN 0
+              ELSE 1 + (greatest(len(l) - 3, 0) + 1) // 2 END AS nw
+  FROM sl
+)
+SELECT doc_id, (i - 1)::BIGINT AS win_idx,
+       len(l[(i-1)*2+1 : (i-1)*2+3])::BIGINT AS n_sents,
+       length(array_to_string(l[(i-1)*2+1 : (i-1)*2+3], ' '))::BIGINT AS n_chars,
+       array_to_string(l[(i-1)*2+1 : (i-1)*2+3], ' ') AS chunk
+FROM sn, UNNEST(range(1, nw + 1)) u(i)""".replace("{sent_list}", _SQL_SENT_LIST),
+)
+def q_sentence_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding sentence windows (window=3, stride=2 — the retrieval/
+    embedding chunker) over the sentenced wrap."""
+    return TS.sentence_windows(_sentenced_docs(spark, sf), window=3, stride=2)
 
 
 @_q(
@@ -6244,7 +6275,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "html_justext", "media_integrity", "media_orphans", "media_captions",
-    "html_links", "host_graph", "anchor_texts", "compress_ratio", "langid_model", "host_stats", "ccnet_tiers", "sentences", "corpus_digest",
+    "html_links", "host_graph", "anchor_texts", "compress_ratio", "langid_model", "host_stats", "ccnet_tiers", "sentences", "sentence_windows", "corpus_digest",
     "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
     "search_hybrid_rrf", "pack_tokenized", "ann_topk_pq", "ann_topk_ivfpq",

@@ -2217,3 +2217,25 @@ def test_corpus_digest_order_independence_and_sensitivity(spark):
     assert TS.corpus_digest(
         spark.createDataFrame(swapped, "doc_id long, text string")
     ).first()["digest"] != base["digest"]
+
+
+def test_sentence_windows_overlap_and_partials(spark):
+    """window=3 stride=2: consecutive chunks overlap by one sentence, no
+    sentence splits mid-chunk, short docs emit one partial chunk, empties
+    emit nothing; window/stride validation refuses zero."""
+    import pytest as _pt
+
+    rows = [(1, "One. Two. Three. Four. Five. Six. Seven."),
+            (2, "Solo"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in TS.sentence_windows(df, window=3, stride=2).collect():
+        out.setdefault(r["doc_id"], []).append((r["win_idx"], r["chunk"], r["n_sents"]))
+    for v in out.values():
+        v.sort()
+    assert [c for _, c, _ in out[1]] == [
+        "One. Two. Three.", "Three. Four. Five.", "Five. Six. Seven."]
+    assert out[2] == [(0, "Solo", 1)]
+    assert 3 not in out and 4 not in out
+    with _pt.raises(ValueError):
+        TS.sentence_windows(df, window=0)

@@ -85,6 +85,7 @@ AUDIT = [
     "host_stats",
     "ccnet_tiers",
     "sentences",
+    "sentence_windows",
     "corpus_digest",
     "upload_validate",
     "warc_html_extract",
