@@ -499,9 +499,14 @@ def run_curate(
             ),
             small_range_correct=True,  # reports need the linear-counting fix
         ).select(F.col("estimate").alias("distinct_text_est"))
+        # order-independent content digest: two runs (or a resumed run)
+        # committed byte-identical survivor corpora iff this matches
+        from ocr_spark.operators.textstats import corpus_digest
+
+        digest = corpus_digest(kept).select(F.col("digest").alias("content_digest"))
         rep = materialize_once(
             spark,
-            totals.crossJoin(lq).crossJoin(distinct_est),
+            totals.crossJoin(lq).crossJoin(distinct_est).crossJoin(digest),
             os.path.join(output_dir, "_report"),
             meta={"stage": "report", "input": input_path, "fix_text": do_fix_text},
         )

@@ -826,6 +826,11 @@ def test_curate_job_report(spark, tmp_path):
     assert rep["n_tokens"] > rep["n_docs"]  # docs have many words
     # every kept text is unique post-dedup → the HLL estimate sits near n
     assert abs(rep["distinct_text_est"] - n) / n < 0.2
+    # the content digest matches an independent recomputation over the
+    # committed survivors (order-independent, so partitioning is free)
+    from ocr_spark.operators.textstats import corpus_digest
+
+    assert rep["content_digest"] == corpus_digest(kept.repartition(5)).first()["digest"]
 
 
 def test_dedup_job_incremental_against_prior_index(spark, tmp_path):
