@@ -116,6 +116,7 @@ HEADLINE = [
     "ccnet_tiers",
     "sentences",
     "sentence_windows",
+    "decontaminate_sentences",
     "corpus_digest",
     "audio_chunks",
     "image_noise_stats",

@@ -2173,3 +2173,78 @@ def sentence_windows(
         F.length(F.array_join(F.col("z.w"), " ")).cast("long").alias("n_chars"),
         F.array_join(F.col("z.w"), " ").alias("chunk"),
     )
+
+
+def decontaminate_sentences(
+    train,
+    eval_docs,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sentence-level decontamination — the salvage tier above
+    :func:`decontaminate`: instead of dropping a long document over one
+    leaked benchmark passage, redact the contaminated SENTENCES (any
+    sentence sharing a word n-gram with the eval set) and keep the rest.
+
+    Plan: sentences explode once (narrow), per-sentence distinct grams
+    probe the BROADCAST eval-gram set map-side, the contaminated
+    (doc, sent_idx) keys dedup, and one doc_id aggregation rebuilds the
+    cleaned text in sentence order (sort_array over (sent_idx, sentence)
+    structs — no per-doc window). Same broadcast-outgrowth escape hatch
+    as decontaminate: drop the hint and the probe becomes a gram-keyed
+    shuffle join.
+
+    Returns (doc_id, n_sentences, n_contaminated, clean_text) — one row
+    per training doc; zero-sentence docs report (0, 0, '')."""
+    sents = split_sentences(train, id_col, text_col)
+    eval_grams = eval_docs.select(
+        F.explode(F.array_distinct(ngrams_of(F.col(text_col), n))).alias("gram")
+    ).distinct()
+    sgrams = sents.select(
+        "doc_id",
+        "sent_idx",
+        F.explode(F.array_distinct(ngrams_of(F.col("sentence"), n))).alias("gram"),
+    )
+    bad = (
+        sgrams.join(F.broadcast(eval_grams), "gram")
+        .select("doc_id", "sent_idx")
+        .distinct()
+        .withColumn("__bad", F.lit(True))
+    )
+    marked = sents.join(bad, ["doc_id", "sent_idx"], "left")
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sentences"),
+        F.sum(F.when(F.col("__bad"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.array_join(
+            F.filter(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("sent_idx"),
+                                F.when(F.col("__bad").isNull(), F.col("sentence")).alias(
+                                    "s"
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                lambda s: s.isNotNull(),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_sentences", F.lit(0)).cast("long").alias("n_sentences"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

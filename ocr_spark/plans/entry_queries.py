@@ -1411,6 +1411,60 @@ def q_sentence_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "decontaminate_sentences",
+    f"""
+WITH {_SQL_SENT_LIST},
+ts AS (
+  SELECT doc_id, (i - 1)::BIGINT AS sent_idx, l[i] AS sentence
+  FROM sl, UNNEST(range(1, len(l) + 1)) u(i) WHERE doc_id % 20 != 7
+),
+eg AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - 3),
+                  i -> array_to_string(w[i:i+4], ' ')))) AS gram
+  FROM (SELECT {_words_lower('text')} AS w FROM st WHERE doc_id % 20 = 7)
+  WHERE len(w) >= 5
+),
+sg AS (
+  SELECT doc_id, sent_idx,
+         unnest(list_distinct(list_transform(range(1, len(w) - 3),
+                i -> array_to_string(w[i:i+4], ' ')))) AS gram
+  FROM (SELECT doc_id, sent_idx, {_words_lower('sentence')} AS w FROM ts)
+  WHERE len(w) >= 5
+),
+bad AS (SELECT DISTINCT doc_id, sent_idx FROM sg JOIN eg USING (gram)),
+mk AS (
+  SELECT ts.doc_id, ts.sent_idx, ts.sentence,
+         (bad.sent_idx IS NOT NULL) AS is_bad
+  FROM ts LEFT JOIN bad ON ts.doc_id = bad.doc_id AND ts.sent_idx = bad.sent_idx
+),
+ag AS (
+  SELECT doc_id, count(*)::BIGINT AS n_sentences,
+         sum(CASE WHEN is_bad THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+         string_agg(sentence, ' ' ORDER BY sent_idx)
+           FILTER (WHERE NOT is_bad) AS clean_text
+  FROM mk GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(ag.n_sentences, 0)::BIGINT AS n_sentences,
+       coalesce(ag.n_contaminated, 0)::BIGINT AS n_contaminated,
+       coalesce(ag.clean_text, '') AS clean_text
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 7) d
+LEFT JOIN ag ON ag.doc_id = d.doc_id""",
+)
+def q_decontaminate_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence-level decontamination over the sentenced wrap: eval docs
+    (doc_id % 20 == 7) leak their sentences — notably the shared preamble
+    — into every training doc, which gets those sentences redacted and
+    keeps the rest."""
+    docs = _sentenced_docs(spark, sf)
+    return TS.decontaminate_sentences(
+        docs.filter(F.col("doc_id") % 20 != 7),
+        docs.filter(F.col("doc_id") % 20 == 7),
+        n=5,
+    )
+
+
+@_q(
     "ccnet_tiers",
     f"""
 WITH lw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),
@@ -6275,7 +6329,7 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (new in round 4, no prior driver row)
     "html_justext", "media_integrity", "media_orphans", "media_captions",
-    "html_links", "host_graph", "anchor_texts", "compress_ratio", "langid_model", "host_stats", "ccnet_tiers", "sentences", "sentence_windows", "corpus_digest",
+    "html_links", "host_graph", "anchor_texts", "compress_ratio", "langid_model", "host_stats", "ccnet_tiers", "sentences", "sentence_windows", "decontaminate_sentences", "corpus_digest",
     "html_readability", "table_stats_agg", "events_stream_join_outer",
     "table_bloom_lookup", "shuffle_shards", "table_partition_counts",
     "search_hybrid_rrf", "pack_tokenized", "ann_topk_pq", "ann_topk_ivfpq",

@@ -2239,3 +2239,28 @@ def test_sentence_windows_overlap_and_partials(spark):
     assert 3 not in out and 4 not in out
     with _pt.raises(ValueError):
         TS.sentence_windows(df, window=0)
+
+
+def test_decontaminate_sentences_redacts_only_leaked(spark):
+    """Only the sentence sharing a 5-gram with the eval set is redacted;
+    the rest of the doc survives verbatim in order; whole-doc leak empties
+    the text; eval-free docs pass through untouched."""
+    leaked = "the secret benchmark passage appears here word for word today."
+    clean1 = "This first sentence is entirely original and quite safe."
+    clean2 = "Another harmless sentence closes the document neatly and well."
+    train = spark.createDataFrame(
+        [(1, f"{clean1} {leaked} {clean2}"),
+         (2, leaked),
+         (3, f"{clean1} {clean2}"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(100, leaked)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           TS.decontaminate_sentences(train, evals, n=5).collect()}
+    assert got[1]["n_sentences"] == 3 and got[1]["n_contaminated"] == 1
+    assert got[1]["clean_text"] == f"{clean1} {clean2}"
+    assert got[2]["n_contaminated"] == 1 and got[2]["clean_text"] == ""
+    assert got[3]["n_contaminated"] == 0
+    assert got[3]["clean_text"] == f"{clean1} {clean2}"
+    assert got[4] == got[4] and got[4]["n_sentences"] == 0 and got[4]["clean_text"] == ""

@@ -86,6 +86,7 @@ AUDIT = [
     "ccnet_tiers",
     "sentences",
     "sentence_windows",
+    "decontaminate_sentences",
     "corpus_digest",
     "upload_validate",
     "warc_html_extract",
