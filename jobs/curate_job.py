@@ -21,7 +21,10 @@ one global decision, so rejected docs never pay the later stages twice):
   1c. decontamination   — (--decon-eval PATH) drop training docs sharing
                           any word n-gram with the eval corpus; the
                           contaminated-id set is the third global
-                          decision, materialized once
+                          decision, materialized once. With
+                          --decon-sentence-redact the exact tier instead
+                          REDACTS the contaminated sentences and keeps the
+                          doc (fully-leaked docs still drop)
   2. quality gate       — Gopher rules (repetition + shape)
   3. language filter    — stopword-profile language ID against --langs
   4. blocklist gate     — (--blocklist a,b,c) whole-word term filter
@@ -179,6 +182,7 @@ def run_curate(
     decon_format: str | None = None,
     decon_n: int = 5,
     decon_fuzzy: float | None = None,
+    decon_sentence_redact: bool = False,
     pack_seq_len: int | None = None,
     pack_shards: int = 8,
     shuffle_shards_n: int | None = None,
@@ -306,6 +310,7 @@ def run_curate(
         )
 
     contaminated = None
+    redactions = None
     if decon_eval:
         # global decision #3: the eval grams span buckets. Computed over
         # the DEDUPED corpus (fewer docs to probe) and materialized so a
@@ -327,11 +332,34 @@ def run_curate(
                 f"valid rows (format {decon_format or input_format!r}) — wrong "
                 "--decon-format? refusing to run a no-op decontamination"
             )
-        dec = (
-            decontaminate(docs.join(losers, "doc_id", "left_anti"), ev, n=decon_n)
-            .filter(F.col("contaminated"))
-            .select("doc_id")
-        )
+        redactions = None
+        if decon_sentence_redact:
+            # salvage tier: the EXACT-gram hits redact sentences instead of
+            # dropping docs — the side table carries (doc_id, clean_text)
+            # for contaminated docs only (leak-scale, not corpus-scale);
+            # fully-leaked docs surface as clean_text = '' and drop in the
+            # bucketed transform
+            from ocr_spark.operators.textstats import decontaminate_sentences
+
+            redactions = materialize_once(
+                spark,
+                decontaminate_sentences(
+                    docs.join(losers, "doc_id", "left_anti"), ev, n=decon_n
+                )
+                .filter(F.col("n_contaminated") > 0)
+                .select("doc_id", "clean_text"),
+                os.path.join(output_dir, "_redactions"),
+                meta={"stage": "decon_redact", "eval": decon_eval, "n": decon_n,
+                      "mode": dedup_mode, "threshold": threshold,
+                      "input": input_path, "fix_text": do_fix_text},
+            )
+            dec = spark.createDataFrame([], "doc_id long")  # exact tier drops nothing
+        else:
+            dec = (
+                decontaminate(docs.join(losers, "doc_id", "left_anti"), ev, n=decon_n)
+                .filter(F.col("contaminated"))
+                .select("doc_id")
+            )
         if decon_fuzzy is not None:
             # fuzzy tier: ALSO drop near-dups of eval docs (paraphrased
             # leakage the exact n-gram probe misses); same eval corpus,
@@ -426,6 +454,13 @@ def run_curate(
 
     def transform(part):
         part = part.join(losers, "doc_id", "left_anti")
+        if redactions is not None:
+            part = (
+                part.join(redactions, "doc_id", "left")
+                .withColumn("text", F.coalesce(F.col("clean_text"), F.col("text")))
+                .drop("clean_text")
+                .filter(F.col("text") != "")
+            )
         if contaminated is not None:
             part = part.join(contaminated, "doc_id", "left_anti")
         if lm_losers is not None:
@@ -456,6 +491,7 @@ def run_curate(
             "decon_eval": decon_eval,
             "decon_n": decon_n,
             "decon_fuzzy": decon_fuzzy,
+            "decon_sentence_redact": decon_sentence_redact,
             "lm_max_bits": lm_max_bits,
             "dsir_target": dsir_target,
             "dsir_min_avg_bits": dsir_min_avg_bits,
@@ -658,6 +694,10 @@ def main() -> None:
                     choices=("boilerpipe", "readability", "justext"),
                     default="boilerpipe",
                     help="main-content extractor for --format warc ingest")
+    ap.add_argument("--decon-sentence-redact", action="store_true",
+                    help="redact contaminated SENTENCES (exact-gram tier) "
+                         "instead of dropping whole docs; fully-leaked docs "
+                         "still drop")
     ap.add_argument("--decon-fuzzy", type=float, default=None, metavar="JACCARD",
                     help="also drop near-dups of eval docs at this MinHash "
                          "Jaccard threshold (fuzzy decontamination tier)")
@@ -743,6 +783,7 @@ def main() -> None:
         decon_format=args.decon_format,
         decon_n=args.decon_n,
         decon_fuzzy=args.decon_fuzzy,
+        decon_sentence_redact=args.decon_sentence_redact,
         pack_seq_len=args.pack_seq_len,
         pack_shards=args.pack_shards,
         shuffle_shards_n=args.shuffle_shards,

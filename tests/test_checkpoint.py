@@ -1036,3 +1036,42 @@ def test_curate_job_compress_gate(spark, tmp_path):
     with _pt.raises(Exception, match="fingerprint|params|refus"):
         run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
                    num_buckets=2, compress_min_ratio=0.50)
+
+
+def test_curate_job_sentence_redact_decontamination(spark, tmp_path):
+    """--decon-sentence-redact: a doc sharing one sentence with the eval
+    set keeps its clean sentences (redacted text flows through the rest of
+    the pipeline); a fully-leaked doc still drops; clean docs untouched."""
+    from jobs.curate_job import run_curate
+
+    leaked = ("The secret benchmark passage appears right here word for "
+              "word in the training document today.")
+    # every body word distinct → no repeated n-gram can trip gopher's
+    # top-k-gram gates; >=50 words clears min_words even after redaction
+    prose = ("The quiet maple forest holds seventeen distinct bird species "
+             "and every spring that wide valley fills with fresh melting "
+             "water which brings young foxes out to hunt along shallow "
+             "creek banks while older animals rest beneath warm granite "
+             "ledges watching pale clouds drift past tall peaks until dusk "
+             "settles over meadows where deer graze quietly near cold "
+             "streams flowing toward distant farms. ")
+    rows = [(i, prose + f"Unique closing remark number {i} ends this note.")
+            for i in range(12)]
+    rows.append((50, prose + leaked))                     # partial leak
+    rows.append((51, leaked))                             # full leak
+    inp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    ev = str(tmp_path / "eval.parquet")
+    spark.createDataFrame([(900, leaked)], "doc_id long, text string") \
+        .write.parquet(ev)
+
+    out = tmp_path / "cur_sr"
+    run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+               num_buckets=2, decon_eval=ev, decon_sentence_redact=True)
+    kept = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(str(out / "bucket=*")).collect()}
+    assert 51 not in kept                 # fully leaked → dropped
+    assert 50 in kept                     # salvaged
+    assert "secret benchmark" not in kept[50]
+    assert "quiet maple forest" in kept[50]
+    assert 0 in kept and "number 0" in kept[0]
