@@ -6320,14 +6320,23 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
 # The driver verifies a prefix of the registration order each round (37/45/50
 # queries in r1/r2/r3), so queries that have never received a driver-issued
 # correctness row must register first.  Priority tiers:
-#   A. never driver-checked in any round (r1–r3),
-#   B. the four image queries whose golden-parquet oracles replaced r2's
-#      no_oracle rows and have never been driver hash-confirmed,
-#   C. pagerank (r3 hash_match=false — oracle HUGEINT artifact, fixed above),
-#   D. everything else with no r3 row, in original registration order,
-#   E. the r3-green remainder.
+#   A. the round-3 VERDICT's explicit call-outs ("Done = a driver-green row
+#      for each"): the 8 queries never driver-checked in r1–r3, the four
+#      image queries whose golden-parquet oracles replaced r2's no_oracle
+#      rows, and pagerank (r3 hash_match=false — oracle HUGEINT artifact,
+#      fixed above).  These must land inside even a conservative 50-row
+#      driver prefix, so they register before the (larger) round-4 cohort.
+#   B. new in round 4, no prior driver row, in build order,
+#   C. everything else with no r3 row, in original registration order,
+#   D. the r3-green remainder.
 _DRIVER_PRIORITY = [
-    # A (new in round 4, no prior driver row)
+    # A (round-3 VERDICT call-outs)
+    "pagerank",
+    "upload_validate", "warc_extract", "warc_html_extract",
+    "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
+    "spans_assemble_stream", "audio_chunks",
+    "image_preprocess", "image_denoise", "image_enhance_text", "image_resize",
+    # B (new in round 4, no prior driver row)
     "html_justext", "media_integrity", "media_orphans", "media_captions",
     "html_links", "host_graph", "anchor_texts", "compress_ratio", "langid_model", "host_stats", "ccnet_tiers", "sentences", "sentence_windows", "decontaminate_sentences", "corpus_digest",
     "html_readability", "table_stats_agg", "events_stream_join_outer",
@@ -6341,14 +6350,7 @@ _DRIVER_PRIORITY = [
     "table_stream_ingest", "search_bm25",
     "dsir_score", "splits_by_cluster", "dedup_keep_best", "domain_report",
     "diversity_sample",
-    "dedup_embedding_lsh", "dedup_semantic", "ann_topk_ivf",
-    "spans_assemble_stream", "upload_validate", "warc_extract",
-    "warc_html_extract", "audio_chunks",
-    # B
-    "image_preprocess", "image_denoise", "image_enhance_text", "image_resize",
     # C
-    "pagerank",
-    # D
     "dedup_simhash", "dedup_embedding", "ann_topk_bruteforce", "ann_topk_lsh",
     "spans_assemble", "extract_documents", "layout_flags",
     "layout_sbs_columns", "layout_alternating", "layout_boxes",
