@@ -52,8 +52,10 @@ HEADLINE = [
     "gopher_quality",
     "lm_surprisal",
     "dedup_paragraphs",
+    "c4_filters",
     "url_dedup",
     "temperature_mix",
+    "budget_mix",
     "fix_text",
     "chunk_docs",
     "corpus_report",

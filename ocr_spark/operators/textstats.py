@@ -884,6 +884,51 @@ def dedup_paragraphs(text: Column) -> dict[str, Column]:
     }
 
 
+def c4_line_filters(text: Column) -> dict[str, Column]:
+    """C4 line-shape cleanup (Raffel et al. 2020 §2.2 — the published
+    heuristics behind the C4 corpus): keep only lines that end in a
+    terminal punctuation mark ('.', '!', '?' or a closing double quote),
+    contain at least 3 whitespace words, and do not mention "javascript";
+    then gate the PAGE on what survives — at least 5 sentences, no
+    "lorem ipsum", no curly bracket. One narrow pass of array expressions
+    over the same '\\n' line definition as :func:`gopher_quality` /
+    :func:`dedup_paragraphs`; the dirty-word page rule is
+    :func:`blocklist_flag` composed upstream, not duplicated here.
+
+    Sentences are counted as maximal terminator runs (``[.!?]+``) in the
+    KEPT text — the operator's cross-engine definition: every kept line
+    already ends with terminal punctuation, so runs track sentences
+    without paying the abbreviation-aware splitter on a gate that only
+    needs a count. ``has_lorem`` / ``has_brace`` inspect the ORIGINAL
+    page (the paper removes such pages outright, pre-cleanup).
+
+    Returns (n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+    clean_text, c4_pass)."""
+    t = F.coalesce(text, F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: py_strip(x)), lambda x: x != ""
+    )
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike('[.!?"]$')
+        & (F.size(words_of(x)) >= 3)
+        & ~F.lower(x).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]+")).cast("long")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept_lines": F.size(kept).cast("long"),
+        "n_sentences": n_sent,
+        "has_lorem": has_lorem,
+        "has_brace": has_brace,
+        "clean_text": clean,
+        "c4_pass": (n_sent >= 5) & ~has_lorem & ~has_brace,
+    }
+
+
 # Tracking query parameters stripped by canonical_url (the URL-dedup
 # normalizer): the standard analytics/click-id families. The LIST is a
 # deployment choice; the operator is the product. Scoped-case-insensitive
@@ -1023,6 +1068,103 @@ def temperature_sample(
             (F.col("__h").cast("double") < rate * F.lit(float(1 << 48))).alias("kept"),
         )
     )
+
+
+def budget_sample(
+    docs,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "budget-v1",
+    bucket_bits: int = 12,
+):
+    """Per-source TOKEN-budget selection — the data-mixture stage where the
+    trainer says "300B tokens of web, 50B of code, 20B of books" rather
+    than per-document rates (:func:`temperature_sample` is the rate
+    shape). Documents are taken in seeded-hash order until the source's
+    budget is exactly exhausted: a doc is kept iff the running token total
+    through it (hash order, ties by doc_id) stays ≤ the budget, so the
+    selection is deterministic, order/partition independent, and stable
+    under re-runs — re-crawling extra docs never evicts an already-chosen
+    doc with a smaller hash? It can (hash order is global, not arrival
+    order); for an APPEND-stable frontier use the incremental-dedup index
+    shape instead. Sources absent from ``budgets`` get budget 0 (drop) —
+    an explicit mixture is the contract.
+
+    Scale shape (the ccnet_tiers rank-statistic pattern): a naive
+    per-source ``sum() OVER (ORDER BY hash)`` window sorts a whole
+    mega-source on one reducer. Instead the 48-bit hash's top
+    ``bucket_bits`` split each source into 2^bits ordered slices; one
+    (source, slice) aggregation + a window over that TINY table finds the
+    straddling slice, slices wholly under / over the budget decide
+    map-side via a broadcast join, and only the ~n/2^bits boundary-slice
+    rows pay an exact per-row cumsum. The corpus shuffles once (the slice
+    aggregation is map-side combined; the boundary window moves a
+    4096th of one source).
+
+    Returns (doc_id, source, n_tokens, kept) — one row per input doc."""
+    if bucket_bits < 1 or bucket_bits > 40:
+        raise ValueError("bucket_bits must be in [1, 40]")
+    spark = docs.sparkSession
+    bdf = spark.createDataFrame(
+        [(str(s), int(b)) for s, b in sorted(budgets.items())] or [("", 0)],
+        "source string, budget long",
+    )
+    shift = 1 << (48 - bucket_bits)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(source_col), F.lit("")).alias("source"),
+        token_count_ws(F.col(text_col)).alias("n_tokens"),
+        seeded_hash48(F.col(id_col), seed).alias("__h"),
+    ).withColumn("__slice", (F.col("__h") / F.lit(shift)).cast("long"))
+    sliced = base.groupBy("source", "__slice").agg(
+        F.sum("n_tokens").alias("__slice_toks")
+    )
+    w = Window.partitionBy("source").orderBy("__slice")
+    cum = (
+        sliced.withColumn(
+            "__cum_before",
+            F.coalesce(
+                F.sum("__slice_toks").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .join(F.broadcast(bdf), "source", "left")
+        .withColumn("__budget", F.coalesce(F.col("budget"), F.lit(0).cast("long")))
+    )
+    # slice verdicts: wholly inside the budget / wholly outside / boundary
+    verdict = cum.select(
+        "source",
+        "__slice",
+        "__cum_before",
+        "__budget",
+        F.when(F.col("__cum_before") + F.col("__slice_toks") <= F.col("__budget"), F.lit("keep"))
+        .when(F.col("__cum_before") >= F.col("__budget"), F.lit("drop"))
+        .otherwise(F.lit("boundary"))
+        .alias("__verdict"),
+    )
+    joined = base.join(F.broadcast(verdict), ["source", "__slice"], "left")
+    decided = joined.filter(F.col("__verdict") != "boundary").select(
+        "doc_id", "source", "n_tokens", (F.col("__verdict") == "keep").alias("kept")
+    )
+    bw = Window.partitionBy("source").orderBy("__h", "doc_id")
+    boundary = (
+        joined.filter(F.col("__verdict") == "boundary")
+        .withColumn(
+            "__cum_in",
+            F.sum("n_tokens").over(bw.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("__cum_before") + F.col("__cum_in") <= F.col("__budget")).alias(
+                "kept"
+            ),
+        )
+    )
+    return decided.unionByName(boundary)
 
 
 # Hashed-feature linear classifier (the model-based quality-filter shape:

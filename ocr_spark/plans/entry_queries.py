@@ -1625,6 +1625,90 @@ def q_dedup_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# the c4_filters facade appends one crafted tail per residue class so every
+# rule fires somewhere in the corpus: a too-short unterminated line, a
+# javascript notice, a lorem-ipsum page-kill, a curly-brace page-kill, and a
+# five-sentence terminated line that can make a page PASS.
+_C4_TAILS = [
+    "short line",
+    "Please enable javascript to view this page.",
+    "Lorem ipsum dolor sit amet.",
+    "function f() { return 1; }",
+    "Alpha one two three. Beta four five six. Gamma seven eight nine. "
+    "Delta ten eleven twelve. Epsilon ends the page now.",
+]
+
+
+@_q(
+    "c4_filters",
+    f"""
+WITH c40 AS (
+  SELECT doc_id,
+         coalesce(text, '') || chr(10) ||
+         CASE doc_id % 5
+           WHEN 0 THEN '{_C4_TAILS[0]}'
+           WHEN 1 THEN '{_C4_TAILS[1]}'
+           WHEN 2 THEN '{_C4_TAILS[2]}'
+           WHEN 3 THEN '{_C4_TAILS[3].replace("'", "''")}'
+           ELSE '{_C4_TAILS[4]}' END AS t
+  FROM documents
+),
+c41 AS (
+  SELECT doc_id, t,
+         list_filter(list_transform(string_split(t, chr(10)),
+                                    x -> {_strip('x')}),
+                     x -> x != '') AS lines
+  FROM c40
+),
+c42 AS (
+  SELECT doc_id, t, lines,
+         list_filter(lines,
+           x -> regexp_matches(x, '[.!?"]$')
+                AND len(regexp_split_to_array(x, '{_WS}+')) >= 3
+                AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM c41
+),
+c43 AS (
+  -- duckdb's array_to_string returns NULL for an empty list; coalesce
+  -- keeps the zero-kept-lines page at clean = ''
+  SELECT doc_id, t, lines, kept,
+         coalesce(array_to_string(kept, chr(10)), '') AS clean,
+         len(regexp_extract_all(
+               coalesce(array_to_string(kept, chr(10)), ''),
+               '[.!?]+'))::BIGINT AS n_sent,
+         contains(lower(t), 'lorem ipsum') AS has_lorem,
+         contains(t, '{{') AS has_brace
+  FROM c42
+)
+SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept_lines,
+       n_sent AS n_sentences, has_lorem, has_brace,
+       md5(clean) AS clean_md5,
+       (n_sent >= 5 AND NOT has_lorem AND NOT has_brace) AS c4_pass
+FROM c43""",
+)
+def q_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 line-shape cleanup (terminal-punctuation line keep, >=3-word
+    lines, javascript-line drop, >=5-sentence page gate, lorem-ipsum and
+    curly-brace page kills) over a facade where each residue class appends
+    a tail exercising one rule."""
+    docs = D.load(spark, sf, "documents")
+    tail = F.element_at(
+        F.array(*[F.lit(x) for x in _C4_TAILS]), (F.col("doc_id") % 5 + 1).cast("int")
+    )
+    aug = F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit("\n"), tail)
+    d = TS.c4_line_filters(aug)
+    return docs.select(
+        "doc_id",
+        d["n_lines"].alias("n_lines"),
+        d["n_kept_lines"].alias("n_kept_lines"),
+        d["n_sentences"].alias("n_sentences"),
+        d["has_lorem"].alias("has_lorem"),
+        d["has_brace"].alias("has_brace"),
+        F.md5(d["clean_text"].cast("binary")).alias("clean_md5"),
+        d["c4_pass"].alias("c4_pass"),
+    )
+
+
 def _sql_canon_url(e: str) -> str:
     """canonical_url twin: the same sequential regexp passes (patterns are
     shared Python constants; only DuckDB's explicit 'g' flag differs)."""
@@ -3566,6 +3650,46 @@ def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     docs = D.load(spark, sf, "documents")
     bucketed = docs.select("doc_id", TS.language_id(F.col("text")).alias("lang"))
     return TS.temperature_sample(bucketed, "lang", cap=100)
+
+
+# token budgets for the budget_mix query: en partially filled at every sf
+# (the boundary-slice path executes), ru tiny (mostly dropped), everything
+# else absent (budget 0 — an explicit mixture is the contract)
+_BUDGETS = {"en": 3000, "ru": 800}
+
+
+@_q(
+    "budget_mix",
+    f"""
+WITH bm0 AS (
+  SELECT doc_id, {_sql_langid('text')} AS source,
+         len({_words_lower('text')})::BIGINT AS n_tokens,
+         ('0x' || substr(md5('budget-v1:' || doc_id), 1, 12))::BIGINT AS h
+  FROM documents
+),
+bm1 AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM bm0
+)
+SELECT doc_id, source, n_tokens,
+       cum <= CASE source WHEN 'en' THEN {_BUDGETS["en"]}
+                          WHEN 'ru' THEN {_BUDGETS["ru"]} ELSE 0 END AS kept
+FROM bm1""",
+)
+def q_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-budget selection (the "N billion tokens of web,
+    M of code" mixture stage) over language sources: docs taken in
+    seeded-hash order until each budget is exactly exhausted. The oracle
+    is the NAIVE per-source running-sum window; the Spark plan is the
+    sliced rank-statistic form (whole slices decide via a broadcast
+    verdict, only the straddling slice pays a per-row cumsum) — the
+    parity check proves the two equal."""
+    docs = D.load(spark, sf, "documents")
+    srcd = docs.select(
+        "doc_id", TS.language_id(F.col("text")).alias("source"), "text"
+    )
+    return TS.budget_sample(srcd, _BUDGETS)
 
 
 def _sql_ocr_correct(e: str) -> str:
@@ -6349,7 +6473,7 @@ _DRIVER_PRIORITY = [
     "bpe_train", "bpe_tokens", "kmeans_clusters", "table_scan_pruned",
     "table_stream_ingest", "search_bm25",
     "dsir_score", "splits_by_cluster", "dedup_keep_best", "domain_report",
-    "diversity_sample",
+    "diversity_sample", "c4_filters", "budget_mix",
     # C
     "dedup_simhash", "dedup_embedding", "ann_topk_bruteforce", "ann_topk_lsh",
     "spans_assemble", "extract_documents", "layout_flags",

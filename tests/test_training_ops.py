@@ -2264,3 +2264,72 @@ def test_decontaminate_sentences_redacts_only_leaked(spark):
     assert got[3]["n_contaminated"] == 0
     assert got[3]["clean_text"] == f"{clean1} {clean2}"
     assert got[4] == got[4] and got[4]["n_sentences"] == 0 and got[4]["clean_text"] == ""
+
+
+def test_c4_line_filters_rules(spark):
+    """Each published C4 rule fires: terminal-punctuation line keep,
+    >=3-word line keep, javascript-line drop, >=5-sentence page gate,
+    lorem-ipsum and curly-brace page kills; clean pages pass."""
+    five = ("Alpha one two three. Beta four five six. Gamma seven eight "
+            "nine. Delta ten eleven twelve. Epsilon ends the page now.")
+    df = spark.createDataFrame(
+        [
+            (1, f"{five}\nno terminal punct line\nok tail sentence here."),
+            (2, f"{five}\nShort one."),          # <3 words -> dropped
+            (3, f"{five}\nPlease enable javascript to continue reading."),
+            (4, f"{five}\nLorem ipsum dolor sit amet."),
+            (5, f"{five}\nconst x = {{}}; fine."),
+            (6, "Only two tiny sentences here. That is all there is."),
+            (7, None),
+            (8, f'{five}\nHe shouted "stop right there!"'),
+        ],
+        "doc_id long, text string",
+    )
+    d = TS.c4_line_filters(F.col("text"))
+    got = {r["doc_id"]: r for r in df.select("doc_id", *[
+        d[k].alias(k) for k in
+        ("n_lines", "n_kept_lines", "n_sentences", "has_lorem",
+         "has_brace", "clean_text", "c4_pass")]).collect()}
+    assert got[1]["n_lines"] == 3 and got[1]["n_kept_lines"] == 2
+    assert "no terminal punct" not in got[1]["clean_text"]
+    assert got[1]["c4_pass"]                       # 6 sentences survive
+    assert got[2]["n_kept_lines"] == 1             # short line dropped
+    assert got[3]["n_kept_lines"] == 1             # javascript dropped
+    assert got[3]["c4_pass"]                       # page itself still ok
+    assert got[4]["has_lorem"] and not got[4]["c4_pass"]
+    assert got[5]["has_brace"] and not got[5]["c4_pass"]
+    assert not got[6]["c4_pass"] and got[6]["n_sentences"] == 2
+    assert got[7]["n_lines"] == 0 and not got[7]["c4_pass"]
+    # a closing double quote is terminal punctuation (the paper's rule)
+    assert got[8]["n_kept_lines"] == 2 and 'stop right there!"' in got[8]["clean_text"]
+
+
+def test_budget_sample_matches_naive_greedy(spark):
+    """budget_sample's sliced plan equals the naive rule: take docs in
+    seeded-hash order while the inclusive token cumsum stays <= the
+    source's budget; absent sources drop whole; huge budgets keep whole.
+    bucket_bits=2 forces real slice boundaries (4 slices)."""
+    rows = []
+    for i in range(60):
+        src = ("web", "code", "books")[i % 3]
+        rows.append((i, src, "tok " * (i % 7 + 1)))        # 1..7 tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = {"web": 30, "code": 10**9}                    # books absent
+    got = {r["doc_id"]: r for r in
+           TS.budget_sample(df, budgets, bucket_bits=2).collect()}
+    assert len(got) == 60
+
+    def h(i):
+        return int(hashlib.md5(f"budget-v1:{i}".encode()).hexdigest()[:12], 16)
+
+    for src, budget in (("web", 30), ("code", 10**9), ("books", 0)):
+        docs = sorted((r for r in rows if r[1] == src),
+                      key=lambda r: (h(r[0]), r[0]))
+        cum = 0
+        for i, _, t in docs:
+            toks = len(t.split())
+            cum += toks
+            assert got[i]["kept"] == (cum <= budget), (src, i, cum, budget)
+            assert got[i]["n_tokens"] == toks
+    with pytest.raises(ValueError):
+        TS.budget_sample(df, budgets, bucket_bits=0)
