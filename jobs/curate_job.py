@@ -25,6 +25,11 @@ one global decision, so rejected docs never pay the later stages twice):
                           --decon-sentence-redact the exact tier instead
                           REDACTS the contaminated sentences and keeps the
                           doc (fully-leaked docs still drop)
+  1h. C4 line cleanup   — (--c4-clean) the published C4 line-shape
+                          filters (terminal punct, >=3 words, javascript
+                          lines) + page kills (lorem ipsum, curly brace,
+                          <5 sentences), applied first in the bucketed
+                          transform; later stages see the cleaned text
   2. quality gate       — Gopher rules (repetition + shape)
   3. language filter    — stopword-profile language ID against --langs
   4. blocklist gate     — (--blocklist a,b,c) whole-word term filter
@@ -57,6 +62,11 @@ one global decision, so rejected docs never pay the later stages twice):
                           (τ=0.5 mixing) decided by the seeded doc hash,
                           written to _mix; packing then packs only the
                           mixed-in docs
+  5c. token budgets     — (--token-budgets en=N,ru=M) post-pass over the
+                          (mixed-in) survivors: per-language token-budget
+                          selection in seeded-hash order written to
+                          _budget; pack/shuffle/publish see only the
+                          admitted docs
   6. sequence packing   — (--pack-seq-len N) post-pass over the committed
                           survivors: concat-and-chunk layout (doc →
                           training-sequence spans) written to _packed,
@@ -94,11 +104,11 @@ import json
 def curate_transform(part, langs, line_index=None, blocklist=(), blocked_domains=(),
                      cls_weights=None, cls_min_score=None, gopher_overrides=None,
                      substr_marks_df=None, substr_k=50,
-                     compress_min_ratio=None):
-    """Bucket-local stages 1b-5: line dedup -> language ID -> quality
-    gate (language-aware: English-only Gopher rules gate only en docs) ->
-    language filter -> blocklist + domain gates (raw text) -> PII
-    redaction (last)."""
+                     compress_min_ratio=None, c4_clean=False):
+    """Bucket-local stages 1b-5: C4 line cleanup -> line dedup ->
+    language ID -> quality gate (language-aware: English-only Gopher
+    rules gate only en docs) -> language filter -> blocklist + domain
+    gates (raw text) -> PII redaction (last)."""
     from pyspark.sql import functions as F
 
     from ocr_spark.operators.dedup import apply_line_dedup
@@ -110,6 +120,17 @@ def curate_transform(part, langs, line_index=None, blocklist=(), blocked_domains
         pii_scrub,
     )
 
+    if c4_clean:
+        # the published C4 order: line-shape filters on the raw page first
+        # (terminal punctuation, >=3 words, javascript lines; lorem-ipsum/
+        # curly-brace/min-sentence page kills). Doc-local, so it rides the
+        # bucketed transform; later stages (incl. line dedup — cleaned
+        # lines are verbatim trimmed raw lines, so the global index still
+        # matches) see the cleaned text.
+        from ocr_spark.operators.textstats import c4_line_filters
+
+        c4 = c4_line_filters(F.col("text"))
+        part = part.filter(c4["c4_pass"]).withColumn("text", c4["clean_text"])
     if line_index is not None:
         part = apply_line_dedup(part, line_index)
     if substr_marks_df is not None:
@@ -198,6 +219,8 @@ def run_curate(
     compress_min_ratio: float | None = None,
     gopher_overrides: dict | None = None,
     substr_k: int | None = None,
+    c4_clean: bool = False,
+    token_budgets: dict[str, int] | None = None,
     report: bool = False,
     against: str | None = None,
     write_index: bool = False,
@@ -470,7 +493,7 @@ def run_curate(
         return curate_transform(part, langs, line_index, blocklist, blocked_domains,
                                 cls_weights, cls_min_score, gopher_overrides,
                                 substr_marks_df, substr_k or 50,
-                                compress_min_ratio)
+                                compress_min_ratio, c4_clean)
 
     summary = run_checkpointed(
         spark,
@@ -501,6 +524,7 @@ def run_curate(
             "compress_min_ratio": compress_min_ratio,
             "gopher_overrides": gopher_overrides,
             "substr_k": substr_k,
+            "c4_clean": c4_clean,
             "against": against,
         },
     )
@@ -566,6 +590,36 @@ def run_curate(
         mixed_kept = mixed.filter(F.col("kept")).select("doc_id")
         summary = dict(summary)
         summary["mix_kept_docs"] = mixed_kept.count()
+
+    if token_budgets:
+        # per-language TOKEN budgets over the final (mixed-in) survivors —
+        # the trainer's "N tokens of en, M of ru" mixture. Decided by the
+        # seeded doc hash like _mix, so _budget is stable across resumes;
+        # downstream stages (pack/shuffle/publish) see only the docs the
+        # budget admitted, exactly like the mixer's contract.
+        from ocr_spark.operators.textstats import budget_sample
+
+        kept = spark.read.parquet(os.path.join(output_dir, "bucket=*"))
+        if mixed_kept is not None:
+            kept = kept.join(mixed_kept, "doc_id")
+        bsel = materialize_once(
+            spark,
+            budget_sample(kept, token_budgets, source_col="lang"),
+            os.path.join(output_dir, "_budget"),
+            meta={"stage": "budget", "budgets": dict(sorted(token_budgets.items())),
+                  "input": input_path, "mix_cap": mix_cap, "fix_text": do_fix_text},
+        )
+        budget_kept = bsel.filter(F.col("kept"))
+        summary = dict(summary)
+        summary["budget_kept_docs"] = budget_kept.count()
+        summary["budget_kept_tokens"] = {
+            r["source"]: r["toks"]
+            for r in budget_kept.groupBy("source")
+            .agg(F.sum("n_tokens").cast("long").alias("toks"))
+            .collect()
+        }
+        # downstream survivor set = budget-admitted docs (already ⊆ mix)
+        mixed_kept = budget_kept.select("doc_id")
 
     if pack_seq_len:
         # packing is a LAYOUT over the final survivors, so it must see the
@@ -724,6 +778,15 @@ def main() -> None:
     ap.add_argument("--mix-cap", type=int, default=None,
                     help="temperature-0.5 language mixing: buckets above this "
                          "doc count downsample at sqrt-rate (written to _mix)")
+    ap.add_argument("--c4-clean", action="store_true",
+                    help="C4 line-shape cleanup (terminal-punct/>=3-word/"
+                         "javascript line filters; lorem-ipsum, curly-brace "
+                         "and <5-sentence page kills) before the quality gate")
+    ap.add_argument("--token-budgets", default=None, metavar="L=N,L2=M",
+                    help="per-language TOKEN budgets over the final survivors "
+                         "(e.g. en=3000000,ru=800000): docs taken in seeded-"
+                         "hash order until each budget is exhausted (written "
+                         "to _budget); languages absent from the list drop")
     ap.add_argument("--fix-text", action="store_true",
                     help="ftfy-lite text repair before any hashing/dedup")
     ap.add_argument("--cls-weights", default=None,
@@ -799,6 +862,12 @@ def main() -> None:
         compress_min_ratio=args.compress_min_ratio,
         gopher_overrides=json.loads(args.gopher) if args.gopher else None,
         substr_k=args.substr_k,
+        c4_clean=args.c4_clean,
+        token_budgets=(
+            {k: int(v) for k, v in
+             (kv.split("=", 1) for kv in args.token_budgets.split(","))}
+            if args.token_budgets else None
+        ),
         report=args.report,
         against=args.against,
         write_index=args.write_index,

@@ -1075,3 +1075,42 @@ def test_curate_job_sentence_redact_decontamination(spark, tmp_path):
     assert "secret benchmark" not in kept[50]
     assert "quiet maple forest" in kept[50]
     assert 0 in kept and "number 0" in kept[0]
+
+
+def test_curate_job_c4_clean_and_token_budgets(spark, tmp_path):
+    """--c4-clean scrubs bad lines / kills brace pages before the quality
+    gate; --token-budgets admits docs per language until the token budget
+    is exhausted and downstream packing sees only the admitted docs."""
+    from jobs.curate_job import run_curate
+
+    prose = ("The quiet maple forest holds seventeen distinct bird species "
+             "and every spring that wide valley fills with fresh melting "
+             "water which brings young foxes out to hunt along shallow "
+             "creek banks while older animals rest beneath warm granite "
+             "ledges watching pale clouds drift past tall peaks until dusk "
+             "settles over meadows where deer graze quietly near cold "
+             "streams flowing toward distant farms. One. Two. Three. Four.")
+    rows = [(i, f"{prose} Unique closing remark number {i} ends this note.")
+            for i in range(10)]
+    rows.append((90, prose + "\nPlease enable javascript to view the page."))
+    rows.append((91, prose + "\nconst cfg = { broken: true };"))  # brace kill
+    inp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+
+    out = tmp_path / "cur_c4b"
+    summary = run_curate(spark, inp, str(out), dedup_mode="exact",
+                         langs=("en",), num_buckets=2, c4_clean=True,
+                         token_budgets={"en": 300}, pack_seq_len=64)
+    kept = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(str(out / "bucket=*")).collect()}
+    assert 91 not in kept                          # brace page killed
+    assert 90 in kept and "javascript" not in kept[90]
+    # budget: per-language admitted token sum stays within the budget
+    assert summary["budget_kept_tokens"]["en"] <= 300
+    assert 0 < summary["budget_kept_docs"] < len(kept)
+    admitted = set(r["doc_id"] for r in
+                   spark.read.parquet(str(out / "_budget"))
+                   .filter("kept").collect())
+    packed = set(r["doc_id"] for r in
+                 spark.read.parquet(str(out / "_packed")).collect())
+    assert packed <= admitted                      # trainer stream ⊆ budget
