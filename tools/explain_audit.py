@@ -116,6 +116,8 @@ AUDIT = [
     "table_bloom_lookup",
     "search_hybrid_rrf",
     "pack_tokenized",
+    "c4_filters",
+    "budget_mix",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
