@@ -110,6 +110,7 @@ HEADLINE = [
     "media_orphans",
     "media_captions",
     "html_links",
+    "page_directives",
     "host_graph",
     "anchor_texts",
     "compress_ratio",

@@ -114,6 +114,68 @@ def extract_links(
     )
 
 
+META_ROBOTS_RE = (
+    r"(?is)<meta\b[^>]*\bname\s*=\s*[\"']robots[\"'][^>]*>"
+)
+LINK_CANONICAL_RE = r"(?is)<link\b[^>]*\brel\s*=\s*[\"']canonical[\"'][^>]*>"
+_CONTENT_DQ_RE = r'(?i)\bcontent\s*=\s*"([^"]*)"'
+_CONTENT_SQ_RE = r"(?i)\bcontent\s*=\s*'([^']*)'"
+
+
+def page_directives(
+    docs: DataFrame,
+    base_col: str = "base_uri",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-hygiene page directives — the two signals a crawl pipeline
+    honors before a page may enter the corpus: the robots meta tag
+    (``noindex`` / ``nofollow``; ``none`` means both, and across multiple
+    robots metas the most restrictive directive wins — the documented
+    union semantics) and ``rel=canonical`` (the syndication/pagination
+    dedup signal: copies collapse onto the canonical URL, resolved against
+    the page base with the same RFC-subset resolver as
+    :func:`extract_links`). Attribute order inside the tags is free and
+    both quote styles parse, same as the anchor scanner.
+
+    One narrow pass of regexp/array expressions — the corpus never
+    shuffles. Returns (doc_id, noindex, nofollow, canonical_url,
+    canonical_is_self); ``canonical_url`` is '' when the page declares
+    none, ``canonical_is_self`` when it resolves to the page's own
+    (fragment-stripped) base URI."""
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    metas = F.regexp_extract_all(html, F.lit(META_ROBOTS_RE), 0)
+
+    def content_of(tag: Column) -> Column:
+        dq = F.regexp_extract(tag, _CONTENT_DQ_RE, 1)
+        sq = F.regexp_extract(tag, _CONTENT_SQ_RE, 1)
+        return F.lower(F.when(dq != "", dq).otherwise(sq))
+
+    def has_directive(word: str) -> Column:
+        return F.exists(
+            metas,
+            lambda m: content_of(m).rlike(rf"\b(?:{word}|none)\b"),
+        )
+
+    canon_tag = F.regexp_extract(html, LINK_CANONICAL_RE, 0)
+    dq = F.regexp_extract(canon_tag, _HREF_DQ_RE, 1)
+    sq = F.regexp_extract(canon_tag, _HREF_SQ_RE, 1)
+    href = py_strip(F.when(dq != "", dq).otherwise(sq))
+    base = F.coalesce(F.col(base_col), F.lit(""))
+    scheme, host, dirp = _base_parts(base)
+    canon = F.when(href == "", F.lit("")).otherwise(
+        _resolve(href, scheme, host, dirp)
+    )
+    self_uri = F.regexp_replace(base, r"(?s)#.*$", "")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        has_directive("noindex").alias("noindex"),
+        has_directive("nofollow").alias("nofollow"),
+        canon.alias("canonical_url"),
+        ((canon != "") & (canon == self_uri)).alias("canonical_is_self"),
+    )
+
+
 def host_edges(links: DataFrame) -> DataFrame:
     """(src_host, dst_host, n_links) host-level link graph from
     :func:`extract_links` output — one aggregation, map-side combined;

@@ -6262,6 +6262,144 @@ def q_html_links(spark: SparkSession, sf: str) -> DataFrame:
     return LK.extract_links(_links_fixture(D.load(spark, sf, "documents")))
 
 
+def _directives_fixture(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/a/b/page"),
+        did,
+        F.lit(".html"),
+    )
+    html = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(
+                    '<meta name="robots" content="noindex, nofollow">'
+                    '<link rel="canonical" href="'
+                ),
+                base,
+                F.lit('">'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(
+                    "<meta content='nofollow' name='robots'>"
+                    "<link href='canon"
+                ),
+                did,
+                F.lit(".html' rel='canonical'>"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit("<p>plain page with no directives</p>"))
+        .otherwise(
+            F.concat(
+                F.lit(
+                    "<META NAME='robots' CONTENT='none'>"
+                    '<link rel="canonical" href="/c/root'
+                ),
+                did,
+                F.lit('.html">'),
+            )
+        )
+    )
+    return docs.select("doc_id", base.alias("base_uri"), html.alias("html"))
+
+
+_SQL_META_ROBOTS = (
+    "(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"'']robots[\"''][^>]*>"
+)
+_SQL_LINK_CANON = "(?is)<link\\b[^>]*\\brel\\s*=\\s*[\"'']canonical[\"''][^>]*>"
+_SQL_META_CONTENT = (
+    "lower(CASE WHEN regexp_extract(m, '(?i)\\bcontent\\s*=\\s*\"([^\"]*)\"', 1) != '' "
+    "THEN regexp_extract(m, '(?i)\\bcontent\\s*=\\s*\"([^\"]*)\"', 1) "
+    "ELSE regexp_extract(m, '(?i)\\bcontent\\s*=\\s*''([^'']*)''', 1) END)"
+)
+_SQL_CANON_HREF = _strip(
+    "(CASE WHEN regexp_extract(ctag, '(?i)\\bhref\\s*=\\s*\"([^\"]*)\"', 1) != '' "
+    "THEN regexp_extract(ctag, '(?i)\\bhref\\s*=\\s*\"([^\"]*)\"', 1) "
+    "ELSE regexp_extract(ctag, '(?i)\\bhref\\s*=\\s*''([^'']*)''', 1) END)"
+)
+
+
+@_q(
+    "page_directives",
+    f"""
+WITH pd0 AS (
+  SELECT doc_id,
+         'https://site' || (doc_id % 7) || '.example/a/b/page' || doc_id
+           || '.html' AS base_uri
+  FROM documents
+),
+pd1 AS (
+  SELECT doc_id, base_uri,
+         CASE doc_id % 4
+           WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
+                       || '<link rel="canonical" href="' || base_uri || '">'
+           WHEN 1 THEN '<meta content=''nofollow'' name=''robots''>'
+                       || '<link href=''canon' || doc_id
+                       || '.html'' rel=''canonical''>'
+           WHEN 2 THEN '<p>plain page with no directives</p>'
+           ELSE '<META NAME=''robots'' CONTENT=''none''>'
+                || '<link rel="canonical" href="/c/root' || doc_id || '.html">'
+         END AS html
+  FROM pd0
+),
+pd2 AS (
+  SELECT doc_id, base_uri, html,
+         regexp_extract_all(html, '{_SQL_META_ROBOTS}', 0) AS metas,
+         regexp_extract(html, '{_SQL_LINK_CANON}', 0) AS ctag,
+         lower(regexp_extract(base_uri, '^(?i)(https?)://', 1)) AS scheme,
+         lower(regexp_extract(base_uri, '^(?i)https?://([^/?#]*)', 1)) AS host,
+         (CASE WHEN regexp_replace(
+              regexp_extract(base_uri, '^(?i)https?://[^/?#]*([^?#]*)', 1),
+              '[^/]*$', '') = '' THEN '/'
+           ELSE regexp_replace(
+              regexp_extract(base_uri, '^(?i)https?://[^/?#]*([^?#]*)', 1),
+              '[^/]*$', '') END) AS dirp
+  FROM pd1
+),
+pd3 AS (
+  SELECT doc_id, base_uri, metas, scheme, host, dirp,
+         {_SQL_CANON_HREF} AS href
+  FROM pd2
+),
+pd4 AS (
+  SELECT doc_id, base_uri, metas,
+         CASE WHEN href = '' THEN ''
+              ELSE regexp_replace(
+                CASE WHEN regexp_matches(href, '^(?i)https?://') THEN href
+                     WHEN regexp_matches(href, '^//') THEN scheme || ':' || href
+                     WHEN regexp_matches(href, '^/') THEN scheme || '://' || host || href
+                     ELSE scheme || '://' || host || dirp || href END,
+                '(?s)#.*$', '') END AS canonical_url
+  FROM pd3
+)
+SELECT doc_id,
+       len(list_filter(metas,
+           m -> regexp_matches({_SQL_META_CONTENT},
+                               '\\b(?:noindex|none)\\b'))) > 0 AS noindex,
+       len(list_filter(metas,
+           m -> regexp_matches({_SQL_META_CONTENT},
+                               '\\b(?:nofollow|none)\\b'))) > 0 AS nofollow,
+       canonical_url,
+       (canonical_url != ''
+        AND canonical_url = regexp_replace(base_uri, '(?s)#.*$', ''))
+         AS canonical_is_self
+FROM pd4""",
+)
+def q_page_directives(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-hygiene page directives (robots meta noindex/nofollow with
+    union-of-metas semantics, 'none' implying both, and rel=canonical
+    resolution against the page base) over a per-residue fixture covering
+    both quote styles, reversed attribute order, an uppercase tag, a
+    relative and a root-relative canonical, and a directive-free page."""
+    return LK.page_directives(_directives_fixture(D.load(spark, sf, "documents")))
+
+
 @_q(
     "host_graph",
     f"""
@@ -6473,7 +6611,7 @@ _DRIVER_PRIORITY = [
     "bpe_train", "bpe_tokens", "kmeans_clusters", "table_scan_pruned",
     "table_stream_ingest", "search_bm25",
     "dsir_score", "splits_by_cluster", "dedup_keep_best", "domain_report",
-    "diversity_sample", "c4_filters", "budget_mix",
+    "diversity_sample", "c4_filters", "budget_mix", "page_directives",
     # C
     "dedup_simhash", "dedup_embedding", "ann_topk_bruteforce", "ann_topk_lsh",
     "spans_assemble", "extract_documents", "layout_flags",

@@ -210,3 +210,39 @@ def test_host_stats_degree_audit(spark):
     assert farm["in_hosts"] == 1 and farm["in_links"] == 2  # only itself
     sink = stats["t1.example"]
     assert sink["out_hosts"] == 0 and sink["in_hosts"] == 2
+
+
+def test_page_directives_robots_and_canonical(spark):
+    """Robots meta parses both quote styles / attr orders, 'none' implies
+    both directives, multiple metas union (most restrictive wins);
+    rel=canonical resolves relative hrefs against the base and
+    self-canonical pages flag as such."""
+    pages = [
+        (1, "https://ex.com/a/b/page1.html",
+         '<meta name="robots" content="noindex, nofollow">'
+         '<link rel="canonical" href="https://ex.com/a/b/page1.html">'),
+        (2, "https://ex.com/a/page2.html",
+         "<meta content='nofollow' name='robots'>"
+         "<link href='canon.html' rel='canonical'>"),
+        (3, "https://ex.com/page3.html", "<p>no directives at all</p>"),
+        (4, "https://ex.com/page4.html",
+         '<meta name="robots" content="noindex">'
+         '<meta name="robots" content="nofollow">'),
+        (5, "https://ex.com/page5.html",
+         "<META NAME='robots' CONTENT='none'>"),
+        (6, "https://ex.com/page6.html#frag",
+         '<link rel="canonical" href="/page6.html">'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, base_uri string, html string")
+    got = {r["doc_id"]: r for r in LK.page_directives(df).collect()}
+    assert got[1]["noindex"] and got[1]["nofollow"]
+    assert got[1]["canonical_is_self"]
+    assert not got[2]["noindex"] and got[2]["nofollow"]
+    assert got[2]["canonical_url"] == "https://ex.com/a/canon.html"
+    assert not got[2]["canonical_is_self"]
+    assert not got[3]["noindex"] and not got[3]["nofollow"]
+    assert got[3]["canonical_url"] == "" and not got[3]["canonical_is_self"]
+    assert got[4]["noindex"] and got[4]["nofollow"]      # union of two metas
+    assert got[5]["noindex"] and got[5]["nofollow"]      # none => both
+    assert got[6]["canonical_url"] == "https://ex.com/page6.html"
+    assert got[6]["canonical_is_self"]                   # fragment stripped

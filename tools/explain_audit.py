@@ -118,6 +118,7 @@ AUDIT = [
     "pack_tokenized",
     "c4_filters",
     "budget_mix",
+    "page_directives",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
