@@ -176,6 +176,196 @@ def page_directives(
     )
 
 
+_UA_LINE_RE = r"(?i)^user-agent\s*:"
+_UA_VALUE_RE = r"(?i)^user-agent\s*:(.*)$"
+_RULE_LINE_RE = r"(?i)^(?:allow|disallow)\s*:"
+_RULE_KIND_RE = r"(?i)^(allow|disallow)\s*:"
+_RULE_PATH_RE = r"(?i)^(?:allow|disallow)\s*:(.*)$"
+_SITEMAP_RE = r"(?i)^sitemap\s*:(.*)$"
+
+
+def _robots_lines(body_col: str) -> Column:
+    """robots.txt body → cleaned line array: split on LF, strip comments
+    (``#`` to end of line), strip surrounding whitespace (swallows CR from
+    CRLF bodies). Never empty — ``split('')`` is ``['']``."""
+    return F.transform(
+        F.split(F.coalesce(F.col(body_col), F.lit("")), "\n"),
+        lambda l: py_strip(F.regexp_replace(l, r"(?s)#.*$", "")),
+    )
+
+
+def robots_rules(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Parse robots.txt bodies into the allow/disallow rules that apply to
+    ``agent`` — the Robots Exclusion Protocol (RFC 9309) with a documented
+    subset: group semantics (consecutive ``User-agent`` lines share the
+    rules that follow; a later ``User-agent`` line starts a new group;
+    rules before any group are invalid and dropped), comments stripped,
+    directive names case-insensitive, rule paths case-sensitive, empty
+    ``Allow:``/``Disallow:`` values are no-ops, and agent matching is
+    lowercased exact-token-else-``*`` (if ANY group names the agent
+    exactly, only those groups apply — the star groups are ignored, per
+    the spec's most-specific-group rule; RFC wildcard paths ``*``/``$``
+    and ``Crawl-delay`` are out of the subset and such lines parse as
+    literal paths / unknown lines).
+
+    Scale shape: one narrow pass of array expressions per robots row (the
+    group-id fold is a quadratic index scan bounded by the robots file's
+    own line count — robots.txt is KB-sized by convention) followed by one
+    explode; the corpus is never touched. Returns
+    (host, block_id, allow, path), one row per applicable rule."""
+    agent_l = agent.strip().lower()
+    ln = _robots_lines(body_col).alias("ln")
+    r0 = robots.select(F.col(host_col).alias("host"), ln)
+    r1 = r0.select(
+        "host",
+        "ln",
+        F.transform("ln", lambda l: l.rlike(_UA_LINE_RE)).alias("isua"),
+    )
+    idx = F.sequence(F.lit(1), F.size("ln"))
+
+    def ua_start(j: Column) -> Column:
+        return F.element_at(F.col("isua"), j) & (
+            (j == 1) | ~F.element_at(F.col("isua"), j - 1)
+        )
+
+    blk = F.transform(
+        idx, lambda i: F.size(F.filter(F.sequence(F.lit(1), i), ua_start))
+    )
+    r2 = r1.select("host", "ln", "isua", blk.alias("blk"))
+    line = lambda i: F.element_at(F.col("ln"), i)  # noqa: E731
+    uas = F.transform(
+        F.filter(idx, lambda i: F.element_at(F.col("isua"), i)),
+        lambda i: F.struct(
+            F.element_at(F.col("blk"), i).alias("b"),
+            F.lower(py_strip(F.regexp_extract(line(i), _UA_VALUE_RE, 1))).alias(
+                "ua"
+            ),
+        ),
+    )
+    rls = F.transform(
+        F.filter(idx, lambda i: line(i).rlike(_RULE_LINE_RE)),
+        lambda i: F.struct(
+            F.element_at(F.col("blk"), i).alias("b"),
+            (
+                F.lower(F.regexp_extract(line(i), _RULE_KIND_RE, 1)) == "allow"
+            ).alias("allow"),
+            py_strip(F.regexp_extract(line(i), _RULE_PATH_RE, 1)).alias("path"),
+        ),
+    )
+    r3 = r2.select("host", uas.alias("uas"), rls.alias("rls"))
+    sel = F.when(
+        F.exists("uas", lambda u: u["ua"] == agent_l), F.lit(agent_l)
+    ).otherwise(F.lit("*"))
+    kept = F.filter(
+        F.col("rls"),
+        lambda r: (r["path"] != "")
+        & (r["b"] >= 1)
+        & F.exists(
+            "uas", lambda u: (u["b"] == r["b"]) & (u["ua"] == F.col("__sel"))
+        ),
+    )
+    r4 = r3.withColumn("__sel", sel).select(
+        "host", F.explode(kept).alias("r")
+    )
+    return r4.select(
+        "host",
+        F.col("r.b").cast("long").alias("block_id"),
+        F.col("r.allow").alias("allow"),
+        F.col("r.path").alias("path"),
+    )
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """``Sitemap:`` declarations — group-independent per RFC 9309 §2.3.
+    Returns (host, sitemap_url), one row per non-empty declaration."""
+    lines = _robots_lines(body_col)
+    maps = F.filter(
+        F.transform(
+            lines, lambda l: py_strip(F.regexp_extract(l, _SITEMAP_RE, 1))
+        ),
+        lambda v: v != "",
+    )
+    return robots.select(
+        F.col(host_col).alias("host"), F.explode(maps).alias("sitemap_url")
+    )
+
+
+def robots_gate(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gate URLs through parsed robots rules (:func:`robots_rules` output)
+    — the fetch-permission decision a crawl pipeline makes before a page
+    may enter the corpus. Longest-path-prefix match wins; an ``Allow``
+    beats a ``Disallow`` of equal length; no matching rule (or no robots
+    row for the host at all) means allowed. Matching is against the URL's
+    path-plus-query with the fragment stripped ('' → '/').
+
+    Scale shape: rules collapse to ONE array row per host before the join,
+    so the build side is host-cardinality (robots files, not URLs). No
+    broadcast hint on purpose: a site-scoped crawl's rules table is KB and
+    AQE converts the join to broadcast at runtime, while a full-web rules
+    table (~10⁸ hosts) correctly falls back to a shuffle join on ``host``
+    — the same key the URL corpus shuffles on for its host-level stats, so
+    the exchange is reusable. Returns (doc_id, url, host, allowed,
+    matched_len) where ``matched_len`` is the winning rule's path length
+    (0 = no rule matched)."""
+    host_rules = rules.groupBy("host").agg(
+        F.collect_list(F.struct("allow", "path")).alias("rules")
+    )
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url_col), r"^(?i)https?://(?:[^/?#]*@)?([^/?#]*)", 1
+        )
+    )
+    path0 = F.regexp_extract(
+        F.regexp_replace(F.col(url_col), r"(?s)#.*$", ""),
+        r"^(?i)https?://[^/?#]*(.*)$",
+        1,
+    )
+    upath = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    u = urls.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        upath.alias("__path"),
+    )
+    j = u.join(host_rules, "host", "left")
+    matches = F.filter(
+        F.coalesce(
+            F.col("rules"),
+            F.array().cast("array<struct<allow:boolean,path:string>>"),
+        ),
+        lambda r: F.col("__path").startswith(r["path"]),
+    )
+    j = j.withColumn("__m", matches)
+    best = F.array_max(F.transform("__m", lambda r: F.length(r["path"])))
+    allowed = (F.size("__m") == 0) | F.exists(
+        "__m", lambda r: (F.length(r["path"]) == F.col("__best")) & r["allow"]
+    )
+    return (
+        j.withColumn("__best", best)
+        .select(
+            "doc_id",
+            "url",
+            "host",
+            allowed.alias("allowed"),
+            F.coalesce(F.col("__best"), F.lit(0)).cast("long").alias(
+                "matched_len"
+            ),
+        )
+    )
+
+
 def host_edges(links: DataFrame) -> DataFrame:
     """(src_host, dst_host, n_links) host-level link graph from
     :func:`extract_links` output — one aggregation, map-side combined;

@@ -6400,6 +6400,240 @@ def q_page_directives(spark: SparkSession, sf: str) -> DataFrame:
     return LK.page_directives(_directives_fixture(D.load(spark, sf, "documents")))
 
 
+_ROBOTS_AGENT = "ocrbot"
+# Five deterministic robots.txt bodies (host = site<i>.example, i = doc_id
+# < 5); hosts site5/site6 deliberately have NO robots row. Coverage: exact
+# agent group beating '*' (0), a shared multi-UA run + CRLF + trailing
+# comments (1), an empty Disallow no-op + a rule before any group + a
+# Sitemap line (2), deny-all-for-star with an irrelevant exact group (3),
+# an equal-length Allow/Disallow tie + two Sitemap lines in mixed case (4).
+_ROBOTS_BODIES = [
+    "# global rules\nUser-agent: *\nDisallow: /private/\n"
+    "Allow: /private/public/\nCrawl-delay: 10\n\n"
+    "User-agent: ocrbot\nDisallow: /ocr-only/\nAllow: /\n",
+    "User-agent: alpha\r\nUser-agent: OCRBot\r\n"
+    "Disallow: /a/b    # comment\r\nAllow: /a/b/c\r\n\r\n"
+    "User-agent: beta\r\nDisallow: /",
+    "Disallow: /ignored\nUser-agent: *\nDisallow:\nDisallow: /tmp/\n"
+    "Sitemap: https://site2.example/sitemap.xml",
+    "User-agent: somebot\nAllow: /\nUser-agent: *\nDisallow: /",
+    "User-agent: *\nDisallow: /dup/\nAllow: /dup2/\nDisallow: /dup2/\n"
+    "Sitemap: https://site4.example/map1.xml\n"
+    "sitemap: https://site4.example/map2.xml",
+]
+_ROBOTS_PATH_SUFFIXES = [
+    ("/private/file", True),
+    ("/private/public/x", True),
+    ("/ocr-only/p", False),
+    ("/a/b/deep?q=", True),
+    ("/tmp/x", True),
+    ("/dup2/y", True),
+]
+
+
+def _robots_fixture(docs: DataFrame) -> DataFrame:
+    body = F.lit(None).cast("string")
+    for i, b in reversed(list(enumerate(_ROBOTS_BODIES))):
+        body = F.when(F.col("doc_id") == i, F.lit(b)).otherwise(body)
+    return docs.filter(F.col("doc_id") < len(_ROBOTS_BODIES)).select(
+        F.concat(
+            F.lit("site"), F.col("doc_id").cast("string"), F.lit(".example")
+        ).alias("host"),
+        body.alias("body"),
+    )
+
+
+def _robots_urls_fixture(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    path = F.lit(None).cast("string")
+    for i, (sfx, with_id) in reversed(list(enumerate(_ROBOTS_PATH_SUFFIXES))):
+        p = F.concat(F.lit(sfx), did) if with_id else F.lit(sfx)
+        path = F.when(F.col("doc_id") % 6 == i, p).otherwise(path)
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example"),
+        path,
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+_SQL_ROBOTS_SRC = (
+    "rbsrc AS (\n  SELECT 'site' || doc_id || '.example' AS host,\n"
+    "         CASE doc_id "
+    + " ".join(
+        f"WHEN {i} THEN {_sql_lit(b)}" for i, b in enumerate(_ROBOTS_BODIES)
+    )
+    + " END AS body\n"
+    f"  FROM documents WHERE doc_id < {len(_ROBOTS_BODIES)}\n)"
+)
+
+_SQL_ROBOTS_URLS = (
+    "gurl AS (\n  SELECT doc_id,\n"
+    "    'https://site' || (doc_id % 7) || '.example' ||\n"
+    "    CASE doc_id % 6 "
+    + " ".join(
+        f"WHEN {i} THEN '{sfx}' || doc_id" if with_id else f"WHEN {i} THEN '{sfx}'"
+        for i, (sfx, with_id) in enumerate(_ROBOTS_PATH_SUFFIXES[:-1])
+    )
+    + f" ELSE '{_ROBOTS_PATH_SUFFIXES[-1][0]}' || doc_id END AS url\n"
+    "  FROM documents\n)"
+)
+
+
+def _sql_robots_parse() -> str:
+    """DuckDB twin of links.robots_rules: rbsrc(host, body) → rbrules
+    (host, block_id, allow, path) via the same cleaned-line / UA-run
+    block-id / exact-else-star formulation."""
+    clean = _strip("regexp_replace(l, '(?s)#.*$', '')")
+    ua_val = _strip("regexp_extract(ln[i], '(?i)^user-agent\\s*:(.*)$', 1)")
+    path_val = _strip(
+        "regexp_extract(ln[i], '(?i)^(?:allow|disallow)\\s*:(.*)$', 1)"
+    )
+    return f"""rb1 AS (
+  SELECT host,
+         list_transform(string_split(body, chr(10)), l -> {clean}) AS ln
+  FROM rbsrc
+),
+rb2 AS (
+  SELECT host, ln,
+         list_transform(ln,
+           l -> regexp_matches(l, '(?i)^user-agent\\s*:')) AS isua
+  FROM rb1
+),
+rb3 AS (
+  SELECT host, ln, isua,
+         list_transform(range(1, len(ln)+1),
+           i -> len(list_filter(range(1, i+1),
+                  j -> isua[j] AND (j = 1 OR NOT isua[j-1])))) AS blk
+  FROM rb2
+),
+rb4 AS (
+  SELECT host,
+         list_transform(list_filter(range(1, len(ln)+1), i -> isua[i]),
+           i -> struct_pack(b := blk[i], ua := lower({ua_val}))) AS uas,
+         list_transform(list_filter(range(1, len(ln)+1),
+             i -> regexp_matches(ln[i], '(?i)^(?:allow|disallow)\\s*:')),
+           i -> struct_pack(b := blk[i],
+                allow := lower(regexp_extract(ln[i],
+                    '(?i)^(allow|disallow)\\s*:', 1)) = 'allow',
+                path := {path_val})) AS rls
+  FROM rb3
+),
+rb5 AS (
+  SELECT host, uas, rls,
+         CASE WHEN len(list_filter(uas, u -> u.ua = '{_ROBOTS_AGENT}')) > 0
+              THEN '{_ROBOTS_AGENT}' ELSE '*' END AS sel
+  FROM rb4
+),
+rbrules AS (
+  SELECT host, r.b::BIGINT AS block_id, r.allow AS allow, r.path AS path
+  FROM (SELECT host,
+          UNNEST(list_filter(rls, r -> r.path != '' AND r.b >= 1
+             AND len(list_filter(uas,
+                   u -> u.b = r.b AND u.ua = sel)) > 0)) AS r
+        FROM rb5)
+)"""
+
+
+@_q(
+    "robots_rules",
+    f"""
+WITH {_SQL_ROBOTS_SRC},
+{_sql_robots_parse()}
+SELECT host, block_id, allow, path FROM rbrules""",
+)
+def q_robots_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Robots Exclusion Protocol (RFC 9309 documented subset) rule parse
+    for one agent over a five-host robots.txt fixture: UA-run group
+    semantics, exact-agent-else-star selection, comment/CRLF stripping,
+    empty-value and before-any-group rules dropped."""
+    return LK.robots_rules(
+        _robots_fixture(D.load(spark, sf, "documents")), _ROBOTS_AGENT
+    )
+
+
+@_q(
+    "robots_gate",
+    f"""
+WITH {_SQL_ROBOTS_SRC},
+{_sql_robots_parse()},
+{_SQL_ROBOTS_URLS},
+hr AS (
+  SELECT host, list(struct_pack(allow := allow, path := path)) AS rules
+  FROM rbrules GROUP BY host
+),
+g1 AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url,
+          '^(?i)https?://(?:[^/?#]*@)?([^/?#]*)', 1)) AS host,
+    CASE WHEN regexp_extract(regexp_replace(url, '(?s)#.*$', ''),
+              '^(?i)https?://[^/?#]*(.*)$', 1) = '' THEN '/'
+         ELSE regexp_extract(regexp_replace(url, '(?s)#.*$', ''),
+              '^(?i)https?://[^/?#]*(.*)$', 1) END AS upath
+  FROM gurl
+),
+g2 AS (
+  SELECT doc_id, url, g1.host AS host,
+         list_filter(coalesce(rules, []::STRUCT(allow BOOLEAN,
+                                                path VARCHAR)[]),
+                     r -> starts_with(upath, r.path)) AS m
+  FROM g1 LEFT JOIN hr ON g1.host = hr.host
+),
+g3 AS (
+  SELECT doc_id, url, host, m,
+         list_max(list_transform(m, r -> len(r.path))) AS best
+  FROM g2
+)
+SELECT doc_id, url, host,
+       (len(m) = 0 OR len(list_filter(m,
+            r -> len(r.path) = best AND r.allow)) > 0) AS allowed,
+       coalesce(best, 0)::BIGINT AS matched_len
+FROM g3""",
+)
+def q_robots_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt URL gating (longest-prefix wins, Allow beats Disallow on
+    ties, hosts without robots rows allowed) over a 7-host × 6-path-shape
+    URL fixture whose residues cycle against the 5 robots bodies."""
+    docs = D.load(spark, sf, "documents")
+    rules = LK.robots_rules(_robots_fixture(docs), _ROBOTS_AGENT)
+    return LK.robots_gate(_robots_urls_fixture(docs), rules)
+
+
+_SQL_ROBOTS_CLEAN = _strip("regexp_replace(l, '(?s)#.*$', '')")
+_SQL_ROBOTS_SMVAL = _strip(
+    "regexp_extract(l, '(?i)^sitemap\\s*:(.*)$', 1)"
+)
+
+
+@_q(
+    "robots_sitemaps",
+    f"""
+WITH {_SQL_ROBOTS_SRC},
+rb1 AS (
+  SELECT host,
+         list_transform(string_split(body, chr(10)),
+           l -> {_SQL_ROBOTS_CLEAN}) AS ln
+  FROM rbsrc
+),
+sm AS (
+  SELECT host,
+         list_filter(list_transform(ln, l -> {_SQL_ROBOTS_SMVAL}),
+           v -> v != '') AS maps
+  FROM rb1
+)
+SELECT host, UNNEST(maps) AS sitemap_url FROM sm""",
+)
+def q_robots_sitemaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-independent Sitemap: declarations (RFC 9309 §2.3) from the
+    robots fixture — mixed-case directive names, multiple maps per host."""
+    return LK.robots_sitemaps(_robots_fixture(D.load(spark, sf, "documents")))
+
+
 @_q(
     "host_graph",
     f"""
@@ -6612,6 +6846,7 @@ _DRIVER_PRIORITY = [
     "table_stream_ingest", "search_bm25",
     "dsir_score", "splits_by_cluster", "dedup_keep_best", "domain_report",
     "diversity_sample", "c4_filters", "budget_mix", "page_directives",
+    "robots_rules", "robots_gate", "robots_sitemaps",
     # C
     "dedup_simhash", "dedup_embedding", "ann_topk_bruteforce", "ann_topk_lsh",
     "spans_assemble", "extract_documents", "layout_flags",

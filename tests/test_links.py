@@ -246,3 +246,88 @@ def test_page_directives_robots_and_canonical(spark):
     assert got[5]["noindex"] and got[5]["nofollow"]      # none => both
     assert got[6]["canonical_url"] == "https://ex.com/page6.html"
     assert got[6]["canonical_is_self"]                   # fragment stripped
+
+
+ROBOTS_BODY = """# preamble comment
+Disallow: /before-any-group
+User-agent: alpha\r
+User-agent: OCRBot\r
+Disallow: /a/b    # trailing comment
+Allow: /a/b/c
+Disallow:
+
+User-agent: beta
+Disallow: /
+Sitemap: https://ex.com/map1.xml
+sitemap: https://ex.com/map2.xml
+SITEMAP:
+"""
+
+
+def test_robots_rules_groups_and_agent_selection(spark):
+    """UA runs share rules; a later UA line starts a new group; exact-agent
+    groups suppress star groups; empty-value and before-any-group rules
+    drop; comments and CRLF strip; directive names are case-insensitive."""
+    df = spark.createDataFrame([("ex.com", ROBOTS_BODY)], "host string, body string")
+    rules = sorted(
+        (r["block_id"], r["allow"], r["path"])
+        for r in LK.robots_rules(df, "ocrbot").collect()
+    )
+    # the shared alpha/OCRBot run: /a/b disallow (comment stripped), /a/b/c
+    # allow; the empty Disallow and the pre-group rule are gone; beta's
+    # deny-all group does not apply to ocrbot.
+    assert rules == [(1, False, "/a/b"), (1, True, "/a/b/c")]
+    # an agent with no exact group falls back to... no star group here.
+    assert LK.robots_rules(df, "nobody").count() == 0
+    # star fallback when no exact group names the agent.
+    star = spark.createDataFrame(
+        [("s.com", "User-agent: *\nDisallow: /x\nUser-agent: a\nDisallow: /y")],
+        "host string, body string",
+    )
+    got = [(r["allow"], r["path"]) for r in LK.robots_rules(star, "zz").collect()]
+    assert got == [(False, "/x")]
+
+
+def test_robots_gate_longest_match_and_ties(spark):
+    """Longest path prefix wins; Allow beats Disallow at equal length; no
+    matching rule or no robots row at all means allowed; matching is on
+    path+query with the fragment stripped; bare host path is '/'."""
+    robots = spark.createDataFrame(
+        [
+            (
+                "ex.com",
+                "User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+                "Allow: /t\nDisallow: /t\nDisallow: /q?x=",
+            )
+        ],
+        "host string, body string",
+    )
+    rules = LK.robots_rules(robots, "ocrbot")
+    urls = spark.createDataFrame(
+        [
+            (1, "https://ex.com/a/zzz"),          # blocked by /a
+            (2, "https://ex.com/a/b/c"),          # longer Allow wins
+            (3, "https://ex.com/t/page"),         # tie -> Allow wins
+            (4, "https://ex.com/q?x=1"),          # query participates
+            (5, "https://ex.com/free#frag"),      # no rule matches
+            (6, "https://other.com/a/zzz"),       # host without robots
+            (7, "https://EX.com/a/zzz"),          # host case-folds
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r for r in LK.robots_gate(urls, rules).collect()}
+    assert not got[1]["allowed"] and got[1]["matched_len"] == 2
+    assert got[2]["allowed"] and got[2]["matched_len"] == 4
+    assert got[3]["allowed"] and got[3]["matched_len"] == 2
+    assert not got[4]["allowed"]
+    assert got[5]["allowed"] and got[5]["matched_len"] == 0
+    assert got[6]["allowed"] and got[6]["matched_len"] == 0
+    assert not got[7]["allowed"]
+
+
+def test_robots_sitemaps(spark):
+    """Sitemap lines are group-independent, case-insensitive, and an
+    empty value drops."""
+    df = spark.createDataFrame([("ex.com", ROBOTS_BODY)], "host string, body string")
+    got = sorted(r["sitemap_url"] for r in LK.robots_sitemaps(df).collect())
+    assert got == ["https://ex.com/map1.xml", "https://ex.com/map2.xml"]
