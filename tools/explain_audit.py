@@ -119,6 +119,9 @@ AUDIT = [
     "c4_filters",
     "budget_mix",
     "page_directives",
+    "robots_rules",
+    "robots_gate",
+    "robots_sitemaps",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
