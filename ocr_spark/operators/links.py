@@ -366,6 +366,80 @@ def robots_gate(
     )
 
 
+_SM_URL_BLOCK_RE = r"(?is)<url\b[^>]*>.*?</url>"
+_SM_SMAP_BLOCK_RE = r"(?is)<sitemap\b[^>]*>.*?</sitemap>"
+_SM_LOC_RE = r"(?is)<loc\s*>\s*(.*?)\s*</loc>"
+_SM_LASTMOD_RE = r"(?is)<lastmod\s*>\s*(.*?)\s*</lastmod>"
+_SM_PRIO_RE = r"(?is)<priority\s*>\s*(.*?)\s*</priority>"
+_PRIO_VALID_RE = r"^[01](\.[0-9]+)?$"
+
+
+def _xml_unescape(c: Column) -> Column:
+    """The five predefined XML entities, ``&amp;`` decoded LAST (so
+    ``&amp;lt;`` round-trips to ``&lt;``, not ``<``)."""
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def sitemap_entries(
+    maps: DataFrame, url_col: str = "sitemap_url", xml_col: str = "xml"
+) -> DataFrame:
+    """Parse sitemap XML (sitemaps.org protocol, documented subset: plain
+    ``<loc>`` text — no CDATA; the five predefined entities decoded;
+    ``<priority>`` as exact integer milli-units, NULL when absent or
+    malformed, fractional digits beyond 3 truncated; ``<lastmod>`` kept as
+    the raw W3C-datetime string, '' when absent) into one row per child:
+    ``kind='url'`` for ``<urlset>`` entries, ``kind='sitemap'`` for
+    ``<sitemapindex>`` entries — the discovery loop's recursion signal
+    (feed those locs back through the fetcher into this same operator).
+
+    Scale shape: one narrow pass of regexp/array expressions over the
+    sitemap corpus, one explode; no shuffle, no Python. Together with
+    :func:`robots_sitemaps` (where the sitemap URLs come from) and
+    :func:`robots_gate` (whether the discovered URLs may be fetched) this
+    closes the crawl-discovery loop. Returns (sitemap_url, kind, loc,
+    lastmod, priority_milli)."""
+    xml = F.coalesce(F.col(xml_col), F.lit(""))
+
+    def blocks(pat: str, kind: str) -> Column:
+        return F.transform(
+            F.regexp_extract_all(xml, F.lit(pat), 0),
+            lambda b: F.struct(F.lit(kind).alias("kind"), b.alias("b")),
+        )
+
+    allb = F.concat(
+        blocks(_SM_URL_BLOCK_RE, "url"), blocks(_SM_SMAP_BLOCK_RE, "sitemap")
+    )
+    rows = maps.select(
+        F.col(url_col).alias("sitemap_url"), F.explode(allb).alias("e")
+    )
+    b = F.col("e.b")
+    loc = _xml_unescape(F.regexp_extract(b, _SM_LOC_RE, 1))
+    prio = F.regexp_extract(b, _SM_PRIO_RE, 1)
+    frac3 = F.rpad(
+        F.substring(F.regexp_extract(prio, r"\.([0-9]+)$", 1), 1, 3), 3, "0"
+    )
+    prio_milli = F.when(
+        prio.rlike(_PRIO_VALID_RE),
+        F.regexp_extract(prio, r"^([01])", 1).cast("long") * 1000
+        + frac3.cast("long"),
+    ).cast("long")
+    return rows.select(
+        "sitemap_url",
+        F.col("e.kind").alias("kind"),
+        loc.alias("loc"),
+        F.regexp_extract(b, _SM_LASTMOD_RE, 1).alias("lastmod"),
+        prio_milli.alias("priority_milli"),
+    ).filter(F.col("loc") != "")
+
+
 def host_edges(links: DataFrame) -> DataFrame:
     """(src_host, dst_host, n_links) host-level link graph from
     :func:`extract_links` output — one aggregation, map-side combined;

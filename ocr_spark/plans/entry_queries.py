@@ -6634,6 +6634,114 @@ def q_robots_sitemaps(spark: SparkSession, sf: str) -> DataFrame:
     return LK.robots_sitemaps(_robots_fixture(D.load(spark, sf, "documents")))
 
 
+def _sitemap_fixture(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    h = F.concat(F.lit("https://site"), (F.col("doc_id") % 7).cast("string"), F.lit(".example"))
+    sm_url = F.concat(h, F.lit("/sm"), did, F.lit(".xml"))
+    xml = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<urlset><url><loc> "), h, F.lit("/p"), did,
+                F.lit("?a=1&amp;b=2 </loc><lastmod>2026-01-02</lastmod>"
+                      "<priority>0.8</priority></url><url><loc>"),
+                h, F.lit("/bare"), did,
+                F.lit("</loc></url><url><priority>0.5</priority></url></urlset>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("<SitemapIndex><sitemap><loc>"), h, F.lit("/sm"), did,
+                F.lit("-1.xml</loc><lastmod>2026-02-03T04:05:06Z</lastmod>"
+                      "</sitemap><sitemap><loc>"),
+                h, F.lit("/sm"), did, F.lit("-2.xml</loc></sitemap></SitemapIndex>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<urlset><url><loc>"), h, F.lit("/full"), did,
+                F.lit("</loc><priority>1.0</priority></url><url><loc>"),
+                h, F.lit("/bad"), did,
+                F.lit("</loc><priority>high</priority></url>"
+                      "<url><loc>&amp;lt;esc"),
+                did, F.lit("&amp;gt;</loc></url></urlset>"),
+            )
+        )
+    )
+    return docs.select(sm_url.alias("sitemap_url"), xml.alias("xml"))
+
+
+_SQL_SM_HOST = "'https://site' || (doc_id % 7) || '.example'"
+_SQL_SM_XML_CASE = f"""CASE doc_id % 3
+  WHEN 0 THEN '<urlset><url><loc> ' || {_SQL_SM_HOST} || '/p' || doc_id
+    || '?a=1&amp;b=2 </loc><lastmod>2026-01-02</lastmod>'
+    || '<priority>0.8</priority></url><url><loc>' || {_SQL_SM_HOST}
+    || '/bare' || doc_id
+    || '</loc></url><url><priority>0.5</priority></url></urlset>'
+  WHEN 1 THEN '<SitemapIndex><sitemap><loc>' || {_SQL_SM_HOST} || '/sm'
+    || doc_id || '-1.xml</loc><lastmod>2026-02-03T04:05:06Z</lastmod>'
+    || '</sitemap><sitemap><loc>' || {_SQL_SM_HOST} || '/sm' || doc_id
+    || '-2.xml</loc></sitemap></SitemapIndex>'
+  ELSE '<urlset><url><loc>' || {_SQL_SM_HOST} || '/full' || doc_id
+    || '</loc><priority>1.0</priority></url><url><loc>' || {_SQL_SM_HOST}
+    || '/bad' || doc_id || '</loc><priority>high</priority></url>'
+    || '<url><loc>&amp;lt;esc' || doc_id || '&amp;gt;</loc></url></urlset>'
+END"""
+_SQL_SM_UNESC = (
+    "replace(replace(replace(replace(replace(loc0, '&lt;', '<'), "
+    "'&gt;', '>'), '&quot;', '\"'), '&apos;', ''''), '&amp;', '&')"
+)
+
+
+@_q(
+    "sitemap_entries",
+    f"""
+WITH smsrc AS (
+  SELECT {_SQL_SM_HOST} || '/sm' || doc_id || '.xml' AS sitemap_url,
+         {_SQL_SM_XML_CASE} AS xml
+  FROM documents
+),
+smb AS (
+  SELECT sitemap_url,
+         list_concat(
+           list_transform(regexp_extract_all(xml,
+               '(?is)<url\\b[^>]*>.*?</url>', 0),
+             b -> struct_pack(kind := 'url', b := b)),
+           list_transform(regexp_extract_all(xml,
+               '(?is)<sitemap\\b[^>]*>.*?</sitemap>', 0),
+             b -> struct_pack(kind := 'sitemap', b := b))) AS es
+  FROM smsrc
+),
+sme AS (SELECT sitemap_url, UNNEST(es) AS e FROM smb),
+smx AS (
+  SELECT sitemap_url, e.kind AS kind,
+         regexp_extract(e.b, '(?is)<loc\\s*>\\s*(.*?)\\s*</loc>', 1) AS loc0,
+         regexp_extract(e.b,
+             '(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod>', 1) AS lastmod,
+         regexp_extract(e.b,
+             '(?is)<priority\\s*>\\s*(.*?)\\s*</priority>', 1) AS prio
+  FROM sme
+)
+SELECT sitemap_url, kind,
+       {_SQL_SM_UNESC} AS loc,
+       lastmod,
+       CASE WHEN regexp_matches(prio, '^[01](\\.[0-9]+)?$')
+            THEN regexp_extract(prio, '^([01])', 1)::BIGINT * 1000
+                 + rpad(substr(regexp_extract(prio, '\\.([0-9]+)$', 1),
+                               1, 3), 3, '0')::BIGINT
+       END AS priority_milli
+FROM smx WHERE loc0 != ''""",
+)
+def q_sitemap_entries(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap XML parse (sitemaps.org subset) over a three-shape fixture:
+    a rich urlset (whitespace-padded loc, entity-escaped query, lastmod,
+    priority, a loc-less block that must drop), a sitemapindex (recursion
+    children), and an edge urlset (priority 1.0 / malformed priority /
+    decode-order entity in loc)."""
+    return LK.sitemap_entries(_sitemap_fixture(D.load(spark, sf, "documents")))
+
+
 @_q(
     "host_graph",
     f"""
@@ -6846,7 +6954,7 @@ _DRIVER_PRIORITY = [
     "table_stream_ingest", "search_bm25",
     "dsir_score", "splits_by_cluster", "dedup_keep_best", "domain_report",
     "diversity_sample", "c4_filters", "budget_mix", "page_directives",
-    "robots_rules", "robots_gate", "robots_sitemaps",
+    "robots_rules", "robots_gate", "robots_sitemaps", "sitemap_entries",
     # C
     "dedup_simhash", "dedup_embedding", "ann_topk_bruteforce", "ann_topk_lsh",
     "spans_assemble", "extract_documents", "layout_flags",

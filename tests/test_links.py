@@ -331,3 +331,43 @@ def test_robots_sitemaps(spark):
     df = spark.createDataFrame([("ex.com", ROBOTS_BODY)], "host string, body string")
     got = sorted(r["sitemap_url"] for r in LK.robots_sitemaps(df).collect())
     assert got == ["https://ex.com/map1.xml", "https://ex.com/map2.xml"]
+
+
+def test_sitemap_entries(spark):
+    """urlset and sitemapindex children parse with kind tags; loc-less
+    blocks drop; whitespace-padded locs trim; the five XML entities decode
+    with &amp; last; priority parses to exact milli-units (NULL when absent
+    or malformed, >3 fraction digits truncate); lastmod stays a raw string."""
+    x0 = (
+        '<urlset><url><loc> https://a.example/p?x=1&amp;y=2 </loc>'
+        "<lastmod>2026-01-02</lastmod><priority>0.8</priority></url>"
+        "<url><loc>https://a.example/bare</loc></url>"
+        "<url><loc>https://a.example/full</loc><priority>1.0</priority></url>"
+        "<url><loc>https://a.example/bad</loc><priority>high</priority></url>"
+        "<url><loc>https://a.example/trunc</loc><priority>0.98765</priority></url>"
+        "<url><loc>&amp;lt;keep&amp;gt;</loc></url>"
+        "<url><priority>0.5</priority></url></urlset>"
+    )
+    x1 = (
+        "<sitemapindex><sitemap><loc>https://b.example/s1.xml</loc>"
+        "<lastmod>2026-02-03T04:05:06Z</lastmod></sitemap>"
+        "<sitemap><loc>https://b.example/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("https://a.example/sm.xml", x0), ("https://b.example/sm.xml", x1)],
+        "sitemap_url string, xml string",
+    )
+    rows = LK.sitemap_entries(df).collect()
+    by_loc = {r["loc"]: r for r in rows}
+    assert len(rows) == 8  # the loc-less block dropped
+    assert by_loc["https://a.example/p?x=1&y=2"]["priority_milli"] == 800
+    assert by_loc["https://a.example/p?x=1&y=2"]["lastmod"] == "2026-01-02"
+    assert by_loc["https://a.example/bare"]["priority_milli"] is None
+    assert by_loc["https://a.example/bare"]["lastmod"] == ""
+    assert by_loc["https://a.example/full"]["priority_milli"] == 1000
+    assert by_loc["https://a.example/bad"]["priority_milli"] is None
+    assert by_loc["https://a.example/trunc"]["priority_milli"] == 987
+    assert "&lt;keep&gt;" in by_loc  # &amp; decoded last
+    assert by_loc["https://b.example/s1.xml"]["kind"] == "sitemap"
+    assert by_loc["https://b.example/s1.xml"]["lastmod"] == "2026-02-03T04:05:06Z"
+    assert all(r["kind"] == "url" for r in rows if "a.example" in r["sitemap_url"])

@@ -122,6 +122,7 @@ AUDIT = [
     "robots_rules",
     "robots_gate",
     "robots_sitemaps",
+    "sitemap_entries",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
