@@ -111,6 +111,10 @@ HEADLINE = [
     "media_captions",
     "html_links",
     "page_directives",
+    "robots_rules",
+    "robots_gate",
+    "robots_sitemaps",
+    "sitemap_entries",
     "host_graph",
     "anchor_texts",
     "compress_ratio",
