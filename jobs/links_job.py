@@ -21,6 +21,14 @@ The three derived tables are aggregations over the committed links output
 the bucket parquet on every run rather than carrying their own
 checkpoints; extraction (the crawl-scale pass) is the resumable stage.
 
+Crawl hygiene (optional) applies between the committed extraction and the
+derived tables, so a policy change never invalidates the expensive stage:
+``--robots <parquet of (host, body)>`` drops link targets the robots.txt
+rules disallow for ``--agent`` (links.robots_rules/robots_gate, gating
+DISTINCT urls then a semi join back), and ``--honor-nofollow`` drops all
+outlinks of pages whose robots meta says nofollow
+(links.page_directives). The summary reports n_links_dropped_hygiene.
+
 Parquet input must carry (doc_id, base_uri, html); WARC input derives
 (xxhash64(target_uri), target_uri, payload) from 200-OK text/html
 responses, the same corpus-view keying as sources/warc.warc_documents.
@@ -40,6 +48,18 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--top-anchors", type=int, default=3)
     ap.add_argument("--rank-iters", type=int, default=3)
+    ap.add_argument(
+        "--robots",
+        default=None,
+        help="parquet of (host, body) robots.txt bodies; link targets the"
+        " rules disallow for --agent are dropped from the derived tables",
+    )
+    ap.add_argument("--agent", default="ocrbot")
+    ap.add_argument(
+        "--honor-nofollow",
+        action="store_true",
+        help="drop ALL outlinks of pages whose robots meta says nofollow",
+    )
     ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")
     args = ap.parse_args()
 
@@ -50,7 +70,10 @@ def main() -> None:
         anchor_texts,
         extract_links,
         host_edges,
+        page_directives,
         ranked_hosts,
+        robots_gate,
+        robots_rules,
     )
     from ocr_spark.plans.checkpoint import run_checkpointed
 
@@ -87,6 +110,34 @@ def main() -> None:
     )
 
     links = spark.read.parquet(args.output + "/links/bucket=*")
+    n_raw = links.count()
+
+    # Crawl hygiene happens BETWEEN the committed extraction and the
+    # derived tables: the resumable links/ buckets stay a complete record
+    # of what the crawl contains (policy changes never invalidate the
+    # expensive stage), while the graph/rank/anchor outputs honor robots
+    # and nofollow. Both filters are link-table-sized, never crawl-sized.
+    if args.honor_nofollow:
+        nf = (
+            page_directives(pages)
+            .filter(F.col("nofollow"))
+            .select("doc_id")
+        )
+        links = links.join(nf, "doc_id", "left_anti")
+    if args.robots:
+        robots = spark.read.parquet(args.robots)
+        rules = robots_rules(robots, args.agent)
+        allowed = (
+            robots_gate(
+                links.select(F.col("url").alias("u"), "url").distinct(),
+                rules,
+                id_col="u",
+            )
+            .filter(F.col("allowed"))
+            .select("url")
+        )
+        links = links.join(allowed, "url", "semi")
+
     edges = host_edges(links)
     edges.write.mode("overwrite").parquet(args.output + "/host_graph")
     ranked_hosts(edges, n_iters=args.rank_iters).write.mode("overwrite").parquet(
@@ -97,6 +148,7 @@ def main() -> None:
     )
 
     summary["n_links"] = links.count()
+    summary["n_links_dropped_hygiene"] = n_raw - summary["n_links"]
     summary["n_host_edges"] = edges.count()
     print(json.dumps(summary))
 

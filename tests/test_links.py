@@ -371,3 +371,56 @@ def test_sitemap_entries(spark):
     assert by_loc["https://b.example/s1.xml"]["kind"] == "sitemap"
     assert by_loc["https://b.example/s1.xml"]["lastmod"] == "2026-02-03T04:05:06Z"
     assert all(r["kind"] == "url" for r in rows if "a.example" in r["sitemap_url"])
+
+
+def test_links_job_crawl_hygiene(spark, tmp_path, monkeypatch):
+    """--robots drops disallowed link targets and --honor-nofollow drops
+    all outlinks of nofollow pages — both between the committed extraction
+    and the derived tables, so the links/ buckets stay complete."""
+    import sys as _sys
+    import json as _json
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from jobs import links_job
+
+    pages = [
+        (1, "https://h1.example/a.html",
+         '<a href="/keep">K1</a><a href="/blocked/x">B</a>'),
+        (2, "https://h1.example/b.html",
+         '<meta name="robots" content="nofollow">'
+         '<a href="/keep">K2</a><a href="/also">A</a>'),
+        (3, "https://h2.example/c.html",
+         '<a href="/blocked/x">FreeHost</a>'),
+    ]
+    pdir = tmp_path / "pages"
+    spark.createDataFrame(
+        pages, "doc_id long, base_uri string, html string"
+    ).write.parquet(str(pdir))
+    rdir = tmp_path / "robots"
+    spark.createDataFrame(
+        [("h1.example", "User-agent: *\nDisallow: /blocked/")],
+        "host string, body string",
+    ).write.parquet(str(rdir))
+    out = tmp_path / "out"
+
+    argv = ["links_job.py", "--input", str(pdir), "--output", str(out),
+            "--format", "parquet", "--buckets", "2",
+            "--robots", str(rdir), "--honor-nofollow"]
+    monkeypatch.setattr(_sys, "argv", argv)
+    buf = _io.StringIO()
+    with _rs(buf):
+        links_job.main()
+    summary = _json.loads([l for l in buf.getvalue().splitlines()
+                           if l.startswith("{")][-1])
+
+    # the committed extraction keeps everything: 5 links
+    raw = spark.read.parquet(str(out / "links" / "bucket=*"))
+    assert raw.count() == 5
+    # doc 2's two outlinks dropped (nofollow); doc 1's /blocked/x dropped
+    # (robots on h1); doc 3's /blocked/x survives (h2 has no robots row)
+    assert summary["n_links"] == 2
+    assert summary["n_links_dropped_hygiene"] == 3
+    anchors = {r["anchor"] for r in
+               spark.read.parquet(str(out / "anchors")).collect()}
+    assert anchors == {"K1", "FreeHost"}
