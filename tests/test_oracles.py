@@ -51,7 +51,22 @@ def test_every_query_has_an_oracle():
     assert missing == []
 
 
-def test_driver_priority_prefix():
+def test_driver_priority_tiering():
+    """Registration order must put every never-driver-checked query before
+    every already-green one (the driver's per-round pass is time-budgeted;
+    order decides which queries earn a green row this round), with
+    checked-but-not-green queries in between, and the static priority list
+    respected inside each tier."""
+    seen, bad = eq._driver_history()
+
+    def tier(n):
+        return 0 if n not in seen else (1 if n in bad else 2)
+
     ks = list(eq.QUERIES)
-    head = [n for n in eq._DRIVER_PRIORITY if n in eq.QUERIES]
-    assert ks[: len(head)] == head
+    tiers = [tier(n) for n in ks]
+    assert tiers == sorted(tiers), "tier order violated"
+    prio = {n: i for i, n in enumerate(eq._DRIVER_PRIORITY)}
+    for t in (0, 1, 2):
+        in_prio = [prio[n] for n in ks if tier(n) == t and n in prio]
+        assert in_prio == sorted(in_prio), f"priority order violated in tier {t}"
+    assert list(eq.ORACLES) == [n for n in ks if n in eq.ORACLES]
