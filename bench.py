@@ -115,6 +115,7 @@ HEADLINE = [
     "robots_gate",
     "robots_sitemaps",
     "sitemap_entries",
+    "crawl_frontier",
     "host_graph",
     "anchor_texts",
     "compress_ratio",

@@ -440,6 +440,54 @@ def sitemap_entries(
     ).filter(F.col("loc") != "")
 
 
+def crawl_frontier(
+    entries: DataFrame,
+    rules: DataFrame,
+    seen: DataFrame,
+    k: int = 2,
+) -> DataFrame:
+    """Assemble a fetch frontier from discovered URLs — the composition
+    that closes the crawl loop: :func:`sitemap_entries` ``kind='url'``
+    rows collapse to one row per distinct loc keeping the STRONGEST
+    priority hint (max over the sitemaps that list it), pass through
+    :func:`robots_gate` (disallowed URLs never enter the frontier), drop
+    everything in ``seen`` (one ``url`` column — the already-fetched set;
+    the Bloom variant of this membership test is ``dedup.bloom_probe``),
+    then rank per host by (priority desc NULLS LAST, url asc) and keep the
+    top ``k`` — per-host caps are how a polite crawler bounds burst load.
+
+    Scale shape: loc dedup and the per-host rank shuffle on url/host (the
+    frontier is discovery-sized, not corpus-sized); the seen-set join is a
+    plain anti join on url. Returns (host, url, priority_milli,
+    fetch_rank)."""
+    from pyspark.sql import Window
+
+    urls = (
+        entries.filter(
+            (F.col("kind") == "url") & F.col("loc").rlike(r"^(?i)https?://")
+        )
+        .groupBy(F.col("loc").alias("url"))
+        .agg(F.max("priority_milli").alias("priority_milli"))
+    )
+    gated = (
+        robots_gate(urls.select(F.col("url").alias("u"), "url"), rules, id_col="u")
+        .filter(F.col("allowed"))
+        .select("url", "host")
+    )
+    fresh = (
+        urls.join(gated, "url", "inner")
+        .join(seen.select("url").distinct(), "url", "left_anti")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority_milli").desc_nulls_last(), F.col("url").asc()
+    )
+    return (
+        fresh.withColumn("fetch_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fetch_rank") <= k)
+        .select("host", "url", "priority_milli", "fetch_rank")
+    )
+
+
 def host_edges(links: DataFrame) -> DataFrame:
     """(src_host, dst_host, n_links) host-level link graph from
     :func:`extract_links` output — one aggregation, map-side combined;

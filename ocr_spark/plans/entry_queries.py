@@ -6557,43 +6557,55 @@ def q_robots_rules(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@_q(
-    "robots_gate",
-    f"""
-WITH {_SQL_ROBOTS_SRC},
-{_sql_robots_parse()},
-{_SQL_ROBOTS_URLS},
-hr AS (
+def _sql_gate(src: str, carry: str) -> str:
+    """DuckDB twin of links.robots_gate as reusable CTEs: gates relation
+    ``src`` (must have a ``url`` column; ``carry`` columns ride along) →
+    ``gdec`` (carry..., url, host, allowed, matched_len). Needs the
+    ``rbrules`` CTE from :func:`_sql_robots_parse` in scope."""
+    c = (carry + ", ") if carry else ""
+    return f"""hr AS (
   SELECT host, list(struct_pack(allow := allow, path := path)) AS rules
   FROM rbrules GROUP BY host
 ),
 g1 AS (
-  SELECT doc_id, url,
+  SELECT {c}url,
     lower(regexp_extract(url,
           '^(?i)https?://(?:[^/?#]*@)?([^/?#]*)', 1)) AS host,
     CASE WHEN regexp_extract(regexp_replace(url, '(?s)#.*$', ''),
               '^(?i)https?://[^/?#]*(.*)$', 1) = '' THEN '/'
          ELSE regexp_extract(regexp_replace(url, '(?s)#.*$', ''),
               '^(?i)https?://[^/?#]*(.*)$', 1) END AS upath
-  FROM gurl
+  FROM {src}
 ),
 g2 AS (
-  SELECT doc_id, url, g1.host AS host,
+  SELECT {c}url, g1.host AS host,
          list_filter(coalesce(rules, []::STRUCT(allow BOOLEAN,
                                                 path VARCHAR)[]),
                      r -> starts_with(upath, r.path)) AS m
   FROM g1 LEFT JOIN hr ON g1.host = hr.host
 ),
 g3 AS (
-  SELECT doc_id, url, host, m,
+  SELECT {c}url, host, m,
          list_max(list_transform(m, r -> len(r.path))) AS best
   FROM g2
-)
-SELECT doc_id, url, host,
-       (len(m) = 0 OR len(list_filter(m,
-            r -> len(r.path) = best AND r.allow)) > 0) AS allowed,
-       coalesce(best, 0)::BIGINT AS matched_len
-FROM g3""",
+),
+gdec AS (
+  SELECT {c}url, host,
+         (len(m) = 0 OR len(list_filter(m,
+              r -> len(r.path) = best AND r.allow)) > 0) AS allowed,
+         coalesce(best, 0)::BIGINT AS matched_len
+  FROM g3
+)"""
+
+
+@_q(
+    "robots_gate",
+    f"""
+WITH {_SQL_ROBOTS_SRC},
+{_sql_robots_parse()},
+{_SQL_ROBOTS_URLS},
+{_sql_gate("gurl", "doc_id")}
+SELECT doc_id, url, host, allowed, matched_len FROM gdec""",
 )
 def q_robots_gate(spark: SparkSession, sf: str) -> DataFrame:
     """robots.txt URL gating (longest-prefix wins, Allow beats Disallow on
@@ -6694,10 +6706,7 @@ _SQL_SM_UNESC = (
 )
 
 
-@_q(
-    "sitemap_entries",
-    f"""
-WITH smsrc AS (
+_SQL_SITEMAP_CTES = f"""smsrc AS (
   SELECT {_SQL_SM_HOST} || '/sm' || doc_id || '.xml' AS sitemap_url,
          {_SQL_SM_XML_CASE} AS xml
   FROM documents
@@ -6722,16 +6731,25 @@ smx AS (
          regexp_extract(e.b,
              '(?is)<priority\\s*>\\s*(.*?)\\s*</priority>', 1) AS prio
   FROM sme
-)
-SELECT sitemap_url, kind,
-       {_SQL_SM_UNESC} AS loc,
-       lastmod,
-       CASE WHEN regexp_matches(prio, '^[01](\\.[0-9]+)?$')
-            THEN regexp_extract(prio, '^([01])', 1)::BIGINT * 1000
-                 + rpad(substr(regexp_extract(prio, '\\.([0-9]+)$', 1),
-                               1, 3), 3, '0')::BIGINT
-       END AS priority_milli
-FROM smx WHERE loc0 != ''""",
+),
+sment AS (
+  SELECT sitemap_url, kind,
+         {_SQL_SM_UNESC} AS loc,
+         lastmod,
+         CASE WHEN regexp_matches(prio, '^[01](\\.[0-9]+)?$')
+              THEN regexp_extract(prio, '^([01])', 1)::BIGINT * 1000
+                   + rpad(substr(regexp_extract(prio, '\\.([0-9]+)$', 1),
+                                 1, 3), 3, '0')::BIGINT
+         END AS priority_milli
+  FROM smx WHERE loc0 != ''
+)"""
+
+
+@_q(
+    "sitemap_entries",
+    f"""
+WITH {_SQL_SITEMAP_CTES}
+SELECT sitemap_url, kind, loc, lastmod, priority_milli FROM sment""",
 )
 def q_sitemap_entries(spark: SparkSession, sf: str) -> DataFrame:
     """Sitemap XML parse (sitemaps.org subset) over a three-shape fixture:
@@ -6740,6 +6758,54 @@ def q_sitemap_entries(spark: SparkSession, sf: str) -> DataFrame:
     children), and an edge urlset (priority 1.0 / malformed priority /
     decode-order entity in loc)."""
     return LK.sitemap_entries(_sitemap_fixture(D.load(spark, sf, "documents")))
+
+
+@_q(
+    "crawl_frontier",
+    f"""
+WITH {_SQL_ROBOTS_SRC},
+{_sql_robots_parse()},
+{_SQL_SITEMAP_CTES},
+furl AS (
+  SELECT loc AS url, max(priority_milli) AS priority_milli
+  FROM sment
+  WHERE kind = 'url' AND regexp_matches(loc, '^(?i)https?://')
+  GROUP BY loc
+),
+{_sql_gate("furl", "priority_milli")},
+seen AS (
+  SELECT 'https://site' || (doc_id % 7) || '.example/bare' || doc_id AS url
+  FROM documents WHERE doc_id % 2 = 0
+),
+fresh AS (
+  SELECT priority_milli, url, host FROM gdec
+  WHERE allowed AND url NOT IN (SELECT url FROM seen)
+)
+SELECT host, url, priority_milli,
+       row_number() OVER (PARTITION BY host
+           ORDER BY priority_milli DESC NULLS LAST, url ASC)::BIGINT
+         AS fetch_rank
+FROM fresh
+QUALIFY fetch_rank <= 2""",
+)
+def q_crawl_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Frontier assembly closing the crawl-discovery loop: sitemap-
+    discovered URLs (strongest priority hint kept across sitemaps) gated
+    through robots rules, minus an already-fetched seen set (every even
+    doc's /bare URL), top-2 per host by (priority desc NULLS LAST, url).
+    site3's deny-all robots must yield zero frontier rows for that host."""
+    docs = D.load(spark, sf, "documents")
+    entries = LK.sitemap_entries(_sitemap_fixture(docs))
+    rules = LK.robots_rules(_robots_fixture(docs), _ROBOTS_AGENT)
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/bare"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return LK.crawl_frontier(entries, rules, seen, k=2)
 
 
 @_q(
@@ -6955,6 +7021,7 @@ _DRIVER_PRIORITY = [
     "dsir_score", "splits_by_cluster", "dedup_keep_best", "domain_report",
     "diversity_sample", "c4_filters", "budget_mix", "page_directives",
     "robots_rules", "robots_gate", "robots_sitemaps", "sitemap_entries",
+    "crawl_frontier",
     # C
     "dedup_simhash", "dedup_embedding", "ann_topk_bruteforce", "ann_topk_lsh",
     "spans_assemble", "extract_documents", "layout_flags",

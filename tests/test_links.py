@@ -424,3 +424,43 @@ def test_links_job_crawl_hygiene(spark, tmp_path, monkeypatch):
     anchors = {r["anchor"] for r in
                spark.read.parquet(str(out / "anchors")).collect()}
     assert anchors == {"K1", "FreeHost"}
+
+
+def test_crawl_frontier_composition(spark):
+    """Frontier = sitemap URLs (max priority across sitemaps, non-http
+    locs excluded) gated through robots, minus the seen set, top-k per
+    host by (priority desc NULLS LAST, url)."""
+    entries = spark.createDataFrame(
+        [
+            ("s1", "url", "https://h1.example/a", "", 300),
+            ("s2", "url", "https://h1.example/a", "", 900),   # max wins
+            ("s1", "url", "https://h1.example/b", "", None),  # nulls last
+            ("s1", "url", "https://h1.example/c", "", 500),
+            ("s1", "url", "https://h1.example/seen", "", 999),
+            ("s1", "url", "https://h1.example/blocked/x", "", 999),
+            ("s1", "sitemap", "https://h1.example/child.xml", "", None),
+            ("s1", "url", "not-a-url", "", 100),
+            ("s1", "url", "https://h2.example/only", "", None),
+        ],
+        "sitemap_url string, kind string, loc string, lastmod string,"
+        " priority_milli long",
+    )
+    robots = spark.createDataFrame(
+        [("h1.example", "User-agent: *\nDisallow: /blocked/")],
+        "host string, body string",
+    )
+    rules = LK.robots_rules(robots, "ocrbot")
+    seen = spark.createDataFrame(
+        [("https://h1.example/seen",)], "url string"
+    )
+    got = [
+        (r["host"], r["url"], r["priority_milli"], r["fetch_rank"])
+        for r in LK.crawl_frontier(entries, rules, seen, k=2)
+        .orderBy("host", "fetch_rank")
+        .collect()
+    ]
+    assert got == [
+        ("h1.example", "https://h1.example/a", 900, 1),
+        ("h1.example", "https://h1.example/c", 500, 2),
+        ("h2.example", "https://h2.example/only", None, 1),
+    ]

@@ -123,6 +123,7 @@ AUDIT = [
     "robots_gate",
     "robots_sitemaps",
     "sitemap_entries",
+    "crawl_frontier",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
