@@ -70,6 +70,7 @@ HEADLINE = [
     "dedup_substr",
     "bloom_membership",
     "pagerank",
+    "hits_scores",
     "hll_distinct",
     "cms_heavy_hitters",
     "events_asof",

@@ -122,3 +122,104 @@ def pagerank(
     ew.unpersist()
     nodes.unpersist()
     return out
+
+
+HITS_SCALE = 10**6
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999) over an edge table →
+    (node, auth_units, hub_units) — the hub/authority complement to
+    :func:`pagerank` for crawl seeding (authorities = pages good hubs
+    point at; hubs = pages that point at good authorities).
+
+    Formulation (same cross-engine discipline as pagerank — float HITS
+    could never hash-match):
+
+        h_0(v)     = SCALE                    (10^6)
+        a_raw(v)   = Σ_{u→v} h_i(u)
+        a_{i}(v)   = a_raw(v) div max(1, (Σ_w a_raw(w)) div SCALE)
+        h_raw(u)   = Σ_{u→v} a_i(v)
+        h_{i}(u)   = h_raw(u) div max(1, (Σ_w h_raw(w)) div SCALE)
+
+    The div-based normalization replaces the usual L1/L2 float normalize:
+    every value stays a non-negative long, sums are order-independent,
+    truncated division is floor (DuckDB ``//`` ≡ Spark ``div``). After
+    each normalize the value vector sums to < 2·SCALE (norm truncates, so
+    Σ/norm overshoots SCALE by at most (norm+1)/norm ≤ 2), so the only
+    overflow bound is the first half-step after init: E·2·SCALE < 2^63 ⇒
+    fine to ~4·10^12 edges. No in-edges ⇒ auth 0; no out-edges ⇒ hub 0.
+
+    Plan shape: the a-step joins edges on src and aggregates on dst, the
+    h-step joins on dst and aggregates on src — alternating keys, so the
+    edge table persists in BOTH orientations pre-partitioned (one extra
+    copy buys every round's join a shuffle-free build side, the
+    pagerank lesson applied twice). Per half-step normalization is a
+    1-row aggregate broadcast back via crossJoin (the accepted 1-row
+    pattern — never a driver collect in the loop); ranks
+    localCheckpoint-truncate on the same cadence as pagerank."""
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    e_src = e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    e_dst = e.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition("node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes.count()  # materialize the caches before the loop
+
+    def _norm_step(raw: DataFrame, val: str) -> DataFrame:
+        """raw(node, s) → (node, val) div-normalized; missing nodes 0."""
+        full = (
+            nodes.join(raw, "node", "left")
+            .select("node", F.coalesce(F.col("s"), F.lit(0)).alias("s"))
+        )
+        norm = full.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"sum(s) div {HITS_SCALE}"),
+            ).alias("__n")
+        )
+        return full.crossJoin(F.broadcast(norm)).select(
+            "node", F.expr("s div __n").cast("long").alias(val)
+        )
+
+    h = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("h"))
+    a = nodes.select("node", F.lit(0).cast("long").alias("a"))
+    for i in range(n_iters):
+        araw = (
+            e_src.join(h, e_src.src == h.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("s"))
+        )
+        a = _norm_step(araw, "a").localCheckpoint(eager=False)
+        hraw = (
+            e_dst.join(a, e_dst.dst == a.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("s"))
+        )
+        h = _norm_step(hraw, "h").localCheckpoint(eager=(i + 1) % 8 == 0)
+    out = (
+        a.withColumnRenamed("a", "auth_units")
+        .join(h.withColumnRenamed("h", "hub_units"), "node")
+        .localCheckpoint(eager=True)
+    )
+    e_src.unpersist()
+    e_dst.unpersist()
+    nodes.unpersist()
+    return out

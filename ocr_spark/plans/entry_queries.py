@@ -1913,6 +1913,76 @@ pr{i} AS (
     return "".join(parts)
 
 
+def _sql_hits(iters: int) -> str:
+    """Unrolled integer-HITS oracle — same edge fixture as pagerank, same
+    div/COALESCE/greatest arithmetic as operators.graph.hits. DuckDB's
+    SUM promotes to HUGEINT; every normalized column casts ::BIGINT so
+    the output representation hash-matches Spark (the pagerank lesson)."""
+    parts = [
+        """WITH hedges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id % 10 AS dst FROM documents
+    UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+    UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 3 = 0
+  )
+),
+hnodes AS (SELECT src AS node FROM hedges UNION SELECT dst FROM hedges),
+h0 AS (SELECT node, 1000000::BIGINT AS h FROM hnodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+araw{i} AS (
+  SELECT v.node, COALESCE(s.s, 0) AS s
+  FROM hnodes v LEFT JOIN (
+    SELECT e.dst AS node, SUM(h.h) AS s
+    FROM hedges e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
+  ) s ON s.node = v.node
+),
+a{i} AS (
+  SELECT node, (s // greatest(1,
+      (SELECT SUM(s) FROM araw{i}) // 1000000))::BIGINT AS a
+  FROM araw{i}
+),
+hraw{i} AS (
+  SELECT v.node, COALESCE(s.s, 0) AS s
+  FROM hnodes v LEFT JOIN (
+    SELECT e.src AS node, SUM(a.a) AS s
+    FROM hedges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+  ) s ON s.node = v.node
+),
+h{i} AS (
+  SELECT node, (s // greatest(1,
+      (SELECT SUM(s) FROM hraw{i}) // 1000000))::BIGINT AS h
+  FROM hraw{i}
+)""")
+    parts.append(
+        f"""
+SELECT a.node, a.a AS auth_units, h.h AS hub_units
+FROM a{iters} a JOIN h{iters} h ON h.node = a.node"""
+    )
+    return "".join(parts)
+
+
+@_q("hits_scores", _sql_hits(2))
+def q_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact HITS hub/authority scores (operators/graph.hits) over
+    the same deterministic link graph as the pagerank query (10 hub sinks,
+    a div-2 tree spine, every-3rd forward edge incl. one dangling node);
+    2 fixed rounds, div-normalized per half-step — the oracle unrolls the
+    identical integer arithmetic."""
+    from ocr_spark.operators.graph import hits
+
+    docs = D.load(spark, sf, "documents").select("doc_id")
+    e1 = docs.select(F.col("doc_id").alias("src"), (F.col("doc_id") % 10).alias("dst"))
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), F.expr("doc_id div 2").alias("dst")
+    )
+    e3 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    return hits(e1.unionByName(e2).unionByName(e3), n_iters=2)
+
+
 @_q("pagerank", _sql_pagerank(3))
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Integer-exact PageRank (operators/graph.py) over a deterministic
@@ -7021,7 +7091,7 @@ _DRIVER_PRIORITY = [
     "dsir_score", "splits_by_cluster", "dedup_keep_best", "domain_report",
     "diversity_sample", "c4_filters", "budget_mix", "page_directives",
     "robots_rules", "robots_gate", "robots_sitemaps", "sitemap_entries",
-    "crawl_frontier",
+    "crawl_frontier", "hits_scores",
     # C
     "dedup_simhash", "dedup_embedding", "ann_topk_bruteforce", "ann_topk_lsh",
     "spans_assemble", "extract_documents", "layout_flags",

@@ -76,3 +76,61 @@ def test_pagerank_long_run_crosses_checkpoint_cadence(spark):
     got = {r["node"]: r["rank_units"]
            for r in pagerank(_df(spark, edges), n_iters=10).collect()}
     assert got == py_pagerank(edges, 10)
+
+
+def py_hits(edges, iters):
+    """Reference implementation of the exact integer HITS formulation."""
+    from ocr_spark.operators.graph import HITS_SCALE as S
+
+    es = sorted(set(edges))
+    nodes = sorted({u for u, _ in es} | {v for _, v in es})
+    h = {n: S for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(iters):
+        araw = {n: 0 for n in nodes}
+        for u, v in es:
+            araw[v] += h[u]
+        norm = max(1, sum(araw.values()) // S)
+        a = {n: araw[n] // norm for n in nodes}
+        hraw = {n: 0 for n in nodes}
+        for u, v in es:
+            hraw[u] += a[v]
+        norm = max(1, sum(hraw.values()) // S)
+        h = {n: hraw[n] // norm for n in nodes}
+    return a, h
+
+
+def test_hits_matches_golden_random_graph(spark):
+    from ocr_spark.operators.graph import hits
+
+    rnd = random.Random(7)
+    edges = list({(rnd.randrange(30), rnd.randrange(30)) for _ in range(120)})
+    got = {r["node"]: (r["auth_units"], r["hub_units"])
+           for r in hits(_df(spark, edges), n_iters=3).collect()}
+    a, h = py_hits(edges, 3)
+    assert got == {n: (a[n], h[n]) for n in a}
+
+
+def test_hits_star_roles(spark):
+    """Leaves pointing at a center: the center is pure authority (no hub
+    mass), the leaves pure hubs (no authority mass)."""
+    from ocr_spark.operators.graph import HITS_SCALE, hits
+
+    edges = [(i, 0) for i in range(1, 6)]
+    got = {r["node"]: (r["auth_units"], r["hub_units"])
+           for r in hits(_df(spark, edges), n_iters=2).collect()}
+    assert got[0] == (HITS_SCALE, 0)
+    assert all(got[i][0] == 0 and got[i][1] > 0 for i in range(1, 6))
+
+
+def test_hits_mass_bounded_after_normalize(spark):
+    """div normalization bounds each post-round vector's sum strictly
+    under 2·SCALE (norm = Σ//SCALE truncates, so Σ/norm can overshoot
+    SCALE by up to a factor (norm+1)/norm ≤ 2)."""
+    from ocr_spark.operators.graph import HITS_SCALE, hits
+
+    rnd = random.Random(11)
+    edges = list({(rnd.randrange(25), rnd.randrange(25)) for _ in range(90)})
+    rows = hits(_df(spark, edges), n_iters=2).collect()
+    assert 0 < sum(r["auth_units"] for r in rows) < 2 * HITS_SCALE
+    assert 0 < sum(r["hub_units"] for r in rows) < 2 * HITS_SCALE

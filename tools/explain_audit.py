@@ -124,6 +124,7 @@ AUDIT = [
     "robots_sitemaps",
     "sitemap_entries",
     "crawl_frontier",
+    "hits_scores",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
