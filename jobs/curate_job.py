@@ -199,6 +199,7 @@ def run_curate(
     blocked_domains: tuple[str, ...] = (),
     input_format: str = "parquet",
     html_extractor: str = "boilerpipe",
+    respect_noindex: bool = False,
     decon_eval: str | None = None,
     decon_format: str | None = None,
     decon_n: int = 5,
@@ -243,7 +244,8 @@ def run_curate(
     from ocr_spark.sources import jsonl as J
 
     docs = J.load_documents(
-        spark, input_path, input_format, html_extractor=html_extractor
+        spark, input_path, input_format, html_extractor=html_extractor,
+        respect_noindex=respect_noindex,
     ).select("doc_id", "text")
     if do_fix_text:
         # repair FIRST: dedup/LM/line hashing must see the normalized
@@ -259,7 +261,8 @@ def run_curate(
         # Parquet/jsonl/csv scans are cheap JVM reads and stay lazy.
         docs = materialize_once(
             spark, docs, os.path.join(output_dir, "_ingest"),
-            meta={"stage": "warc_ingest", "input": input_path, "fix_text": do_fix_text},
+            meta={"stage": "warc_ingest", "input": input_path, "fix_text": do_fix_text,
+                  "respect_noindex": respect_noindex},
         )
     if against:
         # incremental drop: dedup against the previously committed corpus
@@ -748,6 +751,10 @@ def main() -> None:
                     choices=("boilerpipe", "readability", "justext"),
                     default="boilerpipe",
                     help="main-content extractor for --format warc ingest")
+    ap.add_argument("--respect-noindex", action="store_true",
+                    help="drop pages whose robots meta says noindex (or"
+                         " none) at --format warc ingest, before"
+                         " extraction — the corpus-entry hygiene rule")
     ap.add_argument("--decon-sentence-redact", action="store_true",
                     help="redact contaminated SENTENCES (exact-gram tier) "
                          "instead of dropping whole docs; fully-leaked docs "
@@ -842,6 +849,7 @@ def main() -> None:
         blocked_domains=tuple(x for x in args.blocked_domains.split(",") if x),
         input_format=args.format,
         html_extractor=args.html_extractor,
+        respect_noindex=args.respect_noindex,
         decon_eval=args.decon_eval,
         decon_format=args.decon_format,
         decon_n=args.decon_n,

@@ -122,6 +122,26 @@ _CONTENT_DQ_RE = r'(?i)\bcontent\s*=\s*"([^"]*)"'
 _CONTENT_SQ_RE = r"(?i)\bcontent\s*=\s*'([^']*)'"
 
 
+def _meta_content(tag: Column) -> Column:
+    dq = F.regexp_extract(tag, _CONTENT_DQ_RE, 1)
+    sq = F.regexp_extract(tag, _CONTENT_SQ_RE, 1)
+    return F.lower(F.when(dq != "", dq).otherwise(sq))
+
+
+def robots_meta_directive(html: Column, word: str) -> Column:
+    """True when ANY robots meta in ``html`` carries ``word`` (or ``none``,
+    which implies both noindex and nofollow) — the union-of-metas /
+    most-restrictive-wins semantics as a standalone Column, so corpus
+    ingest paths can gate on noindex without computing the full
+    :func:`page_directives` output."""
+    metas = F.regexp_extract_all(
+        F.coalesce(html, F.lit("")), F.lit(META_ROBOTS_RE), 0
+    )
+    return F.exists(
+        metas, lambda m: _meta_content(m).rlike(rf"\b(?:{word}|none)\b")
+    )
+
+
 def page_directives(
     docs: DataFrame,
     base_col: str = "base_uri",
@@ -144,18 +164,9 @@ def page_directives(
     none, ``canonical_is_self`` when it resolves to the page's own
     (fragment-stripped) base URI."""
     html = F.coalesce(F.col(html_col), F.lit(""))
-    metas = F.regexp_extract_all(html, F.lit(META_ROBOTS_RE), 0)
-
-    def content_of(tag: Column) -> Column:
-        dq = F.regexp_extract(tag, _CONTENT_DQ_RE, 1)
-        sq = F.regexp_extract(tag, _CONTENT_SQ_RE, 1)
-        return F.lower(F.when(dq != "", dq).otherwise(sq))
 
     def has_directive(word: str) -> Column:
-        return F.exists(
-            metas,
-            lambda m: content_of(m).rlike(rf"\b(?:{word}|none)\b"),
-        )
+        return robots_meta_directive(html, word)
 
     canon_tag = F.regexp_extract(html, LINK_CANONICAL_RE, 0)
     dq = F.regexp_extract(canon_tag, _HREF_DQ_RE, 1)

@@ -66,6 +66,7 @@ def load_documents(
     fmt: str = "parquet",
     log_quarantine: bool = False,
     html_extractor: str = "boilerpipe",
+    respect_noindex: bool = False,
 ) -> DataFrame:
     """Job-facing loader: ``parquet`` reads as-is; ``jsonl``/``csv`` read
     with the quarantine schema and return only valid rows, LAZILY — no
@@ -101,10 +102,15 @@ def load_documents(
         from ocr_spark.sources.warc import read_warc, warc_documents
 
         # web-archive ingest: 200-OK text/html responses, boilerplate
-        # stripped (``html_extractor``: boilerpipe | readability);
+        # stripped (``html_extractor``: boilerpipe | readability |
+        # justext), robots-meta noindex pages optionally excluded;
         # malformed records are quarantined inside the parser (error rows
         # are simply not responses), matching the lazy no-count contract
-        return warc_documents(read_warc(spark, path), extractor=html_extractor)
+        return warc_documents(
+            read_warc(spark, path),
+            extractor=html_extractor,
+            respect_noindex=respect_noindex,
+        )
     raise ValueError(f"unknown input format {fmt!r}")
 
 

@@ -429,7 +429,11 @@ def responses(parsed: DataFrame) -> DataFrame:
     )
 
 
-def warc_documents(parsed: DataFrame, extractor: str = "boilerpipe") -> DataFrame:
+def warc_documents(
+    parsed: DataFrame,
+    extractor: str = "boilerpipe",
+    respect_noindex: bool = False,
+) -> DataFrame:
     """(doc_id, text) corpus view for the curation/dedup jobs: 200-OK
     text/html responses, main content stripped of boilerplate, doc_id =
     xxhash64 of the target URI (stable across runs and cluster sizes,
@@ -441,12 +445,22 @@ def warc_documents(parsed: DataFrame, extractor: str = "boilerpipe") -> DataFram
     precision on template-heavy pages, quadratic in containers×blocks
     per document), or ``justext`` (stopword-density classification with
     context-sensitive revision — the conservative choice for clean-text
-    corpus building; English stoplist). All are pure Column expressions."""
+    corpus building; English stoplist). All are pure Column expressions.
+
+    ``respect_noindex`` drops pages whose robots meta says noindex (or
+    none) BEFORE extraction — the corpus-entry half of the crawl-hygiene
+    contract (the outlink half, nofollow + robots.txt gating, lives in
+    jobs/links_job.py); a narrow filter ahead of the heavy
+    boilerplate pass, so excluded pages cost one regexp scan."""
     ct = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
     r = responses(parsed).filter(
         (F.col("http_status") == 200)
         & (ct.startswith("text/html") | ct.startswith("application/xhtml+xml"))
     )
+    if respect_noindex:
+        from ocr_spark.operators.links import robots_meta_directive
+
+        r = r.filter(~robots_meta_directive(F.col("html"), "noindex"))
     keyed = r.select(
         F.xxhash64("target_uri").alias("doc_id"), F.col("html")
     )

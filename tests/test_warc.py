@@ -284,3 +284,59 @@ def test_warc_documents_justext_extractor(spark, tmp_path):
     assert set(jt) == set(bp)  # same docs, same xxhash64(uri) keys
     assert all("Home" not in t and "(c) 2026" not in t for t in jt.values())
     assert all(t == "" for t in jt.values())
+
+
+def _html_response(body: str) -> bytes:
+    b = body.encode()
+    return (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        f"Content-Length: {len(b)}\r\n\r\n"
+    ).encode() + b
+
+
+def test_warc_documents_respect_noindex(spark, tmp_path):
+    """respect_noindex drops robots-meta noindex (and 'none') pages at
+    corpus ingest, before extraction; the default keeps them."""
+    content = (
+        "<html><body><div><p>"
+        + " ".join(f"genuine content word{i} flows here and" for i in range(8))
+        + "</p></div></body></html>"
+    )
+    recs = (
+        _http_record(1, _html_response(content))
+        + _http_record(
+            2,
+            _html_response(
+                '<meta name="robots" content="noindex">' + content
+            ),
+        )
+        + _http_record(
+            3,
+            _html_response("<META CONTENT='none' NAME='robots'>" + content),
+        )
+        + _http_record(
+            4,
+            _html_response(
+                "<meta name='robots' content='nofollow'>" + content
+            ),
+        )
+    )
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "a.warc").write_bytes(recs)
+
+    parsed = W.read_warc(spark, str(d))
+    default_ids = {r["doc_id"] for r in W.warc_documents(parsed).collect()}
+    assert len(default_ids) == 4
+    kept = {
+        r["doc_id"]
+        for r in W.warc_documents(parsed, respect_noindex=True).collect()
+    }
+    import pyspark.sql.functions as F
+
+    uri_ids = {
+        i: spark.range(1).select(F.xxhash64(F.lit(W.warc_uri(i)))).first()[0]
+        for i in (1, 2, 3, 4)
+    }
+    # noindex (2) and none (3) drop; plain (1) and nofollow-only (4) stay
+    assert kept == {uri_ids[1], uri_ids[4]}
