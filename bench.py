@@ -117,6 +117,7 @@ HEADLINE = [
     "robots_sitemaps",
     "sitemap_entries",
     "crawl_frontier",
+    "url_canonical",
     "host_graph",
     "anchor_texts",
     "compress_ratio",

@@ -12,6 +12,8 @@ Outputs under --output:
     links/        (doc_id, url, anchor, src_host, dst_host, internal) —
                   resumable hash-buckets (re-run the same command after a
                   crash; committed buckets are never recomputed)
+    links_canonical/  (same columns; only with --canonicalize) — the
+                  post-hygiene canonical-URL link view
     host_graph/   (src_host, dst_host, n_links)
     host_rank/    (host, rank_units)
     anchors/      (dst_host, anchor, n_links, rank)
@@ -28,6 +30,12 @@ rules disallow for ``--agent`` (links.robots_rules/robots_gate, gating
 DISTINCT urls then a semi join back), and ``--honor-nofollow`` drops all
 outlinks of pages whose robots meta says nofollow
 (links.page_directives). The summary reports n_links_dropped_hygiene.
+``--canonicalize`` rewrites every link URL to its canonical form
+(links.url_canonicalize: lowercase scheme/host, default port / userinfo /
+fragment / tracking-param removal, dot-segment resolution, sorted query)
+and recomputes dst_host/internal from it, BEFORE the hygiene gates — so
+the robots DISTINCT gate and the downstream frontier seen-set diff key on
+one URL per resource instead of re-fetching every utm-tagged alias.
 
 Parquet input must carry (doc_id, base_uri, html); WARC input derives
 (xxhash64(target_uri), target_uri, payload) from 200-OK text/html
@@ -59,6 +67,12 @@ def main() -> None:
         "--honor-nofollow",
         action="store_true",
         help="drop ALL outlinks of pages whose robots meta says nofollow",
+    )
+    ap.add_argument(
+        "--canonicalize",
+        action="store_true",
+        help="canonicalize link URLs (and recompute dst_host/internal) "
+             "before the hygiene gates",
     )
     ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")
     args = ap.parse_args()
@@ -110,6 +124,23 @@ def main() -> None:
     )
 
     links = spark.read.parquet(args.output + "/links/bucket=*")
+    if args.canonicalize:
+        from ocr_spark.operators.links import url_canonicalize
+
+        links = (
+            links.withColumn("url", url_canonicalize(F.col("url")))
+            .withColumn(
+                "dst_host",
+                F.lower(
+                    F.regexp_extract(
+                        F.col("url"),
+                        r"^(?i)https?://(?:[^/?#]*@)?([^/?#]*)",
+                        1,
+                    )
+                ),
+            )
+            .withColumn("internal", F.col("dst_host") == F.col("src_host"))
+        )
     n_raw = links.count()
 
     # Crawl hygiene happens BETWEEN the committed extraction and the
@@ -137,6 +168,12 @@ def main() -> None:
             .select("url")
         )
         links = links.join(allowed, "url", "semi")
+
+    if args.canonicalize:
+        # the canonical post-hygiene link table, for frontier builders and
+        # dedup consumers (links/ stays the raw committed record)
+        links.write.mode("overwrite").parquet(args.output + "/links_canonical")
+        links = spark.read.parquet(args.output + "/links_canonical")
 
     edges = host_edges(links)
     edges.write.mode("overwrite").parquet(args.output + "/host_graph")

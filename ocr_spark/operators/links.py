@@ -64,6 +64,108 @@ def _resolve(href: Column, scheme: Column, host: Column, dirp: Column) -> Column
     return F.regexp_replace(url, r"(?s)#.*$", "")
 
 
+#: Query parameters that never change page content — the click/campaign
+#: trackers every crawl canonicalizer strips (Google Analytics utm_*,
+#: Google/Facebook/Microsoft click ids, Mailchimp, Instagram share ids).
+TRACKING_PARAMS_RE = (
+    r"(?i)^(?:utm_[^=&]*|gclid|fbclid|msclkid|mc_eid|igshid)(?:=.*)?$"
+)
+
+#: Dot-segment nesting deeper than this is left as-is (bounded unroll;
+#: see :func:`url_canonicalize`). Real crawled URLs sit at depth ≤3.
+DOT_SEGMENT_PASSES = 8
+
+
+def _dot_segments(p: Column, passes: int = DOT_SEGMENT_PASSES) -> Column:
+    """Bounded RFC 3986 §5.2.4 remove_dot_segments as pure regexp passes.
+
+    Each pass peels one layer: ``/./`` and trailing ``/.`` vanish, a
+    leading ``/../`` (a parent ref above the root) collapses to ``/``,
+    and ``/seg/../`` drops the segment with its parent ref.  The segment
+    alternation spells out "any segment except ``.`` and ``..``" WITHOUT
+    lookaheads (RE2, the oracle's engine, has none): starts with a
+    non-dot, or one dot then a non-dot, or two dots then more.  A bare
+    ``[^/]+`` would be wrong — regexp_replace's scan continues AFTER each
+    replacement, so in ``/c/../../../d`` the second match would take the
+    literal ``..`` as a segment and swallow a parent ref that should pop
+    an earlier directory.  A consecutive ``..`` run therefore resolves
+    one level per pass; ``passes`` bounds the nesting depth handled
+    (fuzz-tested against a literal RFC reference in
+    tests/test_links.py)."""
+    seg = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"
+    for _ in range(passes):
+        p = F.regexp_replace(p, r"/\./", "/")
+        p = F.regexp_replace(p, r"/\.$", "/")
+        p = F.regexp_replace(p, r"^/\.\./", "/")
+        p = F.regexp_replace(p, r"^/\.\.$", "/")
+        p = F.regexp_replace(p, rf"/{seg}/\.\./", "/")
+        p = F.regexp_replace(p, rf"/{seg}/\.\.$", "/")
+    return p
+
+
+def url_canonicalize(
+    url: Column,
+    drop_params: str = TRACKING_PARAMS_RE,
+    dot_passes: int = DOT_SEGMENT_PASSES,
+) -> Column:
+    """Canonical form of an absolute http(s) URL — the frontier/dedup key
+    normalizer the module contract promises (two URLs that name the same
+    resource must compare equal, or the frontier re-crawls and the dedup
+    index double-counts). Pure Column expressions with an exact DuckDB
+    twin; non-http(s) inputs (relative hrefs, mailto:, …) pass through
+    trimmed.
+
+    The documented subset, applied in order:
+
+    * strip the fragment; trim surrounding whitespace,
+    * lowercase the scheme and the host, drop ``user:pass@`` userinfo,
+    * drop the default port (``:80`` http / ``:443`` https; other ports
+      and non-numeric suffixes are kept verbatim),
+    * empty path becomes ``/``; dot-segments resolve per RFC 3986
+      §5.2.4 via :func:`_dot_segments` (bounded at ``dot_passes``),
+    * the query splits on ``&``; empty params and ``drop_params``
+      matches (default: the :data:`TRACKING_PARAMS_RE` click-tracker
+      set) drop; survivors SORT bytewise and rejoin — param order never
+      distinguishes resources; a now-empty query loses its ``?``.
+
+    Out of scope (kept verbatim, documented): percent-encoding case
+    normalization, duplicate-slash collapsing, IDN/punycode, and path
+    case (path case is significant on most origin servers).
+
+    Scale shape: one narrow expression pass, no shuffle, no Python —
+    safe to apply to every outlink of every page in the crawl."""
+    u = py_strip(url)
+    nofrag = F.regexp_replace(u, r"(?s)#.*$", "")
+    is_abs = nofrag.rlike(r"^(?i)https?://")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^(?i)(https?)://", 1))
+    auth = F.regexp_extract(nofrag, r"^(?i)https?://([^/?#]*)", 1)
+    rawpath = F.regexp_extract(nofrag, r"^(?i)https?://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(nofrag, r"(?s)^[^?]*\?(.*)$", 1)
+    hostport = F.lower(F.regexp_replace(auth, r"^[^@]*@", ""))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = _dot_segments(
+        F.when(rawpath == "", F.lit("/")).otherwise(rawpath), dot_passes
+    )
+    params = F.filter(
+        F.split(query, "&"), lambda x: (x != "") & ~x.rlike(drop_params)
+    )
+    qstr = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
+    )
+    return F.when(is_abs, rebuilt).otherwise(u)
+
+
 def extract_links(
     docs: DataFrame,
     base_col: str = "base_uri",

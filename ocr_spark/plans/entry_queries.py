@@ -6878,6 +6878,145 @@ def q_crawl_frontier(spark: SparkSession, sf: str) -> DataFrame:
     return LK.crawl_frontier(entries, rules, seen, k=2)
 
 
+_SQL_URL_FIXTURE = """usrc AS (
+  SELECT doc_id,
+    CASE (doc_id % 8)
+      WHEN 0 THEN 'HTTPS://Site' || (doc_id % 5)::VARCHAR
+        || '.Example:443/a/b/../c/./p' || doc_id::VARCHAR
+        || '.html?utm_source=x&b=2&a=1#frag'
+      WHEN 1 THEN 'http://u:p@Host' || (doc_id % 5)::VARCHAR
+        || '.example:80//x/' || doc_id::VARCHAR || '/'
+      WHEN 2 THEN 'http://h' || (doc_id % 3)::VARCHAR
+        || '.example/p/../../q' || doc_id::VARCHAR || '?gclid=z'
+        || doc_id::VARCHAR
+      WHEN 3 THEN 'https://h' || (doc_id % 3)::VARCHAR || '.example'
+      WHEN 4 THEN 'http://h.example:8080/s/' || doc_id::VARCHAR
+        || '?&&z=1&y=' || doc_id::VARCHAR || '&'
+      WHEN 5 THEN 'HTTP://H' || (doc_id % 3)::VARCHAR
+        || '.EXAMPLE/%7EUser/./f' || doc_id::VARCHAR
+      WHEN 6 THEN 'https://h.example/a/b/c/../../../../d' || doc_id::VARCHAR
+      ELSE 'rel/p' || doc_id::VARCHAR || '.html'
+    END AS url
+  FROM documents
+)"""
+
+
+def _messy_url_fixture(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 8
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://Site"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".Example:443/a/b/../c/./p"), did,
+            F.lit(".html?utm_source=x&b=2&a=1#frag")))
+        .when(m == 1, F.concat(
+            F.lit("http://u:p@Host"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example:80//x/"), did, F.lit("/")))
+        .when(m == 2, F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example/p/../../q"), did, F.lit("?gclid=z"), did))
+        .when(m == 3, F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example")))
+        .when(m == 4, F.concat(
+            F.lit("http://h.example:8080/s/"), did,
+            F.lit("?&&z=1&y="), did, F.lit("&")))
+        .when(m == 5, F.concat(
+            F.lit("HTTP://H"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".EXAMPLE/%7EUser/./f"), did))
+        .when(m == 6, F.concat(
+            F.lit("https://h.example/a/b/c/../../../../d"), did))
+        .otherwise(F.concat(F.lit("rel/p"), did, F.lit(".html")))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def _sql_url_canon_ctes() -> str:
+    """url_canonicalize twin: parse CTEs, then one CTE per bounded
+    dot-segment pass (same rule order, same RE2-safe segment alternation,
+    'g' only where the Spark side is effectively multi-match)."""
+    track = (
+        r"(?i)^(?:utm_[^=&]*|gclid|fbclid|msclkid|mc_eid|igshid)(?:=.*)?$"
+    )
+    seg = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"
+    parts = [f"""uc0 AS (
+  SELECT doc_id, url, {_strip('url')} AS u FROM usrc
+),
+uc1 AS (
+  SELECT *, regexp_replace(u, '(?s)#.*$', '') AS nofrag,
+         regexp_matches(u, '^(?i)https?://') AS is_abs
+  FROM uc0
+),
+uc2 AS (
+  SELECT doc_id, url, u, is_abs,
+    lower(regexp_extract(nofrag, '^(?i)(https?)://', 1)) AS scheme,
+    lower(regexp_replace(
+      regexp_extract(nofrag, '^(?i)https?://([^/?#]*)', 1),
+      '^[^@]*@', '')) AS hostport,
+    regexp_extract(nofrag, '^(?i)https?://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(nofrag, '(?s)^[^?]*\\?(.*)$', 1) AS query
+  FROM uc1
+),
+uc3 AS (
+  SELECT doc_id, url, u, is_abs, scheme,
+    regexp_replace(hostport, ':[0-9]+$', '') AS host,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS p,
+    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      x -> x != '' AND NOT regexp_matches(x, '{track}'))), '&') AS qstr
+  FROM uc3src
+)""".replace("uc3src", "uc2")]
+    prev = "uc3"
+    from ocr_spark.operators.links import DOT_SEGMENT_PASSES
+
+    for i in range(DOT_SEGMENT_PASSES):
+        e = "p"
+        e = rf"regexp_replace({e}, '/\./', '/', 'g')"
+        e = rf"regexp_replace({e}, '/\.$', '/')"
+        e = rf"regexp_replace({e}, '^/\.\./', '/')"
+        e = rf"regexp_replace({e}, '^/\.\.$', '/')"
+        e = rf"regexp_replace({e}, '/{seg}/\.\./', '/', 'g')"
+        e = rf"regexp_replace({e}, '/{seg}/\.\.$', '/')"
+        parts.append(
+            f"ud{i} AS (\n  SELECT doc_id, url, u, is_abs, scheme, host,"
+            f" port, qstr,\n    {e} AS p\n  FROM {prev}\n)"
+        )
+        prev = f"ud{i}"
+    return ",\n".join(parts), prev
+
+
+_SQL_URL_CTES, _SQL_URL_LAST = _sql_url_canon_ctes()
+
+
+@_q(
+    "url_canonical",
+    f"""
+WITH {_SQL_URL_FIXTURE},
+{_SQL_URL_CTES}
+SELECT doc_id, url,
+  CASE WHEN is_abs THEN scheme || '://' || host ||
+    (CASE WHEN port != '' AND NOT ((scheme = 'http' AND port = '80')
+          OR (scheme = 'https' AND port = '443'))
+     THEN ':' || port ELSE '' END)
+    || p || (CASE WHEN qstr != '' THEN '?' || qstr ELSE '' END)
+  ELSE u END AS canon_url
+FROM {_SQL_URL_LAST}""",
+)
+def q_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization — the frontier/dedup key normalizer — over a
+    deterministic messy-URL fixture: mixed-case scheme/host, default and
+    non-default ports, userinfo, tracking params, unsorted queries, empty
+    params, dot segments (incl. an above-root chain), a path-less
+    authority, percent-escapes whose case must survive, and a relative
+    passthrough."""
+    docs = D.load(spark, sf, "documents")
+    return _messy_url_fixture(docs).select(
+        "doc_id",
+        "url",
+        LK.url_canonicalize(F.col("url")).alias("canon_url"),
+    )
+
+
 @_q(
     "host_graph",
     f"""
@@ -7091,7 +7230,7 @@ _DRIVER_PRIORITY = [
     "dsir_score", "splits_by_cluster", "dedup_keep_best", "domain_report",
     "diversity_sample", "c4_filters", "budget_mix", "page_directives",
     "robots_rules", "robots_gate", "robots_sitemaps", "sitemap_entries",
-    "crawl_frontier", "hits_scores",
+    "crawl_frontier", "hits_scores", "url_canonical",
     # C
     "dedup_simhash", "dedup_embedding", "ann_topk_bruteforce", "ann_topk_lsh",
     "spans_assemble", "extract_documents", "layout_flags",

@@ -464,3 +464,128 @@ def test_crawl_frontier_composition(spark):
         ("h1.example", "https://h1.example/c", 500, 2),
         ("h2.example", "https://h2.example/only", None, 1),
     ]
+
+
+def _canon(spark, urls):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select("url", LK.url_canonicalize(F.col("url")).alias("c"))
+    return {r["url"]: r["c"] for r in out.collect()}
+
+
+def test_url_canonicalize_subset(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTPS://Site.Example:443/a/b/../c/./pg.html?utm_source=x&b=2&a=1#f",
+            "http://USER:pw@Host7.example:80//x/y/",
+            "https://h.example",
+            "http://h.example:8080/a?&&z=1&y=2&",
+            "HTTP://A.EXAMPLE/%7EUser/./x",
+            "  https://h.example/x#y  ",
+            "about.html",
+            "mailto:a@b.c",
+        ],
+    )
+    # scheme/host lowercase, default port + fragment + utm_* dropped,
+    # dot segments resolved, query sorted
+    assert (
+        got["HTTPS://Site.Example:443/a/b/../c/./pg.html?utm_source=x&b=2&a=1#f"]
+        == "https://site.example/a/c/pg.html?a=1&b=2"
+    )
+    # userinfo stripped, :80 dropped, duplicate slashes and trailing / kept
+    assert got["http://USER:pw@Host7.example:80//x/y/"] == "http://host7.example//x/y/"
+    assert got["https://h.example"] == "https://h.example/"
+    # non-default port kept; empty params dropped; params sorted bytewise
+    assert got["http://h.example:8080/a?&&z=1&y=2&"] == "http://h.example:8080/a?y=2&z=1"
+    # path case (incl. percent-escapes) preserved
+    assert got["HTTP://A.EXAMPLE/%7EUser/./x"] == "http://a.example/%7EUser/x"
+    assert got["  https://h.example/x#y  "] == "https://h.example/x"
+    # non-http(s) inputs pass through trimmed
+    assert got["about.html"] == "about.html"
+    assert got["mailto:a@b.c"] == "mailto:a@b.c"
+
+
+def _rfc_remove_dot_segments(path: str) -> str:
+    """Literal RFC 3986 §5.2.4 — the fuzz reference."""
+    inp, out = path, []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            i = inp.find("/", 1)
+            seg, inp = (inp, "") if i < 0 else (inp[:i], inp[i:])
+            out.append(seg)
+    return "".join(out)
+
+
+def test_url_canonicalize_dot_segments_fuzz(spark):
+    """Random dot-segment paths (nesting ≤ DOT_SEGMENT_PASSES) must match
+    the literal RFC algorithm."""
+    import random
+
+    rng = random.Random(403)
+    paths = []
+    for _ in range(300):
+        n = rng.randint(1, LK.DOT_SEGMENT_PASSES)
+        segs = [rng.choice(["a", "bb", "c7", ".", "..", ".h", "..x"]) for _ in range(n)]
+        paths.append("/" + "/".join(segs) + rng.choice(["", "/"]))
+    urls = [f"https://h.example{p}" for p in paths]
+    got = _canon(spark, urls)
+    for p, u in zip(paths, urls):
+        want = _rfc_remove_dot_segments(p) or "/"
+        assert got[u] == f"https://h.example{want}", (p, got[u], want)
+
+
+def test_links_job_canonicalize(spark, tmp_path, monkeypatch):
+    """--canonicalize: derived tables key on canonical URLs (utm-tagged /
+    default-port / unsorted-query aliases collapse), links/ stays raw."""
+    import sys as _sys
+
+    from jobs import links_job
+
+    pages = spark.createDataFrame(
+        [
+            (
+                1,
+                "https://a.example/d/page.html",
+                '<a href="HTTPS://B.Example:443/x?utm_source=s&b=1&a=2#f">one</a>'
+                '<a href="https://b.example/x?a=2&b=1">two</a>',
+            )
+        ],
+        "doc_id long, base_uri string, html string",
+    )
+    src = tmp_path / "pages"
+    pages.write.parquet(str(src))
+    out = tmp_path / "out"
+    argv = [
+        "links_job.py", "--input", str(src), "--output", str(out),
+        "--format", "parquet", "--buckets", "2", "--canonicalize",
+    ]
+    monkeypatch.setattr(_sys, "argv", argv)
+    links_job.main()
+
+    raw = spark.read.parquet(str(out / "links" / "bucket=*"))
+    assert raw.select("url").distinct().count() == 2  # committed record raw
+    canon = spark.read.parquet(str(out / "links_canonical"))
+    urls = {r["url"] for r in canon.collect()}
+    assert urls == {"https://b.example/x?a=2&b=1"}  # aliases collapsed
+    assert canon.count() == 2  # rows kept, keys merged
+    assert {r["dst_host"] for r in canon.collect()} == {"b.example"}
