@@ -117,6 +117,10 @@ HEADLINE = [
     "robots_sitemaps",
     "sitemap_entries",
     "crawl_frontier",
+    "feed_entries",
+    "feed_links",
+    "html_meta",
+    "extract_ensemble",
     "url_canonical",
     "host_graph",
     "anchor_texts",
@@ -249,8 +253,11 @@ def main() -> None:
     # (bench instrumentation — the only place a collect belongs)
     ann_recall = None
     ivf_recall = None
+    pq_recall = None
     if "ann_topk_bruteforce" in per_query and (
-        "ann_topk_lsh" in per_query or "ann_topk_ivf" in per_query
+        "ann_topk_lsh" in per_query
+        or "ann_topk_ivf" in per_query
+        or "ann_topk_pq" in per_query
     ):
         bf = {
             (r["query_id"], r["neighbor_id"])
@@ -268,6 +275,12 @@ def main() -> None:
                 for r in EQ.QUERIES["ann_topk_ivf"](spark, sf_dir).collect()
             }
             ivf_recall = round(len(bf & iv) / max(len(bf), 1), 3)
+        if "ann_topk_pq" in per_query:
+            pq = {
+                (r["query_id"], r["neighbor_id"])
+                for r in EQ.QUERIES["ann_topk_pq"](spark, sf_dir).collect()
+            }
+            pq_recall = round(len(bf & pq) / max(len(bf), 1), 3)
 
     total = sum(per_query.values())
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -281,6 +294,7 @@ def main() -> None:
         "scale": scale,
         "ann_recall_at_5": ann_recall,
         "ann_recall_at_5_ivf": ivf_recall,
+        "ann_recall_at_5_pq": pq_recall,
         "flagship": {
             "n_docs": n_docs,
             "n_spans": int(n_spans),
