@@ -201,9 +201,16 @@ def extract_main_content(html: Column) -> dict[str, Column]:
     }
 
 
-def extract_html_documents(docs: DataFrame, html_col: str = "html", id_col: str = "doc_id") -> DataFrame:
+def extract_html_documents(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
     """DataFrame surface: (doc_id, main_text, n_blocks, n_content_blocks,
-    max_depth, boiler_chars)."""
+    max_depth, boiler_chars). ``keep_cols`` pass through untouched — how
+    :func:`extraction_ensemble` chains all three extractors in ONE narrow
+    pass instead of three scans + doc_id joins."""
     cols = extract_main_content(F.col(html_col))
     return docs.select(
         F.col(id_col),
@@ -212,6 +219,7 @@ def extract_html_documents(docs: DataFrame, html_col: str = "html", id_col: str 
         cols["n_content_blocks"].cast("int").alias("n_content_blocks"),
         cols["max_depth"].cast("int").alias("max_depth"),
         cols["boiler_chars"].cast("long").alias("boiler_chars"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -298,7 +306,10 @@ def _class_weight(tag: Column) -> Column:
 
 
 def readability_extract(
-    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Readability main-content extraction → (doc_id, main_text,
     top_candidate, top_score, n_candidates, n_selected).
@@ -316,6 +327,7 @@ def readability_extract(
         F.col(id_col),
         F.split(clean, BLOCK_TAG_RE).alias("parts"),
         F.regexp_extract_all(clean, F.lit(BLOCK_TAG_RE), 0).alias("tags"),
+        *[F.col(c) for c in keep_cols],
     )
 
     # one linear fold per document: stack of open container tag-indices
@@ -478,6 +490,7 @@ def readability_extract(
         F.coalesce(F.col("top_score"), F.lit(0.0)).alias("top_score"),
         F.size(F.col("cands")).cast("int").alias("n_candidates"),
         F.size(F.col("sel")).cast("int").alias("n_selected"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -617,6 +630,7 @@ def justext_extract(
     html_col: str = "html",
     id_col: str = "doc_id",
     stopwords: list[str] | None = None,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """jusText main-content extraction → (doc_id, main_text, n_blocks,
     n_content_blocks, boiler_chars).
@@ -642,6 +656,7 @@ def justext_extract(
             ),
             lambda b: b["text"] != "",
         ).alias("b"),
+        *[F.col(c) for c in keep_cols],
     )
     df = df.withColumn("cls", F.transform(F.col("b"), _jt_cf_class))
 
@@ -716,4 +731,158 @@ def justext_extract(
             ),
             F.lit(0).cast("long"),
         ).alias("boiler_chars"),
+        *[F.col(c) for c in keep_cols],
+    )
+
+
+# --- HTML head metadata (trafilatura-style extract_metadata subset) ----------
+
+_META_TAG_RE = r"(?i)<meta\b[^>]*>"
+_TIME_TAG_RE = r"(?i)<time\b[^>]*>"
+_TITLE_EL_RE = r"(?is)<title\b[^>]*>\s*(.*?)\s*</title>"
+_HTML_LANG_RE = r"""(?is)<html\b[^>]*\blang\s*=\s*["']?([a-zA-Z-]+)"""
+
+
+def page_metadata(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML head metadata — the per-page catalog fields every web-corpus
+    pipeline keeps next to the extracted text (the public trafilatura /
+    newspaper ``extract_metadata`` convention, documented subset):
+
+    * ``title``: ``og:title`` meta when non-empty, else the ``<title>``
+      element text,
+    * ``description``: ``og:description``, else ``<meta name=description>``,
+    * ``site_name``: ``og:site_name``,
+    * ``published``: ``<meta property=article:published_time>``, else the
+      first ``<time datetime=...>`` attribute — kept as the raw string
+      (date parsing is a downstream normalizer's job),
+    * ``lang``: the ``<html lang>`` attribute, lowercased (the DECLARED
+      language; the content-based detector at ``functions.text`` is the
+      trust-but-verify counterpart).
+
+    Meta matching is attribute-order-free and quote-style-free, first
+    matching tag wins, values entity-decoded (five predefined) and
+    stripped; every field is '' when absent. One narrow expression pass —
+    no UDF, no shuffle, exact DuckDB twin (`oracle_sql()['html_meta']`)."""
+    from ocr_spark.operators.links import tag_attr, xml_unescape
+
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    metas = F.regexp_extract_all(html, F.lit(_META_TAG_RE), 0)
+
+    def meta_content(key_attr: str, key: str) -> Column:
+        tag = F.get(
+            F.filter(
+                metas, lambda t: F.lower(tag_attr(t, key_attr)) == key
+            ),
+            F.lit(0),
+        )
+        return py_strip(F.coalesce(tag_attr(tag, "content"), F.lit("")))
+
+    title_el = F.regexp_extract(html, _TITLE_EL_RE, 1)
+    og_title = meta_content("property", "og:title")
+    title = F.when(og_title != "", og_title).otherwise(title_el)
+    og_desc = meta_content("property", "og:description")
+    desc = F.when(og_desc != "", og_desc).otherwise(
+        meta_content("name", "description")
+    )
+    time_tag = F.get(F.regexp_extract_all(html, F.lit(_TIME_TAG_RE), 0), F.lit(0))
+    pub_meta = meta_content("property", "article:published_time")
+    published = F.when(pub_meta != "", pub_meta).otherwise(
+        py_strip(F.coalesce(tag_attr(time_tag, "datetime"), F.lit("")))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        xml_unescape(title).alias("title"),
+        xml_unescape(desc).alias("description"),
+        xml_unescape(meta_content("property", "og:site_name")).alias("site_name"),
+        published.alias("published"),
+        F.lower(F.regexp_extract(html, _HTML_LANG_RE, 1)).alias("lang"),
+    )
+
+
+# --- extractor ensemble (agreement across the boilerplate family) -----------
+
+
+def _word_set(text: Column) -> Column:
+    return F.array_distinct(
+        F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    )
+
+
+def extraction_ensemble(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Run all three main-content extractors (Boilerpipe NumWordsRules,
+    Readability, jusText) over the same HTML and report per-document
+    agreement — the extraction-confidence signal a web-corpus pipeline
+    keeps next to the text (pages where independent extractors disagree
+    are exactly the pages whose extraction should not be trusted
+    unreviewed): distinct-word counts per extractor, pairwise word-set
+    Jaccard, the count of words at least two extractors agree on, and
+    ``pick`` — the medoid extractor (max summed Jaccard to the other two,
+    ties broken boilerpipe > readability > justext).
+
+    Scale shape: ONE narrow expression pass — the extractors chain through
+    ``keep_cols`` on the same DataFrame, so there is no re-scan and no
+    doc_id join/shuffle; at 10^12 documents this is the same plan class as
+    any single extractor."""
+    d0 = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(html_col).alias("html")
+    )
+    d1 = extract_html_documents(d0, keep_cols=("html",)).select(
+        "doc_id", F.col("main_text").alias("t_bp"), "html"
+    )
+    d2 = readability_extract(d1, keep_cols=("t_bp", "html")).select(
+        "doc_id", F.col("main_text").alias("t_rb"), "t_bp", "html"
+    )
+    d3 = justext_extract(
+        d2, stopwords=stopwords, keep_cols=("t_bp", "t_rb")
+    ).select("doc_id", F.col("main_text").alias("t_jt"), "t_bp", "t_rb")
+    d4 = d3.select(
+        "doc_id",
+        _word_set(F.col("t_bp")).alias("wa"),
+        _word_set(F.col("t_rb")).alias("wb"),
+        _word_set(F.col("t_jt")).alias("wc"),
+    )
+
+    def jac(i: Column, u: Column) -> Column:
+        return F.when(u == 0, F.lit(0.0)).otherwise(i / u)
+
+    i_ab = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    i_ac = F.size(F.array_intersect(F.col("wa"), F.col("wc")))
+    i_bc = F.size(F.array_intersect(F.col("wb"), F.col("wc")))
+    u_ab = F.size(F.col("wa")) + F.size(F.col("wb")) - i_ab
+    u_ac = F.size(F.col("wa")) + F.size(F.col("wc")) - i_ac
+    u_bc = F.size(F.col("wb")) + F.size(F.col("wc")) - i_bc
+    consensus = F.size(
+        F.array_union(
+            F.array_union(
+                F.array_intersect(F.col("wa"), F.col("wb")),
+                F.array_intersect(F.col("wa"), F.col("wc")),
+            ),
+            F.array_intersect(F.col("wb"), F.col("wc")),
+        )
+    )
+    d5 = d4.select(
+        "doc_id",
+        F.size(F.col("wa")).cast("int").alias("n_uniq_bp"),
+        F.size(F.col("wb")).cast("int").alias("n_uniq_rb"),
+        F.size(F.col("wc")).cast("int").alias("n_uniq_jt"),
+        jac(i_ab, u_ab).alias("j_bp_rb"),
+        jac(i_ac, u_ac).alias("j_bp_jt"),
+        jac(i_bc, u_bc).alias("j_rb_jt"),
+        consensus.cast("int").alias("consensus_words"),
+    )
+    s_bp = F.col("j_bp_rb") + F.col("j_bp_jt")
+    s_rb = F.col("j_bp_rb") + F.col("j_rb_jt")
+    s_jt = F.col("j_bp_jt") + F.col("j_rb_jt")
+    return d5.withColumn(
+        "pick",
+        F.when((s_bp >= s_rb) & (s_bp >= s_jt), F.lit("boilerpipe"))
+        .when(s_rb >= s_jt, F.lit("readability"))
+        .otherwise(F.lit("justext")),
     )

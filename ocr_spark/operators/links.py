@@ -553,6 +553,144 @@ def sitemap_entries(
     ).filter(F.col("loc") != "")
 
 
+_FEED_ITEM_RE = r"(?is)<item\b[^>]*>.*?</item>"
+_FEED_ENTRY_RE = r"(?is)<entry\b[^>]*>.*?</entry>"
+_RSS_LINK_RE = r"(?is)<link\s*>\s*(.*?)\s*</link>"
+_FEED_TITLE_RE = r"(?is)<title\b[^>]*>\s*(.*?)\s*</title>"
+_RSS_PUBDATE_RE = r"(?is)<pubdate\s*>\s*(.*?)\s*</pubdate>"
+_ATOM_UPDATED_RE = r"(?is)<updated\s*>\s*(.*?)\s*</updated>"
+_LINK_TAG_RE = r"(?i)<link\b[^>]*>"
+_REL_ATTR_RE = r"""(?i)\brel\s*=\s*["']?([a-zA-Z-]+)"""
+
+
+def _attr(tag: Column, dq_re: str, sq_re: str) -> Column:
+    """Attribute value out of a single tag, both quote styles (the
+    canonical-link convention at :func:`page_directives`)."""
+    dq = F.regexp_extract(tag, dq_re, 1)
+    sq = F.regexp_extract(tag, sq_re, 1)
+    return F.when(dq != "", dq).otherwise(sq)
+
+
+def tag_attr(tag: Column, name: str) -> Column:
+    """``name="..."`` / ``name='...'`` attribute value out of one tag —
+    the shared subset every head-scanning operator uses (attribute order
+    free, both quote styles, '' when absent)."""
+    return _attr(
+        tag,
+        rf'(?i)\b{name}\s*=\s*"([^"]*)"',
+        rf"(?i)\b{name}\s*=\s*'([^']*)'",
+    )
+
+
+#: Public alias — the five predefined XML entities, ``&amp;`` decoded last.
+xml_unescape = _xml_unescape
+
+
+def feed_entries(
+    feeds: DataFrame, url_col: str = "feed_url", xml_col: str = "xml"
+) -> DataFrame:
+    """Parse web feeds — RSS 2.0 ``<item>`` and Atom ``<entry>`` children —
+    into one row per entry: the OTHER half of crawl discovery next to
+    :func:`sitemap_entries` (feeds surface new URLs faster than sitemaps;
+    public crawlers poll both). Documented subset mirroring the sitemap
+    parser: plain element text (no CDATA), the five predefined XML
+    entities decoded in loc and title; RSS links are element text, Atom
+    links are ``href`` attributes where the chosen ``<link>`` is the first
+    with no ``rel`` or ``rel=alternate`` (the Atom RFC 4287 default);
+    ``published`` is the raw ``<pubDate>`` (RSS) / ``<updated>`` (Atom)
+    string, '' when absent. Entries without a resolvable link drop.
+
+    Scale shape: one narrow pass of regexp/array expressions over the feed
+    corpus, one explode; no shuffle, no Python — same class as
+    :func:`sitemap_entries`, and its ``loc`` output feeds the same
+    :func:`crawl_frontier` assembly. Returns (feed_url, kind, loc, title,
+    published)."""
+    xml = F.coalesce(F.col(xml_col), F.lit(""))
+
+    def blocks(pat: str, kind: str) -> Column:
+        return F.transform(
+            F.regexp_extract_all(xml, F.lit(pat), 0),
+            lambda b: F.struct(F.lit(kind).alias("kind"), b.alias("b")),
+        )
+
+    allb = F.concat(blocks(_FEED_ITEM_RE, "rss"), blocks(_FEED_ENTRY_RE, "atom"))
+    rows = feeds.select(
+        F.col(url_col).alias("feed_url"), F.explode(allb).alias("e")
+    )
+    b = F.col("e.b")
+    atom_link = F.get(
+        F.filter(
+            F.regexp_extract_all(b, F.lit(_LINK_TAG_RE), 0),
+            lambda t: (F.regexp_extract(t, _REL_ATTR_RE, 1) == "")
+            | (F.lower(F.regexp_extract(t, _REL_ATTR_RE, 1)) == "alternate"),
+        ),
+        F.lit(0),
+    )
+    loc = F.when(
+        F.col("e.kind") == "rss", F.regexp_extract(b, _RSS_LINK_RE, 1)
+    ).otherwise(
+        py_strip(F.coalesce(_attr(atom_link, _HREF_DQ_RE, _HREF_SQ_RE), F.lit("")))
+    )
+    published = F.when(
+        F.col("e.kind") == "rss", F.regexp_extract(b, _RSS_PUBDATE_RE, 1)
+    ).otherwise(F.regexp_extract(b, _ATOM_UPDATED_RE, 1))
+    return rows.select(
+        "feed_url",
+        F.col("e.kind").alias("kind"),
+        _xml_unescape(loc).alias("loc"),
+        _xml_unescape(F.regexp_extract(b, _FEED_TITLE_RE, 1)).alias("title"),
+        published.alias("published"),
+    ).filter(F.col("loc") != "")
+
+
+_TYPE_DQ_RE = r'(?i)\btype\s*=\s*"([^"]*)"'
+_TYPE_SQ_RE = r"(?i)\btype\s*=\s*'([^']*)'"
+_FEED_TYPE_RE = r"(?i)^application/(rss|atom)\+xml$"
+
+
+def feed_links(
+    docs: DataFrame,
+    base_col: str = "base_uri",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feed auto-discovery (the RSS/Atom autodiscovery convention): every
+    ``<link>`` tag whose ``type`` is ``application/rss+xml`` or
+    ``application/atom+xml`` and whose ``rel`` includes ``alternate``,
+    href resolved against the page base with the same RFC-subset resolver
+    as :func:`extract_links`. The output is the fetch list whose bodies
+    flow into :func:`feed_entries`.
+
+    One narrow pass, one explode, no shuffle. Returns (doc_id, feed_url,
+    feed_type) with feed_type in ('rss', 'atom')."""
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    base = F.coalesce(F.col(base_col), F.lit(""))
+    scheme, host, dirp = _base_parts(base)
+    tags = F.filter(
+        F.regexp_extract_all(html, F.lit(_LINK_TAG_RE), 0),
+        lambda t: _attr(t, _TYPE_DQ_RE, _TYPE_SQ_RE).rlike(_FEED_TYPE_RE)
+        & F.lower(F.regexp_extract(t, _REL_ATTR_RE, 1)).rlike(r"^alternate$"),
+    )
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        scheme.alias("_s"),
+        host.alias("_h"),
+        dirp.alias("_d"),
+        F.explode(tags).alias("t"),
+    )
+    href = py_strip(_attr(F.col("t"), _HREF_DQ_RE, _HREF_SQ_RE))
+    url = _resolve(href, F.col("_s"), F.col("_h"), F.col("_d"))
+    ftype = F.lower(
+        F.regexp_extract(_attr(F.col("t"), _TYPE_DQ_RE, _TYPE_SQ_RE), _FEED_TYPE_RE, 1)
+    )
+    return (
+        rows.select(
+            "doc_id", url.alias("feed_url"), ftype.alias("feed_type")
+        )
+        .filter(F.col("feed_url") != "")
+    )
+
+
 def crawl_frontier(
     entries: DataFrame,
     rules: DataFrame,

@@ -6878,6 +6878,499 @@ def q_crawl_frontier(spark: SparkSession, sf: str) -> DataFrame:
     return LK.crawl_frontier(entries, rules, seen, k=2)
 
 
+def _feed_fixture(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    h = F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 7).cast("string"), F.lit(".example")
+    )
+    xml = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<rss><channel><title>Chan "), did,
+                F.lit("</title><link>"), h,
+                F.lit("/</link><item><title>Post &amp; one "), did,
+                F.lit("</title><link> "), h, F.lit("/post"), did,
+                F.lit("?x=1&amp;y=2 </link><pubDate>Mon, 02 Jan 2026 03:04:05 GMT"
+                      "</pubDate></item><item><link>"),
+                h, F.lit("/bare"), did,
+                F.lit("</link></item><item><title>no link</title></item>"
+                      "</channel></rss>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("<feed><title>Feed "), did,
+                F.lit('</title><link rel="self" href="'), h, F.lit("/feed"), did,
+                F.lit('.xml"/><entry><title>Entry one '), did,
+                F.lit('</title><link rel="self" href="'), h, F.lit("/self"), did,
+                F.lit('"/><link rel="alternate" href="'), h, F.lit("/e"), did,
+                F.lit('-1"/><updated>2026-02-03T04:05:06Z</updated></entry>'
+                      "<entry><title>Entry two "), did,
+                F.lit("</title><link href='"), h, F.lit("/e"), did,
+                F.lit("-2'/></entry><entry><title>orphan</title></entry></feed>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<rss><channel><Item><title>Esc &amp;lt;tag&amp;gt; "), did,
+                F.lit("</title><link>"), h, F.lit("/esc"), did,
+                F.lit("</link></Item></channel></rss><feed><entry><title>UC "), did,
+                F.lit('</title><link REL=\'ALTERNATE\' HREF="'), h, F.lit("/uc"), did,
+                F.lit('"/></entry></feed>'),
+            )
+        )
+    )
+    feed_url = F.concat(h, F.lit("/feed"), did, F.lit(".xml"))
+    return docs.select(feed_url.alias("feed_url"), xml.alias("xml"))
+
+
+_SQL_FEED_HOST = "'https://site' || (doc_id % 7) || '.example'"
+_SQL_FEED_XML_CASE = f"""CASE doc_id % 3
+  WHEN 0 THEN '<rss><channel><title>Chan ' || doc_id || '</title><link>'
+    || {_SQL_FEED_HOST} || '/</link><item><title>Post &amp; one ' || doc_id
+    || '</title><link> ' || {_SQL_FEED_HOST} || '/post' || doc_id
+    || '?x=1&amp;y=2 </link><pubDate>Mon, 02 Jan 2026 03:04:05 GMT'
+    || '</pubDate></item><item><link>' || {_SQL_FEED_HOST} || '/bare' || doc_id
+    || '</link></item><item><title>no link</title></item></channel></rss>'
+  WHEN 1 THEN '<feed><title>Feed ' || doc_id || '</title><link rel="self" href="'
+    || {_SQL_FEED_HOST} || '/feed' || doc_id
+    || '.xml"/><entry><title>Entry one ' || doc_id
+    || '</title><link rel="self" href="' || {_SQL_FEED_HOST} || '/self' || doc_id
+    || '"/><link rel="alternate" href="' || {_SQL_FEED_HOST} || '/e' || doc_id
+    || '-1"/><updated>2026-02-03T04:05:06Z</updated></entry>'
+    || '<entry><title>Entry two ' || doc_id
+    || '</title><link href=''' || {_SQL_FEED_HOST} || '/e' || doc_id
+    || '-2''/></entry><entry><title>orphan</title></entry></feed>'
+  ELSE '<rss><channel><Item><title>Esc &amp;lt;tag&amp;gt; ' || doc_id
+    || '</title><link>' || {_SQL_FEED_HOST} || '/esc' || doc_id
+    || '</link></Item></channel></rss><feed><entry><title>UC ' || doc_id
+    || '</title><link REL=''ALTERNATE'' HREF="' || {_SQL_FEED_HOST} || '/uc'
+    || doc_id || '"/></entry></feed>'
+END"""
+_SQL_REL_RE = """(?i)\\brel\\s*=\\s*["'']?([a-zA-Z-]+)"""
+_SQL_LINK_TAG_RE = "(?i)<link\\b[^>]*>"
+
+
+def _sql_xml_unesc(e: str) -> str:
+    """links._xml_unescape twin: the five predefined entities, &amp; LAST."""
+    out = e
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "''"), ("&amp;", "&"),
+    ):
+        out = f"replace({out}, '{ent}', '{ch}')"
+    return out
+
+
+def _sql_tag_attr(tag: str, name: str) -> str:
+    """links._attr twin: attribute value, double- then single-quoted."""
+    dq = f"regexp_extract({tag}, '(?i)\\b{name}\\s*=\\s*\"([^\"]*)\"', 1)"
+    sq = f"regexp_extract({tag}, '(?i)\\b{name}\\s*=\\s*''([^'']*)''', 1)"
+    return f"(CASE WHEN {dq} != '' THEN {dq} ELSE {sq} END)"
+
+
+_SQL_FEED_CTES = f"""fesrc AS (
+  SELECT {_SQL_FEED_HOST} || '/feed' || doc_id || '.xml' AS feed_url,
+         {_SQL_FEED_XML_CASE} AS xml
+  FROM documents
+),
+feb AS (
+  SELECT feed_url,
+         list_concat(
+           list_transform(regexp_extract_all(xml,
+               '(?is)<item\\b[^>]*>.*?</item>', 0),
+             b -> struct_pack(kind := 'rss', b := b)),
+           list_transform(regexp_extract_all(xml,
+               '(?is)<entry\\b[^>]*>.*?</entry>', 0),
+             b -> struct_pack(kind := 'atom', b := b))) AS es
+  FROM fesrc
+),
+fee AS (SELECT feed_url, UNNEST(es) AS e FROM feb),
+fel AS (
+  SELECT feed_url, e.kind AS kind, e.b AS b,
+         coalesce(list_filter(
+             regexp_extract_all(e.b, '{_SQL_LINK_TAG_RE}', 0),
+             t -> regexp_extract(t, '{_SQL_REL_RE}', 1) = ''
+                  OR lower(regexp_extract(t, '{_SQL_REL_RE}', 1)) = 'alternate'
+           )[1], '') AS atag
+  FROM fee
+),
+fex AS (
+  SELECT feed_url, kind,
+         CASE WHEN kind = 'rss'
+              THEN regexp_extract(b, '(?is)<link\\s*>\\s*(.*?)\\s*</link>', 1)
+              ELSE {_strip(_sql_tag_attr("atag", "href"))} END AS loc0,
+         regexp_extract(b, '(?is)<title\\b[^>]*>\\s*(.*?)\\s*</title>', 1)
+           AS title0,
+         CASE WHEN kind = 'rss'
+              THEN regexp_extract(b, '(?is)<pubdate\\s*>\\s*(.*?)\\s*</pubdate>', 1)
+              ELSE regexp_extract(b, '(?is)<updated\\s*>\\s*(.*?)\\s*</updated>', 1)
+         END AS published
+  FROM fel
+)"""
+
+
+@_q(
+    "feed_entries",
+    f"""
+WITH {_SQL_FEED_CTES}
+SELECT feed_url, kind,
+       {_sql_xml_unesc("loc0")} AS loc,
+       {_sql_xml_unesc("title0")} AS title,
+       published
+FROM fex WHERE {_sql_xml_unesc("loc0")} != ''""",
+)
+def q_feed_entries(spark: SparkSession, sf: str) -> DataFrame:
+    """RSS/Atom feed parse (links.feed_entries — the discovery loop's
+    fast half next to sitemap_entries) over a three-shape fixture: an RSS
+    channel (whitespace-padded entity-escaped link, pubDate, a bare item,
+    a linkless item that must drop), an Atom feed (rel=self skipped for
+    rel=alternate, single-quoted href, feed-level link ignored, linkless
+    entry dropped), and an edge doc mixing an uppercase <Item> with
+    decode-order entities and an uppercase-attribute Atom entry."""
+    return LK.feed_entries(_feed_fixture(D.load(spark, sf, "documents")))
+
+
+def _feed_page_fixture(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    h = F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 7).cast("string"), F.lit(".example")
+    )
+    base = F.concat(h, F.lit("/dir/page"), did, F.lit(".html"))
+    html = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" type="application/rss+xml" '
+                      'title="RSS" href="/feeds/all'),
+                did,
+                F.lit('.rss"><link rel="stylesheet" type="text/css" href="/s.css">'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("<LINK TYPE='application/atom+xml' REL='alternate' "
+                      "HREF='atom"),
+                did,
+                F.lit(".xml'><link rel='me' type='application/rss+xml' "
+                      "href='/no.rss'>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<p>no feeds</p><link rel="alternate" '
+                      'type="application/json" href="/f'),
+                did,
+                F.lit('.json">'),
+            )
+        )
+    )
+    return docs.select("doc_id", base.alias("base_uri"), html.alias("html"))
+
+
+@_q(
+    "feed_links",
+    f"""
+WITH fp0 AS (
+  SELECT doc_id,
+         {_SQL_FEED_HOST} || '/dir/page' || doc_id || '.html' AS base_uri,
+         CASE doc_id % 3
+           WHEN 0 THEN '<link rel="alternate" type="application/rss+xml" '
+             || 'title="RSS" href="/feeds/all' || doc_id
+             || '.rss"><link rel="stylesheet" type="text/css" href="/s.css">'
+           WHEN 1 THEN '<LINK TYPE=''application/atom+xml'' REL=''alternate'' '
+             || 'HREF=''atom' || doc_id
+             || '.xml''><link rel=''me'' type=''application/rss+xml'' '
+             || 'href=''/no.rss''>'
+           ELSE '<p>no feeds</p><link rel="alternate" '
+             || 'type="application/json" href="/f' || doc_id || '.json">'
+         END AS html
+  FROM documents
+),
+fp1 AS (
+  SELECT doc_id, base_uri,
+         list_filter(regexp_extract_all(html, '{_SQL_LINK_TAG_RE}', 0),
+           t -> regexp_matches({_sql_tag_attr("t", "type")},
+                               '(?i)^application/(rss|atom)\\+xml$')
+                AND regexp_matches(
+                      lower(regexp_extract(t, '{_SQL_REL_RE}', 1)),
+                      '^alternate$')) AS tags
+  FROM fp0
+),
+fp2 AS (
+  SELECT doc_id,
+         lower(regexp_extract(base_uri, '^(?i)(https?)://', 1)) AS scheme,
+         lower(regexp_extract(base_uri, '^(?i)https?://([^/?#]*)', 1)) AS host,
+         (CASE WHEN regexp_replace(
+              regexp_extract(base_uri, '^(?i)https?://[^/?#]*([^?#]*)', 1),
+              '[^/]*$', '') = '' THEN '/'
+           ELSE regexp_replace(
+              regexp_extract(base_uri, '^(?i)https?://[^/?#]*([^?#]*)', 1),
+              '[^/]*$', '') END) AS dirp,
+         UNNEST(tags) AS t
+  FROM fp1
+),
+fp3 AS (
+  SELECT doc_id, scheme, host, dirp,
+         {_strip(_sql_tag_attr("t", "href"))} AS href,
+         lower(regexp_extract({_sql_tag_attr("t", "type")},
+                              '(?i)^application/(rss|atom)\\+xml$', 1))
+           AS feed_type
+  FROM fp2
+)
+SELECT doc_id,
+       regexp_replace(
+         CASE WHEN regexp_matches(href, '^(?i)https?://') THEN href
+              WHEN regexp_matches(href, '^//') THEN scheme || ':' || href
+              WHEN regexp_matches(href, '^/') THEN scheme || '://' || host || href
+              ELSE scheme || '://' || host || dirp || href END,
+         '(?s)#.*$', '') AS feed_url,
+       feed_type
+FROM fp3
+WHERE regexp_replace(
+         CASE WHEN regexp_matches(href, '^(?i)https?://') THEN href
+              WHEN regexp_matches(href, '^//') THEN scheme || ':' || href
+              WHEN regexp_matches(href, '^/') THEN scheme || '://' || host || href
+              ELSE scheme || '://' || host || dirp || href END,
+         '(?s)#.*$', '') != ''""",
+)
+def q_feed_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Feed auto-discovery (links.feed_links): <link rel=alternate
+    type=application/(rss|atom)+xml> extraction with base-URI resolution,
+    over a fixture covering both quote styles, uppercase tag/attribute
+    names, a root-relative and a directory-relative href, and decoys
+    (stylesheet link, rel=me feed, application/json alternate)."""
+    return LK.feed_links(_feed_page_fixture(D.load(spark, sf, "documents")))
+
+
+def _meta_page_fixture(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    html = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<html lang="en"><head><title>El '), did,
+                F.lit('</title><meta property="og:title" content="OG '), did,
+                F.lit('"><meta property="og:description" content="D&amp;d '), did,
+                F.lit('"><meta property="og:site_name" content="Site'),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit('"><meta property="article:published_time" '
+                      'content="2026-03-04T05:06:07Z"></head></html>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("<html lang='EN-us'><head><title>  Pad &amp; title "), did,
+                F.lit(" </title><meta content='Plain desc "), did,
+                F.lit("' name='description'></head><body>"
+                      "<time datetime='2026-01-05'>Jan 5</time></body></html>"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit("<p>nothing here</p>"))
+        .otherwise(
+            F.concat(
+                F.lit("<TITLE>Up "), did,
+                F.lit("</TITLE><META PROPERTY='og:title' CONTENT=''>"
+                      '<META NAME="DESCRIPTION" CONTENT="Shout '),
+                did, F.lit('">'),
+            )
+        )
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def _sql_meta_content(key_attr: str, key: str) -> str:
+    tag = (
+        f"coalesce(list_filter(metas, t -> "
+        f"lower({_sql_tag_attr('t', key_attr)}) = '{key}')[1], '')"
+    )
+    return _strip(_sql_tag_attr(f"({tag})", "content"))
+
+
+_SQL_META_TITLE_EL = (
+    "regexp_extract(html, '(?is)<title\\b[^>]*>\\s*(.*?)\\s*</title>', 1)"
+)
+
+
+@_q(
+    "html_meta",
+    f"""
+WITH hm0 AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN '<html lang="en"><head><title>El ' || doc_id
+             || '</title><meta property="og:title" content="OG ' || doc_id
+             || '"><meta property="og:description" content="D&amp;d ' || doc_id
+             || '"><meta property="og:site_name" content="Site' || (doc_id % 7)
+             || '"><meta property="article:published_time" '
+             || 'content="2026-03-04T05:06:07Z"></head></html>'
+           WHEN 1 THEN '<html lang=''EN-us''><head><title>  Pad &amp; title '
+             || doc_id || ' </title><meta content=''Plain desc ' || doc_id
+             || ''' name=''description''></head><body>'
+             || '<time datetime=''2026-01-05''>Jan 5</time></body></html>'
+           WHEN 2 THEN '<p>nothing here</p>'
+           ELSE '<TITLE>Up ' || doc_id
+             || '</TITLE><META PROPERTY=''og:title'' CONTENT=''''>'
+             || '<META NAME="DESCRIPTION" CONTENT="Shout ' || doc_id || '">'
+         END AS html
+  FROM documents
+),
+hm1 AS (
+  SELECT doc_id, html,
+         regexp_extract_all(html, '(?i)<meta\\b[^>]*>', 0) AS metas,
+         coalesce(regexp_extract_all(html, '(?i)<time\\b[^>]*>', 0)[1], '')
+           AS timetag
+  FROM hm0
+),
+hm2 AS (
+  SELECT doc_id,
+         CASE WHEN {_sql_meta_content("property", "og:title")} != ''
+              THEN {_sql_meta_content("property", "og:title")}
+              ELSE {_SQL_META_TITLE_EL} END AS title0,
+         CASE WHEN {_sql_meta_content("property", "og:description")} != ''
+              THEN {_sql_meta_content("property", "og:description")}
+              ELSE {_sql_meta_content("name", "description")} END AS desc0,
+         {_sql_meta_content("property", "og:site_name")} AS site0,
+         CASE WHEN {_sql_meta_content("property", "article:published_time")} != ''
+              THEN {_sql_meta_content("property", "article:published_time")}
+              ELSE {_strip(_sql_tag_attr("timetag", "datetime"))} END AS published,
+         lower(regexp_extract(html,
+             '(?is)<html\\b[^>]*\\blang\\s*=\\s*["'']?([a-zA-Z-]+)', 1)) AS lang
+  FROM hm1
+)
+SELECT doc_id,
+       {_sql_xml_unesc("title0")} AS title,
+       {_sql_xml_unesc("desc0")} AS description,
+       {_sql_xml_unesc("site0")} AS site_name,
+       published, lang
+FROM hm2""",
+)
+def q_html_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML head metadata (boilerplate.page_metadata — og:/meta/title/
+    time/lang subset with trafilatura-style precedence) over a four-shape
+    fixture: a full OpenGraph head (og:title beats the title element), an
+    og-less page (reversed attribute order, single quotes, padded
+    entity-escaped title element, <time datetime> fallback, mixed-case
+    lang), a metadata-free page (all fields ''), and an uppercase-markup
+    page whose EMPTY og:title must fall back to the title element."""
+    from ocr_spark.operators.boilerplate import page_metadata
+
+    return page_metadata(_meta_page_fixture(D.load(spark, sf, "documents")))
+
+
+# --- extractor ensemble: one wrap rich enough for all three extractors ------
+# sidebar (negative class, linkful), positive-class article container holding
+# stopword-inflated paragraphs (so jusText's EN stoplist fires), a comment and
+# a linkful footer — Boilerpipe, Readability and jusText each see their own
+# decision surface on the same page.
+_ENSEMBLE_WRAP_SQL = (
+    "'<div class=\"sidebar\"><ul><li><a href=\"/a\">Related one</a></li>"
+    "<li><a href=\"/b\">Related two</a></li></ul></div>"
+    "<div class=\"article content\" id=\"main\"><div class=\"entry\"><p>' || "
+    "replace(replace(coalesce(text, ''), ' ', ' the '), chr(10), '</p><p>') || "
+    "'</p></div></div><div class=\"comment\"><p>Nice post, thanks for sharing, "
+    "very cool indeed</p></div>"
+    "<div class=\"footer\"><p><a href=\"/c\">(c) 2026 Synth Corp, contact, "
+    "sitemap</a></p></div>'"
+)
+_ENSEMBLE_SRC = f"SELECT doc_id, {_ENSEMBLE_WRAP_SQL} AS html FROM documents"
+
+_SQL_WSET = (
+    "list_distinct(list_filter("
+    "regexp_split_to_array({t}, '\\s+'), w -> w != ''))"
+)
+
+
+def _ensemble_fixture(docs: DataFrame) -> DataFrame:
+    body = F.replace(
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(" "), F.lit(" the ")
+        ),
+        F.lit("\n"),
+        F.lit("</p><p>"),
+    )
+    html = F.concat(
+        F.lit(
+            '<div class="sidebar"><ul><li><a href="/a">Related one</a></li>'
+            '<li><a href="/b">Related two</a></li></ul></div>'
+            '<div class="article content" id="main"><div class="entry"><p>'
+        ),
+        body,
+        F.lit(
+            '</p></div></div><div class="comment"><p>Nice post, thanks for '
+            "sharing, very cool indeed</p></div>"
+            '<div class="footer"><p><a href="/c">(c) 2026 Synth Corp, contact, '
+            "sitemap</a></p></div>"
+        ),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+@_q(
+    "extract_ensemble",
+    f"""
+WITH bp AS ({_sql_html_extract(_ENSEMBLE_SRC)}),
+rb AS ({_sql_readability(_ENSEMBLE_SRC)}),
+jt AS ({_sql_justext(_ENSEMBLE_SRC)}),
+ew AS (
+  SELECT bp.doc_id,
+         {_SQL_WSET.format(t="bp.main_text")} AS wa,
+         {_SQL_WSET.format(t="rb.main_text")} AS wb,
+         {_SQL_WSET.format(t="jt.main_text")} AS wc
+  FROM bp JOIN rb USING (doc_id) JOIN jt USING (doc_id)
+),
+ei AS (
+  SELECT doc_id, wa, wb, wc,
+         list_filter(wa, w -> list_contains(wb, w)) AS iw_ab,
+         list_filter(wa, w -> list_contains(wc, w)) AS iw_ac,
+         list_filter(wb, w -> list_contains(wc, w)) AS iw_bc
+  FROM ew
+),
+ej AS (
+  SELECT doc_id,
+         len(wa)::INT AS n_uniq_bp, len(wb)::INT AS n_uniq_rb,
+         len(wc)::INT AS n_uniq_jt,
+         len(iw_ab) AS i_ab, len(iw_ac) AS i_ac, len(iw_bc) AS i_bc,
+         len(wa) + len(wb) - len(iw_ab) AS u_ab,
+         len(wa) + len(wc) - len(iw_ac) AS u_ac,
+         len(wb) + len(wc) - len(iw_bc) AS u_bc,
+         len(list_distinct(list_concat(list_concat(iw_ab, iw_ac), iw_bc)))::INT
+           AS consensus_words
+  FROM ei
+),
+ek AS (
+  SELECT doc_id, n_uniq_bp, n_uniq_rb, n_uniq_jt,
+         CASE WHEN u_ab = 0 THEN 0.0 ELSE i_ab::DOUBLE / u_ab END AS j_bp_rb,
+         CASE WHEN u_ac = 0 THEN 0.0 ELSE i_ac::DOUBLE / u_ac END AS j_bp_jt,
+         CASE WHEN u_bc = 0 THEN 0.0 ELSE i_bc::DOUBLE / u_bc END AS j_rb_jt,
+         consensus_words
+  FROM ej
+)
+SELECT doc_id, n_uniq_bp, n_uniq_rb, n_uniq_jt,
+       j_bp_rb, j_bp_jt, j_rb_jt, consensus_words,
+       CASE WHEN j_bp_rb + j_bp_jt >= j_bp_rb + j_rb_jt
+                 AND j_bp_rb + j_bp_jt >= j_bp_jt + j_rb_jt
+            THEN 'boilerpipe'
+            WHEN j_bp_rb + j_rb_jt >= j_bp_jt + j_rb_jt THEN 'readability'
+            ELSE 'justext' END AS pick
+FROM ek""",
+)
+def q_extract_ensemble(spark: SparkSession, sf: str) -> DataFrame:
+    """Extractor-ensemble agreement (boilerplate.extraction_ensemble):
+    Boilerpipe, Readability and jusText over the SAME page in one chained
+    narrow pass (keep_cols threading — no re-scan, no doc_id join), with
+    per-document pairwise word-set Jaccard, two-extractor consensus word
+    count, and the medoid pick. The oracle composes the three existing
+    parameterized extractor oracles over one shared wrap."""
+    from ocr_spark.operators.boilerplate import extraction_ensemble
+
+    return extraction_ensemble(_ensemble_fixture(D.load(spark, sf, "documents")))
+
+
 _SQL_URL_FIXTURE = """usrc AS (
   SELECT doc_id,
     CASE (doc_id % 8)

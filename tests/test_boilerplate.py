@@ -350,3 +350,94 @@ def test_justext_stoplist_selects_language(spark):
     assert justext_extract(df).first()["n_content_blocks"] == 0
     got = justext_extract(df, stopwords=de_stop).first()
     assert got["n_content_blocks"] == 1 and got["main_text"].startswith("der hund")
+
+
+def test_page_metadata_precedence_and_fallbacks(spark):
+    """og:title beats the title element but an EMPTY og:title falls back;
+    description prefers og: over name=; published prefers
+    article:published_time over <time datetime>; lang lowercases the
+    declared attribute; entities decode; absent fields are ''."""
+    from ocr_spark.operators.boilerplate import page_metadata
+
+    full = (
+        '<html lang="en"><head><title>El</title>'
+        '<meta property="og:title" content=" OG t ">'
+        '<meta property="og:description" content="D&amp;d">'
+        '<meta property="og:site_name" content="Site A">'
+        '<meta property="article:published_time" content="2026-03-04T05:06:07Z">'
+        "</head><body><time datetime='2025-01-01'>x</time></body></html>"
+    )
+    plain = (
+        "<html lang='EN-us'><head><title>  Pad &amp; title </title>"
+        "<meta content='Plain desc' name='description'></head>"
+        "<body><time datetime='2026-01-05'>Jan 5</time></body></html>"
+    )
+    upper = (
+        "<TITLE>Up</TITLE><META PROPERTY='og:title' CONTENT=''>"
+        '<META NAME="DESCRIPTION" CONTENT="Shout">'
+    )
+    df = spark.createDataFrame(
+        [(1, full), (2, plain), (3, "<p>none</p>"), (4, upper)],
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r for r in page_metadata(df).collect()}
+    assert rows[1]["title"] == "OG t"  # og wins, stripped
+    assert rows[1]["description"] == "D&d"
+    assert rows[1]["site_name"] == "Site A"
+    assert rows[1]["published"] == "2026-03-04T05:06:07Z"  # meta beats <time>
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["title"] == "Pad & title"
+    assert rows[2]["description"] == "Plain desc"
+    assert rows[2]["published"] == "2026-01-05"  # <time datetime> fallback
+    assert rows[2]["lang"] == "en-us"
+    assert rows[3] == {
+        "doc_id": 3, "title": "", "description": "", "site_name": "",
+        "published": "", "lang": "",
+    } or all(rows[3][f] == "" for f in
+             ("title", "description", "site_name", "published", "lang"))
+    assert rows[4]["title"] == "Up"  # empty og:title falls back
+    assert rows[4]["description"] == "Shout"
+
+
+def test_extraction_ensemble_agreement_and_pick(spark):
+    """On a page whose only content is one stopword-rich paragraph inside
+    a positive-class container, all three extractors agree exactly →
+    pairwise Jaccards 1.0 and pick=boilerpipe (the tie precedence); on a
+    pathological all-links page the word sets diverge and the invariants
+    (jaccard bounds, consensus ≤ max pairwise union) still hold; the
+    chained keep_cols plan returns one row per input doc."""
+    from ocr_spark.operators.boilerplate import extraction_ensemble
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and then the other "
+        "dog is also there with the fox in the field for a while longer "
+        "because it is the best of all the fields in the whole of the land"
+    )
+    agree = (
+        f'<div class="article" id="main"><p>{body} {body}</p>'
+        f"<p>{body} {body}</p></div>"
+    )
+    linky = (
+        '<div><a href="/a">one</a> <a href="/b">two</a></div>'
+        f'<div class="entry"><p>{body}</p></div>'
+        '<div class="footer"><a href="/c">menu menu menu</a></div>'
+    )
+    df = spark.createDataFrame(
+        [(1, agree), (2, linky)], "doc_id long, html string"
+    )
+    rows = {r["doc_id"]: r for r in extraction_ensemble(df).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert r1["j_bp_rb"] == r1["j_bp_jt"] == r1["j_rb_jt"] == 1.0
+    assert r1["pick"] == "boilerpipe"  # tie precedence
+    assert r1["n_uniq_bp"] == r1["n_uniq_rb"] == r1["n_uniq_jt"]
+    assert r1["consensus_words"] == r1["n_uniq_bp"]
+    for r in rows.values():
+        for k in ("j_bp_rb", "j_bp_jt", "j_rb_jt"):
+            assert 0.0 <= r[k] <= 1.0
+        assert r["pick"] in ("boilerpipe", "readability", "justext")
+        assert r["consensus_words"] <= max(
+            r["n_uniq_bp"] + r["n_uniq_rb"],
+            r["n_uniq_bp"] + r["n_uniq_jt"],
+            r["n_uniq_rb"] + r["n_uniq_jt"],
+        )

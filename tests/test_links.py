@@ -589,3 +589,77 @@ def test_links_job_canonicalize(spark, tmp_path, monkeypatch):
     assert urls == {"https://b.example/x?a=2&b=1"}  # aliases collapsed
     assert canon.count() == 2  # rows kept, keys merged
     assert {r["dst_host"] for r in canon.collect()} == {"b.example"}
+
+
+def test_feed_entries_rss_and_atom(spark):
+    """RSS items and Atom entries parse to one row per entry: RSS link is
+    element text (whitespace-trimmed, entities decoded, &amp; last); the
+    Atom link is the first <link> with no rel or rel=alternate (rel=self
+    skipped, attribute case free, both quote styles); published is the raw
+    pubDate/updated string; linkless children drop; feed-level title/link
+    elements outside item/entry blocks never leak into rows."""
+    rss = (
+        "<rss><channel><title>Chan</title><link>https://a.example/</link>"
+        "<item><title>Post &amp; one</title>"
+        "<link> https://a.example/p?x=1&amp;y=2 </link>"
+        "<pubDate>Mon, 02 Jan 2026 03:04:05 GMT</pubDate></item>"
+        "<item><link>https://a.example/bare</link></item>"
+        "<item><title>no link</title></item>"
+        "<Item><title>Esc &amp;lt;t&amp;gt;</title>"
+        "<link>https://a.example/esc</link></Item></channel></rss>"
+    )
+    atom = (
+        '<feed><title>Feed</title><link rel="self" href="https://b.example/f.xml"/>'
+        '<entry><title>One</title><link rel="self" href="https://b.example/self1"/>'
+        '<link rel="alternate" href="https://b.example/e1"/>'
+        "<updated>2026-02-03T04:05:06Z</updated></entry>"
+        "<entry><title>Two</title><link href='https://b.example/e2'/></entry>"
+        '<entry><title>UC</title><link REL=\'ALTERNATE\' HREF="https://b.example/uc"/></entry>'
+        "<entry><title>orphan</title></entry></feed>"
+    )
+    df = spark.createDataFrame(
+        [("https://a.example/feed.xml", rss), ("https://b.example/feed.xml", atom)],
+        "feed_url string, xml string",
+    )
+    rows = LK.feed_entries(df).collect()
+    by_loc = {r["loc"]: r for r in rows}
+    assert len(rows) == 6  # two linkless children dropped
+    r1 = by_loc["https://a.example/p?x=1&y=2"]
+    assert (r1["kind"], r1["title"]) == ("rss", "Post & one")
+    assert r1["published"] == "Mon, 02 Jan 2026 03:04:05 GMT"
+    assert by_loc["https://a.example/bare"]["title"] == ""
+    assert by_loc["https://a.example/esc"]["title"] == "Esc &lt;t&gt;"
+    a1 = by_loc["https://b.example/e1"]
+    assert (a1["kind"], a1["published"]) == ("atom", "2026-02-03T04:05:06Z")
+    assert "https://b.example/self1" not in by_loc  # rel=self never chosen
+    assert by_loc["https://b.example/e2"]["title"] == "Two"
+    assert by_loc["https://b.example/uc"]["kind"] == "atom"
+
+
+def test_feed_links_autodiscovery(spark):
+    """<link rel=alternate type=application/(rss|atom)+xml> hrefs resolve
+    against the page base; stylesheet/rel=me/non-feed-type links are
+    decoys; uppercase tag and attribute names parse; pages with no feed
+    links yield no rows."""
+    h0 = (
+        '<link rel="alternate" type="application/rss+xml" title="R" '
+        'href="/feeds/all.rss">'
+        '<link rel="stylesheet" type="text/css" href="/s.css">'
+        "<LINK TYPE='application/atom+xml' REL='alternate' HREF='atom.xml'>"
+        "<link rel='me' type='application/rss+xml' href='/no.rss'>"
+        '<link rel="alternate" type="application/json" href="/f.json">'
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.example/dir/page.html", h0),
+            (2, "https://b.example/x.html", "<p>no feeds</p>"),
+        ],
+        "doc_id long, base_uri string, html string",
+    )
+    rows = LK.feed_links(df).collect()
+    got = {(r["feed_url"], r["feed_type"]) for r in rows}
+    assert got == {
+        ("https://a.example/feeds/all.rss", "rss"),
+        ("https://a.example/dir/atom.xml", "atom"),
+    }
+    assert all(r["doc_id"] == 1 for r in rows)
