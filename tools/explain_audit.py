@@ -125,6 +125,10 @@ AUDIT = [
     "sitemap_entries",
     "crawl_frontier",
     "hits_scores",
+    "feed_entries",
+    "feed_links",
+    "html_meta",
+    "extract_ensemble",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
