@@ -121,6 +121,7 @@ HEADLINE = [
     "feed_links",
     "html_meta",
     "extract_ensemble",
+    "html_justext_multi",
     "url_canonical",
     "host_graph",
     "anchor_texts",

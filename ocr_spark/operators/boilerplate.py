@@ -553,8 +553,67 @@ JUSTEXT_STOPLIST_EN = (
     "will with you your yours yourself yourselves"
 ).split()
 
+# The published jusText algorithm is multilingual purely via stoplists —
+# these are standard public function-word lists (the NLTK-style core set),
+# deterministic and dependency-free like the English one above.
+JUSTEXT_STOPLIST_ES = (
+    "de la que el en y a los se del las un por con no una su para es al lo "
+    "como más pero sus le ya o este sí porque esta entre cuando muy sin "
+    "sobre también me hasta hay donde quien desde todo nos durante todos "
+    "uno les ni contra otros ese eso ante ellos e esto mí antes algunos qué "
+    "unos yo otro otras otra él tanto esa estos mucho quienes nada muchos "
+    "cual poco ella estar estas algunas algo nosotros"
+).split()
 
-def _jt_block(part: Column, stopwords: list[str]) -> Column:
+JUSTEXT_STOPLIST_DE = (
+    "aber alle als also am an auch auf aus bei bin bis bist da damit dann "
+    "der den des dem die das dass dein deine mit ein eine einen einem einer "
+    "es für hatte hatten hier hin ich ihr ihre im in ist ja jede jedem "
+    "jeden jeder jedes kann kannst können könnt machen mein meine mir mich "
+    "muss müssen nach nicht noch nun oder schon sein seine sich sie sind so "
+    "über um und uns unser unter vom von vor wann warum was weiter weitere "
+    "wenn wer werde werden wie wieder will wir wird wirst wo woher wohin zu "
+    "zum zur"
+).split()
+
+JUSTEXT_STOPLIST_FR = (
+    "au aux avec ce ces dans de des du elle en et eux il ils je la le les "
+    "leur lui ma mais me même mes moi mon ne nos notre nous on ou par pas "
+    "pour qu que qui sa se ses son sur ta te tes toi ton tu un une vos "
+    "votre vous à y été étant suis es est sommes êtes sont serai seras "
+    "sera ainsi alors après avant bien car cela ceux chaque comme donc dont "
+    "encore entre était faire fait ici leur même où peu plus quand sans si "
+    "son sous tout tous toute toutes très"
+).split()
+
+#: language → stoplist registry for :func:`justext_stoplist_for`
+JUSTEXT_STOPLISTS: dict[str, list[str]] = {
+    "en": JUSTEXT_STOPLIST_EN,
+    "es": JUSTEXT_STOPLIST_ES,
+    "de": JUSTEXT_STOPLIST_DE,
+    "fr": JUSTEXT_STOPLIST_FR,
+}
+
+
+def justext_stoplist_for(lang: Column, default: str = "en") -> Column:
+    """Per-row stoplist selection — the multilingual dispatch the published
+    jusText gets from its stoplist files: a CASE over ``lang`` yielding the
+    matching :data:`JUSTEXT_STOPLISTS` array (``default`` for unknown
+    languages). Pass the result as ``stopwords=`` to
+    :func:`justext_extract` to run one language-aware extraction pass over
+    a mixed-language corpus instead of one job per language."""
+    out = None
+    for code, words in JUSTEXT_STOPLISTS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out = (
+            F.when(lang == code, arr)
+            if out is None
+            else out.when(lang == code, arr)
+        )
+    return out.otherwise(F.array(*[F.lit(w) for w in JUSTEXT_STOPLISTS[default]]))
+
+
+def _jt_block(part: Column, stopwords: list[str] | Column) -> Column:
     """Per-block features: text, chars, link chars, word count, stop count."""
     text = py_strip(F.regexp_replace(part, _TAG_RE, ""))
     anchor_text = F.array_join(
@@ -567,7 +626,11 @@ def _jt_block(part: Column, stopwords: list[str]) -> Column:
     words = F.when(text == "", F.array().cast("array<string>")).otherwise(
         F.split(text, r"(?U)\s+")
     )
-    stoplist = F.array(*[F.lit(w) for w in stopwords])
+    stoplist = (
+        stopwords
+        if isinstance(stopwords, Column)
+        else F.array(*[F.lit(w) for w in stopwords])
+    )
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stoplist, F.lower(w))))
     return F.struct(
         text.alias("text"),
@@ -629,7 +692,7 @@ def justext_extract(
     docs: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
-    stopwords: list[str] | None = None,
+    stopwords: list[str] | Column | None = None,
     keep_cols: tuple = (),
 ) -> DataFrame:
     """jusText main-content extraction → (doc_id, main_text, n_blocks,
@@ -639,9 +702,15 @@ def justext_extract(
     ``boiler_chars`` counts the characters classified away. ``stopwords``
     selects the language (the public jusText is multilingual purely via
     per-language stoplists — lowercase word lists of the same shape as
-    the English default)."""
+    the English default). Pass a COLUMN (see
+    :func:`justext_stoplist_for`) for per-row language dispatch over a
+    mixed corpus; it is materialized once per row before the per-block
+    lambda so the stoplist CASE never re-evaluates per block."""
     if stopwords is None:
         stopwords = JUSTEXT_STOPLIST_EN
+    if isinstance(stopwords, Column):
+        docs = docs.withColumn("_jt_stop", stopwords)
+        stopwords = F.col("_jt_stop")
     h = F.coalesce(F.col(html_col), F.lit(""))
     clean = F.regexp_replace(
         F.regexp_replace(F.regexp_replace(h, SCRIPT_RE, ""), STYLE_RE, ""),

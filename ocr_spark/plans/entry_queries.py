@@ -5622,15 +5622,24 @@ _JT_WRAP_SQL = (
 
 def _sql_justext(
     src: str = f"SELECT doc_id, {_JT_WRAP_SQL} AS html FROM documents",
+    stop_sql: str | None = None,
+    thread: str = "",
 ) -> str:
     """jusText oracle over any (doc_id, html) source SQL.  The Spark side's
     two linear prefix-fold passes are replayed here in independent CLOSED
     FORM (nearest-qualifying-neighbour via list_max/list_min over index
     ranges — quadratic per document, fine at oracle scale), so the two
-    formulations must agree bit-for-bit, including on malformed HTML."""
+    formulations must agree bit-for-bit, including on malformed HTML.
+
+    ``stop_sql`` overrides the English stoplist literal — it may reference
+    any column named in ``thread`` (e.g. ``", lang"``), which is carried
+    from ``src`` through the CTEs up to the stop-count step (the
+    multilingual per-row dispatch twin of ``justext_stoplist_for``)."""
     from ocr_spark.operators.boilerplate import JUSTEXT_STOPLIST_EN
 
-    stop = "[" + ", ".join(f"'{w}'" for w in JUSTEXT_STOPLIST_EN) + "]"
+    stop = stop_sql or (
+        "[" + ", ".join(f"'{w}'" for w in JUSTEXT_STOPLIST_EN) + "]"
+    )
     strip_tags = "regexp_replace(p, '(?s)<[^>]*>', '', 'g')"
     text_of = _strip(strip_tags)
     anchor = (
@@ -5672,7 +5681,7 @@ WITH hsrc AS (
   {src}
 ),
 hclean AS (
-  SELECT doc_id,
+  SELECT doc_id{thread},
          regexp_replace(regexp_replace(regexp_replace(html,
            '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
            '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
@@ -5680,7 +5689,7 @@ hclean AS (
   FROM hsrc
 ),
 hraw AS (
-  SELECT doc_id,
+  SELECT doc_id{thread},
          list_filter(
            list_transform(regexp_split_to_array(html, '{_BP_BLOCK_RE}'),
              p -> {{'text': {text_of}, 'link_chars': length({anchor})}}),
@@ -5688,7 +5697,7 @@ hraw AS (
   FROM hclean
 ),
 hfeat AS (
-  SELECT doc_id,
+  SELECT doc_id{thread},
          list_transform(braw, blk -> {{
            'text': blk.text, 'chars': length(blk.text),
            'link_chars': blk.link_chars,
@@ -5778,6 +5787,88 @@ def q_html_justext(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("</p><p>&copy; 2026 Synth Corp</p>"),
     )
     return justext_extract(docs.select("doc_id", html.alias("html")))
+
+
+# --- jusText multilingual (per-row stoplist dispatch) --------------------------
+
+_JT_LANGS = ("en", "es", "de", "fr")
+_JT_FILLERS = {"en": " the ", "es": " de la ", "de": " der und ", "fr": " le de "}
+
+
+def _sql_jt_stoplists() -> str:
+    from ocr_spark.operators.boilerplate import JUSTEXT_STOPLISTS
+
+    arms = " ".join(
+        f"WHEN '{code}' THEN ["
+        + ", ".join(f"'{w}'" for w in JUSTEXT_STOPLISTS[code])
+        + "]"
+        for code in _JT_LANGS
+    )
+    return f"(CASE lang {arms} END)"
+
+
+_SQL_JT_MULTI_SRC = (
+    "SELECT doc_id, CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'es' "
+    "WHEN 2 THEN 'de' ELSE 'fr' END AS lang, "
+    "'<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/x\">Links</a></div>"
+    "<p>Read the latest from our team</p><p>' || "
+    "replace(coalesce(text, ''), ' ', CASE doc_id % 4 "
+    "WHEN 0 THEN ' the ' WHEN 1 THEN ' de la ' WHEN 2 THEN ' der und ' "
+    "ELSE ' le de ' END) || "
+    "'</p><p>' || substr(coalesce(text, ''), 1, 120) || "
+    "'</p><p>&copy; 2026 Synth Corp</p>' AS html FROM documents"
+)
+
+
+@_q(
+    "html_justext_multi",
+    _sql_justext(
+        src=_SQL_JT_MULTI_SRC,
+        stop_sql=_sql_jt_stoplists(),
+        thread=", lang",
+    ),
+)
+def q_html_justext_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """jusText with PER-ROW language dispatch (justext_stoplist_for — the
+    published algorithm's multilingual mode, stoplists instead of models):
+    a four-language corpus where each document's main paragraph is
+    inflated with ITS language's function words, so the good class fires
+    only when the per-row stoplist CASE picks the right list. One
+    language-aware pass over the mixed corpus — not one job per language;
+    the stoplist column is materialized once per row, never per block."""
+    from ocr_spark.operators.boilerplate import (
+        justext_extract,
+        justext_stoplist_for,
+    )
+
+    docs = D.load(spark, sf, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    lang = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("en"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("es"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    filler = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" the "))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" de la "))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" der und "))
+        .otherwise(F.lit(" le de "))
+    )
+    html = F.concat(
+        F.lit(
+            '<div class="nav"><a href="/">Home</a> <a href="/x">Links</a></div>'
+            "<p>Read the latest from our team</p><p>"
+        ),
+        F.replace(text, F.lit(" "), filler),
+        F.lit("</p><p>"),
+        F.substring(text, 1, 120),
+        F.lit("</p><p>&copy; 2026 Synth Corp</p>"),
+    )
+    return justext_extract(
+        docs.select("doc_id", lang.alias("lang"), html.alias("html")),
+        stopwords=justext_stoplist_for(F.col("lang")),
+    )
 
 
 # --- WARC web-archive source ---------------------------------------------------

@@ -441,3 +441,41 @@ def test_extraction_ensemble_agreement_and_pick(spark):
             r["n_uniq_bp"] + r["n_uniq_jt"],
             r["n_uniq_rb"] + r["n_uniq_jt"],
         )
+
+
+def test_justext_multilingual_stoplist_dispatch(spark):
+    """Per-row stoplist dispatch (justext_stoplist_for as a Column passed
+    to stopwords=): a Spanish page inflated with Spanish function words
+    extracts its main paragraph under the per-row dispatch, but yields
+    NOTHING under the English default (the wrong stoplist reads the text
+    as low-stopword-density boilerplate) — and the English page extracts
+    identically under both, proving the dispatch is per-row, not global."""
+    from ocr_spark.operators.boilerplate import (
+        justext_extract,
+        justext_stoplist_for,
+    )
+
+    base = "palabras interesantes sobre temas importantes aqui " * 8
+    es_body = base.replace(" ", " de la ")
+    en_body = ("interesting words about important topics here " * 8).replace(
+        " ", " the "
+    )
+    mk = lambda b: f'<div class="nav"><a href="/">Home</a></div><p>{b}</p>'
+    df = spark.createDataFrame(
+        [(1, "es", mk(es_body)), (2, "en", mk(en_body))],
+        "doc_id long, lang string, html string",
+    )
+    from pyspark.sql import functions as F
+
+    multi = {
+        r["doc_id"]: r
+        for r in justext_extract(
+            df, stopwords=justext_stoplist_for(F.col("lang"))
+        ).collect()
+    }
+    en_only = {
+        r["doc_id"]: r for r in justext_extract(df).collect()
+    }
+    assert multi[1]["n_content_blocks"] == 1  # Spanish page, Spanish list
+    assert en_only[1]["n_content_blocks"] == 0  # Spanish page, English list
+    assert multi[2]["main_text"] == en_only[2]["main_text"] != ""
