@@ -122,6 +122,7 @@ HEADLINE = [
     "html_meta",
     "extract_ensemble",
     "html_justext_multi",
+    "lang_mismatch",
     "url_canonical",
     "host_graph",
     "anchor_texts",

@@ -813,7 +813,10 @@ _HTML_LANG_RE = r"""(?is)<html\b[^>]*\blang\s*=\s*["']?([a-zA-Z-]+)"""
 
 
 def page_metadata(
-    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """HTML head metadata — the per-page catalog fields every web-corpus
     pipeline keeps next to the extracted text (the public trafilatura /
@@ -867,6 +870,7 @@ def page_metadata(
         xml_unescape(meta_content("property", "og:site_name")).alias("site_name"),
         published.alias("published"),
         F.lower(F.regexp_extract(html, _HTML_LANG_RE, 1)).alias("lang"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

@@ -2075,7 +2075,9 @@ def _langid_demo_weight(bucket: Column, lang_rank: int) -> Column:
     )
 
 
-def langid_model(docs, id_col: str = "doc_id", text_col: str = "text"):
+def langid_model(
+    docs, id_col: str = "doc_id", text_col: str = "text", keep_cols: tuple = ()
+):
     """(doc_id, lang, score_units, n_grams) — argmax over
     ``LANGID_MODEL_LANGS`` of summed hashed char-trigram weights, ties
     broken alphabetically; 'und' with score 0 when the text yields no
@@ -2097,7 +2099,11 @@ def langid_model(docs, id_col: str = "doc_id", text_col: str = "text"):
     buckets = F.transform(
         grams, lambda g: seeded_hash48(g, "langid-v1") % CLS_BUCKETS
     )
-    df = docs.select(F.col(id_col).alias("doc_id"), buckets.alias("__bs"))
+    df = docs.select(
+        F.col(id_col).alias("doc_id"),
+        buckets.alias("__bs"),
+        *[F.col(c) for c in keep_cols],
+    )
 
     def _fold(rank: int):
         # closure factory, NOT a default param: PySpark counts a lambda's
@@ -2125,6 +2131,7 @@ def langid_model(docs, id_col: str = "doc_id", text_col: str = "text"):
         .otherwise(best["score"])
         .alias("score_units"),
         F.size("__bs").cast("long").alias("n_grams"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

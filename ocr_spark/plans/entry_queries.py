@@ -7709,6 +7709,93 @@ def q_langid_model(spark: SparkSession, sf: str) -> DataFrame:
     return TS.langid_model(D.load(spark, sf, "documents"))
 
 
+_SQL_LM_HTML = (
+    "CASE WHEN doc_id % 5 = 4 THEN '<head><title>T ' || doc_id "
+    "|| '</title></head><p>no lang attr</p>' "
+    "ELSE '<html lang=\"' || (CASE doc_id % 5 WHEN 0 THEN 'en' "
+    "WHEN 1 THEN 'ru' WHEN 2 THEN 'de' ELSE 'es-MX' END) "
+    "|| '\"><head><title>T ' || doc_id || '</title></head></html>' END"
+)
+
+
+@_q(
+    "lang_mismatch",
+    f"""
+WITH det AS ({_sql_langid_model()}),
+lmh AS (
+  SELECT doc_id, {_SQL_LM_HTML} AS html FROM documents
+),
+dec AS (
+  SELECT doc_id,
+         lower(regexp_extract(html,
+             '(?is)<html\\b[^>]*\\blang\\s*=\\s*["'']?([a-zA-Z-]+)', 1))
+           AS declared_lang
+  FROM lmh
+)
+SELECT dec.doc_id AS doc_id, declared_lang,
+       det.lang AS detected_lang,
+       CASE WHEN declared_lang = '' THEN 'undeclared'
+            WHEN det.lang = 'und' THEN 'undetected'
+            WHEN regexp_extract(declared_lang, '^([a-z]+)', 1) = det.lang
+                 THEN 'match'
+            ELSE 'mismatch' END AS status
+FROM dec JOIN det USING (doc_id)""",
+)
+def q_lang_mismatch(spark: SparkSession, sf: str) -> DataFrame:
+    """Declared-vs-detected language trust signal: the page's <html lang>
+    attribute (page_metadata — the DECLARED language) against the
+    content-based trigram model verdict (langid_model), compared on the
+    BCP-47 base subtag ('es-MX' matches 'es'). status ∈ {{match, mismatch,
+    undeclared, undetected}} — mismatch rows are the mislabeled/MT-spam
+    suspects a curation pipeline routes to review. ONE narrow pass: both
+    operators chain through keep_cols on the same DataFrame (no doc_id
+    join, no shuffle)."""
+    from ocr_spark.operators.boilerplate import page_metadata
+
+    docs = D.load(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    declared = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("en"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("ru"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("de"))
+        .otherwise(F.lit("es-MX"))
+    )
+    html = F.when(
+        F.col("doc_id") % 5 == 4,
+        F.concat(
+            F.lit("<head><title>T "), did,
+            F.lit("</title></head><p>no lang attr</p>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<html lang="'), declared,
+            F.lit('"><head><title>T '), did,
+            F.lit("</title></head></html>"),
+        )
+    )
+    d1 = page_metadata(
+        docs.select("doc_id", html.alias("html"), "text"), keep_cols=("text",)
+    ).select("doc_id", F.col("lang").alias("declared_lang"), "text")
+    d2 = TS.langid_model(d1, keep_cols=("declared_lang",))
+    status = (
+        F.when(F.col("declared_lang") == "", F.lit("undeclared"))
+        .when(F.col("lang") == "und", F.lit("undetected"))
+        .when(
+            F.regexp_extract(F.col("declared_lang"), r"^([a-z]+)", 1)
+            == F.col("lang"),
+            F.lit("match"),
+        )
+        .otherwise(F.lit("mismatch"))
+    )
+    return d2.select(
+        "doc_id",
+        "declared_lang",
+        F.col("lang").alias("detected_lang"),
+        status.alias("status"),
+    )
+
+
+
 @_q("compress_ratio", _golden_sql("compress_ratio"))
 def q_compress_ratio(spark: SparkSession, sf: str) -> DataFrame:
     """zlib compression-ratio quality signal (the 'too compressible =

@@ -479,3 +479,32 @@ def test_justext_multilingual_stoplist_dispatch(spark):
     assert multi[1]["n_content_blocks"] == 1  # Spanish page, Spanish list
     assert en_only[1]["n_content_blocks"] == 0  # Spanish page, English list
     assert multi[2]["main_text"] == en_only[2]["main_text"] != ""
+
+
+def test_lang_mismatch_statuses(spark):
+    """The declared-vs-detected composition assigns all four statuses:
+    missing <html lang> → undeclared; empty text → undetected; base-subtag
+    comparison makes 'es-MX' match a detected 'es'."""
+    from ocr_spark.operators.boilerplate import page_metadata
+    from ocr_spark.operators.textstats import langid_model
+
+    df = spark.createDataFrame(
+        [
+            (1, '<html lang="es-MX">x</html>', "hola mundo de la gente"),
+            (2, "<p>no declaration</p>", "some text here"),
+            (3, '<html lang="en">x</html>', ""),
+        ],
+        "doc_id long, html string, text string",
+    )
+    d1 = page_metadata(df, keep_cols=("text",)).select(
+        "doc_id", F.col("lang").alias("declared_lang"), "text"
+    )
+    d2 = langid_model(d1, keep_cols=("declared_lang",))
+    rows = {r["doc_id"]: r for r in d2.collect()}
+    assert rows[1]["declared_lang"] == "es-mx"
+    assert rows[2]["declared_lang"] == ""
+    assert rows[3]["lang"] == "und"  # empty text yields no trigram
+    # base-subtag match semantics (regex, not equality on the full tag)
+    import re
+    base = re.match(r"^([a-z]+)", rows[1]["declared_lang"]).group(1)
+    assert base == "es"
