@@ -123,6 +123,7 @@ HEADLINE = [
     "extract_ensemble",
     "html_justext_multi",
     "lang_mismatch",
+    "html_spans",
     "url_canonical",
     "host_graph",
     "anchor_texts",

@@ -959,3 +959,161 @@ def extraction_ensemble(
         .when(s_rb >= s_jt, F.lit("readability"))
         .otherwise(F.lit("justext")),
     )
+
+
+# --- HTML → interleaved span sequence (the north-rule corpus shape) ----------
+
+_IMG_TAG_RE = r"(?i)<img\b[^>]*>"
+
+
+def html_to_spans(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    stride: int = 16,
+) -> DataFrame:
+    """Crawled HTML → the canonical interleaved span sequence
+    (doc_id, spans: array<struct kind, text, media_ref, offset>) — the
+    bridge from the crawl path to the flagship extraction corpus shape:
+    every downstream operator that runs on ``span_corpus`` runs unchanged
+    on crawled pages once they pass through here.
+
+    Per document, in source order:
+
+    * each Boilerpipe-CONTENT text block (the same NumWordsRules
+      classification as :func:`extract_main_content`) becomes a
+      ``kind='text'`` span,
+    * each ``<img src=…>`` becomes a ``kind='media'`` span with the raw
+      src as ``media_ref`` — kept only when its unit is itself a kept
+      text block (an illustrated paragraph) or is an IMG-ONLY unit
+      adjacent to a kept text block (a standalone figure between prose
+      paragraphs). Nav icons and footer badges sit in boilerplate text
+      units and drop with them.
+    * ``offset`` = span position × ``stride`` (the span_corpus
+      convention).
+
+    One narrow expression pass — classification flags and unit features
+    materialize once per row as columns (never re-evaluated inside the
+    per-element lambdas), every fold is linear; no UDF, no shuffle, exact
+    DuckDB twin (`oracle_sql()['html_spans']`)."""
+    from ocr_spark.operators.links import tag_attr
+
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(h, SCRIPT_RE, ""), STYLE_RE, ""),
+        HTML_COMMENT_RE,
+        "",
+    )
+
+    def unit_of(part: Column) -> Column:
+        text = py_strip(F.regexp_replace(part, _TAG_RE, ""))
+        imgs = F.filter(
+            F.transform(
+                F.regexp_extract_all(part, F.lit(_IMG_TAG_RE), 0),
+                lambda t: tag_attr(t, "src"),
+            ),
+            lambda s: s != "",
+        )
+        return F.struct(text.alias("text"), imgs.alias("imgs"))
+
+    d0 = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.transform(F.split(clean, BLOCK_TAG_RE), unit_of),
+            lambda u: (u["text"] != "") | (F.size(u["imgs"]) > 0),
+        ).alias("units"),
+        classify_blocks(html_blocks(clean)).alias("flags"),
+    )
+    # prefix count of TEXT units before each unit (linear fold of flat int
+    # appends — the html_blocks depth-prefix discipline); tidx[i] (0-based
+    # entry i) = how many text units precede unit i+1
+    deltas = F.transform(
+        F.col("units"),
+        lambda u: F.when(u["text"] != "", F.lit(1)).otherwise(F.lit(0)),
+    )
+    prefix = F.aggregate(
+        deltas,
+        F.array(F.lit(0)),
+        lambda acc, d: F.concat(acc, F.array(F.element_at(acc, -1) + d)),
+    )
+    d1 = d0.withColumn(
+        "tidx", F.slice(prefix, 1, F.size(F.col("units")))
+    )
+    # kept[i]: unit i is a text unit whose aligned classifier flag is true
+    kept = F.zip_with(
+        F.col("units"),
+        F.col("tidx"),
+        lambda u, t: (u["text"] != "")
+        & F.coalesce(F.element_at(F.col("flags"), t + 1), F.lit(False)),
+    )
+    d2 = d1.withColumn("kept", kept)
+    n = F.size(F.col("kept"))
+    prev_kept = F.when(n == 0, F.col("kept")).otherwise(
+        F.concat(F.array(F.lit(False)), F.slice(F.col("kept"), 1, n - 1))
+    )
+    next_kept = F.when(n == 0, F.col("kept")).otherwise(
+        F.concat(F.slice(F.col("kept"), 2, n - 1), F.array(F.lit(False)))
+    )
+    d3 = d2.withColumn(
+        "media_ok",
+        F.zip_with(
+            F.zip_with(
+                F.col("kept"),
+                prev_kept,
+                lambda k, p: F.struct(k.alias("k"), p.alias("p")),
+            ),
+            next_kept,
+            lambda kp, nx: kp["k"] | nx | kp["p"],
+        ),
+    )
+    # media_ok is own-or-neighbour kept; restrict neighbour credit to
+    # IMG-ONLY units at emission time (a boilerplate TEXT unit never emits
+    # its images even next to content)
+    empty_span = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+
+    def emit(i: Column) -> Column:
+        u = F.element_at(F.col("units"), i)
+        own = F.element_at(F.col("kept"), i)
+        mok = F.element_at(F.col("media_ok"), i)
+        media_keep = own | ((u["text"] == "") & mok)
+        media = F.when(
+            media_keep,
+            F.transform(
+                u["imgs"],
+                lambda s: F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit("").alias("text"),
+                    s.alias("media_ref"),
+                    F.lit(-1).alias("offset"),
+                ),
+            ),
+        ).otherwise(empty_span)
+        text = F.when(
+            own,
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    u["text"].alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(-1).alias("offset"),
+                )
+            ),
+        ).otherwise(empty_span)
+        return F.concat(media, text)
+
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    flat = F.flatten(F.transform(idx, emit))
+    spans = F.transform(
+        flat,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            (i * stride).cast("int").alias("offset"),
+        ),
+    )
+    return d3.select("doc_id", spans.alias("spans"))

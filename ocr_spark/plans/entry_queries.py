@@ -5299,6 +5299,66 @@ def _sql_bp_wordcount(e: str) -> str:
     return f"(CASE WHEN {s} = '' THEN 0 ELSE len(regexp_split_to_array({s}, '{_WS}+')) END)"
 
 
+def _sql_bp_flag_ctes(src: str) -> str:
+    """The shared Boilerpipe oracle CTE chain over any (doc_id, html)
+    source SQL: hsrc -> hsplit (parts+tags) -> hfeat (feature blocks b)
+    -> hflag (b + NumWordsRules flags). Used by the html_extract family
+    AND the html_spans oracle, so the classifier tree exists exactly once."""
+    strip_tags = "regexp_replace(p, '(?s)<[^>]*>', '', 'g')"
+    text_of = _strip(strip_tags)
+    anchor = (
+        "coalesce(array_to_string(list_transform("
+        "regexp_extract_all(p, '(?is)<a\\b[^>]*>(.*?)</a>', 1), "
+        "a -> regexp_replace(a, '(?s)<[^>]*>', '', 'g')), ''), '')"
+    )
+    depth = (
+        "coalesce(list_sum(list_transform(tags[1:i-1], t -> "
+        f"CASE WHEN regexp_matches(t, '{_BP_OPEN_RE}') THEN 1 "
+        f"WHEN regexp_matches(t, '{_BP_CLOSE_RE}') THEN -1 ELSE 0 END)), 0)"
+    )
+    block = (
+        f"{{'text': {text_of}, "
+        f"'n_words': {_sql_bp_wordcount(text_of)}, "
+        f"'link_density': CASE WHEN length({text_of}) > 0 "
+        f"THEN least(length({anchor})::DOUBLE / length({text_of}), 1.0) ELSE 0.0 END, "
+        f"'depth': {depth}}}"
+    )
+    clf = """
+      CASE WHEN coalesce(b[i].link_density, 0.0) <= 0.333333 THEN
+        CASE WHEN coalesce(b[i-1].link_density, 0.0) <= 0.555556 THEN
+          CASE WHEN coalesce(b[i].n_words, 0) <= 16 THEN
+            CASE WHEN coalesce(b[i+1].n_words, 0) <= 15
+                 THEN coalesce(b[i-1].n_words, 0) > 4
+                 ELSE TRUE END
+          ELSE TRUE END
+        ELSE CASE WHEN coalesce(b[i].n_words, 0) <= 40
+                  THEN coalesce(b[i+1].n_words, 0) > 17
+                  ELSE TRUE END
+        END
+      ELSE FALSE END"""
+    return f"""hsrc AS (
+  {src}
+),
+hsplit AS (
+  SELECT doc_id,
+         regexp_split_to_array(html, '{_BP_BLOCK_RE}') AS parts,
+         regexp_extract_all(html, '{_BP_BLOCK_RE}', 0) AS tags
+  FROM hsrc
+),
+hfeat AS (
+  SELECT doc_id, parts,
+         list_filter(
+           list_transform(parts, (p, i) -> {block}),
+           blk -> blk.text != '') AS b
+  FROM hsplit
+),
+hflag AS (
+  SELECT doc_id, parts, b,
+         list_transform(b, (blk, i) -> ({clf})) AS flags
+  FROM hfeat
+)"""
+
+
 def _sql_html_extract(
     src: str = f"SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents",
 ) -> str:
@@ -5342,27 +5402,7 @@ def _sql_html_extract(
         END
       ELSE FALSE END"""
     return f"""
-WITH hsrc AS (
-  {src}
-),
-hsplit AS (
-  SELECT doc_id,
-         regexp_split_to_array(html, '{_BP_BLOCK_RE}') AS parts,
-         regexp_extract_all(html, '{_BP_BLOCK_RE}', 0) AS tags
-  FROM hsrc
-),
-hfeat AS (
-  SELECT doc_id,
-         list_filter(
-           list_transform(parts, (p, i) -> {block}),
-           blk -> blk.text != '') AS b
-  FROM hsplit
-),
-hflag AS (
-  SELECT doc_id, b,
-         list_transform(b, (blk, i) -> ({clf})) AS flags
-  FROM hfeat
-)
+WITH {_sql_bp_flag_ctes(src)}
 SELECT doc_id,
   coalesce(array_to_string(
     list_filter(list_transform(b, (blk, i) -> CASE WHEN flags[i] THEN blk.text END),
@@ -7460,6 +7500,117 @@ def q_extract_ensemble(spark: SparkSession, sf: str) -> DataFrame:
     from ocr_spark.operators.boilerplate import extraction_ensemble
 
     return extraction_ensemble(_ensemble_fixture(D.load(spark, sf, "documents")))
+
+
+# --- HTML → interleaved spans (crawl path → the north-rule corpus shape) -----
+
+_SQL_SPANS_HTML_SRC = (
+    "SELECT doc_id, "
+    "'<div class=\"nav\"><img src=\"/icon.png\"><a href=\"/\">Home</a> "
+    "<a href=\"/x\">Links</a> <a href=\"/y\">More</a></div><div><p>' || "
+    "replace(coalesce(text, ''), chr(10), '</p><p>') || "
+    "'</p><img src=\"fig-' || doc_id || '-1.jpg\">"
+    "<IMG SRC=''fig-' || doc_id || '-2.png''>"
+    "<p>closing words about the topic at hand here now</p></div>"
+    "<div class=\"footer\"><img src=\"foot-' || doc_id || '.gif\">"
+    "<a>(c) 2026 Synth Corp</a></div>' AS html "
+    "FROM documents"
+)
+
+_SQL_SPANS_UNIT = (
+    "{'text': "
+    + _strip("regexp_replace(p, '(?s)<[^>]*>', '', 'g')")
+    + ", 'imgs': list_filter(list_transform("
+    "regexp_extract_all(p, '(?i)<img\\b[^>]*>', 0), "
+    f"t -> {_sql_tag_attr('t', 'src')}), s -> s != '')}}"
+)
+
+
+@_q(
+    "html_spans",
+    f"""
+WITH {{BP}},
+hu AS (
+  SELECT doc_id, flags,
+         list_filter(list_transform(parts, p -> {_SQL_SPANS_UNIT}),
+                     u -> u.text != '' OR len(u.imgs) > 0) AS units
+  FROM hflag
+),
+hk AS (
+  SELECT doc_id, units,
+         list_transform(range(1, len(units) + 1), i ->
+           units[i].text != '' AND coalesce(
+             flags[len(list_filter(units[1:i-1], v -> v.text != '')) + 1],
+             FALSE)) AS kept
+  FROM hu
+),
+hm AS (
+  SELECT doc_id, units, kept,
+         list_transform(range(1, len(kept) + 1), i ->
+           coalesce(kept[i], FALSE) OR coalesce(kept[i-1], FALSE)
+           OR coalesce(kept[i+1], FALSE)) AS media_ok
+  FROM hk
+),
+hsp AS (
+  SELECT doc_id,
+         flatten(list_transform(range(1, len(units) + 1), i ->
+           list_concat(
+             CASE WHEN coalesce(kept[i], FALSE)
+                       OR (units[i].text = '' AND media_ok[i])
+                  THEN list_transform(units[i].imgs, s ->
+                         {{'kind': 'media', 'text': '', 'media_ref': s}})
+                  ELSE [] END,
+             CASE WHEN kept[i]
+                  THEN [{{'kind': 'text', 'text': units[i].text,
+                          'media_ref': ''}}]
+                  ELSE [] END))) AS sp
+  FROM hm
+)
+SELECT doc_id, sp[i].kind AS kind, sp[i].text AS text,
+       sp[i].media_ref AS media_ref, ((i - 1) * 16)::INT AS "offset"
+FROM hsp, UNNEST(range(1, len(sp) + 1)) AS t(i)""".replace(
+        "{BP}", _sql_bp_flag_ctes(_SQL_SPANS_HTML_SRC)
+    ),
+)
+def q_html_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl path → the north-rule interleaved corpus shape
+    (boilerplate.html_to_spans): Boilerpipe-CONTENT text blocks become
+    kind='text' spans and <img> tags become kind='media' spans — kept only
+    inside kept text units (illustrated paragraphs) or as IMG-ONLY units
+    adjacent to kept text (standalone figures); the nav icon and footer
+    badge drop with their boilerplate units. Fixture: linkful nav with an
+    icon, content paragraphs, a two-image figure unit (mixed quote styles
+    and case), a short closing paragraph, a footer badge."""
+    from ocr_spark.operators.boilerplate import html_to_spans
+
+    docs = D.load(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(
+            '<div class="nav"><img src="/icon.png"><a href="/">Home</a> '
+            '<a href="/x">Links</a> <a href="/y">More</a></div><div><p>'
+        ),
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")), F.lit("\n"), F.lit("</p><p>")
+        ),
+        F.lit('</p><img src="fig-'), did, F.lit('-1.jpg">'),
+        F.lit("<IMG SRC='fig-"), did, F.lit("-2.png'>"),
+        F.lit(
+            "<p>closing words about the topic at hand here now</p></div>"
+            '<div class="footer"><img src="foot-'
+        ),
+        did,
+        F.lit('.gif"><a>(c) 2026 Synth Corp</a></div>'),
+    )
+    out = html_to_spans(docs.select("doc_id", html.alias("html")))
+    s = F.explode(F.col("spans")).alias("s")
+    return out.select("doc_id", s).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
 
 
 _SQL_URL_FIXTURE = """usrc AS (

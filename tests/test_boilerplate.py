@@ -508,3 +508,73 @@ def test_lang_mismatch_statuses(spark):
     import re
     base = re.match(r"^([a-z]+)", rows[1]["declared_lang"]).group(1)
     assert base == "es"
+
+
+def test_html_to_spans_interleaving_and_keep_policy(spark):
+    """Content paragraphs become text spans; a standalone figure between
+    kept paragraphs becomes a media span at its document position; an
+    image INSIDE a kept paragraph is kept (own unit); the nav icon and
+    footer badge drop with their boilerplate units; offsets stride by 16
+    in span order; a content-free page yields an empty span array."""
+    from ocr_spark.operators.boilerplate import html_to_spans
+
+    p1 = (
+        "This paragraph carries a comfortably large number of genuinely "
+        "meaningful words so that the shallow classifier counts well past "
+        "its decision thresholds every time."
+    )
+    p2 = (
+        'Another long paragraph with an inline <img src="inline.jpg"> '
+        "figure and plenty of additional words so it also classifies as "
+        "main content without any doubt at all."
+    )
+    page = (
+        '<div class="nav"><img src="/icon.png"><a href="/">Home</a> '
+        '<a href="/x">About</a> <a href="/y">More</a></div>'
+        f'<p>{p1}</p><img src="fig.png"><p>{p2}</p>'
+        '<div class="footer"><img src="foot.gif"><a>(c) legal legal</a></div>'
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, "<div><a>only menu links here</a></div>")],
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r["spans"] for r in html_to_spans(df).collect()}
+    s1 = rows[1]
+    kinds = [s["kind"] for s in s1]
+    refs = [s["media_ref"] for s in s1 if s["kind"] == "media"]
+    assert kinds == ["text", "media", "media", "text"]
+    assert refs == ["fig.png", "inline.jpg"]  # standalone + in-paragraph
+    assert "/icon.png" not in refs and "foot.gif" not in refs
+    assert [s["offset"] for s in s1] == [0, 16, 32, 48]
+    assert s1[0]["text"].startswith("This paragraph carries")
+    assert rows[2] == []
+
+
+def test_html_to_spans_feeds_flagship_assembler(spark):
+    """The crawl bridge emits the exact corpus shape the flagship span
+    assembler consumes: exploding html_to_spans output and running
+    assemble_spans yields ordered (kind, text, media_ref, order)
+    sequences with order = rank of offset."""
+    from ocr_spark.operators.boilerplate import html_to_spans
+    from ocr_spark.operators.spans import assemble_spans
+
+    body = (
+        "A long and steady paragraph of real article prose with enough "
+        "words to pass the classifier thresholds comfortably every time."
+    )
+    page = f'<p>{body}</p><img src="a.png"><p>{body}</p>'
+    df = spark.createDataFrame([(7, page)], "doc_id long, html string")
+    exploded = (
+        html_to_spans(df)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset",
+            F.lit(False).alias("is_boilerplate"),
+        )
+    )
+    out = assemble_spans(exploded).collect()
+    assert len(out) == 1
+    seq = out[0]["spans"]
+    assert [s["kind"] for s in seq] == ["text", "media", "text"]
+    assert [s["order"] for s in seq] == [0, 1, 2]
+    assert seq[1]["media_ref"] == "a.png"

@@ -129,6 +129,9 @@ AUDIT = [
     "feed_links",
     "html_meta",
     "extract_ensemble",
+    "html_justext_multi",
+    "lang_mismatch",
+    "html_spans",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
