@@ -482,3 +482,28 @@ def warc_documents(
 
     main = extract_main_content(F.col("html"))
     return keyed.select("doc_id", main["main_text"].alias("text"))
+
+
+def warc_span_corpus(
+    parsed: DataFrame, respect_noindex: bool = False
+) -> DataFrame:
+    """(doc_id, spans) INTERLEAVED corpus view — the crawl→flagship
+    bridge: the same 200-OK text/html selection as :func:`warc_documents`
+    (same stable xxhash64 doc_id, same optional noindex gate), but
+    emitting the canonical span sequence via
+    ``boilerplate.html_to_spans`` (content text spans + kept ``<img>``
+    media spans, in document order) instead of flattened text — so a
+    crawled WARC drop flows straight into ``assemble_spans`` /
+    ``extract_documents`` and every span_corpus operator unchanged."""
+    from ocr_spark.operators.boilerplate import html_to_spans
+    from ocr_spark.operators.links import robots_meta_directive
+
+    ct = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
+    r = responses(parsed).filter(
+        (F.col("http_status") == 200)
+        & (ct.startswith("text/html") | ct.startswith("application/xhtml+xml"))
+    )
+    if respect_noindex:
+        r = r.filter(~robots_meta_directive(F.col("html"), "noindex"))
+    keyed = r.select(F.xxhash64("target_uri").alias("doc_id"), F.col("html"))
+    return html_to_spans(keyed)

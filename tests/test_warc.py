@@ -340,3 +340,23 @@ def test_warc_documents_respect_noindex(spark, tmp_path):
     }
     # noindex (2) and none (3) drop; plain (1) and nofollow-only (4) stay
     assert kept == {uri_ids[1], uri_ids[4]}
+
+
+def test_warc_span_corpus_bridge(spark, tmp_path):
+    """The interleaved corpus view shares warc_documents' selection
+    contract (same 200-OK gate, same stable doc_id) but emits the
+    canonical span shape — and its text spans fuse to the SAME main text
+    the flat boilerpipe view extracts."""
+    (tmp_path / "c.warc").write_bytes(W.synth_warc_file(0, range(6), False))
+    parsed = W.read_warc(spark, str(tmp_path))
+    spans = W.warc_span_corpus(parsed).collect()
+    flat = {r["doc_id"]: r["text"] for r in W.warc_documents(parsed).collect()}
+    assert len(spans) == 5  # the 404 never enters
+    for r in spans:
+        assert r["doc_id"] in flat
+        assert all(s["kind"] == "text" for s in r["spans"])  # fixture has no imgs
+        assert [s["offset"] for s in r["spans"]] == [
+            i * 16 for i in range(len(r["spans"]))
+        ]
+        fused = "\n".join(s["text"] for s in r["spans"])
+        assert fused == flat[r["doc_id"]]
