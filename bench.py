@@ -124,6 +124,7 @@ HEADLINE = [
     "html_justext_multi",
     "lang_mismatch",
     "html_spans",
+    "feed_dates",
     "url_canonical",
     "host_graph",
     "anchor_texts",

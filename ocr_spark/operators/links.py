@@ -643,6 +643,72 @@ def feed_entries(
     ).filter(F.col("loc") != "")
 
 
+#: month-name prefix → two-digit month, shared by the Spark chain and the
+#: DuckDB oracle generator (entry_queries builds its CASE from this dict)
+WEB_DATE_MONTHS = {
+    "jan": "01", "feb": "02", "mar": "03", "apr": "04", "may": "05",
+    "jun": "06", "jul": "07", "aug": "08", "sep": "09", "oct": "10",
+    "nov": "11", "dec": "12",
+}
+
+_ISO_DATE_RE = r"^(\d{4})-(\d{2})-(\d{2})"
+_RFC_DATE_RE = r"(?i)\b(\d{1,2})\s+(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]*\s+(\d{4})"
+_US_DATE_RE = r"(?i)\b(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]*\s+(\d{1,2}),?\s+(\d{4})"
+
+
+def _month_num(name: Column) -> Column:
+    out = None
+    for pre, num in WEB_DATE_MONTHS.items():
+        cond = F.lower(name) == pre
+        out = F.when(cond, F.lit(num)) if out is None else out.when(cond, F.lit(num))
+    return out.otherwise(F.lit(""))
+
+
+def web_date_iso(col: Column) -> Column:
+    """Normalize the date strings the crawl surfaces hand back —
+    ``<meta article:published_time>`` / ``<time datetime>`` ISO 8601,
+    RFC 822/1123 ``pubDate`` ('Mon, 02 Jan 2026 03:04:05 GMT'), and the
+    journalistic 'January 2, 2026' — to one canonical ``YYYY-MM-DD``
+    string ('' when unrecognized or out of range). String-level, timezone
+    untouched (day-boundary shifting belongs to a downstream policy, not
+    a parser); month 01-12 / day 01-31 range-checked. Pure expressions
+    with an exact DuckDB twin — the freshness key for crawl scheduling
+    and corpus recency mixes."""
+    s = py_strip(F.coalesce(col, F.lit("")))
+
+    def ok(m: Column, d: Column) -> Column:
+        # try_cast: '' must yield NULL (→ false), never an ANSI cast error
+        mi = m.try_cast("int")
+        di = d.try_cast("int")
+        return (mi >= 1) & (mi <= 12) & (di >= 1) & (di <= 31)
+
+    iso_y = F.regexp_extract(s, _ISO_DATE_RE, 1)
+    iso_m = F.regexp_extract(s, _ISO_DATE_RE, 2)
+    iso_d = F.regexp_extract(s, _ISO_DATE_RE, 3)
+    rfc_d = F.regexp_extract(s, _RFC_DATE_RE, 1)
+    rfc_m = _month_num(F.regexp_extract(s, _RFC_DATE_RE, 2))
+    rfc_y = F.regexp_extract(s, _RFC_DATE_RE, 3)
+    us_m = _month_num(F.regexp_extract(s, _US_DATE_RE, 1))
+    us_d = F.regexp_extract(s, _US_DATE_RE, 2)
+    us_y = F.regexp_extract(s, _US_DATE_RE, 3)
+    pad2 = lambda d: F.lpad(d, 2, "0")
+    return (
+        F.when(
+            (iso_y != "") & ok(iso_m, iso_d),
+            F.concat_ws("-", iso_y, iso_m, iso_d),
+        )
+        .when(
+            (rfc_y != "") & ok(rfc_m, rfc_d),
+            F.concat_ws("-", rfc_y, rfc_m, pad2(rfc_d)),
+        )
+        .when(
+            (us_y != "") & ok(us_m, us_d),
+            F.concat_ws("-", us_y, us_m, pad2(us_d)),
+        )
+        .otherwise(F.lit(""))
+    )
+
+
 _TYPE_DQ_RE = r'(?i)\btype\s*=\s*"([^"]*)"'
 _TYPE_SQ_RE = r"(?i)\btype\s*=\s*'([^']*)'"
 _FEED_TYPE_RE = r"(?i)^application/(rss|atom)\+xml$"

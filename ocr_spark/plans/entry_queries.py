@@ -7277,6 +7277,77 @@ def q_feed_links(spark: SparkSession, sf: str) -> DataFrame:
     return LK.feed_links(_feed_page_fixture(D.load(spark, sf, "documents")))
 
 
+def _sql_month_case(e: str) -> str:
+    from ocr_spark.operators.links import WEB_DATE_MONTHS
+
+    arms = " ".join(
+        f"WHEN '{pre}' THEN '{num}'" for pre, num in WEB_DATE_MONTHS.items()
+    )
+    return f"(CASE lower({e}) {arms} ELSE '' END)"
+
+
+_SQL_ISO_DATE = "^(\\d{4})-(\\d{2})-(\\d{2})"
+_SQL_RFC_DATE = (
+    "(?i)\\b(\\d{1,2})\\s+(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
+    "[a-z]*\\s+(\\d{4})"
+)
+_SQL_US_DATE = (
+    "(?i)\\b(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]*"
+    "\\s+(\\d{1,2}),?\\s+(\\d{4})"
+)
+
+
+def _sql_web_date(e: str) -> str:
+    """links.web_date_iso twin over one string expression."""
+    s = _strip(e)
+
+    def x(pat: str, g: int) -> str:
+        return f"regexp_extract({s}, '{pat}', {g})"
+
+    def ok(m: str, d: str) -> str:
+        return (
+            f"TRY_CAST({m} AS INT) BETWEEN 1 AND 12 "
+            f"AND TRY_CAST({d} AS INT) BETWEEN 1 AND 31"
+        )
+
+    iso_y, iso_m, iso_d = (x(_SQL_ISO_DATE, i) for i in (1, 2, 3))
+    rfc_d, rfc_y = x(_SQL_RFC_DATE, 1), x(_SQL_RFC_DATE, 3)
+    rfc_m = _sql_month_case(x(_SQL_RFC_DATE, 2))
+    us_d, us_y = x(_SQL_US_DATE, 2), x(_SQL_US_DATE, 3)
+    us_m = _sql_month_case(x(_SQL_US_DATE, 1))
+    return f"""(CASE
+      WHEN {iso_y} != '' AND {ok(iso_m, iso_d)}
+           THEN {iso_y} || '-' || {iso_m} || '-' || {iso_d}
+      WHEN {rfc_y} != '' AND {ok(rfc_m, rfc_d)}
+           THEN {rfc_y} || '-' || {rfc_m} || '-' || lpad({rfc_d}, 2, '0')
+      WHEN {us_y} != '' AND {ok(us_m, us_d)}
+           THEN {us_y} || '-' || {us_m} || '-' || lpad({us_d}, 2, '0')
+      ELSE '' END)"""
+
+
+@_q(
+    "feed_dates",
+    f"""
+WITH {_SQL_FEED_CTES}
+SELECT feed_url, kind,
+       {_sql_xml_unesc("loc0")} AS loc,
+       published,
+       {_sql_web_date("published")} AS pub_date
+FROM fex WHERE {_sql_xml_unesc("loc0")} != ''""",
+)
+def q_feed_dates(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl freshness: feed entries with their published strings
+    normalized to canonical YYYY-MM-DD via links.web_date_iso (ISO 8601,
+    RFC 822 pubDate, 'Month D, YYYY' — range-checked, '' otherwise). The
+    fixture exercises the RFC path (RSS pubDate), the ISO path (Atom
+    updated) and the unrecognized path (entries with no date)."""
+    e = LK.feed_entries(_feed_fixture(D.load(spark, sf, "documents")))
+    return e.select(
+        "feed_url", "kind", "loc", "published",
+        LK.web_date_iso(F.col("published")).alias("pub_date"),
+    )
+
+
 def _meta_page_fixture(docs: DataFrame) -> DataFrame:
     did = F.col("doc_id").cast("string")
     html = (

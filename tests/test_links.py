@@ -663,3 +663,35 @@ def test_feed_links_autodiscovery(spark):
         ("https://a.example/dir/atom.xml", "atom"),
     }
     assert all(r["doc_id"] == 1 for r in rows)
+
+
+def test_web_date_iso_formats_and_ranges(spark):
+    """ISO 8601, RFC 822 pubDate, and 'Month D, YYYY' all normalize to
+    YYYY-MM-DD; out-of-range months/days and unrecognized strings yield
+    ''; single-digit days pad; ISO wins when multiple formats appear."""
+    cases = [
+        ("2026-03-04T05:06:07Z", "2026-03-04"),
+        ("2026-03-04", "2026-03-04"),
+        ("Mon, 02 Jan 2026 03:04:05 GMT", "2026-01-02"),
+        ("2 jan 2026", "2026-01-02"),
+        ("January 2, 2026", "2026-01-02"),
+        ("SEPTEMBER 30 2025", "2025-09-30"),
+        ("2026-13-04", ""),  # month out of range
+        ("2026-00-10", ""),
+        ("45 Jan 2026", ""),  # day out of range
+        ("yesterday", ""),
+        ("", ""),
+        (None, ""),
+        ("2026-05-06 or Mon, 02 Jan 2026", "2026-05-06"),  # ISO precedence
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i long, s string"
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select("i", LK.web_date_iso(F.col("s")).alias("d")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i], got[i])
