@@ -17,6 +17,8 @@ Outputs under --output:
     host_graph/   (src_host, dst_host, n_links)
     host_rank/    (host, rank_units)
     anchors/      (dst_host, anchor, n_links, rank)
+    feeds/        (doc_id, feed_url, feed_type) — only with
+                  --discover-feeds: RSS/Atom autodiscovery fetch list
 
 The three derived tables are aggregations over the committed links output
 — orders of magnitude smaller than extraction — so they recompute from
@@ -75,6 +77,13 @@ def main() -> None:
              "before the hygiene gates",
     )
     ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")
+    ap.add_argument(
+        "--discover-feeds",
+        action="store_true",
+        help="also write feeds/ — RSS/Atom autodiscovery links per page "
+        "(links.feed_links), the fetch list for the feed half of crawl "
+        "discovery",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -183,6 +192,15 @@ def main() -> None:
     anchor_texts(links, k=args.top_anchors).write.mode("overwrite").parquet(
         args.output + "/anchors"
     )
+    if args.discover_feeds:
+        # one extra narrow pass over the SAME committed pages — discovery
+        # output is page-table-sized, so it recomputes like the other
+        # derived tables rather than carrying its own checkpoint
+        from ocr_spark.operators.links import feed_links
+
+        feeds = feed_links(pages)
+        feeds.write.mode("overwrite").parquet(args.output + "/feeds")
+        summary["n_feed_links"] = feeds.count()
 
     summary["n_links"] = links.count()
     summary["n_links_dropped_hygiene"] = n_raw - summary["n_links"]

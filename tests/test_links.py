@@ -695,3 +695,48 @@ def test_web_date_iso_formats_and_ranges(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i], got[i])
+
+
+def test_links_job_discover_feeds(spark, tmp_path, monkeypatch):
+    """--discover-feeds writes the feeds/ fetch list from the same
+    committed pages (parquet input carrying autodiscovery links), and the
+    summary reports n_feed_links."""
+    import sys as _sys
+
+    from jobs import links_job
+    from pyspark.sql import functions as F  # noqa: F401
+
+    pages = spark.createDataFrame(
+        [
+            (
+                1,
+                "https://a.example/dir/p.html",
+                '<link rel="alternate" type="application/rss+xml" '
+                'href="/all.rss"><a href="/x">x</a>',
+            ),
+            (2, "https://b.example/q.html", "<a href='/y'>y</a>"),
+        ],
+        "doc_id long, base_uri string, html string",
+    )
+    pdir = tmp_path / "pages"
+    pages.write.parquet(str(pdir))
+    out = tmp_path / "out"
+    argv = [
+        "links_job.py", "--input", str(pdir), "--format", "parquet",
+        "--output", str(out), "--buckets", "2", "--discover-feeds",
+    ]
+    monkeypatch.setattr(_sys, "argv", argv)
+    import io as _io
+    import json as _json
+    from contextlib import redirect_stdout as _rs
+
+    buf = _io.StringIO()
+    with _rs(buf):
+        links_job.main()
+    summary = _json.loads(
+        [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1]
+    )
+    feeds = spark.read.parquet(str(out / "feeds")).collect()
+    assert summary["n_feed_links"] == 1 == len(feeds)
+    assert feeds[0]["feed_url"] == "https://a.example/all.rss"
+    assert feeds[0]["feed_type"] == "rss"

@@ -132,6 +132,7 @@ AUDIT = [
     "html_justext_multi",
     "lang_mismatch",
     "html_spans",
+    "feed_dates",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
