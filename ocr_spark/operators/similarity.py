@@ -844,7 +844,7 @@ def pq_topk(
     k_sub: int = PQ_KSUB,
     n_iters: int = PQ_ITERS,
     n_queries: int = 20,
-    rerank: int = 8,
+    rerank: int = 16,
     n_cells: int | None = None,
     nprobe: int = 4,
     id_col: str = "vec_id",

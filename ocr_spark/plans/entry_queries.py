@@ -3486,7 +3486,7 @@ FROM (
     return "".join(parts)
 
 
-@_q("ann_topk_pq", _sql_pq(SIM.PQ_M, SIM.PQ_KSUB, SIM.PQ_ITERS, 5, 8, 20))
+@_q("ann_topk_pq", _sql_pq(SIM.PQ_M, SIM.PQ_KSUB, SIM.PQ_ITERS, 5, 16, 20))
 def q_ann_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
     """Product-Quantization ANN (Jégou 2011), the memory tier: 64-dim
     vectors → 8 sub-codes (4 bits each — 64× smaller than float32),
@@ -3495,13 +3495,14 @@ def q_ann_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
     Integer-exact end to end; the oracle unrolls the 8 per-subspace
     Lloyd chains, the encode, the LUT joins, and the re-rank.  Measured
     recall@5 vs exact at sf0.001 (random vectors, the hard case): 0.39
-    raw ADC → 0.77 at rerank=8, 0.89 at rerank=16."""
+    raw ADC → 0.77 at rerank=8, 0.89 at rerank=16 — 16 is the default
+    (80 exact re-ranks per query, negligible next to the scan)."""
     return SIM.pq_topk(D.load(spark, sf, "embeddings"), k=5)
 
 
 @_q(
     "ann_topk_ivfpq",
-    _sql_pq(SIM.PQ_M, SIM.PQ_KSUB, SIM.PQ_ITERS, 5, 8, 20, n_cells=8, nprobe=4),
+    _sql_pq(SIM.PQ_M, SIM.PQ_KSUB, SIM.PQ_ITERS, 5, 16, 20, n_cells=8, nprobe=4),
 )
 def q_ann_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ (FAISS's standard big-index composition): a coarse integer
