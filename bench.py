@@ -125,6 +125,7 @@ HEADLINE = [
     "lang_mismatch",
     "html_spans",
     "feed_dates",
+    "robots_delay",
     "url_canonical",
     "host_graph",
     "anchor_texts",

@@ -307,6 +307,58 @@ def _robots_lines(body_col: str) -> Column:
     )
 
 
+def _robots_group_scaffold(
+    robots: DataFrame, agent: str, host_col: str, body_col: str
+):
+    """The shared RFC 9309 group machinery: cleaned lines, per-line
+    User-agent flags, the UA-run block id per line (consecutive
+    ``User-agent`` lines share one block), plus a 1-based line index and
+    the lowered agent token. robots_rules and robots_crawl_delay both
+    build on this so the group semantics exist exactly once."""
+    agent_l = agent.strip().lower()
+    ln = _robots_lines(body_col).alias("ln")
+    r0 = robots.select(F.col(host_col).alias("host"), ln)
+    r1 = r0.select(
+        "host",
+        "ln",
+        F.transform("ln", lambda l: l.rlike(_UA_LINE_RE)).alias("isua"),
+    )
+    idx = F.sequence(F.lit(1), F.size("ln"))
+
+    def ua_start(j: Column) -> Column:
+        return F.element_at(F.col("isua"), j) & (
+            (j == 1) | ~F.element_at(F.col("isua"), j - 1)
+        )
+
+    blk = F.transform(
+        idx, lambda i: F.size(F.filter(F.sequence(F.lit(1), i), ua_start))
+    )
+    r2 = r1.select("host", "ln", "isua", blk.alias("blk"))
+    line = lambda i: F.element_at(F.col("ln"), i)  # noqa: E731
+    return r2, line, idx, agent_l
+
+
+def _robots_group_uas(line, idx) -> Column:
+    """(block id, lowered agent token) per User-agent line."""
+    return F.transform(
+        F.filter(idx, lambda i: F.element_at(F.col("isua"), i)),
+        lambda i: F.struct(
+            F.element_at(F.col("blk"), i).alias("b"),
+            F.lower(py_strip(F.regexp_extract(line(i), _UA_VALUE_RE, 1))).alias(
+                "ua"
+            ),
+        ),
+    )
+
+
+def _robots_group_sel(agent_l: str) -> Column:
+    """Most-specific-group choice: the exact agent token when ANY group
+    names it, else '*' (reads the ``uas`` column)."""
+    return F.when(
+        F.exists("uas", lambda u: u["ua"] == agent_l), F.lit(agent_l)
+    ).otherwise(F.lit("*"))
+
+
 def robots_rules(
     robots: DataFrame,
     agent: str,
@@ -331,35 +383,10 @@ def robots_rules(
     own line count — robots.txt is KB-sized by convention) followed by one
     explode; the corpus is never touched. Returns
     (host, block_id, allow, path), one row per applicable rule."""
-    agent_l = agent.strip().lower()
-    ln = _robots_lines(body_col).alias("ln")
-    r0 = robots.select(F.col(host_col).alias("host"), ln)
-    r1 = r0.select(
-        "host",
-        "ln",
-        F.transform("ln", lambda l: l.rlike(_UA_LINE_RE)).alias("isua"),
+    r2, line, idx, agent_l = _robots_group_scaffold(
+        robots, agent, host_col, body_col
     )
-    idx = F.sequence(F.lit(1), F.size("ln"))
-
-    def ua_start(j: Column) -> Column:
-        return F.element_at(F.col("isua"), j) & (
-            (j == 1) | ~F.element_at(F.col("isua"), j - 1)
-        )
-
-    blk = F.transform(
-        idx, lambda i: F.size(F.filter(F.sequence(F.lit(1), i), ua_start))
-    )
-    r2 = r1.select("host", "ln", "isua", blk.alias("blk"))
-    line = lambda i: F.element_at(F.col("ln"), i)  # noqa: E731
-    uas = F.transform(
-        F.filter(idx, lambda i: F.element_at(F.col("isua"), i)),
-        lambda i: F.struct(
-            F.element_at(F.col("blk"), i).alias("b"),
-            F.lower(py_strip(F.regexp_extract(line(i), _UA_VALUE_RE, 1))).alias(
-                "ua"
-            ),
-        ),
-    )
+    uas = _robots_group_uas(line, idx)
     rls = F.transform(
         F.filter(idx, lambda i: line(i).rlike(_RULE_LINE_RE)),
         lambda i: F.struct(
@@ -371,9 +398,7 @@ def robots_rules(
         ),
     )
     r3 = r2.select("host", uas.alias("uas"), rls.alias("rls"))
-    sel = F.when(
-        F.exists("uas", lambda u: u["ua"] == agent_l), F.lit(agent_l)
-    ).otherwise(F.lit("*"))
+    sel = _robots_group_sel(agent_l)
     kept = F.filter(
         F.col("rls"),
         lambda r: (r["path"] != "")
@@ -390,6 +415,65 @@ def robots_rules(
         F.col("r.b").cast("long").alias("block_id"),
         F.col("r.allow").alias("allow"),
         F.col("r.path").alias("path"),
+    )
+
+
+_DELAY_LINE_RE = r"(?i)^crawl-delay\s*:"
+_DELAY_VALUE_RE = r"(?i)^crawl-delay\s*:(.*)$"
+_DELAY_NUM_RE = r"^\d+(\.\d+)?$"
+
+
+def robots_crawl_delay(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` — the de-facto politeness directive (not
+    in RFC 9309 but honored by most crawlers; the rate half of frontier
+    politeness next to :func:`crawl_frontier`'s per-host top-k cap).
+    Group selection is the SAME most-specific-agent rule as
+    :func:`robots_rules` (shared scaffold — the semantics exist once);
+    across the applicable groups the LARGEST delay wins (the conservative
+    read of a contradictory file). Seconds parse as exact integer
+    milli-units (fractional digits beyond 3 truncated, same convention as
+    sitemap priority); malformed or absent values yield NULL — one row
+    per input host either way, so the frontier can LEFT JOIN and fall
+    back to its default politeness.
+
+    One narrow pass of array expressions per robots row; the corpus is
+    never touched. Returns (host, delay_millis)."""
+    r2, line, idx, agent_l = _robots_group_scaffold(
+        robots, agent, host_col, body_col
+    )
+    uas = _robots_group_uas(line, idx)
+    dls = F.transform(
+        F.filter(idx, lambda i: line(i).rlike(_DELAY_LINE_RE)),
+        lambda i: F.struct(
+            F.element_at(F.col("blk"), i).alias("b"),
+            py_strip(F.regexp_extract(line(i), _DELAY_VALUE_RE, 1)).alias("v"),
+        ),
+    )
+    r3 = r2.select("host", uas.alias("uas"), dls.alias("dls"))
+    sel = _robots_group_sel(agent_l)
+    kept = F.filter(
+        F.col("dls"),
+        lambda d: (d["b"] >= 1)
+        & d["v"].rlike(_DELAY_NUM_RE)
+        & F.exists(
+            "uas", lambda u: (u["b"] == d["b"]) & (u["ua"] == F.col("__sel"))
+        ),
+    )
+    frac3 = lambda v: F.rpad(  # noqa: E731
+        F.substring(F.regexp_extract(v, r"\.(\d+)$", 1), 1, 3), 3, "0"
+    )
+    millis = F.transform(
+        kept,
+        lambda d: F.regexp_extract(d["v"], r"^(\d+)", 1).cast("long") * 1000
+        + F.coalesce(frac3(d["v"]).try_cast("long"), F.lit(0)),
+    )
+    return r3.withColumn("__sel", sel).select(
+        "host", F.array_max(millis).alias("delay_millis")
     )
 
 

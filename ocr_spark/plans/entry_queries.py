@@ -6848,6 +6848,128 @@ def q_robots_sitemaps(spark: SparkSession, sf: str) -> DataFrame:
     return LK.robots_sitemaps(_robots_fixture(D.load(spark, sf, "documents")))
 
 
+def _robots_delay_fixture(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("site"), did, F.lit(".example"))
+    nl = "\n"
+    body = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit(f"User-agent: *{nl}Crawl-delay: 2.0019{nl}Disallow: /x"),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.lit(
+                f"User-agent: {_ROBOTS_AGENT}{nl}Crawl-delay: 1.5{nl}{nl}"
+                f"User-agent: *{nl}Crawl-delay: 9"
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 2, F.lit(f"User-agent: *{nl}Crawl-delay: fast"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(f"User-agent: *{nl}Disallow: /y"))
+        .otherwise(
+            F.lit(
+                f"User-agent: {_ROBOTS_AGENT}{nl}Crawl-delay: 1{nl}"
+                f"User-agent: {_ROBOTS_AGENT} # dup group{nl}Crawl-delay: 3"
+            )
+        )
+    )
+    return docs.select(host.alias("host"), body.alias("body"))
+
+
+_SQL_DELAY_BODY_CASE = f"""CASE doc_id % 5
+  WHEN 0 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 2.0019'
+    || chr(10) || 'Disallow: /x'
+  WHEN 1 THEN 'User-agent: {_ROBOTS_AGENT}' || chr(10) || 'Crawl-delay: 1.5'
+    || chr(10) || chr(10) || 'User-agent: *' || chr(10) || 'Crawl-delay: 9'
+  WHEN 2 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: fast'
+  WHEN 3 THEN 'User-agent: *' || chr(10) || 'Disallow: /y'
+  ELSE 'User-agent: {_ROBOTS_AGENT}' || chr(10) || 'Crawl-delay: 1'
+    || chr(10) || 'User-agent: {_ROBOTS_AGENT} # dup group'
+    || chr(10) || 'Crawl-delay: 3'
+END"""
+
+
+_SQL_DELAY_CLEAN = _strip("regexp_replace(l, '(?s)#.*$', '')")
+_SQL_DELAY_UAVAL = _strip(
+    "regexp_extract(ln[i], '(?i)^user-agent\\s*:(.*)$', 1)"
+)
+_SQL_DELAY_VAL = _strip(
+    "regexp_extract(ln[i], '(?i)^crawl-delay\\s*:(.*)$', 1)"
+)
+
+
+@_q(
+    "robots_delay",
+    f"""
+WITH rbsrc AS (
+  SELECT 'site' || doc_id || '.example' AS host,
+         {_SQL_DELAY_BODY_CASE} AS body
+  FROM documents
+),
+rb1 AS (
+  SELECT host,
+         list_transform(string_split(body, chr(10)),
+           l -> {_SQL_DELAY_CLEAN}) AS ln
+  FROM rbsrc
+),
+rb2 AS (
+  SELECT host, ln,
+         list_transform(ln,
+           l -> regexp_matches(l, '(?i)^user-agent\\s*:')) AS isua
+  FROM rb1
+),
+rb3 AS (
+  SELECT host, ln, isua,
+         list_transform(range(1, len(ln)+1),
+           i -> len(list_filter(range(1, i+1),
+                  j -> isua[j] AND (j = 1 OR NOT isua[j-1])))) AS blk
+  FROM rb2
+),
+rb4 AS (
+  SELECT host,
+         list_transform(list_filter(range(1, len(ln)+1), i -> isua[i]),
+           i -> struct_pack(b := blk[i],
+             ua := lower({_SQL_DELAY_UAVAL})))
+           AS uas,
+         list_transform(list_filter(range(1, len(ln)+1),
+             i -> regexp_matches(ln[i], '(?i)^crawl-delay\\s*:')),
+           i -> struct_pack(b := blk[i],
+             v := {_SQL_DELAY_VAL}))
+           AS dls
+  FROM rb3
+),
+rb5 AS (
+  SELECT host, uas, dls,
+         CASE WHEN len(list_filter(uas, u -> u.ua = '{_ROBOTS_AGENT}')) > 0
+              THEN '{_ROBOTS_AGENT}' ELSE '*' END AS sel
+  FROM rb4
+),
+rb6 AS (
+  SELECT host,
+         list_transform(
+           list_filter(dls, d -> d.b >= 1
+             AND regexp_matches(d.v, '^\\d+(\\.\\d+)?$')
+             AND len(list_filter(uas, u -> u.b = d.b AND u.ua = sel)) > 0),
+           d -> regexp_extract(d.v, '^(\\d+)', 1)::BIGINT * 1000
+                + coalesce(TRY_CAST(rpad(substr(
+                    regexp_extract(d.v, '\\.(\\d+)$', 1), 1, 3), 3, '0')
+                    AS BIGINT), 0)) AS ms
+  FROM rb5
+)
+SELECT host, list_max(ms) AS delay_millis FROM rb6""",
+)
+def q_robots_delay(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-delay politeness extraction (links.robots_crawl_delay — the
+    de-facto directive, shared group scaffold with robots_rules): exact
+    agent group beats star (the star group's larger delay must lose),
+    multiple applicable groups take the conservative max, fractional
+    seconds truncate to exact milli-units, malformed and absent values
+    yield NULL rows the frontier can default over."""
+    return LK.robots_crawl_delay(
+        _robots_delay_fixture(D.load(spark, sf, "documents")), _ROBOTS_AGENT
+    )
+
+
 def _sitemap_fixture(docs: DataFrame) -> DataFrame:
     did = F.col("doc_id").cast("string")
     h = F.concat(F.lit("https://site"), (F.col("doc_id") % 7).cast("string"), F.lit(".example"))

@@ -740,3 +740,25 @@ def test_links_job_discover_feeds(spark, tmp_path, monkeypatch):
     assert summary["n_feed_links"] == 1 == len(feeds)
     assert feeds[0]["feed_url"] == "https://a.example/all.rss"
     assert feeds[0]["feed_type"] == "rss"
+
+
+def test_robots_crawl_delay_group_semantics(spark):
+    """Exact-agent group beats star (star's larger delay loses); multiple
+    applicable groups take the conservative MAX; fractional seconds
+    truncate to exact milli-units; malformed and absent values are NULL;
+    comments strip before parsing."""
+    rows = [
+        ("a", "User-agent: *\nCrawl-delay: 2.0019\nDisallow: /x"),
+        ("b", "User-agent: ocrbot\nCrawl-delay: 1.5\n\nUser-agent: *\nCrawl-delay: 9"),
+        ("c", "User-agent: *\nCrawl-delay: fast"),
+        ("d", "User-agent: *\nDisallow: /y"),
+        ("e", "User-agent: ocrbot\nCrawl-delay: 1\nUser-agent: ocrbot # dup\nCrawl-delay: 3"),
+        ("f", "Crawl-delay: 7"),  # before any group: invalid, dropped
+    ]
+    df = spark.createDataFrame(rows, "host string, body string")
+    got = {
+        r["host"]: r["delay_millis"]
+        for r in LK.robots_crawl_delay(df, "ocrbot").collect()
+    }
+    assert got == {"a": 2001, "b": 1500, "c": None, "d": None,
+                   "e": 3000, "f": None}

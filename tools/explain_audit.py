@@ -133,6 +133,7 @@ AUDIT = [
     "lang_mismatch",
     "html_spans",
     "feed_dates",
+    "robots_delay",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
