@@ -126,6 +126,7 @@ HEADLINE = [
     "html_spans",
     "feed_dates",
     "robots_delay",
+    "frontier_schedule",
     "url_canonical",
     "host_graph",
     "anchor_texts",

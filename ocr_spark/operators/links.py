@@ -889,6 +889,38 @@ def crawl_frontier(
     )
 
 
+def frontier_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    default_millis: int = 1000,
+) -> DataFrame:
+    """Turn a ranked frontier (:func:`crawl_frontier`) into a per-host
+    fetch TIMELINE by applying :func:`robots_crawl_delay` politeness:
+    ``fetch_at_millis = (fetch_rank - 1) × delay`` where delay is the
+    host's Crawl-delay or ``default_millis`` when the host declares none
+    (NULL row or absent host). This is the last step of the discovery
+    loop — what the fetcher actually consumes.
+
+    Scale shape: one LEFT JOIN on host between the discovery-sized
+    frontier and the host-cardinality delay table (AQE broadcasts the
+    small side at any realistic scale). Returns (host, url, fetch_rank,
+    delay_millis, fetch_at_millis) with delay_millis the EFFECTIVE delay
+    (default substituted)."""
+    eff = F.coalesce(F.col("delay_millis"), F.lit(default_millis)).cast("long")
+    return (
+        frontier.join(delays, "host", "left")
+        .select(
+            "host",
+            "url",
+            "fetch_rank",
+            eff.alias("delay_millis"),
+            ((F.col("fetch_rank") - 1) * eff).cast("long").alias(
+                "fetch_at_millis"
+            ),
+        )
+    )
+
+
 def host_edges(links: DataFrame) -> DataFrame:
     """(src_host, dst_host, n_links) host-level link graph from
     :func:`extract_links` output — one aggregation, map-side combined;

@@ -6898,13 +6898,14 @@ _SQL_DELAY_VAL = _strip(
 )
 
 
-@_q(
-    "robots_delay",
-    f"""
+def _sql_robots_delay(src_sql: str) -> str:
+    """Standalone Crawl-delay oracle over any (host, body) source SQL —
+    the same group fold as _sql_robots_parse, selecting delay lines; used
+    by the robots_delay query and nested (scoped WITH) inside
+    frontier_schedule."""
+    return f"""
 WITH rbsrc AS (
-  SELECT 'site' || doc_id || '.example' AS host,
-         {_SQL_DELAY_BODY_CASE} AS body
-  FROM documents
+  {src_sql}
 ),
 rb1 AS (
   SELECT host,
@@ -6956,7 +6957,16 @@ rb6 AS (
                     AS BIGINT), 0)) AS ms
   FROM rb5
 )
-SELECT host, list_max(ms) AS delay_millis FROM rb6""",
+SELECT host, list_max(ms) AS delay_millis FROM rb6"""
+
+
+@_q(
+    "robots_delay",
+    _sql_robots_delay(
+        f"""SELECT 'site' || doc_id || '.example' AS host,
+         {_SQL_DELAY_BODY_CASE} AS body
+  FROM documents"""
+    ),
 )
 def q_robots_delay(spark: SparkSession, sf: str) -> DataFrame:
     """Crawl-delay politeness extraction (links.robots_crawl_delay — the
@@ -7084,13 +7094,7 @@ def q_sitemap_entries(spark: SparkSession, sf: str) -> DataFrame:
     return LK.sitemap_entries(_sitemap_fixture(D.load(spark, sf, "documents")))
 
 
-@_q(
-    "crawl_frontier",
-    f"""
-WITH {_SQL_ROBOTS_SRC},
-{_sql_robots_parse()},
-{_SQL_SITEMAP_CTES},
-furl AS (
+_SQL_FRONTIER_CTES = f"""furl AS (
   SELECT loc AS url, max(priority_milli) AS priority_milli
   FROM sment
   WHERE kind = 'url' AND regexp_matches(loc, '^(?i)https?://')
@@ -7104,13 +7108,25 @@ seen AS (
 fresh AS (
   SELECT priority_milli, url, host FROM gdec
   WHERE allowed AND url NOT IN (SELECT url FROM seen)
-)
-SELECT host, url, priority_milli,
-       row_number() OVER (PARTITION BY host
-           ORDER BY priority_milli DESC NULLS LAST, url ASC)::BIGINT
-         AS fetch_rank
-FROM fresh
-QUALIFY fetch_rank <= 2""",
+),
+fr AS (
+  SELECT host, url, priority_milli,
+         row_number() OVER (PARTITION BY host
+             ORDER BY priority_milli DESC NULLS LAST, url ASC)::BIGINT
+           AS fetch_rank
+  FROM fresh
+  QUALIFY fetch_rank <= 2
+)"""
+
+
+@_q(
+    "crawl_frontier",
+    f"""
+WITH {_SQL_ROBOTS_SRC},
+{_sql_robots_parse()},
+{_SQL_SITEMAP_CTES},
+{_SQL_FRONTIER_CTES}
+SELECT host, url, priority_milli, fetch_rank FROM fr""",
 )
 def q_crawl_frontier(spark: SparkSession, sf: str) -> DataFrame:
     """Frontier assembly closing the crawl-discovery loop: sitemap-
@@ -7130,6 +7146,61 @@ def q_crawl_frontier(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("url")
     )
     return LK.crawl_frontier(entries, rules, seen, k=2)
+
+
+_SQL_SCHED_DELAY_SRC = (
+    "SELECT 'site' || (doc_id % 7) || '.example' AS host, "
+    "'User-agent: *' || chr(10) || 'Crawl-delay: ' || (1 + doc_id % 3) "
+    "AS body FROM documents WHERE doc_id < 5"
+)
+
+
+@_q(
+    "frontier_schedule",
+    f"""
+WITH {_SQL_ROBOTS_SRC},
+{_sql_robots_parse()},
+{_SQL_SITEMAP_CTES},
+{_SQL_FRONTIER_CTES},
+dly AS ({_sql_robots_delay(_SQL_SCHED_DELAY_SRC)})
+SELECT fr.host AS host, fr.url AS url, fr.fetch_rank AS fetch_rank,
+       coalesce(dly.delay_millis, 1000)::BIGINT AS delay_millis,
+       ((fr.fetch_rank - 1) * coalesce(dly.delay_millis, 1000))::BIGINT
+         AS fetch_at_millis
+FROM fr LEFT JOIN dly USING (host)""",
+)
+def q_frontier_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """The discovery loop's last step (links.frontier_schedule): the
+    ranked robots-gated frontier joined with per-host Crawl-delay
+    politeness into a fetch timeline — fetch_at = (rank-1) x effective
+    delay, default 1000 ms for hosts declaring none (sites 5 and 6 in
+    the fixture). Nested-WITH oracle composition: the shared frontier
+    CTEs plus the Crawl-delay parse scoped inside its own CTE."""
+    docs = D.load(spark, sf, "documents")
+    entries = LK.sitemap_entries(_sitemap_fixture(docs))
+    rules = LK.robots_rules(_robots_fixture(docs), _ROBOTS_AGENT)
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/bare"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    frontier = LK.crawl_frontier(entries, rules, seen, k=2)
+    delay_src = docs.filter(F.col("doc_id") < 5).select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 7).cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            (1 + F.col("doc_id") % 3).cast("string"),
+        ).alias("body"),
+    )
+    delays = LK.robots_crawl_delay(delay_src, _ROBOTS_AGENT)
+    return LK.frontier_schedule(frontier, delays)
+
+
 
 
 def _feed_fixture(docs: DataFrame) -> DataFrame:

@@ -762,3 +762,28 @@ def test_robots_crawl_delay_group_semantics(spark):
     }
     assert got == {"a": 2001, "b": 1500, "c": None, "d": None,
                    "e": 3000, "f": None}
+
+
+def test_frontier_schedule_timeline(spark):
+    """fetch_at = (rank-1) x effective delay; hosts with no declared
+    delay take the default; declared hosts use theirs."""
+    frontier = spark.createDataFrame(
+        [
+            ("a.example", "https://a.example/1", 1),
+            ("a.example", "https://a.example/2", 2),
+            ("b.example", "https://b.example/1", 1),
+            ("b.example", "https://b.example/2", 2),
+        ],
+        "host string, url string, fetch_rank long",
+    )
+    delays = spark.createDataFrame(
+        [("a.example", 2500)], "host string, delay_millis long"
+    )
+    got = {
+        (r["host"], r["fetch_rank"]): (r["delay_millis"], r["fetch_at_millis"])
+        for r in LK.frontier_schedule(frontier, delays).collect()
+    }
+    assert got[("a.example", 1)] == (2500, 0)
+    assert got[("a.example", 2)] == (2500, 2500)
+    assert got[("b.example", 1)] == (1000, 0)  # default politeness
+    assert got[("b.example", 2)] == (1000, 1000)

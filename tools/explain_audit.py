@@ -134,6 +134,7 @@ AUDIT = [
     "html_spans",
     "feed_dates",
     "robots_delay",
+    "frontier_schedule",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
