@@ -127,6 +127,8 @@ HEADLINE = [
     "feed_dates",
     "robots_delay",
     "frontier_schedule",
+    "html_tables",
+    "html_headings",
     "url_canonical",
     "host_graph",
     "anchor_texts",

@@ -1117,3 +1117,97 @@ def html_to_spans(
         ),
     )
     return d3.select("doc_id", spans.alias("spans"))
+
+
+# --- HTML structure extraction: tables and heading outline -------------------
+
+_TABLE_BLOCK_RE = r"(?is)<table\b[^>]*>.*?</table>"
+_TR_RE = r"(?is)<tr\b[^>]*>(.*?)</tr>"
+_CELL_RE = r"(?is)<t[dh]\b[^>]*>(.*?)</t[dh]>"
+_TH_RE = r"(?is)<th\b"
+_HEADING_RE = r"(?is)<h([1-6])\b[^>]*>.*?</h[1-6]>"
+
+
+def html_tables(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """``<table>`` extraction to structured rows — the part of a page the
+    boilerplate extractors deliberately throw away but a training-data
+    pipeline often wants as (semi-)structured records. Documented subset:
+    NON-NESTED tables (the lazy block match ends at the first
+    ``</table>``), ``<tr>``/``<td>``/``<th>`` with free attributes and
+    case, inline markup inside cells stripped, the five XML entities
+    decoded, cells whitespace-trimmed; ``is_header`` is true when the row
+    contains any ``<th>``. Rows without cells drop.
+
+    One narrow regexp pass, two nested transforms, ONE explode of
+    pre-flattened (table_idx, row_idx, cells) structs — no shuffle, no
+    UDF. Returns (doc_id, table_idx, row_idx, is_header, cells,
+    n_cells)."""
+    from ocr_spark.operators.links import xml_unescape
+
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    tables = F.regexp_extract_all(html, F.lit(_TABLE_BLOCK_RE), 0)
+
+    def row_struct(ti: Column, r: Column, ri: Column) -> Column:
+        cells = F.transform(
+            F.regexp_extract_all(r, F.lit(_CELL_RE), 1),
+            lambda c: xml_unescape(py_strip(F.regexp_replace(c, _TAG_RE, ""))),
+        )
+        return F.struct(
+            ti.alias("table_idx"),
+            ri.alias("row_idx"),
+            r.rlike(_TH_RE).alias("is_header"),
+            cells.alias("cells"),
+        )
+
+    nested = F.transform(
+        tables,
+        lambda t, ti: F.transform(
+            F.regexp_extract_all(t, F.lit(_TR_RE), 1),
+            lambda r, ri: row_struct(ti, r, ri),
+        ),
+    )
+    rows = F.filter(F.flatten(nested), lambda s: F.size(s["cells"]) > 0)
+    out = docs.select(F.col(id_col).alias("doc_id"), F.explode(rows).alias("r"))
+    return out.select(
+        "doc_id",
+        F.col("r.table_idx").cast("int").alias("table_idx"),
+        F.col("r.row_idx").cast("int").alias("row_idx"),
+        F.col("r.is_header").alias("is_header"),
+        F.col("r.cells").alias("cells"),
+        F.size(F.col("r.cells")).cast("int").alias("n_cells"),
+    )
+
+
+def html_headings(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """``<h1>``–``<h6>`` outline extraction — the section skeleton used
+    for structure-aware chunking and TOC-style summaries. Level comes
+    from the OPENING tag (the lazy block match tolerates a mismatched
+    closing level — real-web HTML does that); text is tag-stripped,
+    entity-decoded, trimmed; empty headings drop. One narrow pass, one
+    explode. Returns (doc_id, heading_idx, level, text) in document
+    order."""
+    from ocr_spark.operators.links import xml_unescape
+
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    blocks = F.transform(
+        F.regexp_extract_all(html, F.lit(_HEADING_RE), 0),
+        lambda b, i: F.struct(
+            i.cast("int").alias("heading_idx"),
+            F.regexp_extract(b, r"(?is)^<h([1-6])", 1).cast("int").alias("level"),
+            xml_unescape(
+                py_strip(F.regexp_replace(b, _TAG_RE, ""))
+            ).alias("text"),
+        ),
+    )
+    kept = F.filter(blocks, lambda h: h["text"] != "")
+    out = docs.select(F.col(id_col).alias("doc_id"), F.explode(kept).alias("h"))
+    return out.select(
+        "doc_id",
+        F.col("h.heading_idx").alias("heading_idx"),
+        F.col("h.level").alias("level"),
+        F.col("h.text").alias("text"),
+    )

@@ -7878,6 +7878,112 @@ def q_html_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- HTML structure: tables and heading outline ------------------------------
+
+_SQL_TBL_HTML = (
+    "'<h1>Doc ' || doc_id || '</h1><table class=\"data\"><tr><th>Name</th>"
+    "<TH>Value</TH></tr><tr><td><b>A&amp;B</b></td><td>' || doc_id "
+    "|| '</td></tr><tr><td> padded </td><td>x' || doc_id "
+    "|| '</td></tr><tr></tr></table>"
+    "<H2>Section &amp; more</H2><h3>  </h3><h2>Mismatch ' || doc_id "
+    "|| '</h3><p>prose</p>"
+    "<table><TR><TD>solo' || doc_id || '</TD></TR></table>'"
+)
+
+
+def _tbl_fixture(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<h1>Doc '), did,
+        F.lit('</h1><table class="data"><tr><th>Name</th><TH>Value</TH></tr>'
+              "<tr><td><b>A&amp;B</b></td><td>"),
+        did,
+        F.lit("</td></tr><tr><td> padded </td><td>x"), did,
+        F.lit("</td></tr><tr></tr></table><H2>Section &amp; more</H2>"
+              "<h3>  </h3><h2>Mismatch "),
+        did,
+        F.lit("</h3><p>prose</p><table><TR><TD>solo"), did,
+        F.lit("</TD></TR></table>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+_SQL_CELL_CLEAN = _sql_xml_unesc(
+    _strip("regexp_replace(c, '(?s)<[^>]*>', '', 'g')")
+)
+
+
+@_q(
+    "html_tables",
+    f"""
+WITH tb0 AS (
+  SELECT doc_id, {_SQL_TBL_HTML} AS html FROM documents
+),
+tb1 AS (
+  SELECT doc_id,
+         flatten(list_transform(
+           regexp_extract_all(html, '(?is)<table\\b[^>]*>.*?</table>', 0),
+           (t, ti) -> list_transform(
+             regexp_extract_all(t, '(?is)<tr\\b[^>]*>(.*?)</tr>', 1),
+             (r, ri) -> struct_pack(
+               table_idx := ti - 1, row_idx := ri - 1,
+               is_header := regexp_matches(r, '(?is)<th\\b'),
+               cells := list_transform(
+                 regexp_extract_all(r, '(?is)<t[dh]\\b[^>]*>(.*?)</t[dh]>', 1),
+                 c -> {_SQL_CELL_CLEAN}))))) AS rws
+  FROM tb0
+),
+tb2 AS (
+  SELECT doc_id, UNNEST(list_filter(rws, s -> len(s.cells) > 0)) AS r
+  FROM tb1
+)
+SELECT doc_id, r.table_idx::INT AS table_idx, r.row_idx::INT AS row_idx,
+       r.is_header AS is_header, r.cells AS cells,
+       len(r.cells)::INT AS n_cells
+FROM tb2""",
+)
+def q_html_tables(spark: SparkSession, sf: str) -> DataFrame:
+    """<table> extraction to structured rows (boilerplate.html_tables —
+    the records the boilerplate strippers throw away): header detection
+    via <th>, inline markup stripped, entities decoded, cell-less rows
+    dropped, two tables per fixture doc (indices), mixed tag case."""
+    from ocr_spark.operators.boilerplate import html_tables
+
+    return html_tables(_tbl_fixture(D.load(spark, sf, "documents")))
+
+
+@_q(
+    "html_headings",
+    f"""
+WITH hh0 AS (
+  SELECT doc_id, {_SQL_TBL_HTML} AS html FROM documents
+),
+hh1 AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_extract_all(html, '(?is)<h([1-6])\\b[^>]*>.*?</h[1-6]>', 0),
+           (b, i) -> struct_pack(
+             heading_idx := (i - 1)::INT,
+             level := regexp_extract(b, '(?is)^<h([1-6])', 1)::INT,
+             text := {_sql_xml_unesc(_strip("regexp_replace(b, '(?s)<[^>]*>', '', 'g')"))})),
+           h -> h.text != '') AS hs
+  FROM hh0
+),
+hh2 AS (SELECT doc_id, UNNEST(hs) AS h FROM hh1)
+SELECT doc_id, h.heading_idx AS heading_idx, h.level AS level,
+       h.text AS text
+FROM hh2""",
+)
+def q_html_headings(spark: SparkSession, sf: str) -> DataFrame:
+    """Heading outline extraction (boilerplate.html_headings): levels
+    from the opening tag (a mismatched closing level still parses),
+    uppercase tags, entity decode, empty headings drop while preserving
+    document-order indices."""
+    from ocr_spark.operators.boilerplate import html_headings
+
+    return html_headings(_tbl_fixture(D.load(spark, sf, "documents")))
+
+
 _SQL_URL_FIXTURE = """usrc AS (
   SELECT doc_id,
     CASE (doc_id % 8)

@@ -578,3 +578,44 @@ def test_html_to_spans_feeds_flagship_assembler(spark):
     assert [s["kind"] for s in seq] == ["text", "media", "text"]
     assert [s["order"] for s in seq] == [0, 1, 2]
     assert seq[1]["media_ref"] == "a.png"
+
+
+def test_html_tables_structure(spark):
+    """Header rows flag via <th>; inline markup strips; entities decode;
+    cells trim; cell-less rows drop; nested markup inside cells survives
+    as text; two tables index independently; mixed tag case parses."""
+    from ocr_spark.operators.boilerplate import html_tables
+
+    page = (
+        '<table><tr><th>Name</th><TH>Value</TH></tr>'
+        "<tr><td><b>A&amp;B</b></td><td>42</td></tr>"
+        "<tr><td> padded </td></tr><tr></tr></table>"
+        "<p>between</p><table><TR><TD>solo</TD></TR></table>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    rows = html_tables(df).collect()
+    key = {(r["table_idx"], r["row_idx"]): r for r in rows}
+    assert len(rows) == 4  # the empty <tr></tr> dropped
+    assert key[(0, 0)]["is_header"] and key[(0, 0)]["cells"] == ["Name", "Value"]
+    assert not key[(0, 1)]["is_header"]
+    assert key[(0, 1)]["cells"] == ["A&B", "42"]
+    assert key[(0, 2)]["cells"] == ["padded"] and key[(0, 2)]["n_cells"] == 1
+    assert key[(1, 0)]["cells"] == ["solo"]
+
+
+def test_html_headings_outline(spark):
+    """Levels come from the opening tag (mismatched close tolerated);
+    uppercase tags parse; empty headings drop but indices keep document
+    positions."""
+    from ocr_spark.operators.boilerplate import html_headings
+
+    page = (
+        "<h1>Title</h1><H2>Sec &amp; more</H2><h3>  </h3>"
+        "<h2>Mismatch</h3><p>x</p>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    rows = {r["heading_idx"]: r for r in html_headings(df).collect()}
+    assert set(rows) == {0, 1, 3}  # idx 2 (empty h3) dropped, gap kept
+    assert (rows[0]["level"], rows[0]["text"]) == (1, "Title")
+    assert (rows[1]["level"], rows[1]["text"]) == (2, "Sec & more")
+    assert (rows[3]["level"], rows[3]["text"]) == (2, "Mismatch")

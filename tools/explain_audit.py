@@ -135,6 +135,8 @@ AUDIT = [
     "feed_dates",
     "robots_delay",
     "frontier_schedule",
+    "html_tables",
+    "html_headings",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
