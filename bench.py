@@ -129,6 +129,7 @@ HEADLINE = [
     "frontier_schedule",
     "html_tables",
     "html_headings",
+    "html_sections",
     "url_canonical",
     "host_graph",
     "anchor_texts",

@@ -1211,3 +1211,113 @@ def html_headings(
         F.col("h.level").alias("level"),
         F.col("h.text").alias("text"),
     )
+
+
+# --- structure-aware sectioning (heading-scoped chunks) ----------------------
+
+_H_OPEN_RE = r"(?is)^<h([1-6])\b"
+
+
+def html_sections(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Split a page into HEADING-SCOPED sections — the structure-aware
+    chunker retrieval pipelines use instead of fixed windows (a chunk
+    never straddles a section boundary, and every chunk carries its
+    heading as context): section 0 is the pre-heading preamble, section
+    s>0 starts at the s-th ``<h1>``–``<h6>`` and runs to the next one.
+    ``text`` newline-joins the section's non-empty blocks; sections with
+    neither heading nor text drop (a preamble-less page starts at 1).
+
+    Mechanics mirror :func:`html_to_spans`: one block split, a linear
+    prefix fold assigning each block its section id (count of heading
+    blocks at-or-before it — a part is a heading iff its OPENING boundary
+    tag is ``<hN>``), then a per-section fold; no UDF, no shuffle, one
+    explode. Returns (doc_id, section_idx, level, heading, text,
+    n_blocks)."""
+    from ocr_spark.operators.links import xml_unescape
+
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(h, SCRIPT_RE, ""), STYLE_RE, ""),
+        HTML_COMMENT_RE,
+        "",
+    )
+    parts = F.split(clean, BLOCK_TAG_RE)
+    tags = F.regexp_extract_all(clean, F.lit(BLOCK_TAG_RE), 0)
+    # opener[i] = the boundary tag right before part i ('' for part 0)
+    openers = F.concat(F.array(F.lit("")), tags)
+
+    def unit(p: Column, o: Column) -> Column:
+        lvl = F.regexp_extract(o, _H_OPEN_RE, 1)
+        return F.struct(
+            xml_unescape(py_strip(F.regexp_replace(p, _TAG_RE, ""))).alias(
+                "text"
+            ),
+            (lvl != "").alias("is_h"),
+            F.coalesce(lvl.try_cast("int"), F.lit(0)).alias("level"),
+        )
+
+    units0 = F.zip_with(parts, openers, unit)
+    d0 = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(units0, lambda u: u["text"] != "").alias("units"),
+    )
+    # sid[i] = number of heading units at-or-before unit i (linear fold)
+    deltas = F.transform(
+        F.col("units"),
+        lambda u: F.when(u["is_h"], F.lit(1)).otherwise(F.lit(0)),
+    )
+    # fold the TAIL (slice is 1-based: start 2 = everything after the
+    # first element) onto the first delta — sid[i] = headings at-or-before
+    sids = F.aggregate(
+        F.slice(deltas, 2, F.greatest(F.size(deltas) - 1, F.lit(0))),
+        F.array(F.get(deltas, 0)),
+        lambda acc, d: F.concat(acc, F.array(F.element_at(acc, -1) + d)),
+    )
+    d1 = d0.withColumn(
+        "sids", F.when(F.size("units") == 0, F.array().cast("array<int>")).otherwise(sids)
+    )
+    n_h = F.coalesce(F.element_at(F.col("sids"), -1), F.lit(0))
+
+    # (unit, sid) pairs materialized ONCE per row as a column — the
+    # per-section lambda below sees a cheap bound reference, not a
+    # re-evaluated zip_with subtree (H sections x n units stays O(H*n)
+    # array scans, no expression re-execution)
+    d1 = d1.withColumn(
+        "zu",
+        F.zip_with(
+            F.col("units"),
+            F.col("sids"),
+            lambda u, i: F.struct(u.alias("u"), i.alias("i")),
+        ),
+    )
+
+    def section(s: Column) -> Column:
+        head = F.get(
+            F.filter(F.col("zu"), lambda z: z["u"]["is_h"] & (z["i"] == s)),
+            F.lit(0),
+        )
+        body = F.filter(F.col("zu"), lambda z: ~z["u"]["is_h"] & (z["i"] == s))
+        text = F.array_join(F.transform(body, lambda z: z["u"]["text"]), "\n")
+        return F.struct(
+            s.cast("int").alias("section_idx"),
+            F.coalesce(head["u"]["level"], F.lit(0)).alias("level"),
+            F.coalesce(head["u"]["text"], F.lit("")).alias("heading"),
+            text.alias("text"),
+            F.size(body).cast("int").alias("n_blocks"),
+        )
+
+    secs = F.filter(
+        F.transform(F.sequence(F.lit(0), n_h), section),
+        lambda x: (x["heading"] != "") | (x["text"] != ""),
+    )
+    out = d1.select("doc_id", F.explode(secs).alias("s"))
+    return out.select(
+        "doc_id",
+        F.col("s.section_idx").alias("section_idx"),
+        F.col("s.level").alias("level"),
+        F.col("s.heading").alias("heading"),
+        F.col("s.text").alias("text"),
+        F.col("s.n_blocks").alias("n_blocks"),
+    )

@@ -7984,6 +7984,97 @@ def q_html_headings(spark: SparkSession, sf: str) -> DataFrame:
     return html_headings(_tbl_fixture(D.load(spark, sf, "documents")))
 
 
+# --- structure-aware sectioning -----------------------------------------------
+
+_SQL_SEC_HTML = (
+    "'<p>preamble ' || doc_id || '</p><h1>Title ' || doc_id "
+    "|| '</h1><p>intro text here</p><p>more intro</p>"
+    "<H2>Sub &amp; sec</H2><p>sub body ' || doc_id "
+    "|| '</p><h3>  </h3><h2>Tail</h2>'"
+)
+_SQL_SEC_STRIP = "regexp_replace(p, '(?s)<[^>]*>', '', 'g')"
+_SQL_SEC_TEXT = _sql_xml_unesc(_strip(_SQL_SEC_STRIP))
+
+
+def _sec_fixture(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<p>preamble "), did, F.lit("</p><h1>Title "), did,
+        F.lit("</h1><p>intro text here</p><p>more intro</p>"
+              "<H2>Sub &amp; sec</H2><p>sub body "),
+        did,
+        F.lit("</p><h3>  </h3><h2>Tail</h2>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+@_q(
+    "html_sections",
+    f"""
+WITH sc0 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace({_SQL_SEC_HTML},
+           '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
+           '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
+           '(?s)<!--.*?-->', '', 'g') AS html
+  FROM documents
+),
+sc1 AS (
+  SELECT doc_id,
+         regexp_split_to_array(html, '{_BP_BLOCK_RE}') AS parts,
+         regexp_extract_all(html, '{_BP_BLOCK_RE}', 0) AS tags
+  FROM sc0
+),
+sc2 AS (
+  SELECT doc_id,
+         list_filter(list_transform(parts, (p, i) -> struct_pack(
+           text := {_SQL_SEC_TEXT},
+           is_h := i > 1 AND regexp_matches(tags[i-1], '(?is)^<h[1-6]\\b'),
+           lvl := CASE WHEN i > 1 THEN coalesce(TRY_CAST(
+                    regexp_extract(tags[i-1], '(?is)^<h([1-6])', 1) AS INT), 0)
+                  ELSE 0 END)),
+           u -> u.text != '') AS units
+  FROM sc1
+),
+sc3 AS (
+  SELECT doc_id, units,
+         list_transform(range(1, len(units) + 1),
+           i -> len(list_filter(units[1:i], v -> v.is_h))) AS sids,
+         len(list_filter(units, u -> u.is_h)) AS n_h
+  FROM sc2
+),
+sc4 AS (
+  SELECT doc_id,
+         list_filter(list_transform(range(0, n_h + 1), s -> struct_pack(
+           section_idx := s::INT,
+           lvl := coalesce(units[(list_filter(range(1, len(units) + 1),
+               i -> units[i].is_h AND sids[i] = s))[1]].lvl, 0),
+           heading := coalesce(units[(list_filter(range(1, len(units) + 1),
+               i -> units[i].is_h AND sids[i] = s))[1]].text, ''),
+           body := list_transform(list_filter(range(1, len(units) + 1),
+               i -> NOT units[i].is_h AND sids[i] = s), i -> units[i].text))),
+           x -> x.heading != '' OR len(x.body) > 0) AS secs
+  FROM sc3
+),
+sc5 AS (SELECT doc_id, UNNEST(secs) AS x FROM sc4)
+SELECT doc_id, x.section_idx AS section_idx, x.lvl AS level,
+       x.heading AS heading,
+       coalesce(array_to_string(x.body, chr(10)), '') AS text,
+       len(x.body)::INT AS n_blocks
+FROM sc5""",
+)
+def q_html_sections(spark: SparkSession, sf: str) -> DataFrame:
+    """Structure-aware sectioning (boilerplate.html_sections): section 0
+    is the pre-heading preamble, each heading opens a new section holding
+    the blocks up to the next heading — the chunker that never straddles
+    a section boundary. Fixture: preamble, h1 with two blocks, an
+    entity-escaped uppercase H2, a whitespace-only h3 (drops as a unit),
+    a body-less trailing h2 (kept — heading non-empty)."""
+    from ocr_spark.operators.boilerplate import html_sections
+
+    return html_sections(_sec_fixture(D.load(spark, sf, "documents")))
+
+
 _SQL_URL_FIXTURE = """usrc AS (
   SELECT doc_id,
     CASE (doc_id % 8)

@@ -619,3 +619,31 @@ def test_html_headings_outline(spark):
     assert (rows[0]["level"], rows[0]["text"]) == (1, "Title")
     assert (rows[1]["level"], rows[1]["text"]) == (2, "Sec & more")
     assert (rows[3]["level"], rows[3]["text"]) == (2, "Mismatch")
+
+
+def test_html_sections_chunking(spark):
+    """Preamble is section 0 (no heading); each heading opens a section
+    holding blocks up to the next heading; a whitespace-only heading
+    drops as a unit (its would-be section merges away); a trailing
+    body-less heading is kept; levels come from the heading tag."""
+    from ocr_spark.operators.boilerplate import html_sections
+
+    page = (
+        "<p>preamble</p><h1>Title</h1><p>intro one</p><p>intro two</p>"
+        "<H2>Sub &amp; sec</H2><p>sub body</p><h3>  </h3><h2>Tail</h2>"
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, "<p>only prose</p>"), (3, "")],
+        "doc_id long, html string",
+    )
+    rows = [r for r in html_sections(df).collect()]
+    by = {(r["doc_id"], r["section_idx"]): r for r in rows}
+    assert by[(1, 0)]["heading"] == "" and by[(1, 0)]["text"] == "preamble"
+    assert by[(1, 1)]["heading"] == "Title" and by[(1, 1)]["level"] == 1
+    assert by[(1, 1)]["text"] == "intro one\nintro two"
+    assert by[(1, 2)]["heading"] == "Sub & sec" and by[(1, 2)]["level"] == 2
+    assert by[(1, 2)]["text"] == "sub body"
+    assert by[(1, 3)]["heading"] == "Tail" and by[(1, 3)]["n_blocks"] == 0
+    assert by[(2, 0)]["text"] == "only prose"  # heading-free page
+    assert (3, 0) not in by  # empty page yields nothing
+    assert len([r for r in rows if r["doc_id"] == 3]) == 0

@@ -137,6 +137,7 @@ AUDIT = [
     "frontier_schedule",
     "html_tables",
     "html_headings",
+    "html_sections",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
