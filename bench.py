@@ -130,6 +130,7 @@ HEADLINE = [
     "html_tables",
     "html_headings",
     "html_sections",
+    "jsonld_blocks",
     "url_canonical",
     "host_graph",
     "anchor_texts",

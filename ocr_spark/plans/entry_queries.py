@@ -8075,6 +8075,98 @@ def q_html_sections(spark: SparkSession, sf: str) -> DataFrame:
     return html_sections(_sec_fixture(D.load(spark, sf, "documents")))
 
 
+# --- JSON-LD structured data ---------------------------------------------------
+
+_SQL_LD_HTML = (
+    "CASE doc_id % 3 "
+    "WHEN 0 THEN '<script>var x=1;</script>"
+    "<script type=\"application/ld+json\">{\"@type\": \"Article\", "
+    "\"headline\": \"Story ' || doc_id || '\", "
+    "\"datePublished\": \"2026-03-0' || (1 + doc_id % 9) || 'T05:06:07Z\"}"
+    "</script><p>body</p>' "
+    "WHEN 1 THEN '<SCRIPT TYPE=''application/ld+json''>{\"@type\": "
+    "\"NewsArticle\", \"datePublished\": \"' || (1 + doc_id % 28) "
+    "|| ' Jan 2026\"}</SCRIPT>"
+    "<script type=\"application/ld+json\">   </script>' "
+    "ELSE '<p>no structured data ' || doc_id || '</p>' END"
+)
+
+
+def _ld_fixture(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    html = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<script>var x=1;</script>'
+                      '<script type="application/ld+json">'
+                      '{"@type": "Article", "headline": "Story '),
+                did,
+                F.lit('", "datePublished": "2026-03-0'),
+                (1 + F.col("doc_id") % 9).cast("string"),
+                F.lit('T05:06:07Z"}</script><p>body</p>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("<SCRIPT TYPE='application/ld+json'>"
+                      '{"@type": "NewsArticle", "datePublished": "'),
+                (1 + F.col("doc_id") % 28).cast("string"),
+                F.lit(' Jan 2026"}</SCRIPT>'
+                      '<script type="application/ld+json">   </script>'),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("<p>no structured data "), did, F.lit("</p>"))
+        )
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def _sql_ld_field(key: str) -> str:
+    return f'regexp_extract(raw, \'(?s)"{key}"\\s*:\\s*"([^"]*)"\', 1)'
+
+
+@_q(
+    "jsonld_blocks",
+    f"""
+WITH ld0 AS (
+  SELECT doc_id, {_SQL_LD_HTML} AS html FROM documents
+),
+ld1 AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_extract_all(html,
+             '(?is)<script\\b[^>]*type\\s*=\\s*["'']application/ld\\+json["'']'
+             || '[^>]*>(.*?)</script>', 1),
+           (b, i) -> struct_pack(block_idx := (i - 1)::INT,
+                                 raw := {_strip("b")})),
+           s -> s.raw != '') AS bs
+  FROM ld0
+),
+ld2 AS (SELECT doc_id, UNNEST(bs) AS b FROM ld1),
+ld3 AS (
+  SELECT doc_id, b.block_idx AS block_idx, b.raw AS raw FROM ld2
+)
+SELECT doc_id, block_idx,
+       {_sql_ld_field("@type")} AS ld_type,
+       {_sql_ld_field("headline")} AS headline,
+       {_sql_ld_field("datePublished")} AS date_published,
+       {_sql_web_date(_sql_ld_field("datePublished"))} AS pub_date,
+       raw AS raw_json
+FROM ld3""",
+)
+def q_jsonld_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """schema.org JSON-LD extraction (boilerplate.jsonld_blocks): typed
+    blocks lifted with @type/headline/datePublished and the date
+    normalized through web_date_iso; decoy plain scripts and blank
+    payloads drop; uppercase tag + single-quoted type attribute parse."""
+    from ocr_spark.operators.boilerplate import jsonld_blocks
+
+    return jsonld_blocks(_ld_fixture(D.load(spark, sf, "documents")))
+
+
 _SQL_URL_FIXTURE = """usrc AS (
   SELECT doc_id,
     CASE (doc_id % 8)

@@ -647,3 +647,27 @@ def test_html_sections_chunking(spark):
     assert by[(2, 0)]["text"] == "only prose"  # heading-free page
     assert (3, 0) not in by  # empty page yields nothing
     assert len([r for r in rows if r["doc_id"] == 3]) == 0
+
+
+def test_jsonld_blocks_extraction(spark):
+    """Only application/ld+json scripts extract (plain scripts are
+    decoys); blank payloads drop; flat string fields lift; datePublished
+    normalizes through web_date_iso; raw JSON is kept verbatim."""
+    from ocr_spark.operators.boilerplate import jsonld_blocks
+
+    page = (
+        "<script>var decoy = 1;</script>"
+        '<script type="application/ld+json">{"@type": "Article", '
+        '"headline": "Big story", "datePublished": "2 Jan 2026"}</script>'
+        "<SCRIPT TYPE='application/ld+json'>{\"@type\": \"Person\"}</SCRIPT>"
+        '<script type="application/ld+json">  </script>'
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    rows = {r["block_idx"]: r for r in jsonld_blocks(df).collect()}
+    assert set(rows) == {0, 1}  # blank block dropped
+    a = rows[0]
+    assert a["ld_type"] == "Article" and a["headline"] == "Big story"
+    assert a["date_published"] == "2 Jan 2026"
+    assert a["pub_date"] == "2026-01-02"
+    assert '"@type": "Article"' in a["raw_json"]
+    assert rows[1]["ld_type"] == "Person" and rows[1]["pub_date"] == ""

@@ -138,6 +138,7 @@ AUDIT = [
     "html_tables",
     "html_headings",
     "html_sections",
+    "jsonld_blocks",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
