@@ -19,7 +19,13 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="documents parquet (flat text or span corpus)")
+    ap.add_argument("--input", required=True,
+                    help="documents parquet (flat text or span corpus), or a "
+                    "WARC directory with --format warc")
+    ap.add_argument("--format", choices=("parquet", "warc"), default="parquet",
+                    help="warc: crawled pages enter as the interleaved span "
+                    "corpus via sources/warc.warc_span_corpus (html_to_spans "
+                    "behind the 200-OK selection)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--keep-boilerplate", action="store_true")
@@ -35,9 +41,14 @@ def main() -> None:
     from ocr_spark.plans.derived import span_corpus
 
     spark = SparkSession.builder.appName("ocr-spark-extract").getOrCreate()
-    docs = spark.read.parquet(args.input)
-    if "spans" not in docs.columns:  # flat text table → derive the span corpus
-        docs = span_corpus(docs)
+    if args.format == "warc":
+        from ocr_spark.sources.warc import read_warc, warc_span_corpus
+
+        docs = warc_span_corpus(read_warc(spark, args.input))
+    else:
+        docs = spark.read.parquet(args.input)
+        if "spans" not in docs.columns:  # flat text table → derive spans
+            docs = span_corpus(docs)
 
     summary = run_checkpointed(
         spark,

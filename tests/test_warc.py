@@ -360,3 +360,29 @@ def test_warc_span_corpus_bridge(spark, tmp_path):
         ]
         fused = "\n".join(s["text"] for s in r["spans"])
         assert fused == flat[r["doc_id"]]
+
+
+def test_extract_job_warc_end_to_end(spark, tmp_path, monkeypatch):
+    """The FLAGSHIP extraction job runs directly on a crawled WARC drop
+    (--format warc): pages enter as the interleaved span corpus and come
+    out as assembled documents with features — the full crawl→extract
+    path in one spark-submit surface."""
+    import sys as _sys
+
+    from jobs import extract_job
+
+    wdir = tmp_path / "crawl"
+    wdir.mkdir()
+    (wdir / "a.warc").write_bytes(W.synth_warc_file(0, range(6), False))
+    out = tmp_path / "out"
+    argv = ["extract_job.py", "--input", str(wdir), "--format", "warc",
+            "--output", str(out), "--buckets", "2"]
+    monkeypatch.setattr(_sys, "argv", argv)
+    extract_job.main()
+
+    got = spark.read.parquet(str(out) + "/bucket=*")
+    rows = got.collect()
+    assert len(rows) == 5  # the 404 never enters
+    assert "extracted_text" in got.columns
+    assert all(r["extracted_text"] for r in rows)
+    assert all("paragraph" in r["extracted_text"] for r in rows)
