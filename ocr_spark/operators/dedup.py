@@ -1051,6 +1051,195 @@ def apply_line_dedup(
     return part.drop(text_col).join(out.withColumnRenamed("doc_id", id_col), id_col)
 
 
+# --- interleaved span-level dedup (the north-rule corpus shape) ---------------
+
+
+def _span_rows(docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans") -> DataFrame:
+    """Explode the interleaved corpus shape (doc_id, spans array<struct<
+    kind,text,media_ref,offset>>) into one row per span."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(spans_col).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def _span_norm() -> Column:
+    return F.trim(F.coalesce(F.col("text"), F.lit("")))
+
+
+def dup_span_index(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """The GLOBAL side table for interleaved SPAN dedup: one row per
+    duplicated non-blank TEXT span — (span_md5, canonical_doc_id,
+    canonical_offset), canonical = the (min doc_id, min offset)
+    occurrence. The line-dedup discipline (dup_line_index) applied to the
+    north-rule corpus shape directly, so media spans and span order never
+    leave the document: dedup happens at span granularity and the
+    (kind, media_ref, order) interleaving stays intact. groupBy+min
+    PARTIAL-aggregates map-side — a nav span repeated across millions of
+    pages costs one partial row per map task, never a hot window key.
+    Globally-unique spans are absent, so the index scales with the
+    duplicated-span vocabulary and is broadcast-able at real dup rates;
+    materialize once before a bucket loop for resumable runs."""
+    rows = _span_rows(docs, id_col, spans_col).filter(F.col("kind") != "media")
+    rows = rows.withColumn("norm", _span_norm())
+    return (
+        rows.filter(F.col("norm") != "")
+        .groupBy(F.md5(F.col("norm")).alias("span_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("doc_id", "offset")).alias("c"),
+        )
+        .filter(F.col("n") > 1)
+        .select(
+            "span_md5",
+            F.col("c.doc_id").alias("canonical_doc_id"),
+            F.col("c.offset").alias("canonical_offset"),
+        )
+    )
+
+
+def dedup_spans_corpus(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Corpus-wide TEXT-SPAN dedup on the interleaved corpus: a non-blank
+    text span duplicated anywhere in the corpus survives only at its
+    canonical (min doc_id, min offset) occurrence; media spans and blank
+    text spans are structural and always kept, and surviving spans are
+    re-ranked per document so the output is again a dense (kind, text,
+    media_ref, order) sequence. This is C4 line-dedup lifted to the span
+    shape: cross-page boilerplate that survives extraction (cookie
+    banners, share bars) is removed WITHOUT flattening documents to text,
+    so downstream interleaved packing still sees the media refs in
+    order.
+
+    Returns exploded kept spans (doc_id, kind, text, media_ref, ord)."""
+    idx = dup_span_index(docs, id_col, spans_col)
+    rows = _span_rows(docs, id_col, spans_col).withColumn("norm", _span_norm())
+    joined = rows.join(idx, F.md5(F.col("norm")) == idx.span_md5, "left")
+    keep = (
+        (F.col("kind") == "media")
+        | (F.col("norm") == "")
+        | F.col("span_md5").isNull()
+        | (
+            (F.col("doc_id") == F.col("canonical_doc_id"))
+            & (F.col("offset") == F.col("canonical_offset"))
+        )
+    )
+    kept = joined.filter(keep)
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return kept.select(
+        "doc_id",
+        "kind",
+        "text",
+        "media_ref",
+        (F.row_number().over(w) - 1).cast("long").alias("ord"),
+    )
+
+
+# --- per-host template-line removal (site boilerplate) ------------------------
+
+
+def host_template_index(
+    docs: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_frac: float = 0.5,
+    min_docs: int = 5,
+) -> DataFrame:
+    """TEMPLATE lines per host: a non-blank line appearing in >= min_frac
+    of a host's documents (hosts with >= min_docs docs) is site template
+    (nav, footer, cookie banner) — the CCNet/Dolma per-site boilerplate
+    rule. Frequency WITHIN the host separates template from content: a
+    content line rarely repeats across a site's pages, while templates
+    appear on (nearly) all of them, so unlike global line dedup this
+    drops ALL occurrences, not all-but-canonical.
+
+    Plan shape: per-(host, line, doc) pre-aggregation (dedups within-doc
+    repeats map-side) -> (host, line) doc counts -> join per-host doc
+    totals (a tiny groupBy on the host key, broadcast-able at web scale:
+    hosts number millions, not trillions). Returns (host, line_md5)."""
+    lines = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias("line"),
+    ).withColumn("norm", F.trim(F.col("line")))
+    per_doc = (
+        lines.filter(F.col("norm") != "")
+        .groupBy("host", F.md5(F.col("norm")).alias("line_md5"), "doc_id")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+    )
+    line_docs = per_doc.groupBy("host", "line_md5").agg(
+        F.count(F.lit(1)).alias("n_docs_with_line")
+    )
+    host_totals = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("host_docs")
+    )
+    return (
+        line_docs.join(F.broadcast(host_totals), "host")
+        .filter(
+            (F.col("host_docs") >= min_docs)
+            & (
+                F.col("n_docs_with_line").cast("double")
+                >= F.lit(min_frac) * F.col("host_docs").cast("double")
+            )
+        )
+        .select("host", "line_md5")
+    )
+
+
+def remove_host_templates(
+    docs: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_frac: float = 0.5,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Drop every occurrence of a host-template line (see
+    :func:`host_template_index`); blank lines are structural and kept.
+    Join is keyed on (host, line_md5) against the small template index —
+    broadcast-able (it scales with per-site template vocabulary). Returns
+    (doc_id, host, text = cleaned, n_lines, n_removed)."""
+    idx = host_template_index(docs, host_col, id_col, text_col, min_frac, min_docs)
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    ).withColumn("norm", F.trim(F.col("line")))
+    joined = lines.join(
+        F.broadcast(idx.withColumnRenamed("host", "i_host")),
+        (F.col("host") == F.col("i_host"))
+        & (F.md5(F.col("norm")) == F.col("line_md5")),
+        "left",
+    ).withColumn("keep", (F.col("norm") == "") | F.col("line_md5").isNull())
+    return (
+        joined.groupBy("doc_id", "host")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias(text_col),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 # --- Bloom-filter membership (crawl-scale "seen set") ------------------------
 
 

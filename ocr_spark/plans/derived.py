@@ -361,3 +361,50 @@ ocr_docs AS (
          ' N9 ' || (doc_id % 100)::VARCHAR AS ctext
   FROM documents
 )"""
+
+
+# ---------------------------------------------------------------------------
+# 8. host docs: multi-line pages with per-host template lines
+# ---------------------------------------------------------------------------
+# Every page of a host carries its nav header and copyright footer; a
+# cookie banner appears on ~2/3 of pages (above the 0.5 template
+# threshold), a promo line on ~1/7 (below it — must survive); the body is
+# the first two 8-word chunks of the document's own text (never repeats
+# across pages). Exercises both sides of the frequency threshold.
+
+
+def host_docs(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    w = F.split(py_strip(F.col("text")), r"\s+")
+    lines = F.array(
+        F.concat(F.lit("home | about | "), F.col("source")),
+        F.when(d % 3 != 1, F.lit("This site uses cookies to improve your experience")),
+        F.array_join(F.slice(w, 1, 8), " "),
+        F.array_join(F.slice(w, 9, 8), " "),
+        F.when(d % 7 == 0, F.concat(F.lit("promo of the week at "), F.col("source"))),
+        F.concat(F.lit("copyright 2022 "), F.col("source")),
+    )
+    htext = F.concat_ws(
+        "\n", F.filter(lines, lambda x: x.isNotNull() & (F.trim(x) != ""))
+    )
+    return docs.select("doc_id", "source", htext.alias("htext"))
+
+
+SQL_HOST_DOCS = """
+host_w AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+  FROM documents
+),
+host_docs AS (
+  SELECT doc_id, source,
+         array_to_string(list_filter([
+           'home | about | ' || source,
+           CASE WHEN doc_id % 3 != 1 THEN 'This site uses cookies to improve your experience' END,
+           array_to_string(ws[1:8], ' '),
+           array_to_string(ws[9:16], ' '),
+           CASE WHEN doc_id % 7 = 0 THEN 'promo of the week at ' || source END,
+           'copyright 2022 ' || source
+         ], x -> x IS NOT NULL AND trim(x) != ''), chr(10)) AS htext
+  FROM host_w
+)"""

@@ -4090,6 +4090,84 @@ def q_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "dedup_spans",
+    f"""
+WITH {D.SQL_SPAN_CORPUS},
+sdn AS (
+  SELECT doc_id, kind, text, media_ref, "offset",
+         trim(coalesce(text, '')) AS norm
+  FROM span_rows
+),
+sdflag AS (
+  SELECT doc_id, kind, text, media_ref, "offset",
+         CASE WHEN kind = 'media' OR norm = '' THEN TRUE
+              ELSE row_number() OVER (PARTITION BY md5(norm)
+                                      ORDER BY doc_id, "offset") = 1
+         END AS keep
+  FROM sdn
+)
+SELECT doc_id, kind, text, media_ref,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY "offset") - 1)::BIGINT AS ord
+FROM (SELECT * FROM sdflag WHERE keep)""",
+)
+def q_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level corpus dedup on the interleaved shape: C4 line dedup
+    lifted to (kind, text, media_ref, order) — duplicated text spans keep
+    only the canonical (min doc_id, min offset) occurrence, media spans
+    and order survive intact, output re-ranked per document."""
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    return DD.dedup_spans_corpus(corpus)
+
+
+@_q(
+    "host_templates",
+    f"""
+WITH {D.SQL_HOST_DOCS},
+htl AS (
+  SELECT doc_id, source AS host, u.pos AS pos, u.line AS line,
+         trim(u.line) AS norm
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(string_split(coalesce(htext, ''), chr(10)),
+                                 (x, i) -> {{'pos': i, 'line': x}})) AS u
+    FROM host_docs
+  )
+),
+httot AS (SELECT source AS host, count(*) AS host_docs FROM host_docs GROUP BY 1),
+httmpl AS (
+  SELECT l.host, md5(l.norm) AS line_md5
+  FROM (SELECT DISTINCT host, norm, doc_id FROM htl WHERE norm != '') l
+  JOIN httot t USING (host)
+  GROUP BY l.host, md5(l.norm), t.host_docs
+  HAVING t.host_docs >= 5
+     AND count(DISTINCT l.doc_id)::DOUBLE >= 0.5::DOUBLE * t.host_docs::DOUBLE
+),
+htflag AS (
+  SELECT htl.doc_id, htl.host, htl.pos, htl.line,
+         (htl.norm = '' OR t.line_md5 IS NULL) AS keep
+  FROM htl LEFT JOIN httmpl t
+    ON t.host = htl.host AND t.line_md5 = md5(htl.norm)
+)
+SELECT doc_id, host,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed
+FROM htflag GROUP BY doc_id, host""",
+)
+def q_host_templates(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host template-line removal (CCNet/Dolma site-boilerplate rule):
+    a non-blank line on >= 50% of a host's pages (hosts with >= 5 pages)
+    is template and every occurrence drops; sub-threshold lines (the
+    promo line, body chunks) survive."""
+    out = DD.remove_host_templates(
+        D.host_docs(D.load(spark, sf, "documents")), text_col="htext"
+    )
+    return out.select(
+        "doc_id", "host", F.col("htext").alias("text"), "n_lines", "n_removed"
+    )
+
+
+@_q(
     "dedup_ngram_jaccard",
     f"""
 WITH {_SQL_SHINGLE_BASE},

@@ -2333,3 +2333,103 @@ def test_budget_sample_matches_naive_greedy(spark):
             assert got[i]["n_tokens"] == toks
     with pytest.raises(ValueError):
         TS.budget_sample(df, budgets, bucket_bits=0)
+
+
+# --- interleaved span-level dedup --------------------------------------------
+
+
+def _mk_span_docs(spark):
+    rows = [
+        # doc 1: canonical "shared nav" at offset 4; unique line; media
+        ("1", [("text", "shared nav", None, 4),
+               ("media", None, "img://1/0", 9),
+               ("text", "unique to one", None, 12)]),
+        # doc 2: dup of "shared nav" (dropped), blank text span (kept),
+        # its own unique line
+        ("2", [("text", "shared nav", None, 2),
+               ("text", "   ", None, 5),
+               ("text", "only in two", None, 8)]),
+        # doc 3: within-doc duplicate of its own line — second drops
+        ("3", [("text", "thrice line", None, 1),
+               ("text", "thrice line", None, 7),
+               ("media", None, "img://3/0", 9)]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+
+
+def test_dedup_spans_canonical_media_and_order(spark):
+    out = D.dedup_spans_corpus(_mk_span_docs(spark)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r.ord)
+    # doc 1 keeps everything (canonical "shared nav", media, unique)
+    assert [(r.kind, r.text, r.ord) for r in by_doc["1"]] == [
+        ("text", "shared nav", 0), ("media", None, 1), ("text", "unique to one", 2)
+    ]
+    # doc 2: dup "shared nav" dropped; blank kept; order re-ranked dense
+    assert [(r.kind, (r.text or "").strip(), r.ord) for r in by_doc["2"]] == [
+        ("text", "", 0), ("text", "only in two", 1)
+    ]
+    # doc 3: within-doc dup dropped, media kept, order dense
+    assert [(r.kind, r.ord) for r in by_doc["3"]] == [
+        ("text", 0), ("media", 1)
+    ]
+    # media refs survive untouched
+    assert by_doc["1"][1].media_ref == "img://1/0"
+
+
+def test_dup_span_index_only_duplicated(spark):
+    idx = {r.span_md5: (r.canonical_doc_id, r.canonical_offset)
+           for r in D.dup_span_index(_mk_span_docs(spark)).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert md5("shared nav") in idx and idx[md5("shared nav")] == ("1", 4)
+    assert md5("thrice line") in idx and idx[md5("thrice line")] == ("3", 1)
+    assert md5("unique to one") not in idx  # singletons absent from the index
+
+
+# --- per-host template-line removal ------------------------------------------
+
+
+def _mk_host_docs(spark):
+    rows = []
+    # host A: 6 docs; nav on all, cookie on 4/6 (>=0.5), promo on 1/6 (<0.5)
+    for i in range(6):
+        lines = ["top nav bar", f"body content {i} alpha"]
+        if i < 4:
+            lines.append("cookie banner text")
+        if i == 0:
+            lines.append("promo line rare")
+        rows.append((f"a{i}", "hostA", "\n".join(lines)))
+    # host B: 3 docs (< min_docs=5) — nothing is template even at 100%
+    for i in range(3):
+        rows.append((f"b{i}", "hostB", "top nav bar\nbody b {i}"))
+    return spark.createDataFrame(rows, "doc_id string, source string, text string")
+
+
+def test_host_templates_threshold_and_min_docs(spark):
+    out = {r.doc_id: r for r in D.remove_host_templates(_mk_host_docs(spark)).collect()}
+    # hostA: nav + cookie are template; promo + body survive
+    a0 = out["a0"]
+    assert "top nav bar" not in a0.text and "cookie banner" not in a0.text
+    assert "promo line rare" in a0.text and "body content 0 alpha" in a0.text
+    assert a0.n_removed == 2
+    a5 = out["a5"]  # no cookie on a5
+    assert a5.text == "body content 5 alpha" and a5.n_removed == 1
+    # hostB below min_docs: untouched
+    b0 = out["b0"]
+    assert "top nav bar" in b0.text and b0.n_removed == 0
+
+
+def test_host_template_index_keys(spark):
+    idx = D.host_template_index(_mk_host_docs(spark)).collect()
+    hosts = {r.host for r in idx}
+    assert hosts == {"hostA"}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    keys = {r.line_md5 for r in idx}
+    assert keys == {md5("top nav bar"), md5("cookie banner text")}
