@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_containment",
     "dedup_clusters",
     "dedup_lines",
+    "dedup_spans",
+    "host_templates",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
@@ -117,6 +119,7 @@ HEADLINE = [
     "robots_sitemaps",
     "sitemap_entries",
     "crawl_frontier",
+    "crawl_diff",
     "feed_entries",
     "feed_links",
     "html_meta",

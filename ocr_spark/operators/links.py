@@ -1007,3 +1007,37 @@ def host_stats(edges: DataFrame) -> DataFrame:
         F.coalesce(F.col("in_links"), F.lit(0)).cast("long").alias("in_links"),
         F.coalesce(F.col("self_links"), F.lit(0)).cast("long").alias("self_links"),
     )
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two crawl drops keyed on the (canonical) URL:
+    per page, 'added' / 'removed' / 'changed' / 'unchanged' by content
+    digest — the incremental-recrawl planner's input (recrawl cadence keys
+    on change rate, frontier GC keys on removals).
+
+    Plan: digests compute MAP-SIDE (md5 of the body before any shuffle, so
+    page bytes move zero times), then one groupBy per drop on the url key
+    (min-digest canonicalizes within-drop URL repeats deterministically;
+    partial agg) and a co-partitioned full outer join of the two digest
+    tables — at crawl scale both sides are (url, 32-byte md5) rows, not
+    documents. Returns (url, status, old_md5, new_md5)."""
+    o = old.groupBy(F.col(url_col).alias("url")).agg(
+        F.min(F.md5(F.coalesce(F.col(text_col), F.lit("")))).alias("old_md5")
+    )
+    n = new.groupBy(F.col(url_col).alias("url")).agg(
+        F.min(F.md5(F.coalesce(F.col(text_col), F.lit("")))).alias("new_md5")
+    )
+    status = (
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") == F.col("new_md5"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "url", "full_outer").select(
+        "url", status.alias("status"), "old_md5", "new_md5"
+    )

@@ -7279,6 +7279,54 @@ def q_frontier_schedule(spark: SparkSession, sf: str) -> DataFrame:
     return LK.frontier_schedule(frontier, delays)
 
 
+@_q(
+    "crawl_diff",
+    """
+WITH cdu AS (
+  SELECT 'https://site' || (doc_id % 7)::VARCHAR || '.example/p/' || doc_id::VARCHAR AS url,
+         doc_id, coalesce(text, '') AS text
+  FROM documents
+),
+cdo AS (SELECT url, min(md5(text)) AS old_md5 FROM cdu WHERE doc_id % 4 != 3 GROUP BY url),
+cdn AS (SELECT url, min(md5(CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END)) AS new_md5
+        FROM cdu WHERE doc_id % 4 != 1 GROUP BY url),
+cdj AS (SELECT coalesce(o.url, n.url) AS url, o.old_md5, n.new_md5
+        FROM cdo o FULL OUTER JOIN cdn n ON o.url = n.url)
+SELECT url,
+       CASE WHEN old_md5 IS NULL THEN 'added'
+            WHEN new_md5 IS NULL THEN 'removed'
+            WHEN old_md5 = new_md5 THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_md5, new_md5
+FROM cdj""",
+)
+def q_crawl_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl snapshot diff: two derived drops of the same site family
+    (drop boundaries and the 'updated' mutation keyed on doc_id residues)
+    full-outer-joined on url by content digest — added / removed /
+    changed / unchanged per page, digests computed map-side."""
+    docs = D.load(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    base = docs.select(
+        "doc_id", url.alias("url"), F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    old = base.filter(F.col("doc_id") % 4 != 3).select("url", "text")
+    new = base.filter(F.col("doc_id") % 4 != 1).select(
+        "url",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return LK.crawl_diff(old, new)
+
+
 
 
 def _feed_fixture(docs: DataFrame) -> DataFrame:

@@ -787,3 +787,55 @@ def test_frontier_schedule_timeline(spark):
     assert got[("a.example", 2)] == (2500, 2500)
     assert got[("b.example", 1)] == (1000, 0)  # default politeness
     assert got[("b.example", 2)] == (1000, 1000)
+
+
+# --- crawl snapshot diff ------------------------------------------------------
+
+
+def test_crawl_diff_all_statuses(spark):
+    from ocr_spark.operators.links import crawl_diff
+
+    old = spark.createDataFrame(
+        [
+            ("u/keep", "same body"),
+            ("u/edit", "old body"),
+            ("u/gone", "was here"),
+            ("u/dup", "zz"),  # within-drop URL repeat: min-md5 canonical
+            ("u/dup", "aa"),
+        ],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("u/keep", "same body"),
+            ("u/edit", "new body"),
+            ("u/born", "fresh page"),
+            ("u/dup", "aa"),
+        ],
+        "url string, text string",
+    )
+    out = {r.url: r for r in crawl_diff(old, new).collect()}
+    assert out["u/keep"].status == "unchanged"
+    assert out["u/edit"].status == "changed"
+    assert out["u/gone"].status == "removed" and out["u/gone"].new_md5 is None
+    assert out["u/born"].status == "added" and out["u/born"].old_md5 is None
+    # min-digest canonicalization: md5("aa") < md5("zz") picks "aa" -> unchanged
+    import hashlib
+
+    lo = min(hashlib.md5(b"aa").hexdigest(), hashlib.md5(b"zz").hexdigest())
+    assert out["u/dup"].old_md5 == lo
+    assert out["u/dup"].status == (
+        "unchanged" if lo == hashlib.md5(b"aa").hexdigest() else "changed"
+    )
+    assert len(out) == 5
+
+
+def test_crawl_diff_null_text_and_empty_drop(spark):
+    from ocr_spark.operators.links import crawl_diff
+
+    old = spark.createDataFrame([("u/n", None)], "url string, text string")
+    new = spark.createDataFrame([], "url string, text string")
+    out = crawl_diff(old, new).collect()
+    assert len(out) == 1 and out[0].status == "removed"
+    # null body digests as empty string, never raises
+    assert out[0].old_md5 is not None
