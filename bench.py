@@ -82,6 +82,7 @@ HEADLINE = [
     "events_rollup",
     "corpus_sample",
     "pii_scrub",
+    "pii_scrub_spans",
     "upload_validate",
     "corpus_splits",
     "splits_by_cluster",

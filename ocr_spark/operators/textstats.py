@@ -380,6 +380,66 @@ def pii_scrub(text: Column) -> dict[str, Column]:
     return out
 
 
+def pii_scrub_spans(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """PII redaction over the interleaved span shape: text spans are
+    scrubbed IN PLACE (same sequential regexp chain as :func:`pii_scrub`),
+    media spans pass through untouched, and the (kind, media_ref, offset)
+    interleaving is preserved — so extraction output stays interleaved
+    through curation instead of being flattened to text and losing its
+    media alignment. Pure expressions inside one ``transform`` plus one
+    ``aggregate`` per counter — no shuffle, no explode; whole-stage
+    codegen end to end. Returns the input columns with ``spans`` redacted
+    plus per-document counts (n_url, n_email, n_ip, n_phone)."""
+
+    def redact(t: Column) -> Column:
+        x = F.coalesce(t, F.lit(""))
+        for _name, pat, token in PII_PATTERNS:
+            x = F.regexp_replace(x, pat, token)
+        return x
+
+    def scrub_span(s: Column) -> Column:
+        return F.struct(
+            s["kind"].alias("kind"),
+            F.when(s["kind"] == "media", s["text"])
+            .otherwise(redact(s["text"]))
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        )
+
+    def count_kind(pat: str) -> Column:
+        # sequential-chain semantics: each pattern counts on the text with
+        # all PRIOR patterns already replaced, matching pii_scrub exactly
+        return F.aggregate(
+            F.col(spans_col),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.when(
+                s["kind"] != "media",
+                F.regexp_count(_pii_prior(s["text"], pat), F.lit(pat)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+
+    def _pii_prior(t: Column, upto_pat: str) -> Column:
+        x = F.coalesce(t, F.lit(""))
+        for _name, pat, token in PII_PATTERNS:
+            if pat == upto_pat:
+                break
+            x = F.regexp_replace(x, pat, token)
+        return x
+
+    out = docs.withColumn(
+        "_scrubbed", F.transform(F.col(spans_col), scrub_span)
+    )
+    for name, pat, _tok in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", count_kind(pat))
+    return out.drop(spans_col).withColumnRenamed("_scrubbed", spans_col)
+
+
 def top_terms(docs, k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
     """Per-document salient terms: TF × linear rarity weight.
 

@@ -916,6 +916,87 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "pii_scrub_spans",
+    f"""
+WITH {{span_ctes}},
+ppa AS (
+  SELECT doc_id, kind, media_ref, "offset",
+         CASE WHEN kind = 'media' THEN text
+              WHEN (doc_id + i) % 4 = 0 THEN text || ' contact user' || doc_id::VARCHAR || '@example.com'
+              WHEN (doc_id + i) % 4 = 1 THEN text || ' see https://example.org/p/' || doc_id::VARCHAR || '?x=1'
+              WHEN (doc_id + i) % 4 = 2 THEN text || ' at 10.0.' || (doc_id % 256)::VARCHAR || '.7 or +1 (555) 123-4567'
+              ELSE text END AS t0
+  FROM span_rows
+),
+pps AS (
+  SELECT doc_id, kind, media_ref, "offset",
+         {{stages}}
+  FROM ppa
+)
+SELECT doc_id, kind,
+       CASE WHEN kind = 'media' THEN t0 ELSE redacted END AS text,
+       media_ref, "offset",
+       (sum(n_url) OVER (PARTITION BY doc_id))::BIGINT AS n_url,
+       (sum(n_email) OVER (PARTITION BY doc_id))::BIGINT AS n_email,
+       (sum(n_ip) OVER (PARTITION BY doc_id))::BIGINT AS n_ip,
+       (sum(n_phone) OVER (PARTITION BY doc_id))::BIGINT AS n_phone
+FROM pps""".replace("{span_ctes}", D.SQL_SPAN_CORPUS).replace(
+        "{stages}", _sql_pii_stages().replace(" AS redacted", " AS redacted")
+        + ", t0"
+    ),
+)
+def q_pii_scrub_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction on the interleaved span shape: text spans scrubbed in
+    place (same sequential chain as pii_scrub), media spans untouched,
+    interleaving preserved; per-doc counts. Augmentation keyed on
+    (doc_id + span index) residues so every pattern fires inside spans."""
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    did = F.col("doc_id").cast("string")
+
+    def aug(s: Column) -> Column:
+        i = F.floor(s["offset"] / 16).cast("long")
+        r = (F.col("doc_id") + i) % 4
+        t = (
+            F.when(s["kind"] == "media", s["text"])
+            .when(r == 0, F.concat(s["text"], F.lit(" contact user"), did, F.lit("@example.com")))
+            .when(r == 1, F.concat(s["text"], F.lit(" see https://example.org/p/"), did, F.lit("?x=1")))
+            .when(
+                r == 2,
+                F.concat(
+                    s["text"],
+                    F.lit(" at 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7 or +1 (555) 123-4567"),
+                ),
+            )
+            .otherwise(s["text"])
+        )
+        return F.struct(
+            s["kind"].alias("kind"),
+            t.alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        )
+
+    aug_df = corpus.select("doc_id", F.transform("spans", aug).alias("spans"))
+    out = TS.pii_scrub_spans(aug_df)
+    ex = out.select(
+        "doc_id", "n_url", "n_email", "n_ip", "n_phone", F.explode("spans").alias("s")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+        "n_url",
+        "n_email",
+        "n_ip",
+        "n_phone",
+    )
+
+
+@_q(
     "top_terms",
     f"""
 WITH tw AS (

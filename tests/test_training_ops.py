@@ -2433,3 +2433,54 @@ def test_host_template_index_keys(spark):
     md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
     keys = {r.line_md5 for r in idx}
     assert keys == {md5("top nav bar"), md5("cookie banner text")}
+
+
+# --- PII scrub on the interleaved span shape ----------------------------------
+
+
+def test_pii_scrub_spans_in_place_media_untouched(spark):
+    docs = spark.createDataFrame(
+        [
+            ("1", [("text", "mail me at bob@x.example.com now", None, 0),
+                   ("media", None, "img://1/0", 16),
+                   ("text", "see https://a.example/p?q=1 and 10.0.0.7", None, 32)]),
+            ("2", [("text", "call +1 (555) 123-4567 twice +44 20 7946 0958", None, 0)]),
+            ("3", []),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = {r.doc_id: r for r in TS.pii_scrub_spans(docs).collect()}
+    d1 = out["1"]
+    assert d1.n_email == 1 and d1.n_url == 1 and d1.n_ip == 1 and d1.n_phone == 0
+    texts = [s.text for s in d1.spans]
+    assert texts[0] == "mail me at <EMAIL> now"
+    assert texts[1] is None  # media text untouched (null stays null)
+    assert "<URL>" in texts[2] and "<IP>" in texts[2]
+    # media_ref and offsets preserved
+    assert d1.spans[1].media_ref == "img://1/0" and d1.spans[2].offset == 32
+    d2 = out["2"]
+    assert d2.n_phone == 2 and "<PHONE>" in d2.spans[0].text
+    d3 = out["3"]
+    assert d3.n_url == 0 and d3.spans == []
+
+
+def test_pii_scrub_spans_matches_flat_scrub(spark):
+    """Span-shape scrub == flat pii_scrub on each span's text."""
+    txt = "x bob@x.example v https://a.example/p 10.1.2.3 +7 905 123-45-67"
+    docs = spark.createDataFrame(
+        [("1", [("text", txt, None, 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    flat = spark.createDataFrame([("1", txt)], "doc_id string, text string")
+    p = TS.pii_scrub(F.col("text"))
+    frow = flat.select(
+        p["redacted"].alias("r"), p["n_url"].alias("u"), p["n_email"].alias("e"),
+        p["n_ip"].alias("i"), p["n_phone"].alias("p")
+    ).collect()[0]
+    srow = TS.pii_scrub_spans(docs).collect()[0]
+    assert srow.spans[0].text == frow.r
+    assert (srow.n_url, srow.n_email, srow.n_ip, srow.n_phone) == (
+        frow.u, frow.e, frow.i, frow.p
+    )
