@@ -134,6 +134,7 @@ HEADLINE = [
     "html_tables",
     "html_headings",
     "html_sections",
+    "html_markdown",
     "jsonld_blocks",
     "url_canonical",
     "host_graph",

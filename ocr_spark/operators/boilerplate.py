@@ -1374,3 +1374,63 @@ def jsonld_blocks(
         web_date_iso(dp).alias("pub_date"),
         raw.alias("raw_json"),
     )
+
+
+# --- markdown emit (resiliparse/trafilatura-style structured output) ----------
+
+# Ordered (pattern, replacement) chain shared verbatim with the DuckDB twin
+# (entry_queries builds the SQL from this table) — patterns avoid every
+# Java-regex/RE2 divergence: no backreferences in patterns, lazy
+# quantifiers + inline (?is) flags only. Replacement syntax differs per
+# engine ($1 vs \1), so replacements are stored with a {1}/{2} placeholder.
+MD_CHAIN: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script\b[^>]*>.*?</script>", ""),
+    (r"(?is)<style\b[^>]*>.*?</style>", ""),
+    (r"(?s)<!--.*?-->", ""),
+    (r'(?is)<a\b[^>]*\bhref="([^"]*)"[^>]*>(.*?)</a>', "[{2}]({1})"),
+    (r"(?is)<(?:strong|b)\b[^>]*>(.*?)</(?:strong|b)>", "**{1}**"),
+    (r"(?is)<(?:em|i)\b[^>]*>(.*?)</(?:em|i)>", "*{1}*"),
+    (r"(?is)<code\b[^>]*>(.*?)</code>", "`{1}`"),
+    (r"(?is)<h1\b[^>]*>(.*?)</h1>", "\n\n# {1}\n\n"),
+    (r"(?is)<h2\b[^>]*>(.*?)</h2>", "\n\n## {1}\n\n"),
+    (r"(?is)<h3\b[^>]*>(.*?)</h3>", "\n\n### {1}\n\n"),
+    (r"(?is)<h4\b[^>]*>(.*?)</h4>", "\n\n#### {1}\n\n"),
+    (r"(?is)<h5\b[^>]*>(.*?)</h5>", "\n\n##### {1}\n\n"),
+    (r"(?is)<h6\b[^>]*>(.*?)</h6>", "\n\n###### {1}\n\n"),
+    (r"(?is)<li\b[^>]*>(.*?)</li>", "\n- {1}"),
+    (r"(?i)<br\s*/?>", "\n"),
+    (
+        r"(?i)</(?:p|div|ul|ol|table|tr|section|article|header|footer|blockquote)>",
+        "\n\n",
+    ),
+    (r"(?s)<[^>]*>", ""),
+    # five predefined entities, &amp; last (same discipline as feed parse)
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    # whitespace discipline: collapse runs, trim around newlines, cap
+    # blank runs at one empty line, global trim
+    (r"[ \t]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{3,}", "\n\n"),
+    (r"^\s+|\s+$", ""),
+)
+
+
+def html_to_markdown(html: Column) -> Column:
+    """Markdown emit for extraction pipelines (the structured-output mode
+    of resiliparse / trafilatura): headings -> #-prefixes, anchors ->
+    [text](url), strong/em/code -> **/*/backtick, list items -> '- ',
+    block closers -> paragraph breaks, then tag strip + entity decode +
+    whitespace discipline. One whole-stage-codegen'd regexp chain — no
+    DOM, no Python — shared verbatim (MD_CHAIN) with the DuckDB oracle.
+    A documented SUBSET: double-quoted hrefs only, no CDATA, no nested
+    same-tag occurrences inside a lazy group (real crawl HTML goes
+    through the boilerplate extractors first; this emitter formats the
+    kept content)."""
+    t = F.coalesce(html, F.lit(""))
+    for pat, repl in MD_CHAIN:
+        t = F.regexp_replace(t, pat, repl.replace("{1}", "$1").replace("{2}", "$2"))
+    return t

@@ -5595,6 +5595,61 @@ def q_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     return extract_html_documents(docs.select("doc_id", html.alias("html")))
 
 
+def _sql_md_chain(t: str) -> str:
+    """boilerplate.MD_CHAIN as one nested DuckDB regexp_replace chain —
+    the SQL is GENERATED from the same ordered table the Spark operator
+    runs, so the two engines cannot drift."""
+    from ocr_spark.operators.boilerplate import MD_CHAIN
+
+    expr = t
+    for pat, repl in MD_CHAIN:
+        p = pat.replace("'", "''")
+        r = repl.replace("{1}", "\\1").replace("{2}", "\\2").replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return expr
+
+
+@_q(
+    "html_markdown",
+    f"""
+WITH md_src AS (
+  SELECT doc_id,
+         '<h1>Doc <b>' || doc_id::VARCHAR || '</b></h1><p>' ||
+         array_to_string((regexp_split_to_array(regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g'), '\\s+'))[1:16], ' ') ||
+         ' &amp; more</p><h2>Details</h2><p>See <a href="https://site' ||
+         (doc_id % 7)::VARCHAR || '.example/p/' || doc_id::VARCHAR ||
+         '">the page</a> and <code>x=1</code>.<br>Line two with <em>emphasis</em>.</p>' ||
+         '<ul><li>alpha ' || (doc_id % 10)::VARCHAR || '</li><li>beta</li></ul>' ||
+         '<script>var x = 1;</script>' AS html
+  FROM documents
+)
+SELECT doc_id, {_sql_md_chain('html')} AS markdown FROM md_src""",
+)
+def q_html_markdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Markdown emit (boilerplate.html_to_markdown) over a deterministic
+    article page: heading with inline bold, body paragraph from the doc's
+    own words, link, code, br, em, a list, and a script block that must
+    vanish."""
+    from ocr_spark.operators.boilerplate import html_to_markdown
+    from ocr_spark.functions.text import py_strip
+
+    docs = D.load(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    first16 = F.array_join(
+        F.slice(F.split(py_strip(F.coalesce(F.col("text"), F.lit(""))), r"\s+"), 1, 16),
+        " ",
+    )
+    html = F.concat(
+        F.lit("<h1>Doc <b>"), did, F.lit("</b></h1><p>"),
+        first16,
+        F.lit(' &amp; more</p><h2>Details</h2><p>See <a href="https://site'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p/"), did,
+        F.lit('">the page</a> and <code>x=1</code>.<br>Line two with <em>emphasis</em>.</p>'),
+        F.lit("<ul><li>alpha "), (F.col("doc_id") % 10).cast("string"),
+        F.lit("</li><li>beta</li></ul><script>var x = 1;</script>"),
+    )
+    return docs.select("doc_id", html_to_markdown(html).alias("markdown"))
 
 
 _HTML_WRAP_RB_SQL = (

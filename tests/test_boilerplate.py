@@ -671,3 +671,39 @@ def test_jsonld_blocks_extraction(spark):
     assert a["pub_date"] == "2026-01-02"
     assert '"@type": "Article"' in a["raw_json"]
     assert rows[1]["ld_type"] == "Person" and rows[1]["pub_date"] == ""
+
+
+# --- markdown emit ------------------------------------------------------------
+
+
+def test_html_to_markdown_elements(spark):
+    from ocr_spark.operators.boilerplate import html_to_markdown
+
+    html = (
+        "<h1>Title <b>bold</b></h1>"
+        "<p>Para one &amp; stuff.</p>"
+        '<p>See <a href="https://x.example/p">the page</a> and <code>y=2</code>.'
+        "<br>Second line with <em>soft</em> text.</p>"
+        "<ul><li>alpha</li><li>beta</li></ul>"
+        "<script>var hidden = 1;</script><!-- gone -->"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    md = df.select(html_to_markdown(F.col("html")).alias("m")).collect()[0].m
+    assert md.startswith("# Title **bold**")
+    assert "Para one & stuff." in md
+    assert "[the page](https://x.example/p)" in md
+    assert "`y=2`" in md
+    assert "*soft*" in md
+    assert "- alpha\n- beta" in md
+    assert "hidden" not in md and "gone" not in md
+    assert "\n\n\n" not in md and not md.endswith("\n")
+
+
+def test_html_to_markdown_empty_and_null(spark):
+    from ocr_spark.operators.boilerplate import html_to_markdown
+
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "plain text")],
+                               "doc_id long, html string")
+    out = {r.doc_id: r.m for r in df.select(
+        "doc_id", html_to_markdown(F.col("html")).alias("m")).collect()}
+    assert out[1] == "" and out[2] == "" and out[3] == "plain text"
