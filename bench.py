@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "extract_documents",
     "spans_assemble",
+    "span_lang_runs",
     "metrics_pairwise",
     "metrics_rollup",
     "fields_extract",

@@ -28,7 +28,7 @@ deterministic):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ocr_spark import config
@@ -198,4 +198,63 @@ def _assemble_salted(kept: DataFrame, salt_chunk: int) -> DataFrame:
                 i.cast("int").alias("order"),
             ),
         ).cast(_OUT_SPAN_TYPE).alias("spans"),
+    )
+
+
+def span_language_runs(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Language segmentation of interleaved documents: contiguous runs of
+    same-language TEXT spans (per-span language from the pdf-path line
+    heuristic, functions.text.line_language) become segments — the
+    multilingual-curation unit (per-segment language filters, translation-
+    pair mining, per-language token budgets) for corpora where documents
+    interleave languages mid-stream. Media spans are transparent: they
+    neither carry a language nor break a run.
+
+    Plan: explode → per-span language (pure expressions) → gaps-and-
+    islands with two per-document windows (lag-change flag, running sum) —
+    window keys are doc-level, so skew follows document size, which the
+    corpus's mega-doc handling already bounds upstream.
+
+    Returns (doc_id, run_id, lang, n_spans, first_offset, last_offset,
+    text = space-joined run text)."""
+    from ocr_spark.functions.text import line_language
+
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(spans_col).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").alias("offset"),
+    )
+    txt = rows.filter(F.col("kind") != "media").withColumn(
+        "lang", line_language(F.col("text"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    flagged = txt.withColumn(
+        "chg",
+        F.when(
+            F.lag("lang").over(w).isNull() | (F.lag("lang").over(w) != F.col("lang")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return flagged.groupBy("doc_id", "run_id").agg(
+        # every span in a run shares lang by construction; min() is the
+        # deterministic pick (first() is order-dependent after a shuffle)
+        F.min("lang").alias("lang"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.min("offset").cast("long").alias("first_offset"),
+        F.max("offset").cast("long").alias("last_offset"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                lambda s: s["text"],
+            ),
+        ).alias("text"),
     )

@@ -4684,6 +4684,57 @@ def q_spans_assemble_stream(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "span_lang_runs",
+    f"""
+WITH {D.SQL_SPAN_CORPUS},
+slr AS (
+  SELECT doc_id, "offset",
+         CASE WHEN (doc_id + i) % 3 = 1 THEN 'русский текст номер ' || i::VARCHAR
+              ELSE text END AS text
+  FROM span_rows WHERE kind != 'media'
+),
+sll AS (SELECT doc_id, "offset", text, {_sql_line_lang('text')} AS lang FROM slr),
+slf AS (
+  SELECT doc_id, "offset", text, lang,
+         CASE WHEN lag(lang) OVER w IS NULL OR lag(lang) OVER w != lang
+              THEN 1 ELSE 0 END AS chg
+  FROM sll WINDOW w AS (PARTITION BY doc_id ORDER BY "offset")
+),
+slrun AS (
+  SELECT doc_id, "offset", text, lang,
+         (sum(chg) OVER (PARTITION BY doc_id ORDER BY "offset"))::BIGINT AS run_id
+  FROM slf
+)
+SELECT doc_id, run_id, min(lang) AS lang, count(*)::BIGINT AS n_spans,
+       min("offset")::BIGINT AS first_offset, max("offset")::BIGINT AS last_offset,
+       string_agg(text, ' ' ORDER BY "offset") AS text
+FROM slrun GROUP BY doc_id, run_id""",
+)
+def q_span_lang_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """Language segmentation of interleaved documents (spans.
+    span_language_runs): contiguous same-language text-span runs become
+    segments; media spans are transparent. A residue-keyed Russian
+    rewrite of every third span makes real ru/en alternation."""
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+
+    def aug(s: Column) -> Column:
+        i = F.floor(s["offset"] / 16).cast("long")
+        t = F.when(
+            (s["kind"] != "media") & ((F.col("doc_id") + i) % 3 == 1),
+            F.concat(F.lit("русский текст номер "), i.cast("string")),
+        ).otherwise(s["text"])
+        return F.struct(
+            s["kind"].alias("kind"),
+            t.alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        )
+
+    aug_df = corpus.select("doc_id", F.transform("spans", aug).alias("spans"))
+    return SP.span_language_runs(aug_df)
+
+
+@_q(
     "extract_documents",
     f"""
 WITH {_SQL_KEPT_SPANS},

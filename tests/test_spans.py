@@ -80,3 +80,33 @@ def test_assembly_plan_has_two_aggregates(spark, docs, tmp_path_factory):
     df = spark.read.parquet(path)
     plan = extract_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") >= 2  # salt shuffle + doc_id shuffle
+
+
+# --- language runs over interleaved spans -------------------------------------
+
+
+def test_span_language_runs_segments_and_media_transparent(spark):
+    from ocr_spark.operators.spans import span_language_runs
+
+    docs = spark.createDataFrame(
+        [
+            ("1", [("text", "hello english words", None, 0),
+                   ("media", None, "img://1/0", 16),       # transparent
+                   ("text", "more english here", None, 32),
+                   ("text", "привет русский текст", None, 48),
+                   ("text", "ещё русская строка", None, 64),
+                   ("text", "back to english", None, 80)]),
+            ("2", [("media", None, "img://2/0", 0)]),       # media-only doc
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = [r for r in span_language_runs(docs).collect()]
+    runs = sorted([r for r in out if r.doc_id == "1"], key=lambda r: r.run_id)
+    assert [(r.lang, r.n_spans) for r in runs] == [("en", 2), ("ru", 2), ("en", 1)]
+    # the media span did not break the first run
+    assert runs[0].text == "hello english words more english here"
+    assert runs[0].first_offset == 0 and runs[0].last_offset == 32
+    assert runs[1].text == "привет русский текст ещё русская строка"
+    # media-only doc yields no runs
+    assert not [r for r in out if r.doc_id == "2"]
