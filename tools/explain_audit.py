@@ -49,6 +49,12 @@ ACCEPTED = {
         "aggregates (one row per host — already orders of magnitude below "
         "the corpus), so the SMJ sorts the host table, not the crawl"
     ),
+    ("crawl_diff", "SortMergeJoin"): (
+        "the old-drop ⟕⟖ new-drop FULL OUTER join on url: Spark cannot "
+        "broadcast a full-outer join, and both sides are drop-sized (url, "
+        "md5) digest tables — the SMJ moves 40-byte rows, never page bodies "
+        "(digests are computed map-side before the shuffle)"
+    ),
     ("search_hybrid_rrf", "SortMergeJoin"): (
         "rrf_fuse's FULL OUTER join of the two top-k ranker outputs: Spark "
         "cannot broadcast a full-outer join at all, and both inputs are "
@@ -139,6 +145,12 @@ AUDIT = [
     "html_headings",
     "html_sections",
     "jsonld_blocks",
+    "dedup_spans",
+    "host_templates",
+    "crawl_diff",
+    "pii_scrub_spans",
+    "html_markdown",
+    "span_lang_runs",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
