@@ -26,6 +26,7 @@ HEADLINE = [
     "extract_documents",
     "spans_assemble",
     "span_lang_runs",
+    "spans_markdown",
     "metrics_pairwise",
     "metrics_rollup",
     "fields_extract",

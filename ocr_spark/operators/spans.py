@@ -258,3 +258,44 @@ def span_language_runs(
             ),
         ).alias("text"),
     )
+
+
+def spans_to_markdown(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Render interleaved documents as markdown — the trainer/reader
+    export format for the extraction pipeline's output: text spans become
+    paragraphs (blank-line separated), media spans become image links
+    (``![media](ref)``) at their exact interleave position, so the
+    document reads top-to-bottom exactly as extracted. Pure array
+    expressions over the span array — no explode, no shuffle; ordering is
+    the spans' own offset order (assembly already sorted them).
+
+    Returns (doc_id, markdown, n_text, n_media)."""
+    spans = F.col(spans_col)
+    sorted_spans = F.array_sort(
+        F.transform(
+            spans,
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        )
+    )
+    rendered = F.transform(
+        sorted_spans,
+        lambda s: F.when(
+            s["kind"] == "media",
+            F.concat(F.lit("!["), s["kind"], F.lit("]("),
+                     F.coalesce(s["media_ref"], F.lit("")), F.lit(")")),
+        ).otherwise(F.coalesce(s["text"], F.lit(""))),
+    )
+    n_of = lambda k: F.size(F.filter(spans, lambda s: s["kind"] == k))  # noqa: E731
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(F.filter(rendered, lambda t: t != ""), "\n\n").alias("markdown"),
+        n_of("text").cast("long").alias("n_text"),
+        F.size(F.filter(spans, lambda s: s["kind"] == "media")).cast("long").alias("n_media"),
+    )

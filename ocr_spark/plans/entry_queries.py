@@ -4735,6 +4735,31 @@ def q_span_lang_runs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "spans_markdown",
+    f"""
+WITH {D.SQL_SPAN_CORPUS},
+smr AS (
+  SELECT doc_id, "offset", kind,
+         CASE WHEN kind = 'media' THEN '![media](' || coalesce(media_ref, '') || ')'
+              ELSE coalesce(text, '') END AS r
+  FROM span_rows
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN r != '' THEN r END, chr(10) || chr(10) ORDER BY "offset"), '') AS markdown,
+       sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)::BIGINT AS n_text,
+       sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)::BIGINT AS n_media
+FROM smr GROUP BY doc_id""",
+)
+def q_spans_markdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Interleaved document -> markdown export (spans.spans_to_markdown):
+    text spans as blank-line-separated paragraphs, media spans as
+    ![media](ref) at their interleave position — the reader/trainer
+    export of the flagship pipeline's output."""
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    return SP.spans_to_markdown(corpus.filter(F.size("spans") > 0))
+
+
+@_q(
     "extract_documents",
     f"""
 WITH {_SQL_KEPT_SPANS},

@@ -110,3 +110,25 @@ def test_span_language_runs_segments_and_media_transparent(spark):
     assert runs[1].text == "привет русский текст ещё русская строка"
     # media-only doc yields no runs
     assert not [r for r in out if r.doc_id == "2"]
+
+
+def test_spans_to_markdown_interleave_and_counts(spark):
+    from ocr_spark.operators.spans import spans_to_markdown
+
+    docs = spark.createDataFrame(
+        [
+            ("1", [("text", "first para", None, 0),
+                   ("media", None, "img://1/0", 16),
+                   ("text", "second para", None, 32),
+                   ("text", "", None, 48)]),          # empty text skipped
+            ("2", [("media", None, None, 0)]),         # null ref -> empty parens
+            ("3", []),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = {r.doc_id: r for r in spans_to_markdown(docs).collect()}
+    assert out["1"].markdown == "first para\n\n![media](img://1/0)\n\nsecond para"
+    assert out["1"].n_text == 3 and out["1"].n_media == 1
+    assert out["2"].markdown == "![media]()" and out["2"].n_media == 1
+    assert out["3"].markdown == "" and out["3"].n_text == 0
