@@ -54,6 +54,7 @@ HEADLINE = [
     "token_stats",
     "top_terms",
     "gopher_quality",
+    "gopher_repetition",
     "lm_surprisal",
     "dedup_paragraphs",
     "c4_filters",

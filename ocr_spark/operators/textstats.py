@@ -2457,3 +2457,158 @@ def decontaminate_sentences(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+# --- Gopher repetition battery (Rae et al. 2021 §A.1.1, the dup-ngram half) ---
+
+# published thresholds: fraction of characters inside DUPLICATED n-grams
+GOPHER_DUP_NGRAM_MAX_FRAC: tuple[tuple[int, float], ...] = (
+    (5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10),
+)
+
+
+def gopher_repetition(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_frac: float = 0.30,
+    max_dup_para_char_frac: float = 0.20,
+    dup_ngram_max_frac: tuple[tuple[int, float], ...] = GOPHER_DUP_NGRAM_MAX_FRAC,
+):
+    """The OTHER half of the Gopher repetition rules (Rae et al. 2021
+    §A.1.1; :func:`gopher_quality` carries the top-2/3/4-gram and
+    dup-line-char rules): duplicate LINE and PARAGRAPH fractions by count
+    and by character, and for n = 5..10 the fraction of word characters
+    covered by n-grams that occur more than once. Coverage is
+    positional-union (DataTrove semantics): a word under three
+    overlapping duplicated 5-grams counts once — computed exactly, not
+    approximated, by expanding duplicated-gram start positions to covered
+    word indexes and de-duplicating them.
+
+    Definitions shared with the DuckDB twin: words = lowered whitespace
+    tokens; lines = trimmed non-empty '\\n' segments; paragraphs = trimmed
+    non-empty '\\n\\n' segments; duplicate-unit fractions count
+    occurrences BEYOND the first (sum(c-1)/sum(c)); char denominators are
+    unit chars (lines/paras) and word chars (n-grams).
+
+    Plan shape (scale notes): ONE gram generation covers all six n values
+    (explode of a flattened per-n struct array — no per-n corpus pass),
+    then every shuffle is keyed on (doc_id[, n, gram]): gram counts
+    partial-aggregate map-side, covered-index expansion is bounded by
+    duplicated-occurrence volume × n, and the per-doc covered-index sets
+    join back doc-keyed. No corpus-wide hot key anywhere.
+
+    Returns (doc_id, frac_dup_lines, frac_dup_line_chars, frac_dup_paras,
+    frac_dup_para_chars, frac_dup_{5..10}gram_chars, repetition_pass)."""
+    ns = [n for n, _ in dup_ngram_max_frac]
+    zero = F.lit(0).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        words_of(F.col(text_col)).alias("w"),
+    ).withColumn("word_chars", F.aggregate(F.col("w"), zero, lambda a, x: a + F.length(x)))
+
+    def unit_fracs(sep: str, cnt_col: str, chr_col: str):
+        units = F.filter(
+            F.transform(F.split(F.col("t"), sep), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+        per = (
+            base.select("doc_id", F.explode(units).alias("u"))
+            .groupBy("doc_id", "u")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return per.groupBy("doc_id").agg(
+            F.round(
+                F.sum(F.col("c") - 1).cast("double") / F.sum("c").cast("double"), 6
+            ).alias(cnt_col),
+            F.round(
+                F.sum((F.col("c") - 1) * F.length("u")).cast("double")
+                / F.sum(F.col("c") * F.length("u")).cast("double"),
+                6,
+            ).alias(chr_col),
+        )
+
+    lines = unit_fracs("\n", "frac_dup_lines", "frac_dup_line_chars")
+    paras = unit_fracs("\n\n", "frac_dup_paras", "frac_dup_para_chars")
+
+    # one generation pass for ALL n: struct<n, i, gram>
+    def grams_for(n: int) -> Column:
+        m = F.size("w")
+        return F.when(
+            m >= n,
+            F.transform(
+                F.sequence(F.lit(1), m - n + 1),
+                lambda i: F.struct(
+                    F.lit(n).cast("int").alias("n"),
+                    i.cast("int").alias("i"),
+                    F.concat_ws(" ", F.slice(F.col("w"), i, n)).alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,i:int,gram:string>>"))
+
+    grams = base.select(
+        "doc_id", F.explode(F.flatten(F.array(*[grams_for(n) for n in ns]))).alias("g")
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+    dup_starts = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"), F.collect_list("i").alias("starts"))
+        .filter(F.col("c") > 1)
+    )
+    covered = (
+        dup_starts.select("doc_id", "n", F.explode("starts").alias("s"))
+        .select("doc_id", "n", F.explode(F.sequence(F.col("s"), F.col("s") + F.col("n") - 1)).alias("widx"))
+        .distinct()
+    )
+    sets = covered.groupBy("doc_id").agg(
+        *[
+            F.collect_set(F.when(F.col("n") == n, F.col("widx"))).alias(f"_cov{n}")
+            for n in ns
+        ]
+    )
+
+    out = (
+        base.join(lines, "doc_id", "left")
+        .join(paras, "doc_id", "left")
+        .join(sets, "doc_id", "left")
+    )
+    w = F.col("w")
+    for n in ns:
+        cov = F.coalesce(F.col(f"_cov{n}"), F.array().cast("array<int>"))
+        cov_chars = F.aggregate(cov, zero, lambda a, j: a + F.length(F.element_at(w, j)))
+        out = out.withColumn(
+            f"frac_dup_{n}gram_chars",
+            F.round(
+                F.when(
+                    F.col("word_chars") > 0,
+                    cov_chars.cast("double") / F.col("word_chars").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    out = out.na.fill(
+        {
+            c: 0.0
+            for c in (
+                "frac_dup_lines", "frac_dup_line_chars",
+                "frac_dup_paras", "frac_dup_para_chars",
+            )
+        }
+    )
+    gate = (
+        (F.col("frac_dup_lines") <= max_dup_line_frac)
+        & (F.col("frac_dup_line_chars") <= max_dup_line_char_frac)
+        & (F.col("frac_dup_paras") <= max_dup_para_frac)
+        & (F.col("frac_dup_para_chars") <= max_dup_para_char_frac)
+    )
+    for n, thr in dup_ngram_max_frac:
+        gate = gate & (F.col(f"frac_dup_{n}gram_chars") <= thr)
+    return out.select(
+        "doc_id",
+        "frac_dup_lines", "frac_dup_line_chars",
+        "frac_dup_paras", "frac_dup_para_chars",
+        *[f"frac_dup_{n}gram_chars" for n in ns],
+        gate.alias("repetition_pass"),
+    )

@@ -851,6 +851,153 @@ def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     return TS.gopher_quality(D.load(spark, sf, "documents"))
 
 
+@_q(
+    "gopher_repetition",
+    f"""
+WITH grw AS (
+  SELECT doc_id, {_words_lower('text')} AS w0 FROM documents
+),
+grfix AS (
+  SELECT doc_id,
+         array_to_string(w0[1:8], ' ') || chr(10) || array_to_string(w0[9:16], ' ') AS para,
+         array_to_string(w0[1:8], ' ') AS line1
+  FROM grw
+),
+grdoc AS (
+  SELECT doc_id,
+         para || chr(10) || chr(10) ||
+         CASE WHEN doc_id % 2 = 0 THEN para
+              ELSE 'unique tail marker ' || doc_id::VARCHAR END ||
+         chr(10) || chr(10) || line1 AS rtext
+  FROM grdoc_src
+),
+gbase AS (
+  SELECT doc_id, rtext AS t, {_words_lower('rtext')} AS w FROM grdoc
+),
+gbase2 AS (
+  SELECT doc_id, t, w,
+         coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS word_chars
+  FROM gbase
+),
+glu AS (
+  SELECT doc_id, u FROM (
+    SELECT doc_id, trim(unnest(string_split(t, chr(10)))) AS u FROM gbase2
+  ) WHERE u != ''
+),
+glc AS (SELECT doc_id, u, count(*) AS c FROM glu GROUP BY 1, 2),
+gla AS (
+  SELECT doc_id,
+         sum(c - 1)::DOUBLE / sum(c)::DOUBLE AS fdl,
+         sum((c - 1) * length(u))::DOUBLE / sum(c * length(u))::DOUBLE AS fdlc
+  FROM glc GROUP BY doc_id
+),
+gpu AS (
+  SELECT doc_id, u FROM (
+    SELECT doc_id, trim(unnest(string_split(t, chr(10) || chr(10)))) AS u FROM gbase2
+  ) WHERE u != ''
+),
+gpc AS (SELECT doc_id, u, count(*) AS c FROM gpu GROUP BY 1, 2),
+gpa AS (
+  SELECT doc_id,
+         sum(c - 1)::DOUBLE / sum(c)::DOUBLE AS fdp,
+         sum((c - 1) * length(u))::DOUBLE / sum(c * length(u))::DOUBLE AS fdpc
+  FROM gpc GROUP BY doc_id
+),
+ggn AS (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n),
+gg AS (
+  SELECT doc_id, n, i, array_to_string(w[i : i + n - 1], ' ') AS gram
+  FROM gbase2, ggn, UNNEST(range(1::BIGINT, (len(w) - n + 2)::BIGINT)) AS s(i)
+),
+ggc AS (
+  SELECT doc_id, n, gram, count(*) AS c, list(i) AS starts
+  FROM gg GROUP BY 1, 2, 3 HAVING count(*) > 1
+),
+ggs AS (SELECT doc_id, n, unnest(starts) AS s FROM ggc),
+gcov AS (
+  SELECT DISTINCT doc_id, n, s + k AS widx
+  FROM ggs, UNNEST(range(0::BIGINT, n::BIGINT)) AS t2(k)
+),
+gcc AS (
+  SELECT c.doc_id, c.n, sum(length(g.w[c.widx])) AS cov_chars
+  FROM gcov c JOIN gbase2 g USING (doc_id)
+  GROUP BY 1, 2
+),
+gnc AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 5 THEN cov_chars END) AS cov5,
+         max(CASE WHEN n = 6 THEN cov_chars END) AS cov6,
+         max(CASE WHEN n = 7 THEN cov_chars END) AS cov7,
+         max(CASE WHEN n = 8 THEN cov_chars END) AS cov8,
+         max(CASE WHEN n = 9 THEN cov_chars END) AS cov9,
+         max(CASE WHEN n = 10 THEN cov_chars END) AS cov10
+  FROM gcc GROUP BY doc_id
+),
+grout AS (
+  SELECT b.doc_id,
+         round(coalesce(gla.fdl, 0), 6) AS frac_dup_lines,
+         round(coalesce(gla.fdlc, 0), 6) AS frac_dup_line_chars,
+         round(coalesce(gpa.fdp, 0), 6) AS frac_dup_paras,
+         round(coalesce(gpa.fdpc, 0), 6) AS frac_dup_para_chars,
+         round(CASE WHEN b.word_chars > 0
+                    THEN coalesce(gnc.cov5, 0)::DOUBLE / b.word_chars::DOUBLE
+                    ELSE 0 END, 6) AS frac_dup_5gram_chars,
+         round(CASE WHEN b.word_chars > 0
+                    THEN coalesce(gnc.cov6, 0)::DOUBLE / b.word_chars::DOUBLE
+                    ELSE 0 END, 6) AS frac_dup_6gram_chars,
+         round(CASE WHEN b.word_chars > 0
+                    THEN coalesce(gnc.cov7, 0)::DOUBLE / b.word_chars::DOUBLE
+                    ELSE 0 END, 6) AS frac_dup_7gram_chars,
+         round(CASE WHEN b.word_chars > 0
+                    THEN coalesce(gnc.cov8, 0)::DOUBLE / b.word_chars::DOUBLE
+                    ELSE 0 END, 6) AS frac_dup_8gram_chars,
+         round(CASE WHEN b.word_chars > 0
+                    THEN coalesce(gnc.cov9, 0)::DOUBLE / b.word_chars::DOUBLE
+                    ELSE 0 END, 6) AS frac_dup_9gram_chars,
+         round(CASE WHEN b.word_chars > 0
+                    THEN coalesce(gnc.cov10, 0)::DOUBLE / b.word_chars::DOUBLE
+                    ELSE 0 END, 6) AS frac_dup_10gram_chars
+  FROM gbase2 b
+  LEFT JOIN gla USING (doc_id)
+  LEFT JOIN gpa USING (doc_id)
+  LEFT JOIN gnc USING (doc_id)
+)
+SELECT *,
+       (frac_dup_lines <= 0.30 AND frac_dup_line_chars <= 0.20
+        AND frac_dup_paras <= 0.30 AND frac_dup_para_chars <= 0.20
+        AND frac_dup_5gram_chars <= 0.15 AND frac_dup_6gram_chars <= 0.14
+        AND frac_dup_7gram_chars <= 0.13 AND frac_dup_8gram_chars <= 0.12
+        AND frac_dup_9gram_chars <= 0.11 AND frac_dup_10gram_chars <= 0.10)
+         AS repetition_pass
+FROM grout""".replace("FROM grdoc_src", "FROM grfix"),
+)
+def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """The dup-ngram half of the Gopher repetition rules
+    (textstats.gopher_repetition): duplicate line/paragraph fractions by
+    count and char, plus positional-union duplicated 5..10-gram char
+    coverage. Facade: para(16 words) + (para again | unique tail) +
+    line1(8 words) — even docs repeat the full paragraph (dup paras, dup
+    5..10-grams), odd docs repeat only the 8-word line (dup 5..8-grams,
+    9/10 clean)."""
+    docs = D.load(spark, sf, "documents")
+    w0 = TS.words_of(F.col("text"))
+    line1 = F.array_join(F.slice(w0, 1, 8), " ")
+    line2 = F.array_join(F.slice(w0, 9, 8), " ")
+    para = F.concat(line1, F.lit("\n"), line2)
+    did = F.col("doc_id").cast("string")
+    rtext = F.concat(
+        para,
+        F.lit("\n\n"),
+        F.when(F.col("doc_id") % 2 == 0, para).otherwise(
+            F.concat(F.lit("unique tail marker "), did)
+        ),
+        F.lit("\n\n"),
+        line1,
+    )
+    return TS.gopher_repetition(
+        docs.select("doc_id", rtext.alias("rtext")), text_col="rtext"
+    )
+
+
 def _sql_pii_stages() -> str:
     """textstats.pii_scrub twin: sequential per-stage count + global
     replace. Patterns are RE2/Java-identical by construction."""

@@ -2484,3 +2484,51 @@ def test_pii_scrub_spans_matches_flat_scrub(spark):
     assert (srow.n_url, srow.n_email, srow.n_ip, srow.n_phone) == (
         frow.u, frow.e, frow.i, frow.p
     )
+
+
+# --- Gopher repetition battery (dup-ngram half) --------------------------------
+
+
+def test_gopher_repetition_fracs_and_gate(spark):
+    docs = spark.createDataFrame(
+        [
+            # "a b c d e" repeats at word 1 and 6: union coverage = 10/11 words
+            ("g5", "a b c d e a b c d e f"),
+            # duplicated line: 2 of 3 line occurrences share text
+            ("gl", "x\nx\ny"),
+            # duplicated paragraph
+            ("gp", "p q\n\np q"),
+            ("ok", "one two three four five six seven"),
+            ("empty", ""),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in TS.gopher_repetition(docs).collect()}
+    g5 = out["g5"]
+    assert abs(g5.frac_dup_5gram_chars - 10 / 11) < 1e-6
+    assert g5.frac_dup_6gram_chars == 0.0  # all 6-grams distinct
+    assert not g5.repetition_pass
+    gl = out["gl"]
+    assert abs(gl.frac_dup_lines - 1 / 3) < 1e-6
+    assert abs(gl.frac_dup_line_chars - 1 / 3) < 1e-6
+    assert gl.frac_dup_paras == 0.0 and not gl.repetition_pass
+    gp = out["gp"]
+    assert gp.frac_dup_paras == 0.5 and gp.frac_dup_para_chars == 0.5
+    assert gp.frac_dup_5gram_chars == 0.0  # only 4 words
+    ok = out["ok"]
+    assert ok.repetition_pass
+    assert all(
+        getattr(ok, c) == 0.0
+        for c in ("frac_dup_lines", "frac_dup_paras", "frac_dup_5gram_chars",
+                  "frac_dup_10gram_chars")
+    )
+    emp = out["empty"]
+    assert emp.repetition_pass and emp.frac_dup_lines == 0.0
+
+
+def test_gopher_repetition_overlap_counts_once(spark):
+    # "w w w w w w" (6 words): every 5-gram is "w w w w w" at starts 1,2 ->
+    # duplicated; union coverage = all 6 words, NOT 10
+    docs = spark.createDataFrame([("d", "w w w w w w")], "doc_id string, text string")
+    r = TS.gopher_repetition(docs).collect()[0]
+    assert r.frac_dup_5gram_chars == 1.0
