@@ -104,7 +104,8 @@ import json
 def curate_transform(part, langs, line_index=None, blocklist=(), blocked_domains=(),
                      cls_weights=None, cls_min_score=None, gopher_overrides=None,
                      substr_marks_df=None, substr_k=50,
-                     compress_min_ratio=None, c4_clean=False):
+                     compress_min_ratio=None, c4_clean=False,
+                     ht_index=None, host_col="source"):
     """Bucket-local stages 1b-5: C4 line cleanup -> line dedup ->
     language ID -> quality gate (language-aware: English-only Gopher
     rules gate only en docs) -> language filter -> blocklist + domain
@@ -131,6 +132,16 @@ def curate_transform(part, langs, line_index=None, blocklist=(), blocked_domains
 
         c4 = c4_line_filters(F.col("text"))
         part = part.filter(c4["c4_pass"]).withColumn("text", c4["clean_text"])
+    if ht_index is not None:
+        # site-boilerplate removal BEFORE line dedup: content-keyed
+        # (host, md5(trim(line))), so it composes position-independently;
+        # the line index was computed over the template-cleaned view so
+        # canonical (doc, pos) slots line up
+        from ocr_spark.operators.dedup import apply_host_templates
+
+        part = apply_host_templates(part, ht_index, host_col=host_col).drop(
+            "n_template_removed"
+        )
     if line_index is not None:
         part = apply_line_dedup(part, line_index)
     if substr_marks_df is not None:
@@ -195,6 +206,9 @@ def run_curate(
     num_buckets: int = 16,
     fail_after: int | None = None,
     line_dedup: bool = False,
+    host_template_frac: float | None = None,
+    host_col: str = "source",
+    host_template_min_docs: int = 5,
     blocklist: tuple[str, ...] = (),
     blocked_domains: tuple[str, ...] = (),
     input_format: str = "parquet",
@@ -243,17 +257,31 @@ def run_curate(
     from ocr_spark.plans.checkpoint import materialize_once, run_checkpointed
     from ocr_spark.sources import jsonl as J
 
-    docs = J.load_documents(
+    loaded = J.load_documents(
         spark, input_path, input_format, html_extractor=html_extractor,
         respect_noindex=respect_noindex,
-    ).select("doc_id", "text")
+    )
+    keep_cols = ["doc_id", "text"]
+    if host_template_frac is not None:
+        if host_col not in loaded.columns:
+            raise ValueError(
+                f"--host-template-frac needs a {host_col!r} column on the "
+                f"input (got {loaded.columns}) — pass --host-col or drop "
+                "the stage; guessing a host would silently template-strip "
+                "across unrelated sites"
+            )
+        keep_cols.append(host_col)
+    docs = loaded.select(*keep_cols)
     if do_fix_text:
         # repair FIRST: dedup/LM/line hashing must see the normalized
         # bytes or two spellings of one page ("…" vs "...") never collide.
         # A narrow projection (no shuffle) — it rides every later pass.
         from ocr_spark.operators.textstats import fix_text
 
-        docs = docs.select("doc_id", fix_text(F.col("text"))["fixed"].alias("text"))
+        docs = docs.select(
+            *[c for c in keep_cols if c != "text"],
+            fix_text(F.col("text"))["fixed"].alias("text"),
+        )
     if input_format == "warc":
         # the warc chain (gunzip + record framing + boilerplate strip) is
         # a heavy Python pass; unmaterialized, the bucketed runner and
@@ -295,18 +323,49 @@ def run_curate(
     from ocr_spark.operators.dedup import release_feature_caches
 
     release_feature_caches()  # the losers parquet replaces the live plan
+    ht_index = None
+    if host_template_frac is not None:
+        # global decision like the loser set: the per-host line frequency
+        # spans buckets, computed over the DEDUPED corpus (a near-dup
+        # flood must not vote its own boilerplate past the threshold)
+        from ocr_spark.operators.dedup import apply_host_templates, host_template_index
+
+        ht_index = materialize_once(
+            spark,
+            host_template_index(
+                docs.join(losers, "doc_id", "left_anti"),
+                host_col=host_col,
+                min_frac=host_template_frac,
+                min_docs=host_template_min_docs,
+            ),
+            os.path.join(output_dir, "_host_templates"),
+            meta={"stage": "host_templates", "input": input_path,
+                  "mode": dedup_mode, "threshold": threshold,
+                  "fix_text": do_fix_text, "frac": host_template_frac,
+                  "min_docs": host_template_min_docs, "host_col": host_col},
+        )
     line_index = None
     if line_dedup:
         # global like the loser set: the canonical-occurrence decision
         # spans buckets, so it materializes once over the DEDUPED corpus
         # (losers removed first — a dropped document must not claim a
-        # line's canonical slot)
+        # line's canonical slot). With host templates on, the index is
+        # built over the TEMPLATE-CLEANED view: apply_line_dedup keys on
+        # (canonical_doc_id, canonical_pos), and template removal shifts
+        # line positions — built raw, every doc that lost a template line
+        # would see its canonical slots misaligned.
+        pre_l = docs.join(losers, "doc_id", "left_anti")
+        if ht_index is not None:
+            pre_l = apply_host_templates(pre_l, ht_index, host_col=host_col).drop(
+                "n_template_removed"
+            )
         line_index = materialize_once(
             spark,
-            dup_line_index(docs.join(losers, "doc_id", "left_anti")),
+            dup_line_index(pre_l),
             os.path.join(output_dir, "_dup_lines"),
             meta={"stage": "line_dedup", "input": input_path, "mode": dedup_mode,
-                  "threshold": threshold, "fix_text": do_fix_text},
+                  "threshold": threshold, "fix_text": do_fix_text,
+                  "host_templates": host_template_frac},
         )
 
     substr_marks_df = None
@@ -322,6 +381,10 @@ def run_curate(
         # windows in every doc that lost a line (the dup window survives
         # and innocent tokens die).
         pre = docs.join(losers, "doc_id", "left_anti")
+        if ht_index is not None:
+            from ocr_spark.operators.dedup import apply_host_templates as _aht
+
+            pre = _aht(pre, ht_index, host_col=host_col).drop("n_template_removed")
         if line_index is not None:
             from ocr_spark.operators.dedup import apply_line_dedup
 
@@ -332,7 +395,8 @@ def run_curate(
             os.path.join(output_dir, "_substr_marks"),
             meta={"stage": "substr_dedup", "k": substr_k, "input": input_path,
                   "mode": dedup_mode, "threshold": threshold,
-                  "fix_text": do_fix_text, "line_dedup": line_dedup},
+                  "fix_text": do_fix_text, "line_dedup": line_dedup,
+                  "host_templates": host_template_frac},
         )
 
     contaminated = None
@@ -496,7 +560,8 @@ def run_curate(
         return curate_transform(part, langs, line_index, blocklist, blocked_domains,
                                 cls_weights, cls_min_score, gopher_overrides,
                                 substr_marks_df, substr_k or 50,
-                                compress_min_ratio, c4_clean)
+                                compress_min_ratio, c4_clean,
+                                ht_index, host_col)
 
     summary = run_checkpointed(
         spark,
@@ -511,6 +576,8 @@ def run_curate(
             "threshold": threshold,
             "langs": list(langs),
             "line_dedup": line_dedup,
+            "host_template_frac": host_template_frac,
+            "host_col": host_col,
             "blocklist": list(blocklist),
             "blocked_domains": list(blocked_domains),
             "html_extractor": html_extractor,
@@ -733,6 +800,13 @@ def main() -> None:
     ap.add_argument("--langs", default="", help="comma-separated allowlist; empty = keep all")
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")
+    ap.add_argument("--host-template-frac", type=float, default=None, metavar="FRAC",
+                    help="per-host template-line removal: a line on >= FRAC of a "
+                         "host's pages (hosts with >= --host-template-min-docs "
+                         "pages) drops everywhere; needs --host-col on the input")
+    ap.add_argument("--host-col", default="source",
+                    help="host/site column for --host-template-frac (default: source)")
+    ap.add_argument("--host-template-min-docs", type=int, default=5)
     ap.add_argument("--line-dedup", action="store_true",
                     help="also drop cross-document repeated lines (C4-style)")
     ap.add_argument("--blocklist", default="",
@@ -845,6 +919,9 @@ def main() -> None:
         num_buckets=args.buckets,
         fail_after=args.fail_after,
         line_dedup=args.line_dedup,
+        host_template_frac=args.host_template_frac,
+        host_col=args.host_col,
+        host_template_min_docs=args.host_template_min_docs,
         blocklist=tuple(x for x in args.blocklist.split(",") if x),
         blocked_domains=tuple(x for x in args.blocked_domains.split(",") if x),
         input_format=args.format,

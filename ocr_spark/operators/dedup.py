@@ -1195,6 +1195,54 @@ def host_template_index(
     )
 
 
+def apply_host_templates(
+    part: DataFrame,
+    index: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bucket-local application of :func:`host_template_index`: drop every
+    occurrence of an indexed (host, line) pair; blank lines structural.
+    Content-keyed — (host, md5(trim(line))) — so it composes position-
+    independently with the other text-rewriting curation stages. Join
+    against the small template index is broadcast (it scales with
+    per-site template vocabulary). Returns ``part`` with ``text_col``
+    cleaned and an ``n_template_removed`` count; other columns ride
+    through."""
+    lines = part.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    ).withColumn("norm", F.trim(F.col("line")))
+    joined = lines.join(
+        F.broadcast(index.withColumnRenamed("host", "i_host")),
+        (F.col("host") == F.col("i_host"))
+        & (F.md5(F.col("norm")) == F.col("line_md5")),
+        "left",
+    ).withColumn("keep", (F.col("norm") == "") | F.col("line_md5").isNull())
+    out = joined.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("long").alias("__n_lines"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_template_removed"),
+    )
+    return part.drop(text_col).join(
+        out.drop("__n_lines").withColumnRenamed("doc_id", id_col), id_col
+    )
+
+
 def remove_host_templates(
     docs: DataFrame,
     host_col: str = "source",
@@ -1203,40 +1251,22 @@ def remove_host_templates(
     min_frac: float = 0.5,
     min_docs: int = 5,
 ) -> DataFrame:
-    """Drop every occurrence of a host-template line (see
-    :func:`host_template_index`); blank lines are structural and kept.
-    Join is keyed on (host, line_md5) against the small template index —
-    broadcast-able (it scales with per-site template vocabulary). Returns
-    (doc_id, host, text = cleaned, n_lines, n_removed)."""
+    """Index-then-apply wrapper (:func:`host_template_index` +
+    :func:`apply_host_templates`): drop every occurrence of a
+    host-template line. Returns (doc_id, host, text = cleaned, n_lines,
+    n_removed)."""
     idx = host_template_index(docs, host_col, id_col, text_col, min_frac, min_docs)
-    lines = docs.select(
+    n_lines = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).cast("long")
+    base = docs.select(
+        F.col(id_col), F.col(host_col), F.col(text_col), n_lines.alias("n_lines")
+    )
+    out = apply_host_templates(base, idx, host_col, id_col, text_col)
+    return out.select(
         F.col(id_col).alias("doc_id"),
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
-            "pos", "line"
-        ),
-    ).withColumn("norm", F.trim(F.col("line")))
-    joined = lines.join(
-        F.broadcast(idx.withColumnRenamed("host", "i_host")),
-        (F.col("host") == F.col("i_host"))
-        & (F.md5(F.col("norm")) == F.col("line_md5")),
-        "left",
-    ).withColumn("keep", (F.col("norm") == "") | F.col("line_md5").isNull())
-    return (
-        joined.groupBy("doc_id", "host")
-        .agg(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
-                    ),
-                    lambda s: s["line"],
-                ),
-            ).alias(text_col),
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed"),
-        )
+        F.col(text_col),
+        "n_lines",
+        F.col("n_template_removed").alias("n_removed"),
     )
 
 

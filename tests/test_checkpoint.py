@@ -1114,3 +1114,54 @@ def test_curate_job_c4_clean_and_token_budgets(spark, tmp_path):
     packed = set(r["doc_id"] for r in
                  spark.read.parquet(str(out / "_packed")).collect())
     assert packed <= admitted                      # trainer stream ⊆ budget
+
+
+def test_curate_job_host_templates(spark, tmp_path):
+    """--host-template-frac: a per-host boilerplate line drops EVERYWHERE
+    (not all-but-canonical like --line-dedup), a sub-threshold line
+    survives, and composing with --line-dedup keeps canonical slots
+    aligned (the index is built over the template-cleaned view)."""
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)
+    # hostA = quality docs 0-19, hostB = 20-39: hostA pages all carry a nav
+    # line; docs 0-2 also share a cross-host quote (line-dedup fodder);
+    # doc 5 alone carries a rare promo line (below the 0.5 threshold)
+    docs = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") < 20, F.lit("hostA")).otherwise(F.lit("hostB")),
+    ).withColumn(
+        "text",
+        F.concat(
+            F.when(F.col("doc_id") < 20, F.lit("hostA nav bar line\n")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") < 3, F.lit("famous shared quote line\n")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") == 5, F.lit("rare promo line\n")).otherwise(F.lit("")),
+            F.col("text"),
+        ),
+    )
+    inp = str(tmp_path / "in_ht.parquet")
+    docs.write.parquet(inp)
+    out = tmp_path / "cur_ht"
+    run_curate(spark, inp, str(out), dedup_mode="exact", langs=("en",),
+               num_buckets=4, line_dedup=True, host_template_frac=0.5)
+    got = spark.read.parquet(str(out / "bucket=*"))
+    texts = {r["doc_id"]: r["text"] for r in got.select("doc_id", "text").collect()}
+    # template: every hostA occurrence gone, including doc 0's
+    assert not any("hostA nav bar" in t for t in texts.values())
+    # sub-threshold promo survives
+    assert "rare promo line" in texts[5]
+    # line dedup still keeps exactly one canonical quote occurrence —
+    # and it must be doc 0's (canonical slots computed post-template-strip)
+    n_quote = sum("famous shared quote" in t for t in texts.values())
+    assert n_quote == 1 and "famous shared quote" in texts[0]
+
+
+def test_curate_job_host_templates_requires_column(spark, tmp_path):
+    from jobs.curate_job import run_curate
+
+    docs = _curate_docs(spark)  # no source column
+    inp = str(tmp_path / "in_ht2.parquet")
+    docs.write.parquet(inp)
+    with pytest.raises(ValueError, match="host-template-frac needs"):
+        run_curate(spark, inp, str(tmp_path / "cur_ht2"), dedup_mode="exact",
+                   langs=("en",), num_buckets=4, host_template_frac=0.5)
