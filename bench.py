@@ -136,6 +136,8 @@ HEADLINE = [
     "frontier_schedule",
     "html_tables",
     "html_headings",
+    "html_lists",
+    "html_code_blocks",
     "html_sections",
     "html_markdown",
     "jsonld_blocks",

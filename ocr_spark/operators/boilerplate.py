@@ -1213,6 +1213,102 @@ def html_headings(
     )
 
 
+_LIST_BLOCK_RE = r"(?is)<(?:ul|ol)\b[^>]*>.*?</(?:ul|ol)>"
+_LI_RE = r"(?is)<li\b[^>]*>(.*?)</li>"
+_OL_OPEN_RE = r"(?i)^<ol"
+
+
+def html_lists(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """``<ul>``/``<ol>`` extraction to (doc_id, list_idx, item_idx,
+    ordered, text) — the enumerations and step sequences that survive as
+    structure where the prose extractors see only short boilerplate-ish
+    lines. Documented subset (same discipline as :func:`html_tables`):
+    NON-NESTED lists (the lazy block match ends at the first closing
+    ``</ul>``/``</ol>``, and a mismatched close is tolerated), ``<li>``
+    with a closing tag, free attribute/tag case. ``ordered`` comes from
+    the OPENING tag; item text is tag-stripped, entity-decoded, trimmed;
+    empty items drop while ``item_idx`` keeps document positions (the
+    same gap semantics as :func:`html_headings`).
+
+    One narrow regexp pass, two nested transforms, ONE explode of the
+    pre-flattened structs — no shuffle, no UDF. Fits the 10^12-doc plan
+    class: per-doc work bounded by page size, embarrassingly parallel."""
+    from ocr_spark.operators.links import xml_unescape
+
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    blocks = F.regexp_extract_all(html, F.lit(_LIST_BLOCK_RE), 0)
+
+    nested = F.transform(
+        blocks,
+        lambda b, li: F.transform(
+            F.regexp_extract_all(b, F.lit(_LI_RE), 1),
+            lambda it, ii: F.struct(
+                li.cast("int").alias("list_idx"),
+                ii.cast("int").alias("item_idx"),
+                b.rlike(_OL_OPEN_RE).alias("ordered"),
+                xml_unescape(
+                    py_strip(F.regexp_replace(it, _TAG_RE, ""))
+                ).alias("text"),
+            ),
+        ),
+    )
+    items = F.filter(F.flatten(nested), lambda s: s["text"] != "")
+    out = docs.select(F.col(id_col).alias("doc_id"), F.explode(items).alias("i"))
+    return out.select(
+        "doc_id",
+        F.col("i.list_idx").alias("list_idx"),
+        F.col("i.item_idx").alias("item_idx"),
+        F.col("i.ordered").alias("ordered"),
+        F.col("i.text").alias("text"),
+    )
+
+
+_PRE_BLOCK_RE = r"(?is)<pre\b[^>]*>.*?</pre>"
+_CLASS_LANG_RE = r"(?i)class\s*=\s*[\"'][^\"']*\blang(?:uage)?-([A-Za-z0-9_+#.-]+)"
+
+
+def html_code_blocks(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """``<pre>`` code-block extraction to (doc_id, block_idx, lang_hint,
+    code, n_lines) — the code-corpus feed a training-data pipeline
+    separates from prose BEFORE the whitespace-normalizing text path
+    destroys indentation. ``lang_hint`` reads the highlighter convention
+    ``class="language-x"`` / ``class="lang-x"`` from the ``<pre>`` or the
+    inner ``<code>`` tag ('' when absent); ``code`` strips the wrapper
+    and highlight-span tags and decodes the five XML entities while
+    PRESERVING interior whitespace exactly (only the outer edges trim —
+    the one extractor in this family that must not collapse runs);
+    whitespace-only blocks drop with ``block_idx`` gaps kept.
+
+    One narrow regexp pass + one explode, no shuffle, no UDF."""
+    from ocr_spark.operators.links import xml_unescape
+
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    blocks = F.regexp_extract_all(html, F.lit(_PRE_BLOCK_RE), 0)
+    structs = F.transform(
+        blocks,
+        lambda b, i: F.struct(
+            i.cast("int").alias("block_idx"),
+            F.regexp_extract(b, _CLASS_LANG_RE, 1).alias("lang_hint"),
+            xml_unescape(
+                py_strip(F.regexp_replace(b, _TAG_RE, ""))
+            ).alias("code"),
+        ),
+    )
+    kept = F.filter(structs, lambda s: s["code"] != "")
+    out = docs.select(F.col(id_col).alias("doc_id"), F.explode(kept).alias("c"))
+    return out.select(
+        "doc_id",
+        F.col("c.block_idx").alias("block_idx"),
+        F.col("c.lang_hint").alias("lang_hint"),
+        F.col("c.code").alias("code"),
+        F.size(F.split(F.col("c.code"), "\n", -1)).cast("int").alias("n_lines"),
+    )
+
+
 # --- structure-aware sectioning (heading-scoped chunks) ----------------------
 
 _H_OPEN_RE = r"(?is)^<h([1-6])\b"

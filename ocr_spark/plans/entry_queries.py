@@ -8469,6 +8469,106 @@ def q_html_headings(spark: SparkSession, sf: str) -> DataFrame:
     return html_headings(_tbl_fixture(D.load(spark, sf, "documents")))
 
 
+# --- HTML structure: lists and code blocks -----------------------------------
+
+_SQL_CODE_HTML = (
+    "'<ul class=\"menu\"><li>Home &amp; start</li><LI><b>Bold</b> item ' "
+    "|| doc_id || '</LI><li>  </li></ul><ol start=\"3\"><li>first ' "
+    "|| doc_id || '</li><li>second</li></ol><ul><li>mix' || doc_id "
+    "|| '</li></ol><pre><code class=\"language-python\">def f_' || doc_id "
+    "|| '():' || chr(10) || '    return ' || doc_id "
+    "|| ' &amp; 1</code></pre><PRE>plain  text' || chr(10) || 'line ' "
+    "|| doc_id || '</PRE><pre><code>   </code></pre><p>prose</p>'"
+)
+
+
+def _code_fixture(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<ul class="menu"><li>Home &amp; start</li><LI><b>Bold</b> item '),
+        did,
+        F.lit('</LI><li>  </li></ul><ol start="3"><li>first '),
+        did,
+        F.lit("</li><li>second</li></ol><ul><li>mix"), did,
+        F.lit('</li></ol><pre><code class="language-python">def f_'),
+        did,
+        F.lit("():\n    return "), did,
+        F.lit(" &amp; 1</code></pre><PRE>plain  text\nline "), did,
+        F.lit("</PRE><pre><code>   </code></pre><p>prose</p>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+@_q(
+    "html_lists",
+    f"""
+WITH hl0 AS (
+  SELECT doc_id, {_SQL_CODE_HTML} AS html FROM documents
+),
+hl1 AS (
+  SELECT doc_id,
+         flatten(list_transform(
+           regexp_extract_all(html, '(?is)<(?:ul|ol)\\b[^>]*>.*?</(?:ul|ol)>', 0),
+           (b, li) -> list_transform(
+             regexp_extract_all(b, '(?is)<li\\b[^>]*>(.*?)</li>', 1),
+             (it, ii) -> struct_pack(
+               list_idx := li - 1, item_idx := ii - 1,
+               ordered := regexp_matches(b, '(?i)^<ol'),
+               text := {_sql_xml_unesc(_strip("regexp_replace(it, '(?s)<[^>]*>', '', 'g')"))})))) AS its
+  FROM hl0
+),
+hl2 AS (
+  SELECT doc_id, UNNEST(list_filter(its, s -> s.text != '')) AS i FROM hl1
+)
+SELECT doc_id, i.list_idx::INT AS list_idx, i.item_idx::INT AS item_idx,
+       i.ordered AS ordered, i.text AS text
+FROM hl2""",
+)
+def q_html_lists(spark: SparkSession, sf: str) -> DataFrame:
+    """<ul>/<ol> item extraction (boilerplate.html_lists): ordered flag
+    from the opening tag (a mismatched </ol> close on a <ul> still
+    parses), uppercase <LI>, inline markup strip, entity decode, empty
+    items drop while item_idx keeps document positions."""
+    from ocr_spark.operators.boilerplate import html_lists
+
+    return html_lists(_code_fixture(D.load(spark, sf, "documents")))
+
+
+@_q(
+    "html_code_blocks",
+    f"""
+WITH hc0 AS (
+  SELECT doc_id, {_SQL_CODE_HTML} AS html FROM documents
+),
+hc1 AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_extract_all(html, '(?is)<pre\\b[^>]*>.*?</pre>', 0),
+           (b, i) -> struct_pack(
+             block_idx := i - 1,
+             lang_hint := regexp_extract(b,
+               '(?i)class\\s*=\\s*["''][^"'']*\\blang(?:uage)?-([A-Za-z0-9_+#.-]+)', 1),
+             code := {_sql_xml_unesc(_strip("regexp_replace(b, '(?s)<[^>]*>', '', 'g')"))})),
+           s -> s.code != '') AS cs
+  FROM hc0
+),
+hc2 AS (SELECT doc_id, UNNEST(cs) AS c FROM hc1)
+SELECT doc_id, c.block_idx::INT AS block_idx, c.lang_hint AS lang_hint,
+       c.code AS code, len(string_split(c.code, chr(10)))::INT AS n_lines
+FROM hc2""",
+)
+def q_html_code_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """<pre> code-block extraction (boilerplate.html_code_blocks):
+    language hint from the highlighter class convention, interior
+    whitespace (indentation, the double space) preserved exactly,
+    entities decoded after tag strip, whitespace-only blocks drop with
+    block_idx gaps, uppercase <PRE> parses, n_lines counted on the
+    decoded text."""
+    from ocr_spark.operators.boilerplate import html_code_blocks
+
+    return html_code_blocks(_code_fixture(D.load(spark, sf, "documents")))
+
+
 # --- structure-aware sectioning -----------------------------------------------
 
 _SQL_SEC_HTML = (

@@ -621,6 +621,69 @@ def test_html_headings_outline(spark):
     assert (rows[3]["level"], rows[3]["text"]) == (2, "Mismatch")
 
 
+def test_html_lists_items(spark):
+    """Ordered flag from the opening tag (mismatched </ol> close on a
+    <ul> tolerated); uppercase <LI>; inline markup strips; entities
+    decode; empty items drop but item_idx keeps document positions;
+    lists index independently."""
+    from ocr_spark.operators.boilerplate import html_lists
+
+    page = (
+        "<ul><li>Home &amp; start</li><LI><b>Bold</b> one</LI>"
+        "<li>  </li></ul><p>x</p>"
+        '<ol start="3"><li>first</li><li>second</li></ol>'
+        "<UL><li>mix</li></ol>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    rows = {(r["list_idx"], r["item_idx"]): r for r in html_lists(df).collect()}
+    assert set(rows) == {(0, 0), (0, 1), (1, 0), (1, 1), (2, 0)}
+    assert rows[(0, 0)]["text"] == "Home & start" and not rows[(0, 0)]["ordered"]
+    assert rows[(0, 1)]["text"] == "Bold one"
+    assert rows[(1, 0)]["ordered"] and rows[(1, 1)]["text"] == "second"
+    assert rows[(2, 0)]["text"] == "mix" and not rows[(2, 0)]["ordered"]
+
+
+def test_html_code_blocks(spark):
+    """Language hint reads class="language-x"/"lang-x" off <pre> or the
+    inner <code> ('' when absent, and a non-boundary prefix like
+    "mylanguage-" never matches); interior whitespace is preserved
+    exactly while the outer edges trim; entities decode after tag strip;
+    whitespace-only blocks drop with block_idx gaps; uppercase <PRE>
+    parses."""
+    from ocr_spark.operators.boilerplate import html_code_blocks
+
+    page = (
+        '<pre><code class="language-python">def f():\n'
+        "    return a &amp; b</code></pre>"
+        "<pre><code>   </code></pre>"
+        "<PRE>plain  text\nline2\nline3</PRE>"
+        "<pre class='lang-c++'>x++;</pre>"
+        '<pre><code class="mylanguage-q">y</code></pre>'
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    rows = {r["block_idx"]: r for r in html_code_blocks(df).collect()}
+    assert set(rows) == {0, 2, 3, 4}  # idx 1 (whitespace-only) dropped
+    assert rows[0]["lang_hint"] == "python"
+    assert rows[0]["code"] == "def f():\n    return a & b"
+    assert rows[0]["n_lines"] == 2
+    assert rows[2]["lang_hint"] == "" and rows[2]["n_lines"] == 3
+    assert rows[2]["code"] == "plain  text\nline2\nline3"  # double space kept
+    assert rows[3]["lang_hint"] == "c++"
+    assert rows[4]["lang_hint"] == ""  # \b blocks the mylanguage- prefix
+
+
+def test_html_structure_empty_inputs(spark):
+    """Null/empty/structure-free pages yield no list or code rows."""
+    from ocr_spark.operators.boilerplate import html_code_blocks, html_lists
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "<p>just prose</p>")],
+        "doc_id long, html string",
+    )
+    assert html_lists(df).count() == 0
+    assert html_code_blocks(df).count() == 0
+
+
 def test_html_sections_chunking(spark):
     """Preamble is section 0 (no heading); each heading opens a section
     holding blocks up to the next heading; a whitespace-only heading
