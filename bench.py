@@ -138,6 +138,7 @@ HEADLINE = [
     "html_headings",
     "html_lists",
     "html_code_blocks",
+    "page_lead_image",
     "html_sections",
     "html_markdown",
     "jsonld_blocks",

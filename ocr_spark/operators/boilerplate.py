@@ -874,6 +874,68 @@ def page_metadata(
     )
 
 
+_LINK_HEAD_TAG_RE = r"(?i)<link\b[^>]*>"
+
+
+def page_lead_image(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Lead-image selection — the representative image multimodal pairing
+    and news pipelines keep next to the extracted text, with the public
+    precedence convention (trafilatura/newspaper ``top_image`` subset):
+
+    * ``<meta property=og:image content=…>`` when non-empty (the
+      publisher's own choice — dominant on real pages),
+    * else ``<link rel=image_src href=…>`` (the legacy hint),
+    * else the FIRST ``<img src=…>`` on the page (the naive fallback;
+      content-aware ranking composes downstream via
+      :func:`html_to_spans`'s kept media spans).
+
+    Returns (doc_id, lead_image, lead_source) with ``lead_source`` ∈
+    {'og', 'link', 'img', ''} and '' for image-free pages. The ref is the
+    raw attribute value, entity-decoded — URL resolution against the page
+    base composes via ``links.resolve_url``. Attribute-order-free,
+    quote-style-free, first matching tag wins. One narrow expression
+    pass — no UDF, no shuffle."""
+    from ocr_spark.operators.links import tag_attr, xml_unescape
+
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    metas = F.regexp_extract_all(html, F.lit(_META_TAG_RE), 0)
+    og_tag = F.get(
+        F.filter(
+            metas, lambda t: F.lower(tag_attr(t, "property")) == "og:image"
+        ),
+        F.lit(0),
+    )
+    og = py_strip(F.coalesce(tag_attr(og_tag, "content"), F.lit("")))
+    link_tag = F.get(
+        F.filter(
+            F.regexp_extract_all(html, F.lit(_LINK_HEAD_TAG_RE), 0),
+            lambda t: F.lower(tag_attr(t, "rel")) == "image_src",
+        ),
+        F.lit(0),
+    )
+    link = py_strip(F.coalesce(tag_attr(link_tag, "href"), F.lit("")))
+    img_tag = F.get(F.regexp_extract_all(html, F.lit(_IMG_TAG_RE), 0), F.lit(0))
+    img = py_strip(F.coalesce(tag_attr(img_tag, "src"), F.lit("")))
+    lead = F.when(og != "", og).when(link != "", link).otherwise(img)
+    source = (
+        F.when(og != "", F.lit("og"))
+        .when(link != "", F.lit("link"))
+        .when(img != "", F.lit("img"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        xml_unescape(lead).alias("lead_image"),
+        source.alias("lead_source"),
+        *[F.col(c) for c in keep_cols],
+    )
+
+
 # --- extractor ensemble (agreement across the boilerplate family) -----------
 
 

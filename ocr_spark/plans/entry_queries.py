@@ -8143,6 +8143,106 @@ def q_html_meta(spark: SparkSession, sf: str) -> DataFrame:
     return page_metadata(_meta_page_fixture(D.load(spark, sf, "documents")))
 
 
+# --- lead-image selection -----------------------------------------------------
+
+
+def _lead_img_fixture(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id").cast("string")
+    html = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<head><meta property="og:image" content="/og/a&amp;b-'),
+                did,
+                F.lit('.jpg"><link rel="stylesheet" href="/s.css"></head>'
+                      '<body><img src="/decoy-'),
+                did, F.lit('.png"></body>'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("<head><meta property='og:image' content=''>"
+                      "<link href='/hint-"),
+                did,
+                F.lit(".webp' rel='image_src'></head><body><img src='/later-"),
+                did, F.lit(".gif'></body>"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit("<p>no images here</p>"))
+        .otherwise(
+            F.concat(
+                F.lit('<BODY><IMG ALT="x" SRC="/hero-'), did,
+                F.lit('.jpeg"><img src="/second.png"></BODY>'),
+            )
+        )
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+_SQL_LEAD_HTML = """CASE doc_id % 4
+  WHEN 0 THEN '<head><meta property="og:image" content="/og/a&amp;b-'
+    || doc_id || '.jpg"><link rel="stylesheet" href="/s.css"></head>'
+    || '<body><img src="/decoy-' || doc_id || '.png"></body>'
+  WHEN 1 THEN '<head><meta property=''og:image'' content=''''>'
+    || '<link href=''/hint-' || doc_id
+    || '.webp'' rel=''image_src''></head><body><img src=''/later-'
+    || doc_id || '.gif''></body>'
+  WHEN 2 THEN '<p>no images here</p>'
+  ELSE '<BODY><IMG ALT="x" SRC="/hero-' || doc_id
+    || '.jpeg"><img src="/second.png"></BODY>'
+END"""
+
+_SQL_LEAD_LINK = _strip(
+    _sql_tag_attr(
+        "(coalesce(list_filter(regexp_extract_all(html, '(?i)<link\\b[^>]*>', 0),"
+        " t -> lower(" + _sql_tag_attr("t", "rel") + ") = 'image_src')[1], ''))",
+        "href",
+    )
+)
+_SQL_LEAD_IMG = _strip(
+    _sql_tag_attr(
+        "(coalesce(regexp_extract_all(html, '(?i)<img\\b[^>]*>', 0)[1], ''))",
+        "src",
+    )
+)
+
+
+@_q(
+    "page_lead_image",
+    f"""
+WITH li0 AS (
+  SELECT doc_id, {_SQL_LEAD_HTML} AS html FROM documents
+),
+li1 AS (
+  SELECT doc_id, html,
+         regexp_extract_all(html, '(?i)<meta\\b[^>]*>', 0) AS metas
+  FROM li0
+),
+li2 AS (
+  SELECT doc_id,
+         {_sql_meta_content("property", "og:image")} AS og,
+         {_SQL_LEAD_LINK} AS lnk,
+         {_SQL_LEAD_IMG} AS img
+  FROM li1
+)
+SELECT doc_id,
+       {_sql_xml_unesc("(CASE WHEN og != '' THEN og WHEN lnk != '' THEN lnk ELSE img END)")} AS lead_image,
+       CASE WHEN og != '' THEN 'og' WHEN lnk != '' THEN 'link'
+            WHEN img != '' THEN 'img' ELSE '' END AS lead_source
+FROM li2""",
+)
+def q_page_lead_image(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead-image selection (boilerplate.page_lead_image): og:image beats
+    a page <img>, an EMPTY og:image falls through to <link rel=image_src>
+    (attribute order reversed, single quotes), the naive first-<img>
+    fallback fires only when both hints are absent (uppercase markup,
+    src not the first attribute), and image-free pages emit ('', '')."""
+    from ocr_spark.operators.boilerplate import page_lead_image
+
+    return page_lead_image(_lead_img_fixture(D.load(spark, sf, "documents")))
+
+
 # --- extractor ensemble: one wrap rich enough for all three extractors ------
 # sidebar (negative class, linkful), positive-class article container holding
 # stopword-inflated paragraphs (so jusText's EN stoplist fires), a comment and

@@ -621,6 +621,31 @@ def test_html_headings_outline(spark):
     assert (rows[3]["level"], rows[3]["text"]) == (2, "Mismatch")
 
 
+def test_page_lead_image_precedence(spark):
+    """og:image wins over a page <img>; an EMPTY og:image falls through
+    to <link rel=image_src>; the first-<img> fallback fires only when
+    both hints are absent; stylesheet links never match; image-free
+    pages emit ('', ''); entities decode in the chosen ref."""
+    from ocr_spark.operators.boilerplate import page_lead_image
+
+    pages = [
+        (1, '<meta property="og:image" content="/a&amp;b.jpg">'
+            '<link rel="stylesheet" href="/s.css"><img src="/decoy.png">'),
+        (2, "<meta property='og:image' content=''>"
+            "<link href='/hint.webp' rel='image_src'><img src='/later.gif'>"),
+        (3, '<BODY><IMG ALT="x" SRC="/hero.jpeg"><img src="/2.png"></BODY>'),
+        (4, "<p>no images</p>"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    rows = {r["doc_id"]: r for r in page_lead_image(df).collect()}
+    assert (rows[1]["lead_image"], rows[1]["lead_source"]) == ("/a&b.jpg", "og")
+    assert (rows[2]["lead_image"], rows[2]["lead_source"]) == ("/hint.webp", "link")
+    assert (rows[3]["lead_image"], rows[3]["lead_source"]) == ("/hero.jpeg", "img")
+    assert (rows[4]["lead_image"], rows[4]["lead_source"]) == ("", "")
+    assert (rows[5]["lead_image"], rows[5]["lead_source"]) == ("", "")
+
+
 def test_html_lists_items(spark):
     """Ordered flag from the opening tag (mismatched </ol> close on a
     <ul> tolerated); uppercase <LI>; inline markup strips; entities
