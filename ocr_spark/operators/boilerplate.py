@@ -1023,6 +1023,52 @@ def extraction_ensemble(
     )
 
 
+def host_extract_stats(
+    pages: DataFrame,
+    host_col: str = "host",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host extraction-quality rollup — the crawl-dashboard aggregate a
+    web-corpus pipeline runs after every drop: for each host, how many pages
+    were extracted, how much of the page mass survived boilerplate removal
+    (``content_permille``, an exact integer over the HOST sums so two runs
+    hash identically), and how many pages extracted to nothing (the
+    template-only / extraction-failure signal that flags hosts whose markup
+    defeats the classifier).
+
+    Output: (host, pages, main_chars, boiler_chars, blocks, content_blocks,
+    empty_pages, content_permille).
+
+    Scale shape: ONE narrow Boilerpipe expression pass (no join — the host
+    column threads through ``keep_cols``) followed by a single groupBy(host)
+    whose aggregates are all sums/counts, so the shuffle carries one partial
+    row per (task, host) after map-side combine.  Hosts are Zipf-skewed in
+    real crawls, but the reduce-side record is one row of 7 longs per host —
+    skew in INPUT rows is absorbed by the partial aggregation, not the
+    shuffle."""
+    ex = extract_html_documents(
+        pages, html_col=html_col, id_col=id_col, keep_cols=(host_col,)
+    )
+    main_len = F.length("main_text").cast("long")
+    agg = ex.groupBy(host_col).agg(
+        F.count("*").cast("long").alias("pages"),
+        F.sum(main_len).cast("long").alias("main_chars"),
+        F.sum("boiler_chars").cast("long").alias("boiler_chars"),
+        F.sum("n_blocks").cast("long").alias("blocks"),
+        F.sum("n_content_blocks").cast("long").alias("content_blocks"),
+        F.sum((main_len == 0).cast("long")).cast("long").alias("empty_pages"),
+    )
+    return agg.withColumn(
+        "content_permille",
+        F.expr(
+            "CASE WHEN main_chars + boiler_chars > 0"
+            " THEN (main_chars * 1000) div (main_chars + boiler_chars)"
+            " ELSE 0 END"
+        ).cast("long"),
+    )
+
+
 # --- HTML → interleaved span sequence (the north-rule corpus shape) ----------
 
 _IMG_TAG_RE = r"(?i)<img\b[^>]*>"

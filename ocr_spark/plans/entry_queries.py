@@ -8352,6 +8352,68 @@ def q_extract_ensemble(spark: SparkSession, sf: str) -> DataFrame:
     return extraction_ensemble(_ensemble_fixture(D.load(spark, sf, "documents")))
 
 
+_SQL_HOST_STATS_SRC = (
+    "SELECT doc_id, "
+    "'<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/x\">Links</a> "
+    "<a href=\"/y\">More</a></div><div><p>' || "
+    "replace(coalesce(text, ''), chr(10), '</p><p>') || '</p></div>' || "
+    "repeat('<div class=\"ad\"><a href=\"/buy\">Buy now great deals today"
+    "</a></div>', (doc_id % 3 + 1)::INT) || "
+    "'<div class=\"footer\"><a>(c) 2026 Synth Corp</a></div>' AS html "
+    "FROM documents"
+)
+
+
+@_q(
+    "host_extract_stats",
+    f"""
+WITH ex AS ({_sql_html_extract(_SQL_HOST_STATS_SRC)})
+SELECT 'h' || (doc_id % 7)::VARCHAR || '.example.org' AS host,
+       count(*)::BIGINT AS pages,
+       coalesce(sum(length(main_text)), 0)::BIGINT AS main_chars,
+       coalesce(sum(boiler_chars), 0)::BIGINT AS boiler_chars,
+       coalesce(sum(n_blocks), 0)::BIGINT AS blocks,
+       coalesce(sum(n_content_blocks), 0)::BIGINT AS content_blocks,
+       coalesce(sum(CASE WHEN main_text = '' THEN 1 ELSE 0 END), 0)::BIGINT
+         AS empty_pages,
+       CASE WHEN coalesce(sum(length(main_text)), 0)
+                 + coalesce(sum(boiler_chars), 0) > 0
+            THEN ((coalesce(sum(length(main_text)), 0)::BIGINT * 1000)
+                  // (coalesce(sum(length(main_text)), 0)::BIGINT
+                      + coalesce(sum(boiler_chars), 0)::BIGINT))::BIGINT
+            ELSE 0 END AS content_permille
+FROM ex GROUP BY 1""",
+)
+def q_host_extract_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host extraction-quality rollup (boilerplate.host_extract_stats):
+    seven synthetic hosts, each page carrying 1-3 host-varying ad blocks on
+    top of the shared nav/footer template, so hosts differ in boilerplate
+    mass and ``content_permille`` separates them. One extraction pass, one
+    map-side-combined groupBy(host) — no join."""
+    from ocr_spark.operators.boilerplate import host_extract_stats
+
+    docs = D.load(spark, sf, "documents")
+    html = F.concat(
+        F.lit(
+            '<div class="nav"><a href="/">Home</a> <a href="/x">Links</a> '
+            '<a href="/y">More</a></div><div><p>'
+        ),
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "\n", "</p><p>"),
+        F.lit("</p></div>"),
+        F.repeat(
+            F.lit('<div class="ad"><a href="/buy">Buy now great deals today</a></div>'),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+        F.lit('<div class="footer"><a>(c) 2026 Synth Corp</a></div>'),
+    )
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.org")
+    )
+    return host_extract_stats(
+        docs.select("doc_id", host.alias("host"), html.alias("html"))
+    )
+
+
 # --- HTML → interleaved spans (crawl path → the north-rule corpus shape) -----
 
 _SQL_SPANS_HTML_SRC = (

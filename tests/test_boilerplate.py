@@ -795,3 +795,47 @@ def test_html_to_markdown_empty_and_null(spark):
     out = {r.doc_id: r.m for r in df.select(
         "doc_id", html_to_markdown(F.col("html")).alias("m")).collect()}
     assert out[1] == "" and out[2] == "" and out[3] == "plain text"
+
+
+def test_host_extract_stats_rollup(spark):
+    """Host sums are exact over per-page extraction outputs: a host whose
+    pages carry heavier ad boilerplate scores a lower content_permille; a
+    host whose every page extracts to nothing reports empty_pages == pages
+    and permille 0; permille is the integer div over HOST sums (not a mean
+    of per-page ratios)."""
+    from ocr_spark.operators.boilerplate import (
+        extract_html_documents,
+        host_extract_stats,
+    )
+
+    body = ("many plain words of real article content flow here and keep "
+            "flowing with enough length to classify as content " * 3)
+    ad = '<div class="ad"><a href="/buy">Buy now great deals today</a></div>'
+    pages = [
+        (1, "a.org", f"<div><p>{body}</p></div>{ad}"),
+        (2, "a.org", f"<div><p>{body}</p></div>{ad}{ad}{ad}"),
+        (3, "b.org", f"<div><p>{body}</p></div>{ad * 6}"),
+        (4, "c.org", f"{ad}"),          # template-only page: empty extraction
+        (5, "c.org", f"{ad}{ad}"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, host string, html string")
+    got = {r["host"]: r for r in host_extract_stats(df).collect()}
+    per_page = {
+        r["doc_id"]: r
+        for r in extract_html_documents(df, keep_cols=("host",)).collect()
+    }
+
+    for host, ids in (("a.org", [1, 2]), ("b.org", [3]), ("c.org", [4, 5])):
+        main = sum(len(per_page[i]["main_text"]) for i in ids)
+        boiler = sum(per_page[i]["boiler_chars"] for i in ids)
+        r = got[host]
+        assert r["pages"] == len(ids)
+        assert r["main_chars"] == main and r["boiler_chars"] == boiler
+        want = (main * 1000) // (main + boiler) if main + boiler else 0
+        assert r["content_permille"] == want
+
+    assert got["a.org"]["empty_pages"] == 0
+    assert got["b.org"]["content_permille"] < got["a.org"]["content_permille"]
+    assert got["c.org"]["empty_pages"] == 2
+    assert got["c.org"]["main_chars"] == 0
+    assert got["c.org"]["content_permille"] == 0
