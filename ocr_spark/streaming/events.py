@@ -427,28 +427,38 @@ def run_stream_interval_join(
             side = side.unionByName(sentinel)
         src = os.path.join(work_dir, f"{name}_src")
         os.makedirs(src, exist_ok=True)
-        for i in range(n_batches):
+        # ONE write job per side: bucket rows into their time batch (the
+        # exact same [b_lo, b_hi) slices the per-batch filters used) and
+        # let partitionBy fan the buckets into directories; rows past hi
+        # (the sentinel) land in bucket n_batches. repartition(1) is fine
+        # here — this loop is the finite-replay HARNESS, not the
+        # production stream; 2N+2 separate filter-and-write jobs cost
+        # more in job launches than the data does.
+        sec = wall_epoch_seconds(F.col("ts"))
+        bidx = F.lit(n_batches)
+        for i in reversed(range(n_batches)):
             b_lo = lo + (hi - lo + 1) * i // n_batches
             b_hi = lo + (hi - lo + 1) * (i + 1) // n_batches
-            part = side.filter(
-                wall_epoch_seconds(F.col("ts")).between(b_lo, b_hi - 1)
-            )
-            tmp = os.path.join(work_dir, f"{name}_tmp_{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            (pq,) = [n for n in os.listdir(tmp) if n.endswith(".parquet")]
+            bidx = F.when(sec.between(b_lo, b_hi - 1), F.lit(i)).otherwise(bidx)
+        tmp = os.path.join(work_dir, f"{name}_tmp")
+        (
+            side.withColumn("__b", bidx)
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("__b")
+            .parquet(tmp)
+        )
+        n_files = n_batches + (1 if how == "left_outer" else 0)
+        for i in range(n_files):
+            d = os.path.join(tmp, f"__b={i}")
+            if not os.path.isdir(d):  # empty time slice: nothing arrives
+                continue
+            (pq,) = [n for n in os.listdir(d) if n.endswith(".parquet")]
             dst = os.path.join(src, f"batch-{i}.parquet")
-            os.replace(os.path.join(tmp, pq), dst)
+            os.replace(os.path.join(d, pq), dst)
             # the file source replays files in modification-time order:
             # pin mtimes so batch i streams strictly before batch i+1
             os.utime(dst, (base_t + i, base_t + i))
-        if how == "left_outer":
-            part = side.filter(wall_epoch_seconds(F.col("ts")) > hi)
-            tmp = os.path.join(work_dir, f"{name}_tmp_sentinel")
-            part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            (pq,) = [n for n in os.listdir(tmp) if n.endswith(".parquet")]
-            dst = os.path.join(src, f"batch-{n_batches}.parquet")
-            os.replace(os.path.join(tmp, pq), dst)
-            os.utime(dst, (base_t + n_batches, base_t + n_batches))
         srcs[name] = src
     # watermarks require the LTZ TIMESTAMP type; an NTZ corpus (the
     # session hardening default) is cast at the source — the join
@@ -474,14 +484,29 @@ def run_stream_interval_join(
         F.col("r.ts").alias("right_ts"),
     )
     out = os.path.join(work_dir, "out")
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    # A stream-stream join keeps 4 state stores per shuffle partition and
+    # commits every one of them per microbatch — with maxFilesPerTrigger=1
+    # forcing one microbatch per file, per-batch store-commit overhead
+    # scales with the partition count, not the data (measured: a 2-row
+    # microbatch cost 3.2s at 32 partitions). The join result is
+    # partition-count-invariant, so the replay harness pins a small state
+    # parallelism; a production stream sizes this to executors × keys at
+    # job submit (the conf is fixed at first checkpoint anyway).
+    sess_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(8, int(sess_sp or 8)))
     )
-    q.awaitTermination(300)
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sess_sp)
     res = spark.read.parquet(out)
     if how == "left_outer":
         res = res.filter(F.col("user_id") != -999999)
