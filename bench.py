@@ -49,6 +49,7 @@ HEADLINE = [
     "pdf_pages",
     "pdf_process",
     "html_extract",
+    "host_extract_stats",
     "layout_flags",
     "layout_boxes_arrow",
     "token_stats",
