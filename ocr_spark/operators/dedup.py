@@ -1850,7 +1850,12 @@ def decontaminate_fuzzy(
     shingle cannot match and stay clean; identical text is Jaccard 1.0,
     so the exact tier is subsumed.  Returns the corpus with a `leaked`
     boolean."""
-    cidx = minhash_index(corpus, id_col, text_col)
+    # the corpus index feeds TWO plan subtrees (band generation and the
+    # hv verifier join); without persist the Arrow shingle+minhash pass —
+    # the dominant cost — runs twice over the full corpus. The persisted
+    # frame is the signature INDEX (k int64s + band keys per doc, not the
+    # text), the same O(signatures) footprint minhash_dedup persists.
+    cidx = minhash_index(corpus, id_col, text_col).persist()
     eidx = minhash_index(eval_docs, id_col, text_col).persist()
     band = F.explode(F.array(*_band_key_cols())).alias("band")
     cb = cidx.filter(F.size("hv") > 0).select(F.col("id"), band)
