@@ -27,6 +27,7 @@ HEADLINE = [
     "spans_assemble",
     "span_lang_runs",
     "spans_markdown",
+    "spans_quality_filter",
     "metrics_pairwise",
     "metrics_rollup",
     "fields_extract",
@@ -49,6 +50,7 @@ HEADLINE = [
     "pdf_pages",
     "pdf_process",
     "html_extract",
+    "html_cetr",
     "host_extract_stats",
     "layout_flags",
     "layout_boxes_arrow",

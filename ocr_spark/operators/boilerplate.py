@@ -804,6 +804,184 @@ def justext_extract(
     )
 
 
+# --- CETR: Content Extraction via Tag Ratios (Weninger, Hsu, Han — WWW 2010) -
+#
+# The LINE-based member of the text-density family: where Boilerpipe
+# classifies tag-delimited blocks and Readability scores containers, CETR
+# scores physical source LINES by tag ratio TR(i) = text_chars / max(tags, 1),
+# smooths over a small line window, and CLUSTERS the smoothed ratios with
+# k-means — the high cluster is the main content (the paper's CETR-KM).
+# All arithmetic is INTEGER (ratios in milli-units, floor division,
+# midpoint cluster assignment) so Spark and the DuckDB oracle hash
+# identically — the same discipline as the integer-exact PageRank.
+
+# deterministic adaptations of the paper's pipeline (documented):
+#   1. tag-only lines (zero text chars — <img>, lone <div>, blank) are
+#      EXCLUDED from the density sequence: they can never contribute text,
+#      and keeping them as zero-bins only dilutes the smoothed density of
+#      adjacent genuine content (a figure between two paragraphs would
+#      drag both below the cluster boundary);
+#   2. the σ=1 Gaussian smoothing kernel becomes the binomial [1,2,1]/4
+#      (its integer-exact analog), clipped at the edges;
+#   3. the paper's k-means clustering of smoothed ratios runs as 1D
+#      2-means with deterministic init (min/max), integer centroids
+#      (floor-of-mean), the high cluster = content, and a FIXED iteration
+#      count — both engines run the identical arithmetic, so cross-engine
+#      equality holds whether or not the centroids have converged.
+CETR_KERNEL_CENTER = 2  # binomial [1, CENTER, 1]
+CETR_KMEANS_ITERS = 8
+
+
+def cetr_extract(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """CETR main-content extraction → (doc_id, main_text, n_lines,
+    n_content_lines, content_permille); n_lines counts ALL source lines,
+    the density/keep machinery runs over the text-bearing subsequence.
+
+    Plan shape: one narrow expression pass — split into lines, per-line
+    (text, tags) features materialize ONCE as a column, tag ratios and the
+    [1,2,1] smoothing are linear array ops over that attribute (element_at
+    of a materialized array, never a re-evaluated expression subtree), and
+    the 2-means clustering is CETR_KMEANS_ITERS fixed projections with two
+    linear folds each. No UDF, no shuffle; skew bounded by page size like
+    every extractor here."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    feat = F.transform(
+        F.split(h, r"\n"),
+        lambda ln: F.struct(
+            py_strip(F.regexp_replace(ln, _TAG_RE, "")).alias("text"),
+            F.size(F.regexp_extract_all(ln, F.lit(_TAG_RE), 0)).alias("tags"),
+        ),
+    )
+    d1 = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.size(feat).cast("long").alias("n_all"),
+        F.filter(feat, lambda s: s["text"] != "").alias("lf"),
+    )
+    # TR in milli-units: (1000 * chars) // max(tags, 1) — exact integers
+    tr = F.transform(
+        F.col("lf"),
+        lambda s: F.floor(
+            (F.lit(1000) * F.length(s["text"])).cast("long")
+            / F.greatest(s["tags"], F.lit(1))
+        ).cast("long"),
+    )
+    d2 = d1.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], "n_all", "lf", tr.alias("tr")
+    )
+
+    n = F.size(F.col("tr"))
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    # smoothed(i) = (tr[i-1] + 2*tr[i] + tr[i+1]) // (weights present):
+    # element_at over the MATERIALIZED tr attribute — linear in n
+    def smooth(i: Column) -> Column:
+        c = CETR_KERNEL_CENTER
+        left = F.when(i > 0, F.element_at(F.col("tr"), i)).otherwise(F.lit(0))
+        right = F.when(i < n - 1, F.element_at(F.col("tr"), i + 2)).otherwise(F.lit(0))
+        wsum = left + F.lit(c) * F.element_at(F.col("tr"), i + 1) + right
+        wden = (
+            F.lit(c)
+            + F.when(i > 0, F.lit(1)).otherwise(F.lit(0))
+            + F.when(i < n - 1, F.lit(1)).otherwise(F.lit(0))
+        )
+        return F.floor(wsum / wden).cast("long")
+
+    d3 = d2.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        "n_all",
+        "lf",
+        F.transform(idx, smooth).alias("sm"),
+    )
+    # scalars materialize as COLUMNS before any lambda references them —
+    # referencing an aggregate inside a lambda would re-run it per element
+    zero = F.lit(0).cast("long")
+    cur = d3.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        "n_all",
+        "lf",
+        "sm",
+        F.aggregate(F.col("sm"), zero, lambda a, x: a + x).alias("tot"),
+        F.size(F.col("sm")).cast("long").alias("nl"),
+        F.coalesce(F.array_min(F.col("sm")), zero).alias("c0"),
+        F.coalesce(F.array_max(F.col("sm")), zero).alias("c1"),
+    )
+    # 1D 2-means over the smoothed ratios: assignment is the integer
+    # midpoint test 2*x > c0 + c1 (ties low), centroids floor-of-mean;
+    # empty clusters keep their centroid. Constant plan growth: one
+    # projection with two linear folds per iteration.
+    base = [F.col(id_col), *[F.col(c) for c in keep_cols], "n_all", "lf", "sm", "tot", "nl"]
+    for _ in range(CETR_KMEANS_ITERS):
+        c0, c1 = F.col("c0"), F.col("c1")
+        hi_sum = F.aggregate(
+            F.col("sm"),
+            zero,
+            lambda a, x: a + F.when(x * 2 > c0 + c1, x).otherwise(zero),
+        )
+        hi_cnt = F.aggregate(
+            F.col("sm"),
+            zero,
+            lambda a, x: a + F.when(x * 2 > c0 + c1, F.lit(1).cast("long")).otherwise(zero),
+        )
+        cur = cur.select(
+            *base,
+            hi_sum.alias("hs"),
+            hi_cnt.alias("hc"),
+            "c0",
+            "c1",
+        ).select(
+            *base,
+            F.when(
+                F.col("nl") - F.col("hc") > 0,
+                F.floor((F.col("tot") - F.col("hs")) / (F.col("nl") - F.col("hc"))).cast(
+                    "long"
+                ),
+            )
+            .otherwise(F.col("c0"))
+            .alias("c0"),
+            F.when(
+                F.col("hc") > 0,
+                F.floor(F.col("hs") / F.col("hc")).cast("long"),
+            )
+            .otherwise(F.col("c1"))
+            .alias("c1"),
+        )
+    # content = the high cluster under the final centroids
+    c0f, c1f = F.col("c0"), F.col("c1")
+    zipped = F.zip_with(
+        F.col("lf"),
+        F.col("sm"),
+        lambda s, m: F.struct(
+            s["text"].alias("text"),
+            (m * 2 > c0f + c1f).alias("keep"),
+        ),
+    )
+    d4 = cur.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], "n_all", zipped.alias("z")
+    )
+    kept = F.filter(F.col("z"), lambda z: z["keep"])
+    n_content = F.size(kept).cast("long")
+    return d4.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda z: z["text"]), "\n").alias("main_text"),
+        F.col("n_all").alias("n_lines"),
+        n_content.alias("n_content_lines"),
+        F.when(F.col("n_all") > 0, F.floor(n_content * 1000 / F.col("n_all")).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("content_permille"),
+        *[F.col(c) for c in keep_cols],
+    )
+
+
 # --- HTML head metadata (trafilatura-style extract_metadata subset) ----------
 
 _META_TAG_RE = r"(?i)<meta\b[^>]*>"

@@ -299,3 +299,122 @@ def spans_to_markdown(
         n_of("text").cast("long").alias("n_text"),
         F.size(F.filter(spans, lambda s: s["kind"] == "media")).cast("long").alias("n_media"),
     )
+
+
+# --- span-level quality gate (C4 line rules on the interleaved shape) --------
+
+# C4's line-level blocklist (Raffel 2020 §2.2: "javascript", boilerplate
+# notices) plus the lorem-ipsum rule; applied per SPAN so one bad
+# paragraph never condemns the whole interleaved document
+C4_SPAN_BLOCKLIST_RE = (
+    r"(?i)javascript|lorem ipsum|all rights reserved|copyright"
+)
+TERMINAL_PUNCT_RE = r'[.!?"]\s*$'
+
+
+def filter_spans_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    min_words: int = 3,
+    require_terminal_punct: bool = False,
+) -> DataFrame:
+    """Span-level quality gate on the interleaved corpus: C4's line rules
+    (>= min_words words, no curly braces — code/JSON fragments, none of the
+    blocklist phrases, optionally terminal punctuation) applied per TEXT
+    span, dropping failing spans WITHOUT flattening the document — the
+    clean-in-place complement to document-level ``c4_filters``. Media spans
+    carry no text to judge; a media RUN (consecutive media spans) survives
+    iff the nearest text span on either side of the run survived — the same
+    keep policy ``boilerplate.html_to_spans`` uses at extraction time, so a
+    figure illustrating a kept paragraph stays and a gallery stranded in
+    dropped boilerplate goes. Surviving spans re-rank densely.
+
+    Plan shape: pure array expressions per row — span classification is one
+    transform, run adjacency is TWO LINEAR ``F.aggregate`` folds (forward /
+    backward nearest-non-media state, the jusText scan discipline: features
+    materialize once as columns, folds read them, nothing re-evaluates per
+    element), then one posexplode. No join, no shuffle; skew is bounded by
+    document size like every span operator.
+
+    Returns exploded kept spans (doc_id, kind, text, media_ref, ord)."""
+    spans = F.col(spans_col)
+    ss = F.array_sort(
+        F.transform(
+            spans,
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        )
+    )
+
+    def passes(t: Column) -> Column:
+        t = F.coalesce(t, F.lit(""))
+        ok = (
+            (word_count(t) >= min_words)
+            & ~t.rlike(r"[{}]")
+            & ~t.rlike(C4_SPAN_BLOCKLIST_RE)
+        )
+        if require_terminal_punct:
+            ok = ok & t.rlike(TERMINAL_PUNCT_RE)
+        return ok
+
+    # cls: 2 = media, 1 = kept text, 0 = dropped text — over the
+    # MATERIALIZED ss column, so classification runs once per span
+    cls = F.transform(
+        F.col("ss"),
+        lambda s: F.when(s["kind"] == "media", F.lit(2))
+        .when(passes(s["text"]), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+    def scan_nearest(cls_col: Column) -> Column:
+        """prefix array: state of the nearest non-media element BEFORE
+        each position (-1 when none) — one linear fold."""
+        init = F.struct(
+            F.array().cast("array<int>").alias("arr"), F.lit(-1).alias("last")
+        )
+        return F.aggregate(
+            cls_col,
+            init,
+            lambda acc, c: F.struct(
+                F.concat(acc["arr"], F.array(acc["last"])).alias("arr"),
+                F.when(c != 2, c).otherwise(acc["last"]).alias("last"),
+            ),
+            lambda acc: acc["arr"],
+        )
+
+    d1 = docs.select(F.col(id_col).alias("doc_id"), ss.alias("ss")).select(
+        "doc_id", "ss", cls.alias("cls")
+    )
+    d2 = d1.select(
+        "doc_id",
+        "ss",
+        "cls",
+        scan_nearest(F.col("cls")).alias("prev"),
+        F.reverse(scan_nearest(F.reverse(F.col("cls")))).alias("nxt"),
+    )
+    keep = F.transform(
+        F.col("ss"),
+        lambda s, i: F.when(F.col("cls")[i] == 1, F.lit(True))
+        .when(
+            (F.col("cls")[i] == 2)
+            & ((F.col("prev")[i] == 1) | (F.col("nxt")[i] == 1)),
+            F.lit(True),
+        )
+        .otherwise(F.lit(False)),
+    )
+    kept = F.filter(
+        F.zip_with(F.col("ss"), keep, lambda s, k: F.when(k, s)),
+        lambda x: x.isNotNull(),
+    )
+    return d2.select("doc_id", F.posexplode(kept).alias("ord", "s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("ord").cast("long").alias("ord"),
+    )

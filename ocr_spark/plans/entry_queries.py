@@ -4907,6 +4907,45 @@ def q_spans_markdown(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "spans_quality_filter",
+    f"""
+WITH {D.SQL_SPAN_CORPUS},
+sqc AS (
+  SELECT doc_id, "offset", kind, text, media_ref,
+         CASE WHEN kind = 'media' THEN 2
+              WHEN (CASE WHEN text = '' THEN 0
+                         ELSE len(string_split_regex(text, '\\s+')) END) >= 3
+                   AND NOT regexp_matches(text, '[{{}}]')
+                   AND NOT regexp_matches(text, '(?i)javascript|lorem ipsum|all rights reserved|copyright')
+              THEN 1 ELSE 0 END AS cls
+  FROM span_rows
+),
+sqn AS (
+  SELECT *,
+         coalesce(last_value(CASE WHEN cls != 2 THEN cls END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY "offset"
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prev,
+         coalesce(first_value(CASE WHEN cls != 2 THEN cls END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY "offset"
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), -1) AS nxt
+  FROM sqc
+)
+SELECT doc_id, kind, text, media_ref,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY "offset") - 1)::BIGINT AS ord
+FROM sqn
+WHERE cls = 1 OR (cls = 2 AND (prev = 1 OR nxt = 1))""",
+)
+def q_spans_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level C4 quality gate on the interleaved shape (spans.
+    filter_spans_quality): drop short / brace-bearing / blocklisted text
+    spans in place, keep a media run iff a neighbouring text span
+    survived, re-rank densely. The synthetic corpus's 'copyright ' marker
+    spans exercise the drop path; its media spans exercise run adjacency."""
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    return SP.filter_spans_quality(corpus.filter(F.size("spans") > 0))
+
+
+@_q(
     "extract_documents",
     f"""
 WITH {_SQL_KEPT_SPANS},
@@ -6265,6 +6304,115 @@ def q_html_justext(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("</p><p>&copy; 2026 Synth Corp</p>"),
     )
     return justext_extract(docs.select("doc_id", html.alias("html")))
+
+
+# --- CETR line tag-ratio extraction (Weninger 2010) ----------------------------
+
+_CETR_NAV = (
+    '<div class="nav"><a href="/">Home</a> <a href="/x">Links</a> '
+    '<a href="/y">More</a></div>'
+)
+_CETR_FOOTER = '<div class="footer"><a>(c) 2026 Synth Corp</a></div>'
+
+
+def _sql_cetr() -> str:
+    """CETR oracle: rebuild the multi-line HTML wrap from span_rows, then
+    replay line tag-ratios, the [1,2,1] binomial smoothing (lag/lead with
+    edge-clipped weights) and the fixed-iteration integer 2-means (one
+    generated CTE layer per iteration, like the PageRank oracle) — all
+    integer, every output ::BIGINT-capped."""
+    from ocr_spark.operators.boilerplate import CETR_KMEANS_ITERS
+
+    line = "ls[i+1]"
+    txt = _strip(f"regexp_replace({line}, '(?s)<[^>]*>', '', 'g')")
+    parts = [
+        f"""
+WITH {D.SQL_SPAN_CORPUS},
+chtml AS (
+  SELECT doc_id,
+         '{_CETR_NAV}' || chr(10) ||
+         string_agg(CASE WHEN kind = 'media' THEN '<img src="' || media_ref || '">'
+                         ELSE '<p>' || text || '</p>' END, chr(10) ORDER BY "offset") ||
+         chr(10) || '{_CETR_FOOTER}' AS html
+  FROM span_rows GROUP BY doc_id
+),
+cl0 AS (SELECT doc_id, string_split(html, chr(10)) AS ls FROM chtml),
+clines AS (
+  SELECT doc_id, i, {txt} AS txt,
+         len(regexp_extract_all({line}, '<[^>]*>')) AS tags
+  FROM cl0, UNNEST(range(len(ls))) AS t(i)
+),
+nall AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM clines GROUP BY doc_id),
+ctr AS (
+  SELECT doc_id, i, txt,
+         ((1000 * length(txt)) // greatest(tags, 1))::BIGINT AS tr
+  FROM clines WHERE txt != ''
+),
+csm AS (
+  SELECT doc_id, i, txt,
+         ((coalesce(lag(tr) OVER w, 0) + 2 * tr + coalesce(lead(tr) OVER w, 0))
+          // (2 + CASE WHEN lag(tr) OVER w IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN lead(tr) OVER w IS NULL THEN 0 ELSE 1 END))::BIGINT AS sm
+  FROM ctr WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+km0 AS (SELECT doc_id, min(sm)::BIGINT AS c0, max(sm)::BIGINT AS c1 FROM csm GROUP BY doc_id)"""
+    ]
+    for k in range(1, CETR_KMEANS_ITERS + 1):
+        hi = "2 * s.sm > p.c0 + p.c1"
+        parts.append(
+            f""",
+km{k} AS (
+  SELECT s.doc_id,
+         coalesce((sum(CASE WHEN {hi} THEN NULL ELSE s.sm END)
+                   // nullif(count(CASE WHEN {hi} THEN NULL ELSE 1 END), 0))::BIGINT,
+                  min(p.c0)) AS c0,
+         coalesce((sum(CASE WHEN {hi} THEN s.sm END)
+                   // nullif(count(CASE WHEN {hi} THEN 1 END), 0))::BIGINT,
+                  min(p.c1)) AS c1
+  FROM csm s JOIN km{k - 1} p USING (doc_id)
+  GROUP BY s.doc_id
+)"""
+        )
+    parts.append(
+        f""",
+ck AS (
+  SELECT s.doc_id, string_agg(s.txt, chr(10) ORDER BY s.i) AS main_text,
+         count(*)::BIGINT AS n_content
+  FROM csm s JOIN km{CETR_KMEANS_ITERS} f USING (doc_id)
+  WHERE 2 * s.sm > f.c0 + f.c1 GROUP BY s.doc_id
+)
+SELECT n.doc_id, coalesce(k.main_text, '') AS main_text, n.n_lines,
+       coalesce(k.n_content, 0)::BIGINT AS n_content_lines,
+       ((coalesce(k.n_content, 0) * 1000) // n.n_lines)::BIGINT AS content_permille
+FROM nall n LEFT JOIN ck k USING (doc_id)"""
+    )
+    return "".join(parts)
+
+
+@_q("html_cetr", _sql_cetr())
+def q_html_cetr(spark: SparkSession, sf: str) -> DataFrame:
+    """North-star CETR (Content Extraction via Tag Ratios, Weninger, Hsu,
+    Han — WWW 2010): per-LINE tag ratios, binomial [1,2,1] smoothing,
+    above-mean threshold — the fourth published extractor in the family,
+    over a multi-line HTML wrap of the interleaved span corpus (media
+    spans render as <img> lines and are density-transparent)."""
+    from ocr_spark.operators.boilerplate import cetr_extract
+
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    body = F.array_join(
+        F.transform(
+            F.col("spans"),
+            lambda s: F.when(
+                s["kind"] == "media",
+                F.concat(F.lit('<img src="'), s["media_ref"], F.lit('">')),
+            ).otherwise(F.concat(F.lit("<p>"), s["text"], F.lit("</p>"))),
+        ),
+        "\n",
+    )
+    html = F.concat(
+        F.lit(_CETR_NAV + "\n"), body, F.lit("\n" + _CETR_FOOTER)
+    )
+    return cetr_extract(corpus.select("doc_id", html.alias("html")))
 
 
 # --- jusText multilingual (per-row stoplist dispatch) --------------------------

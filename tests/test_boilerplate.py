@@ -839,3 +839,59 @@ def test_host_extract_stats_rollup(spark):
     assert got["c.org"]["empty_pages"] == 2
     assert got["c.org"]["main_chars"] == 0
     assert got["c.org"]["content_permille"] == 0
+
+
+# --- CETR (line tag-ratios, Weninger 2010) -----------------------------------
+
+
+def _cetr(spark, html):
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return BP.cetr_extract(df).first()
+
+
+def test_cetr_keeps_dense_lines_drops_chrome(spark):
+    html = "\n".join(
+        [
+            '<div class="nav"><a href="/">Home</a> <a href="/x">Links</a></div>',
+            "<p>the quick brown fox jumps over the lazy dog again and again today</p>",
+            "<p>another long content line with many interesting words about the topic</p>",
+            '<img src="x.png">',
+            "<p>a third substantial paragraph of real readable content for the page</p>",
+            '<div class="footer"><a>(c) 2026 Synth Corp</a></div>',
+        ]
+    )
+    r = _cetr(spark, html)
+    assert r.main_text.split("\n") == [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "another long content line with many interesting words about the topic",
+        "a third substantial paragraph of real readable content for the page",
+    ]
+    # n_lines counts ALL source lines (incl. the tag-only <img> line)
+    assert r.n_lines == 6 and r.n_content_lines == 3 and r.content_permille == 500
+
+
+def test_cetr_media_lines_are_density_transparent(spark):
+    # the <img> between two content lines must not drag them below the mean
+    # (tag-only lines are excluded from the density sequence)
+    content = "<p>plenty of ordinary readable words fill this entire line</p>"
+    html = "\n".join(
+        ['<div><a href="/">Home</a> <a href="/b">B</a> <a href="/c">C</a></div>']
+        + [content, '<img src="a.png">', content, '<img src="b.png">', content]
+    )
+    r = _cetr(spark, html)
+    assert r.n_content_lines == 3
+    assert "Home" not in r.main_text
+
+
+def test_cetr_empty_and_tag_only_pages(spark):
+    assert _cetr(spark, "").main_text == ""
+    assert _cetr(spark, None).main_text == ""
+    r = _cetr(spark, "<p></p>\n<img src='x'>")
+    assert r.main_text == "" and r.n_lines == 2 and r.n_content_lines == 0
+
+
+def test_cetr_single_line_page(spark):
+    # one text line: smoothed == mean, strict > keeps nothing — a page with
+    # no density CONTRAST has no separable main content under CETR
+    r = _cetr(spark, "<p>only one line of words here</p>")
+    assert r.n_lines == 1 and r.main_text == ""

@@ -132,3 +132,56 @@ def test_spans_to_markdown_interleave_and_counts(spark):
     assert out["1"].n_text == 3 and out["1"].n_media == 1
     assert out["2"].markdown == "![media]()" and out["2"].n_media == 1
     assert out["3"].markdown == "" and out["3"].n_text == 0
+
+
+def test_filter_spans_quality_rules_and_media_runs(spark):
+    from ocr_spark.operators.spans import filter_spans_quality
+
+    docs = spark.createDataFrame(
+        [
+            # kept text / dropped short / blocklist / brace; media-run adjacency
+            ("1", [("text", "a good long paragraph here", None, 0),
+                   ("media", None, "img://1/0", 16),      # next to kept text -> kept
+                   ("text", "too short", None, 32),        # < 3 words -> dropped
+                   ("media", None, "img://1/1", 48),       # neighbours: dropped + dropped -> dropped
+                   ("text", "all rights reserved footer text", None, 64),  # blocklist
+                   ("text", "code {x: 1} fragment inline", None, 80)]),    # braces
+            # a media RUN between a dropped and a kept text span -> kept
+            ("2", [("text", "ok", None, 0),                # dropped (short)
+                   ("media", None, "img://2/0", 16),
+                   ("media", None, "img://2/1", 32),
+                   ("text", "this paragraph clearly survives the gate", None, 48)]),
+            # media-only document: no non-media neighbour ever -> all dropped
+            ("3", [("media", None, "img://3/0", 0)]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = filter_spans_quality(docs)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.ord))
+    d1 = [(r.kind, r.text, r.media_ref, r.ord) for r in rows if r.doc_id == "1"]
+    assert d1 == [
+        ("text", "a good long paragraph here", None, 0),
+        ("media", None, "img://1/0", 1),
+    ]
+    d2 = [(r.kind, r.media_ref, r.ord) for r in rows if r.doc_id == "2"]
+    assert d2 == [
+        ("media", "img://2/0", 0),
+        ("media", "img://2/1", 1),
+        ("text", None, 2),
+    ]
+    assert not [r for r in rows if r.doc_id == "3"]
+
+
+def test_filter_spans_quality_terminal_punct_opt(spark):
+    from ocr_spark.operators.spans import filter_spans_quality
+
+    docs = spark.createDataFrame(
+        [("1", [("text", "ends with a period.", None, 0),
+                ("text", "no terminal punctuation here", None, 16)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    texts = [r.text for r in
+             filter_spans_quality(docs, require_terminal_punct=True).collect()]
+    assert texts == ["ends with a period."]

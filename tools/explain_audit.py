@@ -151,6 +151,8 @@ AUDIT = [
     "pii_scrub_spans",
     "html_markdown",
     "span_lang_runs",
+    "spans_quality_filter",
+    "html_cetr",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
