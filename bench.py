@@ -127,6 +127,7 @@ HEADLINE = [
     "sitemap_entries",
     "crawl_frontier",
     "crawl_diff",
+    "stitch_pages",
     "feed_entries",
     "feed_links",
     "html_meta",

@@ -1041,3 +1041,95 @@ def crawl_diff(
     return o.join(n, "url", "full_outer").select(
         "url", status.alias("status"), "old_md5", "new_md5"
     )
+
+
+# --- paginated-article stitching ----------------------------------------------
+
+# page-number indicators (documented subset): a `page`/`p`/`pg` query
+# parameter, or a `/page/N` path segment. Page 1 of a series usually has the
+# BARE url (no indicator at all) — the series key is the url with the
+# indicator removed, so page 1 and `?page=2` land in the same group.
+_PAGE_PARAM_RE = r"(?i)[?&](?:page|p|pg)=([0-9]+)"
+_PAGE_PATH_RE = r"(?i)/page/([0-9]+)"
+_PAGE_PARAM_STRIP_RE = r"(?i)[?&](?:page|p|pg)=[0-9]+"
+_PAGE_PATH_STRIP_RE = r"(?i)/page/[0-9]+"
+
+
+def page_series_key(url: Column) -> tuple[Column, Column]:
+    """(series_key, page_no) for a page url. The key strips the page
+    indicator and any dangling '?'/'&' it leaves behind; page_no defaults
+    to 1 when no indicator is present. Documented subset: when the page
+    indicator is a query parameter it is the LAST parameter (real
+    pipelines canonicalize with url_canonicalize first, which sorts
+    parameters — 'page' sorts after most tracking params it coexists
+    with)."""
+    u = F.coalesce(url, F.lit(""))
+    p_param = F.regexp_extract(u, _PAGE_PARAM_RE, 1)
+    p_path = F.regexp_extract(u, _PAGE_PATH_RE, 1)
+    page_no = (
+        F.when(p_param != "", p_param.cast("int"))
+        .when(p_path != "", p_path.cast("int"))
+        .otherwise(F.lit(1))
+    )
+    key = F.regexp_replace(
+        F.regexp_replace(u, _PAGE_PARAM_STRIP_RE, ""), _PAGE_PATH_STRIP_RE, ""
+    )
+    key = F.regexp_replace(key, r"[?&]$", "")
+    return key, page_no
+
+
+def stitch_paginated(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reassemble multi-page articles into one document per series:
+    (series_key, root_doc_id, n_parts, first_page, last_page, full_text).
+    root_doc_id is the doc of the lowest page number; full_text joins the
+    parts in page order with newlines; a missing middle page stitches the
+    remaining parts in order (crawls are never complete); duplicate
+    fetches of the same page number keep the lowest doc_id
+    deterministically.
+
+    Plan shape: page_no/series_key compute map-side, then TWO keyed
+    aggregations — groupBy(series, page_no) first (min_by dedups repeat
+    fetches with partial agg, so a hammered page number never builds a
+    big group), then groupBy(series) with sort_array over the few parts.
+    Skew is bounded by the longest real article (tens of pages), not by
+    fetch multiplicity."""
+    key, page_no = page_series_key(F.col(url_col))
+    p0 = pages.select(
+        key.alias("series_key"),
+        page_no.alias("page_no"),
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    )
+    p1 = p0.groupBy("series_key", "page_no").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+    )
+    parts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("page_no").alias("page_no"),
+                F.col("doc_id").alias("doc_id"),
+                F.col("text").alias("text"),
+            )
+        )
+    )
+    p2 = p1.groupBy("series_key").agg(parts.alias("parts"))
+    return p2.select(
+        "series_key",
+        F.element_at("parts", 1)["doc_id"].alias("root_doc_id"),
+        F.size("parts").cast("long").alias("n_parts"),
+        F.element_at("parts", 1)["page_no"].cast("long").alias("first_page"),
+        F.element_at("parts", -1)["page_no"].cast("long").alias("last_page"),
+        F.array_join(
+            F.filter(
+                F.transform(F.col("parts"), lambda s: s["text"]),
+                lambda t: t != "",
+            ),
+            "\n",
+        ).alias("full_text"),
+    )

@@ -7049,6 +7049,117 @@ def q_html_links(spark: SparkSession, sf: str) -> DataFrame:
     return LK.extract_links(_links_fixture(D.load(spark, sf, "documents")))
 
 
+# --- paginated-article stitching ------------------------------------------------
+
+# fixture: every 3 consecutive doc_ids form a candidate series sid with
+# (sid % 3 + 1) pages; even sids use the ?page=N query form (page 1 bare,
+# with a surviving id= param in the key), odd sids the /page/N path form
+# (page 1 bare); sid%5==4 skips page 2 (incomplete crawl); docs past the
+# series length are standalone solo pages; doc_id%10==0 pages are fetched
+# TWICE (higher doc_id, 'dup ' text) to exercise the min-doc_id dedup.
+_SQL_PAGING_FIXTURE = """
+pbase AS (
+  SELECT doc_id, doc_id // 3 AS sid, (doc_id % 3)::INT AS part,
+         ((doc_id // 3) % 3 + 1)::INT AS npages,
+         substr(coalesce(text, ''), 1, 100) AS t
+  FROM documents
+),
+purl AS (
+  SELECT doc_id, t,
+         CASE WHEN part < npages AND NOT (sid % 5 = 4 AND part = 1) THEN
+           CASE WHEN sid % 2 = 0
+             THEN 'https://site' || (sid % 7)::VARCHAR || '.example/art/' || sid::VARCHAR
+                  || '?id=' || sid::VARCHAR
+                  || CASE WHEN part = 0 THEN '' ELSE '&page=' || (part + 1)::VARCHAR END
+             ELSE 'https://site' || (sid % 7)::VARCHAR || '.example/art/' || sid::VARCHAR
+                  || CASE WHEN part = 0 THEN '' ELSE '/page/' || (part + 1)::VARCHAR END
+           END
+         ELSE 'https://solo.example/p/' || doc_id::VARCHAR END AS url
+  FROM pbase
+),
+psrc AS (
+  SELECT doc_id, url, t AS text FROM purl
+  UNION ALL
+  SELECT doc_id + 1000000, url, 'dup ' || t FROM purl WHERE doc_id % 10 = 0
+)"""
+
+
+def _paging_fixture(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    sid = F.floor(d / 3).cast("long")
+    part = (d % 3).cast("int")
+    npages = (sid % 3 + 1).cast("int")
+    base = F.concat(
+        F.lit("https://site"),
+        (sid % 7).cast("string"),
+        F.lit(".example/art/"),
+        sid.cast("string"),
+    )
+    pno = (part + 1).cast("string")
+    qurl = F.when(
+        part == 0, F.concat(base, F.lit("?id="), sid.cast("string"))
+    ).otherwise(
+        F.concat(base, F.lit("?id="), sid.cast("string"), F.lit("&page="), pno)
+    )
+    purl = F.when(part == 0, base).otherwise(
+        F.concat(base, F.lit("/page/"), pno)
+    )
+    in_series = (part < npages) & ~((sid % 5 == 4) & (part == 1))
+    url = F.when(
+        in_series, F.when(sid % 2 == 0, qurl).otherwise(purl)
+    ).otherwise(F.concat(F.lit("https://solo.example/p/"), d.cast("string")))
+    rows = docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 100).alias("text"),
+    )
+    dups = rows.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "url",
+        F.concat(F.lit("dup "), F.col("text")).alias("text"),
+    )
+    return rows.unionByName(dups)
+
+
+@_q(
+    "stitch_pages",
+    f"""
+WITH {_SQL_PAGING_FIXTURE},
+pk AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(regexp_replace(url,
+           '(?i)[?&](?:page|p|pg)=[0-9]+', ''), '(?i)/page/[0-9]+', ''),
+           '[?&]$', '') AS series_key,
+         CASE WHEN regexp_extract(url, '(?i)[?&](?:page|p|pg)=([0-9]+)', 1) != ''
+                THEN regexp_extract(url, '(?i)[?&](?:page|p|pg)=([0-9]+)', 1)::INT
+              WHEN regexp_extract(url, '(?i)/page/([0-9]+)', 1) != ''
+                THEN regexp_extract(url, '(?i)/page/([0-9]+)', 1)::INT
+              ELSE 1 END AS page_no
+  FROM psrc
+),
+pd AS (
+  SELECT series_key, page_no, min(doc_id) AS doc_id,
+         min_by(text, doc_id) AS text
+  FROM pk GROUP BY series_key, page_no
+)
+SELECT series_key,
+       min_by(doc_id, page_no) AS root_doc_id,
+       count(*)::BIGINT AS n_parts,
+       min(page_no)::BIGINT AS first_page,
+       max(page_no)::BIGINT AS last_page,
+       coalesce(string_agg(CASE WHEN text != '' THEN text END, chr(10)
+                           ORDER BY page_no), '') AS full_text
+FROM pd GROUP BY series_key""",
+)
+def q_stitch_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """Paginated-article stitching (links.stitch_paginated): multi-page
+    articles reassemble into one document per series via page-number URL
+    indicators (?page=N query form and /page/N path form, bare page 1),
+    incomplete crawls stitch the surviving pages in order, repeat fetches
+    of a page number dedup to the lowest doc_id."""
+    return LK.stitch_paginated(_paging_fixture(D.load(spark, sf, "documents")))
+
+
 def _directives_fixture(docs: DataFrame) -> DataFrame:
     did = F.col("doc_id").cast("string")
     base = F.concat(

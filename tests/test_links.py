@@ -839,3 +839,48 @@ def test_crawl_diff_null_text_and_empty_drop(spark):
     assert len(out) == 1 and out[0].status == "removed"
     # null body digests as empty string, never raises
     assert out[0].old_md5 is not None
+
+
+# --- paginated-article stitching ----------------------------------------------
+
+
+def test_stitch_paginated_query_and_path_forms(spark):
+    from ocr_spark.operators.links import stitch_paginated
+
+    rows = [
+        # query-param series: bare page 1 (other param survives in the key)
+        (1, "https://a.example/art/7?id=7", "part one"),
+        (2, "https://a.example/art/7?id=7&page=2", "part two"),
+        (3, "https://a.example/art/7?id=7&page=3", "part three"),
+        # path series, pages out of crawl order + a missing middle page
+        (10, "https://b.example/post/page/3", "tail"),
+        (11, "https://b.example/post", "head"),
+        # solo page
+        (20, "https://c.example/solo", "alone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {r.series_key: r for r in stitch_paginated(df).collect()}
+    a = out["https://a.example/art/7?id=7"]
+    assert a.root_doc_id == 1 and a.n_parts == 3
+    assert a.full_text == "part one\npart two\npart three"
+    assert (a.first_page, a.last_page) == (1, 3)
+    b = out["https://b.example/post"]
+    assert b.root_doc_id == 11 and b.n_parts == 2
+    assert b.full_text == "head\ntail" and b.last_page == 3
+    c = out["https://c.example/solo"]
+    assert c.n_parts == 1 and c.full_text == "alone" and c.first_page == 1
+
+
+def test_stitch_paginated_duplicate_fetch_and_empty_text(spark):
+    from ocr_spark.operators.links import stitch_paginated
+
+    rows = [
+        (5, "https://d.example/x?page=2", "kept"),
+        (9, "https://d.example/x?page=2", "later refetch loses"),
+        (6, "https://d.example/x", ""),  # empty page-1 text skipped in join
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    r = stitch_paginated(df).collect()
+    assert len(r) == 1
+    assert r[0].root_doc_id == 6 and r[0].n_parts == 2
+    assert r[0].full_text == "kept"

@@ -148,6 +148,7 @@ AUDIT = [
     "dedup_spans",
     "host_templates",
     "crawl_diff",
+    "stitch_pages",
     "pii_scrub_spans",
     "html_markdown",
     "span_lang_runs",
