@@ -32,6 +32,7 @@ HEADLINE = [
     "metrics_rollup",
     "fields_extract",
     "field_metrics",
+    "fields_spans",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -236,3 +236,52 @@ def exact_match_pct(df, extracted_col="extracted_data", gt_col="ground_truth_dat
 
     eq = (entries(F.col(extracted_col)) == entries(F.col(gt_col))).cast("double")
     return df.agg((F.avg(eq) * 100).alias("exact_match_percentage"))
+
+
+def extract_fields_spans(
+    docs,
+    fields: list[str] | None = None,
+    patterns: dict[str, list[str]] | None = None,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+):
+    """Span-level field tagging on the interleaved corpus shape: which
+    SPAN yielded each extracted key field — the provenance the north-star
+    pipeline keeps next to structured data (a doc-level map says WHAT was
+    extracted, this says WHERE). Returns one row per (text span, found
+    field): (doc_id, span_ord, field, value, is_first) with span_ord the
+    span's position among ALL spans in offset order (the span-sequence
+    order contract) and is_first marking the document-level winner — the
+    lowest-ord occurrence, mirroring first-match semantics of the
+    full-text extractor (data_extractor.py:79-146).
+
+    Plan shape: sort + posexplode is narrow per document; the regex stack
+    is the same folded literal chain as extract_fields_map; the only
+    shuffle is the (doc_id, field) is_first window, whose partitions are
+    tiny (≤ spans-per-doc rows). Skew bounded by document size."""
+    from pyspark.sql import DataFrame, Window  # local: fields.py is Column-only elsewhere
+
+    assert isinstance(docs, DataFrame)
+    spans = F.array_sort(
+        F.transform(
+            F.col(spans_col),
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+            ),
+        )
+    )
+    d1 = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(spans).alias("span_ord", "s")
+    )
+    d2 = d1.filter(F.col("s.kind") == "text").select(
+        "doc_id",
+        F.col("span_ord").cast("long").alias("span_ord"),
+        extract_fields_map(F.col("s.text"), fields, patterns).alias("fmap"),
+    )
+    d3 = d2.select(
+        "doc_id", "span_ord", F.explode("fmap").alias("field", "value")
+    )
+    w = Window.partitionBy("doc_id", "field").orderBy("span_ord")
+    return d3.withColumn("is_first", F.row_number().over(w) == 1)

@@ -500,6 +500,90 @@ def q_fields_validate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sql_fields_spans() -> str:
+    """extract_fields_spans oracle: field_docs lines become text spans
+    (offset 32·i) with media spans interleaved at 32·i+16 for
+    (doc_id+i)%3==0; span_ord ranks ALL spans by offset; the per-span
+    field extraction is the shared _sql_initfields stack unpivoted via a
+    struct-list UNNEST; is_first is the (doc_id, field) ord window."""
+    unpivot = ", ".join(
+        f"{{'field': '{f_}', 'value': f_{f_}}}" for f_ in config.DEFAULT_FIELDS
+    )
+    return f"""
+WITH {D.SQL_FIELD_DOCS},
+fl0 AS (SELECT doc_id, string_split(ftext, chr(10)) AS ls FROM field_docs),
+fspans AS (
+  SELECT doc_id, (32 * i)::INT AS "offset", 'text' AS kind, ls[i+1] AS stext
+  FROM fl0, UNNEST(range(len(ls))) AS t(i)
+  UNION ALL
+  SELECT doc_id, (32 * i + 16)::INT, 'media', NULL
+  FROM fl0, UNNEST(range(len(ls))) AS t(i) WHERE (doc_id + i) % 3 = 0
+),
+ford AS (
+  SELECT doc_id, kind, stext,
+         (row_number() OVER (PARTITION BY doc_id ORDER BY "offset") - 1)::BIGINT
+           AS span_ord
+  FROM fspans
+),
+ffx AS (SELECT doc_id, span_ord, {_sql_initfields('stext')}
+        FROM ford WHERE kind = 'text'),
+ffv AS (
+  SELECT doc_id, span_ord, u.field AS field, u.value AS value
+  FROM ffx, UNNEST([{unpivot}]) AS t(u)
+  WHERE u.value IS NOT NULL
+)
+SELECT doc_id, span_ord, field, value,
+       (row_number() OVER (PARTITION BY doc_id, field ORDER BY span_ord) = 1)
+         AS is_first
+FROM ffv"""
+
+
+@_q("fields_spans", _sql_fields_spans())
+def q_fields_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level field tagging (fields.extract_fields_spans): which span
+    of the interleaved document yielded each extracted key field, with
+    is_first marking the document-level first-match winner. Fixture:
+    field_docs lines as text spans with deterministic media interleave so
+    span_ord is exercised across kinds."""
+    fd = D.field_docs(D.load(spark, sf, "documents"))
+    lines = F.split(F.col("ftext"), r"\n")
+    idx = F.sequence(F.lit(0), F.size(lines) - 1)
+    tspans = F.zip_with(
+        lines,
+        idx,
+        lambda ln, i: F.struct(
+            F.lit("text").alias("kind"),
+            ln.alias("text"),
+            F.lit("").alias("media_ref"),
+            (i * 32).cast("int").alias("offset"),
+        ),
+    )
+    mspans = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.when(
+                (F.col("doc_id") + i) % 3 == 0,
+                F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.concat(
+                        F.lit("m-"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("-"),
+                        i.cast("string"),
+                    ).alias("media_ref"),
+                    (i * 32 + 16).cast("int").alias("offset"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    spans_df = fd.select(
+        "doc_id", F.concat(tspans, mspans).alias("spans")
+    )
+    return FX.extract_fields_spans(spans_df)
+
+
 def _sql_char_jaccard(a: str, b: str) -> str:
     sa = f"list_distinct(list_filter(string_split(lower({a}), ''), c -> c != ''))"
     sb = f"list_distinct(list_filter(string_split(lower({b}), ''), c -> c != ''))"

@@ -155,3 +155,41 @@ def test_custom_pattern_overrides_builtin(spark):
     df = spark.createDataFrame([(1, "contact=X@Y.Z no plain email")], "doc_id long, text string")
     v = df.select(FF.extract_field(F.col("text"), "email", overlay).alias("v")).first()["v"]
     assert v == "x@y.z"  # email normalizer still applies
+
+
+def test_extract_fields_spans_provenance(spark):
+    docs = spark.createDataFrame(
+        [
+            # phone in span 0 AND span 3 (is_first picks ord 0);
+            # media span occupies ord 1; date in span 2
+            (
+                1,
+                [
+                    ("text", "Телефон: +7 (905) 123-45-67", "", 0),
+                    ("media", None, "m-1", 16),
+                    ("text", "Дата: 01.02.2023", "", 32),
+                    ("text", "Телефон: +7 (905) 999-45-67", "", 48),
+                ],
+            ),
+            # out-of-offset-order input: ord must follow offsets, not
+            # array position
+            (
+                2,
+                [
+                    ("text", "Email: A@B.COM", "", 16),
+                    ("text", "Имя: Иван Петров", "", 0),
+                ],
+            ),
+        ],
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    rows = FX.extract_fields_spans(docs).collect()
+    d1 = {(r.field, r.span_ord): r for r in rows if r.doc_id == 1}
+    assert d1[("phone", 0)].value == "+79051234567"
+    assert d1[("phone", 0)].is_first and not d1[("phone", 3)].is_first
+    assert d1[("date", 2)].value == "01.02.2023"
+    assert ("phone", 1) not in d1  # media span yields nothing
+    d2 = {r.field: r for r in rows if r.doc_id == 2}
+    assert d2["name"].span_ord == 0 and d2["email"].span_ord == 1
+    assert d2["email"].value == "a@b.com"

@@ -149,6 +149,7 @@ AUDIT = [
     "host_templates",
     "crawl_diff",
     "stitch_pages",
+    "fields_spans",
     "pii_scrub_spans",
     "html_markdown",
     "span_lang_runs",
