@@ -2612,3 +2612,66 @@ def gopher_repetition(
         *[f"frac_dup_{n}gram_chars" for n in ns],
         gate.alias("repetition_pass"),
     )
+
+
+# --- readability (Flesch) --------------------------------------------------------
+# Flesch Reading Ease and Flesch-Kincaid grade (Kincaid et al. 1975), the
+# classic corpus-quality features, in EXACT milli-units: each fractional
+# term floors independently (a documented deterministic variant), so both
+# engines hash identically. Syllables are the standard heuristic — vowel
+# GROUP runs (latin incl. y, plus cyrillic vowels) minus a silent trailing
+# consonant+e, floor one per word.
+
+_VOWEL_RUN_RE = "[aeiouyаеёиоуыэюя]+"
+
+
+def syllable_count(word: Column) -> Column:
+    """Heuristic syllables of one (already lowered) word."""
+    runs = F.size(F.regexp_extract_all(word, F.lit(_VOWEL_RUN_RE), 0))
+    silent = word.rlike("[^aeiouy]e$") & (runs >= 2)
+    return F.greatest(runs - silent.cast("int"), F.lit(1))
+
+
+def readability_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document readability: (doc_id, n_words, n_sentences,
+    n_syllables, fre_milli, fk_grade_milli).
+
+    fre_milli  = 206835 - 1015*W//S - 84600*Syl//W   (Flesch Reading Ease)
+    fk_milli   = 390*W//S + 11800*Syl//W - 15590     (Flesch-Kincaid grade)
+
+    with S floored at 1 and metrics NULL for word-less documents. One
+    narrow pass: the word array materializes once, syllable counting is a
+    linear transform+fold over that attribute. No shuffle."""
+    d1 = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words_of(F.col(text_col)).alias("ws"),
+        F.size(split_sentences_col(F.col(text_col))).cast("long").alias("n_sentences"),
+    )
+    syl = F.aggregate(
+        F.transform(F.col("ws"), syllable_count),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    d2 = d1.select(
+        "doc_id",
+        F.size(F.col("ws")).cast("long").alias("n_words"),
+        "n_sentences",
+        syl.alias("n_syllables"),
+    )
+    w = F.col("n_words")
+    s = F.greatest(F.col("n_sentences"), F.lit(1).cast("long"))
+    y = F.col("n_syllables")
+    wps = F.floor(w * 1015 / s).cast("long")
+    spw = F.floor(y * 84600 / F.greatest(w, F.lit(1).cast("long"))).cast("long")
+    fk_wps = F.floor(w * 390 / s).cast("long")
+    fk_spw = F.floor(y * 11800 / F.greatest(w, F.lit(1).cast("long"))).cast("long")
+    return d2.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(w > 0, F.lit(206835).cast("long") - wps - spw).alias("fre_milli"),
+        F.when(w > 0, fk_wps + fk_spw - F.lit(15590).cast("long")).alias(
+            "fk_grade_milli"
+        ),
+    )

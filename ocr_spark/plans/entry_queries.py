@@ -1700,6 +1700,48 @@ def q_sentences(spark: SparkSession, sf: str) -> DataFrame:
     return TS.split_sentences(_sentenced_docs(spark, sf))
 
 
+def _sql_readability() -> str:
+    """readability_scores oracle over the sentenced wrap: words/sentences
+    from the shared CTEs, the syllable heuristic as a list lambda, each
+    fractional term floored independently with // — all integer."""
+    from ocr_spark.operators.textstats import _VOWEL_RUN_RE
+
+    runs = f"len(regexp_extract_all(w, '{_VOWEL_RUN_RE}'))"
+    syl_w = (
+        f"greatest({runs} - CASE WHEN regexp_matches(w, '[^aeiouy]e$') "
+        f"AND {runs} >= 2 THEN 1 ELSE 0 END, 1)"
+    )
+    return f"""
+WITH {_SQL_SENT_LIST},
+rws AS (SELECT doc_id, {_words_lower('text')} AS ws FROM st),
+rsyl AS (
+  SELECT doc_id, len(ws)::BIGINT AS n_words,
+         coalesce(list_sum(list_transform(ws, w -> {syl_w})), 0)::BIGINT
+           AS n_syllables
+  FROM rws
+),
+rsen AS (SELECT doc_id, len(l)::BIGINT AS n_sentences FROM sl)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         (206835 - (n_words * 1015 // greatest(n_sentences, 1))
+                 - (n_syllables * 84600 // greatest(n_words, 1)))::BIGINT
+       END AS fre_milli,
+       CASE WHEN n_words > 0 THEN
+         ((n_words * 390 // greatest(n_sentences, 1))
+          + (n_syllables * 11800 // greatest(n_words, 1)) - 15590)::BIGINT
+       END AS fk_grade_milli
+FROM rsyl JOIN rsen USING (doc_id)"""
+
+
+@_q("readability_scores", _sql_readability())
+def q_readability_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade in exact milli-units
+    (textstats.readability_scores) over the sentenced wrap — the classic
+    readability features a quality-filtering pipeline keeps next to the
+    Gopher/C4 gates."""
+    return TS.readability_scores(_sentenced_docs(spark, sf))
+
+
 @_q(
     "sentence_windows",
     f"""

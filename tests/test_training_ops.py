@@ -2532,3 +2532,45 @@ def test_gopher_repetition_overlap_counts_once(spark):
     docs = spark.createDataFrame([("d", "w w w w w w")], "doc_id string, text string")
     r = TS.gopher_repetition(docs).collect()[0]
     assert r.frac_dup_5gram_chars == 1.0
+
+
+# --- readability (Flesch) -------------------------------------------------------
+
+
+def test_syllable_heuristic(spark):
+    from ocr_spark.operators.textstats import syllable_count
+
+    words = ["cat", "table", "create", "strength", "7", "молоко", "the"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: r.s
+        for r in df.select("w", syllable_count(F.col("w")).alias("s")).collect()
+    }
+    assert got["cat"] == 1        # one vowel run
+    assert got["table"] == 1      # runs a,e minus the silent trailing -le e
+    assert got["create"] == 1     # runs ea,e minus the silent trailing -te e
+    assert got["strength"] == 1   # single e run
+    assert got["7"] == 1          # vowel-less words floor at 1
+    assert got["молоко"] == 3     # cyrillic vowels count
+    assert got["the"] == 1        # single run: silent-e deduction needs >= 2 runs
+
+
+def test_readability_scores_formula_and_edges(spark):
+    from ocr_spark.operators.textstats import readability_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran."),   # 6 words, 2 sentences, 6 syllables
+            (2, ""),                             # empty: NULL metrics
+            (3, "word"),                         # terminator-less text is 1 sentence
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability_scores(docs).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 2, 6)
+    # fre = 206835 - 1015*6//2 - 84600*6//6
+    assert r1.fre_milli == 206835 - 3045 - 84600
+    assert r1.fk_grade_milli == 390 * 6 // 2 + 11800 * 6 // 6 - 15590
+    assert out[2].n_words == 0 and out[2].fre_milli is None
+    assert out[3].n_sentences == 1 and out[3].fre_milli is not None
