@@ -60,6 +60,7 @@ HEADLINE = [
     "gopher_quality",
     "gopher_repetition",
     "lm_surprisal",
+    "lm_stupid_backoff",
     "dedup_paragraphs",
     "c4_filters",
     "url_dedup",

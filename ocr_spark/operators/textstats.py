@@ -2675,3 +2675,147 @@ def readability_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
             "fk_grade_milli"
         ),
     )
+
+
+# --- Stupid Backoff trigram LM -----------------------------------------------
+# Brants et al. 2007 ("Large Language Models in Machine Translation"): the
+# web-scale smoothing — no discounting, no normalization, just relative
+# frequencies with a fixed 0.4 multiplier per backoff level. The published
+# choice for trillion-token count models precisely BECAUSE it needs only
+# mergeable count aggregations, which is why it fits the 10^12-doc posture
+# here: every model table is a hash agg derived from ONE trigram explode.
+
+#: milli-bits added per backoff level: -1000*log2(0.4) = 1321.9... -> 1322.
+BACKOFF_MILLIBITS = 1322
+#: flat unigram-OOV penalty (same 20-bit convention as lm_surprisal).
+OOV_MILLIBITS = 20_000
+
+
+def lm_stupid_backoff(
+    docs, model_docs=None, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Stupid-Backoff trigram surprisal (Brants et al. 2007) in EXACT
+    milli-bit integer arithmetic: score every document by the average
+    surprisal of its word trigrams, backing off trigram -> bigram ->
+    unigram with the paper's fixed alpha = 0.4 per level (1322 milli-bits,
+    the integer -1000*log2(0.4)), so an external curated model can score
+    crawl text whose exact trigrams it has never seen — the depth-3
+    generalization of :func:`lm_surprisal`'s flat-OOV bigram model.
+
+    Every count table derives from ONE trigram explode of the model
+    corpus by successive aggregation (each one model-sized, mergeable,
+    map-side-combined — the property that made Stupid Backoff the
+    web-scale choice in the first place):
+
+      t3 (w1 w2 w3) -> count        trigram events
+      c2 (w1 w2)    -> sum(t3)      trigram contexts
+      b2 (w2 w3)    -> sum(t3)      bigram events (continuation counts)
+      c1 (w2)       -> sum(b2)      bigram contexts
+      u1 (w3)       -> sum(b2)      unigram events
+      n0            -> sum(u1)      scalar, broadcast
+
+    Per-level surprisal is bits(context) - bits(event) (libm-free integer
+    bit length, see :func:`_bits`) in milli-bits, plus 1322 per level
+    backed off; a word absent from u1 takes 2644 + 20000 flat. Scoring
+    computes once per DISTINCT probe trigram (model-sized joins on the
+    gram and its suffixes), then one keyed join attaches the score to
+    corpus occurrences — the Zipf-head skew join AQE splits. Docs with
+    <3 words have 0 trigrams and score 0 over 0.
+
+    Self-trained (``model_docs=None``) never backs off (every probe
+    trigram is in t3 by construction) — the backoff chain is the
+    external-model path, exactly like CCNet's curated-model setup.
+
+    Returns (doc_id, n_trigrams, total_millibits, avg_millibits)."""
+    self_trained = model_docs is None
+    model_docs = docs if self_trained else model_docs
+
+    def grams(df):
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(ngrams_of(F.col(text_col), 3)).alias("gram"),
+        )
+
+    probe = grams(docs)
+    if self_trained:
+        from pyspark import StorageLevel
+
+        from ocr_spark.operators.dedup import _register_cache
+
+        probe = _register_cache(probe.persist(StorageLevel.MEMORY_AND_DISK))
+
+    sp = F.split(F.col("gram"), " ")
+    t3 = (probe if self_trained else grams(model_docs)).groupBy("gram").agg(
+        F.count(F.lit(1)).alias("t_cnt")
+    )
+    c2 = t3.select(
+        F.array_join(F.slice(sp, 1, 2), " ").alias("p2"), "t_cnt"
+    ).groupBy("p2").agg(F.sum("t_cnt").alias("c2_cnt"))
+    b2 = t3.select(
+        F.array_join(F.slice(sp, 2, 2), " ").alias("s2"), "t_cnt"
+    ).groupBy("s2").agg(F.sum("t_cnt").alias("b2_cnt"))
+    c1 = b2.select(F.split(F.col("s2"), " ")[0].alias("m1"), "b2_cnt").groupBy(
+        "m1"
+    ).agg(F.sum("b2_cnt").alias("c1_cnt"))
+    u1 = b2.select(F.split(F.col("s2"), " ")[1].alias("l1"), "b2_cnt").groupBy(
+        "l1"
+    ).agg(F.sum("b2_cnt").alias("u1_cnt"))
+    n0 = u1.agg(F.sum("u1_cnt").alias("n0_cnt"))
+
+    dg = probe.select("gram").distinct().select(
+        "gram",
+        F.array_join(F.slice(sp, 1, 2), " ").alias("p2"),
+        F.array_join(F.slice(sp, 2, 2), " ").alias("s2"),
+        sp[1].alias("m1"),
+        sp[2].alias("l1"),
+    )
+    lvl3 = F.lit(1000) * (_bits(F.col("c2_cnt")) - _bits(F.col("t_cnt")))
+    lvl2 = F.lit(BACKOFF_MILLIBITS) + F.lit(1000) * (
+        _bits(F.col("c1_cnt")) - _bits(F.col("b2_cnt"))
+    )
+    lvl1 = F.lit(2 * BACKOFF_MILLIBITS) + F.lit(1000) * (
+        _bits(F.col("n0_cnt")) - _bits(F.col("u1_cnt"))
+    )
+    gram_milli = (
+        dg.join(t3, "gram", "left")
+        .join(c2, "p2", "left")
+        .join(b2, "s2", "left")
+        .join(c1, "m1", "left")
+        .join(u1, "l1", "left")
+        .crossJoin(F.broadcast(n0))
+        .select(
+            "gram",
+            F.when(F.col("t_cnt").isNotNull(), lvl3)
+            .when(F.col("b2_cnt").isNotNull(), lvl2)
+            .when(F.col("u1_cnt").isNotNull(), lvl1)
+            .otherwise(F.lit(2 * BACKOFF_MILLIBITS + OOV_MILLIBITS))
+            .cast("long")
+            .alias("milli"),
+        )
+    )
+    per_doc = (
+        probe.join(gram_milli, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("milli").alias("total_millibits"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
+            F.coalesce("total_millibits", F.lit(0))
+            .cast("long")
+            .alias("total_millibits"),
+            F.round(
+                F.when(
+                    F.coalesce("n_trigrams", F.lit(0)) > 0,
+                    F.col("total_millibits").cast("double") / F.col("n_trigrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("avg_millibits"),
+        )
+    )

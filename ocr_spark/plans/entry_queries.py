@@ -1742,6 +1742,85 @@ def q_readability_scores(spark: SparkSession, sf: str) -> DataFrame:
     return TS.readability_scores(_sentenced_docs(spark, sf))
 
 
+def _sql_stupid_backoff() -> str:
+    """lm_stupid_backoff oracle: the same one-explode count-table derivation
+    (t3 -> c2/b2 -> c1/u1 -> n0) in DuckDB, every SUM cast ::BIGINT before
+    to_base (HUGEINT promotion breaks both to_base and the driver hash),
+    backoff CASE in exact integer milli-bits."""
+    bits = "length(to_base({}, 2))"
+    return f"""
+WITH bw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),
+bmg AS (
+  SELECT unnest(list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))) AS gram
+  FROM bw WHERE doc_id % 2 = 0 AND len(w) >= 3
+),
+bt3 AS (SELECT gram, count(*)::BIGINT AS t_cnt FROM bmg GROUP BY gram),
+bc2 AS (
+  SELECT array_to_string(string_split(gram, ' ')[1:2], ' ') AS p2,
+         sum(t_cnt)::BIGINT AS c2_cnt
+  FROM bt3 GROUP BY 1
+),
+bb2 AS (
+  SELECT array_to_string(string_split(gram, ' ')[2:3], ' ') AS s2,
+         sum(t_cnt)::BIGINT AS b2_cnt
+  FROM bt3 GROUP BY 1
+),
+bc1 AS (SELECT string_split(s2, ' ')[1] AS m1, sum(b2_cnt)::BIGINT AS c1_cnt
+        FROM bb2 GROUP BY 1),
+bu1 AS (SELECT string_split(s2, ' ')[2] AS l1, sum(b2_cnt)::BIGINT AS u1_cnt
+        FROM bb2 GROUP BY 1),
+bn0 AS (SELECT sum(u1_cnt)::BIGINT AS n0_cnt FROM bu1),
+bpg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))) AS gram
+  FROM bw WHERE doc_id % 2 = 1 AND len(w) >= 3
+),
+bsc AS (
+  SELECT bpg.doc_id,
+         CASE WHEN bt3.t_cnt IS NOT NULL THEN
+                1000 * ({bits.format('bc2.c2_cnt')} - {bits.format('bt3.t_cnt')})
+              WHEN bb2.b2_cnt IS NOT NULL THEN
+                1322 + 1000 * ({bits.format('bc1.c1_cnt')} - {bits.format('bb2.b2_cnt')})
+              WHEN bu1.u1_cnt IS NOT NULL THEN
+                2644 + 1000 * ({bits.format('bn0.n0_cnt')} - {bits.format('bu1.u1_cnt')})
+              ELSE 22644 END::BIGINT AS milli
+  FROM bpg
+  LEFT JOIN bt3 USING (gram)
+  LEFT JOIN bc2 ON bc2.p2 = array_to_string(string_split(bpg.gram, ' ')[1:2], ' ')
+  LEFT JOIN bb2 ON bb2.s2 = array_to_string(string_split(bpg.gram, ' ')[2:3], ' ')
+  LEFT JOIN bc1 ON bc1.m1 = string_split(bpg.gram, ' ')[2]
+  LEFT JOIN bu1 ON bu1.l1 = string_split(bpg.gram, ' ')[3]
+  CROSS JOIN bn0
+),
+bpd AS (SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+               sum(milli)::BIGINT AS total_millibits
+        FROM bsc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(bpd.n_trigrams, 0)::BIGINT AS n_trigrams,
+       coalesce(bpd.total_millibits, 0)::BIGINT AS total_millibits,
+       round(CASE WHEN coalesce(bpd.n_trigrams, 0) > 0
+                  THEN bpd.total_millibits::DOUBLE / bpd.n_trigrams
+                  ELSE 0.0 END, 6) AS avg_millibits
+FROM documents d LEFT JOIN bpd ON bpd.doc_id = d.doc_id
+WHERE d.doc_id % 2 = 1"""
+
+
+@_q("lm_stupid_backoff", _sql_stupid_backoff())
+def q_lm_stupid_backoff(spark: SparkSession, sf: str) -> DataFrame:
+    """Stupid-Backoff trigram surprisal (Brants et al. 2007) in exact
+    integer milli-bits: even doc_ids train the count model, odd doc_ids
+    are scored with trigram->bigram->unigram backoff (1322 milli-bits =
+    -1000*log2(0.4) per level) and the flat 20-bit OOV tail — the depth-3
+    external-model generalization of lm_surprisal."""
+    docs = D.load(spark, sf, "documents")
+    return TS.lm_stupid_backoff(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        model_docs=docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
 @_q(
     "sentence_windows",
     f"""

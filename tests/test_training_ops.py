@@ -2574,3 +2574,43 @@ def test_readability_scores_formula_and_edges(spark):
     assert r1.fk_grade_milli == 390 * 6 // 2 + 11800 * 6 // 6 - 15590
     assert out[2].n_words == 0 and out[2].fre_milli is None
     assert out[3].n_sentences == 1 and out[3].fre_milli is not None
+
+
+# --- Stupid Backoff trigram LM ---------------------------------------------------
+
+
+def test_stupid_backoff_levels(spark):
+    """External model 'a b c a b c' gives hand-checkable counts: t3{a b c:2,
+    b c a:1, c a b:1}, b2{b c:2, c a:1, a b:1}, u1{c:2, a:1, b:1}, n0=4 —
+    one probe doc per backoff level."""
+    from ocr_spark.operators.textstats import lm_stupid_backoff
+
+    model = spark.createDataFrame([(100, "a b c a b c")], "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [
+            (1, "a b c"),   # trigram hit: bits(c2=2)-bits(t=2) = 0
+            (2, "x b c"),   # bigram level: 1322 + bits(c1[b]=2)-bits(b2=2) = 1322
+            (3, "b c c"),   # unigram level: 2644 + bits(n0=4)-bits(u1[c]=2) = 3644
+            (4, "q q q"),   # full OOV: 2644 + 20000
+            (5, "a b"),     # <3 words: 0 trigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_stupid_backoff(probes, model_docs=model).collect()}
+    assert (out[1].n_trigrams, out[1].total_millibits) == (1, 0)
+    assert out[2].total_millibits == 1322
+    assert out[3].total_millibits == 3644
+    assert out[4].total_millibits == 22644
+    assert (out[5].n_trigrams, out[5].total_millibits, out[5].avg_millibits) == (0, 0, 0.0)
+
+
+def test_stupid_backoff_self_trained_never_backs_off(spark):
+    from ocr_spark.operators.textstats import lm_stupid_backoff
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "z z")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in lm_stupid_backoff(docs).collect()}
+    # both trigrams unique: bits(1)-bits(1) = 0 at the trigram level
+    assert (out[1].n_trigrams, out[1].total_millibits) == (2, 0)
+    assert out[2].n_trigrams == 0
