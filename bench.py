@@ -81,6 +81,7 @@ HEADLINE = [
     "bloom_membership",
     "pagerank",
     "hits_scores",
+    "trustrank",
     "hll_distinct",
     "cms_heavy_hitters",
     "events_asof",

@@ -223,3 +223,107 @@ def hits(
     e_dst.unpersist()
     nodes.unpersist()
     return out
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Integer-exact TrustRank (Gyongyi, Garcia-Molina & Pedersen,
+    VLDB 2004) → (node, trust_units): PageRank with the teleport vector
+    biased to a trusted seed set — the canonical web-spam demotion signal
+    (trust flows OUT of hand-vetted seeds along links and attenuates per
+    hop, so spam farms far from any trusted page score ~0 no matter how
+    densely they interlink).
+
+    Same cross-engine integer discipline as :func:`pagerank`, with the
+    uniform 1/N teleport replaced by the seed indicator:
+
+        S            = |seeds ∩ nodes|       (seeds outside the graph are
+                                              inert and excluded from S so
+                                              they don't leak mass)
+        r_0(v)       = UNIT div S  if v ∈ S else 0
+        base(v)      = (15·UNIT) div (100·S)  if v ∈ S else 0
+        r_{i+1}(v)   = base(v) + (85 · Σ_{u→v} r_i(u) div outdeg(u)) div 100
+
+    Non-seed nodes receive trust ONLY through in-links — a node unreachable
+    from every seed stays exactly 0 (the property that makes the score a
+    spam gate rather than a popularity score). With S = all nodes this
+    degenerates to :func:`pagerank` bit-for-bit.
+
+    Plan shape is pagerank's: the per-iteration join keys on src against
+    the once-persisted pre-partitioned edge+outdeg table, the node table
+    carries the seed indicator so `base` is a column expression (no second
+    join per round), two shuffles per iteration, localCheckpoint cadence
+    identical. The only driver scalar is S (a count, like pagerank's N).
+    An empty effective seed set returns all-zero trust."""
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = (
+        e.join(outdeg, "src")
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sd = seeds.select(F.col(seed_col).cast("long").alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(sd.select("node", F.lit(1).alias("is_seed")), "node", "left")
+        .select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+        .repartition("node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    s = nodes.filter(F.col("is_seed") == 1).count()  # driver scalar (like N)
+    if s == 0:
+        out = nodes.select(
+            "node", F.lit(0).cast("long").alias("trust_units")
+        ).localCheckpoint(eager=True)
+        ew.unpersist()
+        nodes.unpersist()
+        return out
+    base = F.when(
+        F.col("is_seed") == 1, F.lit((15 * UNIT) // (100 * s))
+    ).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "node",
+        "is_seed",
+        F.when(F.col("is_seed") == 1, F.lit(UNIT // s))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    for i in range(n_iters):
+        contrib = ew.join(ranks, ew.src == ranks.node).select(
+            "dst", F.expr("r div outdeg").alias("c")
+        )
+        insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(insum, nodes.node == insum.dst, "left")
+            .select(
+                "node",
+                "is_seed",
+                (base + F.expr("(85 * coalesce(s, 0L)) div 100"))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=(i + 1) % 8 == 0)
+        )
+    out = ranks.select("node", F.col("r").alias("trust_units")).localCheckpoint(
+        eager=True
+    )
+    ew.unpersist()
+    nodes.unpersist()
+    return out

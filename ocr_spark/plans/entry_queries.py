@@ -2436,6 +2436,76 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     return pagerank(e1.unionByName(e2).unionByName(e3), n_iters=3)
 
+
+def _sql_trustrank(iters: int) -> str:
+    """Unrolled integer-TrustRank oracle: pagerank's edge fixture, teleport
+    restricted to the node%7=0 seed set, per-iteration rank ::BIGINT (the
+    HUGEINT lesson)."""
+    parts = [
+        """WITH tedges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id % 10 AS dst FROM documents
+    UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+    UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 3 = 0
+  )
+),
+tnodes AS (
+  SELECT node, CASE WHEN node % 7 = 0 THEN 1 ELSE 0 END AS is_seed
+  FROM (SELECT src AS node FROM tedges UNION SELECT dst FROM tedges)
+),
+tdeg AS (SELECT src, count(*) AS outdeg FROM tedges GROUP BY src),
+ts AS (SELECT count(*) AS s FROM tnodes WHERE is_seed = 1),
+tr0 AS (
+  SELECT node, is_seed,
+         CASE WHEN is_seed = 1
+              THEN 1000000000000 // (SELECT s FROM ts) ELSE 0 END AS r
+  FROM tnodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+tr{i} AS (
+  SELECT v.node, v.is_seed,
+         (CASE WHEN v.is_seed = 1
+               THEN (15 * 1000000000000) // (100 * (SELECT s FROM ts))
+               ELSE 0 END
+          + (85 * COALESCE(s.insum, 0)) // 100)::BIGINT AS r
+  FROM tnodes v LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // d.outdeg) AS insum
+    FROM tedges e JOIN tr{i - 1} p ON p.node = e.src
+    JOIN tdeg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = v.node
+)""")
+    parts.append(f"\nSELECT node, r::BIGINT AS trust_units FROM tr{iters}")
+    return "".join(parts)
+
+
+@_q("trustrank", _sql_trustrank(3))
+def q_trustrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact TrustRank (operators/graph.trustrank — Gyongyi et al.
+    VLDB 2004) over the pagerank link fixture with every-7th node as the
+    trusted seed set: trust teleports only to seeds and flows out along
+    links, so pages unreachable from any seed score exactly 0 — the
+    web-spam demotion signal next to pagerank's popularity signal."""
+    from ocr_spark.operators.graph import trustrank
+
+    docs = D.load(spark, sf, "documents").select("doc_id")
+    e1 = docs.select(F.col("doc_id").alias("src"), (F.col("doc_id") % 10).alias("dst"))
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), F.expr("doc_id div 2").alias("dst")
+    )
+    e3 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .filter(F.col("node") % 7 == 0)
+    )
+    return trustrank(edges, seeds, n_iters=3)
+
+
 @_q(
     "hll_distinct",
     f"""

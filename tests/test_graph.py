@@ -134,3 +134,92 @@ def test_hits_mass_bounded_after_normalize(spark):
     rows = hits(_df(spark, edges), n_iters=2).collect()
     assert 0 < sum(r["auth_units"] for r in rows) < 2 * HITS_SCALE
     assert 0 < sum(r["hub_units"] for r in rows) < 2 * HITS_SCALE
+
+
+# --- TrustRank ---------------------------------------------------------------
+
+
+def py_trustrank(edges, seeds, iters):
+    """Reference implementation of the exact integer TrustRank."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    seed_set = set(seeds) & set(nodes)
+    s = len(seed_set)
+    if s == 0:
+        return {v: 0 for v in nodes}
+    outdeg: dict[int, int] = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = {v: (UNIT // s if v in seed_set else 0) for v in nodes}
+    for _ in range(iters):
+        insum = {v: 0 for v in nodes}
+        for u, d in edges:
+            insum[d] += r[u] // outdeg[u]
+        r = {
+            v: ((15 * UNIT) // (100 * s) if v in seed_set else 0)
+            + (85 * insum[v]) // 100
+            for v in nodes
+        }
+    return r
+
+
+def _seeds_df(spark, ids):
+    from ocr_spark.operators.graph import trustrank  # noqa: F401
+
+    return spark.createDataFrame([(i,) for i in ids], "node long")
+
+
+def test_trustrank_matches_golden_random_graph(spark):
+    from ocr_spark.operators.graph import trustrank
+
+    rnd = random.Random(11)
+    edges = list({(rnd.randrange(40), rnd.randrange(40)) for _ in range(150)})
+    seeds = [0, 7, 14, 21, 999]  # 999 is outside the graph: inert
+    for iters in (1, 3):
+        want = py_trustrank(edges, seeds, iters)
+        got = {
+            r.node: r.trust_units
+            for r in trustrank(
+                _df(spark, edges), _seeds_df(spark, seeds), n_iters=iters
+            ).collect()
+        }
+        assert got == want
+
+
+def test_trustrank_unreachable_stays_zero(spark):
+    from ocr_spark.operators.graph import trustrank
+
+    # two components: seed lives in {0,1}; {5,6} is unreachable spam farm
+    edges = [(0, 1), (1, 0), (5, 6), (6, 5)]
+    got = {
+        r.node: r.trust_units
+        for r in trustrank(_df(spark, edges), _seeds_df(spark, [0]), n_iters=4).collect()
+    }
+    assert got[5] == 0 and got[6] == 0
+    assert got[0] > 0 and got[1] > 0
+    assert got == py_trustrank(edges, [0], 4)
+
+
+def test_trustrank_all_seeds_degenerates_to_pagerank(spark):
+    from ocr_spark.operators.graph import trustrank
+
+    rnd = random.Random(23)
+    edges = list({(rnd.randrange(20), rnd.randrange(20)) for _ in range(60)})
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    pr = {r.node: r.rank_units for r in pagerank(_df(spark, edges), n_iters=3).collect()}
+    tr = {
+        r.node: r.trust_units
+        for r in trustrank(_df(spark, edges), _seeds_df(spark, nodes), n_iters=3).collect()
+    }
+    assert tr == pr
+
+
+def test_trustrank_empty_seed_set_all_zero(spark):
+    from ocr_spark.operators.graph import trustrank
+
+    edges = [(0, 1), (1, 2)]
+    got = {
+        r.node: r.trust_units
+        for r in trustrank(_df(spark, edges), _seeds_df(spark, [77]), n_iters=2).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0}
