@@ -82,6 +82,7 @@ HEADLINE = [
     "pagerank",
     "hits_scores",
     "trustrank",
+    "lpa_communities",
     "hll_distinct",
     "cms_heavy_hitters",
     "events_asof",

@@ -327,3 +327,88 @@ def trustrank(
     ew.unpersist()
     nodes.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al. 2007)
+    over the UNDIRECTED view of an edge table → (node, community) — the
+    near-linear community detector that surfaces site clusters and
+    link-farm blocks next to :func:`pagerank`'s popularity and
+    :func:`trustrank`'s trust signals.
+
+    Classic LPA breaks ties randomly and updates asynchronously — both
+    non-reproducible across runs, let alone engines. This formulation is
+    exact: synchronous rounds, and the new label of v is the neighbor
+    label with the HIGHEST frequency, ties broken by SMALLEST label value
+    (integer compare, no floats anywhere):
+
+        label_0(v)     = v
+        label_{i+1}(v) = argmax_{L} |{u ~ v : label_i(u) = L}|
+                         (max count, then min L; isolated v keeps label_i(v))
+
+    Matches GraphX's LabelPropagation semantics except the tie-break,
+    which GraphX leaves to hash-map iteration order — the min-label rule
+    replaces that with something an oracle can replay.
+
+    Plan shape: edges symmetrize ONCE into a persisted (node, nbr) table
+    pre-partitioned on nbr (the join key each round); per iteration one
+    join (labels onto adjacency, keyed on nbr) + one two-key count agg +
+    one max_by-struct agg (count desc, label asc packed into ONE struct
+    max — no window, no sort) + a left join back to the node set — three
+    shuffles per round, localCheckpoint cadence as pagerank. The struct
+    comparator orders lexicographically on (cnt, -label) via (cnt,
+    MAXL-label), keeping every field a non-negative long."""
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("a"),
+            F.col(dst_col).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    adj = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .repartition("nbr")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        edges.select(F.col(src_col).cast("long").alias("node"))
+        .unionByName(edges.select(F.col(dst_col).cast("long").alias("node")))
+        .distinct()
+        .repartition("node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes.count()  # materialize before the loop
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    # 2^62 headroom sentinel: labels are non-negative longs, so MAXL-lbl
+    # inverts the order without going negative (struct max compares
+    # field-by-field; both fields must sort ascending-is-better)
+    maxl = 1 << 62
+    for i in range(n_iters):
+        nbr_lbl = adj.join(
+            labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+        ).select("node", "lbl")
+        freq = nbr_lbl.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        best = freq.groupBy("node").agg(
+            F.max(F.struct(F.col("cnt"), (F.lit(maxl) - F.col("lbl")).alias("inv")))
+            .alias("m")
+        ).select("node", (F.lit(maxl) - F.col("m.inv")).alias("new_lbl"))
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=(i + 1) % 8 == 0)
+        )
+    out = labels.select("node", F.col("lbl").alias("community")).localCheckpoint(
+        eager=True
+    )
+    adj.unpersist()
+    nodes.unpersist()
+    return out

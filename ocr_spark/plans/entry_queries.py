@@ -2506,6 +2506,71 @@ def q_trustrank(spark: SparkSession, sf: str) -> DataFrame:
     return trustrank(edges, seeds, n_iters=3)
 
 
+def _sql_lpa(iters: int) -> str:
+    """Unrolled label-propagation oracle: pagerank's edge fixture
+    symmetrized, per-round frequency CTE + row_number tie-break
+    (cnt DESC, lbl ASC) — the same deterministic rule as
+    operators/graph.label_propagation's struct-max."""
+    parts = [
+        """WITH ledges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id % 10 AS dst FROM documents
+    UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+    UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 3 = 0
+  )
+),
+lund AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM ledges
+    UNION ALL SELECT dst, src FROM ledges
+  ) WHERE a != b
+),
+lnodes AS (SELECT src AS node FROM ledges UNION SELECT dst FROM ledges),
+ll0 AS (SELECT node, node AS lbl FROM lnodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+lf{i} AS (
+  SELECT u.a AS node, l.lbl, count(*) AS cnt
+  FROM lund u JOIN ll{i - 1} l ON l.node = u.b
+  GROUP BY u.a, l.lbl
+),
+lb{i} AS (
+  SELECT node, lbl AS new_lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+    FROM lf{i}
+  ) WHERE rn = 1
+),
+ll{i} AS (
+  SELECT n.node, COALESCE(b.new_lbl, p.lbl)::BIGINT AS lbl
+  FROM lnodes n JOIN ll{i - 1} p ON p.node = n.node
+  LEFT JOIN lb{i} b ON b.node = n.node
+)""")
+    parts.append(f"\nSELECT node, lbl::BIGINT AS community FROM ll{iters}")
+    return "".join(parts)
+
+
+@_q("lpa_communities", _sql_lpa(3))
+def q_lpa_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic label-propagation communities (operators/graph.
+    label_propagation — Raghavan 2007 with the min-label tie-break) over
+    the undirected view of the pagerank link fixture: site clusters and
+    link-farm blocks emerge as shared community ids after 3 synchronous
+    rounds."""
+    from ocr_spark.operators.graph import label_propagation
+
+    docs = D.load(spark, sf, "documents").select("doc_id")
+    e1 = docs.select(F.col("doc_id").alias("src"), (F.col("doc_id") % 10).alias("dst"))
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), F.expr("doc_id div 2").alias("dst")
+    )
+    e3 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    return label_propagation(e1.unionByName(e2).unionByName(e3), n_iters=3)
+
+
 @_q(
     "hll_distinct",
     f"""

@@ -223,3 +223,75 @@ def test_trustrank_empty_seed_set_all_zero(spark):
         for r in trustrank(_df(spark, edges), _seeds_df(spark, [77]), n_iters=2).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0}
+
+
+# --- Label propagation -------------------------------------------------------
+
+
+def py_lpa(edges, iters):
+    """Reference implementation: synchronous, max count then min label."""
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    nbrs: dict[int, list[int]] = {v: [] for v in nodes}
+    for a, b in und:
+        nbrs[a].append(b)
+    lbl = {v: v for v in nodes}
+    for _ in range(iters):
+        new = {}
+        for v in nodes:
+            if not nbrs[v]:
+                new[v] = lbl[v]
+                continue
+            freq: dict[int, int] = {}
+            for u in nbrs[v]:
+                freq[lbl[u]] = freq.get(lbl[u], 0) + 1
+            new[v] = min(freq, key=lambda L: (-freq[L], L))
+        lbl = new
+    return lbl
+
+
+def test_lpa_matches_golden_random_graph(spark):
+    from ocr_spark.operators.graph import label_propagation
+
+    rnd = random.Random(31)
+    edges = list({(rnd.randrange(30), rnd.randrange(30)) for _ in range(90)})
+    for iters in (1, 3):
+        want = py_lpa(edges, iters)
+        got = {
+            r.node: r.community
+            for r in label_propagation(_df(spark, edges), n_iters=iters).collect()
+        }
+        assert got == want
+
+
+def test_lpa_two_cliques_converge_to_min_member(spark):
+    from ocr_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge: each clique collapses to its
+    # minimum member id; the bridge is too thin to flip either side
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = c1 + c2 + [(3, 10)]
+    got = {
+        r.node: r.community
+        for r in label_propagation(_df(spark, edges), n_iters=4).collect()
+    }
+    assert got == py_lpa(edges, 4)
+    assert {got[v] for v in range(3)} == {0}
+    assert {got[v] for v in range(11, 14)} == {10}
+
+
+def test_lpa_self_loop_only_node_keeps_label(spark):
+    from ocr_spark.operators.graph import label_propagation
+
+    edges = [(0, 1), (5, 5)]
+    got = {
+        r.node: r.community
+        for r in label_propagation(_df(spark, edges), n_iters=2).collect()
+    }
+    assert got == py_lpa(edges, 2)
+    assert got[5] == 5
