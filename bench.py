@@ -83,6 +83,7 @@ HEADLINE = [
     "hits_scores",
     "trustrank",
     "lpa_communities",
+    "spans_coalesce",
     "hll_distinct",
     "cms_heavy_hitters",
     "events_asof",

@@ -418,3 +418,178 @@ def filter_spans_quality(
         F.col("s.media_ref").alias("media_ref"),
         F.col("ord").cast("long").alias("ord"),
     )
+
+
+def coalesce_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    joiner: str = "\n",
+    big_doc_spans: int | None = config.BIG_DOC_SPANS,
+) -> DataFrame:
+    """Span-sequence normalization for the interleaved shape: drop
+    whitespace-only text spans, merge runs of ADJACENT text spans into one
+    span (texts joined by ``joiner``, media_ref of the first), keep media
+    spans as-is, reindex order 0..n-1 — the canonicalization pass between
+    an extractor (whose DOM walk emits fragmented text nodes) and
+    everything downstream that assumes one span per content block
+    (packing, dedup, markdown render).
+
+    Input:  (id_col, spans array<struct<kind,text,media_ref,offset>>)
+    Output: (id_col, spans array<struct<kind,text,media_ref,order>>)
+
+    Canonical span order is (offset, kind, text, media_ref) — the same
+    total order as :func:`assemble_spans`' tie rule.
+
+    Plan: hybrid on ``size(spans)``, routed NARROWLY (the array length is
+    already in the row — no count pre-pass, unlike assemble_spans):
+
+    - normal docs: one expression chain per row — array_sort → filter →
+      linear fold (F.aggregate) that either appends a span or replaces the
+      accumulator's tail with the concatenated text span. ZERO shuffle;
+      the fold's slice+concat tail-rewrite is O(runs·spans) element copies
+      per doc, fine below the routing threshold.
+    - mega-docs (> ``big_doc_spans`` spans): the quadratic fold and the
+      one-giant-array row are exactly what to avoid, so they explode to
+      span rows, window over (doc_id | order by the canonical key) marks
+      text-run starts (lag(kind)), a running sum assigns run ids, one
+      groupBy(doc_id, run) merges each run, and the existing
+      single-phase assembly rebuilds the array. The per-doc window puts a
+      mega-doc on one task for the flag pass — linear work, the same
+      bound as its final array materialization.
+
+    Both paths produce identical sequences (pytest crosses them on the
+    same input). Duplicate (offset, kind, text, media_ref) tuples are
+    merged in canonical order on both paths."""
+    spans = F.coalesce(
+        F.col(spans_col),
+        F.array().cast(
+            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        ),
+    )
+    n_spans = F.size(spans)
+
+    # --- small path: pure expressions, no shuffle --------------------------
+    ordered = F.sort_array(
+        F.transform(
+            spans,
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        )
+    )
+    kept_arr = F.filter(
+        ordered,
+        lambda s: (s["kind"] == "media") | (py_strip(s["text"]) != ""),
+    )
+    merged_arr = F.aggregate(
+        kept_arr,
+        F.array().cast("array<struct<kind:string,text:string,media_ref:string>>"),
+        lambda acc, s: F.when(
+            (s["kind"] == "text")
+            & (F.size(acc) > 0)
+            & (F.element_at(acc, -1)["kind"] == "text"),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.lit("text").alias("kind"),
+                        F.concat(
+                            F.element_at(acc, -1)["text"], F.lit(joiner), s["text"]
+                        ).alias("text"),
+                        F.element_at(acc, -1)["media_ref"].alias("media_ref"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s["kind"].alias("kind"),
+                        s["text"].alias("text"),
+                        s["media_ref"].alias("media_ref"),
+                    )
+                ),
+            )
+        ),
+    )
+    out_spans = F.transform(
+        merged_arr,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("order"),
+        ),
+    ).cast(_OUT_SPAN_TYPE)
+
+    if big_doc_spans is None:
+        return docs.select(F.col(id_col).alias("doc_id"), out_spans.alias("spans"))
+
+    small = docs.filter(n_spans <= big_doc_spans).select(
+        F.col(id_col).alias("doc_id"), out_spans.alias("spans")
+    )
+
+    # --- big path: explode + window + run merge -----------------------------
+    big_docs = docs.filter(n_spans > big_doc_spans).select(
+        F.col(id_col).alias("doc_id")
+    )
+    ex = (
+        docs.filter(n_spans > big_doc_spans)
+        .select(F.col(id_col).alias("doc_id"), F.explode(spans_col).alias("s"))
+        .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+        .filter((F.col("kind") == "media") | (py_strip(F.col("text")) != ""))
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset", "kind", "text", "media_ref")
+    runs = (
+        ex.withColumn(
+            "__st",
+            F.when(
+                (F.col("kind") == "media")
+                | F.lag("kind").over(w).isNull()
+                | (F.lag("kind").over(w) == "media"),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__st").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    grouped = (
+        runs.groupBy("doc_id", "__run")
+        .agg(
+            F.min("kind").alias("kind"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("offset").alias("offset"),
+                        F.col("text").alias("text"),
+                        F.col("media_ref").alias("media_ref"),
+                    )
+                )
+            ).alias("__parts"),
+        )
+        .select(
+            "doc_id",
+            "kind",
+            F.array_join(
+                F.transform(F.col("__parts"), lambda p: p["text"]), joiner
+            ).alias("text"),
+            F.col("__parts")[0]["media_ref"].alias("media_ref"),
+            F.col("__parts")[0]["offset"].alias("offset"),
+        )
+    )
+    # a mega-doc whose spans ALL drop still owes an empty-sequence row
+    # (the small path emits one; explode would silently lose the doc)
+    big = big_docs.join(_assemble_single_phase(grouped), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("spans"), F.array().cast(_OUT_SPAN_TYPE)).alias("spans"),
+    )
+    return small.unionByName(big)

@@ -5143,6 +5143,75 @@ def q_spans_assemble(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "spans_coalesce",
+    f"""
+WITH {D.SQL_SPAN_CORPUS},
+cw AS (
+  SELECT doc_id, kind,
+         CASE WHEN kind = 'text' AND (doc_id + i) % 11 = 4 THEN ' ' ELSE text END AS text,
+         media_ref, "offset"
+  FROM span_rows
+),
+ck AS (SELECT * FROM cw WHERE kind = 'media' OR {_strip('text')} != ''),
+cf AS (
+  SELECT doc_id, kind, text, media_ref, "offset",
+         CASE WHEN kind = 'media' OR lag(kind) OVER w IS NULL
+                   OR lag(kind) OVER w = 'media'
+              THEN 1 ELSE 0 END AS st
+  FROM ck WINDOW w AS (PARTITION BY doc_id ORDER BY "offset", kind, text, media_ref)
+),
+cr AS (
+  SELECT *, sum(st) OVER (PARTITION BY doc_id
+                          ORDER BY "offset", kind, text, media_ref) AS run_id
+  FROM cf
+),
+cg AS (
+  SELECT doc_id, run_id, min(kind) AS kind,
+         string_agg(text, chr(10) ORDER BY "offset", text, media_ref) AS text,
+         min(media_ref) AS media_ref,
+         min("offset") AS o
+  FROM cr GROUP BY doc_id, run_id
+)
+SELECT doc_id, kind, text, media_ref,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY o) - 1)::BIGINT AS ord
+FROM cg""",
+)
+def q_spans_coalesce(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-sequence normalization (operators/spans.coalesce_spans): the
+    span fixture with every (doc_id+i)%11==4 text span blanked exercises
+    the drop-empty rule, fragmented text runs merge into one span per
+    content block (newline-joined), media spans pass through, order
+    reindexes — the canonicalization between extraction and packing."""
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    wrapped = corpus.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(
+                    (s["kind"] == "text")
+                    & (((F.col("doc_id") + F.floor(s["offset"] / 16)) % 11) == 4),
+                    F.lit(" "),
+                )
+                .otherwise(s["text"])
+                .alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    out = SP.coalesce_spans(wrapped)
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.order").cast("long").alias("ord"),
+    )
+
+
+@_q(
     "spans_assemble_stream",
     f"""
 WITH {_SQL_KEPT_SPANS}

@@ -185,3 +185,101 @@ def test_filter_spans_quality_terminal_punct_opt(spark):
     texts = [r.text for r in
              filter_spans_quality(docs, require_terminal_punct=True).collect()]
     assert texts == ["ends with a period."]
+
+
+# --- coalesce_spans ----------------------------------------------------------
+
+
+def py_coalesce(spans, joiner="\n"):
+    """Golden: canonical sort, drop blank text, merge adjacent text runs."""
+    ordered = sorted(
+        spans, key=lambda s: (s["offset"], s["kind"], s["text"], s["media_ref"])
+    )
+    kept = [s for s in ordered if s["kind"] == "media" or s["text"].strip() != ""]
+    out = []
+    for s in kept:
+        if s["kind"] == "text" and out and out[-1]["kind"] == "text":
+            out[-1] = {**out[-1], "text": out[-1]["text"] + joiner + s["text"]}
+        else:
+            out.append({k: s[k] for k in ("kind", "text", "media_ref")})
+    return [
+        (s["kind"], s["text"], s["media_ref"], i) for i, s in enumerate(out)
+    ]
+
+
+def _span(kind, text, ref, off):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+
+_COALESCE_DOCS = [
+    # fragmented text around media, blanks interleaved
+    (
+        1,
+        [
+            _span("text", "a", "", 0),
+            _span("text", "  ", "", 16),
+            _span("text", "b", "", 32),
+            _span("media", "", "ref-1", 48),
+            _span("text", "", "", 64),
+            _span("text", "c", "", 80),
+            _span("text", "d", "", 96),
+        ],
+    ),
+    # all spans blank -> empty sequence
+    (2, [_span("text", " ", "", 0), _span("text", "", "", 16)]),
+    # media-only, refs preserved verbatim, including adjacent media
+    (3, [_span("media", "", "r1", 0), _span("media", "", "r2", 16)]),
+    # out-of-order offsets + duplicate offset tie (media before text)
+    (
+        4,
+        [
+            _span("text", "z", "", 32),
+            _span("media", "", "m", 16),
+            _span("text", "y", "", 16),
+            _span("text", "x", "", 0),
+        ],
+    ),
+    (5, []),
+]
+
+
+def _coalesce_df(spark):
+    return spark.createDataFrame(
+        _COALESCE_DOCS,
+        "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+
+def _rows(df):
+    return {
+        r.doc_id: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r.spans]
+        for r in df.collect()
+    }
+
+
+def test_coalesce_spans_matches_golden(spark):
+    from ocr_spark.operators.spans import coalesce_spans
+
+    got = _rows(coalesce_spans(_coalesce_df(spark)))
+    for doc_id, spans in _COALESCE_DOCS:
+        assert got[doc_id] == py_coalesce(spans), doc_id
+
+
+def test_coalesce_spans_big_path_equals_small_path(spark):
+    from ocr_spark.operators.spans import coalesce_spans
+
+    df = _coalesce_df(spark)
+    small = _rows(coalesce_spans(df))  # all docs under threshold
+    big = _rows(coalesce_spans(df, big_doc_spans=0))  # force windowed path
+    assert small == big
+
+
+def test_coalesce_spans_custom_joiner(spark):
+    from ocr_spark.operators.spans import coalesce_spans
+
+    df = spark.createDataFrame(
+        [(9, [_span("text", "a", "", 0), _span("text", "b", "", 16)])],
+        "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = _rows(coalesce_spans(df, joiner=" "))
+    assert got[9] == [("text", "a b", "", 0)]
