@@ -43,6 +43,18 @@ ACCEPTED = {
         "the single broadcast totals row — attaches two scalars to a "
         "16384-row table"
     ),
+    ("lm_stupid_backoff", "BroadcastNestedLoopJoin"): (
+        "bounded V×1 crossJoin: the distinct-probe-trigram table × the "
+        "single broadcast n0 total-count row — attaches one scalar, row "
+        "count unchanged (the top_terms shape)"
+    ),
+    ("lm_stupid_backoff", "SortMergeJoin"): (
+        "model-table joins: distinct probe trigrams against the t3/c2/b2/"
+        "c1/u1 count tables (all vocabulary-sized — broadcast impossible "
+        "for an open-vocabulary model by definition), plus the final docs "
+        "LEFT JOIN per-doc scores on doc_id (both corpus-sized — the "
+        "dsir_score shape); every SMJ moves count rows, never text"
+    ),
     ("host_stats", "SortMergeJoin"): (
         "the out-degree ⟕⟖ in-degree FULL OUTER join on host: Spark cannot "
         "broadcast a full-outer join, and both sides are host-level "
@@ -155,6 +167,10 @@ AUDIT = [
     "span_lang_runs",
     "spans_quality_filter",
     "html_cetr",
+    "lm_stupid_backoff",
+    "trustrank",
+    "lpa_communities",
+    "spans_coalesce",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
