@@ -84,6 +84,7 @@ HEADLINE = [
     "trustrank",
     "lpa_communities",
     "spans_coalesce",
+    "winnow_fps",
     "hll_distinct",
     "cms_heavy_hitters",
     "events_asof",

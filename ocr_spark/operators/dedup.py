@@ -1882,3 +1882,84 @@ def decontaminate_fuzzy(
     return corpus.join(leaked, id_col, "left").withColumn(
         "leaked", F.coalesce(F.col("leaked"), F.lit(False))
     )
+
+
+# --- winnowing fingerprints ---------------------------------------------------
+
+#: winnowing position budget: 24 bits = 16.7M k-grams per document. The
+#: (hash, pos) pair packs into one 60-bit long (36-bit hash << 24 | inverted
+#: pos) so window selection is ONE integer array_min — positions past the
+#: budget would alias, so documents are length-guarded upstream (chunk_docs
+#: splits anything that big long before fingerprinting at 100 TB).
+WINNOW_POS_BITS = 24
+WINNOW_POS_MASK = (1 << WINNOW_POS_BITS) - 1
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): the local fingerprinting scheme with
+    the coverage GUARANTEE the global schemes here lack — any substring
+    match of length >= w + k - 1 chars between two documents yields at
+    least one IDENTICAL selected fingerprint in both (minhash/simhash only
+    give probabilistic whole-document similarity; ExactSubstr needs a
+    corpus-wide sort). Fingerprint overlap is the plagiarism/quote-mining
+    candidate signal; pairs compose downstream as an equi-join on fp_hash.
+
+    Per document (all inside one narrow expression chain — no shuffle
+    until the caller aggregates):
+
+      1. normalize: lowercase, remove ALL whitespace (the classic
+         robustness to reflow/formatting),
+      2. hash every char k-gram: 36-bit md5-prefix int (engine-neutral),
+      3. pack (hash, pos) into one long: hash << 24 | (POS_MASK - pos) —
+         so integer MIN = min hash with the RIGHTMOST position on ties
+         (the paper's robust-winnowing tie rule),
+      4. slide a w-hash window; select each window's min; distinct.
+
+    Work is O(n·w) comparisons per doc via transform(sequence)+slice —
+    w is a small constant (default 4). Short docs (< k chars) emit no
+    fingerprints; k <= n < k+w-1 emits the single all-gram window min.
+
+    Returns exploded (doc_id, fp_hash, pos) — pos is the 0-based k-gram
+    offset in the normalized text, fp_hash the 36-bit gram hash."""
+    t = F.lower(
+        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"(?U)\s+", "")
+    )
+    n = F.length(t) - (k - 1)  # k-gram count (<=0: no grams)
+    keys = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 9), 16, 10)
+            .cast("long")
+            * F.lit(1 << WINNOW_POS_BITS).cast("long")
+            + (F.lit(WINNOW_POS_MASK) - (i - F.lit(1))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    n_windows = F.greatest(n - (w - 1), F.lit(1))
+    selected = F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda j: F.array_min(F.slice(keys, j, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(selected).alias("key"))
+        .select(
+            "doc_id",
+            F.shiftright(F.col("key"), WINNOW_POS_BITS).alias("fp_hash"),
+            (
+                F.lit(WINNOW_POS_MASK)
+                - F.col("key").bitwiseAND(F.lit(WINNOW_POS_MASK))
+            ).cast("long").alias("pos"),
+        )
+    )

@@ -1807,6 +1807,40 @@ FROM documents d LEFT JOIN bpd ON bpd.doc_id = d.doc_id
 WHERE d.doc_id % 2 = 1"""
 
 
+@_q(
+    "winnow_fps",
+    f"""
+WITH wt AS (
+  SELECT doc_id,
+         lower(regexp_replace(coalesce(text, ''), '{_WS}+', '', 'g')) AS t
+  FROM documents
+),
+wn AS (SELECT doc_id, t, length(t) - 4 AS n FROM wt),
+wk AS (
+  SELECT doc_id, n,
+         list_transform(range(1, n + 1),
+           i -> ('0x' || substr(md5(substr(t, i::INT, 5)), 1, 9))::BIGINT * 16777216
+                + (16777215 - (i - 1))) AS keys
+  FROM wn WHERE n >= 1
+),
+ws AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(n - 3, 1) + 1),
+           j -> list_min(keys[j : j + 3]))) AS sel
+  FROM wk
+)
+SELECT doc_id, (key // 16777216)::BIGINT AS fp_hash,
+       (16777215 - (key % 16777216))::BIGINT AS pos
+FROM ws, UNNEST(sel) AS u(key)""",
+)
+def q_winnow_fps(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints (dedup.winnow_fingerprints — Schleimer 2003
+    / MOSS, k=5 w=4): guaranteed-coverage local fingerprints for
+    plagiarism/quote-mining candidates; any >= 8-char shared normalized
+    substring yields an identical fp_hash in both documents."""
+    return DD.winnow_fingerprints(D.load(spark, sf, "documents"))
+
+
 @_q("lm_stupid_backoff", _sql_stupid_backoff())
 def q_lm_stupid_backoff(spark: SparkSession, sf: str) -> DataFrame:
     """Stupid-Backoff trigram surprisal (Brants et al. 2007) in exact

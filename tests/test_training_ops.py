@@ -2614,3 +2614,53 @@ def test_stupid_backoff_self_trained_never_backs_off(spark):
     # both trigrams unique: bits(1)-bits(1) = 0 at the trigram level
     assert (out[1].n_trigrams, out[1].total_millibits) == (2, 0)
     assert out[2].n_trigrams == 0
+
+
+# --- winnowing fingerprints ---------------------------------------------------
+
+
+def py_winnow(text, k=5, w=4):
+    """Golden: Schleimer 2003 with min-hash / rightmost-tie selection."""
+    import hashlib
+    import re
+
+    t = re.sub(r"\s+", "", text or "", flags=re.UNICODE).lower()
+    n = len(t) - (k - 1)
+    if n < 1:
+        return set()
+    hashes = [
+        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:9], 16)
+        for i in range(n)
+    ]
+    out = set()
+    for j in range(max(n - (w - 1), 1)):
+        win = hashes[j : j + w]
+        m = min(win)
+        # rightmost occurrence of the min within the window
+        pos = j + max(p for p, h in enumerate(win) if h == m)
+        out.add((m, pos))
+    return out
+
+
+def test_winnow_matches_golden_and_guarantee(spark):
+    from ocr_spark.operators.dedup import winnow_fingerprints
+
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "a shared long passage appears here verbatim in both documents"),
+        (3, "prefix junk THEN a shared long passage appears here verbatim in both documents AND tail"),
+        (4, "tiny"),   # < k after strip -> no fingerprints
+        (5, ""),
+        (6, "aaaaaaaaaaaa"),  # degenerate: all grams identical (tie storm)
+        (7, "exact12"),       # k <= n < k+w-1: single window
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_hash, r.pos))
+    for doc_id, text in texts:
+        assert got.get(doc_id, set()) == py_winnow(text), doc_id
+    # coverage guarantee: docs 2 and 3 share a >= w+k-1 char substring ->
+    # at least one common fp_hash
+    shared = {h for h, _ in got[2]} & {h for h, _ in got[3]}
+    assert shared

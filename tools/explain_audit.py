@@ -171,6 +171,7 @@ AUDIT = [
     "trustrank",
     "lpa_communities",
     "spans_coalesce",
+    "winnow_fps",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
