@@ -85,6 +85,7 @@ HEADLINE = [
     "lpa_communities",
     "spans_coalesce",
     "winnow_fps",
+    "decontaminate_spans",
     "hll_distinct",
     "cms_heavy_hitters",
     "events_asof",

@@ -648,6 +648,63 @@ def decontaminate(
     )
 
 
+def decontaminate_spans(
+    docs,
+    eval_docs,
+    n: int = 5,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    text_col: str = "text",
+):
+    """Eval-set decontamination lifted to the interleaved span shape: only
+    the TEXT SPANS sharing at least one word n-gram with the eval set are
+    dropped — media spans and clean text spans survive with order
+    re-ranked dense — so a single leaked quote costs one span, not the
+    whole multimodal document (:func:`decontaminate` is the doc-level
+    kill switch; this is the surgical variant, the same doc-vs-span split
+    as pii_scrub vs pii_scrub_spans and dedup_lines vs dedup_spans).
+
+    Plan: eval grams collapse to DISTINCT and broadcast (decontaminate's
+    eval-side economics); the corpus explodes to span rows ONCE, text
+    spans probe the broadcast map-side, and the contaminated
+    (doc_id, offset) key set anti-joins back onto the span rows keyed
+    (doc_id, offset, kind) — kind in the key keeps a media span safe even
+    if it shares an offset with a contaminated text span. One keyed
+    shuffle for the anti-join, one window for the dense re-rank, both on
+    doc keys.
+
+    Returns exploded kept spans (doc_id, kind, text, media_ref, ord)."""
+    eval_grams = (
+        eval_docs.select(
+            F.explode(F.array_distinct(ngrams_of(F.col(text_col), n))).alias("gram")
+        )
+        .distinct()
+    )
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(spans_col).alias("s")
+    ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+    bad = (
+        rows.filter(F.col("kind") == "text")
+        .select(
+            "doc_id",
+            "offset",
+            F.explode(F.array_distinct(ngrams_of(F.col("text"), n))).alias("gram"),
+        )
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id", "offset", F.lit("text").alias("kind"))
+        .distinct()
+    )
+    kept = rows.join(bad, ["doc_id", "offset", "kind"], "left_anti")
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return kept.select(
+        "doc_id",
+        "kind",
+        "text",
+        "media_ref",
+        (F.row_number().over(w) - 1).cast("long").alias("ord"),
+    )
+
+
 def pack_sequences(
     docs,
     seq_len: int = 2048,

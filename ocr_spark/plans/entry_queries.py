@@ -1504,6 +1504,49 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "decontaminate_spans",
+    f"""
+WITH {D.SQL_SPAN_CORPUS},
+dse AS (SELECT {_words_lower('text')} AS w FROM documents WHERE doc_id % 20 = 7),
+dsg AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - 3),
+                  i -> array_to_string(w[i:i+4], ' ')))) AS gram
+  FROM dse WHERE len(w) >= 5
+),
+dsr AS (SELECT * FROM span_rows WHERE doc_id % 20 != 7),
+dst AS (
+  SELECT doc_id, "offset",
+         unnest(list_distinct(list_transform(range(1, len(sw) - 3),
+                i -> array_to_string(sw[i:i+4], ' ')))) AS gram
+  FROM (SELECT doc_id, "offset", {_words_lower('text')} AS sw
+        FROM dsr WHERE kind = 'text')
+  WHERE len(sw) >= 5
+),
+dsb AS (SELECT DISTINCT dst.doc_id, dst."offset" FROM dst JOIN dsg USING (gram)),
+dsk AS (
+  SELECT dsr.doc_id, dsr.kind, dsr.text, dsr.media_ref, dsr."offset"
+  FROM dsr LEFT JOIN dsb
+    ON dsb.doc_id = dsr.doc_id AND dsb."offset" = dsr."offset"
+       AND dsr.kind = 'text'
+  WHERE dsb.doc_id IS NULL
+)
+SELECT doc_id, kind, text, media_ref,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY "offset") - 1)::BIGINT AS ord
+FROM dsk""",
+)
+def q_decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level benchmark decontamination on the interleaved corpus
+    (textstats.decontaminate_spans): docs with doc_id % 20 == 7 stand in
+    for the eval set; in every other document only the text spans sharing
+    a 5-gram with it drop — media spans and clean text survive re-ranked."""
+    docs = D.load(spark, sf, "documents")
+    corpus = D.span_corpus(docs.filter(F.col("doc_id") % 20 != 7))
+    return TS.decontaminate_spans(
+        corpus, docs.filter(F.col("doc_id") % 20 == 7), n=5
+    )
+
+
+@_q(
     "pack_sequences",
     f"""
 WITH p AS (

@@ -2664,3 +2664,45 @@ def test_winnow_matches_golden_and_guarantee(spark):
     # at least one common fp_hash
     shared = {h for h, _ in got[2]} & {h for h, _ in got[3]}
     assert shared
+
+
+# --- span-level decontamination ----------------------------------------------
+
+
+def test_decontaminate_spans_surgical(spark):
+    from ocr_spark.operators.textstats import decontaminate_spans
+
+    span_t = "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    ("text", "totally clean opening words here", "", 0),
+                    ("media", "", "ref-a", 16),
+                    ("text", "the secret eval answer is forty two", "", 32),
+                    ("text", "another clean closing paragraph of text", "", 48),
+                ],
+            ),
+            # whole doc clean -> untouched
+            (2, [("text", "nothing shared with the benchmark", "", 0)]),
+            # media-only doc -> untouched even though it has no text
+            (3, [("media", "", "ref-b", 0)]),
+        ],
+        span_t,
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two indeed")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in decontaminate_spans(docs, eval_docs, n=5).collect():
+        got.setdefault(r.doc_id, []).append((r.kind, r.text, r.media_ref, r.ord))
+    # doc 1: contaminated span dropped, media + clean spans re-ranked dense
+    assert got[1] == [
+        ("text", "totally clean opening words here", "", 0),
+        ("media", "", "ref-a", 1),
+        ("text", "another clean closing paragraph of text", "", 2),
+    ]
+    assert got[2] == [("text", "nothing shared with the benchmark", "", 0)]
+    assert got[3] == [("media", "", "ref-b", 0)]

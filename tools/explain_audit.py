@@ -172,6 +172,7 @@ AUDIT = [
     "lpa_communities",
     "spans_coalesce",
     "winnow_fps",
+    "decontaminate_spans",
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
     # its bounded rounds at plan-construction time
 
