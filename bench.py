@@ -86,6 +86,7 @@ HEADLINE = [
     "spans_coalesce",
     "winnow_fps",
     "decontaminate_spans",
+    "winnow_pairs",
     "hll_distinct",
     "cms_heavy_hitters",
     "events_asof",

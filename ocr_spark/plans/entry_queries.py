@@ -1884,6 +1884,69 @@ def q_winnow_fps(spark: SparkSession, sf: str) -> DataFrame:
     return DD.winnow_fingerprints(D.load(spark, sf, "documents"))
 
 
+@_q(
+    "winnow_pairs",
+    f"""
+WITH wpb AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         'prefix words before the quoted document body begins ' || text ||
+         ' trailing boilerplate after the quotation ends here' AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+wpt AS (
+  SELECT doc_id,
+         lower(regexp_replace(coalesce(text, ''), '{_WS}+', '', 'g')) AS t
+  FROM wpb
+),
+wpn AS (SELECT doc_id, t, length(t) - 11 AS n FROM wpt),
+wpk AS (
+  SELECT doc_id, n,
+         list_transform(range(1, n + 1),
+           i -> ('0x' || substr(md5(substr(t, i::INT, 12)), 1, 9))::BIGINT * 16777216
+                + (16777215 - (i - 1))) AS keys
+  FROM wpn WHERE n >= 1
+),
+wps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(n - 5, 1) + 1),
+           j -> list_min(keys[j : j + 5]))) AS sel
+  FROM wpk
+),
+wpf AS (SELECT DISTINCT doc_id, key // 16777216 AS h FROM wps, UNNEST(sel) AS u(key)),
+wpdf AS (SELECT h, count(*) AS df FROM wpf GROUP BY h),
+wphist AS (SELECT df, count(*) AS n FROM wpdf GROUP BY df),
+wpcap AS (
+  SELECT greatest(min(df), 8) AS cap FROM (
+    SELECT df, sum(n) OVER (ORDER BY df) AS cum, sum(n) OVER () AS total
+    FROM wphist
+  ) WHERE cum::DOUBLE >= total * 0.999
+),
+wphot AS (SELECT h FROM wpdf WHERE df > (SELECT cap FROM wpcap)),
+wpcold AS (SELECT doc_id, h FROM wpf ANTI JOIN wphot USING (h))
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*)::BIGINT AS n_shared
+FROM wpcold l JOIN wpcold r ON l.h = r.h AND l.doc_id < r.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2""",
+)
+def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Quote-mining candidates (dedup.winnow_pairs) over the containment
+    facade (every 5th document also appears wrapped in boilerplate): the
+    wrapped copy shares its whole body's fingerprints with its source,
+    while the corpus-derived df cap (derive_df_cap, same 0.999/8 as
+    containment) drops the wrapper boilerplate everyone shares."""
+    docs = D.load(spark, sf, "documents").select("doc_id", "text")
+    wrapped = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("prefix words before the quoted document body begins "),
+            F.col("text"),
+            F.lit(" trailing boilerplate after the quotation ends here"),
+        ).alias("text"),
+    )
+    return DD.winnow_pairs(docs.unionByName(wrapped), min_shared=2)
+
+
 @_q("lm_stupid_backoff", _sql_stupid_backoff())
 def q_lm_stupid_backoff(spark: SparkSession, sf: str) -> DataFrame:
     """Stupid-Backoff trigram surprisal (Brants et al. 2007) in exact

@@ -2706,3 +2706,38 @@ def test_decontaminate_spans_surgical(spark):
     ]
     assert got[2] == [("text", "nothing shared with the benchmark", "", 0)]
     assert got[3] == [("media", "", "ref-b", 0)]
+
+
+def test_winnow_pairs_quote_and_cap(spark):
+    from ocr_spark.operators.dedup import winnow_pairs
+
+    boiler = "universal footer boilerplate appearing everywhere on this site"
+    quote = "a distinctive quoted passage long enough to fingerprint reliably"
+    texts = [
+        (1, f"first document body {quote} and its own words {boiler}"),
+        (2, f"unrelated opener THEN {quote} syndicated into another page {boiler}"),
+        (3, f"wholly unrelated content about something different {boiler}"),
+        (4, f"fourth page with its own unique material entirely {boiler}"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    # golden with the same explicit cap
+    fps = {i: {h for h, _ in py_winnow(t)} for i, t in texts}
+    from collections import Counter
+
+    dfc = Counter(h for s in fps.values() for h in s)
+    kept = {h for h, c in dfc.items() if c <= 3}
+    want = {}
+    ids = sorted(fps)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            n = len(fps[ids[x]] & fps[ids[y]] & kept)
+            if n >= 2:
+                want[(ids[x], ids[y])] = n
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_pairs(df, min_shared=2, max_df=3, k=5, w=4).collect()
+    }
+    assert got == want
+    assert (1, 2) in got  # the quote pair survives
+    # boilerplate shared by all 4 docs is above the cap: no pair rests on it
+    assert (3, 4) not in got
