@@ -87,6 +87,7 @@ HEADLINE = [
     "winnow_fps",
     "decontaminate_spans",
     "winnow_pairs",
+    "spans_truncate",
     "hll_distinct",
     "cms_heavy_hitters",
     "events_asof",

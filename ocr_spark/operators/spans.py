@@ -593,3 +593,86 @@ def coalesce_spans(
         F.coalesce(F.col("spans"), F.array().cast(_OUT_SPAN_TYPE)).alias("spans"),
     )
     return small.unionByName(big)
+
+
+def truncate_spans(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    media_tokens: int = 256,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Context-window truncation at SPAN granularity on the interleaved
+    shape: keep the canonical-ordered prefix of spans whose cumulative
+    token cost fits ``max_tokens``, drop the tail whole — no mid-span cut
+    (a torn sentence, or an image whose budget was charged but whose
+    tokens never arrive, is worse than a slightly shorter document).
+    Token accounting is pack_interleaved's: text spans cost their BPE-ish
+    sub-token count, media spans a fixed ``media_tokens`` budget.
+
+    One narrow expression chain per document: sort the spans array by the
+    canonical (offset, kind, text, media_ref) key, one LINEAR fold
+    carries (running total, kept-prefix length) — the running total is
+    monotone, so the kept count is a prefix property and never needs a
+    second pass — then slice. No explode, no shuffle.
+
+    Returns exploded kept spans with their cost:
+    (doc_id, kind, text, media_ref, ord, span_tokens). Documents whose
+    FIRST span already exceeds the budget emit no rows."""
+    from ocr_spark.operators.textstats import token_count_bpe
+
+    spans = F.coalesce(
+        F.col(spans_col),
+        F.array().cast(
+            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        ),
+    )
+    ordered = F.sort_array(
+        F.transform(
+            spans,
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        )
+    )
+
+    def cost(s):
+        return (
+            F.when(s["kind"] == "text", token_count_bpe(s["text"]).cast("long"))
+            .otherwise(F.lit(int(media_tokens)).cast("long"))
+        )
+
+    kept_n = F.aggregate(
+        ordered,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"), F.lit(0).cast("int").alias("n")
+        ),
+        lambda acc, s: F.struct(
+            (acc["cum"] + cost(s)).alias("cum"),
+            (
+                acc["n"]
+                + F.when(acc["cum"] + cost(s) <= max_tokens, 1).otherwise(0)
+            ).cast("int").alias("n"),
+        ),
+        lambda acc: acc["n"],
+    )
+    kept = F.slice(ordered, 1, kept_n)
+    out = F.transform(
+        kept,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("long").alias("ord"),
+            cost(s).alias("span_tokens"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(out).alias("s"))
+        .select(
+            "doc_id", "s.kind", "s.text", "s.media_ref", "s.ord", "s.span_tokens"
+        )
+    )

@@ -5352,6 +5352,40 @@ def q_spans_coalesce(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "spans_truncate",
+    f"""
+WITH {D.SQL_SPAN_CORPUS},
+ttc AS (
+  SELECT doc_id, kind, text, media_ref, "offset",
+         CASE WHEN kind = 'text'
+              THEN len(regexp_extract_all(coalesce(text, ''),
+                   '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]', 0))
+              ELSE 256 END AS cost
+  FROM span_rows
+),
+ttr AS (
+  SELECT *, sum(cost) OVER (PARTITION BY doc_id
+             ORDER BY "offset", kind, text, media_ref
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM ttc
+)
+SELECT doc_id, kind, text, media_ref,
+       (row_number() OVER (PARTITION BY doc_id
+          ORDER BY "offset", kind, text, media_ref) - 1)::BIGINT AS ord,
+       cost::BIGINT AS span_tokens
+FROM ttr WHERE cum <= 512""",
+)
+def q_spans_truncate(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window truncation at span granularity (operators/spans.
+    truncate_spans, budget 512 so media-bearing fixture docs actually
+    cut): keep the canonical-ordered span prefix whose cumulative token
+    cost fits, never tearing a span — pack_interleaved's accounting
+    (BPE-ish text count, 256/media)."""
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    return SP.truncate_spans(corpus, max_tokens=512)
+
+
+@_q(
     "spans_assemble_stream",
     f"""
 WITH {_SQL_KEPT_SPANS}

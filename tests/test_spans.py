@@ -283,3 +283,63 @@ def test_coalesce_spans_custom_joiner(spark):
     )
     got = _rows(coalesce_spans(df, joiner=" "))
     assert got[9] == [("text", "a b", "", 0)]
+
+
+# --- truncate_spans ----------------------------------------------------------
+
+
+def test_truncate_spans_budget_and_accounting(spark):
+    from ocr_spark.operators.spans import truncate_spans
+
+    span_t = "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    docs = spark.createDataFrame(
+        [
+            # costs: 3 ("one two three"), 256 (media), 2, 2 -> cum 3,259,261,263
+            (
+                1,
+                [
+                    ("text", "one two three", "", 0),
+                    ("media", "", "ref-m", 16),
+                    ("text", "four five", "", 32),
+                    ("text", "six seven", "", 48),
+                ],
+            ),
+            # first media span fits exactly once; the second overflows
+            (2, [("media", "", "big", 0), ("media", "", "big2", 16)]),
+            # punctuation tokens: "a, b" = 3
+            (3, [("text", "a, b", "", 0)]),
+            (4, []),
+        ],
+        span_t,
+    )
+    got = {}
+    for r in truncate_spans(docs, max_tokens=261, media_tokens=256).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.kind, r.text, r.media_ref, r.ord, r.span_tokens)
+        )
+    assert got[1] == [
+        ("text", "one two three", "", 0, 3),
+        ("media", "", "ref-m", 1, 256),
+        ("text", "four five", "", 2, 2),
+    ]  # cum 263 > 261 drops the last span only
+    assert got[2] == [("media", "", "big", 0, 256)]
+    assert 4 not in got
+    assert got[3] == [("text", "a, b", "", 0, 3)]
+
+
+def test_truncate_spans_orders_by_offset_before_cutting(spark):
+    from ocr_spark.operators.spans import truncate_spans
+
+    span_t = "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    docs = spark.createDataFrame(
+        [
+            (7, [("text", "tail words beyond", "", 32), ("text", "head", "", 0)]),
+            # the FIRST span already exceeds the budget -> no rows at all
+            (8, [("text", "two words", "", 0), ("text", "x", "", 16)]),
+        ],
+        span_t,
+    )
+    rows = truncate_spans(docs, max_tokens=1).collect()
+    got = [(r.text, r.ord) for r in rows]
+    assert got == [("head", 0)]  # the offset-0 span wins the budget
+    assert not [r for r in rows if r.doc_id == 8]

@@ -173,6 +173,7 @@ AUDIT = [
     "spans_coalesce",
     "winnow_fps",
     "decontaminate_spans",
+    "spans_truncate",
     # winnow_pairs excluded like dedup_clusters: derive_df_cap executes its
     # histogram collapse at plan-construction time
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
