@@ -83,6 +83,7 @@ HEADLINE = [
     "hits_scores",
     "trustrank",
     "lpa_communities",
+    "kcore_nodes",
     "spans_coalesce",
     "winnow_fps",
     "decontaminate_spans",

@@ -412,3 +412,75 @@ def label_propagation(
     adj.unpersist()
     nodes.unpersist()
     return out
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    n_iters: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Iterated k-core peeling over the UNDIRECTED simple graph →
+    (node, in_core) — the link-farm density signal next to
+    :func:`pagerank`/:func:`trustrank`: a spam cluster's mutual-link
+    mesh survives deep cores that organic link neighborhoods don't.
+
+    Each round deletes every node whose degree in the REMAINING graph is
+    < k (the standard synchronous peel); after enough rounds the survivor
+    set IS the k-core. ``n_iters`` is fixed — the pagerank contract: the
+    oracle unrolls the identical rounds, and a fixed round count is what
+    a production job wants anyway (each extra round past convergence is
+    a no-op join). Peeling removes >= 1 node per non-converged round, so
+    n_iters bounds convergence for any graph whose peel sequence is
+    shorter — tests pin fixtures where that holds, and the final-round
+    fixed point is cheap to assert (round R == round R+1 degrees).
+
+    Plan: symmetrized adjacency persisted pre-partitioned on the
+    aggregation key; per round ONE semi-join of the adjacency onto the
+    surviving node set + one degree count + one filter — the survivor
+    set shrinks monotonically, and only (node) keys ever shuffle after
+    the first projection. localCheckpoint cadence as pagerank."""
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("a"),
+            F.col(dst_col).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    adj = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .repartition("a")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        edges.select(F.col(src_col).cast("long").alias("node"))
+        .unionByName(edges.select(F.col(dst_col).cast("long").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes.count()
+    alive = nodes.select("node")
+    for i in range(n_iters):
+        deg = (
+            adj.join(alive.select(F.col("node").alias("a")), "a")
+            .join(alive.select(F.col("node").alias("b")), "b")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = (
+            deg.filter(F.col("deg") >= k)
+            .select(F.col("a").alias("node"))
+            .localCheckpoint(eager=(i + 1) % 4 == 0)
+        )
+    out = (
+        nodes.join(alive.select("node", F.lit(True).alias("in_core")), "node", "left")
+        .select("node", F.coalesce("in_core", F.lit(False)).alias("in_core"))
+        .localCheckpoint(eager=True)
+    )
+    adj.unpersist()
+    nodes.unpersist()
+    return out

@@ -2691,6 +2691,61 @@ ll{i} AS (
     return "".join(parts)
 
 
+def _sql_kcore(k: int, iters: int) -> str:
+    """Unrolled k-core peel oracle: pagerank's edge fixture symmetrized,
+    one degree-filter CTE per round — identical synchronous semantics."""
+    parts = [
+        """WITH kedges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id % 10 AS dst FROM documents
+    UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+    UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 3 = 0
+  )
+),
+kund AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM kedges
+    UNION ALL SELECT dst, src FROM kedges
+  ) WHERE a != b
+),
+knodes AS (SELECT src AS node FROM kedges UNION SELECT dst FROM kedges),
+ka0 AS (SELECT node FROM knodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+ka{i} AS (
+  SELECT u.a AS node FROM kund u
+  JOIN ka{i - 1} x ON x.node = u.a
+  JOIN ka{i - 1} y ON y.node = u.b
+  GROUP BY u.a HAVING count(*) >= {k}
+)""")
+    parts.append(
+        f"""
+SELECT n.node, (c.node IS NOT NULL) AS in_core
+FROM knodes n LEFT JOIN ka{iters} c ON c.node = n.node"""
+    )
+    return "".join(parts)
+
+
+@_q("kcore_nodes", _sql_kcore(3, 8))
+def q_kcore_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterated 3-core peeling (operators/graph.kcore, 8 synchronous
+    rounds) over the pagerank link fixture: the link-farm density signal —
+    mutual-link meshes survive cores that organic neighborhoods don't;
+    the oracle unrolls the identical rounds."""
+    from ocr_spark.operators.graph import kcore
+
+    docs = D.load(spark, sf, "documents").select("doc_id")
+    e1 = docs.select(F.col("doc_id").alias("src"), (F.col("doc_id") % 10).alias("dst"))
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), F.expr("doc_id div 2").alias("dst")
+    )
+    e3 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    return kcore(e1.unionByName(e2).unionByName(e3), k=3, n_iters=8)
+
+
 @_q("lpa_communities", _sql_lpa(3))
 def q_lpa_communities(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic label-propagation communities (operators/graph.

@@ -295,3 +295,51 @@ def test_lpa_self_loop_only_node_keeps_label(spark):
     }
     assert got == py_lpa(edges, 2)
     assert got[5] == 5
+
+
+# --- k-core ------------------------------------------------------------------
+
+
+def py_kcore(edges, k, iters):
+    """Reference synchronous peel with fixed rounds."""
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    alive = set(nodes)
+    for _ in range(iters):
+        deg = {}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+        alive = {v for v in alive if deg.get(v, 0) >= k}
+    return {v: v in alive for v in nodes}
+
+
+def test_kcore_matches_golden_and_converges(spark):
+    from ocr_spark.operators.graph import kcore
+
+    rnd = random.Random(43)
+    edges = list({(rnd.randrange(30), rnd.randrange(30)) for _ in range(80)})
+    want = py_kcore(edges, 3, 8)
+    got = {r.node: r.in_core for r in kcore(_df(spark, edges), k=3, n_iters=8).collect()}
+    assert got == want
+    # fixed point: one more round changes nothing
+    assert want == py_kcore(edges, 3, 9)
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    from ocr_spark.operators.graph import kcore
+
+    # 4-clique (3-core) + a pendant chain hanging off it
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    got = {
+        r.node: r.in_core
+        for r in kcore(_df(spark, clique + chain), k=3, n_iters=6).collect()
+    }
+    assert all(got[v] for v in range(4))
+    assert not any(got[v] for v in (10, 11, 12))
+    assert got == py_kcore(clique + chain, 3, 6)

@@ -170,6 +170,7 @@ AUDIT = [
     "lm_stupid_backoff",
     "trustrank",
     "lpa_communities",
+    "kcore_nodes",
     "spans_coalesce",
     "winnow_fps",
     "decontaminate_spans",
