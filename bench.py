@@ -84,6 +84,7 @@ HEADLINE = [
     "trustrank",
     "lpa_communities",
     "kcore_nodes",
+    "graph_walks",
     "spans_coalesce",
     "winnow_fps",
     "decontaminate_spans",

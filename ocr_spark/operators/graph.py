@@ -26,7 +26,7 @@ not associative and shuffle order is nondeterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 UNIT = 10**12
@@ -483,4 +483,102 @@ def kcore(
     )
     adj.unpersist()
     nodes.unpersist()
+    return out
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    seed: str = "walk-v1",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic random-walk corpus over the directed edge table →
+    (walk_id, step, node) — the DeepWalk/node2vec sampling stage
+    (Perozzi 2014): one walk starts at every node and takes up to
+    ``walk_len`` hash-chosen hops; the walk rows are the "sentences" an
+    embedding trainer consumes. True RNG walks can never hash-match
+    across engines (or across reruns — resumability would be lost), so
+    the next hop is the md5-seeded choice
+
+        idx(v, t) = md5('{seed}:{walk_id}:{t}:{v}') mod outdeg(v)
+
+    over the neighbor list ranked by ascending dst — reproducible hop by
+    hop on any engine, and statistically uniform per (walk, step, node)
+    because md5 mixes the tuple. Dead ends truncate the walk (the
+    DeepWalk convention), so emitted walks vary in length up to
+    walk_len+1 rows including step 0.
+
+    Plan: the ranked adjacency (src, idx, dst, outdeg) persists ONCE
+    pre-partitioned on src (idx via one window over src — the only wide
+    op besides the per-hop joins); each hop is ONE join of the walk
+    frontier onto that adjacency keyed on the current node, with the
+    picked index filtering the matched neighbor rows (outdeg rides the
+    adjacency row, so no separate degree lookup); ``walk_len`` is small
+    and fixed, so the whole walk table is walk_len joins — no driver
+    loop state beyond the constant."""
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    wadj = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        e.select(
+            "src",
+            "dst",
+            (F.row_number().over(wadj) - 1).cast("long").alias("idx"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("outdeg"),
+        )
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state = nodes.select(
+        F.col("node").alias("walk_id"), F.col("node").alias("cur")
+    )
+    out = state.select(
+        "walk_id", F.lit(0).cast("long").alias("step"), F.col("cur").alias("node")
+    )
+    for t in range(1, walk_len + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(seed),
+                            F.col("walk_id").cast("string"),
+                            F.lit(str(t)),
+                            F.col("cur").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("outdeg")
+        )
+        state = (
+            state.join(adj, state.cur == adj.src)
+            .filter(F.col("idx") == pick)
+            .select("walk_id", F.col("dst").alias("cur"))
+        )
+        out = out.unionByName(
+            state.select(
+                "walk_id",
+                F.lit(t).cast("long").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
     return out

@@ -2746,6 +2746,63 @@ def q_kcore_nodes(spark: SparkSession, sf: str) -> DataFrame:
     return kcore(e1.unionByName(e2).unionByName(e3), k=3, n_iters=8)
 
 
+def _sql_walks(walk_len: int) -> str:
+    """Unrolled deterministic-walk oracle: ranked adjacency via window,
+    per-step CTE joining the frontier onto its md5-picked neighbor."""
+    parts = [
+        """WITH gedges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id % 10 AS dst FROM documents
+    UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+    UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 3 = 0
+  )
+),
+gadj AS (
+  SELECT src, dst,
+         (row_number() OVER (PARTITION BY src ORDER BY dst) - 1)::BIGINT AS idx,
+         count(*) OVER (PARTITION BY src) AS outdeg
+  FROM gedges
+),
+gnodes AS (SELECT src AS node FROM gedges UNION SELECT dst FROM gedges),
+gs0 AS (SELECT node AS walk_id, node AS cur FROM gnodes)"""
+    ]
+    for t in range(1, walk_len + 1):
+        parts.append(f""",
+gs{t} AS (
+  SELECT s.walk_id, a.dst AS cur
+  FROM gs{t - 1} s JOIN gadj a
+    ON a.src = s.cur
+   AND a.idx = ('0x' || substr(md5('walk-v1:' || s.walk_id::VARCHAR
+                || ':{t}:' || s.cur::VARCHAR), 1, 12))::BIGINT % a.outdeg
+)""")
+    selects = ["SELECT walk_id, 0::BIGINT AS step, cur AS node FROM gs0"]
+    for t in range(1, walk_len + 1):
+        selects.append(
+            f"SELECT walk_id, {t}::BIGINT AS step, cur AS node FROM gs{t}"
+        )
+    parts.append("\n" + "\nUNION ALL ".join(selects))
+    return "".join(parts)
+
+
+@_q("graph_walks", _sql_walks(4))
+def q_graph_walks(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic random-walk corpus (operators/graph.random_walks —
+    the DeepWalk sampling stage with md5-seeded hops so every engine and
+    every rerun takes the same path) over the pagerank link fixture: one
+    4-hop walk per node, dead ends truncating."""
+    from ocr_spark.operators.graph import random_walks
+
+    docs = D.load(spark, sf, "documents").select("doc_id")
+    e1 = docs.select(F.col("doc_id").alias("src"), (F.col("doc_id") % 10).alias("dst"))
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), F.expr("doc_id div 2").alias("dst")
+    )
+    e3 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    return random_walks(e1.unionByName(e2).unionByName(e3), walk_len=4)
+
+
 @_q("lpa_communities", _sql_lpa(3))
 def q_lpa_communities(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic label-propagation communities (operators/graph.

@@ -343,3 +343,59 @@ def test_kcore_peels_chain_keeps_clique(spark):
     assert all(got[v] for v in range(4))
     assert not any(got[v] for v in (10, 11, 12))
     assert got == py_kcore(clique + chain, 3, 6)
+
+
+# --- random walks ------------------------------------------------------------
+
+
+def py_walks(edges, walk_len, seed="walk-v1"):
+    import hashlib
+
+    edges = sorted(set(edges))
+    nbrs: dict[int, list[int]] = {}
+    for s, d in edges:
+        nbrs.setdefault(s, []).append(d)
+    for v in nbrs:
+        nbrs[v].sort()
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    rows = set()
+    for start in nodes:
+        cur = start
+        rows.add((start, 0, start))
+        for t in range(1, walk_len + 1):
+            nb = nbrs.get(cur)
+            if not nb:
+                break
+            h = int(
+                hashlib.md5(f"walk-v1:{start}:{t}:{cur}".encode()).hexdigest()[:12],
+                16,
+            )
+            cur = nb[h % len(nb)]
+            rows.add((start, t, cur))
+    return rows
+
+
+def test_random_walks_match_golden(spark):
+    from ocr_spark.operators.graph import random_walks
+
+    rnd = random.Random(57)
+    edges = list({(rnd.randrange(25), rnd.randrange(25)) for _ in range(60)})
+    got = {
+        (r.walk_id, r.step, r.node)
+        for r in random_walks(_df(spark, edges), walk_len=4).collect()
+    }
+    assert got == py_walks(edges, 4)
+
+
+def test_random_walks_dead_end_truncates(spark):
+    from ocr_spark.operators.graph import random_walks
+
+    # 0 -> 1 -> 2, 2 has no outlinks: every walk ends at 2 within 2 hops
+    edges = [(0, 1), (1, 2)]
+    got = {
+        (r.walk_id, r.step, r.node)
+        for r in random_walks(_df(spark, edges), walk_len=5).collect()
+    }
+    assert got == py_walks(edges, 5)
+    assert (0, 1, 1) in got and (0, 2, 2) in got and (0, 3, 2) not in got
+    assert (2, 0, 2) in got and (2, 1, 2) not in got

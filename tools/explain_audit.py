@@ -171,6 +171,7 @@ AUDIT = [
     "trustrank",
     "lpa_communities",
     "kcore_nodes",
+    "graph_walks",
     "spans_coalesce",
     "winnow_fps",
     "decontaminate_spans",
