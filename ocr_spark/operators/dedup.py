@@ -2000,9 +2000,17 @@ def winnow_pairs(
     of it sub-"thequickbrown" collisions).
 
     Returns (id_a, id_b, n_shared) with id_a < id_b."""
-    fps = winnow_fingerprints(docs, id_col, text_col, k, w).select(
-        "doc_id", "fp_hash"
-    ).distinct()
+    from pyspark import StorageLevel
+
+    # persist the fingerprint table across its THREE plan uses (cap
+    # histogram, df table, postings) — the decontaminate_fuzzy/minhash
+    # index lesson; without it the O(n·w) winnow chain re-executes per use
+    fps = _register_cache(
+        winnow_fingerprints(docs, id_col, text_col, k, w)
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfreq = fps.groupBy(F.col("fp_hash").alias("h")).agg(
         F.count(F.lit(1)).alias("df")
     )
