@@ -676,3 +676,161 @@ def truncate_spans(
             "doc_id", "s.kind", "s.text", "s.media_ref", "s.ord", "s.span_tokens"
         )
     )
+
+
+def span_kind_transitions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Corpus-level span-KIND transition statistics over the interleave
+    order — the Markov profile of how text and media alternate (the
+    text→image→text rhythm an interleaved training mix is tuned against,
+    cf. OBELICS, Laurençon et al. 2023 §3). Each document contributes the
+    adjacent-kind pairs of its canonically ordered span sequence, with BOS
+    / EOS sentinels so document boundaries count as transitions too.
+
+    Plan shape: per row, one sort + one zip_with of the kinds array with
+    its own shift builds the pair list — narrow, no explode until pairs
+    exist, skew bounded by document size. The ONLY shuffle is the final
+    groupBy over (src_kind, dst_kind): at most (k+2)^2 groups for k span
+    kinds, so the aggregation is all map-side partials into a handful of
+    reducer rows, and the per-src window runs on that tiny result.
+    Documents with an empty span array contribute nothing.
+
+    Returns (src_kind, dst_kind, n, p_milli) — p_milli the integer-exact
+    floor((n*1000)/total outgoing from src): milli-probabilities stay
+    BIGINT, never IEEE, so the row is engine-portable by construction."""
+    spans = F.col(spans_col)
+    kinds = F.transform(
+        F.array_sort(
+            F.transform(
+                spans,
+                lambda s: F.struct(
+                    s["offset"].alias("offset"), s["kind"].alias("kind")
+                ),
+            )
+        ),
+        lambda s: s["kind"],
+    )
+    ks = F.concat(F.array(F.lit("BOS")), kinds, F.array(F.lit("EOS")))
+    pairs = F.zip_with(
+        F.slice(ks, 1, F.size(ks) - 1),
+        F.slice(ks, 2, F.size(ks) - 1),
+        lambda a, b: F.struct(a.alias("src_kind"), b.alias("dst_kind")),
+    )
+    cnt = (
+        docs.filter(F.size(spans) > 0)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.src_kind").alias("src_kind"),
+            F.col("p.dst_kind").alias("dst_kind"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cnt.select(
+        "src_kind",
+        "dst_kind",
+        "n",
+        F.expr("(n * 1000L) DIV sum(n) OVER (PARTITION BY src_kind)")
+        .cast("long")
+        .alias("p_milli"),
+    )
+
+
+# OBELICS-shape interleaved document gate (Laurençon et al. 2023 §3.3's
+# spirit, deterministic constants): a document is a useful interleaved
+# training example iff it has at least one media span but is not a gallery
+# (media count / density capped), no long uninterrupted media run, and
+# enough actual text to ground the media.
+INTERLEAVE_MAX_MEDIA = 32
+INTERLEAVE_MAX_MEDIA_RUN = 4
+INTERLEAVE_MIN_WORDS = 10
+
+
+def filter_interleaved_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    max_media: int = INTERLEAVE_MAX_MEDIA,
+    max_media_run: int = INTERLEAVE_MAX_MEDIA_RUN,
+    min_words: int = INTERLEAVE_MIN_WORDS,
+) -> DataFrame:
+    """Document-level interleave gate: per-doc structural features plus the
+    keep verdict, computed WITHOUT dropping rows so the reject reasons stay
+    auditable (the curation report reads the flags; the pipeline filters on
+    `keep`). keep := 1 <= n_media <= max_media AND the longest consecutive
+    media run <= max_media_run AND total text words >= min_words AND media
+    spans are at most half of all spans (2*n_media <= n_spans).
+
+    Plan shape: everything is per-row array expressions over the sorted
+    kinds — counts via filter/size, words via one aggregate fold of
+    word_count, the longest media run via one linear (cur, best) fold. NO
+    shuffle, no explode, no join; a mega-document costs its own array
+    length and nothing else. Documents with empty span arrays are excluded
+    (they are not interleaved documents at all).
+
+    Returns (doc_id, n_spans, n_text, n_media, words, max_media_run, keep).
+    """
+    spans = F.col(spans_col)
+    ss = F.array_sort(
+        F.transform(
+            spans,
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+            ),
+        )
+    )
+    d = docs.filter(F.size(spans) > 0).select(
+        F.col(id_col).alias("doc_id"), ss.alias("ss")
+    )
+    n_spans = F.size(F.col("ss")).cast("long")
+    n_media = F.size(
+        F.filter(F.col("ss"), lambda s: s["kind"] == "media")
+    ).cast("long")
+    words = F.aggregate(
+        F.col("ss"),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(s["kind"] == "media", F.lit(0)).otherwise(
+            word_count(s["text"]).cast("long")
+        ),
+    )
+    run = F.aggregate(
+        F.col("ss"),
+        F.struct(
+            F.lit(0).cast("long").alias("cur"), F.lit(0).cast("long").alias("best")
+        ),
+        lambda acc, s: F.struct(
+            F.when(s["kind"] == "media", acc["cur"] + 1)
+            .otherwise(F.lit(0).cast("long"))
+            .alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(s["kind"] == "media", acc["cur"] + 1).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    out = d.select(
+        "doc_id",
+        n_spans.alias("n_spans"),
+        (n_spans - n_media).alias("n_text"),
+        n_media.alias("n_media"),
+        words.alias("words"),
+        run.alias("max_media_run"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("n_media") >= 1)
+            & (F.col("n_media") <= max_media)
+            & (F.col("max_media_run") <= max_media_run)
+            & (F.col("words") >= min_words)
+            & (F.col("n_media") * 2 <= F.col("n_spans"))
+        ).alias("keep"),
+    )

@@ -10270,6 +10270,79 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "span_transitions",
+    f"""
+WITH {D.SQL_SPAN_CORPUS},
+st_bounds AS (SELECT DISTINCT doc_id FROM span_rows),
+st_rows AS (
+  SELECT doc_id, "offset"::BIGINT AS o, kind FROM span_rows
+  UNION ALL SELECT doc_id, -1, 'BOS' FROM st_bounds
+  UNION ALL SELECT doc_id, 4611686018427387904, 'EOS' FROM st_bounds
+),
+st_pairs AS (
+  SELECT kind AS src_kind,
+         lead(kind) OVER (PARTITION BY doc_id ORDER BY o) AS dst_kind
+  FROM st_rows
+),
+st_cnt AS (
+  SELECT src_kind, dst_kind, count(*)::BIGINT AS n
+  FROM st_pairs WHERE dst_kind IS NOT NULL GROUP BY 1, 2
+)
+SELECT src_kind, dst_kind, n,
+       ((n * 1000) // (SUM(n) OVER (PARTITION BY src_kind)))::BIGINT AS p_milli
+FROM st_cnt""",
+)
+def q_span_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus Markov profile of the interleave (spans.span_kind_transitions):
+    adjacent span-KIND pairs in canonical order with BOS/EOS sentinels,
+    counted corpus-wide with integer-exact per-source milli-probabilities —
+    the text/media alternation statistic an interleaved training mix is
+    tuned against (OBELICS §3)."""
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    return SP.span_kind_transitions(corpus)
+
+
+@_q(
+    "interleave_gate",
+    f"""
+WITH {D.SQL_SPAN_CORPUS},
+ig_runs AS (
+  SELECT doc_id, kind,
+         row_number() OVER (PARTITION BY doc_id ORDER BY "offset")
+       - row_number() OVER (PARTITION BY doc_id, kind ORDER BY "offset") AS grp
+  FROM span_rows
+),
+ig_mr AS (
+  SELECT doc_id, MAX(cnt) AS mr FROM (
+    SELECT doc_id, grp, count(*)::BIGINT AS cnt
+    FROM ig_runs WHERE kind = 'media' GROUP BY doc_id, grp
+  ) GROUP BY doc_id
+),
+ig_feat AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_spans,
+         sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)::BIGINT AS n_media,
+         sum(CASE WHEN kind = 'media' THEN 0
+                  WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                  ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END)::BIGINT AS words
+  FROM span_rows GROUP BY doc_id
+)
+SELECT f.doc_id, f.n_spans, (f.n_spans - f.n_media)::BIGINT AS n_text, f.n_media,
+       f.words, coalesce(m.mr, 0)::BIGINT AS max_media_run,
+       (f.n_media >= 1 AND f.n_media <= 32 AND coalesce(m.mr, 0) <= 4
+        AND f.words >= 10 AND f.n_media * 2 <= f.n_spans) AS keep
+FROM ig_feat f LEFT JOIN ig_mr m USING (doc_id)""",
+)
+def q_interleave_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """OBELICS-shape interleaved-document gate (spans.
+    filter_interleaved_docs): per-doc structural features (span/media/word
+    counts, longest consecutive media run) plus the keep verdict — pure
+    per-row array folds, no shuffle."""
+    corpus = D.span_corpus(D.load(spark, sf, "documents"))
+    return SP.filter_interleaved_docs(corpus)
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================

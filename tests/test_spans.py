@@ -343,3 +343,108 @@ def test_truncate_spans_orders_by_offset_before_cutting(spark):
     got = [(r.text, r.ord) for r in rows]
     assert got == [("head", 0)]  # the offset-0 span wins the budget
     assert not [r for r in rows if r.doc_id == 8]
+
+
+def test_span_kind_transitions_counts_and_milli(spark):
+    from ocr_spark.operators.spans import span_kind_transitions
+
+    span_t = "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    docs = spark.createDataFrame(
+        [
+            # doc 1: text media text  -> BOS>t, t>m, m>t, t>EOS
+            (
+                1,
+                [
+                    ("text", "a", "", 0),
+                    ("media", "", "r1", 16),
+                    ("text", "b", "", 32),
+                ],
+            ),
+            # doc 2 (offsets shuffled on purpose): text text -> BOS>t, t>t, t>EOS
+            (2, [("text", "d", "", 16), ("text", "c", "", 0)]),
+            (3, []),  # contributes nothing
+        ],
+        span_t,
+    )
+    got = {
+        (r.src_kind, r.dst_kind): (r.n, r.p_milli)
+        for r in span_kind_transitions(docs).collect()
+    }
+    assert got == {
+        ("BOS", "text"): (2, 1000),
+        ("text", "media"): (1, 250),  # 4 outgoing from text
+        ("media", "text"): (1, 1000),
+        ("text", "text"): (1, 250),
+        ("text", "EOS"): (2, 500),
+    }
+
+
+def test_filter_interleaved_docs_features_and_gate(spark):
+    from ocr_spark.operators.spans import filter_interleaved_docs
+
+    span_t = "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    five_words = "w1 w2 w3 w4 w5"
+    docs = spark.createDataFrame(
+        [
+            # keeper: 1 media among 3 spans, 10 words, run 1
+            (
+                1,
+                [
+                    ("text", five_words, "", 0),
+                    ("media", "", "r", 16),
+                    ("text", five_words, "", 32),
+                ],
+            ),
+            # no media -> rejected
+            (2, [("text", five_words, "", 0), ("text", five_words, "", 16)]),
+            # media run of 5 (> 4) -> rejected; also media-majority
+            (
+                3,
+                [("media", "", f"r{i}", i * 16) for i in range(5)]
+                + [("text", five_words + " " + five_words, "", 80)],
+            ),
+            # too few words -> rejected
+            (4, [("text", "w1 w2", "", 0), ("media", "", "r", 16)]),
+            (5, []),  # excluded entirely
+        ],
+        span_t,
+    )
+    rows = {r.doc_id: r for r in filter_interleaved_docs(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    r1 = rows[1]
+    assert (r1.n_spans, r1.n_text, r1.n_media, r1.words, r1.max_media_run) == (
+        3,
+        2,
+        1,
+        10,
+        1,
+    )
+    assert r1.keep is True
+    assert rows[2].keep is False and rows[2].n_media == 0
+    assert rows[3].keep is False and rows[3].max_media_run == 5
+    assert rows[4].keep is False and rows[4].words == 2
+
+
+def test_filter_interleaved_media_run_orders_by_offset(spark):
+    """Run detection must follow offset order, not array order."""
+    from ocr_spark.operators.spans import filter_interleaved_docs
+
+    span_t = "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    # array order interleaves; offset order groups media at the front
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    ("media", "", "a", 0),
+                    ("text", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "", 48),
+                    ("media", "", "b", 16),
+                    ("media", "", "c", 32),
+                ],
+            )
+        ],
+        span_t,
+    )
+    r = filter_interleaved_docs(docs).collect()[0]
+    assert r.max_media_run == 3
+    assert r.keep is False  # media-majority (3*2 > 4)
