@@ -176,6 +176,8 @@ AUDIT = [
     "winnow_fps",
     "decontaminate_spans",
     "spans_truncate",
+    "span_transitions",
+    "interleave_gate",
     # winnow_pairs excluded like dedup_clusters: derive_df_cap executes its
     # histogram collapse at plan-construction time
     # ann_topk_pq excluded like dedup_clusters: codebook training executes
