@@ -90,6 +90,8 @@ HEADLINE = [
     "decontaminate_spans",
     "winnow_pairs",
     "spans_truncate",
+    "span_transitions",
+    "interleave_gate",
     "hll_distinct",
     "cms_heavy_hitters",
     "events_asof",

@@ -1926,34 +1926,46 @@ def winnow_fingerprints(
     w is a small constant (default 4). Short docs (< k chars) emit no
     fingerprints; k <= n < k+w-1 emits the single all-gram window min.
 
+    The normalized text and the packed-key array each MATERIALIZE as a
+    column before anything reads them inside a lambda: Catalyst does not
+    common-subexpression-eliminate through higher-order functions, so an
+    inline `keys` would re-run the whole O(n)-md5 chain once PER WINDOW —
+    the O(n²)-per-doc trap the span folds (filter_spans_quality) already
+    document. Measured at sf0.1: 198 s inline → ~2 s materialized.
+
     Returns exploded (doc_id, fp_hash, pos) — pos is the 0-based k-gram
     offset in the normalized text, fp_hash the 36-bit gram hash."""
     t = F.lower(
         F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"(?U)\s+", "")
     )
-    n = F.length(t) - (k - 1)  # k-gram count (<=0: no grams)
+    d1 = docs.select(F.col(id_col).alias("doc_id"), t.alias("_wt"))
+    tc = F.col("_wt")
+    n = F.length(tc) - (k - 1)  # k-gram count (<=0: no grams)
     keys = F.when(
         n >= 1,
         F.transform(
             F.sequence(F.lit(1), n),
-            lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 9), 16, 10)
+            lambda i: F.conv(F.substring(F.md5(tc.substr(i, F.lit(k))), 1, 9), 16, 10)
             .cast("long")
             * F.lit(1 << WINNOW_POS_BITS).cast("long")
             + (F.lit(WINNOW_POS_MASK) - (i - F.lit(1))),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    n_windows = F.greatest(n - (w - 1), F.lit(1))
+    d2 = d1.select("doc_id", keys.alias("_wkeys"))
+    kc = F.col("_wkeys")
+    kn = F.size(kc)
+    n_windows = F.greatest(kn - (w - 1), F.lit(1))
     selected = F.when(
-        n >= 1,
+        kn >= 1,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), n_windows),
-                lambda j: F.array_min(F.slice(keys, j, w)),
+                lambda j: F.array_min(F.slice(kc, j, w)),
             )
         ),
     ).otherwise(F.array().cast("array<long>"))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(selected).alias("key"))
+        d2.select("doc_id", F.explode(selected).alias("key"))
         .select(
             "doc_id",
             F.shiftright(F.col("key"), WINNOW_POS_BITS).alias("fp_hash"),
