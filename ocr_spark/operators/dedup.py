@@ -1926,26 +1926,35 @@ def winnow_fingerprints(
     w is a small constant (default 4). Short docs (< k chars) emit no
     fingerprints; k <= n < k+w-1 emits the single all-gram window min.
 
-    The normalized text and the packed-key array each MATERIALIZE as a
-    column before anything reads them inside a lambda: Catalyst does not
-    common-subexpression-eliminate through higher-order functions, so an
-    inline `keys` would re-run the whole O(n)-md5 chain once PER WINDOW —
-    the O(n²)-per-doc trap the span folds (filter_spans_quality) already
-    document. Measured at sf0.1: 198 s inline → ~2 s materialized.
+    Two mega-document linearity rules, both empirically checked by
+    tools/megadoc_fold_bench.py:
+      - the char array and the packed-key array each MATERIALIZE as a
+        column before anything reads them inside a lambda: Catalyst does
+        not common-subexpression-eliminate through higher-order
+        functions, so an inline `keys` would re-run the whole O(n)-md5
+        chain once PER WINDOW — O(n²)/doc (measured 198 s at sf0.1,
+        ~0.5 s materialized);
+      - grams slice a CHAR ARRAY, not the string: `substr(t, i, k)` walks
+        UTF8 bytes from 0 to find char i, so n substr calls are O(n²)
+        even with the arrays materialized (measured 21× on 16k-char docs
+        where every array fold in the roster holds ~1×; array slice
+        indexes in O(1)).
 
     Returns exploded (doc_id, fp_hash, pos) — pos is the 0-based k-gram
     offset in the normalized text, fp_hash the 36-bit gram hash."""
     t = F.lower(
         F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"(?U)\s+", "")
     )
-    d1 = docs.select(F.col(id_col).alias("doc_id"), t.alias("_wt"))
-    tc = F.col("_wt")
-    n = F.length(tc) - (k - 1)  # k-gram count (<=0: no grams)
+    d1 = docs.select(F.col(id_col).alias("doc_id"), F.split(t, "").alias("_wc"))
+    cc = F.col("_wc")
+    n = F.size(cc) - (k - 1)  # k-gram count (<=0: no grams)
     keys = F.when(
         n >= 1,
         F.transform(
             F.sequence(F.lit(1), n),
-            lambda i: F.conv(F.substring(F.md5(tc.substr(i, F.lit(k))), 1, 9), 16, 10)
+            lambda i: F.conv(
+                F.substring(F.md5(F.array_join(F.slice(cc, i, k), "")), 1, 9), 16, 10
+            )
             .cast("long")
             * F.lit(1 << WINNOW_POS_BITS).cast("long")
             + (F.lit(WINNOW_POS_MASK) - (i - F.lit(1))),
