@@ -2205,19 +2205,32 @@ def langid_model(
     fold over that bucket array (the array is the fold's ARGUMENT, never
     re-evaluated per element). No shuffle, no Python, no vocabulary state
     — the same scale profile as classifier_score."""
+    # chars materialize as a COLUMN before the gram transform reads them:
+    # an inline `norm` would re-run lower+regexp once per gram, and
+    # `substr(i, 3)` walks UTF8 bytes from 0 to char i — either way
+    # O(n²)/doc (the winnow lesson, tools/megadoc_fold_bench.py); array
+    # slice indexes in O(1)
     norm = F.regexp_replace(
         F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"(?U)\s+", " "
     )
-    n = F.length(norm)
+    d0 = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(norm, "").alias("__lc"),
+        *[F.col(c) for c in keep_cols],
+    )
+    cc = F.col("__lc")
+    n = F.size(cc)
     idx = F.when(n >= LANGID_GRAM, F.sequence(F.lit(1), n - (LANGID_GRAM - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(LANGID_GRAM)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(cc, i, LANGID_GRAM), "")
+    )
     buckets = F.transform(
         grams, lambda g: seeded_hash48(g, "langid-v1") % CLS_BUCKETS
     )
-    df = docs.select(
-        F.col(id_col).alias("doc_id"),
+    df = d0.select(
+        "doc_id",
         buckets.alias("__bs"),
         *[F.col(c) for c in keep_cols],
     )

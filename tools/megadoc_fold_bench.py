@@ -94,6 +94,7 @@ def ops():
         # text-shaped (take the flattened docs)
         "winnow_fingerprints": lambda sp, c, t: DD.winnow_fingerprints(t),
         "gopher_repetition": lambda sp, c, t: TS.gopher_repetition(t),
+        "langid_model": lambda sp, c, t: TS.langid_model(t),
     }
 
 
