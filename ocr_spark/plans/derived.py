@@ -94,8 +94,16 @@ SPAN_OFFSET_STRIDE = 16
 
 
 def span_corpus(docs: DataFrame) -> DataFrame:
-    """The canonical interleaved text+media corpus, derived from `documents`."""
-    w = F.split(py_strip(F.col("text")), r"\s+")
+    """The canonical interleaved text+media corpus, derived from `documents`.
+
+    The word array materializes as a column before the per-line transform
+    reads it: Catalyst does not CSE through lambdas, so an inline `w`
+    would re-run the split once per line — O(n²)/doc on mega-documents
+    (tools/megadoc_fold_bench.py's class)."""
+    d0 = docs.select(
+        "doc_id", F.split(py_strip(F.col("text")), r"\s+").alias("_sw")
+    )
+    w = F.col("_sw")
     n_lines = ((F.size(w) + 7) / 8).cast("int")
     idx = F.when(n_lines > 0, F.sequence(F.lit(0), n_lines - 1)).otherwise(
         F.array().cast("array<int>")
@@ -120,7 +128,7 @@ def span_corpus(docs: DataFrame) -> DataFrame:
             (i * SPAN_OFFSET_STRIDE).cast("int").alias("offset"),
         )
 
-    return docs.select("doc_id", F.transform(idx, mk_span).alias("spans"))
+    return d0.select("doc_id", F.transform(idx, mk_span).alias("spans"))
 
 
 SQL_SPAN_CORPUS = """
