@@ -31,18 +31,22 @@ from ocr_spark.operators.textstats import words_of
 
 
 def shingles(text: Column, k: int = config.SHINGLE_SIZE) -> Column:
-    """Distinct word k-gram shingles of the lowered text."""
-    w = words_of(text)
-    n = F.size(w)
-    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short texts
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j).cast("int")) for j in range(k)]),
-    )
-    return F.array_distinct(grams)
+    """Distinct word k-gram shingles of the lowered text. Word array
+    bind_once-bound (textstats) — an inline reference would re-split per
+    shingle, O(n²)/doc."""
+    from ocr_spark.operators.textstats import bind_once
+
+    def grams_of(w: Column) -> Column:
+        n = F.size(w)
+        # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(w, i, k), " "))
+        )
+
+    return bind_once(words_of(text), grams_of)
 
 
 def _md5_int(c: Column, salt: int) -> Column:
@@ -131,17 +135,22 @@ def minhash_signature(text: Column, num_hashes: int = config.MINHASH_NUM_HASHES)
     aggregations — the unrolled form blows past the JVM 64KB method limit
     and silently drops the whole stage out of whole-stage codegen.
     """
-    sh = shingles(text)
+    from ocr_spark.operators.textstats import bind_once
 
     def md5_int_dyn(s: Column, k: Column) -> Column:
         h = F.md5(F.concat(k.cast("string"), F.lit(":"), s))
         return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda k: F.coalesce(
-            F.array_min(F.transform(sh, lambda s: md5_int_dyn(s, k))),
-            F.lit(-1).cast("long"),
+    # shingle array bound once — inline it and the whole shingling chain
+    # re-runs per hash index (K× the work even before the per-gram trap)
+    return bind_once(
+        shingles(text),
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda k: F.coalesce(
+                F.array_min(F.transform(sh, lambda s: md5_int_dyn(s, k))),
+                F.lit(-1).cast("long"),
+            ),
         ),
     )
 

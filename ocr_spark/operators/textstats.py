@@ -39,6 +39,18 @@ def words_of(text: Column) -> Column:
     return F.when(s == "", F.array().cast("array<string>")).otherwise(F.split(s, r"(?U)\s+"))
 
 
+def bind_once(arr: Column, fn) -> Column:
+    """The let-expression Catalyst lacks: evaluate ``arr`` ONCE and hand it
+    to ``fn`` as a BOUND lambda variable (O(1) reference). An expression
+    referenced inside a higher-order-function lambda re-evaluates per
+    element — Catalyst does not CSE through lambdas — so e.g. a split
+    array sliced per gram turns O(n) per doc into O(n²)
+    (tools/megadoc_fold_bench.py; measured 62× on ngrams_of at 16k-char
+    docs). Column-in/Column-out helpers that cannot materialize a real
+    column use this instead."""
+    return F.get(F.transform(F.array(arr), fn), 0)
+
+
 def language_id(text: Column) -> Column:
     """Stopword-profile language ID: the language whose function-word list
     hits the most tokens wins; ties break alphabetically ('und' when no
@@ -588,15 +600,18 @@ def split_by_cluster(
 
 def ngrams_of(text: Column, n: int) -> Column:
     """Sliding word n-grams of the lowered text, space-joined (empty
-    array when the document has fewer than n words)."""
-    w = words_of(text)
-    return F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    array when the document has fewer than n words). The word array is
+    :func:`bind_once`-bound so the split never re-runs per gram."""
+    return bind_once(
+        words_of(text),
+        lambda w: F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def decontaminate(

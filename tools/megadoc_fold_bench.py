@@ -95,6 +95,13 @@ def ops():
         "winnow_fingerprints": lambda sp, c, t: DD.winnow_fingerprints(t),
         "gopher_repetition": lambda sp, c, t: TS.gopher_repetition(t),
         "langid_model": lambda sp, c, t: TS.langid_model(t),
+        "ngrams_of_5": lambda sp, c, t: t.select(
+            "doc_id",
+            F.explode(F.array_distinct(TS.ngrams_of(F.col("text"), 5))).alias("gram"),
+        ),
+        "shingles": lambda sp, c, t: t.select(
+            "doc_id", F.explode(DD.shingles(F.col("text"))).alias("sh")
+        ),
     }
 
 
