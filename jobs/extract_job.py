@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--keep-boilerplate", action="store_true")
+    ap.add_argument("--interleave-gate", action="store_true",
+                    help="drop documents failing the OBELICS-shape interleave "
+                         "gate (spans.interleave_keep_expr) before extraction — "
+                         "one per-row boolean filter, no join, no extra pass")
     ap.add_argument("--fail-after", type=int, default=None, help="fault injection (tests)")
     ap.add_argument("--output-format", choices=("parquet", "jsonl"), default="parquet",
                     help="bucket output format (jsonl = the reference's JSON response shape)")
@@ -49,6 +53,11 @@ def main() -> None:
         docs = spark.read.parquet(args.input)
         if "spans" not in docs.columns:  # flat text table → derive spans
             docs = span_corpus(docs)
+
+    if args.interleave_gate:
+        from ocr_spark.operators.spans import interleave_keep_expr
+
+        docs = docs.filter(interleave_keep_expr())
 
     summary = run_checkpointed(
         spark,

@@ -748,6 +748,88 @@ INTERLEAVE_MAX_MEDIA_RUN = 4
 INTERLEAVE_MIN_WORDS = 10
 
 
+def _interleave_features(ss: Column) -> dict[str, Column]:
+    """(n_spans, n_media, words, max_media_run) off a sorted
+    (offset, kind, text) struct array — works on a materialized column or
+    a bind_once-bound lambda variable alike."""
+    n_spans = F.size(ss).cast("long")
+    n_media = F.size(F.filter(ss, lambda s: s["kind"] == "media")).cast("long")
+    words = F.aggregate(
+        ss,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(s["kind"] == "media", F.lit(0)).otherwise(
+            word_count(s["text"]).cast("long")
+        ),
+    )
+    run = F.aggregate(
+        ss,
+        F.struct(
+            F.lit(0).cast("long").alias("cur"), F.lit(0).cast("long").alias("best")
+        ),
+        lambda acc, s: F.struct(
+            F.when(s["kind"] == "media", acc["cur"] + 1)
+            .otherwise(F.lit(0).cast("long"))
+            .alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(s["kind"] == "media", acc["cur"] + 1).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return {"n_spans": n_spans, "n_media": n_media, "words": words, "max_media_run": run}
+
+
+def _interleave_keep(
+    f: dict[str, Column], max_media: int, max_media_run: int, min_words: int
+) -> Column:
+    return (
+        (f["n_media"] >= 1)
+        & (f["n_media"] <= max_media)
+        & (f["max_media_run"] <= max_media_run)
+        & (f["words"] >= min_words)
+        & (f["n_media"] * 2 <= f["n_spans"])
+    )
+
+
+def _sorted_spans(spans: Column) -> Column:
+    return F.array_sort(
+        F.transform(
+            spans,
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+            ),
+        )
+    )
+
+
+def interleave_keep_expr(
+    spans_col: str = "spans",
+    max_media: int = INTERLEAVE_MAX_MEDIA,
+    max_media_run: int = INTERLEAVE_MAX_MEDIA_RUN,
+    min_words: int = INTERLEAVE_MIN_WORDS,
+) -> Column:
+    """:func:`filter_interleaved_docs`'s keep verdict as ONE per-row
+    boolean expression — the gating form a pipeline uses in a filter()
+    with no join and no second pass over the corpus (extract_job
+    --interleave-gate). The sorted span array is bind_once-bound so the
+    sort never re-runs per fold. Empty span arrays gate to False."""
+    from ocr_spark.operators.textstats import bind_once
+
+    def keep(ss: Column) -> Column:
+        f = _interleave_features(ss)
+        return (f["n_spans"] > 0) & _interleave_keep(
+            f, max_media, max_media_run, min_words
+        )
+
+    return bind_once(_sorted_spans(F.col(spans_col)), keep)
+
+
 def filter_interleaved_docs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -773,64 +855,29 @@ def filter_interleaved_docs(
     Returns (doc_id, n_spans, n_text, n_media, words, max_media_run, keep).
     """
     spans = F.col(spans_col)
-    ss = F.array_sort(
-        F.transform(
-            spans,
-            lambda s: F.struct(
-                s["offset"].alias("offset"),
-                s["kind"].alias("kind"),
-                s["text"].alias("text"),
-            ),
-        )
-    )
     d = docs.filter(F.size(spans) > 0).select(
-        F.col(id_col).alias("doc_id"), ss.alias("ss")
+        F.col(id_col).alias("doc_id"), _sorted_spans(spans).alias("ss")
     )
-    n_spans = F.size(F.col("ss")).cast("long")
-    n_media = F.size(
-        F.filter(F.col("ss"), lambda s: s["kind"] == "media")
-    ).cast("long")
-    words = F.aggregate(
-        F.col("ss"),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc
-        + F.when(s["kind"] == "media", F.lit(0)).otherwise(
-            word_count(s["text"]).cast("long")
-        ),
-    )
-    run = F.aggregate(
-        F.col("ss"),
-        F.struct(
-            F.lit(0).cast("long").alias("cur"), F.lit(0).cast("long").alias("best")
-        ),
-        lambda acc, s: F.struct(
-            F.when(s["kind"] == "media", acc["cur"] + 1)
-            .otherwise(F.lit(0).cast("long"))
-            .alias("cur"),
-            F.greatest(
-                acc["best"],
-                F.when(s["kind"] == "media", acc["cur"] + 1).otherwise(
-                    F.lit(0).cast("long")
-                ),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
+    f = _interleave_features(F.col("ss"))
     out = d.select(
         "doc_id",
-        n_spans.alias("n_spans"),
-        (n_spans - n_media).alias("n_text"),
-        n_media.alias("n_media"),
-        words.alias("words"),
-        run.alias("max_media_run"),
+        f["n_spans"].alias("n_spans"),
+        (f["n_spans"] - f["n_media"]).alias("n_text"),
+        f["n_media"].alias("n_media"),
+        f["words"].alias("words"),
+        f["max_media_run"].alias("max_media_run"),
     )
     return out.select(
         "*",
-        (
-            (F.col("n_media") >= 1)
-            & (F.col("n_media") <= max_media)
-            & (F.col("max_media_run") <= max_media_run)
-            & (F.col("words") >= min_words)
-            & (F.col("n_media") * 2 <= F.col("n_spans"))
+        _interleave_keep(
+            {
+                "n_spans": F.col("n_spans"),
+                "n_media": F.col("n_media"),
+                "words": F.col("words"),
+                "max_media_run": F.col("max_media_run"),
+            },
+            max_media,
+            max_media_run,
+            min_words,
         ).alias("keep"),
     )

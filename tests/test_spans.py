@@ -448,3 +448,61 @@ def test_filter_interleaved_media_run_orders_by_offset(spark):
     r = filter_interleaved_docs(docs).collect()[0]
     assert r.max_media_run == 3
     assert r.keep is False  # media-majority (3*2 > 4)
+
+
+def test_interleave_keep_expr_equals_filter_verdict(spark):
+    """The per-row gating expression must agree with the auditable
+    DataFrame form on every document, including empty span arrays
+    (expr: False; DataFrame form: excluded)."""
+    from ocr_spark.operators.spans import filter_interleaved_docs, interleave_keep_expr
+
+    span_t = "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    five = "w1 w2 w3 w4 w5"
+    docs = spark.createDataFrame(
+        [
+            (1, [("text", five, "", 0), ("media", "", "r", 16), ("text", five, "", 32)]),
+            (2, [("text", five, "", 0)]),
+            (3, [("media", "", f"r{i}", i * 16) for i in range(6)] + [("text", five + " " + five, "", 96)]),
+            (4, []),
+        ],
+        span_t,
+    )
+    via_df = {
+        r.doc_id: r.keep for r in filter_interleaved_docs(docs).collect()
+    }
+    via_expr = {
+        r.doc_id: r.k
+        for r in docs.select("doc_id", interleave_keep_expr().alias("k")).collect()
+    }
+    assert via_expr == {1: True, 2: False, 3: False, 4: False}
+    for doc_id, k in via_df.items():
+        assert via_expr[doc_id] == k
+
+
+def test_extract_job_interleave_gate(spark, tmp_path, monkeypatch):
+    """--interleave-gate drops gate-failing documents before extraction;
+    without it they extract normally."""
+    import sys
+
+    from jobs import extract_job
+
+    span_t = "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    ten = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [
+            (1, [("text", ten, "", 0), ("media", "", "r", 16), ("text", ten, "", 32)]),
+            (2, [("text", ten, "", 0), ("text", ten, "", 16)]),  # no media
+        ],
+        span_t,
+    )
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+
+    def run(out, *extra):
+        argv = ["extract_job.py", "--input", src, "--output", out, "--buckets", "2", *extra]
+        monkeypatch.setattr(sys, "argv", argv)
+        extract_job.main()
+        return {r.doc_id for r in spark.read.parquet(out + "/bucket=*").select("doc_id").collect()}
+
+    assert run(str(tmp_path / "gated"), "--interleave-gate") == {1}
+    assert run(str(tmp_path / "plain")) == {1, 2}
