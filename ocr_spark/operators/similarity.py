@@ -999,3 +999,75 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist_sq", "rank")
     )
+
+
+def bitext_mine(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix /
+    LASER parallel-corpus miner): score every forward k-NN candidate pair
+    (a ∈ A, b ∈ B) by the RATIO margin
+
+        margin(a, b) = cos(a, b) / ((mean_kNN(a) + mean_kNN(b)) / 2)
+
+    where ``mean_kNN(x)`` is the mean cosine of x's k nearest neighbors on
+    the OTHER side, and keep the best-margin b per a above the threshold.
+    The margin normalizes away hubness — a candidate only wins if it is
+    close to `a` *relative to* how close either side's neighborhood runs.
+
+    Scale shape: both k-NN passes are :func:`topk_bruteforce` blocked GEMMs
+    (queries fold to one broadcast row, the corpus hash-blocks and never
+    pair-joins — the exact tier). At 10^12 rows swap the candidate
+    generator for :func:`topk_ivf` / :func:`topk_lsh` and re-rank the
+    shortlist exactly — the margin arithmetic downstream is unchanged.
+    The denominator folds run in deterministic rank order (array_sort on
+    (rank, cosine) then a sequential F.aggregate), so the DuckDB oracle
+    reproduces every double bit-for-bit.
+
+    Output: (a_id, b_id, cosine, margin) — at most one row per a_id.
+    """
+    qa = side_a.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col))
+    qb = side_b.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col))
+    fwd = topk_bruteforce(side_b, qa, k=k, id_col=id_col, vec_col=vec_col)
+    bwd = topk_bruteforce(side_a, qb, k=k, id_col=id_col, vec_col=vec_col)
+
+    def knn_mean(tk: DataFrame, out: str) -> DataFrame:
+        cl = F.array_sort(F.collect_list(F.struct(F.col("rank"), F.col("cosine"))))
+        agg = tk.groupBy("query_id").agg(cl.alias("cl"))
+        fold = F.aggregate(
+            F.col("cl"), F.lit(0.0), lambda acc, s: acc + s["cosine"]
+        )
+        return agg.select(
+            "query_id", (fold / F.size(F.col("cl"))).alias(out)
+        )
+
+    den_a = knn_mean(fwd, "den_a")
+    den_b = knn_mean(bwd, "den_b")
+    pairs = (
+        fwd.select(
+            F.col("query_id").alias("a_id"),
+            F.col("neighbor_id").alias("b_id"),
+            "cosine",
+        )
+        .join(den_a.withColumnRenamed("query_id", "a_id"), "a_id")
+        .join(den_b.withColumnRenamed("query_id", "b_id"), "b_id")
+        .filter((F.col("den_a") + F.col("den_b")) > 0)
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cosine") / ((F.col("den_a") + F.col("den_b")) * F.lit(0.5)), 6
+            ),
+        )
+        .filter(F.col("margin") >= margin_threshold)
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("margin").desc(), F.col("b_id").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("a_id", "b_id", "cosine", "margin")
+    )

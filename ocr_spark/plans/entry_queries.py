@@ -10343,6 +10343,70 @@ def q_interleave_gate(spark: SparkSession, sf: str) -> DataFrame:
     return SP.filter_interleaved_docs(corpus)
 
 
+def _sql_knn_den(tk: str, out: str) -> str:
+    """similarity.bitext_mine.knn_mean twin: fold the k rounded cosines in
+    rank order (list ORDER BY rank → sequential list_reduce — bit-identical
+    to Spark's array_sort + F.aggregate with a 0.0 seed) and divide by the
+    retrieved count."""
+    return (
+        f"SELECT query_id, list_reduce(list(cosine ORDER BY rank), "
+        f"(x, y) -> x + y) / count(*) AS {out} FROM {tk} GROUP BY query_id"
+    )
+
+
+@_q(
+    "bitext_mine",
+    f"""
+WITH {_SQL_EMB_Q},
+sa AS (SELECT vec_id, q FROM eq WHERE vec_id % 2 = 0),
+sb AS (SELECT vec_id, q FROM eq WHERE vec_id % 2 = 1),
+fwd AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_sql_qcos('a.q', 'b.q')}, 6) AS cosine
+        FROM sa a CROSS JOIN sb b)
+),
+fk AS (SELECT * FROM fwd WHERE rank <= 4),
+bwd AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+               round({_sql_qcos('b.q', 'a.q')}, 6) AS cosine
+        FROM sb b CROSS JOIN sa a)
+),
+bk AS (SELECT * FROM bwd WHERE rank <= 4),
+dena AS ({_sql_knn_den('fk', 'den_a')}),
+denb AS ({_sql_knn_den('bk', 'den_b')}),
+pairs AS (
+  SELECT fk.query_id AS a_id, fk.neighbor_id AS b_id, fk.cosine,
+         round(fk.cosine / ((dena.den_a + denb.den_b) * 0.5::DOUBLE), 6) AS margin
+  FROM fk
+  JOIN dena ON dena.query_id = fk.query_id
+  JOIN denb ON denb.query_id = fk.neighbor_id
+  WHERE (dena.den_a + denb.den_b) > 0
+)
+SELECT a_id, b_id, cosine, margin FROM (
+  SELECT a_id, b_id, cosine, margin,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY margin DESC, b_id ASC) AS rn
+  FROM pairs WHERE margin >= 1.0)
+WHERE rn = 1""",
+)
+def q_bitext_mine(spark: SparkSession, sf: str) -> DataFrame:
+    """Margin-based bitext mining (similarity.bitext_mine — the CCMatrix /
+    LASER ratio-margin miner) across a deterministic parity split of the
+    embeddings table standing in for the two language sides: forward and
+    backward exact k-NN (blocked GEMM), rank-ordered denominator folds,
+    ratio margin ≥ 1.0, best-margin pair per source row."""
+    emb = D.load(spark, sf, "embeddings")
+    side_a = emb.filter(F.col("vec_id") % 2 == 0)
+    side_b = emb.filter(F.col("vec_id") % 2 == 1)
+    return SIM.bitext_mine(side_a, side_b, k=4, margin_threshold=1.0)
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================
@@ -10361,6 +10425,7 @@ def q_interleave_gate(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # A (round-3 VERDICT call-outs)
     "pagerank",
+    "bitext_mine",
     "upload_validate", "warc_extract", "warc_html_extract",
     "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
     "spans_assemble_stream", "audio_chunks",
@@ -10438,7 +10503,11 @@ def _reorder_for_driver() -> None:
     reg = {n: i for i, n in enumerate(QUERIES)}
 
     def key(n: str):
-        tier = 0 if n not in seen else (1 if n in bad else 2)
+        # Checked-but-red (tier 0) outranks never-checked (tier 1): a red
+        # row means a fix landed that must be driver-confirmed THIS round
+        # (round-3 VERDICT: "Done = pagerank all-green in CORRECTNESS_r04"),
+        # and there is at most a handful of them vs ~100 never-checked.
+        tier = 1 if n not in seen else (0 if n in bad else 2)
         return (tier, prio.get(n, len(prio)), reg[n])
 
     order = sorted(QUERIES, key=key)

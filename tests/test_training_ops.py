@@ -197,6 +197,43 @@ def test_lsh_signature_deterministic(emb_df):
     assert [r["s"] for r in a] == [r["s"] for r in b]
 
 
+def test_bitext_mine_recovers_alignment(spark):
+    """6 aligned pairs (b_i = a_i + tiny noise) + one unaligned distractor
+    in B: the miner must return exactly the true alignment, margin > 1."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 8) * 2.0
+    rows = []
+    for i in range(6):
+        rows.append((i * 2, [float(x) for x in base[i] + rng.randn(8) * 0.01]))
+        rows.append((i * 2 + 1, [float(x) for x in base[i] + rng.randn(8) * 0.01]))
+    rows.append((101, [float(x) for x in rng.randn(8) * 5.0]))  # distractor (odd id)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    out = SIM.bitext_mine(a, b, k=3, margin_threshold=1.0).collect()
+    got = {r["a_id"]: r["b_id"] for r in out}
+    assert got == {i * 2: i * 2 + 1 for i in range(6)}
+    for r in out:
+        assert r["margin"] > 1.0
+        assert 0.99 < r["cosine"] <= 1.0
+
+
+def test_bitext_mine_threshold_and_uniqueness(spark):
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    lo = SIM.bitext_mine(a, b, k=3, margin_threshold=0.0).collect()
+    hi = SIM.bitext_mine(a, b, k=3, margin_threshold=1.2).collect()
+    # one row per a_id, and raising the threshold only shrinks the result
+    assert len({r["a_id"] for r in lo}) == len(lo)
+    hi_pairs = {(r["a_id"], r["b_id"]) for r in hi}
+    lo_pairs = {(r["a_id"], r["b_id"]) for r in lo}
+    assert hi_pairs <= lo_pairs
+    assert all(r["margin"] >= 1.2 for r in hi)
+
+
 def test_plane_signs_are_diverse():
     """Regression: the old LCG-parity plane hash collapsed every plane to
     one of TWO ±1 patterns (odd multiplier preserves parity of p+j)."""
