@@ -47,6 +47,8 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "bitext_mine",
+    "dedup_eval",
     "diversity_sample",
     "pdf_pages",
     "pdf_process",

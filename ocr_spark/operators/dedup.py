@@ -621,6 +621,78 @@ def dedup_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Candidate near-dup PAIRS from banded SimHash: bucket equi-join on the
+    top ``prefix_bits`` signature bits, verified by full 60-bit Hamming
+    distance ≤ ``max_hamming``. The bucket join is the scale contract —
+    pairs form only inside a bucket (expected bucket size ≈ N / 2^prefix),
+    never all-pairs; recall is bounded by P(every prefix bit agrees), the
+    standard Charikar-banding trade-off that :func:`pair_prf` measures."""
+    sh = dedup_simhash(docs, id_col=id_col, text_col=text_col, prefix_bits=prefix_bits)
+    left, right = sh.alias("l"), sh.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"l.{id_col}").alias("a_id"),
+            F.col(f"r.{id_col}").alias("b_id"),
+            ham.alias("hamming"),
+        )
+    )
+
+
+def pair_prf(truth: DataFrame, pred: DataFrame, tier: str) -> DataFrame:
+    """One-row precision/recall scorecard of a candidate-pair set against a
+    ground-truth pair set (both (a_id, b_id), a<b): tp/fp/fn via one
+    full-outer join, precision = tp/(tp+fp), recall = tp/(tp+fn).
+    The 'measure, don't guess' harness for the approximate dedup tiers —
+    run it at a small SF against the exact PPJoin truth before trusting a
+    banding config at the full corpus."""
+    t = truth.select("a_id", "b_id").withColumn("t", F.lit(1))
+    p = pred.select("a_id", "b_id").withColumn("p", F.lit(1))
+    j = t.join(p, ["a_id", "b_id"], "full_outer")
+    # coalesce: Spark SUM over zero rows is NULL, the oracle's count(*) is 0
+    agg = j.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("tp"),
+        F.coalesce(F.sum(F.when(F.col("t").isNull(), 1).otherwise(0)), F.lit(0)).alias("fp"),
+        F.coalesce(F.sum(F.when(F.col("p").isNull(), 1).otherwise(0)), F.lit(0)).alias("fn"),
+    )
+    return agg.select(
+        F.lit(tier).alias("tier"),
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            (F.col("tp") + F.col("fp")) > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+        F.when(
+            (F.col("tp") + F.col("fn")) > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+    )
+
+
 # --- embedding cosine near-dup ------------------------------------------------
 
 

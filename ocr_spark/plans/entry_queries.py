@@ -10407,6 +10407,74 @@ def q_bitext_mine(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.bitext_mine(side_a, side_b, k=4, margin_threshold=1.0)
 
 
+_SQL_PRF = """
+SELECT '{tier}' AS tier, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0.0::DOUBLE END AS precision,
+       CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) ELSE 0.0::DOUBLE END AS recall
+FROM (
+  SELECT count(*) FILTER (WHERE t.a_id IS NOT NULL AND p.a_id IS NOT NULL)::BIGINT AS tp,
+         count(*) FILTER (WHERE t.a_id IS NULL)::BIGINT AS fp,
+         count(*) FILTER (WHERE p.a_id IS NULL)::BIGINT AS fn
+  FROM truth t FULL JOIN {pred} p ON t.a_id = p.a_id AND t.b_id = p.b_id
+)"""
+
+
+@_q(
+    "dedup_eval",
+    f"""
+WITH {_SQL_SHINGLE_BASE},
+{_sql_minhash_bands()},
+truth AS (
+  SELECT a_id, b_id FROM (
+    SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS inter,
+           any_value(l.n) AS n_a, any_value(r.n) AS n_b
+    FROM (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM dsh) l
+    JOIN (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM dsh) r
+      ON l.s = r.s AND l.doc_id < r.doc_id
+    GROUP BY 1, 2)
+  WHERE (inter / (n_a + n_b - inter))::DOUBLE >= 0.5
+),
+mh AS (
+  SELECT c.a_id, c.b_id FROM (
+    SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+    FROM dband l JOIN dband r ON l.band = r.band AND l.doc_id < r.doc_id) c
+  JOIN dsh la ON la.doc_id = c.a_id JOIN dsh lb ON lb.doc_id = c.b_id
+  WHERE CASE WHEN len(list_distinct(list_concat(la.sh, lb.sh))) > 0
+             THEN len(list_intersect(la.sh, lb.sh))::DOUBLE
+                  / len(list_distinct(list_concat(la.sh, lb.sh)))
+             ELSE 0.0 END >= 0.5
+),
+sw AS (SELECT doc_id, {_words_lower('text')} AS ws FROM dedup_docs),
+sh2 AS (SELECT doc_id, {_sql_simhash('ws')} AS simhash FROM sw),
+sb AS (SELECT doc_id, simhash, simhash >> {DD.SIMHASH_BITS - 16} AS bucket FROM sh2),
+shp AS (
+  SELECT l.doc_id AS a_id, r.doc_id AS b_id
+  FROM sb l JOIN sb r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.simhash, r.simhash)) <= 10
+)
+{_SQL_PRF.format(tier='minhash_lsh', pred='mh')}
+UNION ALL
+{_SQL_PRF.format(tier='simhash', pred='shp')}""",
+)
+def q_dedup_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """'Measure, don't guess' scorecard for the approximate dedup tiers:
+    precision/recall of (a) MinHash-LSH banding (exact-Jaccard-verified, so
+    precision is 1.0 by construction and the number under test is banding
+    RECALL at the threshold) and (b) banded SimHash at Hamming ≤ 10,
+    both against the exact PPJoin n-gram-Jaccard ≥ 0.5 pair set as ground
+    truth (dedup.pair_prf over dedup.dedup_ngram_jaccard /
+    dedup.dedup_minhash_lsh / dedup.simhash_pairs). Two rows, one per
+    tier — the quantified trust statement you compute at a small SF before
+    believing a banding config at the full corpus."""
+    docs = D.dedup_docs(D.load(spark, sf, "documents"))
+    truth = DD.dedup_ngram_jaccard(docs, jaccard_threshold=0.5)
+    mh = DD.dedup_minhash_lsh(docs, jaccard_threshold=0.5)
+    shp = DD.simhash_pairs(docs, max_hamming=10)
+    return DD.pair_prf(truth, mh, "minhash_lsh").unionByName(
+        DD.pair_prf(truth, shp, "simhash")
+    )
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================
@@ -10426,6 +10494,7 @@ _DRIVER_PRIORITY = [
     # A (round-3 VERDICT call-outs)
     "pagerank",
     "bitext_mine",
+    "dedup_eval",
     "upload_validate", "warc_extract", "warc_html_extract",
     "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
     "spans_assemble_stream", "audio_chunks",

@@ -197,6 +197,22 @@ def test_lsh_signature_deterministic(emb_df):
     assert [r["s"] for r in a] == [r["s"] for r in b]
 
 
+def test_simhash_pairs_and_pair_prf(docs_df, spark):
+    """simhash_pairs finds the near-dup (a, c); pair_prf counts are exact."""
+    from ocr_spark.operators import dedup as DDm
+    shp = DDm.simhash_pairs(docs_df, max_hamming=20, id_col="doc_id").collect()
+    assert all(r["a_id"] < r["b_id"] for r in shp)
+    truth = spark.createDataFrame([("a", "c"), ("a", "x")], "a_id string, b_id string")
+    pred = spark.createDataFrame([("a", "c"), ("b", "d")], "a_id string, b_id string")
+    row = DDm.pair_prf(truth, pred, "t").collect()[0]
+    assert (row["tp"], row["fp"], row["fn"]) == (1, 1, 1)
+    assert row["precision"] == 0.5 and row["recall"] == 0.5
+    empty = truth.limit(0)
+    row0 = DDm.pair_prf(empty, empty, "z").collect()[0]
+    assert (row0["tp"], row0["fp"], row0["fn"]) == (0, 0, 0)
+    assert row0["precision"] == 0.0 and row0["recall"] == 0.0
+
+
 def test_bitext_mine_recovers_alignment(spark):
     """6 aligned pairs (b_i = a_i + tiny noise) + one unaligned distractor
     in B: the miner must return exactly the true alignment, margin > 1."""
