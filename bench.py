@@ -87,6 +87,7 @@ HEADLINE = [
     "lpa_communities",
     "kcore_nodes",
     "graph_walks",
+    "graph_triangles",
     "spans_coalesce",
     "winnow_fps",
     "decontaminate_spans",

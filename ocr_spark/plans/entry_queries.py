@@ -10475,6 +10475,60 @@ def q_dedup_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "graph_triangles",
+    """WITH pedges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id % 10 AS dst FROM documents
+    UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+    UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 3 = 0
+  )
+),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM pedges WHERE src <> dst),
+deg AS (SELECT n, count(*)::BIGINT AS d FROM (
+          SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n),
+e AS (SELECT u.a, u.b, da.d AS da, db.d AS db
+      FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+oe AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS lo,
+              CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS hi,
+              CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dhi
+       FROM e),
+wedge AS (SELECT w1.lo, w1.hi AS h1, w2.hi AS h2
+          FROM oe w1 JOIN oe w2 ON w1.lo = w2.lo
+          WHERE w1.dhi < w2.dhi OR (w1.dhi = w2.dhi AND w1.hi < w2.hi)),
+tri AS (SELECT w.lo AS x, w.h1 AS y, w.h2 AS z
+        FROM wedge w JOIN oe t ON t.lo = w.h1 AND t.hi = w.h2),
+corners AS (SELECT n, count(*)::BIGINT AS t FROM (
+    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY n)
+SELECT deg.n AS node, deg.d AS degree, coalesce(c.t, 0)::BIGINT AS triangles,
+       CASE WHEN deg.d >= 2
+            THEN (2 * coalesce(c.t, 0))::DOUBLE / (deg.d * (deg.d - 1))
+            ELSE 0.0::DOUBLE END AS clustering
+FROM deg LEFT JOIN corners c ON c.n = deg.n""",
+)
+def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact triangle count + local clustering coefficient
+    (operators/graph.triangles — degree-oriented wedge join, the
+    Cohen/Suri–Vassilvitskii MR formulation that caps hub wedge blowup at
+    O(√m) oriented out-degree) over pagerank's synthetic link fixture.
+    The oracle replays the identical orientation, wedge ordering, and
+    closure join in SQL; the clustering coefficient is a single double
+    division so it hashes bit-equal."""
+    from ocr_spark.operators.graph import triangles
+
+    docs = D.load(spark, sf, "documents").select("doc_id")
+    e1 = docs.select(F.col("doc_id").alias("src"), (F.col("doc_id") % 10).alias("dst"))
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), F.expr("doc_id div 2").alias("dst")
+    )
+    e3 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    return triangles(e1.unionByName(e2).unionByName(e3))
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================
@@ -10495,6 +10549,7 @@ _DRIVER_PRIORITY = [
     "pagerank",
     "bitext_mine",
     "dedup_eval",
+    "graph_triangles",
     "upload_validate", "warc_extract", "warc_html_extract",
     "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
     "spans_assemble_stream", "audio_chunks",

@@ -399,3 +399,62 @@ def test_random_walks_dead_end_truncates(spark):
     assert got == py_walks(edges, 5)
     assert (0, 1, 1) in got and (0, 2, 2) in got and (0, 3, 2) not in got
     assert (2, 0, 2) in got and (2, 1, 2) not in got
+
+
+# --- triangles ----------------------------------------------------------------
+
+
+def py_triangles(edges):
+    """Brute-force per-node triangle counts over the undirected simple graph."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = set()
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            tris.add(tuple(sorted((a, b, c))))
+    out = {n: 0 for n in adj}
+    for x, y, z in tris:
+        out[x] += 1
+        out[y] += 1
+        out[z] += 1
+    return out, {n: len(s) for n, s in adj.items()}
+
+
+def test_triangles_match_bruteforce_random_graph(spark):
+    from ocr_spark.operators.graph import triangles
+
+    rnd = random.Random(11)
+    edges = list({(rnd.randrange(30), rnd.randrange(30)) for _ in range(180)})
+    want_t, want_d = py_triangles(edges)
+    rows = triangles(_df(spark, edges)).collect()
+    got_t = {r["node"]: r["triangles"] for r in rows}
+    got_d = {r["node"]: r["degree"] for r in rows}
+    assert got_t == want_t
+    assert got_d == want_d
+    for r in rows:
+        d, t = r["degree"], r["triangles"]
+        want_c = (2.0 * t) / (d * (d - 1)) if d >= 2 else 0.0
+        assert r["clustering"] == want_c
+
+
+def test_triangles_known_shapes(spark):
+    from ocr_spark.operators.graph import triangles
+
+    # K4: every node has 3 triangles, clustering 1.0; plus a pendant node
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    rows = {r["node"]: r for r in triangles(_df(spark, k4)).collect()}
+    for n in (0, 1, 2):
+        assert rows[n]["triangles"] == 3 and rows[n]["clustering"] == 1.0
+    assert rows[3]["triangles"] == 3 and rows[3]["degree"] == 4
+    assert rows[4]["triangles"] == 0 and rows[4]["clustering"] == 0.0
+    # hub star (the skew shape): no triangles at all
+    star = [(100, i) for i in range(20)]
+    srows = triangles(_df(spark, star)).collect()
+    assert all(r["triangles"] == 0 for r in srows)
+    # duplicate + reversed + self-loop edges collapse to the simple graph
+    noisy = k4 + [(1, 0), (0, 0), (2, 1), (3, 3)]
+    nrows = {r["node"]: r["triangles"] for r in triangles(_df(spark, noisy)).collect()}
+    assert nrows == {n: rows[n]["triangles"] for n in rows}

@@ -52,15 +52,16 @@ def test_every_query_has_an_oracle():
 
 
 def test_driver_priority_tiering():
-    """Registration order must put every never-driver-checked query before
-    every already-green one (the driver's per-round pass is time-budgeted;
-    order decides which queries earn a green row this round), with
-    checked-but-not-green queries in between, and the static priority list
-    respected inside each tier."""
+    """Registration order must put checked-but-not-green queries first (a
+    red row means a landed fix awaiting driver confirmation — round-3
+    VERDICT), then every never-driver-checked query, then the already-green
+    remainder (the driver's per-round pass is time-budgeted; order decides
+    which queries earn a green row this round), with the static priority
+    list respected inside each tier."""
     seen, bad = eq._driver_history()
 
     def tier(n):
-        return 0 if n not in seen else (1 if n in bad else 2)
+        return 1 if n not in seen else (0 if n in bad else 2)
 
     ks = list(eq.QUERIES)
     tiers = [tier(n) for n in ks]
