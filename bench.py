@@ -68,6 +68,7 @@ HEADLINE = [
     "url_dedup",
     "temperature_mix",
     "budget_mix",
+    "doremi_mix",
     "fix_text",
     "chunk_docs",
     "corpus_report",

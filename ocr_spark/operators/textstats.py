@@ -2904,3 +2904,91 @@ def lm_stupid_backoff(
             ).alias("avg_millibits"),
         )
     )
+
+
+def doremi_mix(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+):
+    """DoReMi-shaped domain reweighting (Xie et al. 2023) in EXACT
+    integer-bit arithmetic: one multiplicative-weights step over per-domain
+    excess LM surprisal, so domains the (self-trained) bigram model finds
+    hard gain sampling weight and easy/redundant domains lose it.
+
+    Exactness contract: DoReMi's `w ∝ ref · exp(η·excess_loss)` uses a
+    float exp no two engines reproduce bit-for-bit. Here the loss is
+    :func:`lm_surprisal`'s integer-bit surprisal, the excess is an integer
+    bits-per-bigram difference (floor division, clamped to ±60), and the
+    multiplier is 2^excess built from BIGINT shifts — every power of two
+    and its reciprocal is an exact double, and the final normalization
+    folds domain weights in sorted-domain order, so the DuckDB twin
+    hash-matches. η is effectively 1 bit⁻¹; the domain table is a handful
+    of rows, so the normalization fold is scale-free (the corpus-side cost
+    is lm_surprisal's one model aggregation + skew-joined probe).
+
+    Returns one row per domain with n_bigrams > 0:
+    (domain, n_docs, grams, bits, excess_bits, weight), Σ weight = 1.
+    """
+    sur = lm_surprisal(docs, id_col=id_col, text_col=text_col)
+    j = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(domain_col).alias("domain")
+    ).join(sur, "doc_id")
+    dom = (
+        j.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("grams"),
+            F.sum("total_bits").alias("bits"),
+        )
+        .filter(F.col("grams") > 0)
+    )
+    tot = dom.agg(
+        F.sum("grams").alias("g_tot"), F.sum("bits").alias("b_tot")
+    )
+    ex = dom.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "grams",
+        "bits",
+        F.greatest(
+            F.least(
+                F.expr("(bits div grams) - (b_tot div g_tot)"), F.lit(60)
+            ),
+            F.lit(-60),
+        )
+        .cast("long")
+        .alias("excess_bits"),
+        "g_tot",
+    )
+    raw = ex.select(
+        "domain",
+        "n_docs",
+        "grams",
+        "bits",
+        "excess_bits",
+        (
+            (F.col("grams").cast("double") / F.col("g_tot"))
+            * F.expr(
+                "CASE WHEN excess_bits >= 0 "
+                "THEN CAST(SHIFTLEFT(CAST(1 AS BIGINT), CAST(excess_bits AS INT)) AS DOUBLE) "
+                "ELSE CAST(1.0 AS DOUBLE) / SHIFTLEFT(CAST(1 AS BIGINT), CAST(-excess_bits AS INT)) END"
+            )
+        ).alias("w_raw"),
+    )
+    s = raw.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("domain"), F.col("w_raw")))),
+            F.lit(0.0),
+            lambda a, x: a + x["w_raw"],
+        ).alias("w_sum")
+    )
+    return raw.crossJoin(F.broadcast(s)).select(
+        "domain",
+        "n_docs",
+        "grams",
+        "bits",
+        "excess_bits",
+        (F.col("w_raw") / F.col("w_sum")).alias("weight"),
+    )

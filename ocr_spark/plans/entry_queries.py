@@ -10529,6 +10529,66 @@ def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     return triangles(e1.unionByName(e2).unionByName(e3))
 
 
+@_q(
+    "doremi_mix",
+    f"""
+WITH lw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),
+lg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))) AS gram
+  FROM lw WHERE len(w) >= 2
+),
+lm AS (SELECT gram, count(*) AS b_cnt FROM lg GROUP BY gram),
+lc AS (
+  SELECT string_split(gram, ' ')[1] AS ctx, sum(b_cnt)::BIGINT AS c_cnt
+  FROM lm GROUP BY 1
+),
+ls AS (
+  SELECT lg.doc_id,
+         (length(to_base(lc.c_cnt, 2)) - length(to_base(lm.b_cnt::BIGINT, 2)))::BIGINT AS bits
+  FROM lg JOIN lm USING (gram)
+  JOIN lc ON lc.ctx = string_split(lg.gram, ' ')[1]
+),
+lp AS (SELECT doc_id, count(*) AS n_bigrams, sum(bits) AS total_bits FROM ls GROUP BY doc_id),
+ld AS (
+  SELECT d.source AS domain,
+         coalesce(lp.n_bigrams, 0)::BIGINT AS n_bigrams,
+         coalesce(lp.total_bits, 0)::BIGINT AS total_bits
+  FROM documents d LEFT JOIN lp ON lp.doc_id = d.doc_id
+),
+dom AS (
+  SELECT domain, count(*)::BIGINT AS n_docs, sum(n_bigrams)::BIGINT AS grams,
+         sum(total_bits)::BIGINT AS bits
+  FROM ld GROUP BY domain HAVING sum(n_bigrams) > 0
+),
+tot AS (SELECT sum(grams)::BIGINT AS g_tot, sum(bits)::BIGINT AS b_tot FROM dom),
+ex AS (
+  SELECT domain, n_docs, grams, bits,
+         greatest(least((bits // grams) - (SELECT b_tot // g_tot FROM tot), 60), -60)::BIGINT
+           AS excess_bits
+  FROM dom
+),
+raw AS (
+  SELECT domain, n_docs, grams, bits, excess_bits,
+         (grams::DOUBLE / (SELECT g_tot FROM tot)) *
+         (CASE WHEN excess_bits >= 0 THEN ((1::BIGINT << excess_bits))::DOUBLE
+               ELSE 1.0::DOUBLE / (1::BIGINT << (-excess_bits)) END) AS w_raw
+  FROM ex
+),
+s AS (SELECT list_reduce(list(w_raw ORDER BY domain), (x, y) -> x + y) AS w_sum FROM raw)
+SELECT domain, n_docs, grams, bits, excess_bits,
+       w_raw / (SELECT w_sum FROM s) AS weight
+FROM raw""",
+)
+def q_doremi_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """DoReMi-shaped domain reweighting (textstats.doremi_mix): one
+    multiplicative-weights step over per-domain excess integer-bit
+    surprisal, 2^excess built from BIGINT shifts and the normalization
+    folded in sorted-domain order — bit-exact across engines where the
+    paper's exp() could never be."""
+    return TS.doremi_mix(D.load(spark, sf, "documents"))
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================
@@ -10550,6 +10610,7 @@ _DRIVER_PRIORITY = [
     "bitext_mine",
     "dedup_eval",
     "graph_triangles",
+    "doremi_mix",
     "upload_validate", "warc_extract", "warc_html_extract",
     "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
     "spans_assemble_stream", "audio_chunks",

@@ -197,6 +197,32 @@ def test_lsh_signature_deterministic(emb_df):
     assert [r["s"] for r in a] == [r["s"] for r in b]
 
 
+def test_doremi_mix_upweights_hard_domains(spark):
+    from ocr_spark.operators import textstats as TSm
+
+    # easy: context count == pair count everywhere -> 0-bit surprisal
+    easy = "alpha beta " * 40
+    rows = [(i, easy, "easy") for i in range(8)]
+    # hard: every bigram "the w_k" has a COMMON context ("the") but a
+    # count-1 pair -> bits(320) - bits(1) = 8 bits (avoids the documented
+    # self-trained hapax blind spot where unique contexts score 0)
+    for i in range(8, 16):
+        ws = " ".join("the w%d" % (i * 40 + j) for j in range(40))
+        rows.append((i, ws, "hard"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["domain"]: r for r in TSm.doremi_mix(docs).collect()}
+    assert set(out) == {"easy", "hard"}
+    # weights normalize exactly (fold is deterministic): sum to 1 bit-exact
+    assert abs(out["easy"]["weight"] + out["hard"]["weight"] - 1.0) < 1e-12
+    # the high-surprisal domain gains weight over its token share
+    g_tot = out["easy"]["grams"] + out["hard"]["grams"]
+    assert out["hard"]["weight"] > out["hard"]["grams"] / g_tot
+    assert out["easy"]["weight"] < out["easy"]["grams"] / g_tot
+    assert out["hard"]["excess_bits"] > 0 >= out["easy"]["excess_bits"]
+    for r in out.values():
+        assert -60 <= r["excess_bits"] <= 60
+
+
 def test_simhash_pairs_and_pair_prf(docs_df, spark):
     """simhash_pairs finds the near-dup (a, c); pair_prf counts are exact."""
     from ocr_spark.operators import dedup as DDm
