@@ -67,6 +67,35 @@ ACCEPTED = {
         "md5) digest tables — the SMJ moves 40-byte rows, never page bodies "
         "(digests are computed map-side before the shuffle)"
     ),
+    ("bitext_mine", "BroadcastNestedLoopJoin"): (
+        "the two topk_bruteforce blocked GEMMs inside the miner: bounded "
+        "num_blocks×1 crossJoin of corpus blocks × the one folded "
+        "query-matrix row (the ann_topk_bruteforce shape), twice"
+    ),
+    ("dedup_eval", "SortMergeJoin"): (
+        "pair_prf's truth ⟕⟖ prediction FULL OUTER joins on (a_id, b_id): "
+        "Spark cannot broadcast a full-outer join, and both sides are "
+        "candidate-pair digests keyed identically — the SMJ sorts pair "
+        "ids, never documents (plus the PPJoin/band joins already "
+        "reviewed under their own queries)"
+    ),
+    ("graph_triangles", "SortMergeJoin"): (
+        "the designed edge-key shuffles of the oriented-wedge formulation: "
+        "degree attach, wedge self-join on the low endpoint, and closure "
+        "join — all keyed on edges of a crawl-scale graph, where broadcast "
+        "is impossible by definition and the (degree, id) orientation "
+        "already caps the join fan-out at O(√m) per key"
+    ),
+    ("doremi_mix", "BroadcastNestedLoopJoin"): (
+        "bounded D×1 crossJoins: the domain table (a handful of rows) × "
+        "the single broadcast totals row, then × the one normalization-"
+        "fold row — attaches scalars, row count unchanged"
+    ),
+    ("doremi_mix", "SortMergeJoin"): (
+        "lm_surprisal's internal model joins (vocabulary-sized, broadcast "
+        "impossible for an open vocabulary) plus the docs→scores doc_id "
+        "join — the lm_stupid_backoff/dsir_score shape"
+    ),
     ("search_hybrid_rrf", "SortMergeJoin"): (
         "rrf_fuse's FULL OUTER join of the two top-k ranker outputs: Spark "
         "cannot broadcast a full-outer join at all, and both inputs are "
@@ -77,6 +106,10 @@ ACCEPTED = {
 
 AUDIT = [
     "extract_documents",
+    "bitext_mine",
+    "dedup_eval",
+    "graph_triangles",
+    "doremi_mix",
     "spans_assemble",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
