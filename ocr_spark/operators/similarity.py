@@ -1008,6 +1008,7 @@ def bitext_mine(
     margin_threshold: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    knn_fn=None,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix /
     LASER parallel-corpus miner): score every forward k-NN candidate pair
@@ -1020,21 +1021,24 @@ def bitext_mine(
     The margin normalizes away hubness — a candidate only wins if it is
     close to `a` *relative to* how close either side's neighborhood runs.
 
-    Scale shape: both k-NN passes are :func:`topk_bruteforce` blocked GEMMs
-    (queries fold to one broadcast row, the corpus hash-blocks and never
-    pair-joins — the exact tier). At 10^12 rows swap the candidate
-    generator for :func:`topk_ivf` / :func:`topk_lsh` and re-rank the
-    shortlist exactly — the margin arithmetic downstream is unchanged.
+    Scale shape: both k-NN passes default to :func:`topk_bruteforce`
+    blocked GEMMs (queries fold to one broadcast row, the corpus
+    hash-blocks and never pair-joins — the exact tier). At 10^12 rows pass
+    ``knn_fn=topk_lsh`` (or any callable with the same
+    (corpus, queries, k, id_col, vec_col) → (query_id, neighbor_id, rank,
+    cosine) contract) to bucket candidate generation — the margin
+    arithmetic downstream is unchanged.
     The denominator folds run in deterministic rank order (array_sort on
     (rank, cosine) then a sequential F.aggregate), so the DuckDB oracle
     reproduces every double bit-for-bit.
 
     Output: (a_id, b_id, cosine, margin) — at most one row per a_id.
     """
+    knn = knn_fn or topk_bruteforce
     qa = side_a.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col))
     qb = side_b.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col))
-    fwd = topk_bruteforce(side_b, qa, k=k, id_col=id_col, vec_col=vec_col)
-    bwd = topk_bruteforce(side_a, qb, k=k, id_col=id_col, vec_col=vec_col)
+    fwd = knn(side_b, qa, k=k, id_col=id_col, vec_col=vec_col)
+    bwd = knn(side_a, qb, k=k, id_col=id_col, vec_col=vec_col)
 
     def knn_mean(tk: DataFrame, out: str) -> DataFrame:
         cl = F.array_sort(F.collect_list(F.struct(F.col("rank"), F.col("cosine"))))

@@ -276,6 +276,27 @@ def test_bitext_mine_threshold_and_uniqueness(spark):
     assert all(r["margin"] >= 1.2 for r in hi)
 
 
+def test_bitext_mine_lsh_tier_contract(spark):
+    """knn_fn=topk_lsh (the bucketed 10^12-row tier) plugs in unchanged and
+    mines a subset-quality alignment: pairs it finds at a threshold are a
+    subset of the exact tier's candidate universe with identical margins
+    for identical pairs recovered."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 8) * 2.0
+    rows = []
+    for i in range(6):
+        rows.append((i * 2, [float(x) for x in base[i] + rng.randn(8) * 0.01]))
+        rows.append((i * 2 + 1, [float(x) for x in base[i] + rng.randn(8) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    out = SIM.bitext_mine(a, b, k=3, margin_threshold=1.0, knn_fn=SIM.topk_lsh)
+    got = {r["a_id"]: r["b_id"] for r in out.collect()}
+    true = {i * 2: i * 2 + 1 for i in range(6)}
+    assert got  # LSH collides aligned near-identical vectors
+    assert all(true[aid] == bid for aid, bid in got.items())
+
+
 def test_plane_signs_are_diverse():
     """Regression: the old LCG-parity plane hash collapsed every plane to
     one of TWO ±1 patterns (odd multiplier preserves parity of p+j)."""
