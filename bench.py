@@ -49,6 +49,7 @@ HEADLINE = [
     "ann_topk_ivf",
     "bitext_mine",
     "dedup_eval",
+    "hard_negatives",
     "diversity_sample",
     "pdf_pages",
     "pdf_process",

@@ -99,6 +99,7 @@ def topk_bruteforce(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     num_blocks: int = 64,
+    exclude_group_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k by quantized cosine — blocked GEMM, not a pair join.
 
@@ -118,10 +119,22 @@ def topk_bruteforce(
     Id contract: ``id_col`` / ``query_id_col`` must be integer-typed (the
     GEMM kernel carries ids as int64 ndarrays, output schema ``long``);
     map string ids through a dense integer surrogate at the call site.
+
+    ``exclude_group_col`` (integer-typed, present on BOTH inputs) masks
+    same-group pairs inside the GEMM exactly like self-pairs — the
+    hard-negative-mining contract: top-k *across* label boundaries
+    without oversample-and-filter recall loss.
     """
+    g = exclude_group_col
+    qcols = [F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")] + (
+        [F.col(g).alias("qg")] if g else []
+    )
+    qstruct = F.struct(
+        *([F.col("qid"), F.col("qv")] + ([F.col("qg")] if g else []))
+    )
     qrow = F.broadcast(
-        queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")).agg(
-            F.collect_list(F.struct(F.col("qid"), F.col("qv"))).alias("qs")
+        queries.select(*qcols).agg(
+            F.collect_list(qstruct).alias("qs")
         )
     )
     # deterministic hash blocking — uniform block sizes, no skew
@@ -130,11 +143,19 @@ def topk_bruteforce(
         F.lit(num_blocks),
     )
     c = corpus.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("cv"),
-        blk.cast("int").alias("bk"),
+        *(
+            [
+                F.col(id_col).alias("nid"),
+                F.col(vec_col).alias("cv"),
+                blk.cast("int").alias("bk"),
+            ]
+            + ([F.col(g).alias("ng")] if g else [])
+        )
     )
-    blocks = c.groupBy("bk").agg(F.collect_list(F.struct(F.col("nid"), F.col("cv"))).alias("cs"))
+    cstruct = F.struct(
+        *([F.col("nid"), F.col("cv")] + ([F.col("ng")] if g else []))
+    )
+    blocks = c.groupBy("bk").agg(F.collect_list(cstruct).alias("cs"))
     joined = blocks.crossJoin(qrow)  # nb × 1 rows — bounded, not a pair blowup
 
     scale = 1000
@@ -148,6 +169,9 @@ def topk_bruteforce(
                     continue
                 nids = np.asarray([r["nid"] for r in cs], dtype=np.int64)
                 qids = np.asarray([r["qid"] for r in qs], dtype=np.int64)
+                if g:
+                    ngs = np.asarray([r["ng"] for r in cs], dtype=np.int64)
+                    qgs = np.asarray([r["qg"] for r in qs], dtype=np.int64)
 
                 # null vectors → zero rows (cosine 0, oracle-consistent);
                 # ONE width for both matrices or the GEMM shapes diverge
@@ -172,8 +196,10 @@ def topk_bruteforce(
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = (qq @ qc.T) / np.outer(nq, nc)
                 cos = np.where(np.outer(nq > 0, nc > 0), cos, 0.0)
-                # self-pairs never rank
+                # self-pairs never rank; same-group pairs masked likewise
                 cos[qids[:, None] == nids[None, :]] = -np.inf
+                if g:
+                    cos[qgs[:, None] == ngs[None, :]] = -np.inf
                 for qi in range(len(qids)):
                     row = cos[qi]
                     # per-block top-k by raw cosine, widened by a 2e-6

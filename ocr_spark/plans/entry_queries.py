@@ -10589,6 +10589,43 @@ def q_doremi_mix(spark: SparkSession, sf: str) -> DataFrame:
     return TS.doremi_mix(D.load(spark, sf, "documents"))
 
 
+@_q(
+    "hard_negatives",
+    f"""
+WITH eql AS (SELECT vec_id, {_sql_quantize('embedding')} AS q, label FROM embeddings),
+qs AS (SELECT vec_id AS query_id, q, label FROM eql WHERE vec_id < 20),
+scored AS (
+  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         round({_sql_qcos('qs.q', 'c.q')}, 6) AS cosine
+  FROM qs CROSS JOIN eql c
+  WHERE qs.query_id != c.vec_id AND qs.label != c.label
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, cosine
+FROM ranked WHERE rank <= 5""",
+)
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: each query
+    row's top-k nearest neighbors ACROSS label boundaries (the highest-
+    cosine wrong-label rows are the negatives worth training on). Exact
+    blocked GEMM with the same-group mask applied inside the kernel
+    (similarity.topk_bruteforce exclude_group_col) — no oversample-and-
+    filter recall loss, corpus never pair-joins."""
+    emb = D.load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = SIM.topk_bruteforce(
+        emb, queries, k=5, query_id_col="query_id", exclude_group_col="label"
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================
@@ -10611,6 +10648,7 @@ _DRIVER_PRIORITY = [
     "dedup_eval",
     "graph_triangles",
     "doremi_mix",
+    "hard_negatives",
     "upload_validate", "warc_extract", "warc_html_extract",
     "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
     "spans_assemble_stream", "audio_chunks",

@@ -276,6 +276,32 @@ def test_bitext_mine_threshold_and_uniqueness(spark):
     assert all(r["margin"] >= 1.2 for r in hi)
 
 
+def test_topk_bruteforce_exclude_group(emb_df, spark):
+    """The same-group mask: with labels = vec_id % 4 (the cluster id), every
+    returned neighbor has a different label than its query, and equals the
+    brute-force answer over the filtered candidate set."""
+    lab = emb_df.withColumn("label", F.col("vec_id") % 4)
+    queries = lab.limit(3).select(F.col("vec_id").alias("query_id"), "embedding", "label")
+    out = SIM.topk_bruteforce(
+        lab, queries, k=3, query_id_col="query_id", exclude_group_col="label"
+    ).collect()
+    assert out
+    for r in out:
+        assert r["query_id"] % 4 != r["neighbor_id"] % 4
+    # parity with filter-then-rank over the complement corpus, per query
+    for q in {r["query_id"] for r in out}:
+        comp = lab.filter(F.col("vec_id") % 4 != q % 4)
+        qdf = lab.filter(F.col("vec_id") == q).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        want = {
+            (r["neighbor_id"], r["rank"])
+            for r in SIM.topk_bruteforce(comp, qdf, k=3, query_id_col="query_id").collect()
+        }
+        got = {(r["neighbor_id"], r["rank"]) for r in out if r["query_id"] == q}
+        assert got == want
+
+
 def test_bitext_mine_lsh_tier_contract(spark):
     """knn_fn=topk_lsh (the bucketed 10^12-row tier) plugs in unchanged and
     mines a subset-quality alignment: pairs it finds at a threshold are a
