@@ -50,6 +50,7 @@ HEADLINE = [
     "bitext_mine",
     "dedup_eval",
     "hard_negatives",
+    "label_outliers",
     "diversity_sample",
     "pdf_pages",
     "pdf_process",

@@ -1101,3 +1101,88 @@ def bitext_mine(
         .filter(F.col("rn") == 1)
         .select("a_id", "b_id", "cosine", "margin")
     )
+
+
+def label_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1000,
+) -> DataFrame:
+    """Label-error detection by centroid margin (confident-learning-lite,
+    after Northcutt 2021's intuition): a row whose embedding sits closer to
+    ANOTHER label's centroid than to its own is a mislabel candidate —
+    the curation signal you run before training a classifier on weak
+    labels.
+
+    All arithmetic is integer-exact (the kmeans_lloyd discipline): vectors
+    quantize to ×scale BIGINTs, per-label centroids are element-wise
+    truncate-toward-zero integer means, distances are exact integer
+    squared L2 — so the DuckDB twin hash-matches. Scale shape: the
+    centroid table is L rows (one per label — broadcast by construction);
+    scoring is one broadcast-joined N·L pass of codegen'd integer
+    arithmetic, no corpus shuffle beyond the per-dimension centroid
+    aggregation. Ragged/null vectors are excluded by the same
+    first-row-dim guard as kmeans_lloyd.
+
+    Output: (vec_id, label, d_own, best_other_label, d_other, mislabeled),
+    mislabeled = d_other < d_own; best_other ties break by label ASC.
+    """
+    q = _qvec(F.col(vec_col), scale)
+    base0 = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("label"), q.alias("q")
+    )
+    dim_row = F.broadcast(
+        base0.orderBy("vec_id").limit(1).select(F.size("q").alias("dim"))
+    )
+    base = base0.crossJoin(dim_row).filter(F.size("q") == F.col("dim")).drop("dim")
+    dims = base.select(
+        "label", F.posexplode("q").alias("pos", "v")
+    )
+    cdim = dims.groupBy("label", "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    trunc = F.when(
+        F.col("s") >= 0, F.expr("s div n")
+    ).otherwise(-F.expr("(-s) div n"))
+    cent = (
+        cdim.select("label", "pos", trunc.cast("long").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda x: x["cv"]
+            ).alias("c")
+        )
+        .select(F.col("label").alias("clabel"), "c")
+    )
+    dist = F.aggregate(
+        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel", dist.alias("dist")
+    )
+    own = scored.filter(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("dist").alias("d_own")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("clabel").asc())
+    other = (
+        scored.filter(F.col("label") != F.col("clabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("clabel").alias("best_other_label"),
+            F.col("dist").alias("d_other"),
+        )
+    )
+    return own.join(other, "vec_id").select(
+        "vec_id",
+        "label",
+        "d_own",
+        "best_other_label",
+        "d_other",
+        (F.col("d_other") < F.col("d_own")).alias("mislabeled"),
+    )

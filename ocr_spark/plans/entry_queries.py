@@ -10626,6 +10626,54 @@ def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_q(
+    "label_outliers",
+    f"""
+WITH lq AS MATERIALIZED (
+  SELECT vec_id, label, {_sql_quantize('embedding')} AS q FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+ldim AS (SELECT len(q) AS dim FROM lq ORDER BY vec_id LIMIT 1),
+lv AS MATERIALIZED (SELECT * FROM lq WHERE len(q) = (SELECT dim FROM ldim)),
+lsdim AS (
+  SELECT label, d.j AS j, SUM(d.v)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM (SELECT label,
+               unnest(list_transform(range(1, len(q) + 1), j -> {{'j': j, 'v': q[j]}})) AS d
+        FROM lv)
+  GROUP BY label, d.j
+),
+lcent AS MATERIALIZED (
+  SELECT label AS clabel,
+         list(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END ORDER BY j) AS c
+  FROM lsdim GROUP BY label
+),
+lsc AS MATERIALIZED (
+  SELECT v.vec_id, v.label, t.clabel,
+         list_sum(list_transform(range(1, len(v.q) + 1),
+                  j -> (v.q[j] - t.c[j]) * (v.q[j] - t.c[j])))::BIGINT AS dist
+  FROM lv v CROSS JOIN lcent t
+),
+lown AS (SELECT vec_id, label, dist AS d_own FROM lsc WHERE label = clabel),
+loth AS (
+  SELECT vec_id, clabel AS best_other_label, dist AS d_other FROM (
+    SELECT vec_id, clabel, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, clabel ASC) AS rn
+    FROM lsc WHERE label != clabel) WHERE rn = 1
+)
+SELECT o.vec_id, o.label, o.d_own, t.best_other_label, t.d_other,
+       (t.d_other < o.d_own) AS mislabeled
+FROM lown o JOIN loth t ON t.vec_id = o.vec_id""",
+)
+def q_label_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-error detection by integer centroid margin
+    (similarity.label_outliers): rows sitting closer to another label's
+    centroid than their own are mislabel candidates — the weak-label
+    curation gate, all integer-exact so the oracle replays it
+    bit-for-bit."""
+    return SIM.label_outliers(D.load(spark, sf, "embeddings"))
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================
@@ -10649,6 +10697,7 @@ _DRIVER_PRIORITY = [
     "graph_triangles",
     "doremi_mix",
     "hard_negatives",
+    "label_outliers",
     "upload_validate", "warc_extract", "warc_html_extract",
     "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
     "spans_assemble_stream", "audio_chunks",

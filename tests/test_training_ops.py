@@ -276,6 +276,38 @@ def test_bitext_mine_threshold_and_uniqueness(spark):
     assert all(r["margin"] >= 1.2 for r in hi)
 
 
+def test_label_outliers_flags_planted_mislabel(spark):
+    """Two tight clusters; one point of cluster A labeled B must be the
+    unique mislabel flag, with exact integer distances."""
+    rng = np.random.RandomState(4)
+    a = rng.randn(8) * 3.0
+    b = -a
+    rows = []
+    for i in range(5):
+        rows.append((i, [float(x) for x in a + rng.randn(8) * 0.01], 0))
+    for i in range(5, 10):
+        rows.append((i, [float(x) for x in b + rng.randn(8) * 0.01], 1))
+    rows.append((10, [float(x) for x in a + rng.randn(8) * 0.01], 1))  # planted
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in SIM.label_outliers(emb).collect()}
+    assert len(out) == 11
+    assert out[10]["mislabeled"] and out[10]["best_other_label"] == 0
+    assert all(not out[i]["mislabeled"] for i in range(10))
+    for r in out.values():
+        assert isinstance(r["d_own"], int) and r["d_own"] >= 0
+
+
+def test_label_outliers_excludes_ragged_and_null(spark):
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0),
+        (2, [0.0, 1.0], 1), (3, [0.1, 0.9], 1),
+        (4, None, 0), (5, [1.0, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["vec_id"] for r in SIM.label_outliers(emb).collect()}
+    assert got == {0, 1, 2, 3}
+
+
 def test_topk_bruteforce_exclude_group(emb_df, spark):
     """The same-group mask: with labels = vec_id % 4 (the cluster id), every
     returned neighbor has a different label than its query, and equals the
