@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_eval",
     "hard_negatives",
     "label_outliers",
+    "keyword_tags",
     "diversity_sample",
     "pdf_pages",
     "pdf_process",

@@ -10674,6 +10674,70 @@ def q_label_outliers(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.label_outliers(D.load(spark, sf, "embeddings"))
 
 
+def _sql_kw_grams(n: int) -> str:
+    """(doc_id, pos, gram) rows of the n-gram explode, 1-based pos."""
+    return (
+        f"SELECT doc_id, d.pos AS pos, d.gram AS gram FROM ("
+        f"SELECT doc_id, unnest(list_transform(range(1, len(w) - {n - 2}), "
+        f"i -> {{'pos': i, 'gram': array_to_string(w[i:i+{n - 1}], ' ')}})) AS d "
+        f"FROM kw)"
+    )
+
+
+def _sql_kw_dict(n: int, min_df: int, mod: int) -> str:
+    return (
+        f"SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df "
+        f"FROM ({_sql_kw_grams(n)}) GROUP BY gram) "
+        f"WHERE df >= {min_df} AND "
+        f"('0x' || substr(md5('kwdict-v1:' || gram), 1, 12))::BIGINT % {mod} = 0"
+    )
+
+
+@_q(
+    "keyword_tags",
+    f"""
+WITH kw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),
+kgrams AS (
+  {_sql_kw_grams(1)}
+  UNION ALL {_sql_kw_grams(2)}
+  UNION ALL {_sql_kw_grams(3)}
+),
+kdict AS (
+  {_sql_kw_dict(1, 5, 11)}
+  UNION {_sql_kw_dict(2, 3, 5)}
+  UNION {_sql_kw_dict(3, 2, 3)}
+)
+SELECT g.doc_id, g.gram AS phrase, count(*)::BIGINT AS n_hits,
+       min(g.pos)::BIGINT AS first_pos
+FROM kgrams g JOIN kdict d ON d.gram = g.gram
+GROUP BY 1, 2""",
+)
+def q_keyword_tags(spark: SparkSession, sf: str) -> DataFrame:
+    """Gazetteer phrase tagging (textstats.keyword_tags) against a
+    deterministic corpus-derived dictionary: uni/bi/tri-gram phrases
+    picked by df floor + seeded-hash bucket (a mixed common-and-rare
+    lexicon), matched at word granularity with per-(doc, phrase) counts
+    and first positions."""
+    docs = D.load(spark, sf, "documents")
+
+    def dict_part(n: int, min_df: int, mod: int) -> DataFrame:
+        g = docs.select(
+            "doc_id", F.explode(TS.ngrams_of(F.col("text"), n)).alias("gram")
+        )
+        dfreq = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
+        return dfreq.filter(
+            (F.col("df") >= min_df)
+            & (TS.seeded_hash48(F.col("gram"), "kwdict-v1") % mod == 0)
+        ).select(F.col("gram").alias("phrase"))
+
+    phrases = (
+        dict_part(1, 5, 11)
+        .unionByName(dict_part(2, 3, 5))
+        .unionByName(dict_part(3, 2, 3))
+    )
+    return TS.keyword_tags(docs, phrases)
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================
@@ -10698,6 +10762,7 @@ _DRIVER_PRIORITY = [
     "doremi_mix",
     "hard_negatives",
     "label_outliers",
+    "keyword_tags",
     "upload_validate", "warc_extract", "warc_html_extract",
     "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
     "spans_assemble_stream", "audio_chunks",

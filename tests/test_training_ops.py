@@ -197,6 +197,40 @@ def test_lsh_signature_deterministic(emb_df):
     assert [r["s"] for r in a] == [r["s"] for r in b]
 
 
+def test_keyword_tags_positions_and_counts(spark):
+    from ocr_spark.operators import textstats as TSm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "New York is big. I love New York City"),
+            (2, "york new york"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [("new york",), ("new york city",), ("york",), ("absent phrase",)],
+        "phrase string",
+    )
+    out = {(r["doc_id"], r["phrase"]): r for r in TSm.keyword_tags(docs, phrases).collect()}
+    # doc 1: "new york" at words 1 and 7 (lowered, punctuation kept in tokens)
+    assert out[(1, "new york")]["n_hits"] == 2
+    assert out[(1, "new york")]["first_pos"] == 1
+    assert out[(1, "new york city")]["n_hits"] == 1
+    assert out[(1, "new york city")]["first_pos"] == 7
+    assert out[(1, "york")]["n_hits"] == 2 and out[(1, "york")]["first_pos"] == 2
+    assert out[(2, "new york")]["n_hits"] == 1 and out[(2, "new york")]["first_pos"] == 2
+    assert out[(2, "york")]["n_hits"] == 2 and out[(2, "york")]["first_pos"] == 1
+    assert not any(p == "absent phrase" for (_, p) in out)
+    assert not any(d == 3 for (d, _) in out)
+    # shuffle-join fallback (broadcast_max=0) is result-identical
+    out2 = {
+        (r["doc_id"], r["phrase"]): (r["n_hits"], r["first_pos"])
+        for r in TSm.keyword_tags(docs, phrases, broadcast_max=0).collect()
+    }
+    assert out2 == {k: (v["n_hits"], v["first_pos"]) for k, v in out.items()}
+
+
 def test_doremi_mix_upweights_hard_domains(spark):
     from ocr_spark.operators import textstats as TSm
 
