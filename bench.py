@@ -52,6 +52,7 @@ HEADLINE = [
     "hard_negatives",
     "label_outliers",
     "keyword_tags",
+    "minhash_band_plan",
     "diversity_sample",
     "pdf_pages",
     "pdf_process",

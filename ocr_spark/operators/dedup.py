@@ -2130,3 +2130,50 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def minhash_band_planner(spark, n_hashes: int = None, j_grid=None) -> DataFrame:
+    """Analytic banding planner: for every (bands, rows) factorization of
+    the signature length, the S-curve capture probability
+    ``P(j) = 1 − (1 − j^r)^b`` at a grid of Jaccard similarities — the
+    theory half of the trust statement whose measured half is
+    :func:`pair_prf` (`dedup_eval`). Read the two together: the planner
+    says what a config SHOULD capture at each similarity; the scorecard
+    says what it DID capture on the corpus's actual pair distribution.
+
+    Both powers are computed as deterministic multiplication folds (a
+    float ``pow`` is not bit-reproducible across engines; a left fold of
+    r resp. b exact multiplies is), so the DuckDB twin hash-matches.
+    Output: (bands, rows_per_band, jaccard, p_capture) — config-scale
+    rows, no corpus input.
+    """
+    if n_hashes is None:
+        n_hashes = config.MINHASH_NUM_HASHES
+    if j_grid is None:
+        j_grid = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    combos = [
+        (b, n_hashes // b, float(j))
+        for b in range(1, n_hashes + 1)
+        if n_hashes % b == 0
+        for j in j_grid
+    ]
+    df = spark.createDataFrame(
+        combos, "bands long, rows_per_band long, jaccard double"
+    )
+    jr = F.aggregate(
+        F.sequence(F.lit(1), F.col("rows_per_band")),
+        F.lit(1.0),
+        lambda a, _: a * F.col("jaccard"),
+    )
+    df = df.withColumn("jr", jr)
+    miss = F.aggregate(
+        F.sequence(F.lit(1), F.col("bands")),
+        F.lit(1.0),
+        lambda a, _: a * (F.lit(1.0) - F.col("jr")),
+    )
+    return df.select(
+        "bands",
+        "rows_per_band",
+        "jaccard",
+        F.round(F.lit(1.0) - miss, 6).alias("p_capture"),
+    )

@@ -10738,6 +10738,38 @@ def q_keyword_tags(spark: SparkSession, sf: str) -> DataFrame:
     return TS.keyword_tags(docs, phrases)
 
 
+_BP_DIVS = [b for b in range(1, _N_HASH + 1) if _N_HASH % b == 0]
+_BP_GRID = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@_q(
+    "minhash_band_plan",
+    f"""
+WITH combos AS (
+  SELECT b::BIGINT AS bands, ({_N_HASH} // b)::BIGINT AS rows_per_band
+  FROM unnest([{', '.join(str(b) for b in _BP_DIVS)}]) AS t(b)
+),
+grid AS (SELECT unnest([{', '.join(str(j) for j in _BP_GRID)}]::DOUBLE[]) AS jaccard),
+x AS (
+  SELECT bands, rows_per_band, jaccard,
+         list_reduce(list_transform(range(1, rows_per_band + 1), i -> jaccard),
+                     (a, c) -> a * c) AS jr
+  FROM combos CROSS JOIN grid
+)
+SELECT bands, rows_per_band, jaccard,
+       round(1.0::DOUBLE - list_reduce(
+         list_transform(range(1, bands + 1), i -> 1.0::DOUBLE - jr),
+         (a, c) -> a * c), 6) AS p_capture
+FROM x""",
+)
+def q_minhash_band_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic MinHash banding S-curve (dedup.minhash_band_planner): the
+    theory half of the banding trust statement; `dedup_eval` measures the
+    realized half on the corpus's pair distribution. Multiplication-fold
+    powers, bit-reproducible."""
+    return DD.minhash_band_planner(spark)
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================
@@ -10763,6 +10795,7 @@ _DRIVER_PRIORITY = [
     "hard_negatives",
     "label_outliers",
     "keyword_tags",
+    "minhash_band_plan",
     "upload_validate", "warc_extract", "warc_html_extract",
     "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
     "spans_assemble_stream", "audio_chunks",

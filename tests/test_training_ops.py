@@ -257,6 +257,22 @@ def test_doremi_mix_upweights_hard_domains(spark):
         assert -60 <= r["excess_bits"] <= 60
 
 
+def test_minhash_band_planner_scurve(spark):
+    from ocr_spark.operators import dedup as DDm
+
+    rows = {(r["bands"], r["jaccard"]): r["p_capture"]
+            for r in DDm.minhash_band_planner(spark).collect()}
+    import math
+    # matches the closed form within rounding for the production 4x4 config
+    for j in (0.2, 0.5, 0.8):
+        want = 1 - (1 - j ** 4) ** 4
+        assert abs(rows[(4, j)] - want) < 1e-6
+    # monotone in j for fixed config; b=16/r=1 dominates b=1/r=16 everywhere
+    assert rows[(4, 0.2)] < rows[(4, 0.5)] < rows[(4, 0.8)]
+    for j in (0.2, 0.5, 0.8):
+        assert rows[(16, j)] > rows[(1, j)]
+
+
 def test_simhash_pairs_and_pair_prf(docs_df, spark):
     """simhash_pairs finds the near-dup (a, c); pair_prf counts are exact."""
     from ocr_spark.operators import dedup as DDm
