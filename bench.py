@@ -53,6 +53,7 @@ HEADLINE = [
     "label_outliers",
     "keyword_tags",
     "minhash_band_plan",
+    "tfidf_terms",
     "diversity_sample",
     "pdf_pages",
     "pdf_process",

@@ -3040,3 +3040,50 @@ def keyword_tags(
             F.min("pos").cast("long").alias("first_pos"),
         )
     )
+
+
+def tfidf_terms(
+    docs,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document top-k characteristic terms by integer-bit TF-IDF:
+    score = tf · (bits(N) − bits(df)) — the idf in floor-log2 "bits of
+    rarity" (within 1 bit of ln-idf, rank-equivalent), so every value is
+    exact integer math and the oracle hash-matches (`top_terms`' corpus-
+    level lesson applied per document). The keyword-extraction primitive
+    for per-doc topical labels / routing.
+
+    Plan: one tokenize explode → per-(doc, term) count (map-side combined)
+    → term df aggregation joined back on term (Zipf head is AQE skew
+    territory, count rows only) → per-doc window top-k. Terms with
+    df = N score 0 and still rank (ties broken by term ASC) — the
+    stop-word floor is visible, not silently dropped.
+
+    Returns (doc_id, term, tf, df, score, rank), rank 1..k by
+    (score DESC, term ASC).
+    """
+    w = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words_of(F.col(text_col))).alias("term")
+    )
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * (_bits(F.col("n")) - _bits(F.col("df")))).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )

@@ -10770,6 +10770,35 @@ def q_minhash_band_plan(spark: SparkSession, sf: str) -> DataFrame:
     return DD.minhash_band_planner(spark)
 
 
+@_q(
+    "tfidf_terms",
+    f"""
+WITH tw AS (
+  SELECT doc_id, unnest({_words_lower('text')}) AS term FROM documents
+),
+ttf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tw GROUP BY doc_id, term),
+tdf AS (SELECT term, count(*)::BIGINT AS df FROM ttf GROUP BY term),
+tn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents),
+tsc AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         (t.tf * (length(to_base((SELECT n FROM tn), 2))
+                  - length(to_base(d.df, 2))))::BIGINT AS score
+  FROM ttf t JOIN tdf d ON d.term = t.term
+)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC)::BIGINT AS rank
+  FROM tsc
+) WHERE rank <= 5""",
+)
+def q_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top-5 characteristic terms by integer-bit TF-IDF
+    (textstats.tfidf_terms) — tf · (bits(N) − bits(df)), exact integer
+    math end to end."""
+    return TS.tfidf_terms(D.load(spark, sf, "documents"), k=5)
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================
@@ -10796,6 +10825,7 @@ _DRIVER_PRIORITY = [
     "label_outliers",
     "keyword_tags",
     "minhash_band_plan",
+    "tfidf_terms",
     "upload_validate", "warc_extract", "warc_html_extract",
     "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
     "spans_assemble_stream", "audio_chunks",

@@ -197,6 +197,30 @@ def test_lsh_signature_deterministic(emb_df):
     assert [r["s"] for r in a] == [r["s"] for r in b]
 
 
+def test_tfidf_terms_ranks_rare_terms(spark):
+    from ocr_spark.operators import textstats as TSm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common zebra common"),
+            (2, "common words here too"),
+            (3, "common common again and again"),
+            (4, "common filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [r for r in TSm.tfidf_terms(docs, k=2).collect() if r["doc_id"] == 1]
+    by_rank = {r["rank"]: r for r in out}
+    # zebra (df=1, bits(4)-bits(1)=2, tf=1 -> 2) beats common
+    # (df=4, bits(4)-bits(3)=1 ... df=4 -> bits diff 0 -> score 0)
+    assert by_rank[1]["term"] == "zebra"
+    assert by_rank[1]["score"] == 1 * (3 - 1)
+    assert by_rank[2]["term"] == "common" and by_rank[2]["score"] == 0
+    # determinism + exact integers
+    for r in out:
+        assert isinstance(r["score"], int) and r["df"] >= 1
+
+
 def test_keyword_tags_positions_and_counts(spark):
     from ocr_spark.operators import textstats as TSm
 
