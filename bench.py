@@ -54,6 +54,7 @@ HEADLINE = [
     "keyword_tags",
     "minhash_band_plan",
     "tfidf_terms",
+    "cooccur_ppmi",
     "diversity_sample",
     "pdf_pages",
     "pdf_process",

@@ -3087,3 +3087,86 @@ def tfidf_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+def cooccur_ppmi(
+    docs,
+    window: int = 4,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Windowed word co-occurrence with integer-bit PPMI (the GloVe /
+    PPMI-matrix prep pass): unordered within-``window`` token pairs,
+    scored by ``bits(c_xy) + bits(T) − bits(c_x) − bits(c_y)`` — floor-log2
+    PMI within ~2 bits, pure bit-length arithmetic so it never overflows
+    int64 (a literal ``c_xy·T`` product would at corpus scale) and
+    hash-matches the oracle.
+
+    Plan shape: pair generation is EXPRESSION-LEVEL (a bind_once'd nested
+    transform flatten per document — no positional self-join, no shuffle
+    until the pair-count aggregation), then two count aggregations and a
+    count-row join on the Zipf-headed term keys (AQE skew-split
+    territory). Emits pairs with ``c_xy ≥ min_count`` and positive PPMI
+    bits: (term_a, term_b, n_pairs, ppmi_bits), term_a < term_b.
+    """
+    pair_t = "array<struct<a:string,b:string>>"
+
+    def pairs_of(ws):
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(window), F.size(ws) - i)
+                    ),
+                    lambda j: F.struct(
+                        F.least(
+                            F.element_at(ws, i), F.element_at(ws, i + j)
+                        ).alias("a"),
+                        F.greatest(
+                            F.element_at(ws, i), F.element_at(ws, i + j)
+                        ).alias("b"),
+                    ),
+                ),
+            )
+        )
+
+    ex = docs.select(
+        F.explode(
+            bind_once(
+                words_of(F.col(text_col)),
+                lambda ws: F.when(F.size(ws) >= 2, pairs_of(ws)).otherwise(
+                    F.array().cast(pair_t)
+                ),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pc = ex.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    uc = (
+        docs.select(F.explode(words_of(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tt = pc.agg(F.sum("c").alias("t"))
+    scored = (
+        pc.join(uc.select(F.col("term").alias("a"), F.col("cu").alias("ca")), "a")
+        .join(uc.select(F.col("term").alias("b"), F.col("cu").alias("cb")), "b")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            F.col("c").alias("n_pairs"),
+            (
+                _bits(F.col("c"))
+                + _bits(F.col("t"))
+                - _bits(F.col("ca"))
+                - _bits(F.col("cb"))
+            )
+            .cast("long")
+            .alias("ppmi_bits"),
+        )
+    )
+    return scored.filter(
+        (F.col("n_pairs") >= min_count) & (F.col("ppmi_bits") >= 1)
+    )

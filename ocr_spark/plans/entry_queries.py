@@ -10799,6 +10799,37 @@ def q_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
     return TS.tfidf_terms(D.load(spark, sf, "documents"), k=5)
 
 
+@_q(
+    "cooccur_ppmi",
+    f"""
+WITH cw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),
+cp AS (
+  SELECT unnest(flatten(list_transform(range(1, len(w)), i ->
+           list_transform(range(1, least(4, len(w) - i) + 1), j ->
+             {{'a': least(w[i], w[i+j]), 'b': greatest(w[i], w[i+j])}})))) AS p
+  FROM cw WHERE len(w) >= 2
+),
+pc AS (SELECT p.a AS a, p.b AS b, count(*)::BIGINT AS c FROM cp GROUP BY 1, 2),
+uc AS (SELECT term, count(*)::BIGINT AS cu
+       FROM (SELECT unnest(w) AS term FROM cw) GROUP BY term),
+tt AS (SELECT sum(c)::BIGINT AS t FROM pc),
+sc AS (
+  SELECT pc.a AS term_a, pc.b AS term_b, pc.c AS n_pairs,
+         (length(to_base(pc.c, 2)) + length(to_base((SELECT t FROM tt), 2))
+          - length(to_base(ua.cu, 2)) - length(to_base(ub.cu, 2)))::BIGINT AS ppmi_bits
+  FROM pc JOIN uc ua ON ua.term = pc.a JOIN uc ub ON ub.term = pc.b
+)
+SELECT term_a, term_b, n_pairs, ppmi_bits
+FROM sc WHERE n_pairs >= 3 AND ppmi_bits >= 1""",
+)
+def q_cooccur_ppmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed co-occurrence + integer-bit PPMI (textstats.cooccur_ppmi,
+    window=4): the GloVe/PPMI-matrix prep pass, pair generation fully
+    expression-level (no positional self-join), PMI in overflow-free bit
+    lengths."""
+    return TS.cooccur_ppmi(D.load(spark, sf, "documents"), window=4, min_count=3)
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================
@@ -10826,6 +10857,7 @@ _DRIVER_PRIORITY = [
     "keyword_tags",
     "minhash_band_plan",
     "tfidf_terms",
+    "cooccur_ppmi",
     "upload_validate", "warc_extract", "warc_html_extract",
     "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
     "spans_assemble_stream", "audio_chunks",

@@ -197,6 +197,47 @@ def test_lsh_signature_deterministic(emb_df):
     assert [r["s"] for r in a] == [r["s"] for r in b]
 
 
+def test_cooccur_ppmi_pairs_and_window(spark):
+    from ocr_spark.operators import textstats as TSm
+
+    # "aa bb" always adjacent (collocation); "cc" floats alone
+    docs = spark.createDataFrame(
+        [(i, "aa bb filler%d cc other%d aa bb" % (i, i)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = {(r["term_a"], r["term_b"]): r for r in
+           TSm.cooccur_ppmi(docs, window=2, min_count=3).collect()}
+    assert ("aa", "bb") in out
+    r = out[("aa", "bb")]
+    assert r["n_pairs"] == 12  # two adjacent aa-bb per doc x 6
+    assert r["ppmi_bits"] >= 1
+    for (a, b) in out:
+        assert a < b  # canonical unordered pairs
+
+
+def test_cooccur_ppmi_python_golden(spark):
+    """Exact pair counts vs a brute-force python window counter."""
+    from ocr_spark.operators import textstats as TSm
+    import itertools, collections
+
+    texts = ["the quick brown fox the quick", "brown the the fox", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    W = 3
+    want = collections.Counter()
+    for t in texts:
+        ws = t.split()
+        for i in range(len(ws)):
+            for j in range(i + 1, min(i + W, len(ws))):
+                want[tuple(sorted((ws[i], ws[j])))] += 1
+    got = {(r["term_a"], r["term_b"]): r["n_pairs"]
+           for r in TSm.cooccur_ppmi(docs, window=W - 1, min_count=1).collect()}
+    # operator filters ppmi_bits >= 1; compare on the pairs it emits
+    for k, v in got.items():
+        assert want[k] == v
+
+
 def test_tfidf_terms_ranks_rare_terms(spark):
     from ocr_spark.operators import textstats as TSm
 
