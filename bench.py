@@ -55,6 +55,7 @@ HEADLINE = [
     "minhash_band_plan",
     "tfidf_terms",
     "cooccur_ppmi",
+    "vocab_coverage",
     "diversity_sample",
     "pdf_pages",
     "pdf_process",

@@ -3170,3 +3170,68 @@ def cooccur_ppmi(
     return scored.filter(
         (F.col("n_pairs") >= min_count) & (F.col("ppmi_bits") >= 1)
     )
+
+
+def vocab_coverage(
+    docs,
+    targets_permille=(900, 950, 990, 999),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Vocabulary-size planning: for each coverage target, the smallest
+    count-cutoff vocabulary covering at least that share of total token
+    mass (the "how big must the tokenizer's word list be" question asked
+    before BPE/unigram training).
+
+    Scale discipline: the naive global rank-and-cumsum over terms is a
+    one-reducer window (a scale-killer at open vocabularies). Instead the
+    cumulative sums run over the COUNT-VALUE domain — terms aggregate to
+    (count, n_terms, mass) rows first, bounded by the distinct count
+    values (≪ vocabulary, the length_quantiles precedent) — and coverage
+    targets compare in exact integer per-mille arithmetic, no float
+    thresholds. Vocabulary membership at the boundary is by whole count
+    value (every term with count ≥ cutoff is in), so the answer is
+    deterministic without term-level tie-breaking.
+
+    Returns one row per target: (target_permille, vocab_terms,
+    cutoff_count, covered_mass, total_mass).
+    """
+    counts = (
+        docs.select(F.explode(words_of(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    by_val = counts.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.col("c") * F.count(F.lit(1))).alias("mass"),
+    )
+    w = (
+        Window.orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = by_val.select(
+        "c",
+        F.sum("n_terms").over(w).cast("long").alias("cum_terms"),
+        F.sum("mass").over(w).cast("long").alias("cum_mass"),
+    )
+    tot = by_val.agg(F.sum("mass").cast("long").alias("total"))
+    tg = cum.sparkSession.createDataFrame(
+        [(int(t),) for t in targets_permille], "target_permille long"
+    )
+    qual = (
+        tg.crossJoin(cum)
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_mass") * 1000 >= F.col("target_permille") * F.col("total"))
+    )
+    w2 = Window.partitionBy("target_permille").orderBy(F.col("cum_terms").asc())
+    return (
+        qual.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "target_permille",
+            F.col("cum_terms").alias("vocab_terms"),
+            F.col("c").alias("cutoff_count"),
+            F.col("cum_mass").alias("covered_mass"),
+            F.col("total").alias("total_mass"),
+        )
+    )

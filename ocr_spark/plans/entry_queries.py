@@ -10830,6 +10830,43 @@ def q_cooccur_ppmi(spark: SparkSession, sf: str) -> DataFrame:
     return TS.cooccur_ppmi(D.load(spark, sf, "documents"), window=4, min_count=3)
 
 
+@_q(
+    "vocab_coverage",
+    f"""
+WITH vc AS (
+  SELECT term, count(*)::BIGINT AS c
+  FROM (SELECT unnest({_words_lower('text')}) AS term FROM documents)
+  GROUP BY term
+),
+bv AS (SELECT c, count(*)::BIGINT AS n_terms, (c * count(*))::BIGINT AS mass
+       FROM vc GROUP BY c),
+cum AS (
+  SELECT c, sum(n_terms) OVER (ORDER BY c DESC)::BIGINT AS cum_terms,
+         sum(mass) OVER (ORDER BY c DESC)::BIGINT AS cum_mass
+  FROM bv
+),
+tot AS (SELECT sum(mass)::BIGINT AS total FROM bv),
+tg AS (SELECT unnest([900, 950, 990, 999])::BIGINT AS target_permille),
+qual AS (
+  SELECT t.target_permille, u.c, u.cum_terms, u.cum_mass
+  FROM tg t JOIN cum u
+    ON u.cum_mass * 1000 >= t.target_permille * (SELECT total FROM tot)
+)
+SELECT target_permille, cum_terms AS vocab_terms, c AS cutoff_count,
+       cum_mass AS covered_mass, (SELECT total FROM tot) AS total_mass
+FROM (SELECT *, row_number() OVER (PARTITION BY target_permille
+                                   ORDER BY cum_terms ASC) AS rn
+      FROM qual)
+WHERE rn = 1""",
+)
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-size planner (textstats.vocab_coverage): smallest
+    count-cutoff vocabulary per coverage target, cumulative sums over the
+    count-VALUE domain (never a one-reducer term rank), integer per-mille
+    thresholds."""
+    return TS.vocab_coverage(D.load(spark, sf, "documents"))
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================
@@ -10858,6 +10895,7 @@ _DRIVER_PRIORITY = [
     "minhash_band_plan",
     "tfidf_terms",
     "cooccur_ppmi",
+    "vocab_coverage",
     "upload_validate", "warc_extract", "warc_html_extract",
     "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
     "spans_assemble_stream", "audio_chunks",

@@ -197,6 +197,32 @@ def test_lsh_signature_deterministic(emb_df):
     assert [r["s"] for r in a] == [r["s"] for r in b]
 
 
+def test_vocab_coverage_python_golden(spark):
+    """Exact parity with a brute-force python cumulative-coverage pass."""
+    from ocr_spark.operators import textstats as TSm
+    import collections
+
+    texts = ["a a a a b b c", "a b b d e", "f g a a"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cnt = collections.Counter(w for t in texts for w in t.split())
+    total = sum(cnt.values())
+    out = {r["target_permille"]: r for r in TSm.vocab_coverage(docs).collect()}
+    for tp, row in out.items():
+        # whole-count-value semantics: vocab = all terms with c >= cutoff
+        kept = [c for c in cnt.values() if c >= row["cutoff_count"]]
+        assert row["vocab_terms"] == len(kept)
+        assert row["covered_mass"] == sum(kept)
+        assert row["total_mass"] == total
+        assert row["covered_mass"] * 1000 >= tp * total
+        # minimality: the next-larger cutoff (smaller vocab) must miss target
+        bigger = sorted({c for c in cnt.values() if c > row["cutoff_count"]})
+        if bigger:
+            smaller_mass = sum(c for c in cnt.values() if c >= bigger[0])
+            assert smaller_mass * 1000 < tp * total
+
+
 def test_cooccur_ppmi_pairs_and_window(spark):
     from ocr_spark.operators import textstats as TSm
 
