@@ -56,6 +56,7 @@ HEADLINE = [
     "tfidf_terms",
     "cooccur_ppmi",
     "vocab_coverage",
+    "ngram_novelty",
     "diversity_sample",
     "pdf_pages",
     "pdf_process",

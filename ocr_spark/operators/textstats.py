@@ -3235,3 +3235,51 @@ def vocab_coverage(
             F.col("total").alias("total_mass"),
         )
     )
+
+
+def ngram_novelty(
+    docs,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document n-gram novelty: the share of the doc's DISTINCT word
+    n-grams that occur in no other document (df = 1) — high novelty marks
+    genuinely unique text, low novelty marks boilerplate/template mass
+    that the dedup tiers should be catching (and a memorization-risk
+    ranking for eval-set curation).
+
+    One explode → per-doc distinct grams → gram df aggregation → join back
+    (count rows, Zipf head AQE territory) → per-doc ratio. Docs with
+    fewer than n words emit (0, 0, 0.0), not a dropped row.
+    Returns (doc_id, n_distinct_grams, novel_grams, novelty).
+    """
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngrams_of(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        g.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("novel_grams"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct_grams", F.lit(0)).cast("long").alias("n_distinct_grams"),
+            F.coalesce("novel_grams", F.lit(0)).cast("long").alias("novel_grams"),
+            F.round(
+                F.when(
+                    F.coalesce("n_distinct_grams", F.lit(0)) > 0,
+                    F.col("novel_grams").cast("double") / F.col("n_distinct_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("novelty"),
+        )
+    )

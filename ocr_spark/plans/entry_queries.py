@@ -10867,6 +10867,37 @@ def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     return TS.vocab_coverage(D.load(spark, sf, "documents"))
 
 
+@_q(
+    "ngram_novelty",
+    f"""
+WITH nw AS (SELECT doc_id, {_words_lower('text')} AS w FROM documents),
+ng AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' '))) AS gram
+  FROM nw WHERE len(w) >= 3
+),
+ndf AS (SELECT gram, count(*)::BIGINT AS df FROM ng GROUP BY gram),
+np AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_distinct_grams,
+         sum(CASE WHEN ndf.df = 1 THEN 1 ELSE 0 END)::BIGINT AS novel_grams
+  FROM ng g JOIN ndf ON ndf.gram = g.gram GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(np.n_distinct_grams, 0)::BIGINT AS n_distinct_grams,
+       coalesce(np.novel_grams, 0)::BIGINT AS novel_grams,
+       round(CASE WHEN coalesce(np.n_distinct_grams, 0) > 0
+                  THEN np.novel_grams::DOUBLE / np.n_distinct_grams
+                  ELSE 0.0 END, 6) AS novelty
+FROM documents d LEFT JOIN np ON np.doc_id = d.doc_id""",
+)
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc 3-gram novelty (textstats.ngram_novelty): share of the
+    doc's distinct trigrams occurring nowhere else — the uniqueness /
+    memorization-risk ranking."""
+    return TS.ngram_novelty(D.load(spark, sf, "documents"), n=3)
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================
@@ -10896,6 +10927,7 @@ _DRIVER_PRIORITY = [
     "tfidf_terms",
     "cooccur_ppmi",
     "vocab_coverage",
+    "ngram_novelty",
     "upload_validate", "warc_extract", "warc_html_extract",
     "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
     "spans_assemble_stream", "audio_chunks",

@@ -197,6 +197,26 @@ def test_lsh_signature_deterministic(emb_df):
     assert [r["s"] for r in a] == [r["s"] for r in b]
 
 
+def test_ngram_novelty_shared_vs_unique(spark):
+    from ocr_spark.operators import textstats as TSm
+
+    shared = "the exact same sentence appears here"
+    docs = spark.createDataFrame(
+        [
+            (1, shared), (2, shared),                      # clones: 0 novelty
+            (3, "a perfectly unique line of original text"),
+            (4, "xy"),                                     # < 3 words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TSm.ngram_novelty(docs, n=3).collect()}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    assert out[3]["n_distinct_grams"] == 5  # 7 words -> 5 trigrams, all distinct
+    assert out[4] == out[4]  # present
+    assert out[4]["n_distinct_grams"] == 0 and out[4]["novelty"] == 0.0
+
+
 def test_vocab_coverage_python_golden(spark):
     """Exact parity with a brute-force python cumulative-coverage pass."""
     from ocr_spark.operators import textstats as TSm
