@@ -57,6 +57,7 @@ HEADLINE = [
     "cooccur_ppmi",
     "vocab_coverage",
     "ngram_novelty",
+    "curate_decisions",
     "diversity_sample",
     "pdf_pages",
     "pdf_process",

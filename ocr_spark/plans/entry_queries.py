@@ -10898,6 +10898,72 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     return TS.ngram_novelty(D.load(spark, sf, "documents"), n=3)
 
 
+_CURATE_DECISIONS_SQL = f"""
+WITH g AS ({{gopher}}),
+cls AS ({{cls}}),
+mx AS ({{mix}}),
+ded AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS dedup_keep
+  FROM documents
+)
+SELECT g.doc_id, g.quality_pass AS gopher_keep, ded.dedup_keep,
+       (cls.score_units >= 0) AS cls_keep, mx.kept AS mix_in,
+       (g.quality_pass AND ded.dedup_keep AND cls.score_units >= 0 AND mx.kept)
+         AS final_keep
+FROM g
+JOIN ded ON ded.doc_id = g.doc_id
+JOIN cls ON cls.doc_id = g.doc_id
+JOIN mx ON mx.doc_id = g.doc_id"""
+
+
+@_q(
+    "curate_decisions",
+    _CURATE_DECISIONS_SQL.format(
+        gopher=ORACLES["gopher_quality"],
+        cls=ORACLES["classifier_score"],
+        mix=ORACLES["temperature_mix"],
+    ),
+)
+def q_curate_decisions(spark: SparkSession, sf: str) -> DataFrame:
+    """The curation pipeline's per-document decision vector, end-to-end
+    oracle-verified in ONE query: Gopher quality gates, exact-dup keeper
+    election (md5 group min), classifier sign gate, and temperature-mix
+    inclusion — plus their conjunction. Each stage bit is computed on the
+    raw corpus (the sequential job, jobs/curate_job.py, composes the same
+    operators bucket-locally with cleaning between stages); the oracle is
+    the literal composition of the four stage oracles, so the COMPOSED
+    dataflow — joins included — is hash-checked, not just the parts."""
+    docs = D.load(spark, sf, "documents")
+    g = TS.gopher_quality(docs).select("doc_id", "quality_pass")
+    ded = DD.dedup_exact(docs).select(
+        "doc_id", F.col("keep").alias("dedup_keep")
+    )
+    cls = TS.classifier_score(docs).select("doc_id", "score_units")
+    mixb = docs.select("doc_id", TS.language_id(F.col("text")).alias("lang"))
+    mix = TS.temperature_sample(mixb, "lang", cap=100).select(
+        "doc_id", F.col("kept").alias("mix_in")
+    )
+    return (
+        g.join(ded, "doc_id")
+        .join(cls, "doc_id")
+        .join(mix, "doc_id")
+        .select(
+            "doc_id",
+            F.col("quality_pass").alias("gopher_keep"),
+            "dedup_keep",
+            (F.col("score_units") >= 0).alias("cls_keep"),
+            "mix_in",
+            (
+                F.col("quality_pass")
+                & F.col("dedup_keep")
+                & (F.col("score_units") >= 0)
+                & F.col("mix_in")
+            ).alias("final_keep"),
+        )
+    )
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================
@@ -10928,6 +10994,7 @@ _DRIVER_PRIORITY = [
     "cooccur_ppmi",
     "vocab_coverage",
     "ngram_novelty",
+    "curate_decisions",
     "upload_validate", "warc_extract", "warc_html_extract",
     "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
     "spans_assemble_stream", "audio_chunks",

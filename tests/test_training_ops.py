@@ -197,6 +197,26 @@ def test_lsh_signature_deterministic(emb_df):
     assert [r["s"] for r in a] == [r["s"] for r in b]
 
 
+def test_curate_decisions_conjunction(spark):
+    """final_keep is exactly the AND of the four stage bits on real data."""
+    from ocr_spark.plans import entry_queries as EQ
+
+    rows = EQ.QUERIES["curate_decisions"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["final_keep"] == (
+            r["gopher_keep"] and r["dedup_keep"] and r["cls_keep"] and r["mix_in"]
+        )
+    # the classifier and mix gates discriminate on this corpus; the Gopher
+    # battery rejects the short synthetic docs wholesale (its feature
+    # columns in the `gopher_quality` query show the 50-word floor doing
+    # it), and the raw table has no exact dupes — both uniform, by design
+    cls_vals = {r["cls_keep"] for r in rows}
+    mix_vals = {r["mix_in"] for r in rows}
+    assert cls_vals == {True, False} and mix_vals == {True, False}
+    assert all(r["dedup_keep"] for r in rows)
+
+
 def test_ngram_novelty_shared_vs_unique(spark):
     from ocr_spark.operators import textstats as TSm
 
