@@ -96,6 +96,40 @@ ACCEPTED = {
         "impossible for an open vocabulary) plus the docs→scores doc_id "
         "join — the lm_stupid_backoff/dsir_score shape"
     ),
+    ("hard_negatives", "BroadcastNestedLoopJoin"): (
+        "the blocked GEMM's bounded num_blocks×1 crossJoin (the "
+        "ann_topk_bruteforce shape) with the same-group mask applied "
+        "inside the kernel"
+    ),
+    ("label_outliers", "BroadcastNestedLoopJoin"): (
+        "two bounded crossJoins: the 1-row dim guard, and the L-row "
+        "centroid table (one row per label) against the corpus — attaches "
+        "a handful of centroid vectors, the broadcast is by construction"
+    ),
+    ("label_outliers", "SortMergeJoin"): (
+        "the final own-distance ⨝ best-other-distance assembly on vec_id: "
+        "both sides are corpus-sized per-row score tables keyed "
+        "identically — broadcast impossible at scale by definition"
+    ),
+    ("tfidf_terms", "BroadcastNestedLoopJoin"): (
+        "bounded N×1 crossJoin: the per-(doc, term) tf table × the single "
+        "broadcast n_docs row (the top_terms shape)"
+    ),
+    ("cooccur_ppmi", "BroadcastNestedLoopJoin"): (
+        "bounded P×1 crossJoin: the pair-count table × the single "
+        "broadcast total-mass row — attaches one scalar"
+    ),
+    ("vocab_coverage", "BroadcastNestedLoopJoin"): (
+        "bounded crossJoins on the count-VALUE domain: 4 target rows × "
+        "the (distinct count values) cumulative table × the 1-row total — "
+        "all orders of magnitude below the vocabulary by design"
+    ),
+    ("curate_decisions", "SortMergeJoin"): (
+        "the four per-doc stage outputs joined on doc_id: every side is "
+        "corpus-sized (one decision row per document), so keyed shuffle "
+        "joins are the correct strategy; each stage's internal plan is "
+        "reviewed under its own query"
+    ),
     ("search_hybrid_rrf", "SortMergeJoin"): (
         "rrf_fuse's FULL OUTER join of the two top-k ranker outputs: Spark "
         "cannot broadcast a full-outer join at all, and both inputs are "
@@ -110,6 +144,15 @@ AUDIT = [
     "dedup_eval",
     "graph_triangles",
     "doremi_mix",
+    "hard_negatives",
+    "label_outliers",
+    "keyword_tags",
+    "minhash_band_plan",
+    "tfidf_terms",
+    "cooccur_ppmi",
+    "vocab_coverage",
+    "ngram_novelty",
+    "curate_decisions",
     "spans_assemble",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
