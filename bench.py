@@ -58,6 +58,7 @@ HEADLINE = [
     "vocab_coverage",
     "ngram_novelty",
     "curate_decisions",
+    "dedup_eval_embedding",
     "diversity_sample",
     "pdf_pages",
     "pdf_process",

@@ -10964,6 +10964,28 @@ def q_curate_decisions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_eval_embedding",
+    f"""
+WITH truth AS (SELECT a_id, b_id FROM ({ORACLES["dedup_embedding"]})),
+predq AS (SELECT a_id, b_id FROM ({ORACLES["dedup_embedding_lsh"]}))
+{_SQL_PRF.format(tier='embedding_lsh', pred='predq')}""",
+)
+def q_dedup_eval_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """The embedding-side scorecard completing the `dedup_eval` family:
+    multi-set sign-LSH bucketing recall against the exact blocked-GEMM
+    cosine pair set at the same 0.4 threshold (candidates are exact-
+    verified, so precision is 1.0 by construction and the number under
+    test is bucketing RECALL — at cosine 0.4, near sign-LSH's physics
+    floor, expect it well below the ≥0.8-threshold regime the operator's
+    docstring derives). The oracle composes the two existing embedding
+    oracles plus the shared PRF fragment."""
+    emb = D.load(spark, sf, "embeddings")
+    truth = DD.dedup_embedding_cosine(emb, threshold=0.4)
+    pred = DD.dedup_embedding_lsh(emb, threshold=0.4, bits=8, sets=8)
+    return DD.pair_prf(truth, pred, "embedding_lsh")
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================
@@ -10995,6 +11017,7 @@ _DRIVER_PRIORITY = [
     "vocab_coverage",
     "ngram_novelty",
     "curate_decisions",
+    "dedup_eval_embedding",
     "upload_validate", "warc_extract", "warc_html_extract",
     "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
     "spans_assemble_stream", "audio_chunks",

@@ -197,6 +197,18 @@ def test_lsh_signature_deterministic(emb_df):
     assert [r["s"] for r in a] == [r["s"] for r in b]
 
 
+def test_dedup_eval_embedding_scorecard(spark):
+    """LSH pairs are exact-verified, so precision is pinned 1.0; recall
+    reflects bucketing only."""
+    from ocr_spark.plans import entry_queries as EQ
+
+    rows = EQ.QUERIES["dedup_eval_embedding"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["fp"] == 0 and (r["tp"] == 0 or r["precision"] == 1.0)
+    assert 0.0 <= r["recall"] <= 1.0
+
+
 def test_curate_decisions_conjunction(spark):
     """final_keep is exactly the AND of the four stage bits on real data."""
     from ocr_spark.plans import entry_queries as EQ
