@@ -59,6 +59,7 @@ HEADLINE = [
     "ngram_novelty",
     "curate_decisions",
     "dedup_eval_embedding",
+    "ngram_overlap",
     "diversity_sample",
     "pdf_pages",
     "pdf_process",

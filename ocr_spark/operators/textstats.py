@@ -3283,3 +3283,60 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def ngram_overlap_counts(
+    pairs_df,
+    max_n: int = 4,
+    id_col: str = "doc_id",
+    hyp_col: str = "extracted",
+    ref_col: str = "ground_truth",
+):
+    """BLEU/ROUGE-style clipped n-gram overlap counts per (document, n):
+    ``match = Σ_g min(count_hyp(g), count_ref(g))`` plus both totals, for
+    n = 1..max_n — the integer core of BLEU-n precision and ROUGE-n recall
+    (the geometric mean / brevity penalty are one float expression away,
+    left to the consumer so every emitted value stays exact and the corpus
+    rollup is a plain SUM of these counts — corpus-BLEU composes from the
+    same rows with no re-pass).
+
+    Per n: two (doc, gram) count aggregations, an inner join on the gram
+    (absent grams clip to 0 and need no outer join), one per-doc
+    aggregation; docs with no n-grams keep zero rows via the final left
+    join. Returns (doc_id, n, match_grams, hyp_grams, ref_grams).
+    """
+    out = None
+    base = pairs_df.select(
+        F.col(id_col).alias("doc_id"), F.col(hyp_col).alias("h"), F.col(ref_col).alias("r")
+    )
+    for n in range(1, max_n + 1):
+        def counts(col, alias):
+            return (
+                base.select("doc_id", F.explode(ngrams_of(F.col(col), n)).alias("gram"))
+                .groupBy("doc_id", "gram")
+                .agg(F.count(F.lit(1)).alias(alias))
+            )
+
+        hc = counts("h", "ch")
+        rc = counts("r", "cr")
+        joined = hc.join(rc, ["doc_id", "gram"]).select(
+            "doc_id", F.least("ch", "cr").alias("m")
+        )
+        match = joined.groupBy("doc_id").agg(F.sum("m").alias("match_grams"))
+        htot = hc.groupBy("doc_id").agg(F.sum("ch").alias("hyp_grams"))
+        rtot = rc.groupBy("doc_id").agg(F.sum("cr").alias("ref_grams"))
+        part = (
+            base.select("doc_id")
+            .join(match, "doc_id", "left")
+            .join(htot, "doc_id", "left")
+            .join(rtot, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit(n).cast("long").alias("n"),
+                F.coalesce("match_grams", F.lit(0)).cast("long").alias("match_grams"),
+                F.coalesce("hyp_grams", F.lit(0)).cast("long").alias("hyp_grams"),
+                F.coalesce("ref_grams", F.lit(0)).cast("long").alias("ref_grams"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

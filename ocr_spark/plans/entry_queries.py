@@ -10986,6 +10986,53 @@ def q_dedup_eval_embedding(spark: SparkSession, sf: str) -> DataFrame:
     return DD.pair_prf(truth, pred, "embedding_lsh")
 
 
+def _sql_overlap_block(n: int) -> str:
+    """One n's clipped-overlap rows over the pairs fixture."""
+    def grams(col: str) -> str:
+        w = _words_lower(col)
+        return (
+            f"SELECT doc_id, unnest(list_transform(range(1, len({w}) - {n - 2}), "
+            f"i -> array_to_string({w}[i:i+{n - 1}], ' '))) AS gram FROM pairs"
+        )
+
+    return f"""
+  SELECT p.doc_id, {n}::BIGINT AS n,
+         coalesce(m.match_grams, 0)::BIGINT AS match_grams,
+         coalesce(h.hyp_grams, 0)::BIGINT AS hyp_grams,
+         coalesce(r.ref_grams, 0)::BIGINT AS ref_grams
+  FROM pairs p
+  LEFT JOIN (
+    SELECT hc.doc_id, sum(least(hc.ch, rc.cr))::BIGINT AS match_grams
+    FROM (SELECT doc_id, gram, count(*) AS ch FROM ({grams('extracted')}) GROUP BY 1, 2) hc
+    JOIN (SELECT doc_id, gram, count(*) AS cr FROM ({grams('ground_truth')}) GROUP BY 1, 2) rc
+      ON rc.doc_id = hc.doc_id AND rc.gram = hc.gram
+    GROUP BY hc.doc_id
+  ) m ON m.doc_id = p.doc_id
+  LEFT JOIN (
+    SELECT doc_id, count(*)::BIGINT AS hyp_grams FROM ({grams('extracted')}) GROUP BY doc_id
+  ) h ON h.doc_id = p.doc_id
+  LEFT JOIN (
+    SELECT doc_id, count(*)::BIGINT AS ref_grams FROM ({grams('ground_truth')}) GROUP BY doc_id
+  ) r ON r.doc_id = p.doc_id"""
+
+
+@_q(
+    "ngram_overlap",
+    f"""
+WITH {D.SQL_PAIRS}
+{_sql_overlap_block(1)}
+UNION ALL {_sql_overlap_block(2)}
+UNION ALL {_sql_overlap_block(3)}
+UNION ALL {_sql_overlap_block(4)}""",
+)
+def q_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Clipped n-gram overlap counts n=1..4 over the extraction-vs-truth
+    pair fixture (textstats.ngram_overlap_counts) — the integer core of
+    BLEU-n precision / ROUGE-n recall; corpus BLEU is a plain SUM of
+    these rows."""
+    return TS.ngram_overlap_counts(D.pairs(D.load(spark, sf, "documents")))
+
+
 # ===========================================================================
 # driver-facing ordering
 # ===========================================================================
@@ -11018,6 +11065,7 @@ _DRIVER_PRIORITY = [
     "ngram_novelty",
     "curate_decisions",
     "dedup_eval_embedding",
+    "ngram_overlap",
     "upload_validate", "warc_extract", "warc_html_extract",
     "dedup_semantic", "dedup_embedding_lsh", "ann_topk_ivf",
     "spans_assemble_stream", "audio_chunks",

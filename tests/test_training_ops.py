@@ -197,6 +197,32 @@ def test_lsh_signature_deterministic(emb_df):
     assert [r["s"] for r in a] == [r["s"] for r in b]
 
 
+def test_ngram_overlap_counts_golden(spark):
+    """Exact clipped counts vs a brute-force python BLEU-count pass."""
+    from ocr_spark.operators import textstats as TSm
+    import collections
+
+    cases = [
+        (1, "the cat the cat sat", "the cat sat on the mat"),
+        (2, "", "some reference text"),
+        (3, "identical words here", "identical words here"),
+    ]
+    pairs = spark.createDataFrame(
+        cases, "doc_id long, extracted string, ground_truth string"
+    )
+    got = {(r["doc_id"], r["n"]): r for r in TSm.ngram_overlap_counts(pairs).collect()}
+    for doc_id, hyp, ref in cases:
+        hw, rw = hyp.split(), ref.split()
+        for n in range(1, 5):
+            hg = collections.Counter(tuple(hw[i:i+n]) for i in range(len(hw) - n + 1))
+            rg = collections.Counter(tuple(rw[i:i+n]) for i in range(len(rw) - n + 1))
+            match = sum(min(c, rg[g]) for g, c in hg.items())
+            r = got[(doc_id, n)]
+            assert r["match_grams"] == match, (doc_id, n)
+            assert r["hyp_grams"] == sum(hg.values())
+            assert r["ref_grams"] == sum(rg.values())
+
+
 def test_dedup_eval_embedding_scorecard(spark):
     """LSH pairs are exact-verified, so precision is pinned 1.0; recall
     reflects bucketing only."""
