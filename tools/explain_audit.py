@@ -130,6 +130,12 @@ ACCEPTED = {
         "joins are the correct strategy; each stage's internal plan is "
         "reviewed under its own query"
     ),
+    ("dedup_eval_embedding", "SortMergeJoin"): (
+        "pair_prf's truth ⟕⟖ prediction FULL OUTER join on (a_id, b_id) "
+        "(the dedup_eval shape: un-broadcastable by join type, pair-digest "
+        "rows only) plus the LSH candidate equi-joins reviewed under "
+        "dedup_embedding_lsh"
+    ),
     ("search_hybrid_rrf", "SortMergeJoin"): (
         "rrf_fuse's FULL OUTER join of the two top-k ranker outputs: Spark "
         "cannot broadcast a full-outer join at all, and both inputs are "
@@ -153,6 +159,8 @@ AUDIT = [
     "vocab_coverage",
     "ngram_novelty",
     "curate_decisions",
+    "dedup_eval_embedding",
+    "ngram_overlap",
     "spans_assemble",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
