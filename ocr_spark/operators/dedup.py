@@ -658,9 +658,13 @@ def pair_prf(truth: DataFrame, pred: DataFrame, tier: str) -> DataFrame:
     full-outer join, precision = tp/(tp+fp), recall = tp/(tp+fn).
     The 'measure, don't guess' harness for the approximate dedup tiers —
     run it at a small SF against the exact PPJoin truth before trusting a
-    banding config at the full corpus."""
-    t = truth.select("a_id", "b_id").withColumn("t", F.lit(1))
-    p = pred.select("a_id", "b_id").withColumn("p", F.lit(1))
+    banding config at the full corpus.
+
+    Both inputs are deduplicated on (a_id, b_id) here — a repeated pair
+    would otherwise fan out through the full-outer join and inflate
+    tp/fp/fn silently. The oracle twin carries the matching DISTINCT."""
+    t = truth.select("a_id", "b_id").dropDuplicates(["a_id", "b_id"]).withColumn("t", F.lit(1))
+    p = pred.select("a_id", "b_id").dropDuplicates(["a_id", "b_id"]).withColumn("p", F.lit(1))
     j = t.join(p, ["a_id", "b_id"], "full_outer")
     # coalesce: Spark SUM over zero rows is NULL, the oracle's count(*) is 0
     agg = j.agg(

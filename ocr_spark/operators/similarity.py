@@ -123,7 +123,10 @@ def topk_bruteforce(
     ``exclude_group_col`` (integer-typed, present on BOTH inputs) masks
     same-group pairs inside the GEMM exactly like self-pairs — the
     hard-negative-mining contract: top-k *across* label boundaries
-    without oversample-and-filter recall loss.
+    without oversample-and-filter recall loss. NULL group values follow
+    SQL semantics: a null never equals anything, so a null-group row is
+    never masked against any other row (handled in the kernel, not an
+    error); non-null values must be integer-typed.
     """
     g = exclude_group_col
     qcols = [F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")] + (
@@ -170,8 +173,17 @@ def topk_bruteforce(
                 nids = np.asarray([r["nid"] for r in cs], dtype=np.int64)
                 qids = np.asarray([r["qid"] for r in qs], dtype=np.int64)
                 if g:
-                    ngs = np.asarray([r["ng"] for r in cs], dtype=np.int64)
-                    qgs = np.asarray([r["qg"] for r in qs], dtype=np.int64)
+                    # SQL null semantics: a null group matches nothing, so
+                    # null-group rows substitute 0 and mask via validity
+                    # bits instead of raising on the int64 cast
+                    ngs = np.asarray(
+                        [0 if r["ng"] is None else r["ng"] for r in cs], dtype=np.int64
+                    )
+                    qgs = np.asarray(
+                        [0 if r["qg"] is None else r["qg"] for r in qs], dtype=np.int64
+                    )
+                    ngv = np.asarray([r["ng"] is not None for r in cs])
+                    qgv = np.asarray([r["qg"] is not None for r in qs])
 
                 # null vectors → zero rows (cosine 0, oracle-consistent);
                 # ONE width for both matrices or the GEMM shapes diverge
@@ -199,7 +211,11 @@ def topk_bruteforce(
                 # self-pairs never rank; same-group pairs masked likewise
                 cos[qids[:, None] == nids[None, :]] = -np.inf
                 if g:
-                    cos[qgs[:, None] == ngs[None, :]] = -np.inf
+                    cos[
+                        (qgs[:, None] == ngs[None, :])
+                        & qgv[:, None]
+                        & ngv[None, :]
+                    ] = -np.inf
                 for qi in range(len(qids)):
                     row = cos[qi]
                     # per-block top-k by raw cosine, widened by a 2e-6
@@ -1058,13 +1074,28 @@ def bitext_mine(
     (rank, cosine) then a sequential F.aggregate), so the DuckDB oracle
     reproduces every double bit-for-bit.
 
-    Output: (a_id, b_id, cosine, margin) — at most one row per a_id.
+    Output: (a_id, b_id, cosine, margin) — at most one row per a_id, in
+    the sides' ORIGINAL id space. The two sides may freely share id
+    values: ids are parity-remapped (A→2i, B→2i+1) around the k-NN kernels
+    so the bruteforce self-id mask can never swallow an aligned A_i/B_i
+    pair, and unmapped on output (integer-id contract tightens to
+    |id| < 2^62).
     """
     knn = knn_fn or topk_bruteforce
-    qa = side_a.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col))
-    qb = side_b.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col))
-    fwd = knn(side_b, qa, k=k, id_col=id_col, vec_col=vec_col)
-    bwd = knn(side_a, qb, k=k, id_col=id_col, vec_col=vec_col)
+    # Parity remap: A ids → 2·id, B ids → 2·id+1 BEFORE the k-NN kernels,
+    # because topk_bruteforce masks qid == nid as a self-pair — if the two
+    # sides shared id values (the natural case for independently numbered
+    # parallel corpora) the aligned A_i/B_i pair would silently vanish from
+    # candidates and margin denominators. The remap is bijective (requires
+    # |id| < 2^62, comfortably inside the integer-id contract), keeps each
+    # side's relative order (so neighbor_id tie-breaks are unchanged), and
+    # is undone on the output columns below.
+    a2 = side_a.withColumn(id_col, F.col(id_col) * 2)
+    b2 = side_b.withColumn(id_col, F.col(id_col) * 2 + 1)
+    qa = a2.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col))
+    qb = b2.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col))
+    fwd = knn(b2, qa, k=k, id_col=id_col, vec_col=vec_col)
+    bwd = knn(a2, qb, k=k, id_col=id_col, vec_col=vec_col)
 
     def knn_mean(tk: DataFrame, out: str) -> DataFrame:
         cl = F.array_sort(F.collect_list(F.struct(F.col("rank"), F.col("cosine"))))
@@ -1099,7 +1130,13 @@ def bitext_mine(
     return (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("a_id", "b_id", "cosine", "margin")
+        .select(
+            # undo the parity remap: a = 2a' / 2, b = (2b'+1 - 1) / 2
+            F.expr("a_id div 2").alias("a_id"),
+            F.expr("(b_id - 1) div 2").alias("b_id"),
+            "cosine",
+            "margin",
+        )
     )
 
 

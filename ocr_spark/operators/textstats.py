@@ -3019,6 +3019,12 @@ def keyword_tags(
     at 10^7+ phrases); otherwise it falls back to a shuffle join keyed on
     the gram, which AQE skew-splits if one phrase is Zipf-hot.
 
+    NOTE: the sketch is an EAGER Spark action (approx_count_distinct +
+    .first()) at DataFrame-construction time — calling this function runs
+    a dictionary-side aggregation immediately, even if the returned plan
+    is never executed (same precedent as dedup_ngram_jaccard's HLL gate).
+    Callers assembling plans lazily should construct this last.
+
     Output: (doc_id, phrase, n_hits, first_pos) — first_pos is the 1-based
     word index of the earliest match.
     """

@@ -10415,7 +10415,9 @@ FROM (
   SELECT count(*) FILTER (WHERE t.a_id IS NOT NULL AND p.a_id IS NOT NULL)::BIGINT AS tp,
          count(*) FILTER (WHERE t.a_id IS NULL)::BIGINT AS fp,
          count(*) FILTER (WHERE p.a_id IS NULL)::BIGINT AS fn
-  FROM truth t FULL JOIN {pred} p ON t.a_id = p.a_id AND t.b_id = p.b_id
+  FROM (SELECT DISTINCT a_id, b_id FROM truth) t
+  FULL JOIN (SELECT DISTINCT a_id, b_id FROM {pred}) p
+    ON t.a_id = p.a_id AND t.b_id = p.b_id
 )"""
 
 

@@ -3118,3 +3118,92 @@ def test_winnow_pairs_quote_and_cap(spark):
     assert (1, 2) in got  # the quote pair survives
     # boilerplate shared by all 4 docs is above the cap: no pair rests on it
     assert (3, 4) not in got
+
+
+def test_bitext_mine_shared_id_spaces(spark):
+    """Round-5 ADVICE regression: independently numbered sides (both ids
+    0..5) — the aligned A_i/B_i pair must NOT be swallowed by the
+    bruteforce self-id mask. The parity remap inside bitext_mine makes the
+    id spaces disjoint around the k-NN kernels and restores originals on
+    output."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 8) * 2.0
+    a_rows, b_rows = [], []
+    for i in range(6):
+        a_rows.append((i, [float(x) for x in base[i] + rng.randn(8) * 0.01]))
+        b_rows.append((i, [float(x) for x in base[i] + rng.randn(8) * 0.01]))
+    a = spark.createDataFrame(a_rows, "vec_id long, embedding array<float>")
+    b = spark.createDataFrame(b_rows, "vec_id long, embedding array<float>")
+    out = SIM.bitext_mine(a, b, k=3, margin_threshold=1.0).collect()
+    got = {r["a_id"]: r["b_id"] for r in out}
+    assert got == {i: i for i in range(6)}
+    for r in out:
+        assert 0.99 < r["cosine"] <= 1.0 and r["margin"] > 1.0
+
+
+def test_bitext_mine_disjoint_ids_unchanged_by_remap(spark):
+    """The parity remap is a no-op on results when ids were already
+    disjoint: same pairs, same cosines, same margins as the original
+    even/odd fixture contract (regression anchor for the oracle)."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 8) * 2.0
+    rows = []
+    for i in range(6):
+        rows.append((i * 2, [float(x) for x in base[i] + rng.randn(8) * 0.01]))
+        rows.append((i * 2 + 1, [float(x) for x in base[i] + rng.randn(8) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    out = SIM.bitext_mine(a, b, k=3, margin_threshold=1.0).collect()
+    assert {r["a_id"]: r["b_id"] for r in out} == {i * 2: i * 2 + 1 for i in range(6)}
+
+
+def test_topk_bruteforce_null_group_never_masks(spark):
+    """Round-5 ADVICE regression: a NULL exclude-group value follows SQL
+    semantics (matches nothing) instead of raising an executor-side
+    TypeError in the int64 cast — null-group corpus rows stay eligible as
+    neighbors for every query, including null-group queries."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 7),
+        (1, [0.9, 0.1, 0.0, 0.0], 7),     # same group as q0 → masked
+        (2, [0.8, 0.2, 0.0, 0.0], None),  # null group → never masked
+        (3, [0.0, 1.0, 0.0, 0.0], 9),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = SIM.topk_bruteforce(
+        emb, q, k=3, query_id_col="query_id", exclude_group_col="label"
+    ).collect()
+    got = {r["neighbor_id"]: r["rank"] for r in out}
+    assert 1 not in got          # same non-null group masked
+    assert got.get(2) == 1       # null-group row ranks first (closest eligible)
+    assert got.get(3) == 2
+    # null-group QUERY: nothing is masked against it except itself
+    qn = emb.filter(F.col("vec_id") == 2).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out2 = SIM.topk_bruteforce(
+        emb, qn, k=3, query_id_col="query_id", exclude_group_col="label"
+    ).collect()
+    assert {r["neighbor_id"] for r in out2} == {0, 1, 3}
+
+
+def test_pair_prf_dedups_inputs(spark):
+    """Round-5 ADVICE regression: repeated (a_id, b_id) rows in either
+    input no longer fan out through the full-outer join — pair_prf is
+    dup-safe as the public scorecard."""
+    from ocr_spark.operators import dedup as DDm
+
+    truth = spark.createDataFrame(
+        [("a", "c"), ("a", "c"), ("a", "x")], "a_id string, b_id string"
+    )
+    pred = spark.createDataFrame(
+        [("a", "c"), ("a", "c"), ("a", "c"), ("b", "d")], "a_id string, b_id string"
+    )
+    row = DDm.pair_prf(truth, pred, "t").collect()[0]
+    assert (row["tp"], row["fp"], row["fn"]) == (1, 1, 1)
+    assert row["precision"] == 0.5 and row["recall"] == 0.5
