@@ -4278,6 +4278,7 @@ pqadc AS MATERIALIZED (
   SELECT l0.query_id, v.vec_id AS neighbor_id, ({adist})::BIGINT AS adist_sq
   FROM pqcodes v
   {lut_joins}{probe_filter}
+  WHERE v.vec_id <> l0.query_id
 ),
 pqshort AS (
   SELECT query_id, neighbor_id FROM (
@@ -4306,23 +4307,27 @@ FROM (
     return "".join(parts)
 
 
-@_q("ann_topk_pq", _sql_pq(SIM.PQ_M, SIM.PQ_KSUB, SIM.PQ_ITERS, 5, 16, 20))
+@_q("ann_topk_pq", _sql_pq(SIM.PQ_M, SIM.PQ_KSUB, SIM.PQ_ITERS, 5, 64, 20))
 def q_ann_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
     """Product-Quantization ANN (Jégou 2011), the memory tier: 64-dim
     vectors → 8 sub-codes (4 bits each — 64× smaller than float32),
     asymmetric-distance scan = 8 table lookups per vector per query, a
-    k·rerank ADC shortlist, exact integer re-rank of the shortlist only.
+    k·rerank ADC shortlist (self-pairs excluded, the shared ANN-tier
+    contract), exact integer re-rank of the shortlist only.
     Integer-exact end to end; the oracle unrolls the 8 per-subspace
     Lloyd chains, the encode, the LUT joins, and the re-rank.  Measured
-    recall@5 vs exact at sf0.001 (random vectors, the hard case): 0.39
-    raw ADC → 0.77 at rerank=8, 0.89 at rerank=16 — 16 is the default
-    (80 exact re-ranks per query, negligible next to the scan)."""
+    recall@5 vs self-excluding exact truth at sf0.1: 0.72 at rerank=16,
+    0.82 at 32, 0.92 at the rerank=64 default — 320 exact re-ranks per
+    query, a scale-constant, negligible next to the scan.  (The r4
+    recall plateau at 0.70 was a self-match slip — PQ alone kept the
+    query itself at rank 1, capping recall at 4/5 — not quantization
+    error.)"""
     return SIM.pq_topk(D.load(spark, sf, "embeddings"), k=5)
 
 
 @_q(
     "ann_topk_ivfpq",
-    _sql_pq(SIM.PQ_M, SIM.PQ_KSUB, SIM.PQ_ITERS, 5, 16, 20, n_cells=8, nprobe=4),
+    _sql_pq(SIM.PQ_M, SIM.PQ_KSUB, SIM.PQ_ITERS, 5, 64, 20, n_cells=8, nprobe=4),
 )
 def q_ann_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ (FAISS's standard big-index composition): a coarse integer

@@ -105,10 +105,12 @@ def test_trunc_div_matches_engines():
 
 
 def test_pq_topk_recall_and_contracts(spark):
-    """PQ-ADC with exact re-rank: per-query exactly k rows, rank 1 is the
-    query itself (distance 0 — queries are corpus members), dist_sq
-    nondecreasing in rank, and recall@5 vs exact integer L2 clears the
-    measured floor on the hard (random-vector) case."""
+    """PQ-ADC with exact re-rank: per-query exactly k rows, the query
+    itself NEVER appears (self-pairs excluded, the shared ANN-tier
+    contract — round-5 regression: self-inclusion capped recall@5 at
+    0.8), dist_sq nondecreasing in rank, and recall@5 vs self-excluding
+    exact integer L2 clears the measured floor on the hard
+    (random-vector) case."""
     import numpy as np
 
     from ocr_spark.operators.similarity import pq_topk
@@ -121,7 +123,8 @@ def test_pq_topk_recall_and_contracts(spark):
     assert len(by_q) == 20 and all(len(v) == 5 for v in by_q.values())
     for q, rs in by_q.items():
         rs.sort(key=lambda r: r["rank"])
-        assert rs[0]["neighbor_id"] == q and rs[0]["dist_sq"] == 0
+        assert all(r["neighbor_id"] != q for r in rs)
+        assert rs[0]["dist_sq"] > 0
         d = [r["dist_sq"] for r in rs]
         assert d == sorted(d)
 
@@ -130,11 +133,14 @@ def test_pq_topk_recall_and_contracts(spark):
     hits = tot = 0
     for q, rs in by_q.items():
         exact = sorted(
-            data, key=lambda v: (float(np.sum((data[q] - data[v]) ** 2)), v)
+            (v for v in data if v != q),
+            key=lambda v: (float(np.sum((data[q] - data[v]) ** 2)), v),
         )[:5]
         tot += 5
         hits += len(set(exact) & {r["neighbor_id"] for r in rs})
-    assert hits / tot >= 0.7  # measured 0.77 at rerank=8; deterministic
+    # at sf0.001 the rerank=64 shortlist (320) covers the whole corpus,
+    # so the exact re-rank makes this 1.0 by construction; deterministic
+    assert hits / tot >= 0.9
 
 
 def test_pq_topk_rejects_indivisible_dim(spark):
