@@ -652,6 +652,22 @@ def simhash_pairs(
     )
 
 
+def doc_sample(
+    docs: DataFrame, mod: int = 4, bucket: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic md5-bucket document sample: keep rows whose salted
+    md5(doc_id) falls in one of ``mod`` uniform buckets (rate 1/mod).
+    Engine-neutral (the _md5_int formula replays in DuckDB), stable
+    across runs/partitionings — the sampling gate for scorecards like
+    :func:`pair_prf` whose ground-truth tier is quadratic-ish: sampling
+    docs at rate s keeps s² of the pair universe while leaving per-tier
+    precision/recall an unbiased estimate (every tier is restricted to
+    the SAME sample×sample pair universe, and the sample is uniform in
+    doc identity, independent of content)."""
+    h = _md5_int(F.col(id_col).cast("string"), 97)
+    return docs.filter(h % F.lit(mod) == F.lit(bucket))
+
+
 def pair_prf(truth: DataFrame, pred: DataFrame, tier: str) -> DataFrame:
     """One-row precision/recall scorecard of a candidate-pair set against a
     ground-truth pair set (both (a_id, b_id), a<b): tp/fp/fn via one

@@ -10426,10 +10426,24 @@ FROM (
 )"""
 
 
+# dedup_eval's scorecard runs its tiers on a deterministic 1/4 md5-bucket
+# doc sample (dedup.doc_sample, salt 97): the exact PPJoin truth tier is
+# quadratic-ish, so a 25% doc sample keeps ~6% of the pair universe while
+# per-tier P/R stays an unbiased estimate — every tier sees the SAME
+# sample. The sampled CTE chain shadows the shared shingle base names so
+# _sql_minhash_bands() composes unchanged.
+_SQL_SHINGLE_BASE_SAMPLED = f"""
+{D.SQL_DEDUP_DOCS},
+sdocs AS (SELECT doc_id, text FROM dedup_docs
+          WHERE ('0x' || substr(md5('97:' || doc_id::VARCHAR), 1, 8))::BIGINT % 4 = 0),
+dw AS (SELECT doc_id, {_words_lower('text')} AS ws FROM sdocs),
+dsh AS (SELECT doc_id, {_sql_shingles('ws')} AS sh FROM dw)"""
+
+
 @_q(
     "dedup_eval",
     f"""
-WITH {_SQL_SHINGLE_BASE},
+WITH {_SQL_SHINGLE_BASE_SAMPLED},
 {_sql_minhash_bands()},
 truth AS (
   SELECT a_id, b_id FROM (
@@ -10451,7 +10465,7 @@ mh AS (
                   / len(list_distinct(list_concat(la.sh, lb.sh)))
              ELSE 0.0 END >= 0.5
 ),
-sw AS (SELECT doc_id, {_words_lower('text')} AS ws FROM dedup_docs),
+sw AS (SELECT doc_id, {_words_lower('text')} AS ws FROM sdocs),
 sh2 AS (SELECT doc_id, {_sql_simhash('ws')} AS simhash FROM sw),
 sb AS (SELECT doc_id, simhash, simhash >> {DD.SIMHASH_BITS - 16} AS bucket FROM sh2),
 shp AS (
@@ -10472,8 +10486,17 @@ def q_dedup_eval(spark: SparkSession, sf: str) -> DataFrame:
     truth (dedup.pair_prf over dedup.dedup_ngram_jaccard /
     dedup.dedup_minhash_lsh / dedup.simhash_pairs). Two rows, one per
     tier — the quantified trust statement you compute at a small SF before
-    believing a banding config at the full corpus."""
-    docs = D.dedup_docs(D.load(spark, sf, "documents"))
+    believing a banding config at the full corpus.
+
+    All tiers run on a deterministic 1/4 md5-bucket doc sample
+    (dedup.doc_sample, the sample a parameter): the exact truth tier is
+    the bench's single most expensive query and is DEFINED to run at a
+    small SF — sampling docs at 25% keeps ~6% of the pair universe with
+    per-tier P/R unbiased, since every tier is restricted to the same
+    sample×sample universe."""
+    docs = DD.doc_sample(
+        D.dedup_docs(D.load(spark, sf, "documents")), mod=4, bucket=0
+    )
     truth = DD.dedup_ngram_jaccard(docs, jaccard_threshold=0.5)
     mh = DD.dedup_minhash_lsh(docs, jaccard_threshold=0.5)
     shp = DD.simhash_pairs(docs, max_hamming=10)
