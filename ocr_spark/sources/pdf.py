@@ -185,15 +185,19 @@ class _MiniPdf:
         fm = _re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", head)
         if not fm:
             return raw
-        if fm.group(1) != b"FlateDecode":
+        if fm.group(1) == b"FlateDecode":
+            import zlib
+
+            data = zlib.decompress(raw)
+        elif fm.group(1) == b"LZWDecode":
+            em = _re.search(rb"/EarlyChange\s+(\d+)", head)
+            data = _lzw_decode(raw, early=int(em.group(1)) if em else 1)
+        else:
             raise NotImplementedError(
                 f"unsupported PDF stream filter /{fm.group(1).decode()}: "
                 "install pypdf for general PDFs (the built-in reader handles "
-                "uncompressed and /FlateDecode streams)"
+                "uncompressed, /FlateDecode, and /LZWDecode streams)"
             )
-        import zlib
-
-        data = zlib.decompress(raw)
         pm = _re.search(rb"/Predictor\s+(\d+)", head)
         if pm and int(pm.group(1)) >= 10:
             cm = _re.search(rb"/Columns\s+(\d+)", head)
@@ -266,6 +270,53 @@ class _MiniPdf:
             return b""
         refs = [int(m.group(1)) for m in _REF_RE.finditer(cm.group(1))]
         return b"\n".join(self.stream_bytes(r) for r in refs if r in self.objs)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF /LZWDecode (ISO 32000-2 §7.4.4 — the public TIFF-style LZW
+    variant): MSB-first variable-width codes, 9→12 bits, 256 = clear
+    table, 257 = end of data. ``early`` is /EarlyChange (default 1: the
+    code width grows one code earlier than strictly required — the spec
+    default every real writer uses). Reference parity: its PyPDF2 handles
+    LZW PDFs on the direct-text path (`pdf_processor.py:168-184`); without
+    this, a born-digital LZW PDF pays the 100-1000× rasterize+OCR branch
+    unnecessarily."""
+    base = {i: bytes([i]) for i in range(256)}
+    table = dict(base)
+    next_code, width = 258, 9
+    out = bytearray()
+    prev: bytes | None = None
+    buf = nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = dict(base)
+                next_code, width = 258, 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code} > {next_code}")
+            out += entry
+            prev = entry
+            if next_code + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
 
 
 def _png_unpredict(data: bytes, columns: int) -> bytes:
@@ -490,12 +541,14 @@ def synth_pdf_docs(spark, n: int = 40) -> DataFrame:
     real PDF bytes (sources/pdf_fixture.synth_pdf_bytes), built inside the
     plan via an Arrow-batched UDF — no driver-side byte assembly.
 
-    Odd doc_ids are /FlateDecode-compressed, even ones raw, and the writer
-    STYLE cycles with doc_id % 3 — classic ``(s) Tj``, TJ-array/hex/octal,
-    and PDF 1.5 object-stream+xref-stream — so every consumer of this
-    corpus (pdf_pages/pdf_fulltext/pdf_process and their oracles) exercises
-    all reader paths on every run; neither compression nor writer style
-    ever changes the extracted text, only the bytes."""
+    Odd doc_ids compress their content streams — /LZWDecode when
+    doc_id % 4 == 1, /FlateDecode when doc_id % 4 == 3 — even ones stay
+    raw, and the writer STYLE cycles with doc_id % 3 — classic ``(s) Tj``,
+    TJ-array/hex/octal, and PDF 1.5 object-stream+xref-stream — so every
+    consumer of this corpus (pdf_pages/pdf_fulltext/pdf_process and their
+    oracles) exercises all reader paths, all three stream codecs included,
+    on every run; neither compression nor writer style ever changes the
+    extracted text, only the bytes."""
     from pyspark.sql.functions import pandas_udf
 
     from ocr_spark.sources.pdf_fixture import STYLES, synth_pdf_bytes
@@ -507,7 +560,7 @@ def synth_pdf_docs(spark, n: int = 40) -> DataFrame:
                 synth_pdf_bytes(
                     int(i),
                     int(p),
-                    compress=bool(int(i) % 2),
+                    compress=("lzw" if int(i) % 4 == 1 else bool(int(i) % 2)),
                     style=STYLES[int(i) % 3],
                 )
                 for i, p in zip(ids, pages)

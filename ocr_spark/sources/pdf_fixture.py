@@ -82,7 +82,52 @@ def _png_predict_up(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
-def _content_obj(text_ops: bytes, compress: bool) -> bytes:
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """PDF /LZWDecode-compatible encoder (ISO 32000-2 §7.4.4, TIFF-style):
+    MSB-first variable-width codes 9→12 bits, 256 = clear, 257 = EOD,
+    table reset at 4095, width grows ``early`` codes ahead (the spec
+    default 1). The fixture-side inverse of pdf._lzw_decode — kept here so
+    the reader never round-trips through its own encoder in production."""
+    out_codes: list[tuple[int, int]] = [(256, 9)]
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        out_codes.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early - 1 >= (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                out_codes.append((256, 12))
+                table = {bytes([i]): i for i in range(256)}
+                next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        out_codes.append((table[w], width))
+    out_codes.append((257, width))
+    buf = nbits = 0
+    out = bytearray()
+    for code, wd in out_codes:
+        buf = (buf << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _content_obj(text_ops: bytes, compress) -> bytes:
+    if compress == "lzw":
+        z = lzw_encode(text_ops)
+        return b"<< /Length %d /Filter /LZWDecode >>\nstream\n%s\nendstream" % (len(z), z)
     if compress:
         z = zlib.compress(text_ops, 9)
         return b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream" % (len(z), z)
