@@ -669,10 +669,62 @@ def unpack_image_id(image_id: Column) -> tuple[Column, Column]:
     return doc, page.cast("int")
 
 
+def rasterize_pages_poppler(
+    docs: DataFrame,
+    dpi: int = 300,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """S3 real tier: pdf2image/poppler rasterization of RAW PDF BYTES →
+    the same (doc_id, page_number, data, width, height) grayscale rows
+    :func:`rasterize_pages` emits, so :func:`pack_image_id` → scan_images
+    consume either tier unchanged (reference `pdf_processor.py:259-290`,
+    dpi=300).
+
+    The import is EXECUTOR-side inside the mapInPandas generator — the
+    exact gating discipline of the easyocr adapter (ocr_engine._load_model):
+    the module resolves once per python worker, never on the driver, so a
+    cluster with poppler installed runs this tier while this sandbox
+    (which lacks the native binary) proves the full wiring with a fake
+    ``pdf2image`` module shipped via addPyFile. Each PIL page converts to
+    ``L`` (8-bit grayscale) and lands as raw bytes + dims; a PDF poppler
+    cannot parse contributes zero rows (A6 errors-as-data: the doc simply
+    has no rasterized pages, and the route/quarantine stages upstream
+    already explain why)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pdf2image import convert_from_bytes  # poppler boundary, per worker
+
+        for pdf_b in batches:
+            out = {"doc_id": [], "page_number": [], "data": [], "width": [], "height": []}
+            for rid, content in zip(
+                pdf_b[id_col].tolist(), pdf_b[content_col].tolist()
+            ):
+                try:
+                    pages = convert_from_bytes(bytes(content), dpi=dpi)
+                except Exception:
+                    continue  # unparseable PDF → no pages, not a dead job
+                for pno, pil_img in enumerate(pages, start=1):
+                    arr = np.asarray(pil_img.convert("L"), dtype=np.uint8)
+                    out["doc_id"].append(int(rid))
+                    out["page_number"].append(pno)
+                    out["data"].append(arr.tobytes())
+                    out["width"].append(arr.shape[1])
+                    out["height"].append(arr.shape[0])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        process, "doc_id long, page_number int, data binary, width int, height int"
+    )
+
+
 def rasterize_stub(*_a, **_k):
     """Real-PDF rasterization needs poppler (process boundary); use
-    rasterize_pages (text-band renderer) in this environment."""
+    rasterize_pages (text-band renderer) in this environment, or
+    :func:`rasterize_pages_poppler` where pdf2image/poppler exists."""
     raise NotImplementedError(
-        "pdf rasterization requires pdf2image/poppler; wire convert_from_bytes "
-        "into sources/pdf.rasterize_pages's mapInPandas shape"
+        "pdf rasterization requires pdf2image/poppler; "
+        "sources/pdf.rasterize_pages_poppler is the wired adapter"
     )
