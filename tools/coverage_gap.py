@@ -73,6 +73,15 @@ def main() -> int:
 
     # Rotation invariant: every red query precedes every never-checked query,
     # and every never-checked precedes every green one, in registration order.
+    # Queries in entry_queries._CHANGED_THIS_ROUND are exempt: a changed
+    # query grades ahead of the never-checked tier regardless of its last
+    # row (its green row describes code that no longer exists).
+    changed = getattr(eq, "_CHANGED_THIS_ROUND", set())
+    if changed:
+        print(f"changed-this-round (grade first): {sorted(changed)}")
+    never = [n for n in never if n not in changed]
+    green = [n for n in green if n not in changed]
+    red = [n for n in red if n not in changed]
     pos = {n: i for i, n in enumerate(names)}
     ok = True
     if red and never and max(pos[n] for n in red) > min(pos[n] for n in never):
