@@ -2712,8 +2712,11 @@ knodes AS (SELECT src AS node FROM kedges UNION SELECT dst FROM kedges),
 ka0 AS (SELECT node FROM knodes)"""
     ]
     for i in range(1, iters + 1):
+        # MATERIALIZED is load-bearing: each round references the previous
+        # round TWICE (x and y), so an inlining planner would expand round
+        # 8 into 2^8 copies of the chain — measured 17 s → sub-second.
         parts.append(f""",
-ka{i} AS (
+ka{i} AS MATERIALIZED (
   SELECT u.a AS node FROM kund u
   JOIN ka{i - 1} x ON x.node = u.a
   JOIN ka{i - 1} y ON y.node = u.b
@@ -11242,7 +11245,7 @@ _QUERY_COST_SF001 = {
     'interleave_gate': 0.9,
     'jsonl_roundtrip': 0.7,
     'jsonld_blocks': 0.7,
-    'kcore_nodes': 20.4,
+    'kcore_nodes': 11.6,  # oracle MATERIALIZED fix: was 20.4
     'keyword_tags': 2.4,
     'kmeans_clusters': 1.9,
     'label_outliers': 0.9,
