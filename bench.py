@@ -138,6 +138,7 @@ HEADLINE = [
     "search_hybrid_rrf",
     "pack_tokenized",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     "events_stream_join_outer",
     "warc_html_extract",
     "events_windowed",
@@ -307,6 +308,7 @@ def main() -> None:
     ann_recall = None
     ivf_recall = None
     pq_recall = None
+    ivfpq_recall = None
     if "ann_topk_bruteforce" in per_query and (
         "ann_topk_lsh" in per_query
         or "ann_topk_ivf" in per_query
@@ -334,6 +336,12 @@ def main() -> None:
                 for r in EQ.QUERIES["ann_topk_pq"](spark, sf_dir).collect()
             }
             pq_recall = round(len(bf & pq) / max(len(bf), 1), 3)
+        if "ann_topk_ivfpq" in per_query:
+            ip = {
+                (r["query_id"], r["neighbor_id"])
+                for r in EQ.QUERIES["ann_topk_ivfpq"](spark, sf_dir).collect()
+            }
+            ivfpq_recall = round(len(bf & ip) / max(len(bf), 1), 3)
 
     total = sum(per_query.values())
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -348,6 +356,7 @@ def main() -> None:
         "ann_recall_at_5": ann_recall,
         "ann_recall_at_5_ivf": ivf_recall,
         "ann_recall_at_5_pq": pq_recall,
+        "ann_recall_at_5_ivfpq": ivfpq_recall,
         "flagship": {
             "n_docs": n_docs,
             "n_spans": int(n_spans),
