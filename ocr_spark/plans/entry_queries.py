@@ -4338,7 +4338,15 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     only its nprobe nearest cells, then re-ranks the shortlist exactly —
     scan cost drops by ~n_cells/nprobe on top of PQ's O(m) per distance.
     Fully integer; the oracle adds the unrolled coarse chain + probe
-    join to the PQ oracle."""
+    join to the PQ oracle.
+
+    Measured recall@5 at sf0.1 (2k vectors, 8 cells): 0.77 at the
+    (nprobe=4, rerank=64) default, 0.86 at nprobe=6, 0.92 at nprobe=8
+    (= exhaustive probing = plain PQ). The loss vs PQ's 0.92 is
+    probe-bound, not ADC-bound — with only 8 cells a 50% probe is a
+    coarse filter by construction; at real scale (n_cells ≈ √N, probes a
+    small fraction) the probe set is far more selective per cell. The
+    default keeps the 2× pruning the query exists to demonstrate."""
     return SIM.pq_topk(
         D.load(spark, sf, "embeddings"), k=5, n_cells=8, nprobe=4
     )
