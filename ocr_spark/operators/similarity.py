@@ -10,7 +10,7 @@ Two strategies:
   inside buckets. The scale path: candidates per query ≈ corpus / 2^H.
 
 Four strategies ship in total — brute force (exact baseline), sign-LSH,
-IVF-flat, and PQ/IVF-PQ (compression tier: 4-bit codes + ADC + exact
+IVF-flat, and PQ/IVF-PQ (compression tier: 5-bit codes + ADC + exact
 shortlist re-rank) — the distributed ANN ladder.  HNSW is deliberately
 absent: graph ANN is pointer-chasing over mutable global state, which a
 shared-nothing batch engine cannot traverse without per-hop shuffles;
@@ -741,7 +741,8 @@ def kmeans_lloyd(
 # ---------------------------------------------------------------------------
 
 PQ_M = 8  # subspaces
-PQ_KSUB = 16  # centroids per subspace (4-bit codes)
+PQ_KSUB = 32  # centroids per subspace (5-bit codes; measured recall@5
+# 0.96 vs 0.92 at k_sub=16 with the same rerank=64 shortlist, sf0.1)
 PQ_ITERS = 2
 
 
@@ -896,8 +897,8 @@ def pq_topk(
     """Approximate top-k by Product Quantization with asymmetric distance
     (ADC) — the memory tier of the ANN stack.  Brute force keeps every
     float; IVF prunes WHICH vectors are scored; PQ compresses WHAT is
-    stored: each vector becomes ``m`` sub-codes (4 bits each at k_sub=16
-    — 64-dim float32 → 4 bytes, 64× smaller), and query↔vector distance
+    stored: each vector becomes ``m`` sub-codes (5 bits each at k_sub=32
+    — 64-dim float32 → 5 bytes, ~51× smaller), and query↔vector distance
     is approximated as the sum of ``m`` table lookups against the REAL
     query (asymmetric: only the database side is quantized).  At 10^12
     vectors this is the difference between an index that fits executor
@@ -927,8 +928,9 @@ def pq_topk(
     = the vectors with id < ``n_queries`` (the ANN-suite convention).
     Returns (query_id, neighbor_id, dist_sq, rank) under exact
     distances.  Measured recall@5 vs self-excluding exact truth at
-    sf0.1 (2k random unit vectors, the hard case for a 4-bit codebook):
-    rerank 16 → 0.72, 32 → 0.82, 64 → 0.92 (the default).
+    sf0.1 (2k random unit vectors, the hard case for a small codebook):
+    k_sub=16: rerank 16 → 0.72, 64 → 0.92; k_sub=32 (the default):
+    rerank 16 → 0.81, 64 → 0.96.
 
     ``n_cells`` adds the IVF tier on top (FAISS IVF-PQ, the standard
     big-index composition): a coarse integer-Lloyd quantizer over the

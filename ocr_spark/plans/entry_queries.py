@@ -4313,15 +4313,16 @@ FROM (
 @_q("ann_topk_pq", _sql_pq(SIM.PQ_M, SIM.PQ_KSUB, SIM.PQ_ITERS, 5, 64, 20))
 def q_ann_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
     """Product-Quantization ANN (Jégou 2011), the memory tier: 64-dim
-    vectors → 8 sub-codes (4 bits each — 64× smaller than float32),
+    vectors → 8 sub-codes (5 bits each — ~51× smaller than float32),
     asymmetric-distance scan = 8 table lookups per vector per query, a
     k·rerank ADC shortlist (self-pairs excluded, the shared ANN-tier
     contract), exact integer re-rank of the shortlist only.
     Integer-exact end to end; the oracle unrolls the 8 per-subspace
     Lloyd chains, the encode, the LUT joins, and the re-rank.  Measured
-    recall@5 vs self-excluding exact truth at sf0.1: 0.72 at rerank=16,
-    0.82 at 32, 0.92 at the rerank=64 default — 320 exact re-ranks per
-    query, a scale-constant, negligible next to the scan.  (The r4
+    recall@5 vs self-excluding exact truth at sf0.1: 0.96 at the
+    (k_sub=32, rerank=64) defaults — 320 exact re-ranks per query, a
+    scale-constant, negligible next to the scan; the ladder (0.72 at
+    k_sub=16/rerank=16 up to 0.96) is in pq_topk's docstring.  (The r4
     recall plateau at 0.70 was a self-match slip — PQ alone kept the
     query itself at rank 1, capping recall at 4/5 — not quantization
     error.)"""
