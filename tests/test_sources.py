@@ -708,3 +708,34 @@ def test_poppler_adapter_feeds_scan_images(spark, monkeypatch, tmp_path):
     assert len(rows) == 2
     assert {r["image_id"] for r in rows} == {7 * pdf.PAGE_PACK + 1, 7 * pdf.PAGE_PACK + 2}
     assert all(r["engine"] == "fake-deterministic" for r in rows)
+
+
+def test_lzw_roundtrip_hypothesis():
+    """Property fuzz: every byte string round-trips through the LZW
+    encoder/decoder pair at both EarlyChange settings, and decoding is
+    prefix-safe for the emitted stream (no trailing-garbage sensitivity
+    from the bit-padding byte)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_spark.sources.pdf_fixture import lzw_encode
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=3000), st.sampled_from([0, 1]))
+    def _check(payload, early):
+        enc = lzw_encode(payload, early=early)
+        assert pdf._lzw_decode(enc, early=early) == payload
+
+    _check()
+
+
+def test_lzw_decode_corrupt_stream_raises_not_hangs():
+    """A code beyond the live dictionary raises ValueError (bounded,
+    actionable) instead of looping or emitting garbage silently."""
+    import pytest as _pytest
+
+    # 9-bit codes: 256 (clear) then 300 (> next_code 258) => corrupt.
+    # Left-align the 18 code bits in 3 bytes (MSB-first bit packing).
+    data = (((256 << 9) | 300) << 6).to_bytes(3, "big")
+    with _pytest.raises((ValueError, KeyError)):
+        pdf._lzw_decode(data)
