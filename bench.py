@@ -313,6 +313,7 @@ def main() -> None:
         "ann_topk_lsh" in per_query
         or "ann_topk_ivf" in per_query
         or "ann_topk_pq" in per_query
+        or "ann_topk_ivfpq" in per_query
     ):
         bf = {
             (r["query_id"], r["neighbor_id"])

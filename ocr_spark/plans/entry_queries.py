@@ -10447,7 +10447,7 @@ FROM (
 _SQL_SHINGLE_BASE_SAMPLED = f"""
 {D.SQL_DEDUP_DOCS},
 sdocs AS (SELECT doc_id, text FROM dedup_docs
-          WHERE ('0x' || substr(md5('97:' || doc_id::VARCHAR), 1, 8))::BIGINT % 4 = 0),
+          WHERE {_md5_int('doc_id::VARCHAR', 97)} % 4 = 0),
 dw AS (SELECT doc_id, {_words_lower('text')} AS ws FROM sdocs),
 dsh AS (SELECT doc_id, {_sql_shingles('ws')} AS sh FROM dw)"""
 
@@ -11353,48 +11353,60 @@ _QUERY_COST_SF001 = {
 }
 
 
-# Queries whose SEMANTICS changed in the current round (round 5: PQ self-
-# pair exclusion + rerank=64; dedup_eval 25% doc sample; pair_prf input
-# dedup; bitext id remap). A prior green driver row no longer describes
-# the shipped code, so these grade ahead of the never-checked tier.
-# Maintain per round: replace with the new round's changed set (empty is
-# fine), and the self-maintaining rotation does the rest.
-_CHANGED_THIS_ROUND = {
-    "ann_topk_pq",
-    "ann_topk_ivfpq",
-    "dedup_eval",
-    "dedup_eval_embedding",
-    "bitext_mine",
+# Queries whose SEMANTICS changed after the driver round given as the
+# value (here: after round 4 — PQ self-pair exclusion + rerank/k_sub,
+# dedup_eval 25% doc sample, pair_prf input dedup, bitext id remap).
+# A driver row from a round <= that value no longer describes the shipped
+# code, so the query grades ahead of the never-checked tier — but ONLY
+# until a NEWER row lands: the gate below compares against the max round
+# that actually graded the query, so entries expire themselves the moment
+# the driver re-grades them. No per-round manual cleanup required (stale
+# entries are inert); append new (query, round) pairs when semantics
+# change again.
+_CHANGED_AFTER_ROUND = {
+    "ann_topk_pq": 4,
+    "ann_topk_ivfpq": 4,
+    "dedup_eval": 4,
+    "dedup_eval_embedding": 4,
+    "bitext_mine": 4,
 }
 
 
-def _driver_history() -> tuple[set, set]:
+def _all_green(v) -> bool:
+    """The driver's all-green criterion for one CORRECTNESS row — the ONE
+    definition shared by the rotation and tools/coverage_gap.py."""
+    return (
+        isinstance(v, dict)
+        and bool(v.get("rows_match"))
+        and bool(v.get("schema_match"))
+        and bool(v.get("hash_match"))
+    )
+
+
+def _driver_history() -> tuple[set, set, dict]:
     """(queries with ANY driver CORRECTNESS row, queries whose LATEST row
-    is not all-green) from the CORRECTNESS_r*.json files the driver ships
-    at the repo root. Empty sets when the files are absent (fresh clone,
-    packaged zip) — the static priority list then decides alone."""
+    is not all-green, query -> max round number that graded it) from the
+    CORRECTNESS_r*.json files the driver ships at the repo root. Empty
+    when the files are absent (fresh clone, packaged zip) — the static
+    priority list then decides alone."""
     import json as _json
+    import re as _re2
     from pathlib import Path
 
     seen: dict = {}
+    max_round: dict = {}
     try:
         root = Path(__file__).resolve().parents[2]
         for f in sorted(root.glob("CORRECTNESS_r*.json")):
+            rm = _re2.search(r"_r(\d+)", f.name)
+            rnd = int(rm.group(1)) if rm else 0
             for k, v in _json.loads(f.read_text()).items():
                 seen[k] = v
+                max_round[k] = max(max_round.get(k, 0), rnd)
     except Exception:
-        return set(), set()
-    bad = {
-        k
-        for k, v in seen.items()
-        if not (
-            isinstance(v, dict)
-            and v.get("rows_match")
-            and v.get("schema_match")
-            and v.get("hash_match")
-        )
-    }
-    return set(seen), bad
+        return set(), set(), {}
+    bad = {k for k, v in seen.items() if not _all_green(v)}
+    return set(seen), bad, max_round
 
 
 def _reorder_for_driver() -> None:
@@ -11408,9 +11420,14 @@ def _reorder_for_driver() -> None:
     automatically, so successive rounds sweep the uncovered remainder
     without hand-reordering."""
     global QUERIES, ORACLES
-    seen, bad = _driver_history()
+    seen, bad, max_round = _driver_history()
     prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
     reg = {n: i for i, n in enumerate(QUERIES)}
+    changed = {
+        n
+        for n, after in _CHANGED_AFTER_ROUND.items()
+        if max_round.get(n, 0) <= after
+    }
 
     def key(n: str):
         # Checked-but-red (tier 0) outranks changed-this-round (tier 0.5)
@@ -11425,7 +11442,7 @@ def _reorder_for_driver() -> None:
         # never-checked queries that earn a green row this round.
         if n in bad and n in seen:
             tier = 0.0
-        elif n in _CHANGED_THIS_ROUND:
+        elif n in changed:
             tier = 0.5
         elif n not in seen:
             tier = 1.0

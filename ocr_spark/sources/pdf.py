@@ -8,13 +8,15 @@ The reference shells out to PyPDF2 / pdf2image+poppler per request
 - S2 direct text    Arrow-batched UDF: pypdf when importable; otherwise a
                     built-in reader covering the real-world structural
                     range — classic and PDF 1.5+ object-stream (/ObjStm)
-                    files, /FlateDecode (+PNG predictors), Tj / ' / TJ
+                    files, /FlateDecode (+PNG predictors) and /LZWDecode
+                    (public-spec codec, EarlyChange honored), Tj / ' / TJ
                     arrays, literal+hex strings with full escape decoding,
                     nested page trees, /Contents arrays, indirect /Length;
-                    unsupported stream FILTERS (DCT, LZW, …) raise an
+                    unsupported stream FILTERS (DCT, CCITT, …) raise an
                     actionable error naming pypdf
-- S3 rasterizer     poppler is a process boundary the sandbox lacks —
-                    explicit stub
+- S3 rasterizer     deterministic text-band renderer in-sandbox, plus the
+                    real pdf2image/poppler adapter (rasterize_pages_poppler,
+                    executor-side import gate)
 - S4 metadata       same reader pair as S2 (trailer /Info dictionary)
 
 The page-exploded schema feeds the same span pipeline as HTML text: one
@@ -57,11 +59,11 @@ import re as _re
 #
 # Covers what the large majority of real PDFs use (reference path
 # pdf_processor.py:168-184 via PyPDF2): classic AND PDF 1.5+ object-stream
-# ("/ObjStm") files, /FlateDecode, literal/hex strings with full escape
-# decoding, Tj / ' / TJ-array show operators, nested page trees, /Contents
-# arrays, and indirect /Length. Unsupported stream FILTERS (DCT, LZW,
-# ASCII85, JBIG2, …) raise the actionable pypdf boundary error — never a
-# silent empty page.
+# ("/ObjStm") files, /FlateDecode and /LZWDecode, literal/hex strings with
+# full escape decoding, Tj / ' / TJ-array show operators, nested page trees,
+# /Contents arrays, and indirect /Length. Unsupported stream FILTERS (DCT,
+# CCITT, ASCII85, JBIG2, …) raise the actionable pypdf boundary error —
+# never a silent empty page.
 
 _OBJ_HEAD_RE = _re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _STREAM_RE = _re.compile(rb"stream\r?\n")
@@ -293,6 +295,8 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
         while nbits >= width:
             code = (buf >> (nbits - width)) & ((1 << width) - 1)
             nbits -= width
+            buf &= (1 << nbits) - 1  # drop consumed bits — bounded bigint,
+            # else decode is O(n²) in stream length (measured 16.8 s at 274 KB)
             if code == 256:
                 table = dict(base)
                 next_code, width = 258, 9

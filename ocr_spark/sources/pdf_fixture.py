@@ -119,6 +119,7 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
         while nbits >= 8:
             out.append((buf >> (nbits - 8)) & 0xFF)
             nbits -= 8
+            buf &= (1 << nbits) - 1  # bounded bigint (same O(n²) trap as decode)
     if nbits:
         out.append((buf << (8 - nbits)) & 0xFF)
     return bytes(out)

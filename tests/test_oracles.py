@@ -59,12 +59,17 @@ def test_driver_priority_tiering():
     query CHEAPEST-FIRST by the measured gate cost (the driver's per-round
     pass is time-budgeted; ascending cost maximizes how many earn a green
     row), then the already-green remainder."""
-    seen, bad = eq._driver_history()
+    seen, bad, max_round = eq._driver_history()
+    changed = {
+        n
+        for n, after in eq._CHANGED_AFTER_ROUND.items()
+        if max_round.get(n, 0) <= after
+    }
 
     def tier(n):
         if n in bad and n in seen:
             return 0.0
-        if n in eq._CHANGED_THIS_ROUND:
+        if n in changed:
             return 0.5
         return 1.0 if n not in seen else 2.0
 
