@@ -11148,208 +11148,208 @@ _DRIVER_PRIORITY = [
 # round. Stale entries are harmless (ties break by the static priority
 # list, then registration order); regenerate from a driver_sim sweep log.
 _QUERY_COST_SF001 = {
-    'anchor_texts': 0.7,
-    'ann_topk_bruteforce': 0.8,
-    'ann_topk_ivf': 1.5,
-    'ann_topk_ivfpq': 5.4,
-    'ann_topk_lsh': 1.6,
-    'ann_topk_pq': 6.1,
-    'audio_chunks': 0.7,
-    'bitext_mine': 2.3,
-    'blocklist_filter': 0.3,
-    'bloom_membership': 0.7,
+    'anchor_texts': 0.5,
+    'ann_topk_bruteforce': 0.6,
+    'ann_topk_ivf': 1.2,
+    'ann_topk_ivfpq': 4.1,
+    'ann_topk_lsh': 1.4,
+    'ann_topk_pq': 4.0,
+    'audio_chunks': 0.5,
+    'bitext_mine': 9.0,
+    'blocklist_filter': 0.2,
+    'bloom_membership': 0.5,
     'box_fulltext': 0.3,
-    'bpe_tokens': 6.9,
-    'bpe_train': 3.8,
-    'budget_mix': 2.7,
-    'c4_filters': 0.4,
-    'ccnet_tiers': 4.4,
-    'chunk_docs': 0.3,
+    'bpe_tokens': 5.1,
+    'bpe_train': 4.4,
+    'budget_mix': 2.3,
+    'c4_filters': 0.3,
+    'ccnet_tiers': 3.5,
+    'chunk_docs': 0.2,
     'classifier_score': 0.4,
-    'cms_heavy_hitters': 0.5,
-    'compress_ratio': 0.4,
-    'cooccur_ppmi': 0.9,
+    'cms_heavy_hitters': 0.4,
+    'compress_ratio': 0.3,
+    'cooccur_ppmi': 0.7,
     'corpus_digest': 0.2,
-    'corpus_report': 1.7,
-    'corpus_sample': 0.4,
+    'corpus_report': 1.6,
+    'corpus_sample': 0.3,
     'corpus_splits': 0.2,
     'crawl_diff': 0.5,
-    'crawl_frontier': 1.7,
-    'curate_decisions': 5.1,
-    'decontaminate': 0.7,
-    'decontaminate_fuzzy': 2.2,
-    'decontaminate_sentences': 1.3,
-    'decontaminate_spans': 1.1,
-    'dedup_clusters': 3.6,
-    'dedup_containment': 3.4,
-    'dedup_embedding': 1.0,
-    'dedup_embedding_lsh': 1.4,
-    'dedup_eval': 6.3,
-    'dedup_eval_embedding': 2.1,
-    'dedup_exact': 0.3,
-    'dedup_keep_best': 4.2,
+    'crawl_frontier': 1.3,
+    'curate_decisions': 3.8,
+    'decontaminate': 0.5,
+    'decontaminate_fuzzy': 1.8,
+    'decontaminate_sentences': 1.1,
+    'decontaminate_spans': 1.0,
+    'dedup_clusters': 3.2,
+    'dedup_containment': 3.1,
+    'dedup_embedding': 0.8,
+    'dedup_embedding_lsh': 1.2,
+    'dedup_eval': 9.2,
+    'dedup_eval_embedding': 2.0,
+    'dedup_exact': 0.2,
+    'dedup_keep_best': 3.6,
     'dedup_lines': 0.6,
-    'dedup_minhash_lsh': 1.7,
-    'dedup_ngram_jaccard': 1.7,
+    'dedup_minhash_lsh': 1.3,
+    'dedup_ngram_jaccard': 1.6,
     'dedup_paragraphs': 0.3,
-    'dedup_semantic': 1.4,
-    'dedup_simhash': 2.6,
-    'dedup_spans': 0.9,
+    'dedup_semantic': 1.0,
+    'dedup_simhash': 2.4,
+    'dedup_spans': 0.8,
     'dedup_substr': 1.6,
-    'diversity_sample': 0.8,
-    'domain_filter': 0.3,
-    'domain_report': 0.5,
-    'doremi_mix': 2.3,
-    'dsir_score': 1.6,
-    'events_asof': 0.6,
-    'events_range_join': 0.9,
+    'diversity_sample': 0.7,
+    'domain_filter': 0.2,
+    'domain_report': 0.4,
+    'doremi_mix': 2.0,
+    'dsir_score': 1.3,
+    'events_asof': 0.5,
+    'events_range_join': 0.8,
     'events_rollup': 0.6,
-    'events_stream_join': 5.4,
-    'events_stream_join_outer': 6.0,
+    'events_stream_join': 4.1,
+    'events_stream_join_outer': 4.9,
     'events_windowed': 0.4,
-    'extract_documents': 2.3,
-    'extract_ensemble': 4.8,
-    'feed_dates': 0.9,
-    'feed_entries': 0.5,
+    'extract_documents': 1.7,
+    'extract_ensemble': 4.2,
+    'feed_dates': 1.0,
+    'feed_entries': 0.6,
     'feed_links': 0.4,
-    'field_metrics': 1.5,
-    'fields_exact_pct': 1.1,
-    'fields_extract': 0.8,
-    'fields_spans': 1.4,
-    'fields_validate': 0.8,
+    'field_metrics': 1.1,
+    'fields_exact_pct': 0.9,
+    'fields_extract': 0.5,
+    'fields_spans': 1.3,
+    'fields_validate': 0.6,
     'fix_text': 0.3,
-    'frontier_schedule': 2.0,
+    'frontier_schedule': 1.4,
     'gopher_quality': 1.8,
-    'gopher_repetition': 2.5,
-    'graph_triangles': 2.5,
-    'graph_walks': 2.3,
-    'hard_negatives': 0.8,
-    'hits_scores': 3.9,
-    'hll_distinct': 0.4,
+    'gopher_repetition': 2.1,
+    'graph_triangles': 2.1,
+    'graph_walks': 1.8,
+    'hard_negatives': 0.6,
+    'hits_scores': 3.3,
+    'hll_distinct': 0.3,
     'host_extract_stats': 1.6,
-    'host_graph': 0.6,
-    'host_stats': 0.7,
+    'host_graph': 0.4,
+    'host_stats': 0.5,
     'host_templates': 1.1,
-    'html_cetr': 1.9,
-    'html_code_blocks': 0.2,
-    'html_extract': 1.3,
-    'html_headings': 0.2,
-    'html_justext': 3.1,
-    'html_justext_multi': 4.1,
-    'html_links': 0.5,
+    'html_cetr': 1.6,
+    'html_code_blocks': 0.3,
+    'html_extract': 1.1,
+    'html_headings': 0.4,
+    'html_justext': 2.5,
+    'html_justext_multi': 3.2,
+    'html_links': 0.3,
     'html_lists': 0.3,
-    'html_markdown': 0.3,
+    'html_markdown': 0.4,
     'html_meta': 0.5,
-    'html_readability': 1.0,
+    'html_readability': 0.9,
     'html_sections': 0.5,
-    'html_spans': 1.0,
-    'html_tables': 0.4,
-    'image_dedup_phash': 2.1,
+    'html_spans': 0.9,
+    'html_tables': 0.3,
+    'image_dedup_phash': 0.6,
     'image_denoise': 0.4,
     'image_enhance_text': 0.3,
-    'image_features': 0.4,
+    'image_features': 0.3,
     'image_noise_stats': 0.4,
-    'image_preprocess': 0.7,
+    'image_preprocess': 0.6,
     'image_resize': 0.4,
-    'interleave_gate': 0.9,
-    'jsonl_roundtrip': 0.7,
-    'jsonld_blocks': 0.7,
-    'kcore_nodes': 11.6,  # oracle MATERIALIZED fix: was 20.4
-    'keyword_tags': 2.4,
-    'kmeans_clusters': 1.9,
-    'label_outliers': 0.9,
-    'lang_detect': 0.4,
-    'lang_mismatch': 0.8,
-    'langid_corpus': 1.5,
+    'interleave_gate': 0.6,
+    'jsonl_roundtrip': 0.6,
+    'jsonld_blocks': 0.6,
+    'kcore_nodes': 1.8,
+    'keyword_tags': 1.9,
+    'kmeans_clusters': 2.2,
+    'label_outliers': 0.8,
+    'lang_detect': 0.3,
+    'lang_mismatch': 0.9,
+    'langid_corpus': 1.4,
     'langid_model': 0.6,
-    'layout_alternating': 1.3,
-    'layout_boxes': 3.8,
+    'layout_alternating': 1.1,
+    'layout_boxes': 3.3,
     'layout_boxes_arrow': 0.7,
-    'layout_boxes_df': 1.8,
-    'layout_flags': 2.6,
-    'layout_sbs_columns': 0.8,
+    'layout_boxes_df': 1.9,
+    'layout_flags': 2.3,
+    'layout_sbs_columns': 0.7,
     'length_quantiles': 0.5,
     'license_filter': 0.2,
-    'lm_stupid_backoff': 1.8,
-    'lm_surprisal': 1.0,
-    'lm_surprisal_xmodel': 0.9,
-    'lpa_communities': 2.1,
-    'media_captions': 0.8,
-    'media_decode': 0.7,
+    'lm_stupid_backoff': 1.5,
+    'lm_surprisal': 0.8,
+    'lm_surprisal_xmodel': 0.8,
+    'lpa_communities': 1.7,
+    'media_captions': 0.5,
+    'media_decode': 0.5,
     'media_frame_sample': 0.7,
-    'media_integrity': 1.0,
-    'media_orphans': 0.8,
-    'metrics_pairwise': 1.4,
-    'metrics_rollup': 1.2,
+    'media_integrity': 0.7,
+    'media_orphans': 0.4,
+    'metrics_pairwise': 1.2,
+    'metrics_rollup': 1.0,
     'metrics_wer': 0.5,
-    'minhash_band_plan': 0.4,
-    'ngram_novelty': 0.9,
-    'ngram_overlap': 3.5,
+    'minhash_band_plan': 0.3,
+    'ngram_novelty': 0.7,
+    'ngram_overlap': 2.9,
     'ocr_correct': 0.2,
-    'orc_roundtrip': 0.7,
-    'pack_interleaved': 0.5,
+    'orc_roundtrip': 0.5,
+    'pack_interleaved': 0.4,
     'pack_sequences': 0.3,
-    'pack_tokenized': 17.3,
-    'page_directives': 0.6,
-    'page_lead_image': 0.3,
-    'pagerank': 1.6,
-    'pdf_fulltext': 0.5,
+    'pack_tokenized': 5.5,
+    'page_directives': 0.4,
+    'page_lead_image': 0.4,
+    'pagerank': 1.3,
+    'pdf_fulltext': 0.4,
     'pdf_meta': 0.4,
-    'pdf_ocr_scan': 1.0,
-    'pdf_pages': 0.5,
-    'pdf_process': 1.6,
+    'pdf_ocr_scan': 0.9,
+    'pdf_pages': 0.4,
+    'pdf_process': 1.5,
     'pdf_route': 0.2,
-    'pii_scrub': 0.3,
-    'pii_scrub_spans': 0.7,
-    'quality_features': 0.4,
-    'readability_scores': 0.5,
-    'robots_delay': 0.5,
-    'robots_gate': 0.8,
-    'robots_rules': 0.5,
+    'pii_scrub': 0.2,
+    'pii_scrub_spans': 0.5,
+    'quality_features': 0.5,
+    'readability_scores': 0.4,
+    'robots_delay': 0.4,
+    'robots_gate': 0.7,
+    'robots_rules': 0.4,
     'robots_sitemaps': 0.3,
-    'search_bm25': 0.7,
-    'search_hybrid_rrf': 1.1,
+    'search_bm25': 0.6,
+    'search_hybrid_rrf': 0.9,
     'search_topk': 0.4,
-    'sentence_windows': 0.4,
-    'sentences': 0.5,
-    'sessionize': 0.7,
-    'shuffle_shards': 0.4,
+    'sentence_windows': 0.3,
+    'sentences': 0.4,
+    'sessionize': 0.6,
+    'shuffle_shards': 0.2,
     'sitemap_entries': 0.4,
     'span_lang_runs': 0.8,
-    'span_transitions': 0.8,
-    'spans_assemble': 1.4,
-    'spans_assemble_stream': 3.5,
-    'spans_coalesce': 1.1,
-    'spans_markdown': 0.4,
+    'span_transitions': 0.6,
+    'spans_assemble': 1.0,
+    'spans_assemble_stream': 2.8,
+    'spans_coalesce': 0.8,
+    'spans_markdown': 0.5,
     'spans_quality_filter': 0.6,
     'spans_truncate': 0.5,
-    'splits_by_cluster': 3.9,
-    'stitch_pages': 1.3,
-    'table_bloom_lookup': 1.6,
-    'table_changelog': 4.0,
-    'table_cow_maintenance': 4.2,
-    'table_incremental_view': 5.0,
-    'table_partition_counts': 1.0,
-    'table_partition_evolution': 4.2,
-    'table_scan_pruned': 0.8,
-    'table_schema_evolution': 4.3,
-    'table_stats_agg': 1.3,
-    'table_stream_ingest': 1.8,
-    'table_time_travel': 2.0,
-    'table_zorder_scan': 2.3,
-    'temperature_mix': 2.7,
-    'tfidf_terms': 0.8,
+    'splits_by_cluster': 3.5,
+    'stitch_pages': 0.6,
+    'table_bloom_lookup': 1.2,
+    'table_changelog': 3.9,
+    'table_cow_maintenance': 3.7,
+    'table_incremental_view': 3.9,
+    'table_partition_counts': 0.8,
+    'table_partition_evolution': 3.8,
+    'table_scan_pruned': 1.3,
+    'table_schema_evolution': 2.4,
+    'table_stats_agg': 1.1,
+    'table_stream_ingest': 2.4,
+    'table_time_travel': 1.9,
+    'table_zorder_scan': 1.7,
+    'temperature_mix': 2.6,
+    'tfidf_terms': 0.6,
     'token_stats': 0.3,
-    'top_terms': 0.8,
+    'top_terms': 0.6,
     'trustrank': 1.9,
     'upload_validate': 0.3,
-    'url_canonical': 0.5,
-    'url_dedup': 0.5,
-    'vocab_coverage': 1.2,
-    'warc_extract': 0.8,
-    'warc_html_extract': 1.5,
-    'winnow_fps': 1.0,
-    'winnow_pairs': 2.1,
+    'url_canonical': 0.4,
+    'url_dedup': 0.4,
+    'vocab_coverage': 0.7,
+    'warc_extract': 0.6,
+    'warc_html_extract': 1.1,
+    'winnow_fps': 0.9,
+    'winnow_pairs': 1.8,
 }
 
 
