@@ -11397,9 +11397,17 @@ def _driver_history() -> tuple[set, set, dict]:
     max_round: dict = {}
     try:
         root = Path(__file__).resolve().parents[2]
-        for f in sorted(root.glob("CORRECTNESS_r*.json")):
+
+        def _round_of(f) -> int:
             rm = _re2.search(r"_r(\d+)", f.name)
-            rnd = int(rm.group(1)) if rm else 0
+            return int(rm.group(1)) if rm else 0
+
+        # NUMERIC round order, not lexicographic filename order: last-write
+        # wins for seen[k] (the red-tier input), and "_r100" must sort
+        # after "_r99" even though the zero-padding runs out (round-5
+        # review catch — the two orders diverge past r99).
+        for f in sorted(root.glob("CORRECTNESS_r*.json"), key=_round_of):
+            rnd = _round_of(f)
             for k, v in _json.loads(f.read_text()).items():
                 seen[k] = v
                 max_round[k] = max(max_round.get(k, 0), rnd)
@@ -11407,6 +11415,17 @@ def _driver_history() -> tuple[set, set, dict]:
         return set(), set(), {}
     bad = {k for k, v in seen.items() if not _all_green(v)}
     return set(seen), bad, max_round
+
+
+def _changed_queries(max_round: dict) -> set:
+    """The queries whose semantics changed AFTER their newest driver row
+    (_CHANGED_AFTER_ROUND, self-expiring) — the ONE definition shared by
+    the rotation, tools/coverage_gap.py, and the tiering test."""
+    return {
+        n
+        for n, after in _CHANGED_AFTER_ROUND.items()
+        if max_round.get(n, 0) <= after
+    }
 
 
 def _reorder_for_driver() -> None:
@@ -11423,11 +11442,7 @@ def _reorder_for_driver() -> None:
     seen, bad, max_round = _driver_history()
     prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
     reg = {n: i for i, n in enumerate(QUERIES)}
-    changed = {
-        n
-        for n, after in _CHANGED_AFTER_ROUND.items()
-        if max_round.get(n, 0) <= after
-    }
+    changed = _changed_queries(max_round)
 
     def key(n: str):
         # Checked-but-red (tier 0) outranks changed-this-round (tier 0.5)

@@ -54,6 +54,7 @@ def is_pdf(path: Column, content: Column) -> Column:
 
 
 import re as _re
+import zlib as _zlib
 
 # --- minipdf: a dependency-free reader for real-world PDF structure ---------
 #
@@ -305,6 +306,8 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
             if code == 257:
                 return bytes(out)
             if prev is None:
+                if code not in table:
+                    raise ValueError(f"corrupt LZW stream: first code {code} undefined")
                 entry = table[code]
             elif code in table:
                 entry = table[code]
@@ -365,14 +368,15 @@ def _minipdf_pages(data: bytes) -> list[str]:
     for pid in pdf.page_ids():
         try:
             chunks = _show_text_chunks(pdf.page_content(pid))
-        except NotImplementedError:
-            # DCT/JPX/CCITT/LZW-filtered content stream (a scanned-image
-            # page, or compression the built-in reader doesn't decode):
-            # graceful-degradation parity with the reference
-            # (pdf_processor.py:142-166) — the page contributes NO direct
-            # text, so the F6 min-text gate (pipeline.route_documents)
-            # sends the document down the rasterize+OCR branch instead of
-            # the whole job dying on one exotic PDF.
+        except (NotImplementedError, ValueError, _zlib.error):
+            # DCT/JPX/CCITT-filtered content stream (unsupported codec —
+            # NotImplementedError), or a CORRUPT supported stream (LZW
+            # ValueError, Flate zlib.error): graceful-degradation parity
+            # with the reference (pdf_processor.py:142-166) — the page
+            # contributes NO direct text, so the F6 min-text gate
+            # (pipeline.route_documents) sends the document down the
+            # rasterize+OCR branch instead of the whole job dying on (or
+            # silently DROPPING — the round-5 review catch) one bad PDF.
             chunks = []
         pages.append("\n".join(chunks))
     return pages
@@ -418,8 +422,11 @@ def extract_pages(docs: DataFrame, id_col: str = "doc_id", content_col: str = "c
                     # document-STRUCTURE-level unsupported compression (e.g.
                     # a non-Flate ObjStm): no page tree is readable, so emit
                     # one empty page row — the doc routes to the OCR branch
-                    # (F6) instead of killing the task.  Page-level filter
-                    # gaps are already absorbed inside _minipdf_pages.
+                    # (F6) instead of killing the task. CORRUPT stream data
+                    # inside a page is absorbed per page in _minipdf_pages
+                    # (ValueError/zlib.error → empty page text, count kept);
+                    # structurally unreadable bytes still drop via the
+                    # Exception absorber below, as before.
                     texts = [""]
                 except Exception:  # graceful degradation (§4): bad doc → no rows
                     continue
@@ -457,7 +464,8 @@ def extract_metadata(docs: DataFrame, id_col: str = "doc_id", content_col: str =
                 except NotImplementedError:
                     # unsupported structure compression: metadata unreadable
                     # → emit the row with pages=0 / null fields (reference
-                    # degrades to empty metadata, pdf_processor.py:222-257)
+                    # degrades to empty metadata, pdf_processor.py:222-257);
+                    # corrupt page streams are absorbed in _minipdf_pages
                     info, n_pages = {}, 0
                 except Exception:
                     continue
@@ -711,7 +719,14 @@ def rasterize_pages_poppler(
                 except Exception:
                     continue  # unparseable PDF → no pages, not a dead job
                 for pno, pil_img in enumerate(pages, start=1):
-                    arr = np.asarray(pil_img.convert("L"), dtype=np.uint8)
+                    try:
+                        # per-page guard: a degenerate MediaBox can blow
+                        # PIL's decompression-bomb limit at dpi=300, a
+                        # truncated page raises OSError on load — one bad
+                        # page degrades to a missing row, never a dead task
+                        arr = np.asarray(pil_img.convert("L"), dtype=np.uint8)
+                    except Exception:
+                        continue
                     out["doc_id"].append(int(rid))
                     out["page_number"].append(pno)
                     out["data"].append(arr.tobytes())

@@ -60,11 +60,7 @@ def test_driver_priority_tiering():
     pass is time-budgeted; ascending cost maximizes how many earn a green
     row), then the already-green remainder."""
     seen, bad, max_round = eq._driver_history()
-    changed = {
-        n
-        for n, after in eq._CHANGED_AFTER_ROUND.items()
-        if max_round.get(n, 0) <= after
-    }
+    changed = eq._changed_queries(max_round)
 
     def tier(n):
         if n in bad and n in seen:

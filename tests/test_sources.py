@@ -739,3 +739,23 @@ def test_lzw_decode_corrupt_stream_raises_not_hangs():
     data = (((256 << 9) | 300) << 6).to_bytes(3, "big")
     with _pytest.raises((ValueError, KeyError)):
         pdf._lzw_decode(data)
+
+
+def test_corrupt_lzw_page_degrades_not_drops(spark):
+    """Round-5 review catch: a CORRUPT (not merely unsupported) stream in
+    one page must degrade that page to empty text — page count intact, doc
+    still present and routed to OCR — never silently drop the document."""
+    from ocr_spark.sources.pdf_fixture import synth_pdf_bytes
+
+    data = synth_pdf_bytes(1, 2, compress="lzw")
+    i = data.find(b"stream\n") + 9
+    corrupt = data[:i] + bytes([data[i] ^ 0xFF]) + data[i + 1:]
+    pages = pdf._minipdf_pages(corrupt)
+    assert len(pages) == 2 and pages[0] == "" and pages[1] == "Page 2 of doc 1"
+    docs = spark.createDataFrame(
+        [(1, bytearray(corrupt))], "doc_id long, content binary"
+    )
+    rows = pdf.extract_pages(docs).collect()
+    assert {(r["page_number"], r["text"]) for r in rows} == {
+        (1, ""), (2, "Page 2 of doc 1")
+    }

@@ -40,11 +40,7 @@ def main() -> int:
     seen, bad, max_round = eq._driver_history()
     seen &= set(names)
 
-    changed = {
-        n
-        for n, after in eq._CHANGED_AFTER_ROUND.items()
-        if max_round.get(n, 0) <= after
-    }
+    changed = eq._changed_queries(max_round)
     never = [n for n in names if n not in seen and n not in changed]
     red = [n for n in names if n in seen and n in bad and n not in changed]
     green = [n for n in names if n in seen and n not in bad and n not in changed]

@@ -70,10 +70,17 @@ def main() -> None:
     per_stage = []
     sum_task_ms = 0
     for s in sorted(stages, key=lambda s: s["stageId"]):
-        q = _api(
-            f"/applications/{_app()}/stages/{s['stageId']}/0/taskSummary"
-            "?quantiles=0.05,0.5,0.95,1.0"
-        )
+        # use the stage's OWN attempt id (a retried stage completes as
+        # attempt 1+ — hardcoding 0 would 404 after the measured run), and
+        # tolerate a missing summary rather than dying post-measurement
+        attempt = s.get("attemptId", 0)
+        try:
+            q = _api(
+                f"/applications/{_app()}/stages/{s['stageId']}/{attempt}/taskSummary"
+                "?quantiles=0.05,0.5,0.95,1.0"
+            )
+        except Exception:
+            q = {}
         dur = q.get("duration", [0, 0, 0, 0])
         sum_task_ms += s["executorRunTime"]
         per_stage.append(
